@@ -1,0 +1,115 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.slf4j.LoggerFactory
+
+import graft.config.PipelineConfig
+import graft.config.PipelineConfig.Target
+import graft.engine.{Engine, Sessions}
+import graft.http.HttpJsonSource
+import graft.template.Templates
+import graft.writer.{DataWriter, ParquetWriter, PostgresWriter, WriteMode}
+
+/** Pipeline orchestrator CLI (SURVEY A30-A33).
+  *
+  * Mirrors the reference's `apitap -m DIR -y FILE` flow
+  * (/root/reference/src/cmd/mod.rs:22-201): discover modules, render
+  * templates (capturing sink + source), resolve config, fetch the HTTP
+  * source, run the module SQL, load into the target. Targets resolve to
+  * a Postgres JDBC writer; `--warehouse DIR` swaps in a parquet sink
+  * per dest-table for driverless/local runs.
+  */
+object Main {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  final case class Args(
+      modulesDir: String = "",
+      configPath: String = "",
+      warehouse: Option[String] = None,
+      writeMode: WriteMode = WriteMode.Append)
+
+  private def parseArgs(argv: Array[String]): Args = {
+    def loop(a: Args, rest: List[String]): Args = rest match {
+      case Nil => a
+      case ("-m" | "--modules") :: v :: t => loop(a.copy(modulesDir = v), t)
+      case ("-y" | "--yaml-config") :: v :: t => loop(a.copy(configPath = v), t)
+      case "--warehouse" :: v :: t => loop(a.copy(warehouse = Some(v)), t)
+      case "--write-mode" :: v :: t =>
+        loop(a.copy(writeMode = WriteMode.parse(v)), t)
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown argument '$other'")
+    }
+    val a = loop(Args(), argv.toList)
+    require(a.modulesDir.nonEmpty, "--modules is required")
+    require(a.configPath.nonEmpty, "--yaml-config is required")
+    a
+  }
+
+  private def makeWriter(target: Option[Target], destTable: String,
+      primaryKey: Seq[String], args: Args): DataWriter =
+    args.warehouse match {
+      case Some(dir) => new ParquetWriter(s"$dir/$destTable")
+      case None =>
+        val t = target.getOrElse(throw new IllegalArgumentException(
+          s"no target resolved for '$destTable' and no --warehouse fallback"))
+        new PostgresWriter(t.jdbcUrl, t.auth.resolvedUsername(),
+          t.auth.resolvedPassword(), destTable, primaryKey)
+    }
+
+  def main(argv: Array[String]): Unit = {
+    val spark: SparkSession = Sessions.local()
+    val failed = run(parseArgs(argv), spark)
+    spark.stop()
+    if (failed > 0) sys.exit(1)
+  }
+
+  /** Orchestrator loop; returns the number of failed modules. */
+  def run(args: Args, spark: SparkSession): Int = {
+    val cfg = PipelineConfig.loadFromPath(args.configPath)
+    val t0 = System.nanoTime()
+    var ok, failed = 0
+
+    Templates.listSqlModules(args.modulesDir).foreach { module =>
+      val mt0 = System.nanoTime()
+      try {
+        val text = Files.readString(Paths.get(s"${args.modulesDir}/$module"))
+        val rendered = Templates.render(module, text)
+        val sourceName = rendered.source.getOrElse(
+          throw new IllegalArgumentException(
+            s"module $module declares no {{ use_source(...) }}"))
+        val source = cfg.source(sourceName)
+        val target = rendered.sink.map(cfg.target)
+        val destTable = source.destTable
+
+        // fetch once, cache: the SQL below may drive several actions —
+        // the Spark analog of the reference's buffered replay channel
+        // (fetcher.rs:653-727)
+        val sourceDf = HttpJsonSource.load(spark, source).cache()
+        try {
+          // stage-6 rewrite: source name → destination table name
+          val sql = Templates.rewriteIdentifier(rendered.sql, sourceName, destTable)
+          val writer = makeWriter(target, destTable, source.primaryKeyInDest.toSeq, args)
+          val mode = if (source.primaryKeyInDest.isDefined) WriteMode.Merge
+            else args.writeMode
+          val stats = Engine.withSqlOver(spark, sourceDf, destTable, sql) { out =>
+            writer.write(out, mode)
+          }
+          ok += 1
+          log.info("module {} loaded {} rows into {} in {}ms", module,
+            stats.rowsWritten.toString, destTable,
+            ((System.nanoTime() - mt0) / 1e6).round.toString)
+        } finally sourceDf.unpersist()
+      } catch {
+        case e: Exception =>
+          failed += 1
+          log.error(s"module $module failed: ${e.getMessage}", e)
+      }
+    }
+    log.info("pipeline done: {} ok, {} failed in {}ms", ok.toString,
+      failed.toString, ((System.nanoTime() - t0) / 1e6).round.toString)
+    failed
+  }
+}

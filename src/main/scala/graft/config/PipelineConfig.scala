@@ -1,0 +1,191 @@
+package graft.config
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.yaml.snakeyaml.Yaml
+
+/** YAML pipeline config (SURVEY A29) — mirrors the reference's
+  * `Config{sources, targets}` (/root/reference/src/pipeline/mod.rs:33-66)
+  * including duplicate-name rejection and env-var credential
+  * indirection with empty-value rejection (mod.rs:193-261).
+  *
+  * Parsed with snakeyaml (ships in /opt/spark/jars) into case classes
+  * by hand — no reflection modules needed.
+  */
+object PipelineConfig {
+
+  final case class Retry(maxAttempts: Int, maxDelaySecs: Long, minDelaySecs: Long)
+
+  sealed trait Pagination
+  object Pagination {
+    final case class LimitOffset(limitParam: String, offsetParam: String) extends Pagination
+    final case class PageNumber(pageParam: String, perPageParam: String) extends Pagination
+    final case class PageOnly(pageParam: String) extends Pagination
+    final case class Cursor(cursorParam: String, pageSizeParam: Option[String]) extends Pagination
+    case object Default extends Pagination
+  }
+
+  final case class Source(
+      name: String,
+      url: String,
+      tableDestinationName: Option[String],
+      headers: Seq[(String, String)],
+      queryParams: Seq[(String, String)],
+      pagination: Option[Pagination],
+      dataPath: Option[String],
+      retry: Retry,
+      primaryKeyInDest: Option[String]) {
+    def destTable: String = tableDestinationName.getOrElse(name)
+  }
+
+  final case class PostgresAuth(
+      username: Option[String], password: Option[String],
+      usernameEnv: Option[String], passwordEnv: Option[String]) {
+    /** Resolve a credential preferring env indirection; missing or
+      * empty env values are config errors (mod.rs:84-130).
+      */
+    private def resolve(kind: String, env: Option[String],
+        inline: Option[String], getenv: String => Option[String]): String =
+      env match {
+        case Some(e) =>
+          val v = getenv(e).getOrElse(throw new IllegalArgumentException(
+            s"environment variable '$e' for postgres $kind is not set"))
+          if (v.trim.isEmpty) throw new IllegalArgumentException(
+            s"environment variable '$e' for postgres $kind is empty")
+          v
+        case None => inline.getOrElse(throw new IllegalArgumentException(
+          s"postgres $kind not provided"))
+      }
+
+    def resolvedUsername(getenv: String => Option[String] = sys.env.get): String =
+      resolve("username", usernameEnv, username, getenv)
+    def resolvedPassword(getenv: String => Option[String] = sys.env.get): String =
+      resolve("password", passwordEnv, password, getenv)
+  }
+
+  final case class Target(
+      name: String,
+      kind: String, // "postgres"
+      host: String,
+      port: Int,
+      database: String,
+      auth: PostgresAuth) {
+    def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$database"
+  }
+
+  final case class Config(sources: Seq[Source], targets: Seq[Target]) {
+    private val sourceIx = sources.map(s => s.name -> s).toMap
+    private val targetIx = targets.map(t => t.name -> t).toMap
+    def source(name: String): Source = sourceIx.getOrElse(name,
+      throw new NoSuchElementException(s"unknown source '$name'"))
+    def target(name: String): Target = targetIx.getOrElse(name,
+      throw new NoSuchElementException(s"unknown target '$name'"))
+  }
+
+  def loadFromPath(path: String): Config =
+    parse(Files.readString(Paths.get(path)))
+
+  def parse(yamlText: String): Config = {
+    val root = asMap(new Yaml().load[Any](yamlText),
+      "top-level config must be a mapping")
+    val sources = seqOfMaps(root.get("sources")).map(parseSource)
+    val targets = seqOfMaps(root.get("targets")).map(parseTarget)
+    rejectDuplicates("source", sources.map(_.name))
+    rejectDuplicates("target", targets.map(_.name))
+    Config(sources, targets)
+  }
+
+  private def rejectDuplicates(what: String, names: Seq[String]): Unit =
+    names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+      .headOption.foreach { n =>
+        throw new IllegalArgumentException(s"duplicate $what name '$n'")
+      }
+
+  // ---- untyped-YAML helpers -------------------------------------------------
+
+  private def asMap(v: Any, err: String): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, value) => k.toString -> value }.toMap
+    case _ => throw new IllegalArgumentException(s"$err (got: $v)")
+  }
+
+  private def seqOfMaps(v: Option[Any]): Seq[Map[String, Any]] = v match {
+    case Some(l: java.util.List[_]) =>
+      l.asScala.toSeq.map(asMap(_, "expected a mapping"))
+    case _ => Seq.empty
+  }
+
+  private def str(m: Map[String, Any], k: String): String =
+    m.get(k).map(_.toString).getOrElse(
+      throw new IllegalArgumentException(s"missing required field '$k'"))
+
+  private def optStr(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).filter(_ != null).map(_.toString)
+
+  private def kvPairs(v: Option[Any]): Seq[(String, String)] = v match {
+    case Some(l: java.util.List[_]) =>
+      l.asScala.toSeq.map { e =>
+        val m = asMap(e, "expected {key, value} mapping")
+        str(m, "key") -> str(m, "value")
+      }
+    case _ => Seq.empty
+  }
+
+  private def parseRetry(v: Option[Any]): Retry = v match {
+    case Some(m0) =>
+      val m = asMap(m0, "retry must be a mapping")
+      Retry(
+        maxAttempts = optStr(m, "max_attempts").map(_.toInt).getOrElse(3),
+        maxDelaySecs = optStr(m, "max_delay_secs").map(_.toLong).getOrElse(5L),
+        minDelaySecs = optStr(m, "min_delay_secs").map(_.toLong).getOrElse(1L))
+    case None => Retry(maxAttempts = 3, maxDelaySecs = 5, minDelaySecs = 1)
+  }
+
+  private def parsePagination(v: Option[Any]): Option[Pagination] = v.map { p0 =>
+    val m = asMap(p0, "pagination must be a mapping")
+    str(m, "kind") match {
+      case "limit_offset" =>
+        Pagination.LimitOffset(str(m, "limit_param"), str(m, "offset_param"))
+      case "page_number" =>
+        Pagination.PageNumber(str(m, "page_param"), str(m, "per_page_param"))
+      case "page_only" => Pagination.PageOnly(str(m, "page_param"))
+      case "cursor" =>
+        Pagination.Cursor(str(m, "cursor_param"), optStr(m, "page_size_param"))
+      case "default" => Pagination.Default
+      case other =>
+        throw new IllegalArgumentException(s"unknown pagination kind '$other'")
+    }
+  }
+
+  private def parseSource(m: Map[String, Any]): Source =
+    Source(
+      name = str(m, "name"),
+      url = str(m, "url"),
+      tableDestinationName = optStr(m, "table_destination_name"),
+      headers = kvPairs(m.get("headers")),
+      queryParams = kvPairs(m.get("query_params")),
+      pagination = parsePagination(m.get("pagination")),
+      dataPath = optStr(m, "data_path"),
+      retry = parseRetry(m.get("retry")),
+      primaryKeyInDest = optStr(m, "primary_key_in_dest"))
+
+  private def parseTarget(m: Map[String, Any]): Target = {
+    val kind = optStr(m, "type").getOrElse("postgres")
+    if (kind != "postgres")
+      throw new IllegalArgumentException(s"unknown target type '$kind'")
+    val auth = m.get("auth").map(asMap(_, "auth must be a mapping"))
+      .getOrElse(Map.empty[String, Any])
+    Target(
+      name = str(m, "name"),
+      kind = kind,
+      host = str(m, "host"),
+      port = optStr(m, "port").map(_.toInt).getOrElse(5432),
+      database = str(m, "database"),
+      auth = PostgresAuth(
+        username = optStr(auth, "username"),
+        password = optStr(auth, "password"),
+        usernameEnv = optStr(auth, "username_env"),
+        passwordEnv = optStr(auth, "password_env")))
+  }
+}

@@ -1,0 +1,281 @@
+package graft.http
+
+import java.net.URI
+import java.net.URLEncoder
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.config.PipelineConfig.{Pagination, Retry, Source}
+
+/** HTTP → rows source (SURVEY A1-A7).
+  *
+  * The reference drives paginated REST APIs with a pooled client,
+  * retries with exponential backoff, extracts rows via an RFC-6901
+  * `data_path` pointer, and understands both whole-JSON and NDJSON
+  * bodies (/root/reference/src/http/fetcher.rs:34-134,250-533).
+  *
+  * Spark-first design: page fetching with a KNOWN page count fans out
+  * across executors (`spark.range(...).mapPartitions`) — each task owns
+  * its own client, so a 1000-executor cluster pulls 1000 pages
+  * concurrently. Unknown-total pagination is inherently sequential
+  * (stop condition = first empty page, fetcher.rs:302-304) and runs on
+  * the driver, like the reference.
+  */
+object HttpJsonSource {
+
+  /** Serializable spec for one endpoint — safe to ship to executors. */
+  final case class FetchSpec(
+      url: String,
+      headers: Seq[(String, String)],
+      queryParams: Seq[(String, String)],
+      dataPath: Option[String],
+      retry: Retry,
+      requestTimeoutSecs: Long = 30,
+      connectTimeoutSecs: Long = 10)
+
+  /** Rows of one page as raw JSON object text. */
+  type Page = Seq[String]
+
+  def buildClient(spec: FetchSpec): HttpClient =
+    HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(spec.connectTimeoutSecs))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .build()
+
+  private def mapper = MapperHolder.mapper
+
+  private object MapperHolder extends Serializable {
+    @transient lazy val mapper = new ObjectMapper()
+  }
+
+  private def encode(s: String): String =
+    URLEncoder.encode(s, StandardCharsets.UTF_8)
+
+  private[http] def buildUri(spec: FetchSpec, extra: Seq[(String, String)]): URI = {
+    val all = spec.queryParams ++ extra
+    if (all.isEmpty) URI.create(spec.url)
+    else {
+      val qs = all.map { case (k, v) => s"${encode(k)}=${encode(v)}" }.mkString("&")
+      val sep = if (spec.url.contains("?")) "&" else "?"
+      URI.create(spec.url + sep + qs)
+    }
+  }
+
+  /** GET with retry/backoff (A7): attempts up to maxAttempts, delay
+    * doubling from minDelaySecs, capped at maxDelaySecs; 5xx and IO
+    * errors retry, other statuses fail fast.
+    */
+  def getWithRetry(client: HttpClient, spec: FetchSpec,
+      extra: Seq[(String, String)]): HttpResponse[String] = {
+    val builder = HttpRequest.newBuilder(buildUri(spec, extra))
+      .timeout(Duration.ofSeconds(spec.requestTimeoutSecs)).GET()
+    spec.headers.foreach { case (k, v) => builder.header(k, v) }
+    val req = builder.build()
+    var attempt = 0
+    var delayMs = spec.retry.minDelaySecs * 1000
+    while (true) {
+      attempt += 1
+      val resp: Either[Throwable, HttpResponse[String]] =
+        try Right(client.send(req, HttpResponse.BodyHandlers.ofString()))
+        catch { case e: java.io.IOException => Left(e) }
+      resp match {
+        case Right(r) if r.statusCode() < 500 =>
+          if (r.statusCode() >= 400)
+            throw new RuntimeException(
+              s"HTTP ${r.statusCode()} from ${req.uri()}: ${r.body().take(200)}")
+          return r
+        case other =>
+          if (attempt >= spec.retry.maxAttempts) other match {
+            case Right(r) => throw new RuntimeException(
+              s"HTTP ${r.statusCode()} from ${req.uri()} after $attempt attempts")
+            case Left(e) => throw new RuntimeException(
+              s"request to ${req.uri()} failed after $attempt attempts", e)
+          }
+          Thread.sleep(delayMs)
+          delayMs = math.min(delayMs * 2, spec.retry.maxDelaySecs * 1000)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Parse a response body into rows (A2-A3): NDJSON content types are
+    * framed line-by-line; plain JSON is drilled with the RFC-6901
+    * data_path (array → rows, null/missing → none, scalar/object → one
+    * row) — fetcher.rs:61-93,115-124.
+    */
+  def parseBody(body: String, contentType: Option[String],
+      dataPath: Option[String]): Page = {
+    val isNdjson = contentType.exists(ct =>
+      ct.contains("ndjson") || ct.contains("x-ndjson"))
+    if (isNdjson) {
+      body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        extractRows(mapper.readTree(line), dataPath)
+      }.toSeq
+    } else if (body.trim.isEmpty) Seq.empty
+    else extractRows(mapper.readTree(body), dataPath)
+  }
+
+  private def extractRows(node: JsonNode, dataPath: Option[String]): Page = {
+    val target = dataPath.filter(_.nonEmpty) match {
+      case Some(p) => node.at(p) // Jackson's at() is RFC-6901
+      case None => node
+    }
+    if (target == null || target.isMissingNode || target.isNull) Seq.empty
+    else if (target.isArray) target.elements().asScala
+      .map(mapper.writeValueAsString).toSeq
+    else Seq(mapper.writeValueAsString(target))
+  }
+
+  def fetchPage(client: HttpClient, spec: FetchSpec,
+      params: Seq[(String, String)]): Page = {
+    val resp = getWithRetry(client, spec, params)
+    val ct = resp.headers().firstValue("content-type")
+    parseBody(resp.body(), if (ct.isPresent) Some(ct.get()) else None, spec.dataPath)
+  }
+
+  /** Hint to compute the total page count (fetcher.rs:194-198):
+    * Items → ceil(items / perPage); Pages → the count itself.
+    */
+  sealed trait TotalHint { def pointer: String }
+  object TotalHint {
+    final case class Items(pointer: String) extends TotalHint
+    final case class Pages(pointer: String) extends TotalHint
+  }
+
+  // ---- pagination drivers ---------------------------------------------------
+
+  /** limit_offset (A4): sequential driver loop, stop on first empty
+    * page (fetcher.rs:302-304).
+    */
+  def fetchLimitOffset(spec: FetchSpec, limitParam: String,
+      offsetParam: String, limit: Long): Iterator[Page] = {
+    val client = buildClient(spec)
+    Iterator.iterate(0L)(_ + limit)
+      .map(off => fetchPage(client, spec,
+        Seq(limitParam -> limit.toString, offsetParam -> off.toString)))
+      .takeWhile(_.nonEmpty)
+  }
+
+  /** page_number (A5). Page 1 is fetched eagerly; when a TotalHint
+    * resolves the page count, pages 2..N are fetched in PARALLEL ON
+    * EXECUTORS — the Spark-native upgrade of the reference's
+    * buffer_unordered(5) — otherwise sequentially until an empty page.
+    */
+  def fetchPageNumber(spark: SparkSession, spec: FetchSpec,
+      pageParam: String, perPageParam: String, perPage: Long,
+      totalHint: Option[TotalHint]): Dataset[String] = {
+    import spark.implicits._
+    val client = buildClient(spec)
+    val first = getWithRetry(client, spec,
+      Seq(pageParam -> "1", perPageParam -> perPage.toString))
+    val ct = first.headers().firstValue("content-type")
+    val firstRows = parseBody(first.body(),
+      if (ct.isPresent) Some(ct.get()) else None, spec.dataPath)
+
+    val totalPages: Option[Long] = totalHint.flatMap { hint =>
+      val n = mapper.readTree(first.body()).at(hint.pointer)
+      if (n == null || !n.isNumber) None
+      else hint match {
+        case TotalHint.Items(_) =>
+          Some((n.asLong() + perPage - 1) / perPage)
+        case TotalHint.Pages(_) => Some(n.asLong())
+      }
+    }
+
+    val firstDs = spark.createDataset(firstRows)
+    totalPages match {
+      case Some(n) if n > 1 =>
+        // Executor-parallel fan-out; one task per slice of pages, each
+        // task builds its own client (HttpClient is not serializable).
+        val rest = spark.range(2, n + 1)
+          .repartition(math.min(n - 1, 64).toInt)
+          .mapPartitions { pages =>
+            val c = buildClient(spec)
+            pages.flatMap(p => fetchPage(c, spec,
+              Seq(pageParam -> p.toString, perPageParam -> perPage.toString)))
+          }
+        firstDs.union(rest)
+      case Some(_) => firstDs
+      case None =>
+        if (firstRows.isEmpty) firstDs
+        else {
+          val rest = Iterator.from(2)
+            .map(p => fetchPage(client, spec,
+              Seq(pageParam -> p.toString, perPageParam -> perPage.toString)))
+            .takeWhile(_.nonEmpty)
+            .flatten.toSeq
+          firstDs.union(spark.createDataset(rest))
+        }
+    }
+  }
+
+  /** page_only (A6 — a stub in the reference, implemented for real
+    * here): page counter only, sequential until empty.
+    */
+  def fetchPageOnly(spec: FetchSpec, pageParam: String): Iterator[Page] = {
+    val client = buildClient(spec)
+    Iterator.from(1)
+      .map(p => fetchPage(client, spec, Seq(pageParam -> p.toString)))
+      .takeWhile(_.nonEmpty)
+  }
+
+  /** cursor (A6 — a stub in the reference, implemented for real here):
+    * threads `next_cursor` from each response until absent.
+    */
+  def fetchCursor(spec: FetchSpec, cursorParam: String,
+      pageSizeParam: Option[String], pageSize: Long = 100,
+      nextCursorPointer: String = "/next_cursor"): Iterator[Page] = {
+    val client = buildClient(spec)
+    val sizeParams = pageSizeParam.map(_ -> pageSize.toString).toSeq
+    var cursor: Option[String] = None
+    var done = false
+    new Iterator[Page] {
+      def hasNext: Boolean = !done
+      def next(): Page = {
+        val params = sizeParams ++ cursor.map(cursorParam -> _).toSeq
+        val resp = getWithRetry(client, spec, params)
+        val ct = resp.headers().firstValue("content-type")
+        val rows = parseBody(resp.body(),
+          if (ct.isPresent) Some(ct.get()) else None, spec.dataPath)
+        val nxt = mapper.readTree(resp.body()).at(nextCursorPointer)
+        cursor = if (nxt == null || nxt.isMissingNode || nxt.isNull) None
+          else Some(nxt.asText())
+        done = cursor.isEmpty || rows.isEmpty
+        rows
+      }
+    }.takeWhile(_.nonEmpty)
+  }
+
+  // ---- top-level entry ------------------------------------------------------
+
+  /** Fetch a configured source into a DataFrame: pagination driver →
+    * JSON rows → nested schema inference (`spark.read.json`, the A9
+    * batch path). The result is cached by callers that run multiple
+    * actions — HTTP happens once, like the reference's replay channel.
+    */
+  def load(spark: SparkSession, source: Source, pageSize: Long = 100,
+      totalHint: Option[TotalHint] = None): DataFrame = {
+    import spark.implicits._
+    val spec = FetchSpec(source.url, source.headers, source.queryParams,
+      source.dataPath, source.retry)
+    val rows: Dataset[String] = source.pagination match {
+      case Some(Pagination.LimitOffset(lp, op)) =>
+        spark.createDataset(fetchLimitOffset(spec, lp, op, pageSize).flatten.toSeq)
+      case Some(Pagination.PageNumber(pp, ppp)) =>
+        fetchPageNumber(spark, spec, pp, ppp, pageSize, totalHint)
+      case Some(Pagination.PageOnly(pp)) =>
+        spark.createDataset(fetchPageOnly(spec, pp).flatten.toSeq)
+      case Some(Pagination.Cursor(cp, psp)) =>
+        spark.createDataset(fetchCursor(spec, cp, psp, pageSize).flatten.toSeq)
+      case Some(Pagination.Default) | None =>
+        val client = buildClient(spec)
+        spark.createDataset(fetchPage(client, spec, Seq.empty))
+    }
+    graft.infer.SchemaInfer.readNested(spark, rows)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.template
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+import scala.util.matching.Regex
+
+/** SQL-module templating (SURVEY A26-A28).
+  *
+  * The reference renders Minijinja templates where exactly two template
+  * functions exist (/root/reference/src/config/templating.rs:31-55):
+  * `{{ sink(name="X") }}` records the sink and renders to "", and
+  * `{{ use_source("Y") }}` records the source and renders to the source
+  * name. Captures reset per render. We implement the same two functions
+  * with a regex pass — the full Jinja surface is not part of the
+  * reference's observable behavior.
+  */
+object Templates {
+
+  final case class Rendered(name: String, sql: String,
+      sink: Option[String], source: Option[String])
+
+  private val sinkRe: Regex =
+    """\{\{\s*sink\s*\(\s*name\s*=\s*"([^"]*)"\s*\)\s*\}\}""".r
+  private val useSourceRe: Regex =
+    """\{\{\s*use_source\s*\(\s*"([^"]*)"\s*\)\s*\}\}""".r
+
+  /** Render one module: capture sink/source, substitute the template
+    * calls (sink → empty string, use_source → the source name).
+    */
+  def render(name: String, template: String): Rendered = {
+    var sink: Option[String] = None
+    var source: Option[String] = None
+    val afterSink = sinkRe.replaceAllIn(template, m => {
+      sink = Some(m.group(1)); ""
+    })
+    val sql = useSourceRe.replaceAllIn(afterSink, m => {
+      source = Some(m.group(1)); Regex.quoteReplacement(m.group(1))
+    })
+    Rendered(name, sql.trim.stripSuffix(";"), sink, source)
+  }
+
+  /** Recursive module discovery: `*.sql` case-insensitive, sorted
+    * relative paths (templating.rs:89-127).
+    */
+  def listSqlModules(root: Path): Seq[String] = {
+    if (!Files.isDirectory(root)) return Seq.empty
+    val stream = Files.walk(root)
+    try {
+      stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p)
+          && p.getFileName.toString.toLowerCase.endsWith(".sql"))
+        .map(p => root.relativize(p).toString)
+        .toSeq.sorted
+    } finally stream.close()
+  }
+
+  def listSqlModules(root: String): Seq[String] = listSqlModules(Paths.get(root))
+
+  /** Source-name → table rewrite (A28). The reference does a raw
+    * `sql.replace(name, dest)` (/root/reference/src/cmd/mod.rs:146),
+    * which can corrupt string literals; we rewrite only identifier
+    * tokens outside single-quoted literals — observable behavior is
+    * identical for well-formed modules (divergence documented in
+    * SURVEY §7.3).
+    */
+  def rewriteIdentifier(sql: String, from: String, to: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'') { // copy quoted literal verbatim (incl. '' escape)
+        val start = i
+        i += 1
+        while (i < n && (sql.charAt(i) != '\'' ||
+            (i + 1 < n && sql.charAt(i + 1) == '\''))) {
+          if (sql.charAt(i) == '\'') i += 2 else i += 1
+        }
+        i = math.min(i + 1, n)
+        sb.append(sql.substring(start, i))
+      } else if (isIdentChar(c)) {
+        val start = i
+        while (i < n && isIdentChar(sql.charAt(i))) i += 1
+        val word = sql.substring(start, i)
+        sb.append(if (word == from) to else word)
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+}

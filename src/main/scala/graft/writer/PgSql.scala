@@ -1,0 +1,161 @@
+package graft.writer
+
+import scala.collection.immutable.ListMap
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+/** Postgres DDL/DML text generation (SURVEY A18-A21).
+  *
+  * Pure functions over schemas — unit-testable without a live server,
+  * exactly how the reference tests its writer
+  * (/root/reference/tests/writer/postgres_tests.rs). Statement shapes
+  * mirror /root/reference/src/writer/postgres.rs:255-308 (CREATE),
+  * :400-512 (upsert), :538-707 (MERGE); placeholders are JDBC `?`
+  * instead of tokio-postgres `$n`.
+  */
+object PgSql {
+
+  /** The Postgres DDL type lattice (postgres.rs:16-63). */
+  sealed trait PgType { def ddl: String }
+  case object PgText extends PgType { val ddl = "TEXT" }
+  case object PgBoolean extends PgType { val ddl = "BOOLEAN" }
+  case object PgBigInt extends PgType { val ddl = "BIGINT" }
+  case object PgDouble extends PgType { val ddl = "DOUBLE PRECISION" }
+  case object PgJsonb extends PgType { val ddl = "JSONB" }
+
+  /** JSON value → PgType (postgres.rs:36-51). */
+  def ofJson(n: JsonNode): PgType =
+    if (n == null || n.isNull) PgText
+    else if (n.isBoolean) PgBoolean
+    else if (n.isIntegralNumber) PgBigInt
+    else if (n.isFloatingPointNumber) PgDouble
+    else if (n.isTextual) PgText
+    else PgJsonb // arrays and objects land in JSONB
+
+  /** Merge two observed column types (postgres.rs:53-62): Text absorbs
+    * everything; BigInt ⊔ Double = Double; anything else conflicting
+    * degrades to Text.
+    */
+  def merge(a: PgType, b: PgType): PgType = (a, b) match {
+    case (x, y) if x == y => x
+    case (PgText, _) | (_, PgText) => PgText
+    case (PgBigInt, PgDouble) | (PgDouble, PgBigInt) => PgDouble
+    case _ => PgText
+  }
+
+  /** Spark type → PgType, for writing DataFrames directly. */
+  def ofSpark(dt: DataType): PgType = dt match {
+    case BooleanType => PgBoolean
+    case ByteType | ShortType | IntegerType | LongType => PgBigInt
+    case FloatType | DoubleType => PgDouble
+    case _: DecimalType => PgDouble
+    case StringType => PgText
+    case _: StructType | _: ArrayType | _: MapType => PgJsonb
+    case _ => PgText
+  }
+
+  /** Default analysis sample size (/root/reference/src/cmd/mod.rs:154). */
+  val SampleSize = 10
+
+  private val mapper = new ObjectMapper()
+
+  /** Analyze the first `sampleSize` JSON rows into a name→type schema
+    * with stable (first-seen) column order (postgres.rs:213-239).
+    */
+  def analyzeSchema(rows: Seq[String], sampleSize: Int = SampleSize): ListMap[String, PgType] = {
+    var out = ListMap.empty[String, PgType]
+    rows.take(sampleSize).foreach { json =>
+      val node = mapper.readTree(json)
+      if (node.isObject) {
+        val names = node.fieldNames()
+        while (names.hasNext) {
+          val name = names.next()
+          val t = ofJson(node.get(name))
+          out = out.updated(name, out.get(name).map(merge(_, t)).getOrElse(t))
+        }
+      }
+    }
+    out
+  }
+
+  def schemaOfSpark(schema: StructType): ListMap[String, PgType] =
+    ListMap(schema.fields.map(f => f.name -> ofSpark(f.dataType)): _*)
+
+  /** Quote an identifier, doubling embedded quotes (postgres.rs:241-253). */
+  def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
+
+  /** CREATE TABLE IF NOT EXISTS with optional PRIMARY KEY clause
+    * (postgres.rs:255-308). Spark's JDBC writer cannot emit PKs, hence
+    * explicit DDL.
+    */
+  def createTableSql(table: String, schema: ListMap[String, PgType],
+      primaryKey: Seq[String] = Seq.empty): String = {
+    require(schema.nonEmpty, "cannot create a table with no columns")
+    val cols = schema.map { case (name, t) => s"${quoteIdent(name)} ${t.ddl}" }
+    val pk = if (primaryKey.isEmpty) Seq.empty
+      else Seq(s"PRIMARY KEY (${primaryKey.map(quoteIdent).mkString(", ")})")
+    s"CREATE TABLE IF NOT EXISTS ${quoteIdent(table)} (${(cols ++ pk).mkString(", ")})"
+  }
+
+  private def placeholders(schema: ListMap[String, PgType], nRows: Int): String = {
+    val row = "(" + schema.map {
+      case (_, PgJsonb) => "?::jsonb"
+      case _ => "?"
+    }.mkString(", ") + ")"
+    Seq.fill(nRows)(row).mkString(", ")
+  }
+
+  /** Multi-row parameterized INSERT (postgres.rs:709-772). */
+  def insertSql(table: String, schema: ListMap[String, PgType], nRows: Int): String = {
+    val cols = schema.keys.map(quoteIdent).mkString(", ")
+    s"INSERT INTO ${quoteIdent(table)} ($cols) VALUES ${placeholders(schema, nRows)}"
+  }
+
+  /** INSERT .. ON CONFLICT upsert for PG 9.5-14 (postgres.rs:400-512);
+    * DO NOTHING when every column is part of the key.
+    */
+  def upsertSql(table: String, schema: ListMap[String, PgType],
+      primaryKey: Seq[String], nRows: Int): String = {
+    require(primaryKey.nonEmpty, "upsert requires a primary key")
+    val base = insertSql(table, schema, nRows)
+    val conflict = primaryKey.map(quoteIdent).mkString(", ")
+    val updatable = schema.keys.filterNot(primaryKey.contains).toSeq
+    if (updatable.isEmpty) s"$base ON CONFLICT ($conflict) DO NOTHING"
+    else {
+      val sets = updatable.map(c => s"${quoteIdent(c)} = EXCLUDED.${quoteIdent(c)}")
+      s"$base ON CONFLICT ($conflict) DO UPDATE SET ${sets.mkString(", ")}"
+    }
+  }
+
+  /** MERGE for PG 15+ (postgres.rs:538-707): VALUES-sourced merge with
+    * row-form SET for multiple columns, plain SET for one.
+    */
+  def mergeSql(table: String, schema: ListMap[String, PgType],
+      primaryKey: Seq[String], nRows: Int): String = {
+    require(primaryKey.nonEmpty, "merge requires a primary key")
+    val colsQ = schema.keys.map(quoteIdent).toSeq
+    val on = primaryKey.map(k => s"t.${quoteIdent(k)} = s.${quoteIdent(k)}")
+      .mkString(" AND ")
+    val updatable = schema.keys.filterNot(primaryKey.contains).toSeq
+    val matched =
+      if (updatable.isEmpty) "" // nothing beyond the key: no UPDATE branch
+      else if (updatable.size == 1) {
+        val c = quoteIdent(updatable.head)
+        s" WHEN MATCHED THEN UPDATE SET $c = s.$c"
+      } else {
+        val lhs = updatable.map(quoteIdent).mkString(", ")
+        val rhs = updatable.map(c => s"s.${quoteIdent(c)}").mkString(", ")
+        s" WHEN MATCHED THEN UPDATE SET ($lhs) = ROW($rhs)"
+      }
+    s"MERGE INTO ${quoteIdent(table)} AS t USING (VALUES ${placeholders(schema, nRows)}) " +
+      s"AS s (${colsQ.mkString(", ")}) ON $on$matched " +
+      s"WHEN NOT MATCHED THEN INSERT (${colsQ.mkString(", ")}) " +
+      s"VALUES (${colsQ.map(c => s"s.$c").mkString(", ")})"
+  }
+
+  /** Idempotent TRUNCATE (postgres.rs:369-396); caller swallows
+    * SQLSTATE 42P01 (undefined table).
+    */
+  def truncateSql(table: String): String = s"TRUNCATE TABLE ${quoteIdent(table)}"
+}

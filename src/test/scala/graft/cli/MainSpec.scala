@@ -1,0 +1,93 @@
+package graft.cli
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §7.4 minimum slice, end-to-end: a module selecting from a
+  * stubbed limit_offset source must render, capture sink+source, fetch
+  * two pages, infer the schema, execute the WHERE/projection SQL, and
+  * land the expected parquet rows — the Spark re-creation of the
+  * reference's Quick Start (/root/reference/README.md:185-288).
+  */
+class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/posts", (ex: HttpExchange) => {
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = q.split('&').filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val start = params.getOrElse("start", "0").toInt
+      val limit = params.getOrElse("limit", "100").toInt
+      val all = (1 to 8).map(i =>
+        s"""{"userId": ${i % 4 * 3}, "id": $i, "title": "t$i", "body": "b$i"}""")
+      val page = all.slice(start, start + limit)
+      val body = s"""{"data": [${page.mkString(",")}]}"""
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  test("pipeline run: render → fetch (2 pages) → SQL → parquet sink") {
+    val spark = graft.SparkTestSession.spark
+    val dir = Files.createTempDirectory("pipeline")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    Files.writeString(modules.resolve("posts.sql"),
+      """{{ sink(name="sink1") }}
+        |SELECT id, userId AS user_id, title, body
+        |FROM {{ use_source("json_placeholder_posts") }}
+        |WHERE userId > 5""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: json_placeholder_posts
+         |    url: $base/posts
+         |    table_destination_name: posts
+         |    data_path: /data
+         |    pagination:
+         |      kind: limit_offset
+         |      limit_param: limit
+         |      offset_param: start
+         |    retry:
+         |      max_attempts: 2
+         |      max_delay_secs: 1
+         |      min_delay_secs: 0
+         |targets:
+         |  - name: sink1
+         |    type: postgres
+         |    host: localhost
+         |    database: unused
+         |    auth:
+         |      username: u
+         |      password: p
+         |""".stripMargin)
+
+    val failed = Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse)), spark)
+    assert(failed == 0)
+
+    // userId ∈ {0,3,6,9}; > 5 keeps userId 6 (ids 2,6) and 9 (ids 3,7)
+    val out = spark.read.parquet(s"$warehouse/posts")
+    assert(out.schema.fieldNames.sorted.toSeq == Seq("body", "id", "title", "user_id"))
+    val got = out.orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("user_id")))
+    assert(got.toSeq == Seq((2L, 6L), (3L, 9L), (6L, 6L), (7L, 9L)))
+  }
+}

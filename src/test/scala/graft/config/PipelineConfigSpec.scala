@@ -1,0 +1,104 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import PipelineConfig._
+
+/** Mirrors /root/reference/tests/pipeline/config_tests.rs and
+  * src/config/tests.rs.
+  */
+class PipelineConfigSpec extends AnyFunSuite {
+
+  private val yaml =
+    """sources:
+      |  - name: employees
+      |    url: https://api.example.com/employees
+      |    table_destination_name: employees
+      |    primary_key_in_dest: id
+      |    data_path: /data
+      |    headers:
+      |      - key: X-API-KEY
+      |        value: secret
+      |    query_params:
+      |      - key: status
+      |        value: active
+      |    pagination:
+      |      kind: page_number
+      |      page_param: page
+      |      per_page_param: per_page
+      |    retry:
+      |      max_attempts: 3
+      |      max_delay_secs: 5
+      |      min_delay_secs: 1
+      |  - name: content
+      |    url: https://api.example.com/search
+      |    pagination:
+      |      kind: limit_offset
+      |      limit_param: limit
+      |      offset_param: start
+      |targets:
+      |  - name: pg
+      |    type: postgres
+      |    host: localhost
+      |    database: apitap
+      |    auth:
+      |      username: postgres
+      |      password: postgres
+      |""".stripMargin
+
+  test("parse reference-shaped YAML") {
+    val cfg = PipelineConfig.parse(yaml)
+    val s = cfg.source("employees")
+    assert(s.url == "https://api.example.com/employees")
+    assert(s.dataPath.contains("/data"))
+    assert(s.headers == Seq("X-API-KEY" -> "secret"))
+    assert(s.queryParams == Seq("status" -> "active"))
+    assert(s.pagination.contains(Pagination.PageNumber("page", "per_page")))
+    assert(s.retry == Retry(3, 5, 1))
+    assert(s.primaryKeyInDest.contains("id"))
+    assert(cfg.source("content").pagination
+      .contains(Pagination.LimitOffset("limit", "start")))
+  }
+
+  test("default postgres port 5432 (config_tests.rs:158-205)") {
+    assert(PipelineConfig.parse(yaml).target("pg").port == 5432)
+    assert(PipelineConfig.parse(yaml).target("pg").jdbcUrl ==
+      "jdbc:postgresql://localhost:5432/apitap")
+  }
+
+  test("duplicate names rejected (config_tests.rs:80-126)") {
+    val dup = yaml.replace("name: content", "name: employees")
+    val e = intercept[IllegalArgumentException](PipelineConfig.parse(dup))
+    assert(e.getMessage.contains("duplicate source name"))
+  }
+
+  test("unknown source/target lookups fail") {
+    val cfg = PipelineConfig.parse(yaml)
+    intercept[NoSuchElementException](cfg.source("nope"))
+    intercept[NoSuchElementException](cfg.target("nope"))
+  }
+
+  test("env credential indirection: present, missing, empty (src/config/tests.rs:15-56)") {
+    val auth = PostgresAuth(None, None, Some("PG_USER"), Some("PG_PASS"))
+    assert(auth.resolvedUsername(Map("PG_USER" -> "svc").get) == "svc")
+    val missing = intercept[IllegalArgumentException](
+      auth.resolvedUsername(Map.empty[String, String].get))
+    assert(missing.getMessage.contains("not set"))
+    val empty = intercept[IllegalArgumentException](
+      auth.resolvedPassword(Map("PG_PASS" -> "  ").get))
+    assert(empty.getMessage.contains("empty"))
+  }
+
+  test("inline credentials used when no env indirection") {
+    val auth = PostgresAuth(Some("u"), Some("p"), None, None)
+    assert(auth.resolvedUsername() == "u")
+    assert(auth.resolvedPassword() == "p")
+    intercept[IllegalArgumentException](
+      PostgresAuth(None, None, None, None).resolvedUsername())
+  }
+
+  test("unknown pagination kind rejected") {
+    val bad = yaml.replace("kind: page_number", "kind: zigzag")
+    intercept[IllegalArgumentException](PipelineConfig.parse(bad))
+  }
+}

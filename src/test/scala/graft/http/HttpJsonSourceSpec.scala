@@ -1,0 +1,181 @@
+package graft.http
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.config.PipelineConfig.{Pagination, Retry, Source}
+import HttpJsonSource._
+
+/** Pagination/fetch tests against an in-process stub server (the
+  * environment has no egress), mirroring the payload shapes of
+  * /root/reference/examples/config/pipelines.yaml and FIXTURES.md §1.5.
+  */
+class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var server: HttpServer = _
+  private var base: String = _
+  private val flakyHits = new AtomicInteger(0)
+
+  private val retry = Retry(maxAttempts = 3, maxDelaySecs = 1, minDelaySecs = 0)
+
+  private def qparams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+      }.toMap
+
+  private def respond(ex: HttpExchange, body: String,
+      contentType: String = "application/json", status: Int = 200): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  // 7 items served in pages: ids 1..7
+  private def items(from: Int, to: Int): String =
+    (from to to).map(i => s"""{"id": $i, "name": "u$i"}""").mkString("[", ",", "]")
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/offset", (ex: HttpExchange) => {
+      val p = qparams(ex)
+      val limit = p("limit").toInt
+      val start = p("start").toInt
+      val end = math.min(start + limit, 7)
+      val page = if (start >= 7) "[]" else items(start + 1, end)
+      respond(ex, s"""{"data": $page}""")
+    })
+    server.createContext("/paged", (ex: HttpExchange) => {
+      val p = qparams(ex)
+      val page = p("page").toInt
+      val per = p("per_page").toInt
+      val startIx = (page - 1) * per
+      val end = math.min(startIx + per, 7)
+      val data = if (startIx >= 7) "[]" else items(startIx + 1, end)
+      respond(ex,
+        s"""{"data": $data, "metadata": {"total_items": 7, "total_pages": ${(7 + per - 1) / per}}}""")
+    })
+    server.createContext("/ndjson", (ex: HttpExchange) =>
+      respond(ex, "{\"id\": 1}\n{\"id\": 2}\n\n{\"id\": 3}\n",
+        contentType = "application/x-ndjson"))
+    server.createContext("/flaky", (ex: HttpExchange) => {
+      if (flakyHits.incrementAndGet() < 3) respond(ex, "boom", status = 500)
+      else respond(ex, """[{"id": 42}]""")
+    })
+    server.createContext("/cursor", (ex: HttpExchange) => {
+      val p = qparams(ex)
+      p.get("cursor") match {
+        case None => respond(ex, """{"data": [{"id": 1}], "next_cursor": "c2"}""")
+        case Some("c2") => respond(ex, """{"data": [{"id": 2}], "next_cursor": null}""")
+        case Some(other) => respond(ex, s"""{"data": [], "err": "$other"}""")
+      }
+    })
+    server.createContext("/auth", (ex: HttpExchange) => {
+      val h = ex.getRequestHeaders.getFirst("X-API-KEY")
+      if (h == "secret") respond(ex, """[{"ok": true}]""")
+      else respond(ex, "[]", status = 403)
+    })
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  private def spec(path: String, dataPath: Option[String] = Some("/data")) =
+    FetchSpec(s"$base$path", Seq.empty, Seq.empty, dataPath, retry)
+
+  test("limit_offset pages until the first empty page (fetcher.rs:302-304)") {
+    val pages = fetchLimitOffset(spec("/offset"), "limit", "start", limit = 3).toSeq
+    assert(pages.map(_.size) == Seq(3, 3, 1))
+    assert(pages.flatten.size == 7)
+  }
+
+  test("page_number with Items total hint fans out on executors (fetcher.rs:412-497)") {
+    val spark = graft.SparkTestSession.spark
+    val ds = fetchPageNumber(spark, spec("/paged"), "page", "per_page",
+      perPage = 3, totalHint = Some(TotalHint.Items("/metadata/total_items")))
+    assert(ds.count() == 7)
+  }
+
+  test("page_number with Pages hint and without hint agree") {
+    val spark = graft.SparkTestSession.spark
+    val withPages = fetchPageNumber(spark, spec("/paged"), "page", "per_page",
+      perPage = 2, totalHint = Some(TotalHint.Pages("/metadata/total_pages")))
+    val without = fetchPageNumber(spark, spec("/paged"), "page", "per_page",
+      perPage = 2, totalHint = None)
+    assert(withPages.count() == 7)
+    assert(without.count() == 7)
+  }
+
+  test("NDJSON bodies framed line-by-line (fetcher.rs:61-66,95-133)") {
+    val rows = fetchPage(buildClient(spec("/ndjson")),
+      spec("/ndjson", dataPath = None), Seq.empty)
+    assert(rows == Seq("""{"id":1}""", """{"id":2}""", """{"id":3}"""))
+  }
+
+  test("data_path pointer: array flattens, null/missing yields none (fetcher.rs:74-93)") {
+    assert(parseBody("""{"data": [{"a":1},{"a":2}]}""", None, Some("/data")).size == 2)
+    assert(parseBody("""{"data": null}""", None, Some("/data")).isEmpty)
+    assert(parseBody("""{"other": 1}""", None, Some("/data")).isEmpty)
+    assert(parseBody("""{"data": {"a": 1}}""", None, Some("/data")) == Seq("""{"a":1}"""))
+    assert(parseBody("""{"data": 5}""", None, Some("/data")) == Seq("5"))
+  }
+
+  test("retry with backoff recovers from 5xx (http_retry.rs:96-114)") {
+    flakyHits.set(0)
+    val rows = fetchPage(buildClient(spec("/flaky")),
+      spec("/flaky", dataPath = None), Seq.empty)
+    assert(rows == Seq("""{"id":42}"""))
+    assert(flakyHits.get() == 3)
+  }
+
+  test("retry gives up after max_attempts") {
+    flakyHits.set(-100) // needs 103 hits to succeed; only 3 attempts allowed
+    val e = intercept[RuntimeException] {
+      fetchPage(buildClient(spec("/flaky")), spec("/flaky", dataPath = None), Seq.empty)
+    }
+    assert(e.getMessage.contains("after 3 attempts"))
+  }
+
+  test("4xx fails fast without retry") {
+    flakyHits.set(0)
+    val s = spec("/auth", dataPath = None)
+    val e = intercept[RuntimeException] {
+      fetchPage(buildClient(s), s, Seq.empty)
+    }
+    assert(e.getMessage.contains("HTTP 403"))
+  }
+
+  test("custom headers are sent (mod.rs:13-94)") {
+    val s = FetchSpec(s"$base/auth", Seq("X-API-KEY" -> "secret"),
+      Seq.empty, None, retry)
+    assert(fetchPage(buildClient(s), s, Seq.empty) == Seq("""{"ok":true}"""))
+  }
+
+  test("cursor pagination threads next_cursor (implemented beyond the reference's stub)") {
+    val pages = fetchCursor(spec("/cursor"), "cursor", None).toSeq
+    assert(pages.flatten == Seq("""{"id":1}""", """{"id":2}"""))
+  }
+
+  test("end-to-end load: source config → DataFrame with inferred schema") {
+    val spark = graft.SparkTestSession.spark
+    val source = Source(
+      name = "users", url = s"$base/offset",
+      tableDestinationName = Some("users"),
+      headers = Seq.empty, queryParams = Seq.empty,
+      pagination = Some(Pagination.LimitOffset("limit", "start")),
+      dataPath = Some("/data"), retry = retry, primaryKeyInDest = Some("id"))
+    val df = HttpJsonSource.load(spark, source, pageSize = 4)
+    assert(df.count() == 7)
+    assert(df.schema.fieldNames.toSet == Set("id", "name"))
+    assert(df.filter(df("id") > 5).count() == 2)
+  }
+}

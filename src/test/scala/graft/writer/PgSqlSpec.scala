@@ -1,0 +1,109 @@
+package graft.writer
+
+import scala.collection.immutable.ListMap
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import PgSql._
+
+/** Mirrors /root/reference/tests/writer/postgres_tests.rs — SQL text
+  * shapes tested without a live server, as the reference does.
+  */
+class PgSqlSpec extends AnyFunSuite {
+
+  private val schema = ListMap(
+    "pk" -> PgBigInt, "flag" -> PgBoolean, "n" -> PgBigInt,
+    "x" -> PgDouble, "s" -> PgText, "arr" -> PgJsonb, "obj" -> PgJsonb)
+
+  test("JSON→PgType mapping (postgres.rs:36-51, FIXTURES 1.8)") {
+    val got = analyzeSchema(Seq(
+      """{"pk": 1, "flag": true, "n": 42, "x": 1.5, "s": "txt",
+         "arr": [1,2], "obj": {"k": "v"}, "none": null}"""))
+    assert(got("pk") == PgBigInt && got("flag") == PgBoolean)
+    assert(got("n") == PgBigInt && got("x") == PgDouble)
+    assert(got("s") == PgText && got("arr") == PgJsonb && got("obj") == PgJsonb)
+    assert(got("none") == PgText) // null → Text
+  }
+
+  test("merge lattice (postgres.rs:53-62)") {
+    assert(merge(PgBigInt, PgDouble) == PgDouble)
+    assert(merge(PgDouble, PgBigInt) == PgDouble)
+    assert(merge(PgText, PgJsonb) == PgText) // Text absorbs
+    assert(merge(PgBoolean, PgBigInt) == PgText) // incompatible → Text
+    val all = Seq(PgText, PgBoolean, PgBigInt, PgDouble, PgJsonb)
+    for (a <- all; b <- all) {
+      assert(merge(a, b) == merge(b, a))
+      assert(merge(a, a) == a)
+      assert(merge(PgText, merge(a, b)) == PgText)
+    }
+  }
+
+  test("analyze respects sample size and keeps stable column order (postgres.rs:215-247)") {
+    val rows = Seq("""{"a": 1, "b": "x"}""") ++
+      (1 to 20).map(_ => """{"a": 2.5, "b": "y"}""")
+    // only the first row sampled with sampleSize=1 → a stays BigInt
+    assert(analyzeSchema(rows, sampleSize = 1)("a") == PgBigInt)
+    // default sample of 10 sees the coercion
+    assert(analyzeSchema(rows)("a") == PgDouble)
+    assert(analyzeSchema(rows).keys.toSeq == Seq("a", "b"))
+  }
+
+  test("ident quoting, including embedded quotes (postgres.rs:241-253,267-275)") {
+    assert(quoteIdent("plain") == "\"plain\"")
+    assert(quoteIdent("""wei"rd""") == "\"wei\"\"rd\"")
+  }
+
+  test("CREATE TABLE with primary key (postgres.rs:255-308)") {
+    val ddl = createTableSql("t", ListMap("id" -> PgBigInt, "v" -> PgText), Seq("id"))
+    assert(ddl ==
+      """CREATE TABLE IF NOT EXISTS "t" ("id" BIGINT, "v" TEXT, PRIMARY KEY ("id"))""")
+    val composite = createTableSql("t",
+      ListMap("a" -> PgBigInt, "b" -> PgBigInt, "v" -> PgDouble), Seq("a", "b"))
+    assert(composite.contains("""PRIMARY KEY ("a", "b")"""))
+    intercept[IllegalArgumentException](createTableSql("t", ListMap.empty))
+  }
+
+  test("multi-row INSERT with jsonb casts (postgres.rs:709-772)") {
+    val sql = insertSql("t", ListMap("id" -> PgBigInt, "j" -> PgJsonb), 2)
+    assert(sql ==
+      """INSERT INTO "t" ("id", "j") VALUES (?, ?::jsonb), (?, ?::jsonb)""")
+  }
+
+  test("upsert: DO UPDATE and DO NOTHING forms (postgres.rs:400-512)") {
+    val up = upsertSql("t", ListMap("id" -> PgBigInt, "v" -> PgText), Seq("id"), 1)
+    assert(up ==
+      """INSERT INTO "t" ("id", "v") VALUES (?, ?) ON CONFLICT ("id") DO UPDATE SET "v" = EXCLUDED."v"""")
+    val pkOnly = upsertSql("t", ListMap("id" -> PgBigInt), Seq("id"), 1)
+    assert(pkOnly.endsWith("""ON CONFLICT ("id") DO NOTHING"""))
+    intercept[IllegalArgumentException](
+      upsertSql("t", schema, Seq.empty, 1))
+  }
+
+  test("MERGE: row-form SET for >1 updatable column, plain for 1 (postgres.rs:538-707)") {
+    val multi = mergeSql("t",
+      ListMap("id" -> PgBigInt, "a" -> PgText, "b" -> PgDouble), Seq("id"), 1)
+    assert(multi.contains("""MERGE INTO "t" AS t USING (VALUES (?, ?, ?)) AS s ("id", "a", "b")"""))
+    assert(multi.contains("""ON t."id" = s."id""""))
+    assert(multi.contains("""WHEN MATCHED THEN UPDATE SET ("a", "b") = ROW(s."a", s."b")"""))
+    assert(multi.contains("""WHEN NOT MATCHED THEN INSERT ("id", "a", "b") VALUES (s."id", s."a", s."b")"""))
+    val single = mergeSql("t", ListMap("id" -> PgBigInt, "a" -> PgText), Seq("id"), 1)
+    assert(single.contains("""WHEN MATCHED THEN UPDATE SET "a" = s."a""""))
+    val pkOnly = mergeSql("t", ListMap("id" -> PgBigInt), Seq("id"), 1)
+    assert(!pkOnly.contains("WHEN MATCHED"))
+  }
+
+  test("truncate text (postgres.rs:369-396)") {
+    assert(truncateSql("t") == """TRUNCATE TABLE "t"""")
+  }
+
+  test("spark-schema mapping for direct DataFrame writes") {
+    import org.apache.spark.sql.types._
+    assert(ofSpark(LongType) == PgBigInt)
+    assert(ofSpark(IntegerType) == PgBigInt)
+    assert(ofSpark(DoubleType) == PgDouble)
+    assert(ofSpark(BooleanType) == PgBoolean)
+    assert(ofSpark(StringType) == PgText)
+    assert(ofSpark(ArrayType(LongType)) == PgJsonb)
+    assert(ofSpark(StructType(Seq(StructField("a", LongType)))) == PgJsonb)
+  }
+}
