@@ -28,13 +28,15 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (b*) plus
+    * the training-data extensions (x*).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Probes.queries
+    graft.queries.Probes.queries ++ graft.queries.Extensions.queries
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] =
-    graft.queries.Probes.oracle
+    graft.queries.Probes.oracle ++ graft.queries.Extensions.oracle
 }

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Sketches
+
+/** Near-duplicate detection over the `documents` table.
+  *
+  * Five strategies, one contract: emit duplicate pairs
+  * `(doc_a, doc_b, jaccard)` with doc_a < doc_b (and, for the sketch
+  * paths, identical output to the brute-force baseline so the DuckDB
+  * oracle can hash-match them).
+  *
+  * Scale design: the brute-force paths bound the left side of the
+  * pair join (a "find duplicates of this slice" query — O(slice ×
+  * corpus)); MinHash-LSH is the full-corpus path: shuffle cost is one
+  * 64-long signature per doc, candidates come from band buckets, and
+  * only candidates pay the exact-Jaccard verification.
+  */
+object Dedup {
+
+  /** Jaccard threshold τ = 0.5, compared in integer arithmetic
+    * (2·|∩| ≥ |∪|) so the cut is bit-exact across engines.
+    */
+  private def dupPair(inter: org.apache.spark.sql.Column,
+      uni: org.apache.spark.sql.Column) = inter * 2 >= uni
+
+  /** Exact dedup by content key (hash-groupBy): one survivor per key.
+    * The fixture has no full-text duplicates, so the key is the
+    * 3-word prefix — same shape, collisions exist.
+    */
+  def exactByPrefix(docs: DataFrame, prefixWords: Int = 3): DataFrame = {
+    val key = concat_ws(" ",
+      (1 to prefixWords).map(i => element_at(split(col("text"), " "), i)): _*)
+    docs.select(col("doc_id"), key.as("k"))
+      .groupBy(col("k"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Per-doc distinct trigram shingle sets. */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
+
+  /** Brute-force trigram-Jaccard near-dup pairs; left side bounded to
+    * `leftMax` ids. The oracle baseline.
+    */
+  def ngramJaccardBrute(docs: DataFrame, leftMax: Long = 200): DataFrame = {
+    val a = shingled(docs.filter(col("doc_id") < leftMax))
+      .select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val b = shingled(docs).select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        (size(col("ga")) + size(col("gb"))
+          - size(array_intersect(col("ga"), col("gb")))).as("uni"))
+      .filter(dupPair(col("inter"), col("uni")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash + LSH banding: the full-corpus scale path.
+    *
+    * shingles → (h1,h2) base hashes → 64-long signature (partial-agg
+    * Aggregator) → 32 bands of 2 → bucket self-join for candidates →
+    * exact-Jaccard verification of candidates only. 32×2 banding keeps
+    * recall ≈ 1 down to the τ=0.5 cut (P(miss | j=0.5) = (1-0.25)³² ≈
+    * 1e-4), so the verified output equals the brute-force baseline and
+    * shares its oracle; false bucket collisions only cost verification
+    * work.
+    */
+  def minhashLsh(docs: DataFrame, leftMax: Long = 200,
+      bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val sh = shingled(docs)
+    val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
+      .select(col("doc_id"),
+        xxhash64(col("shingle")).as("h1"),
+        xxhash64(col("shingle"), lit(7)).as("h2"))
+    val sigs = tokens.groupBy(col("doc_id"))
+      .agg(Sketches.minhashSig(col("h1"), col("h2")).as("sig"))
+
+    // band hash = xxhash64 over the band's slice (overflow-safe under
+    // ANSI mode, which Spark 4 enables by default)
+    val banded = sigs.select(col("doc_id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+
+    val candidates = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .filter(col("doc_a") < leftMax)
+
+    // verify candidates with exact trigram Jaccard
+    val ga = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val gb = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        (size(col("ga")) + size(col("gb"))
+          - size(array_intersect(col("ga"), col("gb")))).as("uni"))
+      .filter(dupPair(col("inter"), col("uni")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash near-dup: 64-bit signatures from trigram hashes, pairs
+    * with Hamming distance ≤ maxHamming, verified with exact Jaccard
+    * (same contract/oracle as the baseline). Hamming 20 ≈ the 45°
+    * angle of a τ=0.5 Jaccard pair; random pairs sit at ~32 ± 4, so
+    * false candidates are ~0.2% and die in verification. At corpus
+    * scale the pair scan blocks on 16-bit signature chunks
+    * (pigeonhole) instead of the bounded slice used here.
+    */
+  def simhashNearDup(docs: DataFrame, leftMax: Long = 200,
+      maxHamming: Int = 20): DataFrame = {
+    val sh = shingled(docs)
+    val sigs = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(Sketches.simhash(col("h")).as("sig"))
+
+    val a = sigs.filter(col("doc_id") < leftMax)
+      .select(col("doc_id").as("doc_a"), col("sig").as("siga"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
+    val candidates = a.join(b, col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("siga").bitwiseXOR(col("sigb"))) <= maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+
+    val ga = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val gb = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        (size(col("ga")) + size(col("gb"))
+          - size(array_intersect(col("ga"), col("gb")))).as("uni"))
+      .filter(dupPair(col("inter"), col("uni")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup pairs over `embeddings` (float arrays
+    * cast to double; sequential fold keeps the dot product
+    * bit-deterministic). Left side bounded like the text paths.
+    */
+  def embeddingCosinePairs(embeddings: DataFrame, minCosine: Double = 0.4,
+      leftMax: Long = 500): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = e.filter(col("vec_id") < leftMax)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

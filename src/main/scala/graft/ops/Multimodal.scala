@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, processed in partition-sized batches.
+  *
+  * The actual media codecs are NOT in this container, so the decoder
+  * is pluggable: production wires a real library behind [[Decoder]];
+  * tests and the probe corpus use [[StubDecoder]], a deterministic
+  * fake. Everything Spark-side — schema, batching, partitioning, the
+  * mapPartitions seam — is real and tested.
+  */
+object Multimodal {
+
+  val MediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Batch decoder contract: one call per partition-batch, never per
+    * row — the shape a native codec binding needs to amortize setup.
+    */
+  trait Decoder extends Serializable {
+    def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row]
+  }
+
+  /** Deterministic fake: "decodes" metadata from the payload bytes
+    * (length + first bytes), standing in for an image/audio codec.
+    */
+  object StubDecoder extends Decoder {
+    override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
+      payloads.map { bytes =>
+        val n = bytes.length
+        Row("stub", n % 640, (n / 2) % 480, if (n == 0) 0 else bytes(0) & 0x0f)
+      }
+  }
+
+  /** Attach decoded metadata to a DataFrame with a binary `payload`
+    * column. Runs as mapPartitions: the decoder sees an iterator per
+    * partition (batch-shaped), rows stream through without
+    * materializing the partition.
+    */
+  def withMediaMeta(df: DataFrame, payloadCol: String,
+      decoder: Decoder = StubDecoder): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("media", MediaMetaType))
+    val payloadIx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      val (forDecode, forRows) = rows.duplicate
+      val metas = decoder.decodeBatch(
+        forDecode.map(_.getAs[Array[Byte]](payloadIx)))
+      forRows.zip(metas).map { case (r, meta) =>
+        Row.fromSeq(r.toSeq :+ meta)
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling for (stub) video payloads: every
+    * k-th frame index up to n_frames.
+    */
+  def sampleFrames(df: DataFrame, every: Int = 2): DataFrame =
+    df.withColumn("sampled_frames",
+      filter(sequence(lit(0), greatest(col("media.n_frames") - 1, lit(0))),
+        i => i % every === 0))
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: tokenization,
+  * n-gram shingling, quality scoring, language ID, fingerprinting.
+  * All pure column expressions — codegen-friendly, no UDFs, scale
+  * linearly with the corpus.
+  */
+object TextOps {
+
+  /** Whitespace word tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles (1-based element_at, guarded for
+    * short docs — Spark's sequence(1, 0) would count DOWN).
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val w = words(text)
+    val count = size(w) - (n - 1)
+    array_distinct(when(count >= 1,
+      transform(sequence(lit(1), greatest(count, lit(1))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** BPE-ish token count: alpha runs, digit runs, and single
+    * non-alphanumeric marks — a deterministic stand-in for a real
+    * subword tokenizer's token count.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality signals + a composite score (weights are arbitrary but
+    * fixed): length, punctuation ratio, stopword ratio, mean word
+    * length.
+    */
+  val Stopwords = Seq("the", "a", "and", "of", "to", "in", "is", "on", "for")
+
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text)
+    val w = words(text)
+    val nWords = size(w)
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val stop = size(filter(w, x => x.isin(Stopwords.map(lit): _*)))
+    Seq(
+      "n_chars" -> nChars,
+      "n_words" -> nWords,
+      "punct_ratio" -> round(punct.cast("double") / greatest(nChars, lit(1)), 4),
+      "stopword_ratio" -> round(stop.cast("double") / greatest(nWords, lit(1)), 4),
+      "mean_word_len" -> round(nChars.cast("double") / greatest(nWords, lit(1)), 4))
+  }
+
+  /** Language-ID by stopword/character profile: count hits of a few
+    * high-frequency marker words per language (plus CJK characters for
+    * zh) and take the argmax with a fixed tie-break order.
+    */
+  val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|was|for|with)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit)\\b",
+    "fr" -> "\\b(le|la|les|et|est|dans|pour|une)\\b",
+    "es" -> "\\b(el|los|las|es|en|por|para|una)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
+
+  def predictedLang(text: Column): Column = {
+    val scores = langScores(text)
+    // argmax with first-listed language winning ties — the same CASE
+    // cascade is expressible in the DuckDB oracle
+    scores.foldRight(lit("und")) { case ((lang, score), acc) =>
+      val isMax = scores.filter(_._1 != lang)
+        .map { case (_, other) => score >= other }
+        .reduce(_ && _)
+      when(score > 0 && isMax, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprints: md5 of the raw text and of a normalized
+    * form (lowercase, collapsed whitespace).
+    */
+  def fingerprintMd5(text: Column): Column = md5(text)
+  def fingerprintNormalized(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.Tables
+import graft.functions.RollingHash
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.streaming.EventWindows
+
+/** Training-data-pipeline extension operators (the part of the driver
+  * north-star that goes beyond reference parity): deduplication,
+  * similarity search, text analysis, multimodal plumbing, and windowed
+  * event analytics — each a `queries` entry, DuckDB-oracled wherever
+  * the computation is expressible in SQL (the MinHash-LSH and SimHash
+  * paths share the brute-force oracle because their verified output
+  * provably equals it on this corpus; the LSH ANN and the custom-
+  * expression fingerprint are rows-only).
+  */
+object Extensions {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    Tables.table(s, d, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deduplication ------------------------------------------------------
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exactByPrefix(t(s, d, "documents")).orderBy(col("k"))),
+
+    "x_dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardBrute(t(s, d, "documents"))),
+
+    "x_dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(t(s, d, "documents"))),
+
+    "x_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDup(t(s, d, "documents"))),
+
+    "x_dedup_embedding" -> ((s, d) =>
+      Dedup.embeddingCosinePairs(t(s, d, "embeddings"))),
+
+    // ---- similarity search --------------------------------------------------
+    "x_knn_brute" -> ((s, d) =>
+      Similarity.knnBrute(t(s, d, "embeddings"))),
+
+    "x_knn_lsh" -> ((s, d) => // approximate: rows-only check
+      Similarity.knnLsh(t(s, d, "embeddings"))),
+
+    // ---- text analysis ------------------------------------------------------
+    "x_text_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        size(TextOps.words(col("text"))).as("n_words"),
+        TextOps.bpeishTokenCount(col("text")).as("n_tokens"),
+        col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "x_text_quality" -> ((s, d) => {
+      val cols = TextOps.qualityColumns(col("text")).filterNot(_._1 == "n_chars")
+        .map { case (n, c) => c.as(n) }
+      t(s, d, "documents")
+        .select(col("doc_id") +: length(col("text")).as("n_chars_calc") +: cols: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "x_text_langid" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextOps.predictedLang(col("text")).as("pred"))
+        .orderBy(col("doc_id"))),
+
+    "x_fingerprint" -> ((s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp"),
+        TextOps.fingerprintNormalized(col("text")).as("fp_norm"))
+        .orderBy(col("doc_id"))),
+
+    "x_fingerprint_rolling" -> ((s, d) => { // custom codegen Expression: rows-only
+      RollingHash.register(s)
+      t(s, d, "documents")
+        .select(col("doc_id"), expr("rolling_hash(text)").as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal plumbing ------------------------------------------------
+    "x_multimodal_meta" -> ((s, d) => {
+      val withPayload = t(s, d, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.withMediaMeta(withPayload, "payload")
+        .select(col("doc_id"),
+          col("media.format").as("format"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          col("media.n_frames").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- windowed event analytics ------------------------------------------
+    "x_events_tumbling" -> ((s, d) =>
+      EventWindows.tumblingHourly(t(s, d, "events"))),
+
+    "x_events_sliding" -> ((s, d) =>
+      EventWindows.slidingTwoHour(t(s, d, "events"))),
+
+    "x_events_sessions" -> ((s, d) =>
+      EventWindows.userSessions(t(s, d, "events")))
+  )
+
+  private val trigramCte =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+      |         || ' ' || string_split(text, ' ')[i+2])) AS g
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
+      |WHERE len(list_intersect(a.g, b.g)) * 2
+      |      >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS k,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // the three text near-dup strategies provably agree on this corpus
+    "x_dedup_ngram_jaccard" -> trigramCte,
+    "x_dedup_minhash_lsh" -> trigramCte,
+    "x_dedup_simhash" -> trigramCte,
+
+    "x_dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id < b.vec_id AND a.vec_id < 500
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "x_knn_brute" ->
+      """WITH s AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings q JOIN embeddings e
+        |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, ROUND(c, 4) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "x_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_calc,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |        / greatest(length(text), 1), 4) AS punct_ratio,
+        |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+        |          x -> x IN ('the','a','and','of','to','in','is','on','for'))) AS DOUBLE)
+        |        / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+        |  ROUND(CAST(length(text) AS DOUBLE)
+        |        / greatest(len(string_split(text, ' ')), 1), 4) AS mean_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_text_langid" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '\b(the|and|of|to|is|was|for|with)\b')) AS s_en,
+        |  len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein|mit)\b')) AS s_de,
+        |  len(regexp_extract_all(text, '\b(le|la|les|et|est|dans|pour|une)\b')) AS s_fr,
+        |  len(regexp_extract_all(text, '\b(el|los|las|es|en|por|para|una)\b')) AS s_es,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE
+        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |    WHEN s_es > 0 AND s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |    WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es THEN 'zh'
+        |    ELSE 'und' END AS pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_multimodal_meta" ->
+      """SELECT doc_id, 'stub' AS format,
+        |  CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+        |  CAST((octet_length(encode(text)) // 2) % 480 AS INT) AS height,
+        |  CAST(ord(text[1]) & 15 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_events_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "x_events_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start,
+        |         event_type
+        |  FROM events)
+        |SELECT window_start, event_type, COUNT(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "x_events_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    CASE WHEN lag(epoch_ms(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+        |         OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id,
+        |  SUM(new_session) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id) AS session_ix
+        |  FROM g),
+        |t AS (SELECT user_id, session_ix, COUNT(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |  CAST(MAX(n_events) AS BIGINT) AS max_session_events
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}
