@@ -13,10 +13,26 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // headline BASELINE comparison: ingest -> SQL transform -> sink
+    // load of the 100k-row (at sf0.1) events table, the analog of the
+    // reference's "100K+ rows end-to-end" metric (BASELINE.md)
+    val sinkDir = java.nio.file.Files.createTempDirectory("bench-sink").toString
+    val p0 = System.nanoTime()
+    val events = graft.engine.Tables.table(spark, sfDir, "events")
+    val loaded = graft.engine.Engine.withSqlOver(spark, events, "events",
+      """SELECT event_id, user_id, event_type, value,
+        |  get_json_object(props, '$.k') AS k_val FROM events""".stripMargin) { out =>
+      new graft.writer.ParquetWriter(s"$sinkDir/events_out")
+        .write(out, graft.writer.WriteMode.Append).rowsWritten
+    }
+    val pipelineSec = (System.nanoTime() - p0) / 1e9
+    val rowsPerSec = (loaded / pipelineSec).round
+
+    val all = results :+ ("x_pipeline_100k_load" -> pipelineSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$loaded,"pipeline_rows_per_sec":$rowsPerSec}""")
     spark.stop()
   }
 }

@@ -1,0 +1,21 @@
+package graft
+
+/** Plan-inspection main: prints `explain("formatted")` for selected
+  * queries so scan pushdown (PushedFilters/ReadSchema), join strategy
+  * (broadcast vs sort-merge), and codegen spans can be eyeballed —
+  * `runMain graft.Explain [queryName...]`.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = graft.engine.Sessions.local()
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("b04_filter", "b05_inner_join", "b12_hash_agg",
+        "b25_correlated_subquery", "x_dedup_ngram_jaccard", "x_knn_brute")
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -42,18 +42,28 @@ object Dedup {
   private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
 
-  /** Brute-force trigram-Jaccard near-dup pairs; left side bounded to
-    * `leftMax` ids. The oracle baseline.
+  /** Exact trigram-Jaccard near-dup pairs via an inverted-index join:
+    * explode shingles, equi-join on the shingle, count shared shingles
+    * per pair. Pairs sharing nothing never materialize, so cost is
+    * O(Σ shared shingles), not O(n²) — the shape that survives a
+    * corpus 1000× larger (same result as the cartesian baseline; the
+    * DuckDB oracle still computes it the O(n²) way).
     */
   def ngramJaccardBrute(docs: DataFrame, leftMax: Long = 200): DataFrame = {
-    val a = shingled(docs.filter(col("doc_id") < leftMax))
-      .select(col("doc_id").as("doc_a"), col("g").as("ga"))
-    val b = shingled(docs).select(col("doc_id").as("doc_b"), col("g").as("gb"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ga"), col("gb"))).as("inter"),
-        (size(col("ga")) + size(col("gb"))
-          - size(array_intersect(col("ga"), col("gb")))).as("uni"))
+    val sh = shingled(docs)
+    val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
+    val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
+    val inter = tokens.filter(col("doc_id") < leftMax)
+      .withColumnRenamed("doc_id", "doc_a")
+      .join(tokens.withColumnRenamed("doc_id", "doc_b"),
+        Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(dupPair(col("inter"), col("uni")))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
@@ -152,14 +162,13 @@ object Dedup {
     */
   def embeddingCosinePairs(embeddings: DataFrame, minCosine: Double = 0.4,
       leftMax: Long = 500): DataFrame = {
-    val e = embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val e = Similarity.withNorm(embeddings)
     val a = e.filter(col("vec_id") < leftMax)
-      .select(col("vec_id").as("vec_a"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+      .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        Similarity.cosine(col("va"), col("vb")).as("cos"))
+        Similarity.cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))

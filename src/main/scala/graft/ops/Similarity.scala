@@ -11,32 +11,43 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two double arrays via zip_with + sequential
+  /** Dot product of two double arrays via zip_with + sequential
     * aggregate — stays in codegen'd expressions, deterministic
     * accumulation order.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
-  }
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
 
-  private def asDouble(embeddings: DataFrame): DataFrame =
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+
+  /** Cosine from a precomputed per-vector norm: `dot/na/nb` is
+    * bit-identical to [[cosine]]'s `dot/√(a·a)/√(b·b)` (same division
+    * order) but the pair join pays ONE array traversal instead of
+    * three — precompute norms once per vector, not once per pair.
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / na / nb
+
+  /** Project to (vec_id, v: array<double>, norm). */
+  private[ops] def withNorm(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact top-k neighbors for each query vector (vec_id < nQueries):
     * broadcast the queries, score every corpus vector, window top-k.
     * At 100 TB the corpus side stays partitioned; only Q rows move.
     */
   def knnBrute(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5): DataFrame = {
-    val e = asDouble(embeddings)
+    val e = withNorm(embeddings)
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = e.select(col("vec_id").as("neighbor_id"), col("v"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm"))
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+        cosineWithNorms(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -63,7 +74,7 @@ object Similarity {
     }
     val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
 
-    val e = asDouble(embeddings)
+    val e = withNorm(embeddings)
     val bucketed = e.withColumn("bucket",
       aggregate(
         zip_with(planesCol, sequence(lit(0), lit(nPlanes - 1)), (plane, ix) =>
@@ -74,17 +85,17 @@ object Similarity {
 
     val q = bucketed.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("bucket").as("qbucket"))
+        col("norm").as("qn"), col("bucket").as("qbucket"))
     // multi-probe: also search buckets within `multiProbeBits` sign
     // flips of the query's bucket — the standard recall lever when a
     // neighbor's hyperplane signs disagree on a bit or two
     val scored = bucketed.select(col("vec_id").as("neighbor_id"),
-        col("v"), col("bucket"))
+        col("v"), col("norm"), col("bucket"))
       .join(broadcast(q),
         bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= multiProbeBits
           && col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+        cosineWithNorms(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
