@@ -105,7 +105,8 @@ object Main {
       } catch {
         case e: Exception =>
           failed += 1
-          log.error(s"module $module failed: ${e.getMessage}", e)
+          val classified = graft.errors.GraftError.from(e)
+          log.error(s"module $module failed [${classified.category}]: ${e.getMessage}", e)
       }
     }
     log.info("pipeline done: {} ok, {} failed in {}ms", ok.toString,

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 /** Windowed event analytics — batch and Structured Streaming forms of
@@ -51,6 +51,48 @@ object EventWindows {
       .agg(count(lit(1)).as("n_sessions"),
         max(col("n_events")).as("max_session_events"))
       .orderBy(col("user_id"))
+  }
+
+  /** Per-user session accumulator for the stateful streaming path. */
+  final case class SessionAgg(nSessions: Long, lastMs: Long,
+      curEvents: Long, maxEvents: Long)
+
+  /** Stateful streaming sessionization via `mapGroupsWithState`: state
+    * (open-session tail) survives across micro-batches, so sessions
+    * spanning batch boundaries are counted once — the custom-state
+    * shape the reference has no analog for (its execution is bounded).
+    * Events inside one micro-batch are sorted per user; state holds
+    * only the session tail, not the events.
+    */
+  def streamingUserSessions(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String,
+      gapMs: Long = 30L * 60 * 1000): StreamingQuery = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[SessionAgg]): (Long, Long, Long) = {
+      var st = state.getOption.getOrElse(SessionAgg(0L, Long.MinValue, 0L, 0L))
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ms, _) =>
+        st = if (st.lastMs == Long.MinValue || ms - st.lastMs > gapMs)
+          SessionAgg(st.nSessions + 1, ms, 1L, math.max(st.maxEvents, 1L))
+        else
+          SessionAgg(st.nSessions, ms, st.curEvents + 1,
+            math.max(st.maxEvents, st.curEvents + 1))
+      }
+      state.update(st)
+      (userId, st.nSessions, st.maxEvents)
+    }
+
+    spark.readStream.schema(schema).parquet(dir)
+      .selectExpr("user_id", "unix_micros(ts) DIV 1000 AS ms", "event_id")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_sessions", "max_session_events")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 
   /** Structured Streaming form of [[tumblingHourly]] with a watermark

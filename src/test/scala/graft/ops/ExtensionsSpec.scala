@@ -80,6 +80,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stateful streaming sessionization equals the batch form") {
+    val events = graft.engine.Tables.table(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("events-sessions").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingUserSessions(
+      spark, dir, events.schema, "session_out")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("session_out")
+    val batch = graft.streaming.EventWindows.userSessions(events)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("every extension query has an oracle or a documented reason not to") {
     val noOracle = Extensions.queries.keySet -- Extensions.oracle.keySet
     // approximate ANN and the Spark-only codegen fingerprint: rows-only
