@@ -17,6 +17,8 @@ object Sessions {
       // events.parquet stores ts as TIMESTAMP(NANOS), which Spark's
       // reader rejects by default; read as long and rebuild in Tables.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // native function registration (rolling_hash et al.)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
 
   def local(cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {

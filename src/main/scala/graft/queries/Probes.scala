@@ -154,6 +154,20 @@ object Probes {
         .orderBy(asc_nulls_first("l_returnflag"),
           asc_nulls_first("l_linestatus"), col("n"))),
 
+    // B15 — CUBE grouping sets
+    "b15_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"), col("n"))),
+
+    // B15 — explicit GROUPING SETS
+    "b15_grouping_sets" -> ((s, d) => sqlWithViews(s, d,
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin)),
+
     // B16 — approx distinct (HLL++). Engines' sketches differ, so this
     // is rows-only checked (no oracle entry); accuracy asserted in the
     // ScalaTest suite against the exact count.
@@ -279,6 +293,15 @@ object Probes {
         .orderBy(col("p_partkey"))
         .limit(50)),
 
+    // B30 — regexp extraction + LIKE
+    "b30_regexp" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+          col("p_type").like("%a%").as("has_a"))
+        .orderBy(col("p_partkey"))
+        .limit(50)),
+
     // B31 — math functions. Sort keys cover every output determinant
     // ((l_orderkey, l_linenumber) alone is not unique in the fixture).
     "b31_math_fns" -> ((s, d) =>
@@ -298,6 +321,13 @@ object Probes {
         .groupBy(year(col("o_orderdate")).as("y"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("y"))),
+
+    // B32 — DATE_TRUNC grouping (timestamp output)
+    "b32_date_trunc" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("m"))),
 
     // B33 — nested struct field access (dialect-split oracle)
     "b33_struct_access" -> ((s, d) =>
@@ -366,6 +396,21 @@ object Probes {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
+    "b15_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
+    "b15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin,
+    "b30_regexp" ->
+      """SELECT p_partkey, regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        | p_type LIKE '%a%' AS has_a
+        |FROM part ORDER BY p_partkey LIMIT 50""".stripMargin,
+    "b32_date_trunc" -> // DuckDB's month-trunc yields DATE; Spark's a TIMESTAMP
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY m""".stripMargin,
     "b17_window_rank" ->
       """SELECT o_orderkey, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
