@@ -94,6 +94,11 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- skew tooling -------------------------------------------------------
+    "x_skew_salted_count" -> ((s, d) =>
+      graft.ops.Skew.saltedCount(t(s, d, "lineitem"), "l_returnflag", salts = 8)
+        .orderBy(col("l_returnflag"))),
+
     // ---- windowed event analytics ------------------------------------------
     "x_events_tumbling" -> ((s, d) =>
       EventWindows.tumblingHourly(t(s, d, "events"))),
@@ -203,6 +208,9 @@ object Extensions {
         |  CAST((octet_length(encode(text)) // 2) % 480 AS INT) AS height,
         |  CAST(ord(text[1]) & 15 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_skew_salted_count" ->
+      "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY l_returnflag",
 
     "x_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
