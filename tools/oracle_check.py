@@ -16,11 +16,10 @@ import duckdb
 
 
 def norm_rows(rows):
-    out = []
-    for row in rows:
-        out.append(tuple(
-            round(v, 6) if isinstance(v, float) else v for v in row))
-    return out
+    # bit-exact: the probe corpus is designed so Spark and DuckDB agree
+    # on float bits (ROUND discipline, fixed division orders); any
+    # drift should FAIL here rather than hide behind rounding slack
+    return [tuple(row) for row in rows]
 
 
 def main(sf_dir, out_dir):
