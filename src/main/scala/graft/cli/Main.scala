@@ -29,6 +29,7 @@ object Main {
       modulesDir: String = "",
       configPath: String = "",
       warehouse: Option[String] = None,
+      warehouseFormat: String = "parquet",
       writeMode: WriteMode = WriteMode.Append)
 
   private def parseArgs(argv: Array[String]): Args = {
@@ -37,6 +38,8 @@ object Main {
       case ("-m" | "--modules") :: v :: t => loop(a.copy(modulesDir = v), t)
       case ("-y" | "--yaml-config") :: v :: t => loop(a.copy(configPath = v), t)
       case "--warehouse" :: v :: t => loop(a.copy(warehouse = Some(v)), t)
+      case "--warehouse-format" :: v :: t =>
+        loop(a.copy(warehouseFormat = v), t)
       case "--write-mode" :: v :: t =>
         loop(a.copy(writeMode = WriteMode.parse(v)), t)
       case other :: _ =>
@@ -51,7 +54,8 @@ object Main {
   private def makeWriter(target: Option[Target], destTable: String,
       primaryKey: Seq[String], args: Args): DataWriter =
     args.warehouse match {
-      case Some(dir) => new ParquetWriter(s"$dir/$destTable")
+      case Some(dir) =>
+        new graft.writer.FileWriter(s"$dir/$destTable", args.warehouseFormat)
       case None =>
         val t = target.getOrElse(throw new IllegalArgumentException(
           s"no target resolved for '$destTable' and no --warehouse fallback"))

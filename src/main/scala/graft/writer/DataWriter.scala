@@ -28,16 +28,32 @@ trait DataWriter {
   def truncate(): Unit = ()
 }
 
-/** Parquet sink — the test/local warehouse target. */
-final class ParquetWriter(path: String) extends DataWriter {
+/** File-format sink — the test/local warehouse target. Formats:
+  * parquet (default), json (NDJSON, the reference's row-JSON output
+  * shape — A16), csv (with header).
+  */
+final class FileWriter(path: String, format: String = "parquet") extends DataWriter {
+  require(Set("parquet", "json", "csv")(format), s"unsupported format '$format'")
+
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     val saveMode = mode match {
       case WriteMode.Append => "append"
-      // parquet has no keyed merge; Merge maps to overwrite for the
-      // local-warehouse sink
+      // file formats have no keyed merge; Merge maps to overwrite for
+      // the local-warehouse sink
       case WriteMode.Merge => "overwrite"
     }
-    df.write.mode(saveMode).parquet(path)
-    WriteStats(df.sparkSession.read.parquet(path).count())
+    val w = df.write.mode(saveMode).format(format)
+    (if (format == "csv") w.option("header", "true") else w).save(path)
+    val r = df.sparkSession.read.format(format)
+    val back = if (format == "csv") r.option("header", "true").load(path)
+      else r.load(path)
+    WriteStats(back.count())
   }
+}
+
+/** Parquet sink (compatibility alias). */
+final class ParquetWriter(path: String) extends DataWriter {
+  private val inner = new FileWriter(path, "parquet")
+  override def write(df: DataFrame, mode: WriteMode): WriteStats =
+    inner.write(df, mode)
 }
