@@ -42,6 +42,26 @@ object Dedup {
   private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
 
+  /** Exact-Jaccard verification of a (small) candidate pair set: join
+    * the candidates with per-doc shingle arrays and intersect per pair.
+    * Candidates are few, so the per-pair set intersection beats
+    * re-exploding the whole corpus into a token join (measured: the
+    * token-join variant cost +4s per sketch query at sf0.1).
+    */
+  private def verifyPairs(candidates: DataFrame, sh: DataFrame): DataFrame = {
+    val ga = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+    val gb = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+    candidates.join(ga, "doc_a").join(gb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).as("inter"),
+        (size(col("ga")) + size(col("gb"))
+          - size(array_intersect(col("ga"), col("gb")))).as("uni"))
+      .filter(dupPair(col("inter"), col("uni")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Exact trigram-Jaccard near-dup pairs via an inverted-index join:
     * explode shingles, equi-join on the shingle, count shared shingles
     * per pair. Pairs sharing nothing never materialize, so cost is
@@ -106,18 +126,7 @@ object Dedup {
       .distinct()
       .filter(col("doc_a") < leftMax)
 
-    // verify candidates with exact trigram Jaccard
-    val ga = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
-    val gb = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
-    candidates.join(ga, "doc_a").join(gb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ga"), col("gb"))).as("inter"),
-        (size(col("ga")) + size(col("gb"))
-          - size(array_intersect(col("ga"), col("gb")))).as("uni"))
-      .filter(dupPair(col("inter"), col("uni")))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyPairs(candidates, sh)
   }
 
   /** SimHash near-dup: 64-bit signatures from trigram hashes, pairs
@@ -143,17 +152,7 @@ object Dedup {
       .filter(bit_count(col("siga").bitwiseXOR(col("sigb"))) <= maxHamming)
       .select(col("doc_a"), col("doc_b"))
 
-    val ga = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
-    val gb = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
-    candidates.join(ga, "doc_a").join(gb, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("ga"), col("gb"))).as("inter"),
-        (size(col("ga")) + size(col("gb"))
-          - size(array_intersect(col("ga"), col("gb")))).as("uni"))
-      .filter(dupPair(col("inter"), col("uni")))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    verifyPairs(candidates, sh)
   }
 
   /** Embedding-cosine near-dup pairs over `embeddings` (float arrays
