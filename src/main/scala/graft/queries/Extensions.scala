@@ -47,6 +47,9 @@ object Extensions {
     "x_knn_lsh" -> ((s, d) => // approximate: rows-only check
       Similarity.knnLsh(t(s, d, "embeddings"))),
 
+    "x_knn_ivf" -> ((s, d) => // approximate: rows-only check
+      Similarity.knnIvf(t(s, d, "embeddings"))),
+
     // ---- text analysis ------------------------------------------------------
     "x_text_tokens" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),

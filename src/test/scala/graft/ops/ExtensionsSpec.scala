@@ -26,6 +26,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sim == brute)
   }
 
+  test("IVF ANN recall vs brute-force top-5 beats cell fraction") {
+    val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+    val brute = Similarity.knnBrute(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.knnIvf(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    // probing 4 of 16 cells scans ~25% of the corpus; a working
+    // quantizer concentrates true neighbors in probed cells
+    assert(recall >= 0.3, s"IVF recall $recall")
+  }
+
   test("LSH ANN recall vs brute-force top-5 is reasonable") {
     val brute = Similarity.knnBrute(graft.engine.Tables.table(spark, sf, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -95,7 +107,7 @@ class ExtensionsSpec extends AnyFunSuite {
   test("every extension query has an oracle or a documented reason not to") {
     val noOracle = Extensions.queries.keySet -- Extensions.oracle.keySet
     // approximate ANN and the Spark-only codegen fingerprint: rows-only
-    assert(noOracle == Set("x_knn_lsh", "x_fingerprint_rolling"))
+    assert(noOracle == Set("x_knn_lsh", "x_knn_ivf", "x_fingerprint_rolling"))
     assert((Extensions.oracle.keySet -- Extensions.queries.keySet).isEmpty)
   }
 
