@@ -102,13 +102,19 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, leftMax: Long = 200,
       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    val sigLen = bands * rowsPerBand
     val sh = shingled(docs)
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
-      .select(col("doc_id"),
-        xxhash64(col("shingle")).as("h1"),
-        xxhash64(col("shingle"), lit(7)).as("h2"))
+    // signature as 64 built-in min(xxhash64(shingle, k)) aggregates:
+    // fully codegen'd with map-side partial aggregation — measured
+    // faster than the equivalent udaf Aggregator (which remains in
+    // Sketches as the general-purpose API)
+    val mins = (0 until sigLen).map(k =>
+      min(xxhash64(col("shingle"), lit(k))).as(s"m$k"))
     val sigs = tokens.groupBy(col("doc_id"))
-      .agg(Sketches.minhashSig(col("h1"), col("h2")).as("sig"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until sigLen).map(k => col(s"m$k")): _*).as("sig"))
 
     // band hash = xxhash64 over the band's slice (overflow-safe under
     // ANSI mode, which Spark 4 enables by default)
