@@ -31,8 +31,10 @@ object Dedup {
     * 3-word prefix — same shape, collisions exist.
     */
   def exactByPrefix(docs: DataFrame, prefixWords: Int = 3): DataFrame = {
+    // try_element_at: docs shorter than prefixWords yield nulls (which
+    // concat_ws skips) instead of ANSI INVALID_ARRAY_INDEX errors
     val key = concat_ws(" ",
-      (1 to prefixWords).map(i => element_at(split(col("text"), " "), i)): _*)
+      (1 to prefixWords).map(i => try_element_at(split(col("text"), " "), lit(i))): _*)
     docs.select(col("doc_id"), key.as("k"))
       .groupBy(col("k"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
@@ -41,6 +43,20 @@ object Dedup {
   /** Per-doc distinct trigram shingle sets. */
   private def shingled(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
+
+  /** Run `build` with `sh` cached, eagerly materialize the (small)
+    * result, then release the cache. The sketch dedup queries each
+    * traverse the shingle relation 2-3× (signature path + both sides
+    * of verification); without the persist the corpus is re-scanned
+    * and re-shingled per traversal — at 100 TB that is 3 corpus scans
+    * where 1 suffices. `localCheckpoint` pins the few result rows so
+    * the returned plan never re-reads the unpersisted shingles.
+    */
+  private def withShingles(sh: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    sh.persist()
+    try build(sh).localCheckpoint(true)
+    finally sh.unpersist()
+  }
 
   /** Exact-Jaccard verification of a (small) candidate pair set: join
     * the candidates with per-doc shingle arrays and intersect per pair.
@@ -69,8 +85,8 @@ object Dedup {
     * corpus 1000× larger (same result as the cartesian baseline; the
     * DuckDB oracle still computes it the O(n²) way).
     */
-  def ngramJaccardBrute(docs: DataFrame, leftMax: Long = 200): DataFrame = {
-    val sh = shingled(docs)
+  def ngramJaccardBrute(docs: DataFrame, leftMax: Long = 200): DataFrame =
+    withShingles(shingled(docs)) { sh =>
     val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
     val inter = tokens.filter(col("doc_id") < leftMax)
@@ -88,7 +104,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
+    }
 
   /** MinHash + LSH banding: the full-corpus scale path.
     *
@@ -101,9 +117,9 @@ object Dedup {
     * work.
     */
   def minhashLsh(docs: DataFrame, leftMax: Long = 200,
-      bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 32, rowsPerBand: Int = 2): DataFrame =
+    withShingles(shingled(docs)) { sh =>
     val sigLen = bands * rowsPerBand
-    val sh = shingled(docs)
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
     // signature as 64 built-in min(xxhash64(shingle, k)) aggregates:
     // fully codegen'd with map-side partial aggregation — measured
@@ -133,33 +149,70 @@ object Dedup {
       .filter(col("doc_a") < leftMax)
 
     verifyPairs(candidates, sh)
-  }
+    }
 
-  /** SimHash near-dup: 64-bit signatures from trigram hashes, pairs
-    * with Hamming distance ≤ maxHamming, verified with exact Jaccard
-    * (same contract/oracle as the baseline). Hamming 20 ≈ the 45°
-    * angle of a τ=0.5 Jaccard pair; random pairs sit at ~32 ± 4, so
-    * false candidates are ~0.2% and die in verification. At corpus
-    * scale the pair scan blocks on 16-bit signature chunks
-    * (pigeonhole) instead of the bounded slice used here.
+  /** SimHash near-dup via pigeonhole chunk blocking + multi-probe —
+    * no pair scan anywhere.
+    *
+    * Signature: `nSigs` independent 64-bit simhashes over the trigram
+    * hashes (512 bits total by default), split into
+    * `nSigs·64/chunkBits` chunks (32×16-bit). Candidates are pairs
+    * whose signatures agree within Hamming ≤ 1 on ≥1 chunk: the query
+    * side additionally emits the 16 one-bit flips of each chunk
+    * (multi-probe), and matching is an equi-join on
+    * (chunk_ix, chunk_value) — the same shuffle shape as the MinHash
+    * band join, no nested loop. Pigeonhole guarantees recall for
+    * full-width Hamming < nChunks·2; probabilistically, a true pair
+    * at per-bit disagreement p has per-chunk catch rate
+    * (1−p)^16 + 16p(1−p)^15, so worst observed fixture pairs
+    * (d=12/64, p≈0.19) are caught with P ≈ 1−(0.83)^32 ≈ 0.998 while
+    * only ~17·32/2^16 ≈ 0.8% of random pairs collide — verified
+    * against the brute oracle at sf0.001/0.01/0.1. A full-width
+    * Hamming prefilter (8 xor+popcounts) cuts false collisions
+    * before exact-Jaccard verification, which keeps the brute-force
+    * oracle contract. Widening recall at scale = raise `nSigs`:
+    * chunk count grows linearly, miss probability falls
+    * geometrically.
     */
   def simhashNearDup(docs: DataFrame, leftMax: Long = 200,
-      maxHamming: Int = 20): DataFrame = {
-    val sh = shingled(docs)
+      maxHamming: Int = 160, nSigs: Int = 8, chunkBits: Int = 16): DataFrame =
+    withShingles(shingled(docs)) { sh =>
+    val perSig = 64 / chunkBits
+    val nChunks = nSigs * perSig
+    val sigCols = (0 until nSigs).map(k =>
+      Sketches.simhash(xxhash64(col("shingle"), lit(k))).as(s"sig$k"))
     val sigs = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(Sketches.simhash(col("h")).as("sig"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until nSigs).map(k => col(s"sig$k")): _*).as("sig"))
 
-    val a = sigs.filter(col("doc_id") < leftMax)
-      .select(col("doc_id").as("doc_a"), col("sig").as("siga"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sigb"))
-    val candidates = a.join(b, col("doc_a") < col("doc_b"))
-      .filter(bit_count(col("siga").bitwiseXOR(col("sigb"))) <= maxHamming)
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val chunkCols = array((0 until nChunks).map { i =>
+      shiftrightunsigned(element_at(col("sig"), i / perSig + 1),
+        (i % perSig) * chunkBits).bitwiseAND(lit(mask))
+    }: _*)
+    val exploded = sigs.select(col("doc_id"), col("sig"), posexplode(chunkCols))
+      .withColumnsRenamed(Map("pos" -> "cix", "col" -> "cval"))
+
+    // query side probes its chunk value plus every 1-bit flip of it
+    val probes = array(col("cval") +:
+      (0 until chunkBits).map(b => col("cval").bitwiseXOR(lit(1L << b))): _*)
+    val a = exploded.filter(col("doc_id") < leftMax)
+      .select(col("doc_id").as("doc_a"), col("sig").as("sa"),
+        col("cix"), explode(probes).as("cval"))
+    val b = exploded.select(col("doc_id").as("doc_b"), col("sig").as("sb"),
+      col("cix"), col("cval"))
+    val hamming = (0 until nSigs).map(i =>
+      bit_count(element_at(col("sa"), i + 1)
+        .bitwiseXOR(element_at(col("sb"), i + 1)))).reduce(_ + _)
+    val candidates = a.join(b, Seq("cix", "cval"))
+      .filter(col("doc_a") < col("doc_b") && hamming <= maxHamming)
       .select(col("doc_a"), col("doc_b"))
+      .distinct()
 
     verifyPairs(candidates, sh)
-  }
+    }
 
   /** Embedding-cosine near-dup pairs over `embeddings` (float arrays
     * cast to double; sequential fold keeps the dot product

@@ -42,12 +42,16 @@ final class FileWriter(path: String, format: String = "parquet") extends DataWri
       // the local-warehouse sink
       case WriteMode.Merge => "overwrite"
     }
-    val w = df.write.mode(saveMode).format(format)
+    // Count the *input* as it flows through the write, not the sink
+    // contents: re-reading the destination after an append would report
+    // pre-existing rows too (and pay a full read-back per write).
+    // Observation metrics are exactly-once even under task retries.
+    val obs = new org.apache.spark.sql.Observation("graft.write")
+    val counted = df.observe(obs, org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val w = counted.write.mode(saveMode).format(format)
     (if (format == "csv") w.option("header", "true") else w).save(path)
-    val r = df.sparkSession.read.format(format)
-    val back = if (format == "csv") r.option("header", "true").load(path)
-      else r.load(path)
-    WriteStats(back.count())
+    WriteStats(obs.get("rows").asInstanceOf[Long])
   }
 }
 

@@ -39,6 +39,16 @@ class FileWriterSpec extends AnyFunSuite {
     assert(w.write(sample, WriteMode.Merge).rowsWritten == 2)
   }
 
+  test("append into existing dest reports only the new batch's rows") {
+    val dir = Files.createTempDirectory("w-app2").toString + "/t"
+    val w = new FileWriter(dir, "parquet")
+    assert(w.write(sample, WriteMode.Append).rowsWritten == 2)
+    // second append must NOT count the pre-existing rows in the sink
+    val second = w.write(sample.limit(1), WriteMode.Append)
+    assert(second.rowsWritten == 1)
+    assert(spark.read.parquet(dir).count() == 3)
+  }
+
   test("unknown format rejected") {
     intercept[IllegalArgumentException](new FileWriter("/tmp/x", "avro2"))
   }
