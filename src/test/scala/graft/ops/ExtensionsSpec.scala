@@ -49,6 +49,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(lsh.size <= brute.size + 25)
   }
 
+  test("LSH ANN multi-probe plans as a hash join on bucket, not a nested loop") {
+    val plan = Similarity.knnLsh(graft.engine.Tables.table(spark, sf, "embeddings"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected hash join on bucket:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"nested loop crept back into knnLsh:\n$plan")
+  }
+
   test("rolling_hash: codegen result matches a reference implementation") {
     graft.functions.RollingHash.register(spark)
     import spark.implicits._
