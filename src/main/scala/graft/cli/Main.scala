@@ -30,7 +30,11 @@ object Main {
       configPath: String = "",
       warehouse: Option[String] = None,
       warehouseFormat: String = "parquet",
-      writeMode: WriteMode = WriteMode.Append)
+      writeMode: WriteMode = WriteMode.Append,
+      truncateFirst: Boolean = false,
+      logJson: Boolean = false,
+      logLevel: Option[String] = None,
+      pageSize: Long = 100)
 
   private def parseArgs(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -42,6 +46,10 @@ object Main {
         loop(a.copy(warehouseFormat = v), t)
       case "--write-mode" :: v :: t =>
         loop(a.copy(writeMode = WriteMode.parse(v)), t)
+      case "--truncate-first" :: t => loop(a.copy(truncateFirst = true), t)
+      case "--log-json" :: t => loop(a.copy(logJson = true), t)
+      case "--log-level" :: v :: t => loop(a.copy(logLevel = Some(v)), t)
+      case "--page-size" :: v :: t => loop(a.copy(pageSize = v.toLong), t)
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument '$other'")
     }
@@ -64,8 +72,10 @@ object Main {
     }
 
   def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv)
+    Logging.configure(args.logJson, args.logLevel)
     val spark: SparkSession = Sessions.local()
-    val failed = run(parseArgs(argv), spark)
+    val failed = run(args, spark)
     spark.stop()
     if (failed > 0) sys.exit(1)
   }
@@ -88,17 +98,26 @@ object Main {
         val target = rendered.sink.map(cfg.target)
         val destTable = source.destTable
 
+        log.info("module name={} source={} dest={}", module, sourceName, destTable)
+
         // fetch once, cache: the SQL below may drive several actions —
         // the Spark analog of the reference's buffered replay channel
-        // (fetcher.rs:653-727)
-        val sourceDf = HttpJsonSource.load(spark, source).cache()
+        // (fetcher.rs:653-727). Page size + TotalHint come from the
+        // source config (page_size / total_*_pointer), CLI default
+        // otherwise.
+        val sourceDf = HttpJsonSource.load(spark, source, args.pageSize).cache()
         try {
           // stage-6 rewrite: source name → destination table name
           val sql = Templates.rewriteIdentifier(rendered.sql, sourceName, destTable)
           val writer = makeWriter(target, destTable, source.primaryKeyInDest.toSeq, args)
+          if (args.truncateFirst) {
+            log.info("sql.execute statement=truncate table={}", destTable)
+            writer.truncate()
+          }
           val mode = if (source.primaryKeyInDest.isDefined) WriteMode.Merge
             else args.writeMode
           val stats = Engine.withSqlOver(spark, sourceDf, destTable, sql) { out =>
+            log.debug("sql.execute statement=module table={}", destTable)
             writer.write(out, mode)
           }
           ok += 1

@@ -20,7 +20,15 @@ object PipelineConfig {
   sealed trait Pagination
   object Pagination {
     final case class LimitOffset(limitParam: String, offsetParam: String) extends Pagination
-    final case class PageNumber(pageParam: String, perPageParam: String) extends Pagination
+    /** `total_items_pointer` / `total_pages_pointer` (RFC-6901, read
+      * off the first page) resolve the page count up front so pages
+      * 2..N can be fetched in parallel on executors — the repo's
+      * upgrade over the reference CLI, which never passes a TotalHint
+      * (run.rs:93).
+      */
+    final case class PageNumber(pageParam: String, perPageParam: String,
+        totalItemsPointer: Option[String] = None,
+        totalPagesPointer: Option[String] = None) extends Pagination
     final case class PageOnly(pageParam: String) extends Pagination
     final case class Cursor(cursorParam: String, pageSizeParam: Option[String]) extends Pagination
     case object Default extends Pagination
@@ -35,7 +43,8 @@ object PipelineConfig {
       pagination: Option[Pagination],
       dataPath: Option[String],
       retry: Retry,
-      primaryKeyInDest: Option[String]) {
+      primaryKeyInDest: Option[String],
+      pageSize: Option[Long] = None) {
     def destTable: String = tableDestinationName.getOrElse(name)
   }
 
@@ -148,7 +157,13 @@ object PipelineConfig {
       case "limit_offset" =>
         Pagination.LimitOffset(str(m, "limit_param"), str(m, "offset_param"))
       case "page_number" =>
-        Pagination.PageNumber(str(m, "page_param"), str(m, "per_page_param"))
+        val items = optStr(m, "total_items_pointer")
+        val pages = optStr(m, "total_pages_pointer")
+        if (items.isDefined && pages.isDefined)
+          throw new IllegalArgumentException(
+            "page_number: set at most one of total_items_pointer / total_pages_pointer")
+        Pagination.PageNumber(str(m, "page_param"), str(m, "per_page_param"),
+          items, pages)
       case "page_only" => Pagination.PageOnly(str(m, "page_param"))
       case "cursor" =>
         Pagination.Cursor(str(m, "cursor_param"), optStr(m, "page_size_param"))
@@ -168,7 +183,8 @@ object PipelineConfig {
       pagination = parsePagination(m.get("pagination")),
       dataPath = optStr(m, "data_path"),
       retry = parseRetry(m.get("retry")),
-      primaryKeyInDest = optStr(m, "primary_key_in_dest"))
+      primaryKeyInDest = optStr(m, "primary_key_in_dest"),
+      pageSize = optStr(m, "page_size").map(_.toLong))
 
   private def parseTarget(m: Map[String, Any]): Target = {
     val kind = optStr(m, "type").getOrElse("postgres")

@@ -28,6 +28,8 @@ import graft.config.PipelineConfig.{Pagination, Retry, Source}
   */
 object HttpJsonSource {
 
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Serializable spec for one endpoint — safe to ship to executors. */
   final case class FetchSpec(
       url: String,
@@ -88,6 +90,9 @@ object HttpJsonSource {
           if (r.statusCode() >= 400)
             throw new RuntimeException(
               s"HTTP ${r.statusCode()} from ${req.uri()}: ${r.body().take(200)}")
+          // span-named event mirroring fetcher.rs:48 debug_span!("http.request")
+          log.debug("http.request method=GET source={} status={} attempt={}",
+            spec.url, r.statusCode().toString, attempt.toString)
           return r
         case other =>
           if (attempt >= spec.retry.maxAttempts) other match {
@@ -161,14 +166,23 @@ object HttpJsonSource {
       .takeWhile(_.nonEmpty)
   }
 
+  /** A page_number fetch: the driver-held first page (the schema
+    * sample) plus the full row Dataset (which may fetch pages 2..N on
+    * executors when consumed).
+    */
+  final case class PagedFetch(firstPage: Page, rows: Dataset[String])
+
   /** page_number (A5). Page 1 is fetched eagerly; when a TotalHint
     * resolves the page count, pages 2..N are fetched in PARALLEL ON
     * EXECUTORS — the Spark-native upgrade of the reference's
     * buffer_unordered(5) — otherwise sequentially until an empty page.
+    * The first page is also returned driver-side so schema inference
+    * can run on it WITHOUT consuming (= re-fetching) the distributed
+    * rows.
     */
   def fetchPageNumber(spark: SparkSession, spec: FetchSpec,
       pageParam: String, perPageParam: String, perPage: Long,
-      totalHint: Option[TotalHint]): Dataset[String] = {
+      totalHint: Option[TotalHint]): PagedFetch = {
     import spark.implicits._
     val client = buildClient(spec)
     val first = getWithRetry(client, spec,
@@ -188,7 +202,7 @@ object HttpJsonSource {
     }
 
     val firstDs = spark.createDataset(firstRows)
-    totalPages match {
+    val rows = totalPages match {
       case Some(n) if n > 1 =>
         // Executor-parallel fan-out; one task per slice of pages, each
         // task builds its own client (HttpClient is not serializable).
@@ -212,6 +226,7 @@ object HttpJsonSource {
           firstDs.union(spark.createDataset(rest))
         }
     }
+    PagedFetch(firstRows, rows)
   }
 
   /** page_only (A6 — a stub in the reference, implemented for real
@@ -257,25 +272,44 @@ object HttpJsonSource {
     * JSON rows → nested schema inference (`spark.read.json`, the A9
     * batch path). The result is cached by callers that run multiple
     * actions — HTTP happens once, like the reference's replay channel.
+    *
+    * `pageSize`/`totalHint` default from the source config
+    * (`page_size`, `total_items_pointer`/`total_pages_pointer`); the
+    * explicit parameters override.
     */
   def load(spark: SparkSession, source: Source, pageSize: Long = 100,
       totalHint: Option[TotalHint] = None): DataFrame = {
     import spark.implicits._
     val spec = FetchSpec(source.url, source.headers, source.queryParams,
       source.dataPath, source.retry)
-    val rows: Dataset[String] = source.pagination match {
-      case Some(Pagination.LimitOffset(lp, op)) =>
-        spark.createDataset(fetchLimitOffset(spec, lp, op, pageSize).flatten.toSeq)
-      case Some(Pagination.PageNumber(pp, ppp)) =>
-        fetchPageNumber(spark, spec, pp, ppp, pageSize, totalHint)
-      case Some(Pagination.PageOnly(pp)) =>
-        spark.createDataset(fetchPageOnly(spec, pp).flatten.toSeq)
-      case Some(Pagination.Cursor(cp, psp)) =>
-        spark.createDataset(fetchCursor(spec, cp, psp, pageSize).flatten.toSeq)
-      case Some(Pagination.Default) | None =>
-        val client = buildClient(spec)
-        spark.createDataset(fetchPage(client, spec, Seq.empty))
+    val effectivePageSize = source.pageSize.getOrElse(pageSize)
+    source.pagination match {
+      case Some(Pagination.PageNumber(pp, ppp, itemsPtr, pagesPtr)) =>
+        val hint = totalHint
+          .orElse(itemsPtr.map(TotalHint.Items))
+          .orElse(pagesPtr.map(TotalHint.Pages))
+        val fetched = fetchPageNumber(spark, spec, pp, ppp, effectivePageSize, hint)
+        // schema from the driver-held first page (the reference's
+        // first-100-rows inference contract) — parsing the distributed
+        // rows with a fixed schema avoids a second pass, which would
+        // re-fetch every executor-side page over HTTP
+        graft.infer.SchemaInfer.readNestedSampled(spark, fetched.rows,
+          fetched.firstPage)
+      case other =>
+        val rows: Dataset[String] = other match {
+          case Some(Pagination.LimitOffset(lp, op)) =>
+            spark.createDataset(
+              fetchLimitOffset(spec, lp, op, effectivePageSize).flatten.toSeq)
+          case Some(Pagination.PageOnly(pp)) =>
+            spark.createDataset(fetchPageOnly(spec, pp).flatten.toSeq)
+          case Some(Pagination.Cursor(cp, psp)) =>
+            spark.createDataset(
+              fetchCursor(spec, cp, psp, effectivePageSize).flatten.toSeq)
+          case _ =>
+            val client = buildClient(spec)
+            spark.createDataset(fetchPage(client, spec, Seq.empty))
+        }
+        graft.infer.SchemaInfer.readNested(spark, rows)
     }
-    graft.infer.SchemaInfer.readNested(spark, rows)
   }
 }

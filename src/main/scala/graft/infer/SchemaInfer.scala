@@ -128,6 +128,24 @@ object SchemaInfer {
   def readNested(spark: SparkSession, rows: Dataset[String]): DataFrame =
     spark.read.json(rows)
 
+  /** Nested load with the schema inferred from a driver-held sample
+    * (capped at the reference's 100-row inference window,
+    * schema_tests.rs:156-172). Parsing the distributed rows with a
+    * fixed schema skips Spark's inference pass — essential when
+    * consuming `rows` has side effects (executor-parallel HTTP page
+    * fetches would otherwise run twice). Fields absent from the sample
+    * read as null, like the reference's sampled inference.
+    */
+  def readNestedSampled(spark: SparkSession, rows: Dataset[String],
+      sample: Seq[String]): DataFrame = {
+    import spark.implicits._
+    if (sample.isEmpty) readNested(spark, rows)
+    else {
+      val schema = spark.read.json(sample.take(SampleCap).toDS()).schema
+      spark.read.schema(schema).json(rows)
+    }
+  }
+
   /** Streaming-path load: infer on a driver-side sample (cap 100), then
     * read the full distributed dataset with the fixed schema, degrading
     * nested values to JSON text exactly like the reference's path.

@@ -35,6 +35,15 @@ trait DataWriter {
 final class FileWriter(path: String, format: String = "parquet") extends DataWriter {
   require(Set("parquet", "json", "csv")(format), s"unsupported format '$format'")
 
+  /** Idempotent truncate = drop the output directory (the file-sink
+    * analog of the Postgres TRUNCATE, --truncate-first parity).
+    */
+  override def truncate(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
+
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     val saveMode = mode match {
       case WriteMode.Append => "append"

@@ -33,8 +33,8 @@ final class PostgresWriter(
   private def connect(): Connection =
     DriverManager.getConnection(url, user, password)
 
-  private def majorVersion(c: Connection): Int =
-    c.getMetaData.getDatabaseMajorVersion
+  private def version(c: Connection): (Int, Int) =
+    (c.getMetaData.getDatabaseMajorVersion, c.getMetaData.getDatabaseMinorVersion)
 
   /** Normalize a DataFrame for binding: nested/temporal columns become
     * strings (JSONB/text), so every bind is a simple setObject.
@@ -67,24 +67,30 @@ final class PostgresWriter(
     val prepared = normalized(df)
 
     val c = connect()
-    val version = try {
+    val (major, minor) = try {
       if (truncateFirst) truncate()
       if (autoCreate) {
         val st = c.createStatement()
         try st.execute(PgSql.createTableSql(table, pgSchema, primaryKey))
         finally st.close()
       }
-      majorVersion(c)
+      version(c)
     } finally c.close()
 
     if (mode == WriteMode.Merge && primaryKey.isEmpty)
       throw new IllegalArgumentException("merge mode requires a primary key")
-    if (mode == WriteMode.Merge && version < 9)
+    if (mode == WriteMode.Merge && !PostgresWriter.supportsUpsert(major, minor))
       throw new IllegalArgumentException(
-        s"postgres $version does not support upsert (needs 9.5+)")
+        s"postgres $major.$minor does not support upsert (needs 9.5+)")
 
-    val (tbl, pk, bs, u, usr, pw) = (table, primaryKey, batchSize, url, user, password)
+    // PG's extended protocol caps one statement at 65,535 bind
+    // parameters; a multi-row batch binds rows×cols of them, so wide
+    // tables must flush in smaller row batches (postgres.rs keeps rows
+    // as serde values and hits the same wall).
+    val (tbl, pk, u, usr, pw) = (table, primaryKey, url, user, password)
+    val bs = PostgresWriter.effectiveBatch(batchSize, pgSchema.size)
     val md = mode
+    val version15Plus = major >= 15
     val counter = df.sparkSession.sparkContext.longAccumulator("rowsWritten")
 
     prepared.foreachPartition { (rows: Iterator[Row]) =>
@@ -96,7 +102,7 @@ final class PostgresWriter(
           def flush(): Unit = if (buf.nonEmpty) {
             val sql = md match {
               case WriteMode.Append => PgSql.insertSql(tbl, pgSchema, buf.size)
-              case WriteMode.Merge if version >= 15 =>
+              case WriteMode.Merge if version15Plus =>
                 PgSql.mergeSql(tbl, pgSchema, pk, buf.size)
               case WriteMode.Merge =>
                 PgSql.upsertSql(tbl, pgSchema, pk, buf.size)
@@ -126,19 +132,90 @@ final class PostgresWriter(
 
 object PostgresWriter {
 
+  /** Version gate mirroring postgres.rs:111-113: ON CONFLICT needs
+    * 9.5+, so major 9 must also check the minor (9.4 has no upsert).
+    */
+  private[writer] def supportsUpsert(major: Int, minor: Int): Boolean =
+    major > 9 || (major == 9 && minor >= 5)
+
+  /** Rows per flush such that rows×cols stays under PostgreSQL's
+    * 65,535 bind-parameter protocol limit.
+    */
+  private[writer] def effectiveBatch(batchSize: Int, nCols: Int): Int =
+    math.max(1, math.min(batchSize, 65535 / math.max(nCols, 1)))
+
   /** Bind rows column-major into a flattened multi-row placeholder
-    * list, with the per-value coercions of postgres.rs:775-851.
+    * list, coercing each value to its destination column type with the
+    * lattice of postgres.rs:775-851: strings parse into numeric/bool
+    * dest columns (unparseable → NULL), numbers stringify into text,
+    * scalars JSON-encode into jsonb, booleans stringify everywhere but
+    * a boolean dest. A coercion miss binds NULL rather than erroring,
+    * matching the reference.
     */
   private[writer] def bindRows(st: PreparedStatement, rows: Iterable[Row],
       schema: ListMap[String, PgSql.PgType]): Unit = {
     var i = 1
     rows.foreach { row =>
-      schema.keysIterator.zipWithIndex.foreach { case (name, ix) =>
-        val v = row.get(ix)
-        val _ = name
-        if (v == null) st.setObject(i, null) else st.setObject(i, v)
+      schema.valuesIterator.zipWithIndex.foreach { case (pt, ix) =>
+        bindValue(st, i, row.get(ix), pt)
         i += 1
       }
     }
+  }
+
+  private def jsonString(s: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    mapper.writeValueAsString(s)
+  }
+
+  private def isIntegral(n: Number): Boolean = n match {
+    case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+        _: java.lang.Long => true
+    case _ => false
+  }
+
+  private[writer] def bindValue(st: PreparedStatement, i: Int, v: Any,
+      pt: PgSql.PgType): Unit = (v, pt) match {
+    case (null, _) => st.setObject(i, null)
+
+    // booleans (postgres.rs:790-793): native only into a BOOLEAN dest
+    case (b: java.lang.Boolean, PgSql.PgBoolean) => st.setBoolean(i, b)
+    case (b: java.lang.Boolean, _) => st.setString(i, b.toString)
+
+    // numbers (postgres.rs:795-812): integral→BigInt, any→Double,
+    // stringify→Text, JSON-encode→Jsonb; a fractional value bound into
+    // an integer dest (or any number into boolean) degrades to NULL
+    case (n: Number, PgSql.PgBigInt) =>
+      if (isIntegral(n)) st.setLong(i, n.longValue()) else st.setObject(i, null)
+    case (n: Number, PgSql.PgDouble) => st.setDouble(i, n.doubleValue())
+    case (n: Number, PgSql.PgText) => st.setString(i, n.toString)
+    case (n: Number, PgSql.PgJsonb) => st.setString(i, n.toString)
+    case (_: Number, _) => st.setObject(i, null)
+
+    // strings (postgres.rs:814-835): parse into numeric/bool dests
+    // (unparseable → NULL), JSON-encode into jsonb
+    case (s: String, PgSql.PgText) => st.setString(i, s)
+    case (s: String, PgSql.PgJsonb) =>
+      // nested columns arrive pre-serialized as JSON text (normalized);
+      // plain strings JSON-encode so the jsonb cast sees a valid value
+      val t = s.trim
+      if (t.startsWith("{") || t.startsWith("[") || t.startsWith("\""))
+        st.setString(i, s)
+      else st.setString(i, jsonString(s))
+    case (s: String, PgSql.PgBigInt) =>
+      s.toLongOption match {
+        case Some(l) => st.setLong(i, l)
+        case None => st.setObject(i, null)
+      }
+    case (s: String, PgSql.PgDouble) =>
+      s.toDoubleOption match {
+        case Some(d) => st.setDouble(i, d)
+        case None => st.setObject(i, null)
+      }
+    case (s: String, PgSql.PgBoolean) =>
+      st.setBoolean(i, s.toLowerCase == "true" || s == "1")
+
+    // anything else (already-normalized temporals, binary, …)
+    case (other, _) => st.setObject(i, other)
   }
 }

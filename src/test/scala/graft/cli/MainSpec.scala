@@ -18,9 +18,26 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var server: HttpServer = _
   private var base: String = _
+  private val pagedRequests = new java.util.concurrent.atomic.AtomicInteger(0)
 
   override def beforeAll(): Unit = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/paged", (ex: HttpExchange) => {
+      pagedRequests.incrementAndGet()
+      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      val params = q.split('&').filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val page = params.getOrElse("page", "1").toInt
+      val per = params.getOrElse("per_page", "100").toInt
+      val all = (1 to 8).map(i => s"""{"id": $i, "v": "p$i"}""")
+      val slice = all.slice((page - 1) * per, (page - 1) * per + per)
+      val body = s"""{"meta": {"total": 8}, "data": [${slice.mkString(",")}]}"""
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
     server.createContext("/posts", (ex: HttpExchange) => {
       val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
       val params = q.split('&').filter(_.contains("="))
@@ -89,5 +106,86 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = out.orderBy("id").collect()
       .map(r => (r.getAs[Long]("id"), r.getAs[Long]("user_id")))
     assert(got.toSeq == Seq((2L, 6L), (3L, 9L), (6L, 6L), (7L, 9L)))
+  }
+
+  test("page_number with YAML total_items_pointer fans out without an empty-page probe") {
+    val spark = graft.SparkTestSession.spark
+    val dir = Files.createTempDirectory("pipeline-paged")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    Files.writeString(modules.resolve("paged.sql"),
+      """{{ sink(name="sink1") }}
+        |SELECT id, v FROM {{ use_source("paged_src") }}""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: paged_src
+         |    url: $base/paged
+         |    table_destination_name: paged
+         |    data_path: /data
+         |    page_size: 3
+         |    pagination:
+         |      kind: page_number
+         |      page_param: page
+         |      per_page_param: per_page
+         |      total_items_pointer: /meta/total
+         |targets:
+         |  - name: sink1
+         |    type: postgres
+         |    host: localhost
+         |    database: unused
+         |    auth:
+         |      username: u
+         |      password: p
+         |""".stripMargin)
+
+    pagedRequests.set(0)
+    val failed = Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse)), spark)
+    assert(failed == 0)
+
+    val out = spark.read.parquet(s"$warehouse/paged")
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 8L))
+    // ceil(8/3) = 3 pages: the known-total path fetches exactly 3
+    // requests (page 1 + parallel 2..3); the sequential fallback would
+    // need a 4th, empty-page probe to stop
+    assert(pagedRequests.get == 3,
+      s"expected exactly 3 page fetches, saw ${pagedRequests.get}")
+  }
+
+  test("--truncate-first drops the prior sink contents before loading") {
+    val spark = graft.SparkTestSession.spark
+    val dir = Files.createTempDirectory("pipeline-trunc")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    Files.writeString(modules.resolve("posts.sql"),
+      """{{ sink(name="sink1") }}
+        |SELECT id FROM {{ use_source("src") }}""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: src
+         |    url: $base/posts
+         |    table_destination_name: posts
+         |    data_path: /data
+         |targets:
+         |  - name: sink1
+         |    type: postgres
+         |    host: localhost
+         |    database: unused
+         |    auth:
+         |      username: u
+         |      password: p
+         |""".stripMargin)
+
+    val args = Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse),
+      truncateFirst = true)
+    assert(Main.run(args, spark) == 0)
+    assert(Main.run(args, spark) == 0)
+    // without truncate the second append would double the rows
+    assert(spark.read.parquet(s"$warehouse/posts").count() == 8)
   }
 }

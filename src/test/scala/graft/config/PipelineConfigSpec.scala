@@ -101,4 +101,27 @@ class PipelineConfigSpec extends AnyFunSuite {
     val bad = yaml.replace("kind: page_number", "kind: zigzag")
     intercept[IllegalArgumentException](PipelineConfig.parse(bad))
   }
+
+  test("page_number total pointers and page_size parse into the source") {
+    val withHints = yaml.replace(
+      "      per_page_param: per_page",
+      """      per_page_param: per_page
+        |      total_items_pointer: /meta/total
+        |""".stripMargin.stripLineEnd)
+      .replace("    data_path: /data", "    data_path: /data\n    page_size: 25")
+    val s = PipelineConfig.parse(withHints).source("employees")
+    assert(s.pagination.contains(
+      Pagination.PageNumber("page", "per_page", Some("/meta/total"), None)))
+    assert(s.pageSize.contains(25L))
+  }
+
+  test("page_number rejects both total pointers at once") {
+    val both = yaml.replace(
+      "      per_page_param: per_page",
+      """      per_page_param: per_page
+        |      total_items_pointer: /total
+        |      total_pages_pointer: /pages
+        |""".stripMargin.stripLineEnd)
+    intercept[IllegalArgumentException](PipelineConfig.parse(both))
+  }
 }

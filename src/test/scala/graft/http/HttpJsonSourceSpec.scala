@@ -100,9 +100,10 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("page_number with Items total hint fans out on executors (fetcher.rs:412-497)") {
     val spark = graft.SparkTestSession.spark
-    val ds = fetchPageNumber(spark, spec("/paged"), "page", "per_page",
+    val fetched = fetchPageNumber(spark, spec("/paged"), "page", "per_page",
       perPage = 3, totalHint = Some(TotalHint.Items("/metadata/total_items")))
-    assert(ds.count() == 7)
+    assert(fetched.firstPage.size == 3)
+    assert(fetched.rows.count() == 7)
   }
 
   test("page_number with Pages hint and without hint agree") {
@@ -111,8 +112,8 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       perPage = 2, totalHint = Some(TotalHint.Pages("/metadata/total_pages")))
     val without = fetchPageNumber(spark, spec("/paged"), "page", "per_page",
       perPage = 2, totalHint = None)
-    assert(withPages.count() == 7)
-    assert(without.count() == 7)
+    assert(withPages.rows.count() == 7)
+    assert(without.rows.count() == 7)
   }
 
   test("NDJSON bodies framed line-by-line (fetcher.rs:61-66,95-133)") {
