@@ -14,8 +14,9 @@ import graft.streaming.EventWindows
   * event analytics — each a `queries` entry, DuckDB-oracled wherever
   * the computation is expressible in SQL (the MinHash-LSH and SimHash
   * paths share the brute-force oracle because their verified output
-  * provably equals it on this corpus; the LSH ANN and the custom-
-  * expression fingerprint are rows-only).
+  * provably equals it on this corpus; only the approximate ANN paths
+  * are rows-only — even the custom-expression rolling hash carries a
+  * DuckDB fold that reproduces it bit-exactly).
   */
 object Extensions {
 
@@ -204,6 +205,32 @@ object Extensions {
       """SELECT doc_id, md5(text) AS fp,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the same 64-bit wrapping polynomial as RollingHash, folded in
+    // DuckDB over the UTF-8 bytes (signed, like JVM bytes) via hex +
+    // list_reduce in HUGEINT with an explicit mod-2^64 — bit-exact
+    // against the codegen Expression
+    "x_fingerprint_rolling" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h FROM documents
+        |), bytes AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(h) // 2),
+        |      i -> CASE WHEN ('0x' || substr(h, 2*i - 1, 2))::INT >= 128
+        |                THEN (('0x' || substr(h, 2*i - 1, 2))::INT - 256)::HUGEINT
+        |                ELSE ('0x' || substr(h, 2*i - 1, 2))::INT::HUGEINT END) AS bs
+        |  FROM hx
+        |), folded AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(0::HUGEINT, bs),
+        |      (acc, b) -> (((acc * 1000003::HUGEINT + b)
+        |        % 18446744073709551616::HUGEINT)
+        |        + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT) AS m
+        |  FROM bytes)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+        |            THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp
+        |FROM folded ORDER BY doc_id""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id, 'stub' AS format,
