@@ -40,9 +40,13 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
-  /** Per-doc distinct trigram shingle sets. */
+  /** Per-doc distinct trigram shingle sets. The input is spread
+    * first: shingling inflates each row ~300×, so a sub-parallel scan
+    * (a small file with one row group = one partition) would pin the
+    * whole explode+aggregate pipeline on a single task.
+    */
   private def shingled(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
+    Spread(docs).select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
 
   /** Run `build` with `sh` cached, eagerly materialize the (small)
     * result, then release the cache. The sketch dedup queries each

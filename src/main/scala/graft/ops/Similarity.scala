@@ -32,9 +32,12 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / na / nb
 
-  /** Project to (vec_id, v: array<double>, norm). */
+  /** Project to (vec_id, v: array<double>, norm). Spread first: the
+    * downstream pairwise scoring multiplies work per row, so a
+    * single-row-group scan must not pin it all on one task.
+    */
   private[ops] def withNorm(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"),
+    Spread(embeddings).select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
