@@ -110,6 +110,41 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
     }
 
+  /** Exact trigram-Jaccard pairs via prefix filtering (the PPJoin
+    * family's prefix filter): tokens get a global total order by
+    * ascending document frequency (ties by token), and a pair with
+    * J ≥ τ must share a token among each side's first
+    * n − ⌈2τ/(1+τ)·n⌉ + 1 tokens of that order — the self-join prefix
+    * bound — so the candidate equi-join touches only the RARE prefix
+    * tokens (~n/3 at τ=0.5) instead of every posting, and frequent
+    * shingles never form candidate pairs. Verification is exact, so
+    * the output equals [[ngramJaccardBrute]] and shares its oracle.
+    * Same shuffle shape as the inverted index, strictly fewer
+    * candidate rows — the exact-dedup plan for a 100× corpus.
+    */
+  def ngramJaccardPrefix(docs: DataFrame, leftMax: Long = 200,
+      tau: Double = 0.5): DataFrame =
+    withShingles(shingled(docs)) { sh =>
+    val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
+    val freq = tokens.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
+    val order = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefixes = tokens.join(freq, "shingle")
+      .withColumn("pos", row_number().over(order))
+      .join(sizes, "doc_id")
+      .filter(col("pos") <=
+        col("n") - ceil(lit(2 * tau / (1 + tau)) * col("n")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefixes.filter(col("doc_id") < leftMax)
+      .withColumnRenamed("doc_id", "doc_a")
+      .join(prefixes.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    verifyPairs(candidates, sh)
+    }
+
   /** MinHash + LSH banding: the full-corpus scale path.
     *
     * shingles → (h1,h2) base hashes → 64-long signature (partial-agg

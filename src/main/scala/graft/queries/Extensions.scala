@@ -32,6 +32,9 @@ object Extensions {
     "x_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardBrute(t(s, d, "documents"))),
 
+    "x_dedup_ngram_prefix" -> ((s, d) =>
+      Dedup.ngramJaccardPrefix(t(s, d, "documents"))),
+
     "x_dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(t(s, d, "documents"))),
 
@@ -135,8 +138,9 @@ object Extensions {
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY k""".stripMargin,
 
-    // the three text near-dup strategies provably agree on this corpus
+    // the text near-dup strategies provably agree on this corpus
     "x_dedup_ngram_jaccard" -> trigramCte,
+    "x_dedup_ngram_prefix" -> trigramCte,
     "x_dedup_minhash_lsh" -> trigramCte,
     "x_dedup_simhash" -> trigramCte,
 
