@@ -82,15 +82,23 @@ object Similarity {
     * budget. Cell assignment is one partitioned pass; only the tiny
     * centroid table and the Q query vectors move.
     */
-  def knnIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
-      nCells: Int = 16, nProbe: Int = 4, trainMod: Int = 4): DataFrame = {
-    val e = withNorm(embeddings).withColumn("fv", array_to_vector(col("v")))
+  /** Fit (or reuse) the coarse quantizer for a corpus: trains on the
+    * deterministic hash-mod sample, memoized per (corpus, nCells).
+    */
+  private def quantizerFor(e: DataFrame, nCells: Int,
+      trainMod: Int): org.apache.spark.ml.clustering.KMeansModel = {
     val trainSample = e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
-    val model = quantizers.getOrElseUpdate(
+    quantizers.getOrElseUpdate(
       (trainSample.queryExecution.analyzed.semanticHash(), nCells),
       new KMeans().setK(nCells).setSeed(42)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(trainSample))
+  }
+
+  def knnIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
+      nCells: Int = 16, nProbe: Int = 4, trainMod: Int = 4): DataFrame = {
+    val e = withNorm(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val model = quantizerFor(e, nCells, trainMod)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
 
@@ -131,6 +139,61 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Full-corpus embedding near-dup via IVF cell blocking: every
+    * vector joins the vectors of its `nProbe` nearest cells, and only
+    * those candidates pay the exact cosine — O(n²/nCells·nProbe)
+    * instead of all pairs, with `nCells` scaled ~√n at corpus size so
+    * the work stays subquadratic. A pair is a candidate when either
+    * side's probe set contains the other's primary cell (symmetric by
+    * construction of the probe×primary join + pair normalization).
+    * Approximate — a pair split across non-probed cells is missed —
+    * so verified as rows-only with a recall assertion against the
+    * exact bounded baseline [[Dedup.embeddingCosinePairs]]. Every
+    * step is a join or window over distributed relations; the
+    * centroid table (nCells rows) is the only broadcast.
+    */
+  def embeddingNearDupAnn(embeddings: DataFrame, minCosine: Double = 0.4,
+      nCells: Int = 16, nProbe: Int = 2, trainMod: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = withNorm(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val model = quantizerFor(e, nCells, trainMod)
+    val centroids = broadcast(
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, ix) => (ix, c.toArray.toSeq) }
+        .toDF("cell", "cvec"))
+    // nProbe nearest centroids per vector — distributed, no collect
+    val d2 = aggregate(zip_with(col("v"), col("cvec"),
+      (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cell"))
+    val probes = e.select(col("vec_id"), col("v"), col("norm"))
+      .crossJoin(centroids)
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"), col("rk"))
+    val primary = probes.filter(col("rk") === 1)
+      .select(col("vec_id").as("p_id"), col("v").as("pv"),
+        col("norm").as("pn"), col("cell"))
+    val candidates = probes.join(primary, "cell")
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(
+        least(col("vec_id"), col("p_id")).as("vec_a"),
+        greatest(col("vec_id"), col("p_id")).as("vec_b"),
+        when(col("vec_id") < col("p_id"), col("v")).otherwise(col("pv")).as("va"),
+        when(col("vec_id") < col("p_id"), col("pv")).otherwise(col("v")).as("vb"),
+        when(col("vec_id") < col("p_id"), col("norm")).otherwise(col("pn")).as("na"),
+        when(col("vec_id") < col("p_id"), col("pn")).otherwise(col("norm")).as("nb"))
+      .dropDuplicates("vec_a", "vec_b")
+    candidates
+      .select(col("vec_a"), col("vec_b"),
+        cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** Random-hyperplane LSH (sign sketch) ANN: vectors hash to a

@@ -44,6 +44,9 @@ object Extensions {
     "x_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(t(s, d, "embeddings"))),
 
+    "x_dedup_embedding_ann" -> ((s, d) =>
+      Similarity.embeddingNearDupAnn(t(s, d, "embeddings"))),
+
     // ---- similarity search --------------------------------------------------
     "x_knn_brute" -> ((s, d) =>
       Similarity.knnBrute(t(s, d, "embeddings"))),
