@@ -169,26 +169,28 @@ object Similarity {
       (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cell"))
-    val probes = e.select(col("vec_id"), col("v"), col("norm"))
+    // candidates stay (id, id) pairs — the vectors join back AFTER
+    // dedup, so the distinct shuffles narrow rows and the cosine sees
+    // plain array columns instead of conditional array expressions
+    val probes = e.select(col("vec_id"), col("v"))
       .crossJoin(centroids)
       .withColumn("d2", d2)
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") <= nProbe)
-      .select(col("vec_id"), col("v"), col("norm"), col("cell"), col("rk"))
+      .select(col("vec_id"), col("cell"), col("rk"))
     val primary = probes.filter(col("rk") === 1)
-      .select(col("vec_id").as("p_id"), col("v").as("pv"),
-        col("norm").as("pn"), col("cell"))
+      .select(col("vec_id").as("p_id"), col("cell"))
     val candidates = probes.join(primary, "cell")
       .filter(col("vec_id") =!= col("p_id"))
       .select(
         least(col("vec_id"), col("p_id")).as("vec_a"),
-        greatest(col("vec_id"), col("p_id")).as("vec_b"),
-        when(col("vec_id") < col("p_id"), col("v")).otherwise(col("pv")).as("va"),
-        when(col("vec_id") < col("p_id"), col("pv")).otherwise(col("v")).as("vb"),
-        when(col("vec_id") < col("p_id"), col("norm")).otherwise(col("pn")).as("na"),
-        when(col("vec_id") < col("p_id"), col("pn")).otherwise(col("norm")).as("nb"))
-      .dropDuplicates("vec_a", "vec_b")
-    candidates
+        greatest(col("vec_id"), col("p_id")).as("vec_b"))
+      .distinct()
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("norm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("norm").as("nb"))
+    candidates.join(a, "vec_a").join(b, "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
       .filter(col("cos") >= minCosine)
