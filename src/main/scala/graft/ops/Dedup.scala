@@ -253,6 +253,48 @@ object Dedup {
     verifyPairs(candidates, sh)
     }
 
+  /** Collapse near-dup pairs into clusters with a canonical survivor —
+    * the step a dedup pipeline runs after pair generation, so "A≈B,
+    * B≈C" keeps one document, not two.
+    *
+    * Connected components via iterative min-label propagation: every
+    * node starts labeled with its own id; each round every node takes
+    * the minimum label in its neighborhood; stop when a round changes
+    * nothing. Rounds are plain shuffle joins and the round count is
+    * the component diameter — near-dup clusters are almost cliques,
+    * so 2-3 rounds in practice — the standard large-graph CC shape
+    * (no driver-side graph). Labels localCheckpoint per round so the
+    * iterative plan doesn't snowball. Pairs come from
+    * [[minhashLsh]], the full-corpus path, whose verified output
+    * equals the brute baseline — so the clusters are exactly the
+    * brute-force clusters and the DuckDB oracle can recompute them
+    * with a recursive transitive closure.
+    */
+  def dupClusters(docs: DataFrame, leftMax: Long = 200): DataFrame = {
+    val pairs = minhashLsh(docs, leftMax).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint(true)
+    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (col("nlbl") < col("lbl")).as("moved"))
+      val materialized = next.localCheckpoint(true)
+      changed = materialized.filter(col("moved")).count()
+      labels = materialized.select(col("doc_id"), col("lbl"))
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs over `embeddings` (float arrays
     * cast to double; sequential fold keeps the dot product
     * bit-deterministic). Left side bounded like the text paths.

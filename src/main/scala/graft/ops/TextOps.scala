@@ -52,6 +52,22 @@ object TextOps {
       "mean_word_len" -> round(nChars.cast("double") / greatest(nWords, lit(1)), 4))
   }
 
+  /** Repetition signals (the Gopher-style quality filters): distinct
+    * word count and the highest single-word occurrence count. Emitted
+    * as integers — the ratios (repeated-word fraction, top-word
+    * fraction) divide out of these without a float-rounding boundary
+    * in the oracle compare.
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val w = words(text)
+    val topCount = array_max(transform(array_distinct(w),
+      x => size(filter(w, y => y === x))))
+    Seq(
+      "n_words" -> size(w),
+      "n_distinct_words" -> size(array_distinct(w)),
+      "top_word_count" -> topCount)
+  }
+
   /** Language-ID by stopword/character profile: count hits of a few
     * high-frequency marker words per language (plus CJK characters for
     * zh) and take the argmax with a fixed tie-break order.

@@ -41,6 +41,9 @@ object Extensions {
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"))),
 
+    "x_dedup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(t(s, d, "documents"))),
+
     "x_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(t(s, d, "embeddings"))),
 
@@ -77,6 +80,11 @@ object Extensions {
       t(s, d, "documents").select(col("doc_id"), col("lang"),
         TextOps.predictedLang(col("text")).as("pred"))
         .orderBy(col("doc_id"))),
+
+    "x_text_repetition" -> ((s, d) => {
+      val cols = TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
+      t(s, d, "documents").select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+    }),
 
     "x_fingerprint" -> ((s, d) =>
       t(s, d, "documents").select(col("doc_id"),
@@ -147,6 +155,28 @@ object Extensions {
     "x_dedup_minhash_lsh" -> trigramCte,
     "x_dedup_simhash" -> trigramCte,
 
+    // connected components of the (verified-identical) pair graph via
+    // a recursive transitive closure + min label
+    "x_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
+        |  WHERE len(list_intersect(a.g, b.g)) * 2
+        |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
     "x_dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -207,6 +237,15 @@ object Extensions {
         |    WHEN s_zh > 0 AND s_zh >= s_en AND s_zh >= s_de AND s_zh >= s_fr AND s_zh >= s_es THEN 'zh'
         |    ELSE 'und' END AS pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "x_text_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words,
+        |  CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+        |    x -> len(list_filter(string_split(text, ' '), y -> y = x)))) AS INT)
+        |    AS top_word_count
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,
