@@ -99,6 +99,21 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- as-of enrichment ---------------------------------------------------
+    "x_asof_join" -> ((s, d) => {
+      val events = t(s, d, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val orders = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderdate").cast("timestamp").as("o_ts"))
+      graft.ops.AsofJoin.asof(events, orders,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_ts",
+          payload = Seq("o_orderkey", "o_orderdate"),
+          tieBreak = Seq("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey").as("asof_orderkey"),
+          col("o_orderdate").as("asof_orderdate"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- multimodal plumbing ------------------------------------------------
     "x_multimodal_meta" -> ((s, d) => {
       val withPayload = t(s, d, "documents")
@@ -277,6 +292,20 @@ object Extensions {
         |  CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
         |            THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp
         |FROM folded ORDER BY doc_id""".stripMargin,
+
+    // as-of semantics spelled out as a top-1 window (rather than
+    // DuckDB's native ASOF JOIN) so the time-tie break on orderkey is
+    // explicit and the payload deterministic
+    "x_asof_join" ->
+      """WITH j AS (
+        |  SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+        |  FROM events e
+        |  LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
+        |SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
+        |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id, 'stub' AS format,
