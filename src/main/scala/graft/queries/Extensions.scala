@@ -114,6 +114,24 @@ object Extensions {
         .orderBy(col("event_id"))
     }),
 
+    // same-customer order pairs placed within 7 days of each other —
+    // the bucketed band join (adjacent-bucket equi-join), not a
+    // per-key cartesian theta join
+    "x_range_join" -> ((s, d) => {
+      val base = t(s, d, "orders")
+      val a = base.select(col("o_custkey").as("cust_a"),
+        col("o_orderkey").as("order_a"),
+        unix_date(col("o_orderdate").cast("date")).as("day_a"))
+      val b = base.select(col("o_custkey").as("cust_b"),
+        col("o_orderkey").as("order_b"),
+        unix_date(col("o_orderdate").cast("date")).as("day_b"))
+      graft.ops.RangeJoin.band(a, b, "cust_a", "cust_b", "day_a", "day_b", eps = 7L)
+        .filter(col("order_a") < col("order_b"))
+        .select(col("cust_a").as("cust"), col("order_a"), col("order_b"),
+          (col("day_b") - col("day_a")).cast("int").as("day_diff"))
+        .orderBy(col("cust"), col("order_a"), col("order_b"))
+    }),
+
     // ---- multimodal plumbing ------------------------------------------------
     "x_multimodal_meta" -> ((s, d) => {
       val withPayload = t(s, d, "documents")
@@ -306,6 +324,15 @@ object Extensions {
         |    ON e.user_id = o.o_custkey AND CAST(o.o_orderdate AS TIMESTAMP) <= e.ts)
         |SELECT event_id, o_orderkey AS asof_orderkey, o_orderdate AS asof_orderdate
         |FROM j WHERE rk = 1 ORDER BY event_id""".stripMargin,
+
+    "x_range_join" ->
+      """SELECT a.o_custkey AS cust, a.o_orderkey AS order_a,
+        |  b.o_orderkey AS order_b,
+        |  CAST(date_diff('day', a.o_orderdate, b.o_orderdate) AS INT) AS day_diff
+        |FROM orders a JOIN orders b
+        |  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+        |WHERE ABS(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7
+        |ORDER BY cust, order_a, order_b""".stripMargin,
 
     "x_multimodal_meta" ->
       """SELECT doc_id, 'stub' AS format,
