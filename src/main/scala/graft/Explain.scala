@@ -11,7 +11,9 @@ object Explain {
     val spark = graft.engine.Sessions.local()
     val names = if (args.nonEmpty) args.toSeq
       else Seq("b04_filter", "b05_inner_join", "b12_hash_agg",
-        "b25_correlated_subquery", "x_dedup_ngram_jaccard", "x_knn_brute")
+        "b25_correlated_subquery", "x_dedup_ngram_jaccard",
+        "x_dedup_ngram_prefix", "x_dedup_embedding_ann", "x_knn_brute",
+        "x_asof_join", "x_range_join")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")
