@@ -9,11 +9,13 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.engine.Sessions.local()
+    // the sketch dedup queries are eagerly materialized (see
+    // Dedup.withShingles), so their explain output is a checkpoint
+    // scan — only lazily-planned queries are useful here
     val names = if (args.nonEmpty) args.toSeq
       else Seq("b04_filter", "b05_inner_join", "b12_hash_agg",
-        "b25_correlated_subquery", "x_dedup_ngram_jaccard",
-        "x_dedup_ngram_prefix", "x_dedup_embedding_ann", "x_knn_brute",
-        "x_asof_join", "x_range_join")
+        "b25_correlated_subquery", "x_dedup_embedding_ann",
+        "x_knn_brute", "x_asof_join", "x_range_join")
     names.foreach { name =>
       println(s"\n========== $name ==========")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

@@ -55,6 +55,12 @@ object Dedup {
     * and re-shingled per traversal — at 100 TB that is 3 corpus scans
     * where 1 suffices. `localCheckpoint` pins the few result rows so
     * the returned plan never re-reads the unpersisted shingles.
+    *
+    * Consequence: the sketch dedup builders are EAGER — constructing
+    * the DataFrame runs the job, and the returned plan is a
+    * checkpointed-RDD scan (so `explain` shows the materialized
+    * result, not the dedup pipeline; use the spec assertions / this
+    * scaladoc for the plan shape).
     */
   private def withShingles(sh: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     sh.persist()
@@ -112,18 +118,20 @@ object Dedup {
 
   /** Exact trigram-Jaccard pairs via prefix filtering (the PPJoin
     * family's prefix filter): tokens get a global total order by
-    * ascending document frequency (ties by token), and a pair with
-    * J ≥ τ must share a token among each side's first
-    * n − ⌈2τ/(1+τ)·n⌉ + 1 tokens of that order — the self-join prefix
-    * bound — so the candidate equi-join touches only the RARE prefix
-    * tokens (~n/3 at τ=0.5) instead of every posting, and frequent
-    * shingles never form candidate pairs. Verification is exact, so
-    * the output equals [[ngramJaccardBrute]] and shares its oracle.
-    * Same shuffle shape as the inverted index, strictly fewer
-    * candidate rows — the exact-dedup plan for a 100× corpus.
+    * ascending document frequency (ties by token). For a pair with
+    * J ≥ τ the overlap is o ≥ ⌈τ·max(n_x, n_y)⌉ ≥ ⌈τ·n⌉ per side, and
+    * the SMALLEST common token under the global order sits within each
+    * side's first n − ⌈τ·n⌉ + 1 tokens (at least o−1 common tokens
+    * follow it on each side) — so joining only those probe prefixes is
+    * complete for ANY size combination, and frequent shingles rarely
+    * reach a prefix. τ is fixed at the family-wide 1/2 because the
+    * exact verification ([[verifyPairs]]) applies the shared integer
+    * 2·|∩| ≥ |∪| cut; the output therefore equals
+    * [[ngramJaccardBrute]] and shares its oracle. Same shuffle shape
+    * as the inverted index, roughly half the candidate postings — the
+    * exact-dedup plan for a 100× corpus.
     */
-  def ngramJaccardPrefix(docs: DataFrame, leftMax: Long = 200,
-      tau: Double = 0.5): DataFrame =
+  def ngramJaccardPrefix(docs: DataFrame, leftMax: Long = 200): DataFrame =
     withShingles(shingled(docs)) { sh =>
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
     val freq = tokens.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -133,8 +141,7 @@ object Dedup {
     val prefixes = tokens.join(freq, "shingle")
       .withColumn("pos", row_number().over(order))
       .join(sizes, "doc_id")
-      .filter(col("pos") <=
-        col("n") - ceil(lit(2 * tau / (1 + tau)) * col("n")) + 1)
+      .filter(col("pos") <= col("n") - ceil(col("n") * 0.5) + 1)
       .select(col("doc_id"), col("shingle"))
     val candidates = prefixes.filter(col("doc_id") < leftMax)
       .withColumnRenamed("doc_id", "doc_a")
