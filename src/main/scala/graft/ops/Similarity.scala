@@ -68,9 +68,25 @@ object Similarity {
     * the centroids instead of refitting per call. Deterministic — the
     * training sample and seed are fixed, so a cache hit returns the
     * exact model a refit would.
+    *
+    * Staleness caveat: the key is the PLAN's semantic hash, not a data
+    * fingerprint — re-reading CHANGED data at the same path within one
+    * JVM reuses the old centroids (recall can degrade; results stay
+    * exact-precision because candidates pay real cosine). Call
+    * [[clearQuantizerCache]] after rewriting a corpus in-session. The
+    * cache is bounded ([[maxQuantizers]] entries, evict-all on
+    * overflow) so long sessions over many corpora can't grow it
+    * without bound.
     */
   private val quantizers =
     scala.collection.concurrent.TrieMap.empty[(Int, Int), org.apache.spark.ml.clustering.KMeansModel]
+
+  private val maxQuantizers = 32
+
+  /** Drop all memoized quantizers (e.g. after overwriting a corpus
+    * path in the same JVM — see the staleness caveat above).
+    */
+  def clearQuantizerCache(): Unit = quantizers.clear()
 
   /** IVF (inverted-file) ANN: a KMeans coarse quantizer assigns every
     * vector to one of `nCells` cells; a query scores only the vectors
@@ -88,6 +104,7 @@ object Similarity {
   private def quantizerFor(e: DataFrame, nCells: Int,
       trainMod: Int): org.apache.spark.ml.clustering.KMeansModel = {
     val trainSample = e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+    if (quantizers.size >= maxQuantizers) quantizers.clear()
     quantizers.getOrElseUpdate(
       (trainSample.queryExecution.analyzed.semanticHash(), nCells),
       new KMeans().setK(nCells).setSeed(42)

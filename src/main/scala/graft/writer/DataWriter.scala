@@ -37,10 +37,16 @@ final class FileWriter(path: String, format: String = "parquet") extends DataWri
 
   /** Idempotent truncate = drop the output directory (the file-sink
     * analog of the Postgres TRUNCATE, --truncate-first parity).
+    * Resolved with the active session's hadoop configuration so
+    * non-default filesystems (s3a credentials, custom fs.defaultFS)
+    * see the same filesystem that write() targets.
     */
   override def truncate(): Unit = {
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
 

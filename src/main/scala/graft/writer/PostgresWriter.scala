@@ -146,11 +146,13 @@ object PostgresWriter {
 
   /** Bind rows column-major into a flattened multi-row placeholder
     * list, coercing each value to its destination column type with the
-    * lattice of postgres.rs:775-851: strings parse into numeric/bool
-    * dest columns (unparseable → NULL), numbers stringify into text,
-    * scalars JSON-encode into jsonb, booleans stringify everywhere but
-    * a boolean dest. A coercion miss binds NULL rather than erroring,
-    * matching the reference.
+    * lattice of postgres.rs:775-851: strings parse into numeric dest
+    * columns (unparseable → NULL) and bind `false` into boolean dests
+    * for anything that isn't "true"/"1" (the reference's
+    * `parse().unwrap_or(false)`), numbers stringify into text, scalars
+    * JSON-encode into jsonb, booleans stringify everywhere but a
+    * boolean dest. A numeric coercion miss binds NULL rather than
+    * erroring, matching the reference.
     */
   private[writer] def bindRows(st: PreparedStatement, rows: Iterable[Row],
       schema: ListMap[String, PgSql.PgType]): Unit = {
@@ -163,10 +165,13 @@ object PostgresWriter {
     }
   }
 
-  private def jsonString(s: String): String = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
-    mapper.writeValueAsString(s)
-  }
+  // ObjectMapper is thread-safe once configured; shared across binds
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  private def jsonString(s: String): String = mapper.writeValueAsString(s)
+
+  private def isValidJson(s: String): Boolean =
+    try { mapper.readTree(s); true } catch { case _: Exception => false }
 
   private def isIntegral(n: Number): Boolean = n match {
     case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
@@ -196,11 +201,11 @@ object PostgresWriter {
     // (unparseable → NULL), JSON-encode into jsonb
     case (s: String, PgSql.PgText) => st.setString(i, s)
     case (s: String, PgSql.PgJsonb) =>
-      // nested columns arrive pre-serialized as JSON text (normalized);
-      // plain strings JSON-encode so the jsonb cast sees a valid value
-      val t = s.trim
-      if (t.startsWith("{") || t.startsWith("[") || t.startsWith("\""))
-        st.setString(i, s)
+      // nested columns arrive pre-serialized as JSON text (normalized)
+      // and pass through raw only if they actually parse; anything else
+      // JSON-encodes, so a bare string like "{oops" can never fail the
+      // whole INSERT batch at the jsonb cast
+      if (isValidJson(s)) st.setString(i, s)
       else st.setString(i, jsonString(s))
     case (s: String, PgSql.PgBigInt) =>
       s.toLongOption match {
