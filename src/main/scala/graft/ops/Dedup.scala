@@ -48,13 +48,33 @@ object Dedup {
   private def shingled(docs: DataFrame): DataFrame =
     Spread(docs).select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
 
-  /** Run `build` with `sh` cached, eagerly materialize the (small)
-    * result, then release the cache. The sketch dedup queries each
+  /** Shingle relations memoized across dedup calls, keyed by the
+    * semantic hash of the docs plan: a dedup pipeline computes several
+    * signals (MinHash, SimHash, prefix join, clustering) over ONE
+    * corpus, and all of them consume the same exploded-trigram
+    * relation — shingling the corpus once per strategy would be 5
+    * corpus scans where 1 suffices. The cache is bounded
+    * ([[maxShingleCaches]] entries, unpersist-all on overflow); like
+    * the quantizer memo it is plan-keyed, so rewriting a corpus path
+    * in-session requires [[clearShingleCache]].
+    */
+  private val shingleCache =
+    scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
+
+  private val maxShingleCaches = 8
+
+  /** Unpersist and drop all memoized shingle relations. */
+  def clearShingleCache(): Unit = {
+    shingleCache.values.foreach(_.unpersist())
+    shingleCache.clear()
+  }
+
+  /** Run `build` over the corpus's cached shingle relation and eagerly
+    * materialize the (small) result. The sketch dedup queries each
     * traverse the shingle relation 2-3× (signature path + both sides
-    * of verification); without the persist the corpus is re-scanned
-    * and re-shingled per traversal — at 100 TB that is 3 corpus scans
-    * where 1 suffices. `localCheckpoint` pins the few result rows so
-    * the returned plan never re-reads the unpersisted shingles.
+    * of verification); the persist makes that one corpus scan.
+    * `localCheckpoint` pins the few result rows so the returned plan
+    * never depends on the cached shingles' lifetime.
     *
     * Consequence: the sketch dedup builders are EAGER — constructing
     * the DataFrame runs the job, and the returned plan is a
@@ -62,10 +82,12 @@ object Dedup {
     * result, not the dedup pipeline; use the spec assertions / this
     * scaladoc for the plan shape).
     */
-  private def withShingles(sh: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
-    sh.persist()
-    try build(sh).localCheckpoint(true)
-    finally sh.unpersist()
+  private def withShingles(docs: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+    if (shingleCache.size >= maxShingleCaches) clearShingleCache()
+    val sh = shingleCache.getOrElseUpdate(
+      docs.queryExecution.analyzed.semanticHash(),
+      shingled(docs).persist())
+    build(sh).localCheckpoint(true)
   }
 
   /** Exact-Jaccard verification of a (small) candidate pair set: join
@@ -96,7 +118,7 @@ object Dedup {
     * DuckDB oracle still computes it the O(n²) way).
     */
   def ngramJaccardBrute(docs: DataFrame, leftMax: Long = 200): DataFrame =
-    withShingles(shingled(docs)) { sh =>
+    withShingles(docs) { sh =>
     val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
     val inter = tokens.filter(col("doc_id") < leftMax)
@@ -132,17 +154,23 @@ object Dedup {
     * exact-dedup plan for a 100× corpus.
     */
   def ngramJaccardPrefix(docs: DataFrame, leftMax: Long = 200): DataFrame =
-    withShingles(shingled(docs)) { sh =>
+    withShingles(docs) { sh =>
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
     val freq = tokens.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
-    val order = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    // per-doc df-ordered prefix in ONE aggregation: collect (df,
+    // shingle), array_sort gives the ascending-df order, slice keeps
+    // the first n − ⌈τ·n⌉ + 1 — replaces the row_number window (an
+    // extra full sort-shuffle of the token relation) and the separate
+    // doc-size join; per-doc arrays are bounded by document length,
+    // so the collect never exceeds one document's shingle set
     val prefixes = tokens.join(freq, "shingle")
-      .withColumn("pos", row_number().over(order))
-      .join(sizes, "doc_id")
-      .filter(col("pos") <= col("n") - ceil(col("n") * 0.5) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("df"), col("shingle"))).as("ts"))
+      .select(col("doc_id"),
+        explode(slice(array_sort(col("ts")), lit(1),
+          (size(col("ts")) - ceil(size(col("ts")) * 0.5) + 1).cast("int")))
+          .as("t"))
+      .select(col("doc_id"), col("t.shingle").as("shingle"))
     val candidates = prefixes.filter(col("doc_id") < leftMax)
       .withColumnRenamed("doc_id", "doc_a")
       .join(prefixes.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
@@ -164,7 +192,7 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, leftMax: Long = 200,
       bands: Int = 32, rowsPerBand: Int = 2): DataFrame =
-    withShingles(shingled(docs)) { sh =>
+    withShingles(docs) { sh =>
     val sigLen = bands * rowsPerBand
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
     // signature as 64 built-in min(xxhash64(shingle, k)) aggregates:
@@ -222,7 +250,7 @@ object Dedup {
     */
   def simhashNearDup(docs: DataFrame, leftMax: Long = 200,
       maxHamming: Int = 160, nSigs: Int = 8, chunkBits: Int = 16): DataFrame =
-    withShingles(shingled(docs)) { sh =>
+    withShingles(docs) { sh =>
     val perSig = 64 / chunkBits
     val nChunks = nSigs * perSig
     val sigCols = (0 until nSigs).map(k =>
@@ -282,8 +310,16 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint(true)
-    val nodes = edges.select(col("doc_a").as("doc_id")).distinct()
-    var labels = nodes.withColumn("lbl", col("doc_id")).localCheckpoint(true)
+    // round 0 fused into the node extraction: every node starts at
+    // min(own id, min neighbor id) rather than its own id — one
+    // aggregation replaces the distinct + a full propagation round,
+    // and clique-shaped near-dup clusters converge immediately
+    // (leaving a single confirmation round)
+    var labels = edges.groupBy(col("doc_a"))
+      .agg(min(col("doc_b")).as("mn"))
+      .select(col("doc_a").as("doc_id"),
+        least(col("doc_a"), col("mn")).as("lbl"))
+      .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
