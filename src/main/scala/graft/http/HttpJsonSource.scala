@@ -68,12 +68,16 @@ object HttpJsonSource {
     }
   }
 
-  /** GET with retry/backoff (A7): attempts up to maxAttempts, delay
-    * doubling from minDelaySecs, capped at maxDelaySecs; 5xx and IO
-    * errors retry, other statuses fail fast.
+  /** GET with retry/backoff (A7) under an arbitrary body handler:
+    * attempts up to maxAttempts, delay doubling from minDelaySecs,
+    * capped at maxDelaySecs; 5xx and IO errors retry, other statuses
+    * fail fast. `errorPeek` renders the first part of an error body
+    * for the 4xx message; `discard` releases a body that will be
+    * retried or abandoned (a streaming handler must close its stream).
     */
-  def getWithRetry(client: HttpClient, spec: FetchSpec,
-      extra: Seq[(String, String)]): HttpResponse[String] = {
+  private def sendWithRetry[T](client: HttpClient, spec: FetchSpec,
+      extra: Seq[(String, String)], handler: HttpResponse.BodyHandler[T],
+      errorPeek: T => String, discard: T => Unit): HttpResponse[T] = {
     val builder = HttpRequest.newBuilder(buildUri(spec, extra))
       .timeout(Duration.ofSeconds(spec.requestTimeoutSecs)).GET()
     spec.headers.foreach { case (k, v) => builder.header(k, v) }
@@ -82,19 +86,22 @@ object HttpJsonSource {
     var delayMs = spec.retry.minDelaySecs * 1000
     while (true) {
       attempt += 1
-      val resp: Either[Throwable, HttpResponse[String]] =
-        try Right(client.send(req, HttpResponse.BodyHandlers.ofString()))
+      val resp: Either[Throwable, HttpResponse[T]] =
+        try Right(client.send(req, handler))
         catch { case e: java.io.IOException => Left(e) }
       resp match {
         case Right(r) if r.statusCode() < 500 =>
-          if (r.statusCode() >= 400)
+          if (r.statusCode() >= 400) {
+            val peek = errorPeek(r.body())
             throw new RuntimeException(
-              s"HTTP ${r.statusCode()} from ${req.uri()}: ${r.body().take(200)}")
+              s"HTTP ${r.statusCode()} from ${req.uri()}: $peek")
+          }
           // span-named event mirroring fetcher.rs:48 debug_span!("http.request")
           log.debug("http.request method=GET source={} status={} attempt={}",
             spec.url, r.statusCode().toString, attempt.toString)
           return r
         case other =>
+          other.foreach(r => discard(r.body()))
           if (attempt >= spec.retry.maxAttempts) other match {
             case Right(r) => throw new RuntimeException(
               s"HTTP ${r.statusCode()} from ${req.uri()} after $attempt attempts")
@@ -108,6 +115,29 @@ object HttpJsonSource {
     throw new IllegalStateException("unreachable")
   }
 
+  /** GET with retry/backoff, whole body as a String — the metadata
+    * path (first page for schema/total hints, cursor threading).
+    */
+  def getWithRetry(client: HttpClient, spec: FetchSpec,
+      extra: Seq[(String, String)]): HttpResponse[String] =
+    sendWithRetry(client, spec, extra, HttpResponse.BodyHandlers.ofString(),
+      (b: String) => b.take(200), (_: String) => ())
+
+  /** GET with retry/backoff, body as a stream — the row path: an
+    * NDJSON page frames line-by-line off the wire without ever
+    * materializing as one String (the reference's LinesCodec property,
+    * fetcher.rs:115-124). Error peeks read at most 200 bytes; retried
+    * bodies are closed before the next attempt.
+    */
+  def getWithRetryStream(client: HttpClient, spec: FetchSpec,
+      extra: Seq[(String, String)]): HttpResponse[java.io.InputStream] =
+    sendWithRetry(client, spec, extra,
+      HttpResponse.BodyHandlers.ofInputStream(),
+      (in: java.io.InputStream) =>
+        try new String(in.readNBytes(200), StandardCharsets.UTF_8)
+        finally in.close(),
+      (in: java.io.InputStream) => in.close())
+
   /** Parse a response body into rows (A2-A3): NDJSON content types are
     * framed line-by-line; plain JSON is drilled with the RFC-6901
     * data_path (array → rows, null/missing → none, scalar/object → one
@@ -115,15 +145,23 @@ object HttpJsonSource {
     */
   def parseBody(body: String, contentType: Option[String],
       dataPath: Option[String]): Page = {
-    val isNdjson = contentType.exists(ct =>
-      ct.contains("ndjson") || ct.contains("x-ndjson"))
-    if (isNdjson) {
-      body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
-        extractRows(mapper.readTree(line), dataPath)
-      }.toSeq
-    } else if (body.trim.isEmpty) Seq.empty
+    if (isNdjson(contentType))
+      parseNdjsonLines(body.split('\n').iterator, dataPath).toSeq
+    else if (body.trim.isEmpty) Seq.empty
     else extractRows(mapper.readTree(body), dataPath)
   }
+
+  private def isNdjson(contentType: Option[String]): Boolean =
+    contentType.exists(ct => ct.contains("ndjson") || ct.contains("x-ndjson"))
+
+  /** NDJSON line framing as an incremental pass: each line parses and
+    * extracts independently, so peak memory is one line + the
+    * extracted rows — never the whole body.
+    */
+  private[http] def parseNdjsonLines(lines: Iterator[String],
+      dataPath: Option[String]): Iterator[String] =
+    lines.map(_.trim).filter(_.nonEmpty)
+      .flatMap(line => extractRows(mapper.readTree(line), dataPath))
 
   private def extractRows(node: JsonNode, dataPath: Option[String]): Page = {
     val target = dataPath.filter(_.nonEmpty) match {
@@ -136,11 +174,32 @@ object HttpJsonSource {
     else Seq(mapper.writeValueAsString(target))
   }
 
+  /** Fetch one page of rows. The body arrives as a stream: NDJSON
+    * frames line-by-line (a multi-GB page never exists as one heap
+    * String — only the extracted row strings accumulate, which is the
+    * data itself); whole-JSON bodies must materialize to parse (same
+    * as the reference's serde_json path) and are read from the stream
+    * in one pass.
+    */
   def fetchPage(client: HttpClient, spec: FetchSpec,
       params: Seq[(String, String)]): Page = {
-    val resp = getWithRetry(client, spec, params)
+    val resp = getWithRetryStream(client, spec, params)
     val ct = resp.headers().firstValue("content-type")
-    parseBody(resp.body(), if (ct.isPresent) Some(ct.get()) else None, spec.dataPath)
+    val ctOpt = if (ct.isPresent) Some(ct.get()) else None
+    val in = resp.body()
+    try {
+      if (isNdjson(ctOpt)) {
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        parseNdjsonLines(
+          Iterator.continually(reader.readLine()).takeWhile(_ != null),
+          spec.dataPath).toVector
+      } else {
+        val body = new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        if (body.trim.isEmpty) Seq.empty
+        else extractRows(mapper.readTree(body), spec.dataPath)
+      }
+    } finally in.close()
   }
 
   /** Hint to compute the total page count (fetcher.rs:194-198):

@@ -55,11 +55,12 @@ object Dedup {
     * relation — shingling the corpus once per strategy would be 5
     * corpus scans where 1 suffices. The cache is bounded
     * ([[maxShingleCaches]] entries, unpersist-all on overflow); like
-    * the quantizer memo it is plan-keyed, so rewriting a corpus path
-    * in-session requires [[clearShingleCache]].
+    * the quantizer memo the key is plan hash + scanned-file listing,
+    * so only an in-place rewrite that keeps every file name needs
+    * [[clearShingleCache]].
     */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
 
   private val maxShingleCaches = 8
 
@@ -85,7 +86,8 @@ object Dedup {
   private def withShingles(docs: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
     if (shingleCache.size >= maxShingleCaches) clearShingleCache()
     val sh = shingleCache.getOrElseUpdate(
-      docs.queryExecution.analyzed.semanticHash(),
+      (docs.queryExecution.analyzed.semanticHash(),
+        java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]])),
       shingled(docs).persist())
     build(sh).localCheckpoint(true)
   }

@@ -30,13 +30,49 @@ object Multimodal {
   }
 
   /** Deterministic fake: "decodes" metadata from the payload bytes
-    * (length + first bytes), standing in for an image/audio codec.
+    * (length + first bytes), standing in for an audio/video codec.
     */
   object StubDecoder extends Decoder {
     override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
       payloads.map { bytes =>
         val n = bytes.length
         Row("stub", n % 640, (n / 2) % 480, if (n == 0) 0 else bytes(0) & 0x0f)
+      }
+  }
+
+  /** Real image decoding via the JDK's built-in `javax.imageio` (PNG,
+    * JPEG, GIF, BMP — no external codec library needed): actual pixel
+    * dimensions, the reader's format name, and the frame count (>1 for
+    * animated GIFs). Reader instances are NOT thread-safe but ARE
+    * reusable, so each partition-batch resolves readers per image
+    * while the surrounding task amortizes classloading/SPI lookup —
+    * the batch shape [[Decoder]] prescribes. Payloads no reader
+    * recognizes (audio/video/garbage) fall back to [[StubDecoder]]'s
+    * deterministic row, keeping the decode total and the pipeline
+    * non-failing on mixed corpora.
+    */
+  object ImageIoDecoder extends Decoder {
+    override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
+      payloads.map { bytes =>
+        val stream = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(stream)
+          if (readers.hasNext) {
+            val reader = readers.next()
+            try {
+              reader.setInput(stream, false, true)
+              val nFrames =
+                try reader.getNumImages(true)
+                catch { case _: java.io.IOException => 1 }
+              Row(reader.getFormatName.toLowerCase,
+                reader.getWidth(0), reader.getHeight(0), nFrames)
+            } finally reader.dispose()
+          } else {
+            val n = bytes.length
+            Row("stub", n % 640, (n / 2) % 480, if (n == 0) 0 else bytes(0) & 0x0f)
+          }
+        } finally if (stream != null) stream.close()
       }
   }
 

@@ -69,17 +69,17 @@ object Similarity {
     * training sample and seed are fixed, so a cache hit returns the
     * exact model a refit would.
     *
-    * Staleness caveat: the key is the PLAN's semantic hash, not a data
-    * fingerprint — re-reading CHANGED data at the same path within one
-    * JVM reuses the old centroids (recall can degrade; results stay
-    * exact-precision because candidates pay real cosine). Call
-    * [[clearQuantizerCache]] after rewriting a corpus in-session. The
-    * cache is bounded ([[maxQuantizers]] entries, evict-all on
-    * overflow) so long sessions over many corpora can't grow it
-    * without bound.
+    * The key combines the PLAN's semantic hash with a fingerprint of
+    * the scanned file listing, so re-pointing the same path at a new
+    * file set (overwrite = new part-file names) misses the cache and
+    * refits. The one remaining staleness window is an in-place
+    * mutation that preserves every file name — call
+    * [[clearQuantizerCache]] after doing that in-session. The cache
+    * is bounded ([[maxQuantizers]] entries, evict-all on overflow) so
+    * long sessions over many corpora can't grow it without bound.
     */
   private val quantizers =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int), org.apache.spark.ml.clustering.KMeansModel]
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), org.apache.spark.ml.clustering.KMeansModel]
 
   private val maxQuantizers = 32
 
@@ -106,10 +106,39 @@ object Similarity {
     val trainSample = e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
     if (quantizers.size >= maxQuantizers) quantizers.clear()
     quantizers.getOrElseUpdate(
-      (trainSample.queryExecution.analyzed.semanticHash(), nCells),
+      (trainSample.queryExecution.analyzed.semanticHash(),
+        java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
+        nCells),
       new KMeans().setK(nCells).setSeed(42)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(trainSample))
+  }
+
+  /** `nProbe` nearest coarse cells per vector, fully distributed: the
+    * centroid table (nCells rows) broadcasts, every vector scores all
+    * centroids, a per-vector window keeps the closest `nProbe` —
+    * no driver collect anywhere (shared by [[knnIvf]] and
+    * [[embeddingNearDupAnn]]). Returns (vec_id, cell, rk).
+    */
+  private def nearestCells(vecs: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      nProbe: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val centroids = broadcast(
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, ix) => (ix, c.toArray.toSeq) }
+        .toDF("cell", "cvec"))
+    val d2 = aggregate(zip_with(col("v"), col("cvec"),
+      (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+    val byDist = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("cell"))
+    vecs.select(col("vec_id"), col("v"))
+      .crossJoin(centroids)
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(byDist))
+      .filter(col("rk") <= nProbe)
+      .select(col("vec_id"), col("cell"), col("rk"))
   }
 
   def knnIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
@@ -119,24 +148,12 @@ object Similarity {
     val assigned = model.transform(e)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
 
-    // nProbe nearest centroids per query vector (queries are few and
-    // bounded — safe to resolve on the driver)
-    val centers = model.clusterCenters.map(_.toArray)
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id"), col("v")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probes: Seq[(Long, Int)] = queries.toSeq.flatMap { case (qid, qv) =>
-      centers.zipWithIndex
-        .map { case (c, ix) =>
-          val d = c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
-          (ix, d)
-        }
-        .sortBy(_._2).take(nProbe)
-        .map { case (cell, _) => (qid, cell) }
-    }
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val probeDf = probes.toDF("query_id", "cell")
+    // nProbe nearest centroids per query vector — the same distributed
+    // broadcast-centroids + per-vector window as the full-corpus ANN
+    // path; no driver collect (query vectors never leave executors)
+    val probeDf = nearestCells(assigned.filter(col("vec_id") < nQueries),
+        model, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
 
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
@@ -173,28 +190,12 @@ object Similarity {
     */
   def embeddingNearDupAnn(embeddings: DataFrame, minCosine: Double = 0.4,
       nCells: Int = 16, nProbe: Int = 2, trainMod: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
     val e = withNorm(embeddings).withColumn("fv", array_to_vector(col("v")))
     val model = quantizerFor(e, nCells, trainMod)
-    val centroids = broadcast(
-      model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, ix) => (ix, c.toArray.toSeq) }
-        .toDF("cell", "cvec"))
-    // nProbe nearest centroids per vector — distributed, no collect
-    val d2 = aggregate(zip_with(col("v"), col("cvec"),
-      (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
-    val byDist = Window.partitionBy(col("vec_id"))
-      .orderBy(col("d2"), col("cell"))
     // candidates stay (id, id) pairs — the vectors join back AFTER
     // dedup, so the distinct shuffles narrow rows and the cosine sees
     // plain array columns instead of conditional array expressions
-    val probes = e.select(col("vec_id"), col("v"))
-      .crossJoin(centroids)
-      .withColumn("d2", d2)
-      .withColumn("rk", row_number().over(byDist))
-      .filter(col("rk") <= nProbe)
-      .select(col("vec_id"), col("cell"), col("rk"))
+    val probes = nearestCells(e, model, nProbe)
     val primary = probes.filter(col("rk") === 1)
       .select(col("vec_id").as("p_id"), col("cell"))
     val candidates = probes.join(primary, "cell")
@@ -221,15 +222,23 @@ object Similarity {
     * Approximate — recall depends on bucket granularity — so verified
     * as rows-only (no value oracle), with recall asserted in tests.
     */
-  def knnLsh(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
-      nPlanes: Int = 4, dim: Int = 64, multiProbeBits: Int = 1): DataFrame = {
-    // deterministic pseudo-random hyperplanes from a hash, no RNG state
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+  /** The fixed pseudo-random hyperplanes used by [[knnLsh]]:
+    * deterministic pure-function values (no RNG state), which is what
+    * lets the DuckDB oracle replicate the FULL algorithm — the planes
+    * embed as SQL literals, so bucketing, multi-probe and top-k are
+    * recomputable bit-exactly outside Spark.
+    */
+  private[graft] def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
         val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
         (h.toDouble / Int.MaxValue)
       }
     }
+
+  def knnLsh(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
+      nPlanes: Int = 4, dim: Int = 64, multiProbeBits: Int = 1): DataFrame = {
+    val planes = lshPlanes(nPlanes, dim)
     val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
 
     val e = withNorm(embeddings)

@@ -16,7 +16,12 @@ import org.apache.spark.sql.DataFrame
 object Spread {
   def apply(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= math.max(2, target / 2)) df
+    // estimate scan parallelism from the leaf file listing — metadata
+    // only, unlike df.rdd.getNumPartitions which forces a full
+    // logical→RDD conversion per call just to read a count (each file
+    // is at least one split; an in-memory relation lists no files and
+    // gets spread, which is the safe direction)
+    if (df.inputFiles.length >= math.max(2, target / 2)) df
     else df.repartition(target)
   }
 }

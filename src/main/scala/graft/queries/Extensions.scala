@@ -54,11 +54,29 @@ object Extensions {
     "x_knn_brute" -> ((s, d) =>
       Similarity.knnBrute(t(s, d, "embeddings"))),
 
-    "x_knn_lsh" -> ((s, d) => // approximate: rows-only check
+    // approximate, but with a FULL value oracle: the hyperplanes are
+    // deterministic literals, so DuckDB replicates bucketing +
+    // multi-probe + top-k bit-exactly (see lshOracle below)
+    "x_knn_lsh" -> ((s, d) =>
       Similarity.knnLsh(t(s, d, "embeddings"))),
 
-    "x_knn_ivf" -> ((s, d) => // approximate: rows-only check
+    "x_knn_ivf" -> ((s, d) => // approximate at production probes: rows-only
       Similarity.knnIvf(t(s, d, "embeddings"))),
+
+    // recall gate for the IVF path: at nProbe=12/16 the probed cells
+    // provably cover every true neighbor on these corpora (verified at
+    // sf0.001/0.01/0.1 by graft.ops.RecallCheck), so the output equals
+    // brute top-k EXACTLY and hash-matches the brute oracle — any
+    // quantizer/recall drift turns this red instead of passing silently
+    "x_knn_ivf_recall" -> ((s, d) =>
+      Similarity.knnIvf(t(s, d, "embeddings"), nProbe = 12)),
+
+    // same contract for the full-corpus ANN dedup path: nProbe=12 is
+    // exhaustive-by-measurement on these corpora, so the (bounded
+    // region of the) ANN output equals the exact baseline bit-for-bit
+    "x_dedup_embedding_ann_recall" -> ((s, d) =>
+      Similarity.embeddingNearDupAnn(t(s, d, "embeddings"), nProbe = 12)
+        .filter(col("vec_a") < 500)),
 
     // ---- text analysis ------------------------------------------------------
     "x_text_tokens" -> ((s, d) =>
@@ -176,6 +194,73 @@ object Extensions {
       |      >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val embeddingPairsSql =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+      |FROM embeddings a JOIN embeddings b
+      |  ON a.vec_id < b.vec_id AND a.vec_id < 500
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  private val knnBruteSql =
+    """WITH s AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                           CAST(e.embedding AS DOUBLE[])) AS c
+      |  FROM embeddings q JOIN embeddings e
+      |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, c,
+      |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+      |  FROM s)
+      |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, ROUND(c, 4) AS cosine
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replication of the FULL random-hyperplane LSH algorithm
+    * (`Similarity.knnLsh`, 4 planes × 64 dims, 1-bit multi-probe):
+    * the planes are deterministic pure-function values, embedded here
+    * as string-cast literals ('…'::DOUBLE parses via strtod → the
+    * exact same IEEE double the JVM produced). The dot-product fold is
+    * spelled as list_reduce in Spark's accumulation order, so the
+    * bucket signs — the only discretization — agree bit-exactly, and
+    * with them the probe set, the candidate set, and the top-k.
+    */
+  private val lshOracleSql: String = {
+    val planes = graft.ops.Similarity.lshPlanes(nPlanes = 4, dim = 64)
+    def dotSql(pl: Seq[Double]): String = {
+      val lits = pl.map(x => s"'$x'::DOUBLE").mkString(", ")
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(generate_series(1, 64), i -> ([$lits])[i] * v[i])), " +
+        "(acc, x) -> acc + x)"
+    }
+    val bucketExpr = planes.zipWithIndex.map { case (pl, p) =>
+      s"CASE WHEN ${dotSql(pl)} >= 0 THEN ${1 << p} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, v,
+       |    $bucketExpr AS bucket
+       |  FROM e
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv,
+       |    unnest([xor(bucket, 0), xor(bucket, 1), xor(bucket, 2),
+       |            xor(bucket, 4), xor(bucket, 8)]) AS bucket
+       |  FROM b WHERE vec_id < 5
+       |), s AS (
+       |  SELECT q.query_id, n.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.qv, n.v) AS c
+       |  FROM q JOIN b n USING (bucket)
+       |  WHERE q.query_id <> n.vec_id
+       |), r AS (
+       |  SELECT query_id, neighbor_id, c,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+       |  FROM s)
+       |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, ROUND(c, 4) AS cosine
+       |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "x_dedup_exact" ->
       """SELECT array_to_string(string_split(text, ' ')[1:3], ' ') AS k,
@@ -210,28 +295,22 @@ object Extensions {
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
-    "x_dedup_embedding" ->
-      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                               CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-        |FROM embeddings a JOIN embeddings b
-        |  ON a.vec_id < b.vec_id AND a.vec_id < 500
-        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
-        |ORDER BY vec_a, vec_b""".stripMargin,
+    "x_dedup_embedding" -> embeddingPairsSql,
 
-    "x_knn_brute" ->
-      """WITH s AS (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                           CAST(e.embedding AS DOUBLE[])) AS c
-        |  FROM embeddings q JOIN embeddings e
-        |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
-        |r AS (SELECT query_id, neighbor_id, c,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
-        |  FROM s)
-        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, ROUND(c, 4) AS cosine
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the recall-pinning ANN gate shares the exact baseline's SQL: at
+    // nProbe=12 the ANN candidates provably cover every true pair on
+    // this corpus, so the outputs are identical (RecallCheck-verified)
+    "x_dedup_embedding_ann_recall" -> embeddingPairsSql,
+
+    "x_knn_brute" -> knnBruteSql,
+
+    // IVF at nProbe=12 provably returns brute top-k on this corpus —
+    // shared SQL pins both the IVF machinery and recall drift
+    "x_knn_ivf_recall" -> knnBruteSql,
+
+    // full algorithm replication: deterministic hyperplane literals →
+    // DuckDB recomputes bucketing, multi-probe and top-k bit-exactly
+    "x_knn_lsh" -> lshOracleSql,
 
     "x_text_tokens" ->
       """SELECT doc_id,

@@ -66,6 +66,20 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     server.createContext("/ndjson", (ex: HttpExchange) =>
       respond(ex, "{\"id\": 1}\n{\"id\": 2}\n\n{\"id\": 3}\n",
         contentType = "application/x-ndjson"))
+    // a large NDJSON page, written to the socket in chunks (length 0 =
+    // chunked transfer) — the shape that must never materialize as one
+    // body String on the client
+    server.createContext("/ndjson-big", (ex: HttpExchange) => {
+      ex.getResponseHeaders.set("Content-Type", "application/x-ndjson")
+      ex.sendResponseHeaders(200, 0L)
+      val out = new java.io.BufferedOutputStream(ex.getResponseBody, 1 << 16)
+      (1 to 50000).foreach { i =>
+        out.write(s"""{"id": $i, "body": "${"x" * 64}"}\n"""
+          .getBytes(StandardCharsets.UTF_8))
+      }
+      out.close()
+      ex.close()
+    })
     server.createContext("/flaky", (ex: HttpExchange) => {
       if (flakyHits.incrementAndGet() < 3) respond(ex, "boom", status = 500)
       else respond(ex, """[{"id": 42}]""")
@@ -120,6 +134,24 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = fetchPage(buildClient(spec("/ndjson")),
       spec("/ndjson", dataPath = None), Seq.empty)
     assert(rows == Seq("""{"id":1}""", """{"id":2}""", """{"id":3}"""))
+  }
+
+  test("large chunked NDJSON body streams through the line path (fetcher.rs:115-124)") {
+    val s = spec("/ndjson-big", dataPath = None)
+    val rows = fetchPage(buildClient(s), s, Seq.empty)
+    assert(rows.size == 50000)
+    assert(rows.head.contains("\"id\":1"))
+    assert(rows.last.contains("\"id\":50000"))
+  }
+
+  test("NDJSON line framing is incremental — one line in flight, not the whole body") {
+    var pulled = 0
+    val lines = Iterator.tabulate(1000000) { i => pulled += 1; s"""{"n": $i}""" }
+    val rows = parseNdjsonLines(lines, None)
+    // consuming 10 extracted rows must not have drained the million-line
+    // source: the framing reads a line at a time off the stream
+    assert(rows.take(10).toSeq.size == 10)
+    assert(pulled < 100, s"framing materialized the body ($pulled lines pulled)")
   }
 
   test("data_path pointer: array flattens, null/missing yields none (fetcher.rs:74-93)") {

@@ -127,6 +127,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sampled.count() == 3)
   }
 
+  test("ImageIoDecoder decodes real PNG/JPEG dimensions; non-images fall back") {
+    import spark.implicits._
+    // real images rendered in-test via the same JDK imageio that decodes
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => img.setRGB(x, 0, x * 31))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, imageBytes(17, 9, "png")),
+      (2L, imageBytes(320, 200, "jpg")),
+      (3L, "not an image at all".getBytes("UTF-8")))
+      .toDF("id", "payload")
+      .repartition(2)
+    val out = Multimodal.withMediaMeta(df, "payload", Multimodal.ImageIoDecoder)
+      .select(col("id"), col("media.format"), col("media.width"),
+        col("media.height"), col("media.n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(1L) == ("png", 17, 9, 1))
+    assert(out(2L) == ("jpeg", 320, 200, 1))
+    assert(out(3L) == ("stub", 19 % 640, (19 / 2) % 480, 'n'.toInt & 0x0f))
+  }
+
   test("streaming tumbling agg equals the batch form (watermark + AvailableNow)") {
     val events = graft.engine.Tables.table(spark, sf, "events")
     val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
@@ -198,10 +225,13 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("every extension query has an oracle or a documented reason not to") {
     val noOracle = Extensions.queries.keySet -- Extensions.oracle.keySet
-    // approximate ANN: rows-only (probe/centroid choices are engine-
-    // specific); everything else, including the codegen fingerprint,
-    // carries a value oracle
-    assert(noOracle == Set("x_knn_lsh", "x_knn_ivf", "x_dedup_embedding_ann"))
+    // only the production-probe IVF paths are rows-only (their quantizer
+    // is engine-trained KMeans, not SQL-expressible) — and each is
+    // pinned by a hash-matched sibling: x_knn_ivf_recall /
+    // x_dedup_embedding_ann_recall run the same machinery at probe
+    // counts that provably reproduce the exact baseline. The LSH path
+    // has a FULL value oracle (deterministic hyperplane literals).
+    assert(noOracle == Set("x_knn_ivf", "x_dedup_embedding_ann"))
     assert((Extensions.oracle.keySet -- Extensions.queries.keySet).isEmpty)
   }
 
