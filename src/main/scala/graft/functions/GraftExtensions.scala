@@ -11,10 +11,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * plain SQL without programmatic registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
+    extensions.injectFunction((
+      new FunctionIdentifier("dot_d"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs.head, exprs(1))))
+  }
 }

@@ -307,6 +307,23 @@ object Dedup {
     * brute-force clusters and the DuckDB oracle can recompute them
     * with a recursive transitive closure.
     */
+  /** Free the cached blocks behind an eager localCheckpoint once the
+    * iteration has superseded it. Dataset.unpersist() only talks to
+    * the CacheManager, which never saw a checkpoint — the blocks
+    * belong to the LogicalRDD's underlying RDD, so unpersist that.
+    * Without this, every CC round leaks its round-snapshot into
+    * executor storage for the rest of the session: invisible at
+    * fixture scale, unbounded at 100 TB (and measurably noisy even
+    * locally — the leaked blocks' eviction churn bled 5-7 s into
+    * whatever query ran next in the bench loop).
+    */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   def dupClusters(docs: DataFrame, leftMax: Long = 200): DataFrame = {
     val pairs = minhashLsh(docs, leftMax).select(col("doc_a"), col("doc_b"))
     val edges = pairs
@@ -334,8 +351,10 @@ object Dedup {
           (col("nlbl") < col("lbl")).as("moved"))
       val materialized = next.localCheckpoint(true)
       changed = materialized.filter(col("moved")).count()
+      dropCheckpoint(labels) // superseded round snapshot
       labels = materialized.select(col("doc_id"), col("lbl"))
     }
+    dropCheckpoint(edges) // propagation done; only the labels survive
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
