@@ -45,7 +45,7 @@ object Dedup {
     * (a small file with one row group = one partition) would pin the
     * whole explode+aggregate pipeline on a single task.
     */
-  private def shingled(docs: DataFrame): DataFrame =
+  private[graft] def shingled(docs: DataFrame): DataFrame =
     Spread(docs).select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
 
   /** Shingle relations memoized across dedup calls, keyed by the
@@ -156,7 +156,13 @@ object Dedup {
     * exact-dedup plan for a 100× corpus.
     */
   def ngramJaccardPrefix(docs: DataFrame, leftMax: Long = 200): DataFrame =
-    withShingles(docs) { sh =>
+    withShingles(docs)(sh => verifyPairs(prefixCandidates(sh, leftMax), sh))
+
+  /** The prefix-filter candidate stage, pre-checkpoint — exposed so
+    * plan-shape specs can pin its physical form (no Window node, the
+    * pair join is a hash equi-join on the shingle).
+    */
+  private[graft] def prefixCandidates(sh: DataFrame, leftMax: Long): DataFrame = {
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
     val freq = tokens.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // per-doc df-ordered prefix in ONE aggregation: collect (df,
@@ -173,14 +179,13 @@ object Dedup {
           (size(col("ts")) - ceil(size(col("ts")) * 0.5) + 1).cast("int")))
           .as("t"))
       .select(col("doc_id"), col("t.shingle").as("shingle"))
-    val candidates = prefixes.filter(col("doc_id") < leftMax)
+    prefixes.filter(col("doc_id") < leftMax)
       .withColumnRenamed("doc_id", "doc_a")
       .join(prefixes.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    verifyPairs(candidates, sh)
-    }
+  }
 
   /** MinHash + LSH banding: the full-corpus scale path.
     *
@@ -194,7 +199,14 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, leftMax: Long = 200,
       bands: Int = 32, rowsPerBand: Int = 2): DataFrame =
-    withShingles(docs) { sh =>
+    withShingles(docs)(sh =>
+      verifyPairs(minhashCandidates(sh, leftMax, bands, rowsPerBand), sh))
+
+  /** The MinHash banding candidate stage, pre-checkpoint — exposed for
+    * plan-shape specs (the bucket self-join must be a hash equi-join).
+    */
+  private[graft] def minhashCandidates(sh: DataFrame, leftMax: Long,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val sigLen = bands * rowsPerBand
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
     // signature as 64 built-in min(xxhash64(shingle, k)) aggregates:
@@ -217,15 +229,13 @@ object Dedup {
             x => x.cast("string")))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
 
-    val candidates = banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
       .filter(col("doc_a") < leftMax)
-
-    verifyPairs(candidates, sh)
-    }
+  }
 
   /** SimHash near-dup via pigeonhole chunk blocking + multi-probe —
     * no pair scan anywhere.
@@ -252,7 +262,15 @@ object Dedup {
     */
   def simhashNearDup(docs: DataFrame, leftMax: Long = 200,
       maxHamming: Int = 160, nSigs: Int = 8, chunkBits: Int = 16): DataFrame =
-    withShingles(docs) { sh =>
+    withShingles(docs)(sh =>
+      verifyPairs(simhashCandidates(sh, leftMax, maxHamming, nSigs, chunkBits), sh))
+
+  /** The SimHash chunk-blocking candidate stage, pre-checkpoint —
+    * exposed for plan-shape specs (multi-probe matching must be an
+    * equi-join on (chunk_ix, chunk_value), never a nested loop).
+    */
+  private[graft] def simhashCandidates(sh: DataFrame, leftMax: Long,
+      maxHamming: Int, nSigs: Int, chunkBits: Int): DataFrame = {
     val perSig = 64 / chunkBits
     val nChunks = nSigs * perSig
     val sigCols = (0 until nSigs).map(k =>
@@ -282,13 +300,11 @@ object Dedup {
     val hamming = (0 until nSigs).map(i =>
       bit_count(element_at(col("sa"), i + 1)
         .bitwiseXOR(element_at(col("sb"), i + 1)))).reduce(_ + _)
-    val candidates = a.join(b, Seq("cix", "cval"))
+    a.join(b, Seq("cix", "cval"))
       .filter(col("doc_a") < col("doc_b") && hamming <= maxHamming)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-
-    verifyPairs(candidates, sh)
-    }
+  }
 
   /** Collapse near-dup pairs into clusters with a canonical survivor —
     * the step a dedup pipeline runs after pair generation, so "A≈B,

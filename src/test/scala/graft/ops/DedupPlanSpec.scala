@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests for the dedup candidate stages.
+  *
+  * The public dedup builders eagerly checkpoint (the shared-shingle
+  * design), so their returned plans show a checkpoint RDD scan, not
+  * the pipeline — these specs pin the shapes on the PRE-checkpoint
+  * candidate stages instead: a refactor that reintroduces a window
+  * sort or lets a blocking join degenerate into a nested loop fails
+  * here, not in a bench regression three rounds later.
+  */
+class DedupPlanSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+  private lazy val sh = Dedup.shingled(
+    graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "documents"))
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("prefix-filter candidates: no Window node anywhere in the plan") {
+    val plan = physical(Dedup.prefixCandidates(sh, leftMax = 200))
+    assert(!plan.contains("Window"),
+      s"prefix path reintroduced a window sort:\n$plan")
+  }
+
+  test("no nested-loop or cartesian join in any candidate stage") {
+    val plans = Map(
+      "prefix" -> physical(Dedup.prefixCandidates(sh, 200)),
+      "minhash" -> physical(Dedup.minhashCandidates(sh, 200, 32, 2)),
+      "simhash" -> physical(Dedup.simhashCandidates(sh, 200, 160, 8, 16)))
+    plans.foreach { case (name, plan) =>
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name candidates degenerated to a nested loop:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name candidates degenerated to a cartesian product:\n$plan")
+    }
+  }
+
+  test("minhash and simhash candidate joins are hash equi-joins") {
+    val hashJoin = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+    Seq(
+      "minhash" -> physical(Dedup.minhashCandidates(sh, 200, 32, 2)),
+      "simhash" -> physical(Dedup.simhashCandidates(sh, 200, 160, 8, 16)))
+      .foreach { case (name, plan) =>
+        assert(hashJoin.findFirstIn(plan).isDefined,
+          s"$name candidate join is not a hash equi-join:\n$plan")
+      }
+  }
+
+  test("full-corpus ANN: the only nested loop is the tiny centroid broadcast") {
+    // the per-vector centroid scoring is crossJoin(broadcast(nCells
+    // rows)) — physically a BroadcastNestedLoopJoin whose build side
+    // is the 16-row centroid LocalTableScan: bounded and sanctioned.
+    // Everything else (candidate pairing on cell, vector re-joins)
+    // must stay hash equi-joins; a SECOND nested loop, or a cartesian
+    // over corpus-sized relations, is the regression this pins.
+    val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val ann = physical(Similarity.embeddingNearDupAnn(emb))
+    // the probes relation feeds both sides of the candidate pairing,
+    // so the centroid-scoring subtree (and its BNLJ) appears twice in
+    // the unexecuted plan — every occurrence must be the broadcast-
+    // cross centroid shape, and nothing else may nest-loop
+    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(ann).size
+    val bnljCentroid =
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(ann).size
+    assert(bnljAll == bnljCentroid && bnljAll > 0,
+      s"non-centroid nested loop present ($bnljCentroid/$bnljAll):\n$ann")
+    assert(!ann.contains("CartesianProduct"),
+      s"ANN path contains a shuffled cartesian product:\n$ann")
+    val cellJoin = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
+    assert(cellJoin.findFirstIn(ann).isDefined,
+      s"candidate pairing is not an equi-join on cell:\n$ann")
+  }
+}
