@@ -11,9 +11,13 @@ object Prof {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.Sessions.local()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    graft.engine.Tables.names.foreach(n =>
-      graft.engine.Tables.table(spark, dir, n).count())
+    // ScaleGen dirs carry only documents/embeddings — warm what exists
+    graft.engine.Tables.names
+      .filter(n => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/$n.parquet")))
+      .foreach(n => graft.engine.Tables.table(spark, dir, n).count())
     val docs = graft.engine.Tables.table(spark, dir, "documents")
+    val emb = graft.engine.Tables.table(spark, dir, "embeddings")
 
     def q(name: String)(f: => Long): Unit = {
       def once = { val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9 }
@@ -25,6 +29,10 @@ object Prof {
     q("minhash")(Dedup.minhashLsh(docs).count())
     q("simhash")(Dedup.simhashNearDup(docs).count())
     q("clusters")(Dedup.dupClusters(docs).count())
+    q("embedding_pairs")(Dedup.embeddingCosinePairs(emb).count())
+    q("embedding_ann")(Similarity.embeddingNearDupAnn(emb).count())
+    q("knn_ivf")(Similarity.knnIvf(emb).count())
+    q("knn_lsh")(Similarity.knnLsh(emb).count())
 
     val bruteP = Dedup.ngramJaccardBrute(docs).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -35,7 +35,8 @@ object RecallCheck {
       val brutePairs = rows(Dedup.embeddingCosinePairs(emb))
       (2 to 16 by 2).foreach { np =>
         val annPairs = rows(
-          Similarity.embeddingNearDupAnn(emb, nProbe = np).filter(col("vec_a") < 500))
+          Similarity.embeddingNearDupAnn(emb, nCells = 16, nProbe = np)
+            .filter(col("vec_a") < 500))
         println(s"RECALL $dir ann(nProbe=$np,vec_a<500)==brutePairs: ${annPairs == brutePairs} " +
           s"(${(brutePairs -- annPairs).size} missed, ${(annPairs -- brutePairs).size} extra)")
       }

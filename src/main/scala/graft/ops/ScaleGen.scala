@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesizes a 10× (sf1.0-equivalent) documents/embeddings corpus
+  * from the sf0.1 fixture, for scale-sanity profiling of the
+  * dedup/ANN family (the driver's fixtures stop at sf0.1).
+  *
+  * The copies are structure-preserving, so per-copy ground truth is
+  * known without recomputing it:
+  * - documents: every word in copy k is prefixed `c<k>_` — a vocabulary
+  *   bijection, so trigram sets map 1:1, every within-copy Jaccard is
+  *   EXACTLY preserved, and cross-copy similarity is exactly 0 (no
+  *   shared shingles → no cross-copy candidates).
+  * - embeddings: copy k flips the sign of a deterministic
+  *   hash-selected dim subset — an orthogonal transform, so within-copy
+  *   cosines are exactly preserved while copies land in different
+  *   regions of the space.
+  * IDs offset by k·10⁷ per copy.
+  *
+  * Run: `runMain graft.ops.ScaleGen [srcDir outDir copies]`.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val spark = graft.engine.Sessions.local()
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("target/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    gen(spark, src, out, copies)
+    spark.stop()
+  }
+
+  def gen(spark: SparkSession, src: String, out: String, copies: Int): Unit = {
+    val docs = graft.engine.Tables.table(spark, src, "documents")
+    val emb = graft.engine.Tables.table(spark, src, "embeddings")
+
+    def copyOf(df: DataFrame, k: Int, idCol: String)(body: DataFrame => DataFrame): DataFrame =
+      body(df).withColumn(idCol, col(idCol) + lit(k * 10000000L))
+
+    val docsOut = (0 until copies).map { k =>
+      copyOf(docs, k, "doc_id") { d =>
+        if (k == 0) d
+        else d.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(lit(s"c${k}_"), w)), " "))
+      }
+    }.reduce(_ unionByName _)
+
+    val embOut = (0 until copies).map { k =>
+      copyOf(emb, k, "vec_id") { e =>
+        if (k == 0) e
+        else e.withColumn("embedding",
+          zip_with(col("embedding"),
+            sequence(lit(0), size(col("embedding")) - 1),
+            (x, i) => when(pmod(xxhash64(i, lit(k)), lit(2)) === 0, -x).otherwise(x)))
+      }
+    }.reduce(_ unionByName _)
+
+    docsOut.repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    embOut.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    println(s"SCALEGEN wrote ${copies}x corpus to $out: " +
+      s"docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
+      s"embs=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+  }
+}

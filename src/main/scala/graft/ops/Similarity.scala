@@ -191,10 +191,26 @@ object Similarity {
     * step is a join or window over distributed relations; the
     * centroid table (nCells rows) is the only broadcast.
     */
+  /** Coarse-quantizer sizing for the full-corpus path: ~√n cells,
+    * clamped to [16, 4096]. With FIXED cells the per-cell population
+    * grows linearly and candidate generation degenerates to
+    * O(n²/nCells) — measured as a 27× blowup on a 10× corpus — while
+    * √n cells keep it at O(n^1.5·nProbe). Fixed nProbe stays sound
+    * for NEAR-DUP detection as cells grow because true near-dups
+    * quantize into the same or adjacent cells; recall on mid-range
+    * similarities (far below the dup threshold) trades off, which is
+    * the standard IVF contract.
+    */
+  private[graft] def autoCells(n: Long): Int =
+    math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
+
   def embeddingNearDupAnn(embeddings: DataFrame, minCosine: Double = 0.4,
-      nCells: Int = 16, nProbe: Int = 2, trainMod: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 2, trainMod: Int = 4): DataFrame = {
+    // nCells = 0 → size from the corpus row count (a parquet
+    // metadata-only count); explicit values pin the oracle paths
+    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
     val e = withNorm(embeddings).withColumn("fv", array_to_vector(col("v")))
-    val model = quantizerFor(e, nCells, trainMod)
+    val model = quantizerFor(e, cells, trainMod)
     // candidates stay (id, id) pairs — the vectors join back AFTER
     // dedup, so the distinct shuffles narrow rows and the cosine sees
     // plain array columns instead of conditional array expressions

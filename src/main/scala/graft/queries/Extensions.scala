@@ -71,11 +71,14 @@ object Extensions {
     "x_knn_ivf_recall" -> ((s, d) =>
       Similarity.knnIvf(t(s, d, "embeddings"), nProbe = 12)),
 
-    // same contract for the full-corpus ANN dedup path: nProbe=12 is
-    // exhaustive-by-measurement on these corpora, so the (bounded
-    // region of the) ANN output equals the exact baseline bit-for-bit
+    // same contract for the full-corpus ANN dedup path: at the PINNED
+    // quantizer size, nProbe=12/16 is exhaustive-by-measurement on
+    // these corpora, so the (bounded region of the) ANN output equals
+    // the exact baseline bit-for-bit (nCells is explicit because the
+    // production default sizes cells ~√n, which would shift recall)
     "x_dedup_embedding_ann_recall" -> ((s, d) =>
-      Similarity.embeddingNearDupAnn(t(s, d, "embeddings"), nProbe = 12)
+      Similarity.embeddingNearDupAnn(t(s, d, "embeddings"),
+          nCells = 16, nProbe = 12)
         .filter(col("vec_a") < 500)),
 
     // ---- text analysis ------------------------------------------------------

@@ -34,13 +34,24 @@ class ExtensionsSpec extends AnyFunSuite {
     val exact = Dedup.embeddingCosinePairs(emb)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.embeddingNearDupAnn(emb)
+    // nCells pinned: the adaptive √n default is sized for large
+    // corpora; this spec tests the cell-blocking machinery itself
+    val ann = Similarity.embeddingNearDupAnn(emb, nCells = 16)
       .select("vec_a", "vec_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // candidates pay the exact cosine, so every emitted pair is real
     assert(ann.subsetOf(exact), s"false pairs: ${ann -- exact}")
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.3, s"embedding ANN recall $recall collapsed")
+  }
+
+  test("ANN quantizer sizing: ~sqrt(n) cells, clamped") {
+    assert(Similarity.autoCells(100) == 16) // clamp floor
+    assert(Similarity.autoCells(20000) == 141) // sqrt scaling
+    assert(Similarity.autoCells(100000000L) == 4096) // clamp ceiling
+    // the 10x-corpus blowup this prevents: fixed 16 cells at n=20k
+    // put ~1250 vectors per cell; sqrt sizing holds per-cell
+    // population to ~sqrt(n), keeping candidates O(n^1.5)
   }
 
   test("IVF ANN recall vs brute-force top-5 beats cell fraction") {
