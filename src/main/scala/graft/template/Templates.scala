@@ -10,9 +10,14 @@ import scala.util.matching.Regex
   * functions exist (/root/reference/src/config/templating.rs:31-55):
   * `{{ sink(name="X") }}` records the sink and renders to "", and
   * `{{ use_source("Y") }}` records the source and renders to the source
-  * name. Captures reset per render. We implement the same two functions
-  * with a regex pass — the full Jinja surface is not part of the
-  * reference's observable behavior.
+  * name. Captures reset per render. Beyond the two functions — the only
+  * surface the reference's own tests exercise — a minimal expression
+  * subset of the embedded engine is supported ([[MiniJinja]]):
+  * `{{ var }}` substitution, `{% if %}`/`{% else %}`/`{% endif %}`
+  * truthiness branches, and `{% for x in xs %}` loops. Any OTHER
+  * template construct raises instead of silently passing through as
+  * SQL text (the reference would have rendered it; emitting it raw
+  * would corrupt the query).
   */
 object Templates {
 
@@ -24,18 +29,27 @@ object Templates {
   private val useSourceRe: Regex =
     """\{\{\s*use_source\s*\(\s*"([^"]*)"\s*\)\s*\}\}""".r
 
-  /** Render one module: capture sink/source, substitute the template
-    * calls (sink → empty string, use_source → the source name).
+  /** Render one module: expand the expression subset with `vars`,
+    * capture sink/source, substitute the template calls (sink → empty
+    * string, use_source → the source name), and reject any template
+    * syntax still unrendered at the end.
     */
-  def render(name: String, template: String): Rendered = {
+  def render(name: String, template: String,
+      vars: Map[String, Any] = Map.empty): Rendered = {
+    val expanded = MiniJinja.render(template, vars)
     var sink: Option[String] = None
     var source: Option[String] = None
-    val afterSink = sinkRe.replaceAllIn(template, m => {
+    val afterSink = sinkRe.replaceAllIn(expanded, m => {
       sink = Some(m.group(1)); ""
     })
     val sql = useSourceRe.replaceAllIn(afterSink, m => {
       source = Some(m.group(1)); Regex.quoteReplacement(m.group(1))
     })
+    if (sql.contains("{{") || sql.contains("{%"))
+      throw new IllegalArgumentException(
+        s"module '$name' contains unsupported template syntax after rendering: " +
+          sql.linesIterator.find(l => l.contains("{{") || l.contains("{%"))
+            .getOrElse("").trim)
     Rendered(name, sql.trim.stripSuffix(";"), sink, source)
   }
 

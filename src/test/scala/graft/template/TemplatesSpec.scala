@@ -34,6 +34,53 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.listSqlModules(dir) == Seq("A.SQL", "b.sql", "sub/c.sql"))
   }
 
+  test("variable substitution: defined renders, undefined is lenient-empty") {
+    val r = Templates.render("v.sql",
+      "select * from {{ tbl }} where region = '{{ region }}'{{ missing }}",
+      Map("tbl" -> "users", "region" -> "eu"))
+    assert(r.sql == "select * from users where region = 'eu'")
+  }
+
+  test("if/else renders the truthy branch; not negates") {
+    def render(vars: Map[String, Any]) = Templates.render("c.sql",
+      "select a{% if extended %}, b{% else %}, c{% endif %} from t" +
+        "{% if not extended %} limit 10{% endif %}", vars).sql
+    assert(render(Map("extended" -> true)) == "select a, b from t")
+    assert(render(Map("extended" -> false)) == "select a, c from t limit 10")
+    assert(render(Map.empty) == "select a, c from t limit 10") // undefined = falsy
+  }
+
+  test("for loop iterates a bound sequence") {
+    val r = Templates.render("f.sql",
+      "select id{% for c in cols %}, {{ c }}{% endfor %} from t",
+      Map("cols" -> Seq("name", "age")))
+    assert(r.sql == "select id, name, age from t")
+  }
+
+  test("captures still work inside rendered branches") {
+    val r = Templates.render("m.sql",
+      """{% if prod %}{{ sink(name="pg") }}{% endif %}
+        |select * from {{ use_source("src") }}""".stripMargin,
+      Map("prod" -> true))
+    assert(r.sink.contains("pg"))
+    assert(r.sql == "select * from src")
+  }
+
+  test("unsupported template syntax raises instead of passing through") {
+    // a filter expression the subset can't render must not survive as SQL
+    assert(intercept[IllegalArgumentException](
+      Templates.render("bad.sql", "select {{ x | upper }} from t")
+    ).getMessage.contains("unsupported template expression"))
+    assert(intercept[IllegalArgumentException](
+      Templates.render("bad2.sql", "{% macro foo() %}x{% endmacro %}")
+    ).getMessage.contains("unsupported template tag"))
+    // an unknown function-call expression passes the subset untouched
+    // but must fail the post-render completeness check
+    assert(intercept[IllegalArgumentException](
+      Templates.render("bad3.sql", "select {{ mystery(1) }}")
+    ).getMessage.contains("unsupported template syntax"))
+  }
+
   test("identifier rewrite replaces only identifier tokens") {
     val sql = "SELECT name, 'posts are great' AS c FROM posts WHERE posts.id > 1"
     val out = Templates.rewriteIdentifier(sql, "posts", "posts_abc123")
