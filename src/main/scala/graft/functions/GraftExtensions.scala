@@ -22,5 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    extensions.injectFunction((
+      new FunctionIdentifier("dist2_d"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "dist2_d"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SquaredDistance(exprs.head, exprs(1))))
   }
 }

@@ -132,8 +132,11 @@ object Similarity {
       model.clusterCenters.toSeq.zipWithIndex
         .map { case (c, ix) => (ix, c.toArray.toSeq) }
         .toDF("cell", "cvec"))
-    val d2 = aggregate(zip_with(col("v"), col("cvec"),
-      (a, b) => (a - b) * (a - b)), lit(0.0d), (acc, x) => acc + x)
+    // codegen'd squared distance — bit-identical fold to the HOF form,
+    // so centroid rankings (and the recall-oracle contracts built on
+    // them) are unchanged while the per-(vector, centroid) inner loop
+    // fuses into the surrounding codegen stage
+    val d2 = call_function("dist2_d", col("v"), col("cvec"))
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cell"))
     vecs.select(col("vec_id"), col("v"))

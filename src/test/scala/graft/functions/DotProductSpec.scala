@@ -42,6 +42,24 @@ class DotProductSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(None, None, None, Some(4.0)))
   }
 
+  test("dist2_d == (a-b)^2 zip_with/aggregate fold, bit-for-bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val data = Seq.fill(200)((
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val hof = aggregate(
+      zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, v) => acc + v)
+    val rows = data.toDF("a", "b")
+      .select(expr("dist2_d(a, b)").as("d"), hof.as("h")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0))
+        == java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+  }
+
   test("dot_d stays inside WholeStageCodegen in a scoring plan") {
     // a real parquet scan — a local relation would constant-fold the
     // whole projection away before any codegen question arises
