@@ -35,13 +35,16 @@ object Similarity {
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / na / nb
 
-  /** Project to (vec_id, v: array<double>, norm). Spread first: the
-    * downstream pairwise scoring multiplies work per row, so a
+  /** Project to (vec_id, v, norm). `v` keeps the source's FLOAT
+    * elements: dot_d/dist2_d widen per element (exact), so all math
+    * is bit-identical to casting the array to double up front — but
+    * every pair-join shuffle moves 4-byte elements instead of 8,
+    * halving the payload of the heaviest ANN stages. Spread first:
+    * the downstream pairwise scoring multiplies work per row, so a
     * single-row-group scan must not pin it all on one task.
     */
   private[ops] def withNorm(embeddings: DataFrame): DataFrame =
-    Spread(embeddings).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+    Spread(embeddings).select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
 
   /** Exact top-k neighbors for each query vector (vec_id < nQueries):
@@ -149,7 +152,8 @@ object Similarity {
 
   def knnIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
       nCells: Int = 16, nProbe: Int = 4, trainMod: Int = 4): DataFrame = {
-    val e = withNorm(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val e = withNorm(embeddings).withColumn("fv",
+      array_to_vector(transform(col("v"), x => x.cast("double"))))
     val model = quantizerFor(e, nCells, trainMod)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
@@ -212,7 +216,8 @@ object Similarity {
     // nCells = 0 → size from the corpus row count (a parquet
     // metadata-only count); explicit values pin the oracle paths
     val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
-    val e = withNorm(embeddings).withColumn("fv", array_to_vector(col("v")))
+    val e = withNorm(embeddings).withColumn("fv",
+      array_to_vector(transform(col("v"), x => x.cast("double"))))
     val model = quantizerFor(e, cells, trainMod)
     // candidates stay (id, id) pairs — the vectors join back AFTER
     // dedup, so the distinct shuffles narrow rows and the cosine sees
