@@ -258,7 +258,11 @@ object Similarity {
   private[graft] def lshPlanes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
     (0 until nPlanes).map { p =>
       (0 until dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((p, d, 42))
+        // the explicit-seed overload returns the exact value the
+        // deprecated 1-arg productHash did — the plane values (and the
+        // SQL oracle literals generated from them) must never shift
+        val h = scala.util.hashing.MurmurHash3.productHash(
+          (p, d, 42), scala.util.hashing.MurmurHash3.productSeed)
         (h.toDouble / Int.MaxValue)
       }
     }

@@ -25,7 +25,7 @@ object Skew {
     // deterministic salt from the full row, not rand() — keeps the
     // operator replayable (task retries see the same assignment)
     val salted = skewed.withColumn("__salt",
-      pmod(hash(struct(skewed.columns.map(col): _*)), lit(salts)))
+      pmod(hash(struct(skewed.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val exploded = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     salted.join(exploded, Seq(key, "__salt"), "inner").drop("__salt")

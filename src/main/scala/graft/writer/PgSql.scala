@@ -80,7 +80,7 @@ object PgSql {
   }
 
   def schemaOfSpark(schema: StructType): ListMap[String, PgType] =
-    ListMap(schema.fields.map(f => f.name -> ofSpark(f.dataType)): _*)
+    ListMap(schema.fields.toIndexedSeq.map(f => f.name -> ofSpark(f.dataType)): _*)
 
   /** Quote an identifier, doubling embedded quotes (postgres.rs:241-253). */
   def quoteIdent(name: String): String = "\"" + name.replace("\"", "\"\"") + "\""
