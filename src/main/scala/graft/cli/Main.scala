@@ -34,7 +34,8 @@ object Main {
       truncateFirst: Boolean = false,
       logJson: Boolean = false,
       logLevel: Option[String] = None,
-      pageSize: Long = 100)
+      pageSize: Long = 100,
+      templateVars: Map[String, Any] = Map.empty)
 
   private def parseArgs(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
@@ -50,6 +51,18 @@ object Main {
       case "--log-json" :: t => loop(a.copy(logJson = true), t)
       case "--log-level" :: v :: t => loop(a.copy(logLevel = Some(v)), t)
       case "--page-size" :: v :: t => loop(a.copy(pageSize = v.toLong), t)
+      // template context for the module expression subset: repeated
+      // --var k=v flags become {{ k }} / {% if k %} bindings ("true"/
+      // "false" parse to booleans so truthiness branches work)
+      case "--var" :: v :: t =>
+        val (k, raw) = v.span(_ != '=')
+        require(raw.startsWith("="), s"--var expects key=value, got '$v'")
+        val value: Any = raw.drop(1) match {
+          case "true" => true
+          case "false" => false
+          case other => other
+        }
+        loop(a.copy(templateVars = a.templateVars + (k -> value)), t)
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown argument '$other'")
     }
@@ -90,7 +103,7 @@ object Main {
       val mt0 = System.nanoTime()
       try {
         val text = Files.readString(Paths.get(s"${args.modulesDir}/$module"))
-        val rendered = Templates.render(module, text)
+        val rendered = Templates.render(module, text, args.templateVars)
         val sourceName = rendered.source.getOrElse(
           throw new IllegalArgumentException(
             s"module $module declares no {{ use_source(...) }}"))

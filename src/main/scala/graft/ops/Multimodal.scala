@@ -103,4 +103,53 @@ object Multimodal {
     df.withColumn("sampled_frames",
       filter(sequence(lit(0), greatest(col("media.n_frames") - 1, lit(0))),
         i => i % every === 0))
+
+  /** Downscale image payloads to fit a bounding box, preserving aspect
+    * ratio — the thumbnail/normalize step of a multimodal training
+    * pipeline, real via the JDK's imageio (decode → AffineTransform
+    * scale → re-encode PNG). Adds `resized: binary`; payloads that are
+    * already inside the box pass through unchanged, payloads no image
+    * reader recognizes map to null (total, non-failing on mixed
+    * corpora). Runs as one mapPartitions pass so codec setup amortizes
+    * per batch, like [[withMediaMeta]].
+    */
+  def resizeImages(df: DataFrame, payloadCol: String,
+      maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    require(maxW > 0 && maxH > 0, "bounding box must be positive")
+    val schema = StructType(df.schema.fields :+ StructField("resized", BinaryType))
+    val payloadIx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIx)
+        val resized: Array[Byte] =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null
+            else if (img.getWidth <= maxW && img.getHeight <= maxH) bytes
+            else {
+              val scale = math.min(
+                maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight)
+              val (w, h) = (
+                math.max(1, math.round(img.getWidth * scale).toInt),
+                math.max(1, math.round(img.getHeight * scale).toInt))
+              val out = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = out.createGraphics()
+              try {
+                g.setRenderingHint(
+                  java.awt.RenderingHints.KEY_INTERPOLATION,
+                  java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                g.drawImage(img, 0, 0, w, h, null)
+              } finally g.dispose()
+              val buf = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", buf)
+              buf.toByteArray
+            }
+          } catch { case _: java.io.IOException => null }
+        Row.fromSeq(r.toSeq :+ resized)
+      }
+    }(enc)
+  }
 }

@@ -108,6 +108,52 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == Seq((2L, 6L), (3L, 9L), (6L, 6L), (7L, 9L)))
   }
 
+  test("--var bindings drive {% if %} branches in a module end-to-end") {
+    val spark = graft.SparkTestSession.spark
+    val dir = Files.createTempDirectory("pipeline-vars")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    Files.writeString(modules.resolve("posts.sql"),
+      """{{ sink(name="sink1") }}
+        |SELECT id{% if wide %}, userId AS user_id, title{% endif %}
+        |FROM {{ use_source("json_placeholder_posts") }}
+        |WHERE userId > {{ min_user }}""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: json_placeholder_posts
+         |    url: $base/posts
+         |    table_destination_name: posts
+         |    data_path: /data
+         |    pagination:
+         |      kind: limit_offset
+         |      limit_param: limit
+         |      offset_param: start
+         |    retry:
+         |      max_attempts: 2
+         |      max_delay_secs: 1
+         |      min_delay_secs: 0
+         |targets:
+         |  - name: sink1
+         |    type: postgres
+         |    host: localhost
+         |    database: unused
+         |    auth:
+         |      username: u
+         |      password: p
+         |""".stripMargin)
+
+    val args = Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse),
+      templateVars = Map("wide" -> false, "min_user" -> "5"))
+    assert(Main.run(args, spark) == 0)
+    val out = spark.read.parquet(s"$warehouse/posts")
+    // the falsy branch dropped the wide columns; the var filled the filter
+    assert(out.schema.fieldNames.toSeq == Seq("id"))
+    assert(out.count() == 4)
+  }
+
   test("page_number with YAML total_items_pointer fans out without an empty-page probe") {
     val spark = graft.SparkTestSession.spark
     val dir = Files.createTempDirectory("pipeline-paged")

@@ -165,6 +165,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(3L) == ("stub", 19 % 640, (19 / 2) % 480, 'n'.toInt & 0x0f))
   }
 
+  test("resizeImages downscales into the box; small and non-image payloads handled") {
+    import spark.implicits._
+    def imageBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, imageBytes(320, 200)), // above the box → scaled
+      (2L, imageBytes(40, 30)), // inside the box → untouched
+      (3L, "plain text".getBytes("UTF-8"))) // not an image → null
+      .toDF("id", "payload").repartition(2)
+    val resized = Multimodal.resizeImages(df, "payload", maxW = 100, maxH = 100)
+    val decoded = Multimodal.withMediaMeta(
+        resized.filter(col("resized").isNotNull)
+          .select(col("id"), col("resized").as("payload")),
+        "payload", Multimodal.ImageIoDecoder)
+      .select(col("id"), col("media.width"), col("media.height"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(decoded(1L) == (100, 63)) // 200 * (100/320) = 62.5 → round 63
+    assert(decoded(2L) == (40, 30))
+    val nulls = resized.filter(col("resized").isNull).select("id").collect()
+    assert(nulls.map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   test("streaming tumbling agg equals the batch form (watermark + AvailableNow)") {
     val events = graft.engine.Tables.table(spark, sf, "events")
     val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
