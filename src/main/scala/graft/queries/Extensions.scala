@@ -44,6 +44,26 @@ object Extensions {
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
 
+    // composed corpus-cleaning pipeline — the operators working
+    // together the way a training-data pipeline uses them: repetition
+    // quality gates (integer arithmetic — no float boundary), then
+    // near-dup clusters keep only their canonical survivor. Fully
+    // SQL-expressible, so the whole composition carries one oracle.
+    "x_pipeline_corpus_clean" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rep = TextOps.repetitionColumns(col("text")).toMap
+      val gated = docs.select(col("doc_id"),
+          rep("n_words").as("n_words"),
+          rep("n_distinct_words").as("n_distinct_words"))
+        .filter(col("n_words") >= 10 &&
+          col("n_distinct_words") * 2 >= col("n_words"))
+      val dupDropped = Dedup.dupClusters(docs)
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id"))
+      gated.join(dupDropped, Seq("doc_id"), "left_anti")
+        .orderBy(col("doc_id"))
+    }),
+
     "x_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(t(s, d, "embeddings"))),
 
@@ -297,6 +317,38 @@ object Extensions {
         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the composed pipeline reuses the recursive-closure cluster logic
+    // plus the integer repetition gates — one oracle for the whole flow
+    "x_pipeline_corpus_clean" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
+        |  WHERE len(list_intersect(a.g, b.g)) * 2
+        |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |dropped AS (
+        |  SELECT a AS doc_id FROM reach GROUP BY a
+        |  HAVING LEAST(a, MIN(b)) <> a),
+        |rep AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_words
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_distinct_words FROM rep
+        |WHERE n_words >= 10 AND n_distinct_words * 2 >= n_words
+        |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin,
 
     "x_dedup_embedding" -> embeddingPairsSql,
 
