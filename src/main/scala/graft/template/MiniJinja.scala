@@ -31,7 +31,7 @@ object MiniJinja {
   private val forRe = """for\s+([A-Za-z_][A-Za-z0-9_]*)\s+in\s+([A-Za-z_][A-Za-z0-9_]*)""".r
 
   def render(template: String, vars: Map[String, Any]): String = {
-    val (nodes, rest) = parse(tokenize(template), inBlock = false)
+    val (nodes, rest) = parse(tokenize(template), opener = None)
     require(rest.isEmpty, "unbalanced template blocks")
     val sb = new StringBuilder
     eval(nodes, vars, sb)
@@ -53,9 +53,13 @@ object MiniJinja {
 
   /** Recursive-descent over the token list; returns (body, remaining)
     * where remaining starts at the `else`/`endif`/`endfor` token that
-    * closed the block (consumed by the caller).
+    * closed the block (consumed by the caller). `opener` is the block
+    * tag being parsed, for unclosed-block error messages (None at the
+    * top level).
     */
-  private def parse(tokens: List[String], inBlock: Boolean): (List[Node], List[String]) = {
+  private def parse(tokens: List[String],
+      opener: Option[String]): (List[Node], List[String]) = {
+    val inBlock = opener.isDefined
     val body = List.newBuilder[Node]
     var rest = tokens
     while (rest.nonEmpty) {
@@ -64,10 +68,10 @@ object MiniJinja {
         val tag = tok.stripPrefix("{%").stripSuffix("%}").trim
         tag match {
           case ifRe(neg, ident) =>
-            val (thenBody, afterThen) = parse(rest.tail, inBlock = true)
+            val (thenBody, afterThen) = parse(rest.tail, opener = Some(tok))
             afterThen match {
               case h :: t if blockTag(h) == "else" =>
-                val (elseBody, afterElse) = parse(t, inBlock = true)
+                val (elseBody, afterElse) = parse(t, opener = Some(tok))
                 afterElse match {
                   case h2 :: t2 if blockTag(h2) == "endif" =>
                     body += Branch(ident, neg != null, thenBody, elseBody)
@@ -80,7 +84,7 @@ object MiniJinja {
               case _ => fail(tok, "missing {% endif %}")
             }
           case forRe(bind, seqIdent) =>
-            val (loopBody, afterLoop) = parse(rest.tail, inBlock = true)
+            val (loopBody, afterLoop) = parse(rest.tail, opener = Some(tok))
             afterLoop match {
               case h :: t if blockTag(h) == "endfor" =>
                 body += Loop(bind, seqIdent, loopBody)
@@ -99,7 +103,7 @@ object MiniJinja {
         rest = rest.tail
       }
     }
-    if (inBlock) throw new IllegalArgumentException("unclosed template block")
+    opener.foreach(o => fail(o, "unclosed template block"))
     (body.result(), Nil)
   }
 

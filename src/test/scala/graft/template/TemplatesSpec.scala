@@ -66,6 +66,24 @@ class TemplatesSpec extends AnyFunSuite {
     assert(r.sql == "select * from src")
   }
 
+  test("blocks nest: if inside for, for inside if") {
+    val r = Templates.render("n.sql",
+      "select 1{% for c in cols %}{% if keep %}, {{ c }}{% endif %}{% endfor %}" +
+        "{% if keep %}{% for c in cols %} /*{{ c }}*/{% endfor %}{% endif %}",
+      Map("cols" -> Seq("a", "b"), "keep" -> true))
+    assert(r.sql == "select 1, a, b /*a*/ /*b*/")
+  }
+
+  test("unbalanced blocks raise named errors") {
+    val unclosed = intercept[IllegalArgumentException](
+      Templates.render("u1.sql", "{% if x %}never closed"))
+    assert(unclosed.getMessage.contains("unclosed template block")
+      && unclosed.getMessage.contains("if x"))
+    assert(intercept[IllegalArgumentException](
+      Templates.render("u2.sql", "stray {% endfor %}")
+    ).getMessage.contains("unsupported template tag"))
+  }
+
   test("unsupported template syntax raises instead of passing through") {
     // a filter expression the subset can't render must not survive as SQL
     assert(intercept[IllegalArgumentException](
