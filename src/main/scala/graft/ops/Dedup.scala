@@ -380,6 +380,28 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * `minShared` distinct n-gram shingles with any benchmark document
+    * — the pre-training curation step that keeps eval data out of the
+    * training set. Same inverted-index shape as the Jaccard paths
+    * (shingle equi-join, count per pair — contamination never pays an
+    * all-pairs scan), and the benchmark side is typically tiny, so at
+    * 100 TB its exploded shingles broadcast while the corpus streams.
+    * The integer threshold keeps the cut bit-exact across engines.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minShared: Int = 5): DataFrame = {
+    val c = shingled(corpus)
+      .select(col("doc_id"), explode(col("g")).as("shingle"))
+    val b = shingled(benchmark)
+      .select(col("doc_id").as("benchmark_id"), explode(col("g")).as("shingle"))
+    c.join(broadcast(b), Seq("shingle"))
+      .groupBy(col("doc_id"), col("benchmark_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("doc_id"), col("benchmark_id"))
+  }
+
   /** Embedding-cosine near-dup pairs over `embeddings` (float arrays
     * cast to double; sequential fold keeps the dot product
     * bit-deterministic). Left side bounded like the text paths.

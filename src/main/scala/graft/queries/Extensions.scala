@@ -44,6 +44,17 @@ object Extensions {
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
 
+    // benchmark decontamination: corpus docs sharing ≥5 distinct
+    // trigrams with the (tiny, broadcast) benchmark slice — the
+    // keep-eval-out-of-training curation step, as an inverted-index
+    // join, never an all-pairs scan
+    "x_decontaminate" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50))
+    }),
+
     // composed corpus-cleaning pipeline — the operators working
     // together the way a training-data pipeline uses them: repetition
     // quality gates (integer arithmetic — no float boundary), then
@@ -317,6 +328,19 @@ object Extensions {
         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "x_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS g
+        |  FROM documents)
+        |SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
+        |  len(list_intersect(c.g, b.g)) AS n_shared
+        |FROM d c JOIN d b ON c.doc_id >= 50 AND b.doc_id < 50
+        |WHERE len(list_intersect(c.g, b.g)) >= 5
+        |ORDER BY doc_id, benchmark_id""".stripMargin,
 
     // the composed pipeline reuses the recursive-closure cluster logic
     // plus the integer repetition gates — one oracle for the whole flow
