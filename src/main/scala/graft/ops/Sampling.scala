@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable splitting and sampling for training
+  * corpora. A training pipeline must assign every document to
+  * train/val/test (or keep an N% sample) such that the assignment is
+  * (a) stable under task retries and re-runs, (b) independent of
+  * partitioning and row order, and (c) reproducible by OTHER engines
+  * auditing the corpus. `rand()` fails all three; a hash of the stable
+  * id fails only (c) when the hash is engine-specific (Spark's
+  * xxhash64 exists nowhere else). These ops bucket rows by the first
+  * 16 bits of md5(id) — md5 is bit-identical in every engine, so the
+  * DuckDB oracle recomputes assignments exactly.
+  */
+object Sampling {
+
+  /** Bucket 0..9999 from the leading 16 bits of md5 of the id's
+    * decimal string — uniform enough for split ratios, and exactly
+    * reproducible anywhere md5 exists.
+    */
+  private[ops] def bucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
+      .cast("int") % 10000
+
+  /** Assign each row a split label by cumulative weight over the
+    * md5 bucket: weights like Seq("train" -> 0.8, "val" -> 0.1,
+    * "test" -> 0.1) — must sum to 1. Adds (bucket, split).
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val b = bucket(col(idCol))
+    val label = weights.map(_._1).zip(cuts)
+      .foldRight(lit(weights.last._1)) { case ((name, cut), els) =>
+        when(b < math.round(cut * 10000).toInt, name).otherwise(els)
+      }
+    df.withColumn("bucket", b).withColumn("split", label)
+  }
+
+  /** Keep a deterministic `fraction` of rows by the same md5 bucket —
+    * the reproducible alternative to `df.sample()` for corpus
+    * down-sampling (same rows survive on every engine and every
+    * re-run).
+    */
+  def deterministicSample(df: DataFrame, idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0, 1]")
+    df.filter(bucket(col(idCol)) < math.round(fraction * 10000).toInt)
+  }
+}

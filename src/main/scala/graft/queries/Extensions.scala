@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -43,6 +43,15 @@ object Extensions {
 
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
+
+    // deterministic 80/10/10 split by md5 bucket — stable under
+    // retries/partitioning AND recomputable by any engine with md5,
+    // which is what makes the assignment auditable (and oracled)
+    "x_split_assign" -> ((s, d) =>
+      Sampling.assignSplits(
+          t(s, d, "documents").select(col("doc_id")),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy(col("doc_id"))),
 
     // benchmark decontamination: corpus docs sharing ≥5 distinct
     // trigrams with the (tiny, broadcast) benchmark slice — the
@@ -328,6 +337,20 @@ object Extensions {
         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // md5 is bit-identical across engines, so the split assignment is
+    // fully auditable: DuckDB recomputes bucket and label exactly
+    "x_split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+        |         % 10000 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "x_decontaminate" ->
       """WITH d AS (
