@@ -197,10 +197,36 @@ object Dedup {
     * shares its oracle; false bucket collisions only cost verification
     * work.
     */
+  /** Verified MinHash pair sets memoized like the shingle relation:
+    * a dedup pipeline consumes the SAME pair set several times (the
+    * pair listing itself, clustering, the composed corpus-clean flow),
+    * and the result is an eagerly-checkpointed handful of rows — so a
+    * repeat call returns the pinned result instead of re-running the
+    * signature+verify pass. Same staleness key as the other memos
+    * (plan hash + scanned-file fingerprint); bounded, evict-all with
+    * checkpoint cleanup on overflow.
+    */
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, Int, Long, Int, Int), DataFrame]
+
+  private val maxPairCaches = 8
+
+  /** Unpersist and drop all memoized pair sets. */
+  def clearPairCache(): Unit = {
+    pairCache.values.foreach(dropCheckpoint)
+    pairCache.clear()
+  }
+
   def minhashLsh(docs: DataFrame, leftMax: Long = 200,
-      bands: Int = 32, rowsPerBand: Int = 2): DataFrame =
-    withShingles(docs)(sh =>
-      verifyPairs(minhashCandidates(sh, leftMax, bands, rowsPerBand), sh))
+      bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
+    if (pairCache.size >= maxPairCaches) clearPairCache()
+    pairCache.getOrElseUpdate(
+      (docs.queryExecution.analyzed.semanticHash(),
+        java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]]),
+        leftMax, bands, rowsPerBand),
+      withShingles(docs)(sh =>
+        verifyPairs(minhashCandidates(sh, leftMax, bands, rowsPerBand), sh)))
+  }
 
   /** The MinHash banding candidate stage, pre-checkpoint — exposed for
     * plan-shape specs (the bucket self-join must be a hash equi-join).
