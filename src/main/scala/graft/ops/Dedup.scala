@@ -83,14 +83,20 @@ object Dedup {
     * result, not the dedup pipeline; use the spec assertions / this
     * scaladoc for the plan shape).
     */
-  private def withShingles(docs: DataFrame)(build: DataFrame => DataFrame): DataFrame = {
+  /** The memoized, persisted shingle relation for a corpus — the
+    * shared substrate of every shingle consumer (sketches, prefix
+    * join, decontamination).
+    */
+  private def cachedShingles(docs: DataFrame): DataFrame = {
     if (shingleCache.size >= maxShingleCaches) clearShingleCache()
-    val sh = shingleCache.getOrElseUpdate(
+    shingleCache.getOrElseUpdate(
       (docs.queryExecution.analyzed.semanticHash(),
         java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]])),
       shingled(docs).persist())
-    build(sh).localCheckpoint(true)
   }
+
+  private def withShingles(docs: DataFrame)(build: DataFrame => DataFrame): DataFrame =
+    build(cachedShingles(docs)).localCheckpoint(true)
 
   /** Exact-Jaccard verification of a (small) candidate pair set: join
     * the candidates with per-doc shingle arrays and intersect per pair.
@@ -417,9 +423,9 @@ object Dedup {
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       minShared: Int = 5): DataFrame = {
-    val c = shingled(corpus)
+    val c = cachedShingles(corpus)
       .select(col("doc_id"), explode(col("g")).as("shingle"))
-    val b = shingled(benchmark)
+    val b = cachedShingles(benchmark)
       .select(col("doc_id").as("benchmark_id"), explode(col("g")).as("shingle"))
     c.join(broadcast(b), Seq("shingle"))
       .groupBy(col("doc_id"), col("benchmark_id"))
