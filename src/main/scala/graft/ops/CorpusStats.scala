@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistics that feed training-data curation: a
+  * unigram frequency model trained on the corpus and applied back to
+  * every document, and global n-gram heavy hitters.
+  *
+  * Both are two-phase "train on the corpus, score the corpus"
+  * pipelines: an aggregation builds the model, a second pass applies
+  * it — the distributed shape (partial-agg model build, broadcast or
+  * shuffle join apply) that a 100 TB corpus needs, with no driver
+  * materialization anywhere.
+  */
+object CorpusStats {
+
+  /** Per-document rarity profile against the corpus's own unigram
+    * frequency table: token count, summed corpus frequency of the
+    * doc's tokens, the rarest token's frequency, and the hapax count
+    * (tokens occurring exactly once corpus-wide — mutated/misspelled
+    * vocabulary surfaces here). All integers, so the oracle compare
+    * has no float boundary.
+    *
+    * The frequency table is broadcast: vocabulary grows ~log with the
+    * corpus (Heaps' law), so even a 100 TB corpus's vocab fits the
+    * broadcast budget long after the token relation stops fitting
+    * anywhere; if it ever didn't, dropping the hint falls back to a
+    * shuffle join on the token key.
+    */
+  def unigramRarity(docs: DataFrame): DataFrame = {
+    val tokens = Spread(docs)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    tokens.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("sum_freq"),
+        min(col("freq")).as("min_freq"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Global top-k trigram shingles by document frequency (ties broken
+    * by the shingle itself, so top-k is total-ordered). The plan is
+    * partial-agg counts then `TakeOrderedAndProject` — the global
+    * sort never materializes, only k rows travel to the final stage.
+    */
+  def topTrigrams(docs: DataFrame, k: Int = 20): DataFrame =
+    Spread(docs)
+      .select(explode(TextOps.ngrams(col("text"), 3)).as("shingle"))
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+}

@@ -102,4 +102,56 @@ object TextOps {
   def fingerprintMd5(text: Column): Column = md5(text)
   def fingerprintNormalized(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII patterns (emails, phone numbers, IPv4 addresses) — kept to
+    * the syntax subset Java regex and RE2 interpret identically, so
+    * the DuckDB oracle applies the very same patterns. Redaction
+    * order is fixed (email → phone → ip): a pattern never matches
+    * inside an earlier placeholder, so the composition is
+    * deterministic.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Per-pattern match counts plus the fully-redacted text. Pure
+    * regexp column expressions: codegen'd, linear, no shuffle — the
+    * shape that streams through 100 TB untouched.
+    */
+  def piiColumns(text: Column): Seq[(String, Column)] = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      s"n_$name" -> size(regexp_extract_all(text, lit(pat), lit(0)))
+    }
+    val redacted = PiiPatterns.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+    counts :+ ("redacted" -> redacted)
+  }
+
+  /** Gopher-style quality gates, each spelled in integer arithmetic
+    * (cross-multiplied instead of ratio-vs-float-threshold) so the
+    * cut is bit-exact across engines:
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10] chars
+    *     (3·n_words ≤ n_alpha_chars ≤ 10·n_words)
+    *   - symbol-to-word ratio < 10 %  (10·n_punct < n_words)
+    *   - at least 2 distinct stopwords present
+    * plus the composite `keep`. Linear column expressions only.
+    */
+  def gopherGateColumns(text: Column, minWords: Int = 10,
+      maxWords: Int = 100000): Seq[(String, Column)] = {
+    val w = words(text)
+    val nWords = size(w)
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z0-9]", ""))
+    val nPunct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0)))
+    val nStop = size(array_intersect(array_distinct(w),
+      array(Stopwords.map(lit): _*)))
+    val gates = Seq(
+      "r_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "r_mean_word_len" -> (nAlpha >= nWords * 3 && nAlpha <= nWords * 10),
+      "r_symbol_ratio" -> (nPunct * 10 < nWords),
+      "r_stopwords" -> (nStop >= 2))
+    gates :+ ("keep" -> gates.map(_._2).reduce(_ && _))
+  }
 }

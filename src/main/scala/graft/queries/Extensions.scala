@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{CorpusStats, Dedup, Multimodal, Sampling, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -159,6 +159,44 @@ object Extensions {
         .select(col("doc_id"), expr("rolling_hash(text)").as("fp"))
         .orderBy(col("doc_id"))
     }),
+
+    // PII scrubbing: the fixture text carries no PII, so the query
+    // first derives a deterministic PII-bearing variant from fixture
+    // columns (both engines compute the identical construction), then
+    // counts and redacts emails/phones/IPs — patterns restricted to
+    // the Java-regex ∩ RE2 common subset so the oracle applies the
+    // same ones
+    "x_text_pii" -> ((s, d) => {
+      val enriched = concat(
+        substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example or +1-555-"),
+        lpad(col("doc_id").cast("string"), 4, "0"),
+        lit(" from 10."), (col("doc_id") % 256).cast("string"), lit(".0.1"))
+      val pii = TextOps.piiColumns(enriched).toMap
+      t(s, d, "documents").select(col("doc_id"),
+          pii("n_email").as("n_email"),
+          pii("n_phone").as("n_phone"),
+          pii("n_ip").as("n_ip"),
+          md5(pii("redacted")).as("fp_redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gopher-style composite quality gates — every rule an integer
+    // comparison, so the booleans are bit-exact across engines
+    "x_text_gopher" -> ((s, d) => {
+      val gates = TextOps.gopherGateColumns(col("text")).map { case (n, c) => c.as(n) }
+      t(s, d, "documents").select(col("doc_id") +: gates: _*).orderBy(col("doc_id"))
+    }),
+
+    // corpus-trained unigram frequency model applied back per doc —
+    // the "train on the corpus, score the corpus" two-pass shape
+    "x_text_unigram_rarity" -> ((s, d) =>
+      CorpusStats.unigramRarity(t(s, d, "documents"))),
+
+    // global heavy hitters: top-20 trigrams by document frequency
+    "x_corpus_top_trigrams" -> ((s, d) =>
+      CorpusStats.topTrigrams(t(s, d, "documents"))),
 
     // ---- as-of enrichment ---------------------------------------------------
     "x_asof_join" -> ((s, d) => {
@@ -491,6 +529,71 @@ object Extensions {
         |  CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
         |            THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fp
         |FROM folded ORDER BY doc_id""".stripMargin,
+
+    // identical PII construction + identical patterns (Java-regex ∩
+    // RE2 subset); regexp_replace needs the 'g' flag in DuckDB
+    "x_text_pii" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0')
+        |      || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'))
+        |    AS fp_redacted
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "x_text_gopher" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS INT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_punct,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','a','and','of','to','in','is','on','for'])) AS INT) AS n_stop
+        |  FROM documents)
+        |SELECT doc_id,
+        |  (n_words >= 10 AND n_words <= 100000) AS r_word_count,
+        |  (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10) AS r_mean_word_len,
+        |  (n_punct * 10 < n_words) AS r_symbol_ratio,
+        |  (n_stop >= 2) AS r_stopwords,
+        |  ((n_words >= 10 AND n_words <= 100000)
+        |   AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
+        |   AND (n_punct * 10 < n_words) AND (n_stop >= 2)) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    // SUM(BIGINT) is HUGEINT in DuckDB — cast every aggregate back
+    "x_text_unigram_rarity" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |f AS (SELECT w, COUNT(*) AS freq FROM t GROUP BY w)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(f.freq) AS BIGINT) AS sum_freq,
+        |  CAST(MIN(f.freq) AS BIGINT) AS min_freq,
+        |  CAST(SUM(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |FROM t JOIN f USING (w)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    "x_corpus_top_trigrams" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS g
+        |  FROM documents),
+        |t AS (SELECT unnest(g) AS shingle FROM d)
+        |SELECT shingle, COUNT(*) AS df FROM t
+        |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
 
     // as-of semantics spelled out as a top-1 window (rather than
     // DuckDB's native ASOF JOIN) so the time-tie break on orderkey is

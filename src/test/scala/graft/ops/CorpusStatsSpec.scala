@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the PII / quality-gate / corpus-statistics
+  * operators on hand-computed fixtures (the driver oracle only proves
+  * cross-engine agreement; these prove the numbers mean what the
+  * scaladoc says).
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("piiColumns counts and redacts emails, phones, IPs") {
+    val text = "mail a@b.com and c.d+x@e.org, call +1-555-1234, " +
+      "host 10.0.0.1 then 192.168.1.255 end"
+    val cols = TextOps.piiColumns(lit(text)).map { case (n, c) => c.as(n) }
+    val r = Seq(1).toDF("i").select(cols: _*).head()
+    assert(r.getAs[Int]("n_email") == 2)
+    assert(r.getAs[Int]("n_phone") == 1)
+    assert(r.getAs[Int]("n_ip") == 2)
+    assert(r.getAs[String]("redacted") ==
+      "mail <EMAIL> and <EMAIL>, call <PHONE>, host <IP> then <IP> end")
+  }
+
+  test("piiColumns leaves clean text untouched") {
+    val text = "no personal data here, just words and 42 numbers"
+    val cols = TextOps.piiColumns(lit(text)).map { case (n, c) => c.as(n) }
+    val r = Seq(1).toDF("i").select(cols: _*).head()
+    assert(r.getAs[Int]("n_email") + r.getAs[Int]("n_phone") +
+      r.getAs[Int]("n_ip") == 0)
+    assert(r.getAs[String]("redacted") == text)
+  }
+
+  test("gopher gates fail the right rule for the right document") {
+    val good = "the cats and the dogs sat on the mats for hours in the warm sun today"
+    val docs = Seq(
+      ("good", good),
+      ("short", "the cat and dog"),                       // < 10 words
+      ("longwords", good + " " + Seq.fill(30)("extraordinarily").mkString(" ")),
+      ("symbols", "the $$$ cat !!! and ### dog *** on a mat in sun ..."),
+      ("nostop", "cat dog mat sun hours words letters things stuff items"))
+      .toDF("id", "text")
+    val gates = TextOps.gopherGateColumns(col("text")).map { case (n, c) => c.as(n) }
+    val rs = docs.select(col("id") +: gates: _*).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rs("good").getAs[Boolean]("keep"))
+    assert(!rs("short").getAs[Boolean]("r_word_count"))
+    assert(!rs("longwords").getAs[Boolean]("r_mean_word_len"))
+    assert(!rs("symbols").getAs[Boolean]("r_symbol_ratio"))
+    assert(!rs("nostop").getAs[Boolean]("r_stopwords"))
+    assert(Seq("short", "longwords", "symbols", "nostop")
+      .forall(k => !rs(k).getAs[Boolean]("keep")))
+  }
+
+  test("unigramRarity matches hand-computed corpus frequencies") {
+    // corpus freqs: the=3, cat=2, dog=1, sat=1
+    val docs = Seq((1L, "the cat sat"), (2L, "the the cat dog")).toDF("doc_id", "text")
+    val rs = CorpusStats.unigramRarity(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = rs(1L)
+    assert(d1.getAs[Long]("n_tokens") == 3)
+    assert(d1.getAs[Long]("sum_freq") == 3 + 2 + 1) // the+cat+sat
+    assert(d1.getAs[Long]("min_freq") == 1)         // sat
+    assert(d1.getAs[Long]("n_hapax") == 1)          // sat
+    val d2 = rs(2L)
+    assert(d2.getAs[Long]("n_tokens") == 4)
+    assert(d2.getAs[Long]("sum_freq") == 3 + 3 + 2 + 1)
+    assert(d2.getAs[Long]("n_hapax") == 1)          // dog
+  }
+
+  test("topTrigrams ranks by document frequency with shingle tie-break") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "a b c"),     // "a b c"
+      (3L, "b c d e"))   // "b c d", "c d e"
+      .toDF("doc_id", "text")
+    val rs = CorpusStats.topTrigrams(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rs.toSeq == Seq(("a b c", 2L), ("b c d", 2L)))
+  }
+}
