@@ -41,6 +41,36 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document top-k distinctive terms — the TF-IDF shape with the
+    * float idf replaced by an equivalent integer ordering: a term is
+    * more distinctive when its corpus document frequency is LOWER,
+    * ties broken by higher in-document term frequency, then by the
+    * term itself. Because idf is monotone-decreasing in df, ranking by
+    * (df asc, tf desc) orders exactly like (tf·idf desc, tf desc)
+    * per document — with zero cross-engine float risk.
+    *
+    * Shape: tokens → per-doc tf (one aggregation), df derived from
+    * the tf relation (a term appears once per containing doc there),
+    * broadcast the vocabulary-sized df table back, then a per-doc
+    * window top-k. The window partitions by doc_id, so at 100 TB the
+    * heavy relation shuffles once on doc_id and no partition exceeds
+    * one document's vocabulary.
+    */
+  def topTermsPerDoc(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = Spread(docs)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("tf").desc, col("term").asc)
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** Global top-k trigram shingles by document frequency (ties broken
     * by the shingle itself, so top-k is total-ordered). The plan is
     * partial-agg counts then `TakeOrderedAndProject` — the global

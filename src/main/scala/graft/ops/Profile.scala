@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling ("ANALYZE"-style column statistics): row count,
+  * null count, exact distinct count, min and max for a set of numeric
+  * columns, one output row per column.
+  *
+  * The whole profile is ONE aggregation pass over the table — every
+  * per-column statistic is an aggregate expression in the same
+  * `agg()`, so Spark plans a single scan with partial aggregation
+  * (the multi-`count(DISTINCT)` rewrite expands rows by the number of
+  * distinct-aggregates, but the expansion happens after the scan and
+  * combines map-side). The per-column pivot to rows happens on the
+  * single aggregated row — free. At 100 TB this is the difference
+  * between one pass and one pass per column.
+  *
+  * min/max are emitted as the column's own values cast to double (no
+  * arithmetic is performed on them), and counts as longs, so a
+  * cross-engine oracle compares exactly.
+  */
+object Profile {
+
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nnull"),
+        countDistinct(col(c)).as(s"${c}__ndist"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"${c}__nnull").as("n_null"), col(s"${c}__ndist").as("n_distinct"),
+        col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"))
+    }
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column"))
+  }
+}

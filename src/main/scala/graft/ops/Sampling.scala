@@ -51,4 +51,20 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, "fraction in [0, 1]")
     df.filter(bucket(col(idCol)) < math.round(fraction * 10000).toInt)
   }
+
+  /** Deterministic stratified sample: the `n` rows per stratum whose
+    * md5(id) sorts lowest (id as final tie-break) — i.e. "give me N
+    * uniformly-pseudo-random rows from every language / source /
+    * shard", stable across partitioning, re-runs, and engines. One
+    * shuffle on the stratum key; each window partition holds one
+    * stratum. Skewed strata ride on the same md5 order, so the output
+    * never depends on which executor saw a row first.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
+    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{CorpusStats, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{CorpusStats, Dedup, Multimodal, Profile, Sampling, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -197,6 +197,39 @@ object Extensions {
     // global heavy hitters: top-20 trigrams by document frequency
     "x_corpus_top_trigrams" -> ((s, d) =>
       CorpusStats.topTrigrams(t(s, d, "documents"))),
+
+    // TF-IDF-shaped distinctive terms, ranked by the equivalent
+    // integer ordering (df asc, tf desc) — no float idf to diverge
+    "x_text_top_terms" -> ((s, d) =>
+      CorpusStats.topTermsPerDoc(t(s, d, "documents"))),
+
+    // ANALYZE-style one-pass numeric column profile
+    "x_profile_lineitem" -> ((s, d) =>
+      Profile.columnProfile(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
+
+    // stratified sample: 5 deterministic pseudo-random docs per lang
+    "x_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(
+          t(s, d, "documents").select(col("doc_id"), col("lang")),
+          "lang", "doc_id", 5)
+        .orderBy(col("lang"), col("rnk"))),
+
+    // event funnel view→click→purchase on each user's FIRST event of
+    // each type; strict < drops ties identically in both engines
+    "x_events_funnel" -> ((s, d) => {
+      val per = t(s, d, "events").groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      per.agg(
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_view") < col("t_click"), 1L).otherwise(0L))
+          .as("n_view_click"),
+        sum(when(col("t_view") < col("t_click") &&
+            col("t_click") < col("t_purchase"), 1L).otherwise(0L))
+          .as("n_view_click_purchase"))
+    }),
 
     // ---- as-of enrichment ---------------------------------------------------
     "x_asof_join" -> ((s, d) => {
@@ -583,6 +616,67 @@ object Extensions {
         |  CAST(SUM(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
         |FROM t JOIN f USING (w)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // ROW_NUMBER is BIGINT in DuckDB, INT in Spark — cast; COUNT(*)
+    // is BIGINT in both
+    "x_text_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY doc_id, w),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |r AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY df.df ASC, tf.tf DESC, tf.term ASC) AS INT) AS rnk
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rnk, term, tf, df FROM r
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // SUM over a CASE is HUGEINT in DuckDB — cast back to BIGINT;
+    // min/max carry data values unchanged, so DOUBLE compares exactly
+    "x_profile_lineitem" ->
+      """WITH a AS (SELECT
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qn,
+        |  COUNT(DISTINCT l_quantity) AS qd,
+        |  CAST(MIN(l_quantity) AS DOUBLE) AS qmin, CAST(MAX(l_quantity) AS DOUBLE) AS qmax,
+        |  CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  COUNT(DISTINCT l_extendedprice) AS ed,
+        |  CAST(MIN(l_extendedprice) AS DOUBLE) AS emin, CAST(MAX(l_extendedprice) AS DOUBLE) AS emax,
+        |  CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS dn,
+        |  COUNT(DISTINCT l_discount) AS dd,
+        |  CAST(MIN(l_discount) AS DOUBLE) AS dmin, CAST(MAX(l_discount) AS DOUBLE) AS dmax,
+        |  CAST(SUM(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  COUNT(DISTINCT l_tax) AS td,
+        |  CAST(MIN(l_tax) AS DOUBLE) AS tmin, CAST(MAX(l_tax) AS DOUBLE) AS tmax
+        |FROM lineitem)
+        |SELECT 'l_discount' AS "column", n AS n_rows, dn AS n_null,
+        |  dd AS n_distinct, dmin AS min_v, dmax AS max_v FROM a
+        |UNION ALL SELECT 'l_extendedprice', n, en, ed, emin, emax FROM a
+        |UNION ALL SELECT 'l_quantity', n, qn, qd, qmin, qmax FROM a
+        |UNION ALL SELECT 'l_tax', n, tn, td, tmin, tmax FROM a
+        |ORDER BY "column"""".stripMargin,
+
+    "x_sample_stratified" ->
+      """SELECT doc_id, lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rnk
+        |FROM documents
+        |QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "x_events_funnel" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN t_view < t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+        |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+        |FROM per""".stripMargin,
 
     "x_corpus_top_trigrams" ->
       """WITH d AS (

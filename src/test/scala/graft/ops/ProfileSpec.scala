@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfileSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("columnProfile computes null/distinct/min/max per column") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 10.0), (2.0, null), (2.0, 30.0), (null, 30.0))
+      .toDF("a", "b")
+    val rs = Profile.columnProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rs("a")
+    assert(a.getAs[Long]("n_rows") == 4 && a.getAs[Long]("n_null") == 1)
+    assert(a.getAs[Long]("n_distinct") == 2)
+    assert(a.getAs[Double]("min_v") == 1.0 && a.getAs[Double]("max_v") == 2.0)
+    val b = rs("b")
+    assert(b.getAs[Long]("n_null") == 1 && b.getAs[Long]("n_distinct") == 2)
+    assert(b.getAs[Double]("min_v") == 10.0 && b.getAs[Double]("max_v") == 30.0)
+  }
+
+  test("columnProfile is one pass: a single scan in the plan") {
+    val docs = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "lineitem")
+    val plan = Profile.columnProfile(docs, Seq("l_quantity", "l_tax"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+  }
+
+  test("topTermsPerDoc ranks by df asc then tf desc then term") {
+    // corpus df: the=2, cat=2, rare=1, dog=1, mat=1
+    val docs = Seq(
+      (1L, "rare the the cat"),
+      (2L, "the cat dog mat dog"))
+      .toDF("doc_id", "text")
+    val rs = CorpusStats.topTermsPerDoc(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: rare(df1,tf1) then the(df2,tf2)… cat(df2,tf1) → the wins tf
+    // doc 2: dog(df1,tf2) then mat(df1,tf1)
+    assert(rs.toSeq == Seq(
+      (1L, 1, "rare", 1L, 1L), (1L, 2, "the", 2L, 2L),
+      (2L, 1, "dog", 2L, 1L), (2L, 2, "mat", 1L, 1L)))
+  }
+
+  test("stratifiedSample is deterministic and partition-independent") {
+    val docs = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("lang"))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "lang", "doc_id", 5)
+        .collect().map(r => (r.getString(1), r.getInt(2), r.getLong(0))).toSet
+    val a = ids(docs)
+    val b = ids(docs.repartition(13).sortWithinPartitions(desc("doc_id")))
+    assert(a == b, "sample depends on partitioning/order")
+    val perLang = a.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perLang.values.forall(_ == 5), s"per-stratum counts: $perLang")
+  }
+}
