@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{CorpusStats, Dedup, Multimodal, Profile, Sampling, Similarity, TextOps}
+import graft.ops.{Chunking, CorpusStats, Dedup, Multimodal, Profile, Sampling, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -214,6 +214,15 @@ object Extensions {
           t(s, d, "documents").select(col("doc_id"), col("lang")),
           "lang", "doc_id", 5)
         .orderBy(col("lang"), col("rnk"))),
+
+    // overlapping token-window chunking (50-token windows, stride 40)
+    "x_text_chunk" -> ((s, d) =>
+      Chunking.chunkDocs(t(s, d, "documents"))
+        .orderBy(col("doc_id"), col("chunk_ix"))),
+
+    // contiguous sequence packing into 512-token bins, per source shard
+    "x_pack_sequences" -> ((s, d) =>
+      Chunking.packSequences(t(s, d, "documents"), "source")),
 
     // event funnel view→click→purchase on each user's FIRST event of
     // each type; strict < drops ties identically in both engines
@@ -663,6 +672,39 @@ object Extensions {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rnk
         |FROM documents
         |QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    // integer division is // in DuckDB (/ returns DOUBLE); list
+    // slicing clamps out-of-range on both engines
+    "x_text_chunk" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w, n,
+        |    unnest(generate_series(0, greatest(n - 1, 0) // 40)) AS ix
+        |  FROM d)
+        |SELECT doc_id, CAST(ix AS INT) AS chunk_ix,
+        |  CAST(least(n - ix * 40, 50) AS INT) AS n_tokens,
+        |  md5(array_to_string(w[ix * 40 + 1 : ix * 40 + 50], ' ')) AS fp_chunk
+        |FROM c ORDER BY doc_id, chunk_ix""".stripMargin,
+
+    // windowed SUM is HUGEINT in DuckDB — cast before the bin divide
+    "x_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - n_tokens, 0) AS BIGINT) AS start_tok
+        |  FROM t)
+        |SELECT source, start_tok // 512 AS bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM r GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "x_events_funnel" ->
       """WITH per AS (
