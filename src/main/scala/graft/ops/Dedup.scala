@@ -434,6 +434,34 @@ object Dedup {
       .orderBy(col("doc_id"), col("benchmark_id"))
   }
 
+  /** Incremental dedup: flag incoming documents with a verified
+    * trigram-Jaccard near-duplicate already in the existing corpus —
+    * the daily-ingest shape ("dedupe today's crawl against everything
+    * kept so far") that a one-shot self-join can't express. Same
+    * inverted-index candidate generation as the self-dedup paths (a
+    * pair materializes only if the sides share a shingle), the same
+    * integer 2·|∩| ≥ |∪| cut, and both sides ride the memoized
+    * shingle substrate. At 100 TB the historical side's exploded
+    * shingles shuffle-partition by shingle; nothing is quadratic and
+    * neither side is collected or broadcast.
+    */
+  def dedupAgainstCorpus(incoming: DataFrame, corpus: DataFrame): DataFrame = {
+    val inc = cachedShingles(incoming)
+    val corp = cachedShingles(corpus)
+    val incTok = inc.select(col("doc_id").as("inc_id"), explode(col("g")).as("shingle"))
+    val corpTok = corp.select(col("doc_id").as("corpus_id"), explode(col("g")).as("shingle"))
+    incTok.join(corpTok, Seq("shingle"))
+      .groupBy(col("inc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(inc.select(col("doc_id").as("inc_id"), size(col("g")).as("na")), "inc_id")
+      .join(corp.select(col("doc_id").as("corpus_id"), size(col("g")).as("nb")), "corpus_id")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(dupPair(col("inter"), col("uni")))
+      .select(col("inc_id"), col("corpus_id"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy(col("inc_id"), col("corpus_id"))
+  }
+
   /** Embedding-cosine near-dup pairs over `embeddings` (float arrays
     * cast to double; sequential fold keeps the dot product
     * bit-deterministic). Left side bounded like the text paths.

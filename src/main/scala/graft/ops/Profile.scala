@@ -40,4 +40,22 @@ object Profile {
       .select(col("p.*"))
       .orderBy(col("column"))
   }
+
+  /** Fixed-width histogram with integer bucket edges: bucket i covers
+    * [lo + i·width, lo + (i+1)·width). The bucket index is computed
+    * by floor-division on (value − lo) — for integral inputs both
+    * engines produce the identical bucket, so counts compare exactly.
+    * One aggregation, partial map-side combine; the output is at most
+    * (max−lo)/width rows — histogram size, not data size.
+    */
+  def histogram(df: DataFrame, column: String, lo: Double,
+      width: Double): DataFrame = {
+    val b = floor((col(column) - lo) / width).cast("bigint")
+    df.filter(col(column).isNotNull)
+      .groupBy(b.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bucket"), (lit(lo) + col("bucket") * width).as("lo"),
+        (lit(lo) + (col("bucket") + 1) * width).as("hi"), col("n"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -215,6 +215,19 @@ object Extensions {
           "lang", "doc_id", 5)
         .orderBy(col("lang"), col("rnk"))),
 
+    // incremental dedup: "today's batch" (doc_id ≡ 0 mod 10) against
+    // the already-kept corpus (the rest) — the daily-ingest shape
+    "x_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+    }),
+
+    // fixed-width histogram over l_quantity (integral doubles 1..50)
+    "x_profile_histogram" -> ((s, d) =>
+      Profile.histogram(t(s, d, "lineitem"), "l_quantity", 1.0, 5.0)),
+
     // overlapping token-window chunking (50-token windows, stride 40)
     "x_text_chunk" -> ((s, d) =>
       Chunking.chunkDocs(t(s, d, "documents"))
@@ -672,6 +685,33 @@ object Extensions {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rnk
         |FROM documents
         |QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    // same trigram construction as the self-dedup family; the oracle
+    // pays the small cross product the Spark side never does
+    "x_dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS g
+        |  FROM documents),
+        |i AS (SELECT doc_id AS inc_id, g FROM d WHERE doc_id % 10 = 0),
+        |c AS (SELECT doc_id AS corpus_id, g FROM d WHERE doc_id % 10 <> 0)
+        |SELECT inc_id, corpus_id,
+        |  ROUND(CAST(len(list_intersect(i.g, c.g)) AS DOUBLE)
+        |        / (len(i.g) + len(c.g) - len(list_intersect(i.g, c.g))), 4) AS jaccard
+        |FROM i, c
+        |WHERE len(list_intersect(i.g, c.g)) * 2
+        |      >= len(i.g) + len(c.g) - len(list_intersect(i.g, c.g))
+        |ORDER BY inc_id, corpus_id""".stripMargin,
+
+    "x_profile_histogram" ->
+      """SELECT CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT) AS bucket,
+        |  CAST(1.0 + CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT) * 5.0 AS DOUBLE) AS lo,
+        |  CAST(1.0 + (CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT) + 1) * 5.0 AS DOUBLE) AS hi,
+        |  COUNT(*) AS n
+        |FROM lineitem WHERE l_quantity IS NOT NULL
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // integer division is // in DuckDB (/ returns DOUBLE); list
     // slicing clamps out-of-range on both engines

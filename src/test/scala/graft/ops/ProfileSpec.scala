@@ -47,6 +47,32 @@ class ProfileSpec extends AnyFunSuite {
       (2L, 1, "dog", 2L, 1L), (2L, 2, "mat", 1L, 1L)))
   }
 
+  test("histogram buckets integral values on exact edges") {
+    val df = Seq(1.0, 1.0, 5.0, 6.0, 10.0, 11.0, 50.0).toDF("v")
+    val rs = Profile.histogram(df, "v", 1.0, 5.0).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    // [1,6): 1,1,5 → 3; [6,11): 6,10 → 2; [11,16): 11 → 1; [46,51): 50
+    assert(rs.toSeq == Seq(
+      (0L, 1.0, 6.0, 3L), (1L, 6.0, 11.0, 2L), (2L, 11.0, 16.0, 1L),
+      (9L, 46.0, 51.0, 1L)))
+  }
+
+  test("dedupAgainstCorpus flags only incoming docs near-dup to corpus") {
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val base = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      (10L, mk(base)),                        // incoming: dup of 11
+      (20L, mk((1 to 30).map(i => s"z$i"))),  // incoming: unique
+      (11L, mk(base :+ "tail")),              // corpus: near-dup of 10
+      (12L, mk((1 to 30).map(i => s"q$i")))) // corpus: unrelated
+      .toDF("doc_id", "text")
+    val rs = Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rs.toSeq == Seq((10L, 11L)))
+  }
+
   test("stratifiedSample is deterministic and partition-independent") {
     val docs = graft.engine.Tables
       .table(spark, "/root/testdata/sf0.001", "documents")
