@@ -71,6 +71,32 @@ object CorpusStats {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Corpus composition report: per (source, lang) document count,
+    * token and char totals, and each cell's share of the corpus — the
+    * mixture table a training run reports next to its data card, and
+    * the input to reweighting decisions ([[Sampling.weightedSample]]).
+    *
+    * One aggregation pass builds the cells; the share divides by a
+    * window total over the (tiny, cell-count-sized) aggregate — the
+    * corpus-sized relation is touched once. Shares are IEEE double
+    * divisions of exact integer counts, so both engines produce the
+    * identical bits.
+    */
+  def mixtureReport(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(TextOps.words(col("text")))).as("n_words"),
+        sum(col("n_chars")).as("n_chars"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    cells
+      .withColumn("doc_share",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(w))
+      .withColumn("word_share",
+        col("n_words").cast("double") / sum(col("n_words")).over(w))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Global top-k trigram shingles by document frequency (ties broken
     * by the shingle itself, so top-k is total-ordered). The plan is
     * partial-agg counts then `TakeOrderedAndProject` — the global

@@ -41,6 +41,34 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Exact percentiles per column, one output row per column.
+    * `percentile` is Spark's exact continuous-quantile aggregate: it
+    * buffers (value → count) per partial, so memory is bounded by the
+    * column's DISTINCT count, not its row count — fine for the
+    * bounded-domain measure columns this profiles (and the reason to
+    * prefer `approx_percentile` instead when a column's domain is
+    * unbounded at 100 TB). The interpolation `lower + (upper−lower)·
+    * frac` at rank p·(n−1) is the same IEEE arithmetic DuckDB's
+    * quantile_cont performs, so the doubles compare bit-exactly —
+    * verified on both the integral and the 2-decimal fixture columns.
+    */
+  def quantiles(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val pArr = array(ps.map(lit): _*)
+    val aggs = cols.map(c => percentile(col(c), pArr).as(s"${c}__q"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          element_at(col(s"${c}__q"), i + 1)
+            .as("p" + math.round(p * 100).toString)
+        }: _*)
+    }
+    one.select(explode(array(stacked: _*)).as("q"))
+      .select(col("q.*"))
+      .orderBy(col("column"))
+  }
+
   /** Fixed-width histogram with integer bucket edges: bucket i covers
     * [lo + i·width, lo + (i+1)·width). The bucket index is computed
     * by floor-division on (value − lo) — for integral inputs both

@@ -52,6 +52,27 @@ object Sampling {
     df.filter(bucket(col(idCol)) < math.round(fraction * 10000).toInt)
   }
 
+  /** Weighted mixture sampling: keep a per-stratum fraction of rows
+    * (domain/source reweighting — "keep all of the curated source,
+    * a quarter of the crawl"). The keep decision is the same md5
+    * bucket compare as [[deterministicSample]], with the cut chosen
+    * per stratum from a literal rate table: no join, no shuffle — one
+    * codegen'd filter over the scan, and any engine with md5 can
+    * recompute exactly which rows survived. Strata absent from
+    * `rates` keep `defaultRate`.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String,
+      idCol: String, rates: Seq[(String, Double)],
+      defaultRate: Double = 1.0): DataFrame = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
+      "rates in [0, 1]")
+    val cut = rates.foldRight(lit(math.round(defaultRate * 10000).toInt)) {
+      case ((name, r), els) =>
+        when(col(stratumCol) === name, math.round(r * 10000).toInt).otherwise(els)
+    }
+    df.withColumn("bucket", bucket(col(idCol))).filter(col("bucket") < cut)
+  }
+
   /** Deterministic stratified sample: the `n` rows per stratum whose
     * md5(id) sorts lowest (id as final tie-break) — i.e. "give me N
     * uniformly-pseudo-random rows from every language / source /

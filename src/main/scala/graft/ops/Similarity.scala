@@ -212,7 +212,8 @@ object Similarity {
     math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
   def embeddingNearDupAnn(embeddings: DataFrame, minCosine: Double = 0.4,
-      nCells: Int = 0, nProbe: Int = 2, trainMod: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 2, trainMod: Int = 4,
+      boundA: Long = 0): DataFrame = {
     // nCells = 0 → size from the corpus row count (a parquet
     // metadata-only count); explicit values pin the oracle paths
     val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
@@ -225,7 +226,22 @@ object Similarity {
     val probes = nearestCells(e, model, nProbe)
     val primary = probes.filter(col("rk") === 1)
       .select(col("vec_id").as("p_id"), col("cell"))
-    val candidates = probes.join(primary, "cell")
+    // boundA > 0 restricts output to pairs with min(id) < boundA (the
+    // recall-gate shape: "verify the bounded region exactly"). A
+    // post-filter on least() can't prune either join input — the full
+    // probe×primary product would materialize first — so the bound
+    // splits into two side-filtered joins instead: a qualifying pair
+    // has its < boundA member on the probe side of the first join or
+    // the primary side of the second, and the union's overlap (both
+    // sides bounded) collapses in the existing distinct. At high
+    // nProbe (the exhaustive recall setting) this cuts the candidate
+    // join output by ~corpus/boundA.
+    val joined =
+      if (boundA > 0)
+        probes.filter(col("vec_id") < boundA).join(primary, "cell")
+          .unionAll(probes.join(primary.filter(col("p_id") < boundA), "cell"))
+      else probes.join(primary, "cell")
+    val candidates = joined
       .filter(col("vec_id") =!= col("p_id"))
       .select(
         least(col("vec_id"), col("p_id")).as("vec_a"),

@@ -118,8 +118,7 @@ object Extensions {
     // production default sizes cells ~√n, which would shift recall)
     "x_dedup_embedding_ann_recall" -> ((s, d) =>
       Similarity.embeddingNearDupAnn(t(s, d, "embeddings"),
-          nCells = 16, nProbe = 12)
-        .filter(col("vec_a") < 500)),
+        nCells = 16, nProbe = 12, boundA = 500)),
 
     // ---- text analysis ------------------------------------------------------
     "x_text_tokens" -> ((s, d) =>
@@ -251,6 +250,41 @@ object Extensions {
         sum(when(col("t_view") < col("t_click") &&
             col("t_click") < col("t_purchase"), 1L).otherwise(0L))
           .as("n_view_click_purchase"))
+    }),
+
+    // weighted mixture sampling: per-source keep rates (domain
+    // reweighting) via the md5 bucket — no join, one codegen'd filter
+    "x_sample_weighted" -> ((s, d) =>
+      Sampling.weightedSample(
+          t(s, d, "documents").select(col("doc_id"), col("source")),
+          "source", "doc_id",
+          Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        .orderBy(col("doc_id"))),
+
+    // corpus composition report: per (source, lang) counts + shares —
+    // the data-card mixture table
+    "x_corpus_mixture" -> ((s, d) =>
+      CorpusStats.mixtureReport(t(s, d, "documents"))),
+
+    // exact continuous quantiles, one output row per column
+    "x_profile_quantiles" -> ((s, d) =>
+      Profile.quantiles(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"))),
+
+    // retention cohorts: users grouped by first-event day, distinct
+    // active users per (cohort_day, day_offset)
+    "x_events_retention" -> ((s, d) => {
+      val events = t(s, d, "events")
+      val cohorts = events.groupBy(col("user_id"))
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      val active = events
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      active.join(cohorts, "user_id")
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
     // ---- as-of enrichment ---------------------------------------------------
@@ -759,6 +793,59 @@ object Extensions {
         |  CAST(SUM(CASE WHEN t_view < t_click AND t_click < t_purchase
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
         |FROM per""".stripMargin,
+
+    // same md5-bucket scheme as x_split_assign, with the cut chosen
+    // per source — DuckDB recomputes the survivor set exactly
+    "x_sample_weighted" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+        |         % 10000 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket FROM b
+        |WHERE bucket < CASE source WHEN 'src0' THEN 10000
+        |                           WHEN 'src1' THEN 5000
+        |                           WHEN 'src2' THEN 2500
+        |                           ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // shares are IEEE double divisions of identical integer counts —
+    // bit-exact; SUM(BIGINT) needs the HUGEINT→BIGINT cast back
+    "x_corpus_mixture" ->
+      """WITH c AS (
+        |  SELECT source, lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, n_words, n_chars,
+        |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE) AS doc_share,
+        |  CAST(n_words AS DOUBLE) / CAST(SUM(n_words) OVER () AS DOUBLE) AS word_share
+        |FROM c ORDER BY source, lang""".stripMargin,
+
+    // quantile_cont performs the same lower + (upper−lower)·frac IEEE
+    // interpolation as Spark's exact percentile — doubles compare raw
+    "x_profile_quantiles" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(l_quantity, [0.5, 0.9, 0.99]) AS qq,
+        |    quantile_cont(l_extendedprice, [0.5, 0.9, 0.99]) AS qe
+        |  FROM lineitem)
+        |SELECT 'l_extendedprice' AS "column",
+        |  qe[1] AS p50, qe[2] AS p90, qe[3] AS p99 FROM q
+        |UNION ALL SELECT 'l_quantity', qq[1], qq[2], qq[3] FROM q
+        |ORDER BY "column"""".stripMargin,
+
+    // datediff is INT in Spark, BIGINT in DuckDB — cast to match
+    "x_events_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT cohort_day,
+        |  CAST(date_diff('day', cohort_day, day) AS INT) AS day_offset,
+        |  COUNT(DISTINCT a.user_id) AS n_users
+        |FROM active a JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "x_corpus_top_trigrams" ->
       """WITH d AS (

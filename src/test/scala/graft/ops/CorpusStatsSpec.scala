@@ -71,6 +71,20 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(d2.getAs[Long]("n_hapax") == 1)          // dog
   }
 
+  test("mixtureReport cells partition the corpus and shares sum to 1") {
+    val docs = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val rs = CorpusStats.mixtureReport(docs).collect()
+    assert(rs.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val docShare = rs.map(_.getAs[Double]("doc_share")).sum
+    val wordShare = rs.map(_.getAs[Double]("word_share")).sum
+    assert(math.abs(docShare - 1.0) < 1e-9 && math.abs(wordShare - 1.0) < 1e-9)
+    // a cell's counts equal a direct filtered aggregate
+    val r0 = rs.filter(r => r.getString(0) == "src0" && r.getString(1) == "en")
+    assert(r0.head.getAs[Long]("n_docs") ==
+      docs.filter(col("source") === "src0" && col("lang") === "en").count())
+  }
+
   test("topTrigrams ranks by document frequency with shingle tie-break") {
     val docs = Seq(
       (1L, "a b c d"),   // shingles: "a b c", "b c d"

@@ -32,6 +32,24 @@ class ProfileSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
   }
 
+  test("quantiles interpolates the exact continuous percentile") {
+    // 1..10: p50 = 5.5 (rank 4.5), p90 = 9.1 (rank 8.1)
+    val df = (1 to 10).map(_.toDouble).toDF("v")
+    val rs = Profile.quantiles(df, Seq("v"), Seq(0.5, 0.9)).collect()
+    assert(rs.length == 1 && rs.head.getString(0) == "v")
+    assert(rs.head.getAs[Double]("p50") == 5.5)
+    assert(math.abs(rs.head.getAs[Double]("p90") - 9.1) < 1e-12)
+  }
+
+  test("quantiles is one aggregation pass over a single scan") {
+    val li = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "lineitem")
+    val plan = Profile.quantiles(li, Seq("l_quantity", "l_extendedprice"))
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+  }
+
   test("topTermsPerDoc ranks by df asc then tf desc then term") {
     // corpus df: the=2, cat=2, rare=1, dog=1, mat=1
     val docs = Seq(
