@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
   * arbitrary SF and cross-checks prefix==brute and clusters==union-find
   * at that SF — the sf0.1-scale complement to the sf0.001 spec
   * assertions. Run: `runMain graft.ops.Prof /root/testdata/sf0.1`.
+  * A second mode profiles the corpus-statistics family instead:
+  * `runMain graft.ops.Prof <dir> corpus`.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.Sessions.local()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val corpusOnly = args.lift(1).contains("corpus")
     // ScaleGen dirs carry only documents/embeddings — warm what exists
     graft.engine.Tables.names
       .filter(n => java.nio.file.Files.exists(
@@ -23,6 +26,20 @@ object Prof {
       def once = { val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9 }
       val t = math.min(once, once)
       println(f"PROF $name $t%.2f s")
+    }
+    if (corpusOnly) {
+      // corpus-statistics / curation family (round-5 operators):
+      // every one a token or shingle aggregation whose work is
+      // O(total tokens) — the scale column should track corpus size
+      q("unigram_rarity")(CorpusStats.unigramRarity(docs).count())
+      q("top_terms")(CorpusStats.topTermsPerDoc(docs).count())
+      q("top_trigrams")(CorpusStats.topTrigrams(docs).count())
+      q("mixture")(CorpusStats.mixtureReport(docs).count())
+      q("incremental_dedup")(Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0)).count())
+      spark.stop()
+      return
     }
     q("ngram_prefix")(Dedup.ngramJaccardPrefix(docs).count())
     q("ngram_brute")(Dedup.ngramJaccardBrute(docs).count())

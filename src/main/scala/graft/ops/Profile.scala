@@ -69,6 +69,36 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Winsorization report: the exact clip bounds at (pLo, pHi) and
+    * how many rows each bound would clip — the outlier-handling
+    * decision a numeric-feature pipeline records before training.
+    * Two passes: the percentile aggregate (one row) re-joins the scan
+    * as a broadcast; the second pass emits ONLY counts and the data
+    * values involved — no float accumulation — so the report is
+    * engine-exact. At 100 TB both passes are full scans but the
+    * intermediate is a single row; swap in approx_percentile when the
+    * column's domain is unbounded.
+    */
+  def winsorizeReport(df: DataFrame, column: String,
+      pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    val c = col(column)
+    val cuts = df.agg(
+      percentile(c, lit(pLo)).as("cut_lo"),
+      percentile(c, lit(pHi)).as("cut_hi"))
+    df.select(c).crossJoin(broadcast(cuts))
+      .agg(
+        first(col("cut_lo")).as("cut_lo"),
+        first(col("cut_hi")).as("cut_hi"),
+        count(lit(1)).as("n_rows"),
+        sum(when(c < col("cut_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(c > col("cut_hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+        min(c).cast("double").as("raw_min"),
+        max(c).cast("double").as("raw_max"))
+      .withColumn("column", lit(column))
+      .select(col("column"), col("cut_lo"), col("cut_hi"), col("n_rows"),
+        col("n_clip_lo"), col("n_clip_hi"), col("raw_min"), col("raw_max"))
+  }
+
   /** Fixed-width histogram with integer bucket edges: bucket i covers
     * [lo + i·width, lo + (i+1)·width). The bucket index is computed
     * by floor-division on (value − lo) — for integral inputs both

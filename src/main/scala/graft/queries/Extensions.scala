@@ -272,6 +272,10 @@ object Extensions {
       Profile.quantiles(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice"))),
 
+    // winsorization report: exact p01/p99 clip bounds + clip counts
+    "x_profile_winsorize" -> ((s, d) =>
+      Profile.winsorizeReport(t(s, d, "lineitem"), "l_extendedprice")),
+
     // retention cohorts: users grouped by first-event day, distinct
     // active users per (cohort_day, day_offset)
     "x_events_retention" -> ((s, d) => {
@@ -833,6 +837,20 @@ object Extensions {
         |  qe[1] AS p50, qe[2] AS p90, qe[3] AS p99 FROM q
         |UNION ALL SELECT 'l_quantity', qq[1], qq[2], qq[3] FROM q
         |ORDER BY "column"""".stripMargin,
+
+    "x_profile_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(l_extendedprice, 0.01) AS cut_lo,
+        |    quantile_cont(l_extendedprice, 0.99) AS cut_hi
+        |  FROM lineitem)
+        |SELECT 'l_extendedprice' AS "column", cut_lo, cut_hi,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_extendedprice < cut_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN l_extendedprice > cut_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  CAST(MIN(l_extendedprice) AS DOUBLE) AS raw_min,
+        |  CAST(MAX(l_extendedprice) AS DOUBLE) AS raw_max
+        |FROM lineitem, cuts
+        |GROUP BY cut_lo, cut_hi""".stripMargin,
 
     // datediff is INT in Spark, BIGINT in DuckDB — cast to match
     "x_events_retention" ->

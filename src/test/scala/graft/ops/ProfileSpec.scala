@@ -50,6 +50,17 @@ class ProfileSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
   }
 
+  test("winsorizeReport computes exact cuts and clip counts") {
+    // 1..100: p01 rank 0.99 → 1.99, p99 rank 98.01 → 99.01
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val r = Profile.winsorizeReport(df, "v").head()
+    assert(math.abs(r.getAs[Double]("cut_lo") - 1.99) < 1e-12)
+    assert(math.abs(r.getAs[Double]("cut_hi") - 99.01) < 1e-12)
+    assert(r.getAs[Long]("n_clip_lo") == 1 && r.getAs[Long]("n_clip_hi") == 1)
+    assert(r.getAs[Long]("n_rows") == 100)
+    assert(r.getAs[Double]("raw_min") == 1.0 && r.getAs[Double]("raw_max") == 100.0)
+  }
+
   test("topTermsPerDoc ranks by df asc then tf desc then term") {
     // corpus df: the=2, cat=2, rare=1, dog=1, mat=1
     val docs = Seq(
