@@ -69,6 +69,39 @@ object Profile {
       .orderBy(col("column"))
   }
 
+  /** Sketch-based profile — the scale path for columns whose DOMAIN
+    * is unbounded, where [[quantiles]]'s (value→count) buffer and
+    * [[columnProfile]]'s exact `count(DISTINCT)` stop being safe:
+    * HyperLogLog++ distinct estimate and KLL-style approximate
+    * percentiles, both constant-memory mergeable sketches with
+    * map-side partial aggregation. Still ONE pass over the table.
+    * Sketch internals are engine-specific, so this is rows-only in
+    * the driver gate; accuracy vs the exact profile is spec-asserted
+    * (the exact operators are the oracle anchor, same contract as
+    * the HLL probe b16).
+    */
+  def sketchProfile(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000, rsd: Double = 0.02): DataFrame = {
+    val pArr = array(ps.map(lit): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c), rsd).as(s"${c}__nd"),
+        percentile_approx(col(c), pArr, lit(accuracy)).as(s"${c}__q"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column") +: col("__n").as("n_rows") +:
+        col(s"${c}__nd").as("approx_distinct") +:
+        ps.zipWithIndex.map { case (p, i) =>
+          element_at(col(s"${c}__q"), i + 1).cast("double")
+            .as("approx_p" + math.round(p * 100).toString)
+        }: _*)
+    }
+    one.select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.*"))
+      .orderBy(col("column"))
+  }
+
   /** Winsorization report: the exact clip bounds at (pLo, pHi) and
     * how many rows each bound would clip — the outlier-handling
     * decision a numeric-feature pipeline records before training.

@@ -272,6 +272,13 @@ object Extensions {
       Profile.quantiles(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice"))),
 
+    // sketch profile (HLL distinct + approx percentiles): the
+    // unbounded-domain scale path — rows-only, engine-specific sketch
+    // internals; accuracy pinned against the exact profile in specs
+    "x_profile_sketch" -> ((s, d) =>
+      Profile.sketchProfile(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"))),
+
     // winsorization report: exact p01/p99 clip bounds + clip counts
     "x_profile_winsorize" -> ((s, d) =>
       Profile.winsorizeReport(t(s, d, "lineitem"), "l_extendedprice")),

@@ -95,6 +95,58 @@ object EventWindows {
       .start()
   }
 
+  /** Per-user firsts for the funnel's stateful streaming form:
+    * epoch-micros of the first view/click/purchase, `Long.MaxValue`
+    * = not seen yet.
+    */
+  final case class FunnelFirsts(tView: Long, tClick: Long, tPurchase: Long)
+
+  /** Stateful streaming form of the event funnel's per-user stage:
+    * state is three epoch-micros (the first view/click/purchase seen
+    * so far) — O(1) per user, never the events — and each micro-batch
+    * emits the user's updated firsts. The firsts only ever decrease,
+    * so a downstream consumer (or the spec) can fold emissions with
+    * `min` and land on exactly the batch answer; the funnel counts
+    * are then one aggregation over the per-user firsts.
+    * `maxFilesPerTrigger > 0` forces multi-batch execution so tests
+    * exercise state surviving batch boundaries.
+    */
+  def streamingFunnelFirsts(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[(Long, String, Long)],
+        state: GroupState[FunnelFirsts]): (Long, Long, Long, Long) = {
+      var st = state.getOption.getOrElse(
+        FunnelFirsts(Long.MaxValue, Long.MaxValue, Long.MaxValue))
+      rows.foreach { case (_, eventType, us) =>
+        eventType match {
+          case "view"     => if (us < st.tView) st = st.copy(tView = us)
+          case "click"    => if (us < st.tClick) st = st.copy(tClick = us)
+          case "purchase" => if (us < st.tPurchase) st = st.copy(tPurchase = us)
+          case _          => ()
+        }
+      }
+      state.update(st)
+      (userId, st.tView, st.tClick, st.tPurchase)
+    }
+
+    val reader = spark.readStream.schema(schema)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    tuned.parquet(dir)
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "t_view_us", "t_click_us", "t_purchase_us")
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Structured Streaming form of [[tumblingHourly]] with a watermark
     * for late data; reads parquet files as a stream, for tests and as
     * the template for a real unbounded source.

@@ -218,6 +218,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stateful streaming funnel equals the batch form across micro-batches") {
+    val events = graft.engine.Tables.table(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("events-funnel").toString
+    // several files + maxFilesPerTrigger=1 → state must survive
+    // multiple micro-batches to produce the right firsts
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingFunnelFirsts(
+      spark, dir, events.schema, "funnel_out", maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    // firsts are monotone non-increasing, so min over the per-batch
+    // emissions is the final state
+    val firsts = spark.table("funnel_out").groupBy(col("user_id")).agg(
+      min(col("t_view_us")).as("tv"), min(col("t_click_us")).as("tc"),
+      min(col("t_purchase_us")).as("tp"))
+    val streamed = firsts.agg(
+      sum(when(col("tv") =!= Long.MaxValue, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("tv") < col("tc") && col("tc") =!= Long.MaxValue, 1L)
+        .otherwise(0L)).as("n_view_click"),
+      sum(when(col("tv") < col("tc") && col("tc") =!= Long.MaxValue &&
+          col("tc") < col("tp") && col("tp") =!= Long.MaxValue, 1L)
+        .otherwise(0L)).as("n_view_click_purchase")).head()
+    val batch = Extensions.queries("x_events_funnel")(spark, sf).head()
+    assert(streamed.getLong(0) == batch.getAs[Long]("n_view"))
+    assert(streamed.getLong(1) == batch.getAs[Long]("n_view_click"))
+    assert(streamed.getLong(2) == batch.getAs[Long]("n_view_click_purchase"))
+  }
+
   test("as-of join single-pass form equals the range-join reference") {
     import org.apache.spark.sql.expressions.Window
     val events = graft.engine.Tables.table(spark, sf, "events")
@@ -263,13 +290,17 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("every extension query has an oracle or a documented reason not to") {
     val noOracle = Extensions.queries.keySet -- Extensions.oracle.keySet
-    // only the production-probe IVF paths are rows-only (their quantizer
-    // is engine-trained KMeans, not SQL-expressible) — and each is
-    // pinned by a hash-matched sibling: x_knn_ivf_recall /
+    // rows-only by design: the production-probe IVF paths (engine-
+    // trained KMeans quantizer, not SQL-expressible) are each pinned
+    // by a hash-matched sibling — x_knn_ivf_recall /
     // x_dedup_embedding_ann_recall run the same machinery at probe
-    // counts that provably reproduce the exact baseline. The LSH path
-    // has a FULL value oracle (deterministic hyperplane literals).
-    assert(noOracle == Set("x_knn_ivf", "x_dedup_embedding_ann"))
+    // counts that provably reproduce the exact baseline — and the
+    // sketch profile (engine-specific HLL/KLL internals) is accuracy-
+    // pinned against the exact profile operators in ProfileSpec. The
+    // LSH path has a FULL value oracle (deterministic hyperplane
+    // literals).
+    assert(noOracle ==
+      Set("x_knn_ivf", "x_dedup_embedding_ann", "x_profile_sketch"))
     assert((Extensions.oracle.keySet -- Extensions.queries.keySet).isEmpty)
   }
 

@@ -61,6 +61,30 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Double]("raw_min") == 1.0 && r.getAs[Double]("raw_max") == 100.0)
   }
 
+  test("sketchProfile tracks the exact profile within sketch accuracy") {
+    val li = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val sk = Profile.sketchProfile(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exactQ = Profile.quantiles(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exactP = Profile.columnProfile(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val nd = sk(c).getAs[Long]("approx_distinct").toDouble
+      val ndExact = exactP(c).getAs[Long]("n_distinct").toDouble
+      assert(math.abs(nd - ndExact) / ndExact < 0.05,
+        s"$c approx_distinct $nd vs $ndExact")
+      Seq("p50", "p90", "p99").foreach { p =>
+        val a = sk(c).getAs[Double](s"approx_$p")
+        val e = exactQ(c).getAs[Double](p)
+        assert(math.abs(a - e) / math.max(math.abs(e), 1.0) < 0.05,
+          s"$c $p approx $a vs exact $e")
+      }
+    }
+  }
+
   test("topTermsPerDoc ranks by df asc then tf desc then term") {
     // corpus df: the=2, cat=2, rare=1, dog=1, mat=1
     val docs = Seq(
