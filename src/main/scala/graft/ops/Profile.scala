@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
+  /** Pivot a one-row aggregate into one row per profiled column: the
+    * per-column stats become an array of structs, exploded and
+    * flattened — the pivot runs on a single row, so it's free.
+    */
+  private def pivotToRows(one: DataFrame,
+      stacked: Seq[org.apache.spark.sql.Column]): DataFrame =
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column"))
+
+  /** Column label for percentile p: "p50" for 0.5, "p99_9" for 0.999
+    * — fractional percentiles keep their digits (underscore for the
+    * point, struct-field-safe) instead of rounding into a collision.
+    */
+  private[ops] def pLabel(p: Double): String = {
+    val s = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+    "p" + s.replace("-", "m").replace(".", "_")
+  }
+
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
@@ -36,9 +55,7 @@ object Profile {
         col(s"${c}__nnull").as("n_null"), col(s"${c}__ndist").as("n_distinct"),
         col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"))
     }
-    one.select(explode(array(stacked: _*)).as("p"))
-      .select(col("p.*"))
-      .orderBy(col("column"))
+    pivotToRows(one, stacked)
   }
 
   /** Exact percentiles per column, one output row per column.
@@ -60,13 +77,10 @@ object Profile {
     val stacked = cols.map { c =>
       struct(lit(c).as("column") +:
         ps.zipWithIndex.map { case (p, i) =>
-          element_at(col(s"${c}__q"), i + 1)
-            .as("p" + math.round(p * 100).toString)
+          element_at(col(s"${c}__q"), i + 1).as(pLabel(p))
         }: _*)
     }
-    one.select(explode(array(stacked: _*)).as("q"))
-      .select(col("q.*"))
-      .orderBy(col("column"))
+    pivotToRows(one, stacked)
   }
 
   /** Sketch-based profile — the scale path for columns whose DOMAIN
@@ -94,12 +108,10 @@ object Profile {
         col(s"${c}__nd").as("approx_distinct") +:
         ps.zipWithIndex.map { case (p, i) =>
           element_at(col(s"${c}__q"), i + 1).cast("double")
-            .as("approx_p" + math.round(p * 100).toString)
+            .as("approx_" + pLabel(p))
         }: _*)
     }
-    one.select(explode(array(stacked: _*)).as("s"))
-      .select(col("s.*"))
-      .orderBy(col("column"))
+    pivotToRows(one, stacked)
   }
 
   /** Winsorization report: the exact clip bounds at (pLo, pHi) and

@@ -59,7 +59,9 @@ object Sampling {
     * per stratum from a literal rate table: no join, no shuffle — one
     * codegen'd filter over the scan, and any engine with md5 can
     * recompute exactly which rows survived. Strata absent from
-    * `rates` keep `defaultRate`.
+    * `rates` keep `defaultRate`. Like [[assignSplits]], the output
+    * carries the md5 `bucket` column (replacing any existing column
+    * of that name) so the keep decision is auditable.
     */
   def weightedSample(df: DataFrame, stratumCol: String,
       idCol: String, rates: Seq[(String, Double)],

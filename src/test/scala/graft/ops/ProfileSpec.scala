@@ -50,6 +50,16 @@ class ProfileSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
   }
 
+  test("percentile labels keep fractional digits without collisions") {
+    assert(Profile.pLabel(0.5) == "p50" && Profile.pLabel(0.99) == "p99")
+    assert(Profile.pLabel(0.999) == "p99_9")
+    assert(Profile.pLabel(0.001) == "p0_1")
+    assert(Profile.pLabel(1.0) == "p100")
+    // distinct ps map to distinct labels
+    val ps = Seq(0.001, 0.004, 0.5, 0.99, 0.999, 1.0)
+    assert(ps.map(Profile.pLabel).distinct.size == ps.size)
+  }
+
   test("winsorizeReport computes exact cuts and clip counts") {
     // 1..100: p01 rank 0.99 → 1.99, p99 rank 98.01 → 99.01
     val df = (1 to 100).map(_.toDouble).toDF("v")
