@@ -24,6 +24,22 @@ object Sampling {
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10)
       .cast("int") % 10000
 
+  /** The md5 bucket as a public column — lets composed pipelines
+    * ANNOTATE survival (`bucketOf(id) < cutFor(stratum, …)`) instead
+    * of filtering, so one aggregation can report every stage's counts.
+    */
+  def bucketOf(id: Column): Column = bucket(id)
+
+  /** The per-stratum bucket cut (rate × 10000) as a literal CASE
+    * column — the decision table [[weightedSample]] filters by.
+    */
+  def cutFor(stratum: Column, rates: Seq[(String, Double)],
+      defaultRate: Double): Column =
+    rates.foldRight(lit(math.round(defaultRate * 10000).toInt)) {
+      case ((name, r), els) =>
+        when(stratum === name, math.round(r * 10000).toInt).otherwise(els)
+    }
+
   /** Assign each row a split label by cumulative weight over the
     * md5 bucket: weights like Seq("train" -> 0.8, "val" -> 0.1,
     * "test" -> 0.1) — must sum to 1. Adds (bucket, split).
@@ -68,11 +84,8 @@ object Sampling {
       defaultRate: Double = 1.0): DataFrame = {
     require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1),
       "rates in [0, 1]")
-    val cut = rates.foldRight(lit(math.round(defaultRate * 10000).toInt)) {
-      case ((name, r), els) =>
-        when(col(stratumCol) === name, math.round(r * 10000).toInt).otherwise(els)
-    }
-    df.withColumn("bucket", bucket(col(idCol))).filter(col("bucket") < cut)
+    df.withColumn("bucket", bucket(col(idCol)))
+      .filter(col("bucket") < cutFor(col(stratumCol), rates, defaultRate))
   }
 
   /** Deterministic stratified sample: the `n` rows per stratum whose

@@ -84,6 +84,33 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // end-to-end data card: the curation funnel per (source, lang) —
+    // raw docs → Gopher gates → near-dup survivors → weighted sample.
+    // Every stage is ANNOTATED (a flag column), not filtered, so ONE
+    // aggregation reports all four counts; the near-dup pair set rides
+    // the memoized MinHash path and the whole composition carries a
+    // single DuckDB oracle.
+    "x_pipeline_datacard" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val keepGate = TextOps.gopherGateColumns(col("text")).toMap.apply("keep")
+      val dupDropped = Dedup.dupClusters(docs)
+        .filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id"), lit(1).as("is_dup"))
+      val sampled = Sampling.bucketOf(col("doc_id")) <
+        Sampling.cutFor(col("source"),
+          Seq("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), 0.1)
+      docs.join(dupDropped, Seq("doc_id"), "left")
+        .select(col("source"), col("lang"), keepGate.as("g"),
+          (coalesce(col("is_dup"), lit(0)) === 0).as("nodup"), sampled.as("smp"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("g"), 1L).otherwise(0L)).as("n_gated"),
+          sum(when(col("g") && col("nodup"), 1L).otherwise(0L)).as("n_deduped"),
+          sum(when(col("g") && col("nodup") && col("smp"), 1L).otherwise(0L))
+            .as("n_sampled"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     "x_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(t(s, d, "embeddings"))),
 
@@ -534,6 +561,55 @@ object Extensions {
         |WHERE n_words >= 10 AND n_distinct_words * 2 >= n_words
         |  AND doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
+
+    // the data-card funnel composes the cluster closure, the Gopher
+    // gates, and the md5 sample cut — all integer logic, one oracle
+    "x_pipeline_datacard" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |         || ' ' || string_split(text, ' ')[i+2])) AS g
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
+        |  WHERE len(list_intersect(a.g, b.g)) * 2
+        |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |dropped AS (
+        |  SELECT a AS doc_id FROM reach GROUP BY a
+        |  HAVING LEAST(a, MIN(b)) <> a),
+        |s AS (
+        |  SELECT doc_id, source, lang,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+        |    CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS INT) AS n_alpha,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INT) AS n_punct,
+        |    CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |      ['the','a','and','of','to','in','is','on','for'])) AS INT) AS n_stop,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+        |         % 10000 AS INT) AS bucket
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, lang,
+        |    ((n_words >= 10 AND n_words <= 100000)
+        |     AND (n_alpha >= n_words * 3 AND n_alpha <= n_words * 10)
+        |     AND (n_punct * 10 < n_words) AND (n_stop >= 2)) AS g,
+        |    (s.doc_id NOT IN (SELECT doc_id FROM dropped)) AS nodup,
+        |    (bucket < CASE source WHEN 'src0' THEN 10000
+        |                          WHEN 'src1' THEN 5000
+        |                          WHEN 'src2' THEN 2500
+        |                          ELSE 1000 END) AS smp
+        |  FROM s)
+        |SELECT source, lang, COUNT(*) AS n_raw,
+        |  CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_gated,
+        |  CAST(SUM(CASE WHEN g AND nodup THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
+        |  CAST(SUM(CASE WHEN g AND nodup AND smp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "x_dedup_embedding" -> embeddingPairsSql,
 
