@@ -20,8 +20,12 @@ object Chunking {
     * count, and the chunk text's md5 (portable fingerprint). A doc
     * with fewer tokens than one window yields exactly one chunk.
     *
-    * Chunk count per doc is ⌊(n−1)/stride⌋+1 — every token is covered
-    * and the final partial window is kept. posexplode over a
+    * Chunk count per doc is 1 when n ≤ chunkTokens, else
+    * ⌈(n−chunkTokens)/stride⌉+1 — every token is covered and the
+    * final partial window is kept, but never a trailing window that
+    * is entirely contained in its predecessor (a ⌊(n−1)/stride⌋+1
+    * count would emit one for n mod stride in (0, chunkTokens−stride],
+    * silently duplicating training data). posexplode over a
     * `sequence` literal: the expansion happens executor-side inside
     * codegen, no shuffle beyond the final sort.
     */
@@ -31,8 +35,11 @@ object Chunking {
       "need 1 <= stride <= chunkTokens")
     val w = TextOps.words(col("text"))
     val n = size(w)
-    // sequence(0, x) with x<0 counts DOWN in Spark — clamp via greatest
-    val nChunks = (greatest(n - 1, lit(0)) / stride).cast("int") + 1
+    // ⌈(n−chunkTokens)/stride⌉ via (n−chunkTokens+stride−1)/stride;
+    // greatest clamps the n ≤ chunkTokens case to a single chunk
+    // (sequence(0, x) with x<0 would count DOWN in Spark)
+    val nChunks = (greatest(n - chunkTokens + stride - 1, lit(0)) / stride)
+      .cast("int") + 1
     docs
       .select(col("doc_id"), w.as("w"), n.as("n"),
         posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_ix", "s")))

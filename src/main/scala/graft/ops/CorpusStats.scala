@@ -41,13 +41,16 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-document top-k distinctive terms — the TF-IDF shape with the
-    * float idf replaced by an equivalent integer ordering: a term is
-    * more distinctive when its corpus document frequency is LOWER,
-    * ties broken by higher in-document term frequency, then by the
-    * term itself. Because idf is monotone-decreasing in df, ranking by
-    * (df asc, tf desc) orders exactly like (tf·idf desc, tf desc)
-    * per document — with zero cross-engine float risk.
+  /** Per-document top-k distinctive terms, ranked rarest-first: a
+    * term is more distinctive when its corpus document frequency is
+    * LOWER, ties broken by higher in-document term frequency, then by
+    * the term itself. This is a deterministic integer-ordered PROXY
+    * for tf·idf, not equivalent to it — idf is monotone in df, so the
+    * orderings agree at equal tf, but a rare low-tf term can outrank
+    * a common high-tf term that tf·idf would prefer. The trade is
+    * deliberate: rarest-first is the ordering that surfaces
+    * vocabulary unique to a document (the curation use case here),
+    * and the all-integer rank carries zero cross-engine float risk.
     *
     * Shape: tokens → per-doc tf (one aggregation), df derived from
     * the tf relation (a term appears once per containing doc there),
@@ -101,10 +104,14 @@ object CorpusStats {
     * by the shingle itself, so top-k is total-ordered). The plan is
     * partial-agg counts then `TakeOrderedAndProject` — the global
     * sort never materializes, only k rows travel to the final stage.
+    * Rides the dedup family's memoized shingle substrate
+    * ([[Dedup.corpusShingles]]) instead of re-shingling: in a session
+    * that also runs any sketch-dedup or decontamination query over
+    * the same corpus, the corpus is shingled exactly once.
     */
   def topTrigrams(docs: DataFrame, k: Int = 20): DataFrame =
-    Spread(docs)
-      .select(explode(TextOps.ngrams(col("text"), 3)).as("shingle"))
+    Dedup.corpusShingles(docs)
+      .select(explode(col("g")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)

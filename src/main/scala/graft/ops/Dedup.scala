@@ -87,6 +87,13 @@ object Dedup {
     * shared substrate of every shingle consumer (sketches, prefix
     * join, decontamination).
     */
+  /** The memoized shingle relation, exposed to sibling corpus
+    * operators (e.g. [[CorpusStats.topTrigrams]]) so every shingle
+    * consumer in a session shares one corpus scan.
+    */
+  private[ops] def corpusShingles(docs: DataFrame): DataFrame =
+    cachedShingles(docs)
+
   private def cachedShingles(docs: DataFrame): DataFrame = {
     if (shingleCache.size >= maxShingleCaches) clearShingleCache()
     shingleCache.getOrElseUpdate(

@@ -153,6 +153,7 @@ object Profile {
     */
   def histogram(df: DataFrame, column: String, lo: Double,
       width: Double): DataFrame = {
+    require(width > 0, s"bucket width must be positive, got $width")
     val b = floor((col(column) - lo) / width).cast("bigint")
     df.filter(col(column).isNotNull)
       .groupBy(b.as("bucket"))

@@ -224,8 +224,8 @@ object Extensions {
     "x_corpus_top_trigrams" -> ((s, d) =>
       CorpusStats.topTrigrams(t(s, d, "documents"))),
 
-    // TF-IDF-shaped distinctive terms, ranked by the equivalent
-    // integer ordering (df asc, tf desc) — no float idf to diverge
+    // rarest-first distinctive terms (df asc, tf desc) — a
+    // deterministic integer proxy for tf·idf, no float idf to diverge
     "x_text_top_terms" -> ((s, d) =>
       CorpusStats.topTermsPerDoc(t(s, d, "documents"))),
 
@@ -398,7 +398,8 @@ object Extensions {
       |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
       |FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
-      |WHERE len(list_intersect(a.g, b.g)) * 2
+      |WHERE len(list_intersect(a.g, b.g)) > 0
+      |  AND len(list_intersect(a.g, b.g)) * 2
       |      >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))
       |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -493,7 +494,8 @@ object Extensions {
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
-        |  WHERE len(list_intersect(a.g, b.g)) * 2
+        |  WHERE len(list_intersect(a.g, b.g)) > 0
+        |    AND len(list_intersect(a.g, b.g)) * 2
         |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
         |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
         |reach(a, b) AS (
@@ -542,7 +544,8 @@ object Extensions {
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
-        |  WHERE len(list_intersect(a.g, b.g)) * 2
+        |  WHERE len(list_intersect(a.g, b.g)) > 0
+        |    AND len(list_intersect(a.g, b.g)) * 2
         |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
         |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
         |reach(a, b) AS (
@@ -574,7 +577,8 @@ object Extensions {
         |p AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
-        |  WHERE len(list_intersect(a.g, b.g)) * 2
+        |  WHERE len(list_intersect(a.g, b.g)) > 0
+        |    AND len(list_intersect(a.g, b.g)) * 2
         |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
         |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
         |reach(a, b) AS (
@@ -822,7 +826,8 @@ object Extensions {
         |  ROUND(CAST(len(list_intersect(i.g, c.g)) AS DOUBLE)
         |        / (len(i.g) + len(c.g) - len(list_intersect(i.g, c.g))), 4) AS jaccard
         |FROM i, c
-        |WHERE len(list_intersect(i.g, c.g)) * 2
+        |WHERE len(list_intersect(i.g, c.g)) > 0
+        |  AND len(list_intersect(i.g, c.g)) * 2
         |      >= len(i.g) + len(c.g) - len(list_intersect(i.g, c.g))
         |ORDER BY inc_id, corpus_id""".stripMargin,
 
@@ -835,7 +840,9 @@ object Extensions {
         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     // integer division is // in DuckDB (/ returns DOUBLE); list
-    // slicing clamps out-of-range on both engines
+    // slicing clamps out-of-range on both engines; the series bound is
+    // ⌈(n−50)/40⌉ clamped at 0 — no trailing window fully contained
+    // in its predecessor
     "x_text_chunk" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,
@@ -843,7 +850,7 @@ object Extensions {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, w, n,
-        |    unnest(generate_series(0, greatest(n - 1, 0) // 40)) AS ix
+        |    unnest(generate_series(0, greatest(n - 50 + 39, 0) // 40)) AS ix
         |  FROM d)
         |SELECT doc_id, CAST(ix AS INT) AS chunk_ix,
         |  CAST(least(n - ix * 40, 50) AS INT) AS n_tokens,

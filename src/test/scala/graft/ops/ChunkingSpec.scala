@@ -24,6 +24,23 @@ class ChunkingSpec extends AnyFunSuite {
     assert(d2.toSeq == Seq((2L, 0, 2, md5Hex("tiny doc"))))
   }
 
+  test("chunkDocs never emits a chunk contained in its predecessor") {
+    // n = chunkTokens exactly, and n in (stride, chunkTokens): both
+    // must yield ONE chunk; n just past chunkTokens yields two with
+    // the second NOT a sub-window of the first
+    val mk = (id: Long, n: Int) => (id, (1 to n).map(i => s"w$i").mkString(" "))
+    val docs = Seq(mk(1L, 50), mk(2L, 90), mk(3L, 51)).toDF("doc_id", "text")
+    val rs = Chunking.chunkDocs(docs, chunkTokens = 50, stride = 40)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rs.count(_._1 == 1L) == 1)              // 50 tokens → 1 chunk
+    // 90 tokens: starts 0, 40 → sizes 50, 50; a third start at 80
+    // would cover 81..90 ⊂ 41..90
+    assert(rs.filter(_._1 == 2L).map(c => (c._2, c._3)).sorted.toSeq
+      == Seq((0, 50), (1, 50)))
+    assert(rs.filter(_._1 == 3L).map(c => (c._2, c._3)).sorted.toSeq
+      == Seq((0, 50), (1, 11)))                    // 51 → 1..50, 41..51
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

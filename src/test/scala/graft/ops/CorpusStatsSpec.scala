@@ -85,6 +85,21 @@ class CorpusStatsSpec extends AnyFunSuite {
       docs.filter(col("source") === "src0" && col("lang") === "en").count())
   }
 
+  test("topTermsPerDoc ranks by df asc then tf desc then term") {
+    // corpus df: the=2, cat=2, rare=1, dog=1, mat=1
+    val docs = Seq(
+      (1L, "rare the the cat"),
+      (2L, "the cat dog mat dog"))
+      .toDF("doc_id", "text")
+    val rs = CorpusStats.topTermsPerDoc(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: rare(df1,tf1) then the(df2,tf2)… cat(df2,tf1) → the wins tf
+    // doc 2: dog(df1,tf2) then mat(df1,tf1)
+    assert(rs.toSeq == Seq(
+      (1L, 1, "rare", 1L, 1L), (1L, 2, "the", 2L, 2L),
+      (2L, 1, "dog", 2L, 1L), (2L, 2, "mat", 1L, 1L)))
+  }
+
   test("topTrigrams ranks by document frequency with shingle tie-break") {
     val docs = Seq(
       (1L, "a b c d"),   // shingles: "a b c", "b c d"

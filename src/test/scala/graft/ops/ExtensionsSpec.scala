@@ -245,6 +245,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(streamed.getLong(2) == batch.getAs[Long]("n_view_click_purchase"))
   }
 
+  test("dedupAgainstCorpus flags only incoming docs near-dup to corpus") {
+    import spark.implicits._
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val base = (1 to 30).map(i => s"w$i")
+    val docs = Seq(
+      (10L, mk(base)),                        // incoming: dup of 11
+      (20L, mk((1 to 30).map(i => s"z$i"))),  // incoming: unique
+      (11L, mk(base :+ "tail")),              // corpus: near-dup of 10
+      (12L, mk((1 to 30).map(i => s"q$i")))) // corpus: unrelated
+      .toDF("doc_id", "text")
+    val rs = Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rs.toSeq == Seq((10L, 11L)))
+  }
+
   test("as-of join single-pass form equals the range-join reference") {
     import org.apache.spark.sql.expressions.Window
     val events = graft.engine.Tables.table(spark, sf, "events")

@@ -95,21 +95,6 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
-  test("topTermsPerDoc ranks by df asc then tf desc then term") {
-    // corpus df: the=2, cat=2, rare=1, dog=1, mat=1
-    val docs = Seq(
-      (1L, "rare the the cat"),
-      (2L, "the cat dog mat dog"))
-      .toDF("doc_id", "text")
-    val rs = CorpusStats.topTermsPerDoc(docs, 2).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
-    // doc 1: rare(df1,tf1) then the(df2,tf2)… cat(df2,tf1) → the wins tf
-    // doc 2: dog(df1,tf2) then mat(df1,tf1)
-    assert(rs.toSeq == Seq(
-      (1L, 1, "rare", 1L, 1L), (1L, 2, "the", 2L, 2L),
-      (2L, 1, "dog", 2L, 1L), (2L, 2, "mat", 1L, 1L)))
-  }
-
   test("histogram buckets integral values on exact edges") {
     val df = Seq(1.0, 1.0, 5.0, 6.0, 10.0, 11.0, 50.0).toDF("v")
     val rs = Profile.histogram(df, "v", 1.0, 5.0).collect()
@@ -118,22 +103,6 @@ class ProfileSpec extends AnyFunSuite {
     assert(rs.toSeq == Seq(
       (0L, 1.0, 6.0, 3L), (1L, 6.0, 11.0, 2L), (2L, 11.0, 16.0, 1L),
       (9L, 46.0, 51.0, 1L)))
-  }
-
-  test("dedupAgainstCorpus flags only incoming docs near-dup to corpus") {
-    val mk = (ws: Seq[String]) => ws.mkString(" ")
-    val base = (1 to 30).map(i => s"w$i")
-    val docs = Seq(
-      (10L, mk(base)),                        // incoming: dup of 11
-      (20L, mk((1 to 30).map(i => s"z$i"))),  // incoming: unique
-      (11L, mk(base :+ "tail")),              // corpus: near-dup of 10
-      (12L, mk((1 to 30).map(i => s"q$i")))) // corpus: unrelated
-      .toDF("doc_id", "text")
-    val rs = Dedup.dedupAgainstCorpus(
-        docs.filter(col("doc_id") % 10 === 0),
-        docs.filter(col("doc_id") % 10 =!= 0))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(rs.toSeq == Seq((10L, 11L)))
   }
 
   test("stratifiedSample is deterministic and partition-independent") {
