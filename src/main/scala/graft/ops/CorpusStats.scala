@@ -104,15 +104,20 @@ object CorpusStats {
     * by the shingle itself, so top-k is total-ordered). The plan is
     * partial-agg counts then `TakeOrderedAndProject` — the global
     * sort never materializes, only k rows travel to the final stage.
-    * Rides the dedup family's memoized shingle substrate
-    * ([[Dedup.corpusShingles]]) instead of re-shingling: in a session
-    * that also runs any sketch-dedup or decontamination query over
-    * the same corpus, the corpus is shingled exactly once.
+    * If a dedup/decontamination query already built the memoized
+    * shingle substrate for this corpus, the aggregation reads the
+    * persisted relation; standalone it stays a streaming one-pass
+    * explode+agg, never persisting a corpus-sized relation just for
+    * a top-k (the substrate's storage cost belongs to the consumers
+    * that traverse it repeatedly).
     */
-  def topTrigrams(docs: DataFrame, k: Int = 20): DataFrame =
-    Dedup.corpusShingles(docs)
+  def topTrigrams(docs: DataFrame, k: Int = 20): DataFrame = {
+    val shingles = Dedup.corpusShinglesIfCached(docs)
+      .getOrElse(Spread(docs).select(TextOps.ngrams(col("text"), 3).as("g")))
+    shingles
       .select(explode(col("g")).as("shingle"))
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
+  }
 }

@@ -70,6 +70,29 @@ object Dedup {
     shingleCache.clear()
   }
 
+  private def shingleKey(docs: DataFrame): (Int, Int) =
+    (docs.queryExecution.analyzed.semanticHash(),
+      java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]]))
+
+  /** The ALREADY-memoized shingle relation for a corpus, if some
+    * shingle consumer in this session built one — exposed so sibling
+    * operators (e.g. [[CorpusStats.topTrigrams]]) can opportunistically
+    * reuse the persisted substrate without forcing a session that
+    * never runs a dedup query to pay its storage cost.
+    */
+  private[ops] def corpusShinglesIfCached(docs: DataFrame): Option[DataFrame] =
+    shingleCache.get(shingleKey(docs))
+
+  /** The memoized, persisted shingle relation for a corpus — the
+    * shared substrate of every shingle consumer (sketches, prefix
+    * join, decontamination). Builds and persists on first use;
+    * bounded cache, evict-all on overflow.
+    */
+  private def cachedShingles(docs: DataFrame): DataFrame = {
+    if (shingleCache.size >= maxShingleCaches) clearShingleCache()
+    shingleCache.getOrElseUpdate(shingleKey(docs), shingled(docs).persist())
+  }
+
   /** Run `build` over the corpus's cached shingle relation and eagerly
     * materialize the (small) result. The sketch dedup queries each
     * traverse the shingle relation 2-3× (signature path + both sides
@@ -83,25 +106,6 @@ object Dedup {
     * result, not the dedup pipeline; use the spec assertions / this
     * scaladoc for the plan shape).
     */
-  /** The memoized, persisted shingle relation for a corpus — the
-    * shared substrate of every shingle consumer (sketches, prefix
-    * join, decontamination).
-    */
-  /** The memoized shingle relation, exposed to sibling corpus
-    * operators (e.g. [[CorpusStats.topTrigrams]]) so every shingle
-    * consumer in a session shares one corpus scan.
-    */
-  private[ops] def corpusShingles(docs: DataFrame): DataFrame =
-    cachedShingles(docs)
-
-  private def cachedShingles(docs: DataFrame): DataFrame = {
-    if (shingleCache.size >= maxShingleCaches) clearShingleCache()
-    shingleCache.getOrElseUpdate(
-      (docs.queryExecution.analyzed.semanticHash(),
-        java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]])),
-      shingled(docs).persist())
-  }
-
   private def withShingles(docs: DataFrame)(build: DataFrame => DataFrame): DataFrame =
     build(cachedShingles(docs)).localCheckpoint(true)
 

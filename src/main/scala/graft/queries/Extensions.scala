@@ -387,13 +387,47 @@ object Extensions {
       EventWindows.userSessions(t(s, d, "events")))
   )
 
-  private val trigramCte =
-    """WITH d AS (
+  /** Shared DuckDB CTE fragments for the trigram-shingle family: ONE
+    * definition of the shingle construction, of the candidate-pair
+    * predicate (>=1 shared shingle — matching the Spark inverted
+    * index — plus the integer Jaccard cut), and of the
+    * transitive-closure clustering, composed into every oracle that
+    * needs them. Previously five hand-synchronized copies.
+    *
+    * The fragments keep their `|` margin characters and are NOT
+    * stripMargin'd here — each composed oracle strips the whole
+    * string exactly once. Stripping twice corrupts any fragment line
+    * that begins with the SQL concat operator `||` (the second strip
+    * eats its first pipe).
+    */
+  private val shingleCte =
+    """d AS (
       |  SELECT doc_id, list_distinct(list_transform(
       |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
       |         || ' ' || string_split(text, ' ')[i+2])) AS g
-      |  FROM documents)
+      |  FROM documents)"""
+
+  private val pairClosureCte =
+    """p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
+      |  WHERE len(list_intersect(a.g, b.g)) > 0
+      |    AND len(list_intersect(a.g, b.g)) * 2
+      |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+      |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+      |reach(a, b) AS (
+      |  SELECT a, b FROM e
+      |  UNION
+      |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)"""
+
+  private val droppedCte =
+    """dropped AS (
+      |  SELECT a AS doc_id FROM reach GROUP BY a
+      |  HAVING LEAST(a, MIN(b)) <> a)"""
+
+  private val trigramCte =
+    raw"""WITH $shingleCte
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
       |        / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 4) AS jaccard
@@ -485,23 +519,8 @@ object Extensions {
     // connected components of the (verified-identical) pair graph via
     // a recursive transitive closure + min label
     "x_dedup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |         || ' ' || string_split(text, ' ')[i+2])) AS g
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
-        |  WHERE len(list_intersect(a.g, b.g)) > 0
-        |    AND len(list_intersect(a.g, b.g)) * 2
-        |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+      raw"""WITH RECURSIVE $shingleCte,
+        |$pairClosureCte
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
@@ -520,12 +539,7 @@ object Extensions {
         |FROM b ORDER BY doc_id""".stripMargin,
 
     "x_decontaminate" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |         || ' ' || string_split(text, ' ')[i+2])) AS g
-        |  FROM documents)
+      raw"""WITH $shingleCte
         |SELECT c.doc_id AS doc_id, b.doc_id AS benchmark_id,
         |  len(list_intersect(c.g, b.g)) AS n_shared
         |FROM d c JOIN d b ON c.doc_id >= 50 AND b.doc_id < 50
@@ -535,26 +549,9 @@ object Extensions {
     // the composed pipeline reuses the recursive-closure cluster logic
     // plus the integer repetition gates — one oracle for the whole flow
     "x_pipeline_corpus_clean" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |         || ' ' || string_split(text, ' ')[i+2])) AS g
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
-        |  WHERE len(list_intersect(a.g, b.g)) > 0
-        |    AND len(list_intersect(a.g, b.g)) * 2
-        |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-        |dropped AS (
-        |  SELECT a AS doc_id FROM reach GROUP BY a
-        |  HAVING LEAST(a, MIN(b)) <> a),
+      raw"""WITH RECURSIVE $shingleCte,
+        |$pairClosureCte,
+        |$droppedCte,
         |rep AS (
         |  SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
@@ -568,26 +565,9 @@ object Extensions {
     // the data-card funnel composes the cluster closure, the Gopher
     // gates, and the md5 sample cut — all integer logic, one oracle
     "x_pipeline_datacard" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |         || ' ' || string_split(text, ' ')[i+2])) AS g
-        |  FROM documents),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
-        |  WHERE len(list_intersect(a.g, b.g)) > 0
-        |    AND len(list_intersect(a.g, b.g)) * 2
-        |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
-        |reach(a, b) AS (
-        |  SELECT a, b FROM e
-        |  UNION
-        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-        |dropped AS (
-        |  SELECT a AS doc_id FROM reach GROUP BY a
-        |  HAVING LEAST(a, MIN(b)) <> a),
+      raw"""WITH RECURSIVE $shingleCte,
+        |$pairClosureCte,
+        |$droppedCte,
         |s AS (
         |  SELECT doc_id, source, lang,
         |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
@@ -814,12 +794,7 @@ object Extensions {
     // same trigram construction as the self-dedup family; the oracle
     // pays the small cross product the Spark side never does
     "x_dedup_incremental" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |         || ' ' || string_split(text, ' ')[i+2])) AS g
-        |  FROM documents),
+      raw"""WITH $shingleCte,
         |i AS (SELECT doc_id AS inc_id, g FROM d WHERE doc_id % 10 = 0),
         |c AS (SELECT doc_id AS corpus_id, g FROM d WHERE doc_id % 10 <> 0)
         |SELECT inc_id, corpus_id,
@@ -956,12 +931,7 @@ object Extensions {
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "x_corpus_top_trigrams" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |         || ' ' || string_split(text, ' ')[i+2])) AS g
-        |  FROM documents),
+      raw"""WITH $shingleCte,
         |t AS (SELECT unnest(g) AS shingle FROM d)
         |SELECT shingle, COUNT(*) AS df FROM t
         |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
