@@ -112,10 +112,15 @@ object CorpusStats {
     * that traverse it repeatedly).
     */
   def topTrigrams(docs: DataFrame, k: Int = 20): DataFrame = {
-    val shingles = Dedup.corpusShinglesIfCached(docs)
-      .getOrElse(Spread(docs).select(TextOps.ngrams(col("text"), 3).as("g")))
-    shingles
-      .select(explode(col("g")).as("shingle"))
+    // keep the explode INLINE over the ngrams expression in the
+    // streaming fallback: projecting the array first and exploding in
+    // a second select defeats the Project-into-Generate fusion and
+    // measured 4.5× slower at sf0.1
+    val tokens = Dedup.corpusShinglesIfCached(docs)
+      .map(_.select(explode(col("g")).as("shingle")))
+      .getOrElse(Spread(docs)
+        .select(explode(TextOps.ngrams(col("text"), 3)).as("shingle")))
+    tokens
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
