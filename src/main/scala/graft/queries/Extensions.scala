@@ -111,6 +111,29 @@ object Extensions {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // split-leakage audit: how many verified near-dup pairs span two
+    // different train/val/test splits — the eval-contamination check a
+    // pipeline runs after splitting. Reported as counts per
+    // (split_a, split_b) cell over ALL near-dup pairs, so the
+    // same-split diagonal anchors the report; rides the memoized
+    // MinHash pair set, splits join by the auditable md5 bucket.
+    "x_split_leakage" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val splits = Sampling.assignSplits(docs.select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      Dedup.minhashLsh(docs).select(col("doc_a"), col("doc_b"))
+        .join(splits.withColumnsRenamed(
+          Map("doc_id" -> "doc_a", "split" -> "split_a")), "doc_a")
+        .join(splits.withColumnsRenamed(
+          Map("doc_id" -> "doc_b", "split" -> "split_b")), "doc_b")
+        .groupBy(col("split_a"), col("split_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L))
+            .as("n_leaked"))
+        .orderBy(col("split_a"), col("split_b"))
+    }),
+
     "x_dedup_embedding" -> ((s, d) =>
       Dedup.embeddingCosinePairs(t(s, d, "embeddings"))),
 
@@ -594,6 +617,27 @@ object Extensions {
         |  CAST(SUM(CASE WHEN g AND nodup THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
         |  CAST(SUM(CASE WHEN g AND nodup AND smp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    // the leakage audit reuses the shared pair fragment plus the
+    // md5-bucket split CASE from x_split_assign
+    "x_split_leakage" ->
+      raw"""WITH RECURSIVE $shingleCte,
+        |$pairClosureCte,
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+        |              % 10000 AS INT) < 8000 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+        |              % 10000 AS INT) < 9000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT sa.split AS split_a, sb.split AS split_b,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(SUM(CASE WHEN sa.split <> sb.split THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_leaked
+        |FROM p JOIN sp sa ON p.doc_a = sa.doc_id
+        |       JOIN sp sb ON p.doc_b = sb.doc_id
+        |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin,
 
     "x_dedup_embedding" -> embeddingPairsSql,
 
