@@ -22,22 +22,33 @@ object CorpusStats {
     * vocabulary surfaces here). All integers, so the oracle compare
     * has no float boundary.
     *
-    * The frequency table is broadcast: vocabulary grows ~log with the
-    * corpus (Heaps' law), so even a 100 TB corpus's vocab fits the
-    * broadcast budget long after the token relation stops fitting
-    * anywhere; if it ever didn't, dropping the hint falls back to a
-    * shuffle join on the token key.
+    * Everything derives from ONE `(doc_id, term, tf)` aggregate: the
+    * corpus frequency is Σtf over docs, and the per-doc profile folds
+    * back as n_tokens = Σtf, sum_freq = Σtf·freq, n_hapax = Σtf·[freq=1].
+    * Both consumers of `tf` share its shuffle (Catalyst's
+    * ReusedExchange), so the corpus is scanned and tokenized exactly
+    * once, and the apply-side join input shrinks from token-count rows
+    * to distinct-(doc, term) rows.
+    *
+    * The vocab side carries NO broadcast hint: AQE's runtime
+    * size-gated conversion broadcasts it when the materialized
+    * aggregate is under the broadcast budget (the Heaps'-law common
+    * case) and keeps the shuffle join when a pathological corpus
+    * (random IDs, base64 blobs) grows vocabulary linearly — the
+    * operator self-defends instead of OOMing the driver at 100 TB.
+    * Plan-shape pinned by `CorpusStatsPlanSpec`.
     */
   def unigramRarity(docs: DataFrame): DataFrame = {
-    val tokens = Spread(docs)
+    val tf = Spread(docs)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-    val vocab = tokens.groupBy(col("w")).agg(count(lit(1)).as("freq"))
-    tokens.join(broadcast(vocab), "w")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("freq"))
+    tf.join(vocab, "w")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("freq")).as("sum_freq"),
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("freq")).as("sum_freq"),
         min(col("freq")).as("min_freq"),
-        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        sum(when(col("freq") === 1, col("tf")).otherwise(0L)).as("n_hapax"))
       .orderBy(col("doc_id"))
   }
 
@@ -53,11 +64,14 @@ object CorpusStats {
     * and the all-integer rank carries zero cross-engine float risk.
     *
     * Shape: tokens → per-doc tf (one aggregation), df derived from
-    * the tf relation (a term appears once per containing doc there),
-    * broadcast the vocabulary-sized df table back, then a per-doc
-    * window top-k. The window partitions by doc_id, so at 100 TB the
-    * heavy relation shuffles once on doc_id and no partition exceeds
-    * one document's vocabulary.
+    * the tf relation (a term appears once per containing doc there,
+    * and both consumers of tf share its shuffle via ReusedExchange),
+    * join the vocabulary-sized df table back — size-gated by AQE's
+    * runtime conversion, broadcast in the Heaps'-law common case,
+    * shuffle join when a pathological corpus grows vocab linearly —
+    * then a per-doc window top-k. The window partitions by doc_id, so
+    * at 100 TB the heavy relation shuffles once on doc_id and no
+    * partition exceeds one document's vocabulary.
     */
   def topTermsPerDoc(docs: DataFrame, k: Int = 3): DataFrame = {
     val tf = Spread(docs)
@@ -67,7 +81,7 @@ object CorpusStats {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("tf").desc, col("term").asc)
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
@@ -79,6 +93,11 @@ object CorpusStats {
     * mixture table a training run reports next to its data card, and
     * the input to reweighting decisions ([[Sampling.weightedSample]]).
     *
+    * Input schema: `source`, `lang`, `text` columns are required;
+    * `n_chars` is used when present (a precomputed char count, as the
+    * documents fixture carries) and derived as `length(text)` when
+    * absent, so a generic docs frame profiles without preparation.
+    *
     * One aggregation pass builds the cells; the share divides by a
     * window total over the (tiny, cell-count-sized) aggregate — the
     * corpus-sized relation is touched once. Shares are IEEE double
@@ -86,7 +105,10 @@ object CorpusStats {
     * identical bits.
     */
   def mixtureReport(docs: DataFrame): DataFrame = {
-    val cells = docs.groupBy(col("source"), col("lang"))
+    val withChars =
+      if (docs.columns.contains("n_chars")) docs
+      else docs.withColumn("n_chars", length(col("text")).cast("long"))
+    val cells = withChars.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(size(TextOps.words(col("text")))).as("n_words"),
         sum(col("n_chars")).as("n_chars"))

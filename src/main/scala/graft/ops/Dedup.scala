@@ -476,9 +476,18 @@ object Dedup {
   /** Embedding-cosine near-dup pairs over `embeddings` (float arrays
     * cast to double; sequential fold keeps the dot product
     * bit-deterministic). Left side bounded like the text paths.
+    *
+    * This is the exact O(leftMax·N) baseline — the oracle anchor for
+    * [[Similarity.embeddingNearDupAnn]], which is the full-corpus
+    * path. The bound is ENFORCED, not conventional: a caller asking
+    * for an unbounded left side gets an error pointing at the ANN
+    * operator instead of silently buying a corpus-sized nested loop.
     */
   def embeddingCosinePairs(embeddings: DataFrame, minCosine: Double = 0.4,
       leftMax: Long = 500): DataFrame = {
+    require(leftMax <= 10000L,
+      s"embeddingCosinePairs is the bounded exact baseline (leftMax <= 10000, " +
+        s"got $leftMax); use Similarity.embeddingNearDupAnn for full-corpus near-dup")
     val e = Similarity.withNorm(embeddings)
     val a = e.filter(col("vec_id") < leftMax)
       .select(col("vec_id").as("vec_a"), col("v").as("va"), col("norm").as("na"))

@@ -37,7 +37,11 @@ object Profile {
     * point, struct-field-safe) instead of rounding into a collision.
     */
   private[ops] def pLabel(p: Double): String = {
-    val s = BigDecimal(p * 100).underlying.stripTrailingZeros.toPlainString
+    // scale in decimal space (BigDecimal of the double's shortest
+    // string form × 100): p * 100 in binary double arithmetic turns
+    // e.g. 0.29 into 28.999999999999996 and the label goes noisy
+    val s = (BigDecimal(p.toString) * 100).underlying
+      .stripTrailingZeros.toPlainString
     "p" + s.replace("-", "m").replace(".", "_")
   }
 
@@ -130,10 +134,12 @@ object Profile {
     val cuts = df.agg(
       percentile(c, lit(pLo)).as("cut_lo"),
       percentile(c, lit(pHi)).as("cut_hi"))
+    // grouping by the (constant) cut columns keeps the empty-input
+    // edge engine-exact: zero groups → zero rows, like the oracle's
+    // GROUP BY, instead of Spark's one all-null grouping-less row
     df.select(c).crossJoin(broadcast(cuts))
+      .groupBy(col("cut_lo"), col("cut_hi"))
       .agg(
-        first(col("cut_lo")).as("cut_lo"),
-        first(col("cut_hi")).as("cut_hi"),
         count(lit(1)).as("n_rows"),
         sum(when(c < col("cut_lo"), 1L).otherwise(0L)).as("n_clip_lo"),
         sum(when(c > col("cut_hi"), 1L).otherwise(0L)).as("n_clip_hi"),

@@ -85,6 +85,16 @@ class CorpusStatsSpec extends AnyFunSuite {
       docs.filter(col("source") === "src0" && col("lang") === "en").count())
   }
 
+  test("mixtureReport derives n_chars from text when the column is absent") {
+    val docs = Seq(
+      ("src0", "en", "abc"), ("src0", "en", "de"), ("src1", "fr", "fghi"))
+      .toDF("source", "lang", "text")
+    val rs = CorpusStats.mixtureReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(rs(("src0", "en")).getAs[Long]("n_chars") == 5)
+    assert(rs(("src1", "fr")).getAs[Long]("n_chars") == 4)
+  }
+
   test("topTermsPerDoc ranks by df asc then tf desc then term") {
     // corpus df: the=2, cat=2, rare=1, dog=1, mat=1
     val docs = Seq(

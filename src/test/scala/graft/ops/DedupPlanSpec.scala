@@ -50,6 +50,16 @@ class DedupPlanSpec extends AnyFunSuite {
       }
   }
 
+  test("embeddingCosinePairs rejects an unbounded left side") {
+    val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embeddingCosinePairs(emb, leftMax = Long.MaxValue)
+    }
+    assert(e.getMessage.contains("embeddingNearDupAnn"))
+    // the sanctioned bound still constructs
+    Dedup.embeddingCosinePairs(emb, leftMax = 500)
+  }
+
   test("full-corpus ANN: the only nested loop is the tiny centroid broadcast") {
     // the per-vector centroid scoring is crossJoin(broadcast(nCells
     // rows)) — physically a BroadcastNestedLoopJoin whose build side

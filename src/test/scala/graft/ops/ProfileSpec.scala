@@ -58,6 +58,15 @@ class ProfileSpec extends AnyFunSuite {
     // distinct ps map to distinct labels
     val ps = Seq(0.001, 0.004, 0.5, 0.99, 0.999, 1.0)
     assert(ps.map(Profile.pLabel).distinct.size == ps.size)
+    // decimal-space scaling: 0.29 * 100 in double arithmetic is
+    // 28.999999999999996 — the label must still read p29
+    assert(Profile.pLabel(0.29) == "p29")
+    assert(Profile.pLabel(0.125) == "p12_5")
+  }
+
+  test("winsorizeReport on empty input returns zero rows, like the oracle") {
+    val empty = spark.emptyDataset[Double].toDF("v")
+    assert(Profile.winsorizeReport(empty, "v").count() == 0)
   }
 
   test("winsorizeReport computes exact cuts and clip counts") {
