@@ -73,15 +73,16 @@ object Main {
   }
 
   private def makeWriter(target: Option[Target], destTable: String,
-      primaryKey: Seq[String], args: Args): DataWriter =
+      primaryKey: Seq[String], args: Args,
+      getenv: String => Option[String]): DataWriter =
     args.warehouse match {
       case Some(dir) =>
         new graft.writer.FileWriter(s"$dir/$destTable", args.warehouseFormat)
       case None =>
         val t = target.getOrElse(throw new IllegalArgumentException(
           s"no target resolved for '$destTable' and no --warehouse fallback"))
-        new PostgresWriter(t.jdbcUrl, t.auth.resolvedUsername(),
-          t.auth.resolvedPassword(), destTable, primaryKey)
+        new PostgresWriter(t.jdbcUrl, t.auth.resolvedUsername(getenv),
+          t.auth.resolvedPassword(getenv), destTable, primaryKey)
     }
 
   def main(argv: Array[String]): Unit = {
@@ -93,8 +94,15 @@ object Main {
     if (failed > 0) sys.exit(1)
   }
 
-  /** Orchestrator loop; returns the number of failed modules. */
-  def run(args: Args, spark: SparkSession): Int = {
+  /** Orchestrator loop; returns the number of failed modules.
+    *
+    * `getenv` resolves `username_env`/`password_env` credential
+    * indirection; the default overlays a `.env` from the working
+    * directory under the real environment, mirroring the reference
+    * CLI's `dotenvy::dotenv()` startup (main.rs:11).
+    */
+  def run(args: Args, spark: SparkSession,
+      getenv: String => Option[String] = graft.config.DotEnv.resolver()): Int = {
     val cfg = PipelineConfig.loadFromPath(args.configPath)
     val t0 = System.nanoTime()
     var ok, failed = 0
@@ -122,7 +130,8 @@ object Main {
         try {
           // stage-6 rewrite: source name → destination table name
           val sql = Templates.rewriteIdentifier(rendered.sql, sourceName, destTable)
-          val writer = makeWriter(target, destTable, source.primaryKeyInDest.toSeq, args)
+          val writer = makeWriter(target, destTable, source.primaryKeyInDest.toSeq,
+            args, getenv)
           if (args.truncateFirst) {
             log.info("sql.execute statement=truncate table={}", destTable)
             writer.truncate()

@@ -44,7 +44,12 @@ object PipelineConfig {
       dataPath: Option[String],
       retry: Retry,
       primaryKeyInDest: Option[String],
-      pageSize: Option[Long] = None) {
+      pageSize: Option[Long] = None,
+      /** `bearer_token` — sent as `Authorization: Bearer …`, the
+        * reference's `Http::bearer_auth` surfaced in YAML (the
+        * reference builder has it but never wires it from config).
+        */
+      bearerToken: Option[String] = None) {
     def destTable: String = tableDestinationName.getOrElse(name)
   }
 
@@ -184,7 +189,8 @@ object PipelineConfig {
       dataPath = optStr(m, "data_path"),
       retry = parseRetry(m.get("retry")),
       primaryKeyInDest = optStr(m, "primary_key_in_dest"),
-      pageSize = optStr(m, "page_size").map(_.toLong))
+      pageSize = optStr(m, "page_size").map(_.toLong),
+      bearerToken = optStr(m, "bearer_token"))
 
   private def parseTarget(m: Map[String, Any]): Target = {
     val kind = optStr(m, "type").getOrElse("postgres")

@@ -38,7 +38,30 @@ object HttpJsonSource {
       dataPath: Option[String],
       retry: Retry,
       requestTimeoutSecs: Long = 30,
-      connectTimeoutSecs: Long = 10)
+      connectTimeoutSecs: Long = 10,
+      bearerToken: Option[String] = None)
+
+  /** The headers actually sent: the custom headers plus, when a bearer
+    * token is configured, `Authorization: Bearer <token>` — skipped
+    * with a warning when the token carries characters a header value
+    * cannot (mirroring the reference builder's invalid-header-char
+    * path, /root/reference/src/http/mod.rs:50-59, which warns and
+    * builds the client without the header rather than failing).
+    */
+  private[http] def effectiveHeaders(spec: FetchSpec): Seq[(String, String)] =
+    spec.bearerToken match {
+      case Some(token) =>
+        val v = s"Bearer $token"
+        // RFC 9110 field-value chars: tab, space–0xFF minus DEL
+        val valid = v.forall(c => c == '\t' ||
+          (c >= ' ' && c != 0x7f.toChar && c <= 0xff.toChar))
+        if (valid) spec.headers :+ ("Authorization" -> v)
+        else {
+          log.warn("invalid characters in bearer token, skipping authorization header")
+          spec.headers
+        }
+      case None => spec.headers
+    }
 
   /** Rows of one page as raw JSON object text. */
   type Page = Seq[String]
@@ -80,7 +103,7 @@ object HttpJsonSource {
       errorPeek: T => String, discard: T => Unit): HttpResponse[T] = {
     val builder = HttpRequest.newBuilder(buildUri(spec, extra))
       .timeout(Duration.ofSeconds(spec.requestTimeoutSecs)).GET()
-    spec.headers.foreach { case (k, v) => builder.header(k, v) }
+    effectiveHeaders(spec).foreach { case (k, v) => builder.header(k, v) }
     val req = builder.build()
     var attempt = 0
     var delayMs = spec.retry.minDelaySecs * 1000
@@ -340,7 +363,7 @@ object HttpJsonSource {
       totalHint: Option[TotalHint] = None): DataFrame = {
     import spark.implicits._
     val spec = FetchSpec(source.url, source.headers, source.queryParams,
-      source.dataPath, source.retry)
+      source.dataPath, source.retry, bearerToken = source.bearerToken)
     val effectivePageSize = source.pageSize.getOrElse(pageSize)
     source.pagination match {
       case Some(Pagination.PageNumber(pp, ppp, itemsPtr, pagesPtr)) =>

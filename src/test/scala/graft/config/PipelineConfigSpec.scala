@@ -46,6 +46,18 @@ class PipelineConfigSpec extends AnyFunSuite {
       |      password: postgres
       |""".stripMargin
 
+  test("bearer_token YAML key reaches the source spec") {
+    val cfg = PipelineConfig.parse(
+      """sources:
+        |  - name: s
+        |    url: https://api.example.com/x
+        |    bearer_token: tok-abc
+        |""".stripMargin)
+    assert(cfg.source("s").bearerToken.contains("tok-abc"))
+    // absent key stays None
+    assert(PipelineConfig.parse(yaml).source("employees").bearerToken.isEmpty)
+  }
+
   test("parse reference-shaped YAML") {
     val cfg = PipelineConfig.parse(yaml)
     val s = cfg.source("employees")

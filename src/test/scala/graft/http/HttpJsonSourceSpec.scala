@@ -97,6 +97,10 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (h == "secret") respond(ex, """[{"ok": true}]""")
       else respond(ex, "[]", status = 403)
     })
+    server.createContext("/bearer", (ex: HttpExchange) => {
+      val h = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      respond(ex, s"""[{"auth": "$h"}]""")
+    })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
   }
@@ -191,6 +195,23 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val s = FetchSpec(s"$base/auth", Seq("X-API-KEY" -> "secret"),
       Seq.empty, None, retry)
     assert(fetchPage(buildClient(s), s, Seq.empty) == Seq("""{"ok":true}"""))
+  }
+
+  test("bearer token arrives as Authorization: Bearer (mod.rs:32-59)") {
+    val s = FetchSpec(s"$base/bearer", Seq.empty, Seq.empty, None, retry,
+      bearerToken = Some("tok-123"))
+    assert(fetchPage(buildClient(s), s, Seq.empty) ==
+      Seq("""{"auth":"Bearer tok-123"}"""))
+  }
+
+  test("invalid bearer token chars skip the header with a warning, like the reference") {
+    val s = FetchSpec(s"$base/bearer", Seq.empty, Seq.empty, None, retry,
+      bearerToken = Some("bad\ntoken"))
+    // the header is dropped (mod.rs:55-58) — the request still succeeds
+    assert(fetchPage(buildClient(s), s, Seq.empty) == Seq("""{"auth":""}"""))
+    // custom headers survive the dropped bearer
+    assert(effectiveHeaders(s.copy(headers = Seq("X-K" -> "v")))
+      == Seq("X-K" -> "v"))
   }
 
   test("cursor pagination threads next_cursor (implemented beyond the reference's stub)") {
