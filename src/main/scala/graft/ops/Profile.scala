@@ -118,6 +118,54 @@ object Profile {
     pivotToRows(one, stacked)
   }
 
+  /** Hash-matched accuracy gate for [[sketchProfile]]: the sketch
+    * VALUES are engine-specific (rows-only in the driver gate), but
+    * their accuracy CONTRACT is a deterministic integer the oracle can
+    * pin — per column, `ok_distinct` = the HLL estimate is within 5 %
+    * of the exact distinct count (integer cross-multiplication, no
+    * float boundary), and `ok_pXX` = the approximate percentile falls
+    * inside the exact ±5-rank-point envelope (approx_p50 between exact
+    * p45 and p55). The exact distinct count rides along so the hash
+    * carries real data. The oracle recomputes the exact side and pins
+    * every flag to 1: sketch drift turns the driver gate red instead
+    * of passing silently — the same recall-gate pattern that de-risked
+    * the IVF ANN path.
+    *
+    * Still ONE aggregation pass: exact and approximate aggregates
+    * share the same `agg()`, so the scan is not repeated.
+    */
+  def sketchCheck(df: DataFrame, cols: Seq[String],
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      accuracy: Int = 10000, rsd: Double = 0.02): DataFrame = {
+    def lo(p: Double) = math.max(p - 0.05, 0.0)
+    def hi(p: Double) = math.min(p + 0.05, 1.0)
+    val allPs = (ps.map(lo) ++ ps.map(hi)).distinct
+    val envArr = array(allPs.map(lit): _*)
+    def at(c: String, p: Double) =
+      element_at(col(s"${c}__env"), allPs.indexOf(p) + 1)
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"${c}__nd"),
+        approx_count_distinct(col(c), rsd).as(s"${c}__and"),
+        percentile(col(c), envArr).as(s"${c}__env"),
+        percentile_approx(col(c), array(ps.map(lit): _*), lit(accuracy))
+          .as(s"${c}__aq"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      val okDistinct =
+        (abs(col(s"${c}__and") - col(s"${c}__nd")) * 100 <=
+          col(s"${c}__nd") * 5).cast("int")
+      val okPs = ps.zipWithIndex.map { case (p, i) =>
+        val a = element_at(col(s"${c}__aq"), i + 1).cast("double")
+        (a >= at(c, lo(p)) && a <= at(c, hi(p))).cast("int")
+          .as("ok_" + pLabel(p))
+      }
+      struct(lit(c).as("column") +: col(s"${c}__nd").as("n_distinct") +:
+        okDistinct.as("ok_distinct") +: okPs: _*)
+    }
+    pivotToRows(one, stacked)
+  }
+
   /** Winsorization report: the exact clip bounds at (pLo, pHi) and
     * how many rows each bound would clip — the outlier-handling
     * decision a numeric-feature pipeline records before training.

@@ -329,6 +329,15 @@ object Extensions {
       Profile.sketchProfile(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice"))),
 
+    // hash-matched accuracy gate for the sketch profile: per-column
+    // integer pass/fail flags (HLL within 5 % of exact; each approx
+    // percentile inside the exact ±5-rank-point envelope) that DuckDB
+    // recomputes from the exact profile and pins to 1 — sketch drift
+    // turns the driver gate red instead of hiding behind no_oracle
+    "x_profile_sketch_check" -> ((s, d) =>
+      Profile.sketchCheck(t(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice"))),
+
     // winsorization report: exact p01/p99 clip bounds + clip counts
     "x_profile_winsorize" -> ((s, d) =>
       Profile.winsorizeReport(t(s, d, "lineitem"), "l_extendedprice")),
@@ -945,6 +954,21 @@ object Extensions {
         |SELECT 'l_extendedprice' AS "column",
         |  qe[1] AS p50, qe[2] AS p90, qe[3] AS p99 FROM q
         |UNION ALL SELECT 'l_quantity', qq[1], qq[2], qq[3] FROM q
+        |ORDER BY "column"""".stripMargin,
+
+    // the sketch-accuracy contract: DuckDB recomputes the exact
+    // distinct counts and asserts the flags are all-pass — if a Spark
+    // sketch drifts past its contract the flag flips to 0 and the
+    // hash compare goes red
+    "x_profile_sketch_check" ->
+      """WITH a AS (
+        |  SELECT COUNT(DISTINCT l_quantity) AS qd,
+        |    COUNT(DISTINCT l_extendedprice) AS ed
+        |  FROM lineitem)
+        |SELECT 'l_extendedprice' AS "column", ed AS n_distinct,
+        |  CAST(1 AS INT) AS ok_distinct, CAST(1 AS INT) AS ok_p50,
+        |  CAST(1 AS INT) AS ok_p90, CAST(1 AS INT) AS ok_p99 FROM a
+        |UNION ALL SELECT 'l_quantity', qd, 1, 1, 1, 1 FROM a
         |ORDER BY "column"""".stripMargin,
 
     "x_profile_winsorize" ->

@@ -104,6 +104,22 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("sketchCheck emits all-pass flags and the exact distinct count") {
+    val li = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "lineitem")
+    val cols = Seq("l_quantity", "l_extendedprice")
+    val rs = Profile.sketchCheck(li, cols).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Profile.columnProfile(li, cols).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_distinct")).toMap
+    cols.foreach { c =>
+      assert(rs(c).getAs[Long]("n_distinct") == exact(c))
+      Seq("ok_distinct", "ok_p50", "ok_p90", "ok_p99").foreach { f =>
+        assert(rs(c).getAs[Int](f) == 1, s"$c.$f not passing")
+      }
+    }
+  }
+
   test("histogram buckets integral values on exact edges") {
     val df = Seq(1.0, 1.0, 5.0, 6.0, 10.0, 11.0, 50.0).toDF("v")
     val rs = Profile.histogram(df, "v", 1.0, 5.0).collect()
