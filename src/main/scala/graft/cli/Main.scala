@@ -35,9 +35,10 @@ object Main {
       logJson: Boolean = false,
       logLevel: Option[String] = None,
       pageSize: Long = 100,
-      templateVars: Map[String, Any] = Map.empty)
+      templateVars: Map[String, Any] = Map.empty,
+      master: Option[String] = None)
 
-  private def parseArgs(argv: Array[String]): Args = {
+  private[cli] def parseArgs(argv: Array[String]): Args = {
     def loop(a: Args, rest: List[String]): Args = rest match {
       case Nil => a
       case ("-m" | "--modules") :: v :: t => loop(a.copy(modulesDir = v), t)
@@ -51,6 +52,9 @@ object Main {
       case "--log-json" :: t => loop(a.copy(logJson = true), t)
       case "--log-level" :: v :: t => loop(a.copy(logLevel = Some(v)), t)
       case "--page-size" :: v :: t => loop(a.copy(pageSize = v.toLong), t)
+      // cluster deployment: same jar, master from flag/env instead of
+      // the hard-coded local session (Sessions.resolveMaster)
+      case "--master" :: v :: t => loop(a.copy(master = Some(v)), t)
       // template context for the module expression subset: repeated
       // --var k=v flags become {{ k }} / {% if k %} bindings ("true"/
       // "false" parse to booleans so truthiness branches work)
@@ -88,7 +92,7 @@ object Main {
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv)
     Logging.configure(args.logJson, args.logLevel)
-    val spark: SparkSession = Sessions.local()
+    val spark: SparkSession = Sessions.deployment(args.master)
     val failed = run(args, spark)
     spark.stop()
     if (failed > 0) sys.exit(1)

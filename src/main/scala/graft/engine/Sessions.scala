@@ -28,4 +28,44 @@ object Sessions {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Master URL for a deployment: the explicit `--master` arg wins,
+    * then `SPARK_GRAFT_MASTER`, then whatever `spark.master` the
+    * launcher already set (spark-submit injects it as a system
+    * property), and None means "no cluster configured" — the caller
+    * falls back to local. Pure so the plumbing is spec-testable
+    * without standing up a cluster.
+    */
+  private[graft] def resolveMaster(explicitMaster: Option[String],
+      env: String => Option[String] = sys.env.get,
+      sysProp: String => Option[String] =
+        k => Option(System.getProperty(k))): Option[String] =
+    explicitMaster.orElse(env("SPARK_GRAFT_MASTER")).orElse(sysProp("spark.master"))
+
+  /** Shuffle partitions for a resolved master: local masters size to
+    * the core count (the sandbox contract); cluster masters take
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` or Spark's 200 default — a
+    * deliberate over-partitioning that AQE's partition coalescing
+    * trims at runtime, instead of a hard-coded 32 that would starve a
+    * 1000-executor cluster.
+    */
+  private[graft] def shufflePartitionsFor(master: String, cpus: Int,
+      env: String => Option[String] = sys.env.get): Int =
+    env("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
+      .getOrElse(if (master.startsWith("local")) cpus else 200)
+
+  /** The deployment entry point's session: same graft config as
+    * [[local]], master resolved by [[resolveMaster]] — so the same
+    * jar runs `--master spark://…`/`k8s://…` on a real cluster and
+    * falls back to `local[cpus]` for driverless runs.
+    */
+  def deployment(explicitMaster: Option[String] = None,
+      cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {
+    val master = resolveMaster(explicitMaster).getOrElse(s"local[$cpus]")
+    val spark = configure(
+      SparkSession.builder().master(master).appName("graft"),
+      shufflePartitions = shufflePartitionsFor(master, cpus)).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }

@@ -234,4 +234,11 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     // without truncate the second append would double the rows
     assert(spark.read.parquet(s"$warehouse/posts").count() == 8)
   }
+
+  test("--master CLI flag lands in the parsed args") {
+    val args = Main.parseArgs(Array(
+      "-m", "mods", "-y", "cfg.yaml", "--master", "spark://m:7077"))
+    assert(args.master.contains("spark://m:7077"))
+    assert(Main.parseArgs(Array("-m", "mods", "-y", "cfg.yaml")).master.isEmpty)
+  }
 }
