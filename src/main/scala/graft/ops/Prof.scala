@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
   * at that SF — the sf0.1-scale complement to the sf0.001 spec
   * assertions. Run: `runMain graft.ops.Prof /root/testdata/sf0.1`.
   * A second mode profiles the corpus-statistics family instead:
-  * `runMain graft.ops.Prof <dir> corpus`.
+  * `runMain graft.ops.Prof <dir> corpus`; a third the chunking /
+  * packing / profile family: `runMain graft.ops.Prof <dir> chunkprof`.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
     val spark = graft.engine.Sessions.local()
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val corpusOnly = args.lift(1).contains("corpus")
+    val chunkProf = args.lift(1).contains("chunkprof")
     // ScaleGen dirs carry only documents/embeddings — warm what exists
     graft.engine.Tables.names
       .filter(n => java.nio.file.Files.exists(
@@ -26,6 +28,26 @@ object Prof {
       def once = { val t0 = System.nanoTime; f; (System.nanoTime - t0) / 1e9 }
       val t = math.min(once, once)
       println(f"PROF $name $t%.2f s")
+    }
+    if (chunkProf) {
+      // chunking / packing / numeric-profile family: chunking is
+      // explode-shaped (output rows ~ token windows), packing a
+      // per-shard running-sum window, the profiles one-pass
+      // aggregations. The profile queries are driven by collect(), not
+      // count() — count() lets Catalyst prune a grouping-less
+      // aggregate's functions and would time a hollow plan.
+      q("chunk_docs")(Chunking.chunkDocs(docs).count())
+      q("pack_sequences")(Chunking.packSequences(docs, "source").count())
+      q("column_profile")(
+        Profile.columnProfile(docs, Seq("n_chars", "doc_id")).collect().length.toLong)
+      q("quantiles")(Profile.quantiles(docs, Seq("n_chars")).collect().length.toLong)
+      q("sketch_check")(Profile.sketchCheck(docs, Seq("n_chars")).collect().length.toLong)
+      q("winsorize")(
+        Profile.winsorizeReport(docs, "n_chars").collect().length.toLong)
+      q("histogram")(
+        Profile.histogram(docs, "n_chars", 0.0, 50.0).collect().length.toLong)
+      spark.stop()
+      return
     }
     if (corpusOnly) {
       // corpus-statistics / curation family (round-5 operators):
