@@ -119,7 +119,7 @@ object Main {
         val sourceName = rendered.source.getOrElse(
           throw new IllegalArgumentException(
             s"module $module declares no {{ use_source(...) }}"))
-        val source = cfg.source(sourceName)
+        val source = cfg.source(sourceName).withBearerResolved(getenv)
         val target = rendered.sink.map(cfg.target)
         val destTable = source.destTable
 

@@ -19,6 +19,11 @@ object DotEnv {
 
   private val Line = """^(?:export\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s*=(.*)$""".r
 
+  /** Duplicate keys are FIRST-wins: dotenvy sets each var into the
+    * environment as it reads, and a later line never overrides an
+    * already-set var — the same rule that keeps the real environment
+    * above the file keeps line 1 above line 9.
+    */
   def parse(text: String): Map[String, String] =
     text.linesIterator.flatMap { raw =>
       val line = raw.trim
@@ -27,12 +32,18 @@ object DotEnv {
         case Line(key, rawValue) => Some(key -> unquote(rawValue.trim))
         case _ => None // malformed lines are skipped, like dotenvy's lenient iter
       }
-    }.toMap
+    }.foldLeft(Map.empty[String, String]) { case (m, (k, v)) =>
+      if (m.contains(k)) m else m.updated(k, v)
+    }
 
   private def unquote(v: String): String =
-    if (v.length >= 2 && (v.head == '"' || v.head == '\'') && v.last == v.head)
-      v.substring(1, v.length - 1)
-    else {
+    if (v.nonEmpty && (v.head == '"' || v.head == '\'')) {
+      // quoted value: take up to the matching close quote, dropping
+      // anything after it (e.g. a trailing comment); an unterminated
+      // quote keeps the raw text, dotenvy-lenient
+      val close = v.indexOf(v.head.toInt, 1)
+      if (close > 0) v.substring(1, close) else v
+    } else {
       // inline comments only begin after whitespace ("a#b" is a value)
       val cut = v.indexOf(" #")
       (if (cut >= 0) v.substring(0, cut) else v).trim
@@ -53,9 +64,23 @@ object DotEnv {
       env: String => Option[String] = sys.env.get): String => Option[String] =
     k => env(k).orElse(fileVars.get(k))
 
-  /** The CLI-startup resolver: `.env` from the working directory (or
-    * an explicit path), overlaid under the process environment.
+  /** First `.env` in `start` or any ancestor directory — dotenvy's
+    * `dotenv()` walks up from the working directory, so a CLI run from
+    * a project subdirectory still finds the project's file.
     */
-  def resolver(path: String = ".env"): String => Option[String] =
-    overlay(loadFile(Paths.get(path)))
+  def findUp(start: Path, name: String = ".env"): Option[Path] = {
+    var dir = start.toAbsolutePath.normalize
+    while (dir != null) {
+      val cand = dir.resolve(name)
+      if (Files.isRegularFile(cand)) return Some(cand)
+      dir = dir.getParent
+    }
+    None
+  }
+
+  /** The CLI-startup resolver: the nearest `.env` at or above
+    * `startDir`, overlaid under the process environment.
+    */
+  def resolver(startDir: String = "."): String => Option[String] =
+    overlay(findUp(Paths.get(startDir)).map(loadFile).getOrElse(Map.empty))
 }

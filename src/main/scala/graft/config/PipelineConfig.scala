@@ -49,8 +49,29 @@ object PipelineConfig {
         * reference's `Http::bearer_auth` surfaced in YAML (the
         * reference builder has it but never wires it from config).
         */
-      bearerToken: Option[String] = None) {
+      bearerToken: Option[String] = None,
+      /** `bearer_token_env` — env-var indirection for the token, the
+        * same credential model as the postgres `username_env`/
+        * `password_env` (secrets stay out of committed YAML).
+        */
+      bearerTokenEnv: Option[String] = None) {
     def destTable: String = tableDestinationName.getOrElse(name)
+
+    /** Resolve `bearer_token_env` (preferred over an inline
+      * `bearer_token`, like the postgres auth rule); a missing or
+      * empty env value is a config error, mirroring
+      * `PostgresAuth.resolve`.
+      */
+    def withBearerResolved(getenv: String => Option[String] = sys.env.get): Source =
+      bearerTokenEnv match {
+        case Some(e) =>
+          val v = getenv(e).getOrElse(throw new IllegalArgumentException(
+            s"environment variable '$e' for bearer token is not set"))
+          if (v.trim.isEmpty) throw new IllegalArgumentException(
+            s"environment variable '$e' for bearer token is empty")
+          copy(bearerToken = Some(v))
+        case None => this
+      }
   }
 
   final case class PostgresAuth(
@@ -190,7 +211,8 @@ object PipelineConfig {
       retry = parseRetry(m.get("retry")),
       primaryKeyInDest = optStr(m, "primary_key_in_dest"),
       pageSize = optStr(m, "page_size").map(_.toLong),
-      bearerToken = optStr(m, "bearer_token"))
+      bearerToken = optStr(m, "bearer_token"),
+      bearerTokenEnv = optStr(m, "bearer_token_env"))
 
   private def parseTarget(m: Map[String, Any]): Target = {
     val kind = optStr(m, "type").getOrElse("postgres")

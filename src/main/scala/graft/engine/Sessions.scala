@@ -42,9 +42,13 @@ object Sessions {
         k => Option(System.getProperty(k))): Option[String] =
     explicitMaster.orElse(env("SPARK_GRAFT_MASTER")).orElse(sysProp("spark.master"))
 
-  /** Shuffle partitions for a resolved master: local masters size to
-    * the core count (the sandbox contract); cluster masters take
-    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` or Spark's 200 default — a
+  private val LocalN = """local\[(\d+)\]""".r
+
+  /** Shuffle partitions for a resolved master. The explicit
+    * `SPARK_GRAFT_SHUFFLE_PARTITIONS` override wins everywhere;
+    * otherwise local masters size to their own core count (the count
+    * inside `local[N]` when given, the cpus arg for `local[*]`-style
+    * masters) and cluster masters take Spark's 200 default — a
     * deliberate over-partitioning that AQE's partition coalescing
     * trims at runtime, instead of a hard-coded 32 that would starve a
     * 1000-executor cluster.
@@ -52,7 +56,11 @@ object Sessions {
   private[graft] def shufflePartitionsFor(master: String, cpus: Int,
       env: String => Option[String] = sys.env.get): Int =
     env("SPARK_GRAFT_SHUFFLE_PARTITIONS").map(_.toInt)
-      .getOrElse(if (master.startsWith("local")) cpus else 200)
+      .getOrElse(master match {
+        case LocalN(n) => n.toInt
+        case m if m.startsWith("local") => cpus
+        case _ => 200
+      })
 
   /** The deployment entry point's session: same graft config as
     * [[local]], master resolved by [[resolveMaster]] — so the same

@@ -41,12 +41,22 @@ object HttpJsonSource {
       connectTimeoutSecs: Long = 10,
       bearerToken: Option[String] = None)
 
+  // tokens already warned about, so an invalid token logs once per
+  // JVM (the reference warns once at client build; requests here are
+  // built per page/retry and would otherwise spam the log)
+  private val warnedTokens =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The headers actually sent: the custom headers plus, when a bearer
-    * token is configured, `Authorization: Bearer <token>` — skipped
-    * with a warning when the token carries characters a header value
-    * cannot (mirroring the reference builder's invalid-header-char
-    * path, /root/reference/src/http/mod.rs:50-59, which warns and
-    * builds the client without the header rather than failing).
+    * token is configured, `Authorization: Bearer <token>` — REPLACING
+    * any custom Authorization header (the reference inserts the bearer
+    * into the header map after the custom headers, and reqwest's
+    * HeaderMap::insert replaces; two Authorization lines would get the
+    * request rejected). A token carrying characters a header value
+    * cannot is skipped with a warning, mirroring the reference
+    * builder's invalid-header-char path
+    * (/root/reference/src/http/mod.rs:50-59), and the custom headers —
+    * including a custom Authorization — survive the skip.
     */
   private[http] def effectiveHeaders(spec: FetchSpec): Seq[(String, String)] =
     spec.bearerToken match {
@@ -55,9 +65,12 @@ object HttpJsonSource {
         // RFC 9110 field-value chars: tab, space–0xFF minus DEL
         val valid = v.forall(c => c == '\t' ||
           (c >= ' ' && c != 0x7f.toChar && c <= 0xff.toChar))
-        if (valid) spec.headers :+ ("Authorization" -> v)
+        if (valid)
+          spec.headers.filterNot(_._1.equalsIgnoreCase("Authorization")) :+
+            ("Authorization" -> v)
         else {
-          log.warn("invalid characters in bearer token, skipping authorization header")
+          if (warnedTokens.add(token))
+            log.warn("invalid characters in bearer token, skipping authorization header")
           spec.headers
         }
       case None => spec.headers

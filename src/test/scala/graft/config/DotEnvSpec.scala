@@ -35,8 +35,29 @@ class DotEnvSpec extends AnyFunSuite {
     assert(!vars.contains("not a kv line") && vars.size == 7)
   }
 
+  test("quoted values drop a trailing comment; duplicates are first-wins") {
+    val vars = DotEnv.parse(
+      """DB_PASS="p w" # prod credential
+        |DB_PASS=overridden-too-late
+        |UNTERMINATED="half
+        |""".stripMargin)
+    assert(vars("DB_PASS") == "p w")
+    assert(vars("UNTERMINATED") == "\"half")
+  }
+
   test("loadFile returns empty for a missing file (dotenv().ok() semantics)") {
     assert(DotEnv.loadFile(Paths.get("/tmp/definitely-not-here.env")).isEmpty)
+  }
+
+  test("findUp walks ancestor directories like dotenvy::dotenv()") {
+    val root = Files.createTempDirectory("dotenv-up")
+    val nested = Files.createDirectories(root.resolve("a/b/c"))
+    Files.writeString(root.resolve(".env"), "K=v\n")
+    assert(DotEnv.findUp(nested).contains(root.resolve(".env")))
+    assert(DotEnv.resolver(nested.toString)("K").contains("v"))
+    val orphan = Files.createTempDirectory("dotenv-none")
+    // no .env anywhere up to / (assuming none in the temp ancestry)
+    assert(DotEnv.findUp(orphan).forall(p => !p.startsWith(orphan)))
   }
 
   test("real environment wins over the .env overlay") {

@@ -58,6 +58,34 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(PipelineConfig.parse(yaml).source("employees").bearerToken.isEmpty)
   }
 
+  test("bearer_token_env resolves via env indirection, preferred over inline") {
+    val cfg = PipelineConfig.parse(
+      """sources:
+        |  - name: s
+        |    url: https://api.example.com/x
+        |    bearer_token: inline-tok
+        |    bearer_token_env: API_TOKEN
+        |""".stripMargin)
+    val s = cfg.source("s")
+    assert(s.withBearerResolved(Map("API_TOKEN" -> "env-tok").get)
+      .bearerToken.contains("env-tok"))
+    intercept[IllegalArgumentException] {
+      s.withBearerResolved(Map.empty[String, String].get)
+    }
+    intercept[IllegalArgumentException] {
+      s.withBearerResolved(Map("API_TOKEN" -> "  ").get)
+    }
+    // no env indirection declared → untouched
+    val plain = PipelineConfig.parse(
+      """sources:
+        |  - name: p
+        |    url: https://api.example.com/y
+        |    bearer_token: tok
+        |""".stripMargin).source("p")
+    assert(plain.withBearerResolved(Map.empty[String, String].get)
+      .bearerToken.contains("tok"))
+  }
+
   test("parse reference-shaped YAML") {
     val cfg = PipelineConfig.parse(yaml)
     val s = cfg.source("employees")

@@ -25,10 +25,14 @@ class SessionsSpec extends AnyFunSuite {
   }
 
   test("shufflePartitionsFor: local sizes to cores, cluster to env or 200") {
-    assert(Sessions.shufflePartitionsFor("local[8]", cpus = 8, noEnv) == 8)
+    // a local[N] master sizes to ITS core count, not the cpus arg
+    assert(Sessions.shufflePartitionsFor("local[4]", cpus = 32, noEnv) == 4)
+    assert(Sessions.shufflePartitionsFor("local[*]", cpus = 8, noEnv) == 8)
     assert(Sessions.shufflePartitionsFor("spark://m:7077", cpus = 8, noEnv) == 200)
+    // the explicit override wins everywhere
     val env: String => Option[String] = Map("SPARK_GRAFT_SHUFFLE_PARTITIONS" -> "4096").get
     assert(Sessions.shufflePartitionsFor("spark://m:7077", cpus = 8, env) == 4096)
+    assert(Sessions.shufflePartitionsFor("local[4]", cpus = 8, env) == 4096)
   }
 
 }

@@ -204,6 +204,15 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       Seq("""{"auth":"Bearer tok-123"}"""))
   }
 
+  test("a valid bearer token replaces a custom Authorization header, like the reference") {
+    val s = FetchSpec(s"$base/bearer", Seq("Authorization" -> "ApiKey xyz"),
+      Seq.empty, None, retry, bearerToken = Some("tok-9"))
+    // reqwest's HeaderMap::insert replaces — one Authorization line out
+    assert(effectiveHeaders(s) == Seq("Authorization" -> "Bearer tok-9"))
+    assert(fetchPage(buildClient(s), s, Seq.empty) ==
+      Seq("""{"auth":"Bearer tok-9"}"""))
+  }
+
   test("invalid bearer token chars skip the header with a warning, like the reference") {
     val s = FetchSpec(s"$base/bearer", Seq.empty, Seq.empty, None, retry,
       bearerToken = Some("bad\ntoken"))
