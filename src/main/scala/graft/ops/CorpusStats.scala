@@ -24,11 +24,24 @@ object CorpusStats {
     *
     * Everything derives from ONE `(doc_id, term, tf)` aggregate: the
     * corpus frequency is Σtf over docs, and the per-doc profile folds
-    * back as n_tokens = Σtf, sum_freq = Σtf·freq, n_hapax = Σtf·[freq=1].
-    * Both consumers of `tf` share its shuffle (Catalyst's
-    * ReusedExchange), so the corpus is scanned and tokenized exactly
-    * once, and the apply-side join input shrinks from token-count rows
-    * to distinct-(doc, term) rows.
+    * back as n_tokens = Σtf, sum_freq = Σtf·freq, n_hapax = Σtf·[freq=1],
+    * shrinking the apply-side join input from token-count rows to
+    * distinct-(doc, term) rows.
+    *
+    * The ONE corpus-sized shuffle happens up front, on the compact
+    * doc rows keyed by doc_id: hashpartitioning(doc_id) satisfies the
+    * (doc_id, term) clustering the tf aggregation requires AND the
+    * doc_id clustering of the final fold, and the broadcast vocab
+    * join preserves it — so the exploded/aggregated term relation is
+    * never re-shuffled (measured 2× at sf0.1; the saving is a
+    * corpus-proportional shuffle at 100 TB). Both consumers of `tf`
+    * share that one exchange (ReusedExchange): the scan and shuffle
+    * run once, and each branch re-runs only the codegen'd tokenize on
+    * its partition-local rows — deliberately cheaper than the
+    * alternative that tokenizes once but pays a second term-relation
+    * shuffle. The explicit hash repartition also parallelizes a
+    * single-row-group fixture scan, which is why no [[Spread]] is
+    * needed here.
     *
     * The vocab side carries NO broadcast hint: AQE's runtime
     * size-gated conversion broadcasts it when the materialized
@@ -39,7 +52,7 @@ object CorpusStats {
     * Plan-shape pinned by `CorpusStatsPlanSpec`.
     */
   def unigramRarity(docs: DataFrame): DataFrame = {
-    val tf = Spread(docs)
+    val tf = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
     val vocab = tf.groupBy(col("w")).agg(sum(col("tf")).as("freq"))
@@ -63,18 +76,21 @@ object CorpusStats {
     * vocabulary unique to a document (the curation use case here),
     * and the all-integer rank carries zero cross-engine float risk.
     *
-    * Shape: tokens → per-doc tf (one aggregation), df derived from
-    * the tf relation (a term appears once per containing doc there,
-    * and both consumers of tf share its shuffle via ReusedExchange),
-    * join the vocabulary-sized df table back — size-gated by AQE's
+    * Shape: docs shuffle ONCE, compact and keyed by doc_id (the same
+    * up-front partitioning as [[unigramRarity]] — it satisfies the tf
+    * aggregation's clustering, the per-doc window's, and parallelizes
+    * a single-row-group scan); df derives from the tf relation (a
+    * term appears once per containing doc there, and both consumers
+    * of tf share the shuffle via ReusedExchange); the
+    * vocabulary-sized df table joins back — size-gated by AQE's
     * runtime conversion, broadcast in the Heaps'-law common case,
     * shuffle join when a pathological corpus grows vocab linearly —
-    * then a per-doc window top-k. The window partitions by doc_id, so
-    * at 100 TB the heavy relation shuffles once on doc_id and no
-    * partition exceeds one document's vocabulary.
+    * and the broadcast join preserves the doc_id partitioning, so the
+    * window top-k sorts within partitions without re-shuffling the
+    * term relation. No partition exceeds one document's vocabulary.
     */
   def topTermsPerDoc(docs: DataFrame, k: Int = 3): DataFrame = {
-    val tf = Spread(docs)
+    val tf = docs.repartition(col("doc_id"))
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

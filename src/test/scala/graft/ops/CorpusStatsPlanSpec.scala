@@ -55,18 +55,40 @@ class CorpusStatsPlanSpec extends AnyFunSuite {
     }
   }
 
-  test("unigramRarity scans and tokenizes the corpus exactly once") {
+  /** Hash exchanges that are NOT reuse markers (a ReusedExchange line
+    * echoes the reused node's description, so a raw substring count
+    * would double-count it).
+    */
+  private def hashExchanges(plan: String): Int =
+    plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+
+  test("unigramRarity scans once and never re-shuffles the term relation") {
     val plan = finalPlan(CorpusStats.unigramRarity(docs))
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+    // the explode appears once per consumer branch ABOVE the reused
+    // doc_id exchange — a deliberate trade: re-running the codegen'd
+    // tokenize on partition-local rows is cheaper than shuffling the
+    // term relation a second time (which is what a single shared
+    // explode below a term-keyed exchange would cost)
     val generates = "Generate explode".r.findAllIn(plan).size
-    assert(generates == 1, s"expected 1 explode, got $generates:\n$plan")
+    assert(generates == 2, s"expected 2 explodes (one per branch), got $generates:\n$plan")
+    // exactly two hash shuffles: the up-front doc_id repartition of
+    // the compact docs and the vocab-sized term exchange — the
+    // exploded/aggregated term relation itself must never re-shuffle
+    // (the doc_id partitioning satisfies the tf aggregation AND the
+    // final per-doc fold, and the broadcast join preserves it)
+    val ex = hashExchanges(plan)
+    assert(ex == 2, s"expected 2 hash exchanges, got $ex:\n$plan")
   }
 
-  test("topTermsPerDoc scans and tokenizes the corpus exactly once") {
+  test("topTermsPerDoc scans once and windows without re-shuffling") {
     val plan = finalPlan(CorpusStats.topTermsPerDoc(docs))
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+    val ex = hashExchanges(plan)
+    assert(ex == 2, s"expected 2 hash exchanges, got $ex:\n$plan")
   }
 
   test("vocabulary join broadcasts on a normal (Heaps' law) corpus") {
