@@ -17,7 +17,10 @@ import graft.template.Templates
 object Engine {
 
   private def uniqueName(base: String): String =
-    s"${base}_${UUID.randomUUID().toString.replace("-", "").take(12)}"
+    // temp-view names only allow [A-Za-z0-9_]: a schema-qualified or
+    // dashed dest table must not crash view registration
+    s"${base.map(c => if (c.isLetterOrDigit || c == '_') c else '_')}_" +
+      UUID.randomUUID().toString.replace("-", "").take(12)
 
   /** Register `df` under a unique name derived from `table`, rewrite
     * `table` → unique name in `sql`, run it, pass the result through

@@ -283,16 +283,29 @@ object HttpJsonSource {
     val first = getWithRetry(client, spec,
       Seq(pageParam -> "1", perPageParam -> perPage.toString))
     val ct = first.headers().firstValue("content-type")
-    val firstRows = parseBody(first.body(),
-      if (ct.isPresent) Some(ct.get()) else None, spec.dataPath)
+    val ctOpt = if (ct.isPresent) Some(ct.get()) else None
+    // parse the first-page body ONCE: both the row extraction and the
+    // TotalHint pointer read the same tree (a large first page would
+    // otherwise be fully re-parsed on the driver just to read one
+    // numeric field); NDJSON bodies have no hint to read and keep the
+    // line-framed path
+    val bodyTree =
+      if (isNdjson(ctOpt) || first.body().trim.isEmpty) None
+      else Some(mapper.readTree(first.body()))
+    val firstRows = bodyTree match {
+      case Some(tree) => extractRows(tree, spec.dataPath)
+      case None => parseBody(first.body(), ctOpt, spec.dataPath)
+    }
 
     val totalPages: Option[Long] = totalHint.flatMap { hint =>
-      val n = mapper.readTree(first.body()).at(hint.pointer)
-      if (n == null || !n.isNumber) None
-      else hint match {
-        case TotalHint.Items(_) =>
-          Some((n.asLong() + perPage - 1) / perPage)
-        case TotalHint.Pages(_) => Some(n.asLong())
+      bodyTree.flatMap { tree =>
+        val n = tree.at(hint.pointer)
+        if (n == null || !n.isNumber) None
+        else hint match {
+          case TotalHint.Items(_) =>
+            Some((n.asLong() + perPage - 1) / perPage)
+          case TotalHint.Pages(_) => Some(n.asLong())
+        }
       }
     }
 
@@ -301,8 +314,9 @@ object HttpJsonSource {
       case Some(n) if n > 1 =>
         // Executor-parallel fan-out; one task per slice of pages, each
         // task builds its own client (HttpClient is not serializable).
-        val rest = spark.range(2, n + 1)
-          .repartition(math.min(n - 1, 64).toInt)
+        // range() takes the slice count directly — a repartition here
+        // would add a shuffle stage just to spread 64 longs.
+        val rest = spark.range(2, n + 1, 1, math.min(n - 1, 64).toInt)
           .mapPartitions { pages =>
             val c = buildClient(spec)
             pages.flatMap(p => fetchPage(c, spec,
@@ -368,9 +382,12 @@ object HttpJsonSource {
     * batch path). The result is cached by callers that run multiple
     * actions — HTTP happens once, like the reference's replay channel.
     *
-    * `pageSize`/`totalHint` default from the source config
-    * (`page_size`, `total_items_pointer`/`total_pages_pointer`); the
-    * explicit parameters override.
+    * `pageSize` is the FALLBACK for sources whose config carries no
+    * `page_size` (it is the CLI's --page-size default, so per-source
+    * config wins); an explicit `totalHint` argument conversely
+    * OVERRIDES the config's `total_items_pointer`/
+    * `total_pages_pointer` — it is a per-call instruction, not a
+    * default.
     */
   def load(spark: SparkSession, source: Source, pageSize: Long = 100,
       totalHint: Option[TotalHint] = None): DataFrame = {

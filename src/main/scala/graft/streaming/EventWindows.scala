@@ -63,6 +63,19 @@ object EventWindows {
     * shape the reference has no analog for (its execution is bounded).
     * Events inside one micro-batch are sorted per user; state holds
     * only the session tail, not the events.
+    *
+    * Ordering contract: batches must arrive in per-user event-time
+    * order (within-batch disorder is sorted here, but an entire LATE
+    * batch would move the session tail backwards and split sessions).
+    * File sources with time-ordered file arrival satisfy this; for a
+    * heavily out-of-order source, prefer a
+    * `session_window(col("ts"), gap)` aggregation with a watermark,
+    * which buys reordering tolerance at the cost of windowed state.
+    * Both emitted columns are monotone nondecreasing, so when
+    * execution splits into multiple batches (update mode emits one
+    * row per user per batch), consumers fold with `max` per user —
+    * the same contract [[streamingFunnelFirsts]] documents with
+    * `min`.
     */
   def streamingUserSessions(spark: SparkSession, dir: String,
       schema: StructType, queryName: String,
@@ -147,17 +160,25 @@ object EventWindows {
       .start()
   }
 
-  /** Structured Streaming form of [[tumblingHourly]] with a watermark
-    * for late data; reads parquet files as a stream, for tests and as
-    * the template for a real unbounded source.
+  /** Structured Streaming form of [[tumblingHourly]], parameterized on
+    * output mode because the watermark's role differs:
+    * - `"append"` — the real-unbounded-source shape: the 2-hour
+    *   watermark FINALIZES and EVICTS windows, so aggregation state
+    *   stays bounded and only closed windows emit.
+    * - `"complete"` (default, what the bounded parity check uses) —
+    *   every window re-emits each batch and the watermark does NOT
+    *   evict state; correct for a finite fixture compared against the
+    *   batch form, but state grows with the window count on a real
+    *   stream — use append there.
     */
   def streamingTumblingHourly(spark: SparkSession, dir: String,
-      schema: StructType, queryName: String): StreamingQuery =
+      schema: StructType, queryName: String,
+      outputMode: String = "complete"): StreamingQuery =
     spark.readStream.schema(schema).parquet(dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-      .writeStream.outputMode("complete")
+      .writeStream.outputMode(outputMode)
       .format("memory").queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -129,6 +129,7 @@ object MiniJinja {
         if (identRe.matches(expr))
           sb.append(vars.get(expr).flatMap(Option(_)).fold("") {
             case Some(x) => x.toString // unwrap Option values
+            case None => "" // a bound scala None renders empty, like truthy() treats it
             case v => v.toString
           })
         else if (expr.matches("""[A-Za-z_][A-Za-z0-9_]*\s*\(.*\)"""))

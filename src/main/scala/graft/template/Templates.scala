@@ -73,31 +73,68 @@ object Templates {
   /** Source-name → table rewrite (A28). The reference does a raw
     * `sql.replace(name, dest)` (/root/reference/src/cmd/mod.rs:146),
     * which can corrupt string literals; we rewrite only identifier
-    * tokens outside single-quoted literals — observable behavior is
-    * identical for well-formed modules (divergence documented in
-    * SURVEY §7.3).
+    * tokens outside string literals — observable behavior is identical
+    * for well-formed modules (divergence documented in SURVEY §7.3).
+    *
+    * Both quote forms are literals to the engine that will run the
+    * SQL: single quotes always, double quotes because Spark's default
+    * (non-ANSI `doubleQuotedIdentifiers`) parses them as strings too —
+    * rewriting inside either would corrupt data. Literal scanning
+    * honors backslash escapes (Spark's default string escape) and the
+    * doubled-quote escape. Dotted `from` names (schema-qualified dest
+    * tables) match as the full `part.part` token sequence.
     */
   def rewriteIdentifier(sql: String, from: String, to: String): String = {
     val sb = new StringBuilder
     var i = 0
     val n = sql.length
     def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
+    val fromParts = from.split('.').toSeq
+    // copy a quoted literal verbatim: backslash escapes any next char,
+    // a doubled quote is an escaped quote, anything else ends at the
+    // closing quote
+    def copyLiteral(quote: Char): Unit = {
+      val start = i
+      i += 1
+      var done = false
+      while (i < n && !done) {
+        val ch = sql.charAt(i)
+        if (ch == '\\') i += 2
+        else if (ch == quote) {
+          if (i + 1 < n && sql.charAt(i + 1) == quote) i += 2
+          else { i += 1; done = true }
+        } else i += 1
+      }
+      sb.append(sql.substring(start, math.min(i, n)))
+    }
+    // after `word` matched fromParts.head, try to consume ".part" for
+    // each remaining part; returns the end index past the full dotted
+    // name, or -1 if the sequence doesn't match
+    def matchDotted(afterHead: Int): Int = {
+      var j = afterHead
+      for (part <- fromParts.tail) {
+        if (j >= n || sql.charAt(j) != '.') return -1
+        j += 1
+        val ws = j
+        while (j < n && isIdentChar(sql.charAt(j))) j += 1
+        if (sql.substring(ws, j) != part) return -1
+      }
+      j
+    }
     while (i < n) {
       val c = sql.charAt(i)
-      if (c == '\'') { // copy quoted literal verbatim (incl. '' escape)
-        val start = i
-        i += 1
-        while (i < n && (sql.charAt(i) != '\'' ||
-            (i + 1 < n && sql.charAt(i + 1) == '\''))) {
-          if (sql.charAt(i) == '\'') i += 2 else i += 1
-        }
-        i = math.min(i + 1, n)
-        sb.append(sql.substring(start, i))
-      } else if (isIdentChar(c)) {
+      if (c == '\'' || c == '"') copyLiteral(c)
+      else if (isIdentChar(c)) {
         val start = i
         while (i < n && isIdentChar(sql.charAt(i))) i += 1
         val word = sql.substring(start, i)
-        sb.append(if (word == from) to else word)
+        if (word == fromParts.head) {
+          if (fromParts.size == 1) sb.append(to)
+          else matchDotted(i) match {
+            case -1 => sb.append(word)
+            case end => sb.append(to); i = end
+          }
+        } else sb.append(word)
       } else {
         sb.append(c)
         i += 1

@@ -23,6 +23,7 @@ object PgSql {
   case object PgBigInt extends PgType { val ddl = "BIGINT" }
   case object PgDouble extends PgType { val ddl = "DOUBLE PRECISION" }
   case object PgJsonb extends PgType { val ddl = "JSONB" }
+  case object PgBytea extends PgType { val ddl = "BYTEA" }
 
   /** JSON value → PgType (postgres.rs:36-51). */
   def ofJson(n: JsonNode): PgType =
@@ -51,6 +52,7 @@ object PgSql {
     case FloatType | DoubleType => PgDouble
     case _: DecimalType => PgDouble
     case StringType => PgText
+    case BinaryType => PgBytea
     case _: StructType | _: ArrayType | _: MapType => PgJsonb
     case _ => PgText
   }
@@ -106,6 +108,19 @@ object PgSql {
     Seq.fill(nRows)(row).mkString(", ")
   }
 
+  /** Placeholders with an explicit cast on EVERY column. A MERGE's
+    * VALUES source has no target column to type its parameters, so a
+    * flush whose rows are all NULL in some column would otherwise leave
+    * that parameter's type undetermined ("could not determine data type
+    * of parameter" / a text-vs-bigint mismatch) and fail the whole
+    * batch; INSERT/upsert don't need this because the INSERT target
+    * types every parameter.
+    */
+  private def typedPlaceholders(schema: ListMap[String, PgType], nRows: Int): String = {
+    val row = "(" + schema.map { case (_, t) => s"?::${t.ddl}" }.mkString(", ") + ")"
+    Seq.fill(nRows)(row).mkString(", ")
+  }
+
   /** Multi-row parameterized INSERT (postgres.rs:709-772). */
   def insertSql(table: String, schema: ListMap[String, PgType], nRows: Int): String = {
     val cols = schema.keys.map(quoteIdent).mkString(", ")
@@ -148,7 +163,7 @@ object PgSql {
         val rhs = updatable.map(c => s"s.${quoteIdent(c)}").mkString(", ")
         s" WHEN MATCHED THEN UPDATE SET ($lhs) = ROW($rhs)"
       }
-    s"MERGE INTO ${quoteIdent(table)} AS t USING (VALUES ${placeholders(schema, nRows)}) " +
+    s"MERGE INTO ${quoteIdent(table)} AS t USING (VALUES ${typedPlaceholders(schema, nRows)}) " +
       s"AS s (${colsQ.mkString(", ")}) ON $on$matched " +
       s"WHEN NOT MATCHED THEN INSERT (${colsQ.mkString(", ")}) " +
       s"VALUES (${colsQ.map(c => s"s.$c").mkString(", ")})"

@@ -37,18 +37,22 @@ final class PostgresWriter(
     (c.getMetaData.getDatabaseMajorVersion, c.getMetaData.getDatabaseMinorVersion)
 
   /** Normalize a DataFrame for binding: nested/temporal columns become
-    * strings (JSONB/text), so every bind is a simple setObject.
+    * strings (JSONB/text), so every bind is a simple setObject. One
+    * select, not a withColumn-per-column fold (which stacks a
+    * projection node per converted column).
     */
-  private def normalized(df: DataFrame): DataFrame =
-    df.schema.fields.foldLeft(df) { (acc, f) =>
+  private def normalized(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toIndexedSeq.map { f =>
       f.dataType match {
         case _: StructType | _: ArrayType | _: MapType =>
-          acc.withColumn(f.name, to_json(col(f.name)))
+          to_json(col(f.name)).as(f.name)
         case TimestampType | DateType =>
-          acc.withColumn(f.name, col(f.name).cast(StringType))
-        case _ => acc
+          col(f.name).cast(StringType).as(f.name)
+        case _ => col(f.name)
       }
     }
+    df.select(cols: _*)
+  }
 
   override def truncate(): Unit = {
     val c = connect()
@@ -63,8 +67,8 @@ final class PostgresWriter(
   }
 
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
-    val pgSchema = PgSql.schemaOfSpark(normalized(df).schema)
     val prepared = normalized(df)
+    val pgSchema = PgSql.schemaOfSpark(prepared.schema)
 
     val c = connect()
     val (major, minor) = try {
@@ -220,7 +224,16 @@ object PostgresWriter {
     case (s: String, PgSql.PgBoolean) =>
       st.setBoolean(i, s.toLowerCase == "true" || s == "1")
 
-    // anything else (already-normalized temporals, binary, …)
+    // binary: native into a BYTEA dest; a merged/degraded dest gets
+    // the base64 text form instead of letting pgjdbc send bytea into
+    // a text column (which errors the whole batch)
+    case (b: Array[Byte], PgSql.PgBytea) => st.setBytes(i, b)
+    case (b: Array[Byte], PgSql.PgJsonb) =>
+      st.setString(i, jsonString(java.util.Base64.getEncoder.encodeToString(b)))
+    case (b: Array[Byte], _) =>
+      st.setString(i, java.util.Base64.getEncoder.encodeToString(b))
+
+    // anything else (already-normalized temporals, …)
     case (other, _) => st.setObject(i, other)
   }
 }

@@ -40,6 +40,14 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.catalog.listTables().count() == before)
   }
 
+  test("schema-qualified dest tables get a sanitized view name and still rewrite") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val n = Engine.withSqlOver(spark, df, "analytics.daily",
+      "SELECT v FROM analytics.daily WHERE id = 1")(_.count())
+    assert(n == 1)
+  }
+
   test("unique view names avoid collisions across concurrent modules") {
     import spark.implicits._
     val df1 = graft.infer.SchemaInfer.readNested(spark,

@@ -41,6 +41,16 @@ class TemplatesSpec extends AnyFunSuite {
     assert(r.sql == "select * from users where region = 'eu'")
   }
 
+  test("a variable bound to None renders empty, consistent with truthiness") {
+    val r = Templates.render("v.sql",
+      "a{{ opt }}b{% if opt %}X{% endif %}",
+      Map("opt" -> None))
+    assert(r.sql == "ab")
+    // Some values unwrap
+    val s = Templates.render("v.sql", "{{ opt }}", Map("opt" -> Some("x")))
+    assert(s.sql == "x")
+  }
+
   test("if/else renders the truthy branch; not negates") {
     def render(vars: Map[String, Any]) = Templates.render("c.sql",
       "select a{% if extended %}, b{% else %}, c{% endif %} from t" +
@@ -112,5 +122,28 @@ class TemplatesSpec extends AnyFunSuite {
     assert(Templates.rewriteIdentifier(
       "SELECT 'it''s posts' FROM posts", "posts", "u") ==
       "SELECT 'it''s posts' FROM u")
+  }
+
+  test("identifier rewrite leaves double-quoted and backslash-escaped literals alone") {
+    // double quotes are STRING LITERALS to Spark's default parser —
+    // rewriting inside them would silently corrupt data
+    assert(Templates.rewriteIdentifier(
+      """SELECT * FROM posts WHERE tag = "posts"""", "posts", "u") ==
+      """SELECT * FROM u WHERE tag = "posts"""")
+    // backslash-escaped quote must not end the literal early
+    assert(Templates.rewriteIdentifier(
+      """SELECT 'don\'t posts' FROM posts""", "posts", "u") ==
+      """SELECT 'don\'t posts' FROM u""")
+  }
+
+  test("identifier rewrite matches a schema-qualified (dotted) name as a unit") {
+    assert(Templates.rewriteIdentifier(
+      "SELECT * FROM analytics.daily WHERE analytics.daily.id > 1",
+      "analytics.daily", "v_123") ==
+      "SELECT * FROM v_123 WHERE v_123.id > 1")
+    // the head part alone is not the dotted name
+    assert(Templates.rewriteIdentifier(
+      "SELECT analytics FROM analytics.other",
+      "analytics.daily", "v") == "SELECT analytics FROM analytics.other")
   }
 }

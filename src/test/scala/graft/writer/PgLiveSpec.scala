@@ -150,6 +150,18 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql("SELECT count(*) FROM t_live") == "3")
   }
 
+  test("MERGE with a column that is NULL in every source row still types (typed VALUES)") {
+    assume(up)
+    val major = sql("SHOW server_version").takeWhile(_ != '.').toInt
+    assume(major >= 15, s"server is $major, MERGE path needs 15+")
+    // without the per-column casts in the VALUES source, an all-NULL
+    // bigint/double column fails type inference for the whole batch
+    sql(fill(mergeSql("t_live", schema, Seq("id"), 2), Seq(
+      "4", "NULL", "NULL", "NULL", "NULL",
+      "5", "NULL", "NULL", "NULL", "NULL")))
+    assert(sql("SELECT count(*) FROM t_live WHERE name IS NULL") == "2")
+  }
+
   test("jsonb casts round-trip through the generated placeholders") {
     assume(up)
     assert(sql("SELECT props->>'k' FROM t_live WHERE id = 3") == "3")

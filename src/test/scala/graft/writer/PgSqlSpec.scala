@@ -82,7 +82,11 @@ class PgSqlSpec extends AnyFunSuite {
   test("MERGE: row-form SET for >1 updatable column, plain for 1 (postgres.rs:538-707)") {
     val multi = mergeSql("t",
       ListMap("id" -> PgBigInt, "a" -> PgText, "b" -> PgDouble), Seq("id"), 1)
-    assert(multi.contains("""MERGE INTO "t" AS t USING (VALUES (?, ?, ?)) AS s ("id", "a", "b")"""))
+    // every VALUES-source parameter carries an explicit type cast: the
+    // MERGE source has no target column to type it, so an all-NULL
+    // column in a flush would otherwise fail the whole batch
+    assert(multi.contains(
+      """MERGE INTO "t" AS t USING (VALUES (?::BIGINT, ?::TEXT, ?::DOUBLE PRECISION)) AS s ("id", "a", "b")"""))
     assert(multi.contains("""ON t."id" = s."id""""))
     assert(multi.contains("""WHEN MATCHED THEN UPDATE SET ("a", "b") = ROW(s."a", s."b")"""))
     assert(multi.contains("""WHEN NOT MATCHED THEN INSERT ("id", "a", "b") VALUES (s."id", s."a", s."b")"""))
@@ -105,5 +109,8 @@ class PgSqlSpec extends AnyFunSuite {
     assert(ofSpark(StringType) == PgText)
     assert(ofSpark(ArrayType(LongType)) == PgJsonb)
     assert(ofSpark(StructType(Seq(StructField("a", LongType)))) == PgJsonb)
+    // binary columns get a real BYTEA column — mapping them to TEXT
+    // would make the byte[] bind (bytea wire type) fail the write
+    assert(ofSpark(BinaryType) == PgBytea)
   }
 }

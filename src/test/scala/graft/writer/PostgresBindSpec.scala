@@ -91,6 +91,14 @@ class PostgresBindSpec extends AnyFunSuite {
     assert(PostgresWriter.effectiveBatch(5000, 100000) == 1)
   }
 
+  test("binary binds native into BYTEA, base64 text elsewhere") {
+    val bytes = Array[Byte](1, 2, 3)
+    val (n, v) = bind(bytes, PgSql.PgBytea)
+    assert(n == "setBytes" && java.util.Arrays.equals(v.asInstanceOf[Array[Byte]], bytes))
+    assert(bind(bytes, PgSql.PgText) == (("setString", "AQID")))
+    assert(bind(bytes, PgSql.PgJsonb) == (("setString", "\"AQID\"")))
+  }
+
   test("merge version gate needs 9.5+: 9.4 rejected, 9.5/10 accepted") {
     assert(!PostgresWriter.supportsUpsert(9, 4))
     assert(PostgresWriter.supportsUpsert(9, 5))
