@@ -11,21 +11,32 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * plain SQL without programmatic registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  // arity-checked builder: a wrong-arity SQL call gets a named error
+  // at analysis instead of a raw IndexOutOfBounds from exprs(i) (and
+  // extra arguments fail instead of being silently ignored)
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"function $name expects $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        RollingHash(exprs.head)))
+      arity("rolling_hash", 1)(exprs => RollingHash(exprs.head))))
     extensions.injectFunction((
       new FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs.head, exprs(1))))
+      arity("dot_d", 2)(exprs => DotProduct(exprs.head, exprs(1)))))
     extensions.injectFunction((
       new FunctionIdentifier("dist2_d"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "dist2_d"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SquaredDistance(exprs.head, exprs(1))))
+      arity("dist2_d", 2)(exprs => SquaredDistance(exprs.head, exprs(1)))))
   }
 }

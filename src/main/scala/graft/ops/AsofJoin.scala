@@ -29,7 +29,10 @@ object AsofJoin {
       .withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-    val r = right.select(
+    // a NULL rightTime can never satisfy rightTime <= leftTime, but
+    // NULLS FIRST ordering would make such a row the "earliest" match
+    // and attach its payload — drop them before the union
+    val r = right.filter(col(rightTime).isNotNull).select(
       Seq(col(rightKey).as("__k"), col(rightTime).as("__t"),
         lit(0).as("__side"), struct(payload.map(col): _*).as("__p")) ++
         tieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tie$i") }: _*)

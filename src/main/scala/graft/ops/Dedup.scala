@@ -89,8 +89,13 @@ object Dedup {
     * bounded cache, evict-all on overflow.
     */
   private def cachedShingles(docs: DataFrame): DataFrame = {
-    if (shingleCache.size >= maxShingleCaches) clearShingleCache()
-    shingleCache.getOrElseUpdate(shingleKey(docs), shingled(docs).persist())
+    val key = shingleKey(docs)
+    // evict only when INSERTING a new key into a full cache — a repeat
+    // hit at capacity must not flush the memo (evict-on-hit would make
+    // a session with maxShingleCaches live corpora thrash forever)
+    if (!shingleCache.contains(key) && shingleCache.size >= maxShingleCaches)
+      clearShingleCache()
+    shingleCache.getOrElseUpdate(key, shingled(docs).persist())
   }
 
   /** Run `build` over the corpus's cached shingle relation and eagerly
@@ -220,15 +225,24 @@ object Dedup {
     * and the result is an eagerly-checkpointed handful of rows — so a
     * repeat call returns the pinned result instead of re-running the
     * signature+verify pass. Same staleness key as the other memos
-    * (plan hash + scanned-file fingerprint); bounded, evict-all with
-    * checkpoint cleanup on overflow.
+    * (plan hash + scanned-file fingerprint); bounded — overflow drops
+    * references only (checkpoint blocks reclaimed by the context
+    * cleaner once callers release theirs; eager unpersist would kill
+    * results callers still hold).
     */
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int, Long, Int, Int), DataFrame]
 
   private val maxPairCaches = 8
 
-  /** Unpersist and drop all memoized pair sets. */
+  /** Unpersist and drop all memoized pair sets. DESTRUCTIVE: the
+    * cached results are eagerly checkpointed (lineage truncated), so
+    * unpersisting kills any previously RETURNED DataFrame too — call
+    * only when no caller still holds one (staleness resets, test
+    * harness isolation). Capacity overflow deliberately does NOT take
+    * this path: it drops references only, and the context cleaner
+    * reclaims the checkpoint blocks once callers release theirs.
+    */
   def clearPairCache(): Unit = {
     pairCache.values.foreach(dropCheckpoint)
     pairCache.clear()
@@ -236,11 +250,14 @@ object Dedup {
 
   def minhashLsh(docs: DataFrame, leftMax: Long = 200,
       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
-    if (pairCache.size >= maxPairCaches) clearPairCache()
-    pairCache.getOrElseUpdate(
-      (docs.queryExecution.analyzed.semanticHash(),
-        java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]]),
-        leftMax, bands, rowsPerBand),
+    val key = (docs.queryExecution.analyzed.semanticHash(),
+      java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]]),
+      leftMax, bands, rowsPerBand)
+    // new-key overflow drops references WITHOUT unpersisting (see
+    // clearPairCache); a repeat hit at capacity must not evict at all
+    if (!pairCache.contains(key) && pairCache.size >= maxPairCaches)
+      pairCache.clear()
+    pairCache.getOrElseUpdate(key,
       withShingles(docs)(sh =>
         verifyPairs(minhashCandidates(sh, leftMax, bands, rowsPerBand), sh)))
   }

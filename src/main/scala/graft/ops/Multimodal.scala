@@ -22,22 +22,29 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
-  /** Batch decoder contract: one call per partition-batch, never per
+  /** Batch decoder contract: one call per bounded batch, never per
     * row — the shape a native codec binding needs to amortize setup.
+    * Decoders MUST be 1:1 — emit a fallback row for every payload
+    * they cannot decode (including null payloads) rather than
+    * skipping it; [[withMediaMeta]] enforces the count per batch.
     */
   trait Decoder extends Serializable {
     def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row]
   }
 
+  private def fallbackRow(bytes: Array[Byte]): Row = {
+    val n = if (bytes == null) 0 else bytes.length
+    Row("stub", n % 640, (n / 2) % 480,
+      if (n == 0) 0 else bytes(0) & 0x0f)
+  }
+
   /** Deterministic fake: "decodes" metadata from the payload bytes
     * (length + first bytes), standing in for an audio/video codec.
+    * Total: null payloads map to the zero-byte row.
     */
   object StubDecoder extends Decoder {
     override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
-      payloads.map { bytes =>
-        val n = bytes.length
-        Row("stub", n % 640, (n / 2) % 480, if (n == 0) 0 else bytes(0) & 0x0f)
-      }
+      payloads.map(fallbackRow)
   }
 
   /** Real image decoding via the JDK's built-in `javax.imageio` (PNG,
@@ -54,55 +61,68 @@ object Multimodal {
   object ImageIoDecoder extends Decoder {
     override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
       payloads.map { bytes =>
-        val stream = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(stream)
-          if (readers.hasNext) {
-            val reader = readers.next()
-            try {
-              reader.setInput(stream, false, true)
-              val nFrames =
-                try reader.getNumImages(true)
-                catch { case _: java.io.IOException => 1 }
-              Row(reader.getFormatName.toLowerCase,
-                reader.getWidth(0), reader.getHeight(0), nFrames)
-            } finally reader.dispose()
-          } else {
-            val n = bytes.length
-            Row("stub", n % 640, (n / 2) % 480, if (n == 0) 0 else bytes(0) & 0x0f)
-          }
-        } finally if (stream != null) stream.close()
+        if (bytes == null) fallbackRow(bytes)
+        else {
+          val stream = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(stream)
+            if (readers.hasNext) {
+              val reader = readers.next()
+              try {
+                reader.setInput(stream, false, true)
+                val nFrames =
+                  try reader.getNumImages(true)
+                  catch { case _: java.io.IOException => 1 }
+                Row(reader.getFormatName.toLowerCase,
+                  reader.getWidth(0), reader.getHeight(0), nFrames)
+              } finally reader.dispose()
+            } else fallbackRow(bytes)
+          } finally if (stream != null) stream.close()
+        }
       }
   }
 
   /** Attach decoded metadata to a DataFrame with a binary `payload`
-    * column. Runs as mapPartitions: the decoder sees an iterator per
-    * partition (batch-shaped), rows stream through without
-    * materializing the partition.
+    * column. Runs as mapPartitions over BOUNDED row batches
+    * (`batchRows` at a time): the decoder sees one iterator per batch
+    * — the amortize-native-setup shape — while memory stays bounded
+    * by the batch, never the partition. Each batch's output count is
+    * CHECKED against its input count: a decoder that skips an
+    * undecodable payload would otherwise silently shift every later
+    * row's metadata onto the wrong row, corpus-wide — that's an
+    * error, not a misalignment.
     */
   def withMediaMeta(df: DataFrame, payloadCol: String,
-      decoder: Decoder = StubDecoder): DataFrame = {
+      decoder: Decoder = StubDecoder, batchRows: Int = 256): DataFrame = {
+    require(batchRows > 0, s"batchRows must be positive, got $batchRows")
     val schema = StructType(df.schema.fields :+ StructField("media", MediaMetaType))
     val payloadIx = df.schema.fieldIndex(payloadCol)
     val enc = RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
-      val (forDecode, forRows) = rows.duplicate
-      val metas = decoder.decodeBatch(
-        forDecode.map(_.getAs[Array[Byte]](payloadIx)))
-      forRows.zip(metas).map { case (r, meta) =>
-        Row.fromSeq(r.toSeq :+ meta)
+      rows.grouped(batchRows).flatMap { chunk =>
+        val metas = decoder.decodeBatch(
+          chunk.iterator.map(_.getAs[Array[Byte]](payloadIx))).toIndexedSeq
+        require(metas.size == chunk.size,
+          s"decoder returned ${metas.size} rows for a ${chunk.size}-payload " +
+            "batch — decoders must be 1:1 (emit a fallback row instead of skipping)")
+        chunk.iterator.zip(metas.iterator).map { case (r, meta) =>
+          Row.fromSeq(r.toSeq :+ meta)
+        }
       }
     }(enc)
   }
 
   /** Deterministic frame sampling for (stub) video payloads: every
-    * k-th frame index up to n_frames.
+    * k-th frame index up to n_frames; zero-frame media sample an
+    * EMPTY list (not frame 0 — there is no frame 0 to extract).
     */
   def sampleFrames(df: DataFrame, every: Int = 2): DataFrame =
     df.withColumn("sampled_frames",
-      filter(sequence(lit(0), greatest(col("media.n_frames") - 1, lit(0))),
-        i => i % every === 0))
+      when(col("media.n_frames") <= 0,
+        array().cast(ArrayType(IntegerType)))
+        .otherwise(filter(sequence(lit(0), col("media.n_frames") - 1),
+          i => i % every === 0)))
 
   /** Downscale image payloads to fit a bounding box, preserving aspect
     * ratio — the thumbnail/normalize step of a multimodal training
@@ -123,7 +143,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](payloadIx)
         val resized: Array[Byte] =
-          try {
+          if (bytes == null) null // total on nullable payload columns
+          else try {
             val img = javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(bytes))
             if (img == null) null

@@ -110,11 +110,14 @@ object Similarity {
   private def quantizerFor(e: DataFrame, nCells: Int,
       trainMod: Int): org.apache.spark.ml.clustering.KMeansModel = {
     val trainSample = e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
-    if (quantizers.size >= maxQuantizers) quantizers.clear()
-    quantizers.getOrElseUpdate(
-      (trainSample.queryExecution.analyzed.semanticHash(),
-        java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
-        nCells),
+    val key = (trainSample.queryExecution.analyzed.semanticHash(),
+      java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
+      nCells)
+    // evict only on a new key at capacity — a repeat hit must not
+    // clear the memo (it would refit KMeans on every call thereafter)
+    if (!quantizers.contains(key) && quantizers.size >= maxQuantizers)
+      quantizers.clear()
+    quantizers.getOrElseUpdate(key,
       new KMeans().setK(nCells).setSeed(42)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(trainSample))

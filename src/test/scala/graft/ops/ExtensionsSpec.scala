@@ -138,6 +138,69 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sampled.count() == 3)
   }
 
+  test("multimodal edge cases: null payloads are total; zero frames sample empty; " +
+    "a skipping decoder errors instead of misaligning") {
+    import spark.implicits._
+    val df = Seq((1L, Some("abc")), (2L, None))
+      .toDF("id", "s")
+      .select(col("id"), encode(col("s"), "UTF-8").as("payload"))
+    // null payload → the zero-byte fallback row, not an NPE
+    val metas = Multimodal.withMediaMeta(df, "payload")
+      .select("id", "media.n_frames")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(metas(2L) == 0)
+    // n_frames = 0 → no sampled frames (there is no frame 0)
+    val sampled = Multimodal.sampleFrames(Multimodal.withMediaMeta(df, "payload"))
+      .select("id", "sampled_frames")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(sampled(2L).isEmpty && sampled(1L) == Seq(0))
+    // null payload through resize → null, not a task failure
+    val resizedNull = Multimodal.resizeImages(df, "payload")
+      .filter(col("id") === 2L).select("resized").head()
+    assert(resizedNull.isNullAt(0))
+    // a decoder that drops a payload must fail loudly (1:1 contract)
+    val skipping = new Multimodal.Decoder {
+      override def decodeBatch(p: Iterator[Array[Byte]]): Iterator[org.apache.spark.sql.Row] =
+        p.drop(1).map(_ => org.apache.spark.sql.Row("bad", 0, 0, 0))
+    }
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.withMediaMeta(df, "payload", skipping).collect()
+    }
+    assert(e.getMessage.contains("1:1") ||
+      Option(e.getCause).exists(_.getMessage.contains("1:1")))
+  }
+
+  test("as-of join ignores right rows with a NULL time") {
+    import spark.implicits._
+    val left = Seq((1L, 5L)).toDF("k", "t")
+    val right = Seq((1L, Some(3L), "real"), (1L, None, "phantom"))
+      .toDF("k", "rt", "p")
+      .select(col("k"), col("rt").cast("long").as("rt"), col("p"))
+    val got = AsofJoin.asof(left, right, "k", "k", "t", "rt", payload = Seq("p"))
+      .select("p").head().getString(0)
+    assert(got == "real")
+    // with ONLY a null-time right row, the left row matches nothing
+    val rightNull = Seq((1L, Option.empty[Long], "phantom"))
+      .toDF("k", "rt", "p")
+    val none = AsofJoin.asof(left, rightNull, "k", "k", "t", "rt", payload = Seq("p"))
+      .select("p").head()
+    assert(none.isNullAt(0))
+  }
+
+  test("wrong-arity SQL calls to injected functions raise a named error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT dot_d(array(1.0))").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("dot_d") && m.contains("2 argument")))
+  }
+
+  test("repeat dedup calls hit the pair memo (same pinned result back)") {
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+    assert(Dedup.minhashLsh(docs) eq Dedup.minhashLsh(docs))
+  }
+
   test("ImageIoDecoder decodes real PNG/JPEG dimensions; non-images fall back") {
     import spark.implicits._
     // real images rendered in-test via the same JDK imageio that decodes
