@@ -1,28 +1,105 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 /** Benchmark main — runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints one JSON line with
-  * per-query wall seconds. The count() action drives the full plan.
+  * SPARK_GRAFT_SF_DIR (default sf0.1) and prints ONE JSON line with
+  * per-query wall seconds, also written to SPARK_GRAFT_BENCH_OUT
+  * (default `bench_out.json`) so the artifact survives stdout log
+  * interleaving.
+  *
+  * Honesty contract (round-7 rework):
+  *   - a query that THROWS is reported in an `"errors"` object and the
+  *     process exits nonzero — a broken query can never masquerade as
+  *     a fast one;
+  *   - timings are median-of-3, not min-of-2 — the median is robust
+  *     to one GC pause / host-noise spike per query without taking
+  *     the best-case bias of min;
+  *   - SPARK_GRAFT_BENCH_ACTION=materialize drives each plan with a
+  *     noop-datasource write instead of count(): count() lets Spark
+  *     prune a grouping-less aggregate's real work (an agg-only query
+  *     can satisfy count()=1 without computing the aggregates), the
+  *     noop write forces every output column to be evaluated.
   */
 object Bench {
+
+  /** One benched query: median wall seconds over `reps` successful
+    * runs, or the failure message of the first throwing run.
+    */
+  final case class QResult(name: String, secs: Option[Double], err: Option[String])
+
+  /** Drive the full plan with every output column evaluated: a
+    * noop-datasource write consumes each row's columns on the
+    * executors with no sink cost and no driver transfer.
+    */
+  def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
+  /** Time one query: `reps` timed runs, median. The FIRST exception
+    * aborts the query's remaining reps and is reported verbatim —
+    * never swallowed (a bench-only breakage, e.g. an OOM at a larger
+    * SF than CORRECTNESS runs, must turn the bench red).
+    */
+  def runOne(name: String, reps: Int, action: DataFrame => Unit)(
+      build: => DataFrame): QResult =
+    try {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        action(build)
+        (System.nanoTime() - t0) / 1e9
+      }
+      QResult(name, Some(median(times)), None)
+    } catch {
+      case e: Throwable =>
+        QResult(name, None, Some(s"${e.getClass.getName}: ${e.getMessage}"))
+    }
+
+  /** Run a query map; pure over the inputs so the error path is
+    * spec-testable without a full bench.
+    */
+  def runAll(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      reps: Int, action: DataFrame => Unit): Seq[QResult] =
+    queries.sortBy(_._1).map { case (name, fn) =>
+      runOne(name, reps, action)(fn(spark, sfDir))
+    }
+
+  /** The one JSON line. Field layout is upward-compatible with prior
+    * rounds (`metric/value/unit/queries/sf/pipeline_*`); adds
+    * `"action"`, `"errors"` and `"status"`.
+    */
+  def renderJson(results: Seq[QResult], sfDir: String, actionName: String,
+      pipelineRows: Long, pipelineSec: Double): String = {
+    val ok = results.filter(_.secs.isDefined)
+    val qs = ok.map { r => "\"" + r.name + "\":" + f"${r.secs.get}%.3f" }
+      .mkString("{", ",", "}")
+    val errs = results.flatMap(r => r.err.map(m =>
+        "\"" + r.name + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", " ").take(300) + "\""))
+      .mkString("{", ",", "}")
+    val total = ok.flatMap(_.secs).sum
+    val status = if (results.exists(_.err.isDefined)) "error" else "ok"
+    val rowsPerSec = (pipelineRows / pipelineSec).round
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","action":"$actionName","status":"$status","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_rows_per_sec":$rowsPerSec}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val actionName = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
+    val action: DataFrame => Unit = actionName match {
+      case "materialize" => materialize
+      case _             => df => { df.count(); () }
+    }
     val spark = graft.engine.Sessions.local()
     // warm the JVM + file-listing/codegen paths so the first measured
     // query reflects steady-state, not session startup
     graft.engine.Tables.names.foreach(n =>
       graft.engine.Tables.table(spark, sfDir, n).count())
-    // each query runs twice and reports the faster pass: a single cold
-    // run conflates JIT warmup, GC pauses, and host noise with plan
-    // cost — min-of-2 measures the plan
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> math.min(once(), once())
-    }
+    val results = runAll(spark, sfDir, SparkEntry.queries.toSeq, reps = 3, action)
+
     // headline BASELINE comparison: ingest -> SQL transform -> sink
     // load of the 100k-row (at sf0.1) events table, the analog of the
     // reference's "100K+ rows end-to-end" metric (BASELINE.md)
@@ -38,14 +115,20 @@ object Bench {
       }
       (loaded, (System.nanoTime() - p0) / 1e9)
     }
-    val (loaded, pipelineSec) = Seq(pipelineOnce(), pipelineOnce()).minBy(_._2)
-    val rowsPerSec = (loaded / pipelineSec).round
+    val runs = (1 to 3).map(_ => pipelineOnce())
+    val (loaded, pipelineSec) = runs.sortBy(_._2).apply(runs.size / 2)
 
-    val all = results :+ ("x_pipeline_100k_load" -> pipelineSec)
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = all.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline_rows":$loaded,"pipeline_rows_per_sec":$rowsPerSec}""")
+    val withPipeline = results :+
+      QResult("x_pipeline_100k_load", Some(pipelineSec), None)
+    val line = renderJson(withPipeline, sfDir, actionName, loaded, pipelineSec)
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    val failed = results.count(_.err.isDefined)
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"bench: $failed quer${if (failed == 1) "y" else "ies"} failed")
+      sys.exit(1)
+    }
   }
 }

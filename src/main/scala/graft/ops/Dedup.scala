@@ -53,22 +53,17 @@ object Dedup {
     * signals (MinHash, SimHash, prefix join, clustering) over ONE
     * corpus, and all of them consume the same exploded-trigram
     * relation — shingling the corpus once per strategy would be 5
-    * corpus scans where 1 suffices. The cache is bounded
-    * ([[maxShingleCaches]] entries, unpersist-all on overflow); like
-    * the quantizer memo the key is plan hash + scanned-file listing,
-    * so only an in-place rewrite that keeps every file name needs
-    * [[clearShingleCache]].
+    * corpus scans where 1 suffices. The cache is a [[BoundedMemo]]
+    * (8 entries, unpersist-all on overflow); like the quantizer memo
+    * the key is plan hash + scanned-file listing, so only an in-place
+    * rewrite that keeps every file name needs [[clearShingleCache]].
     */
   private val shingleCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int), DataFrame]
-
-  private val maxShingleCaches = 8
+    new BoundedMemo[(Int, Int), DataFrame](capacity = 8,
+      onOverflow = _.unpersist())
 
   /** Unpersist and drop all memoized shingle relations. */
-  def clearShingleCache(): Unit = {
-    shingleCache.values.foreach(_.unpersist())
-    shingleCache.clear()
-  }
+  def clearShingleCache(): Unit = shingleCache.clear()
 
   private def shingleKey(docs: DataFrame): (Int, Int) =
     (docs.queryExecution.analyzed.semanticHash(),
@@ -88,15 +83,8 @@ object Dedup {
     * join, decontamination). Builds and persists on first use;
     * bounded cache, evict-all on overflow.
     */
-  private def cachedShingles(docs: DataFrame): DataFrame = {
-    val key = shingleKey(docs)
-    // evict only when INSERTING a new key into a full cache — a repeat
-    // hit at capacity must not flush the memo (evict-on-hit would make
-    // a session with maxShingleCaches live corpora thrash forever)
-    if (!shingleCache.contains(key) && shingleCache.size >= maxShingleCaches)
-      clearShingleCache()
-    shingleCache.getOrElseUpdate(key, shingled(docs).persist())
-  }
+  private def cachedShingles(docs: DataFrame): DataFrame =
+    shingleCache.getOrElseUpdate(shingleKey(docs))(shingled(docs).persist())
 
   /** Run `build` over the corpus's cached shingle relation and eagerly
     * materialize the (small) result. The sketch dedup queries each
@@ -231,9 +219,7 @@ object Dedup {
     * results callers still hold).
     */
   private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Long, Int, Int), DataFrame]
-
-  private val maxPairCaches = 8
+    new BoundedMemo[(Int, Int, Long, Int, Int), DataFrame](capacity = 8)
 
   /** Unpersist and drop all memoized pair sets. DESTRUCTIVE: the
     * cached results are eagerly checkpointed (lineage truncated), so
@@ -243,21 +229,16 @@ object Dedup {
     * this path: it drops references only, and the context cleaner
     * reclaims the checkpoint blocks once callers release theirs.
     */
-  def clearPairCache(): Unit = {
-    pairCache.values.foreach(dropCheckpoint)
-    pairCache.clear()
-  }
+  def clearPairCache(): Unit = pairCache.clear(dropCheckpoint)
 
   def minhashLsh(docs: DataFrame, leftMax: Long = 200,
       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
     val key = (docs.queryExecution.analyzed.semanticHash(),
       java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]]),
       leftMax, bands, rowsPerBand)
-    // new-key overflow drops references WITHOUT unpersisting (see
-    // clearPairCache); a repeat hit at capacity must not evict at all
-    if (!pairCache.contains(key) && pairCache.size >= maxPairCaches)
-      pairCache.clear()
-    pairCache.getOrElseUpdate(key,
+    // new-key overflow drops references WITHOUT unpersisting (the
+    // memo's default no-op disposal — see clearPairCache for why)
+    pairCache.getOrElseUpdate(key)(
       withShingles(docs)(sh =>
         verifyPairs(minhashCandidates(sh, leftMax, bands, rowsPerBand), sh)))
   }

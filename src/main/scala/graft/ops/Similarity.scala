@@ -81,13 +81,11 @@ object Similarity {
     * refits. The one remaining staleness window is an in-place
     * mutation that preserves every file name — call
     * [[clearQuantizerCache]] after doing that in-session. The cache
-    * is bounded ([[maxQuantizers]] entries, evict-all on overflow) so
+    * is a [[BoundedMemo]] (32 entries, evict-all on overflow) so
     * long sessions over many corpora can't grow it without bound.
     */
   private val quantizers =
-    scala.collection.concurrent.TrieMap.empty[(Int, Int, Int), org.apache.spark.ml.clustering.KMeansModel]
-
-  private val maxQuantizers = 32
+    new BoundedMemo[(Int, Int, Int), org.apache.spark.ml.clustering.KMeansModel](capacity = 32)
 
   /** Drop all memoized quantizers (e.g. after overwriting a corpus
     * path in the same JVM — see the staleness caveat above).
@@ -113,11 +111,7 @@ object Similarity {
     val key = (trainSample.queryExecution.analyzed.semanticHash(),
       java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
       nCells)
-    // evict only on a new key at capacity — a repeat hit must not
-    // clear the memo (it would refit KMeans on every call thereafter)
-    if (!quantizers.contains(key) && quantizers.size >= maxQuantizers)
-      quantizers.clear()
-    quantizers.getOrElseUpdate(key,
+    quantizers.getOrElseUpdate(key)(
       new KMeans().setK(nCells).setSeed(42)
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(trainSample))

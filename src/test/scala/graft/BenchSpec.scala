@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's honesty contract: a throwing query is reported
+  * as an error (never a timing), the JSON carries per-query status,
+  * and the materialize action evaluates every output column.
+  */
+class BenchSpec extends AnyFunSuite {
+  private val spark = SparkTestSession.spark
+
+  private def good(s: org.apache.spark.sql.SparkSession, @annotation.unused d: String): DataFrame = {
+    import s.implicits._
+    Seq(1, 2, 3).toDF("v")
+  }
+
+  private def broken(s: org.apache.spark.sql.SparkSession, @annotation.unused d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // fails at ACTION time, not build time — the shape of a real
+    // bench-only breakage (e.g. executor OOM at a larger SF)
+    Seq("x").toDF("v").select(assert_true(lit(false)).as("v"))
+  }
+
+  test("a deliberately broken query turns the bench red") {
+    val results = Bench.runAll(spark, "unused",
+      Seq("q_ok" -> good _, "q_broken" -> broken _),
+      reps = 3, action = df => { df.count(); () })
+    val byName = results.map(r => r.name -> r).toMap
+    assert(byName("q_ok").secs.isDefined && byName("q_ok").err.isEmpty)
+    assert(byName("q_broken").secs.isEmpty)
+    assert(byName("q_broken").err.get.nonEmpty)
+
+    val json = Bench.renderJson(results, "sfX", "count", 100L, 0.5)
+    assert(json.contains("\"status\":\"error\""))
+    assert(json.contains("\"q_broken\":\""))
+    // the timing object must NOT contain the broken query
+    assert(!json.contains("\"q_broken\":0"))
+  }
+
+  test("all-green run reports ok status and parseable single-line JSON") {
+    val results = Bench.runAll(spark, "unused",
+      Seq("q_a" -> good _, "q_b" -> good _),
+      reps = 3, action = df => { df.count(); () })
+    assert(results.forall(_.err.isEmpty))
+    val json = Bench.renderJson(results, "sfX", "count", 100L, 0.5)
+    assert(json.contains("\"status\":\"ok\""))
+    assert(!json.contains("\n"))
+    // strict parse via Spark's JSON reader: one row, expected fields
+    import spark.implicits._
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(json).toDS)
+    val row = parsed.collect()(0)
+    assert(parsed.columns.toSet.contains("queries"))
+    assert(row.getAs[String]("status") == "ok")
+    assert(row.getAs[String]("metric") == "total")
+  }
+
+  test("materialize action drives a grouping-less aggregate's full work") {
+    // the noop write must force evaluation: an assert_true(false)
+    // column survives count()-style pruning only if never evaluated
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val trapped = Seq(1, 2, 3).toDF("v")
+      .agg(sum("v").as("s"), assert_true(lit(false)).as("trap"))
+    trapped.count() // count() prunes the trap column: no exception
+    intercept[Exception] { Bench.materialize(trapped) }
+  }
+
+  test("median-of-3 takes the middle run") {
+    var i = 0
+    val delays = Seq(5L, 60L, 25L)
+    val r = Bench.runOne("m", reps = 3,
+      action = _ => { Thread.sleep(delays(i)); i += 1 }) {
+      import spark.implicits._
+      Seq(1).toDF("v")
+    }
+    // middle run is 25 ms; median must sit between the extremes
+    assert(r.secs.get >= 0.020 && r.secs.get < 0.060)
+  }
+}
