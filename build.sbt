@@ -28,3 +28,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// local-cluster[…] executors are launched through the worker's
+// command builder, which eagerly resolves the Scala version; the
+// bin/ scripts normally export this, an in-JVM launch must.
+Test / envVars += "SPARK_SCALA_VERSION" -> "2.13"
+// LocalClusterSpec boots its own local-cluster[2,…] SparkContext;
+// Spark allows one context per JVM and every other suite shares the
+// singleton local[4] session — so the cluster suite forks alone.
+Test / testGrouping := {
+  val (cluster, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("LocalClusterSpec"))
+  val opts = (Test / forkOptions).value
+  Seq(
+    Tests.Group("localCluster", cluster, Tests.SubProcess(opts)),
+    Tests.Group("default", rest, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}

@@ -131,8 +131,18 @@ object Profile {
     * of passing silently — the same recall-gate pattern that de-risked
     * the IVF ANN path.
     *
-    * Still ONE aggregation pass: exact and approximate aggregates
-    * share the same `agg()`, so the scan is not repeated.
+    * TWO aggregation passes, deliberately: `count(DISTINCT)` plans
+    * through Expand with a partial aggregate KEYED BY the distinct
+    * values, so any heap-buffering aggregate sharing that `agg()`
+    * (HLL++ registers, exact `percentile`'s value→count map, approx's
+    * QuantileSummaries) is instantiated once per distinct VALUE
+    * instead of once per partition — ~1.2M live buffers on sf0.1
+    * lineitem, an OOM in a 1 GB heap and 37 s of GC churn in a large
+    * one (measured; split form runs in ~4 s). So the exact distinct
+    * counts (whose per-group partial state is a single long — safe
+    * under Expand) aggregate alone, every buffered aggregate rides a
+    * second, Expand-free pass, and the two single-row results
+    * recombine with a trivial 1×1 cross join.
     */
   def sketchCheck(df: DataFrame, cols: Seq[String],
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
@@ -143,14 +153,15 @@ object Profile {
     val envArr = array(allPs.map(lit): _*)
     def at(c: String, p: Double) =
       element_at(col(s"${c}__env"), allPs.indexOf(p) + 1)
-    val aggs = cols.flatMap { c =>
-      Seq(countDistinct(col(c)).as(s"${c}__nd"),
-        approx_count_distinct(col(c), rsd).as(s"${c}__and"),
+    val distinctAggs = cols.map { c => countDistinct(col(c)).as(s"${c}__nd") }
+    val bufferedAggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c), rsd).as(s"${c}__and"),
         percentile(col(c), envArr).as(s"${c}__env"),
         percentile_approx(col(c), array(ps.map(lit): _*), lit(accuracy))
           .as(s"${c}__aq"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = df.agg(distinctAggs.head, distinctAggs.tail: _*)
+      .crossJoin(df.agg(bufferedAggs.head, bufferedAggs.tail: _*))
     val stacked = cols.map { c =>
       val okDistinct =
         (abs(col(s"${c}__and") - col(s"${c}__nd")) * 100 <=

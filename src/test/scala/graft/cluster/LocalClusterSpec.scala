@@ -1,0 +1,161 @@
+package graft.cluster
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-executor smoke suite: everything else in `sbt test` runs on
+  * `local[n]`, where driver and executors share one JVM and one
+  * classloader — a closure that accidentally captures a
+  * non-serializable field, a class missing from the executor
+  * classpath, or codegen referencing a driver-only class all pass
+  * silently there and only explode on a real cluster. This suite
+  * boots `local-cluster[2,2,1536]` (2 worker processes × 2 cores,
+  * separate executor JVMs, real serialization + RPC) and runs a
+  * representative slice: the HTTP executor fan-out, a codegen
+  * extension function, the multimodal decoder seam, and a dedup
+  * query with its persist/localCheckpoint lifecycle.
+  *
+  * Runs in its OWN forked JVM (see `Test/testGrouping` in build.sbt):
+  * Spark allows one SparkContext per JVM and every other suite shares
+  * the singleton `local[4]` session.
+  */
+class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var server: HttpServer = _
+  private var base: String = _
+
+  // executor JVMs are launched by the worker, not by sbt, so they
+  // inherit neither the test classpath nor the JDK-17 --add-opens
+  // flags build.sbt gives the driver — pass both through explicitly
+  private def executorJavaOptions: String = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
+  override def beforeAll(): Unit = {
+    spark = graft.engine.Sessions.configure(
+      SparkSession.builder()
+        .master("local-cluster[2,2,1536]")
+        .appName("graft-cluster-smoke")
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions", executorJavaOptions),
+      shufflePartitions = 8).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/paged", (ex: HttpExchange) => {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split('&').filter(_.contains("=")).map { kv =>
+          val Array(k, v) = kv.split("=", 2); k -> v
+        }.toMap
+      val page = params("page").toInt
+      val per = params("per_page").toInt
+      val from = (page - 1) * per + 1
+      val to = math.min(page * per, 23)
+      val items =
+        if (from > 23) "[]"
+        else (from to to).map(i => s"""{"id": $i, "name": "u$i"}""")
+          .mkString("[", ",", "]")
+      val body = s"""{"total": 23, "data": $items}"""
+        .getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      ex.getResponseBody.write(body)
+      ex.close()
+    })
+    server.start()
+    base = s"http://127.0.0.1:${server.getAddress.getPort}"
+  }
+
+  override def afterAll(): Unit = {
+    if (server != null) server.stop(0)
+    if (spark != null) spark.stop()
+  }
+
+  test("executors are separate JVMs and run distributed work") {
+    val sp = spark; import sp.implicits._
+    // a shuffle + aggregate that must cross executor boundaries
+    val n = spark.range(0, 10000, 1, 8)
+      .select((col("id") % 7).as("k"))
+      .groupBy("k").count().as[(Long, Long)].collect().toMap
+    assert(n.values.sum == 10000 && n.size == 7)
+    // the work really ran outside the driver process
+    val driverPid = ProcessHandle.current().pid()
+    val executorPids = spark.range(0, 8, 1, 8)
+      .mapPartitions(_ => Iterator(ProcessHandle.current().pid()))
+      .as[Long].collect().toSet
+    assert(!executorPids.contains(driverPid) && executorPids.nonEmpty)
+  }
+
+  test("codegen extension function evaluates on executors") {
+    val sp = spark; import sp.implicits._
+    val out = Seq("abc", "hello world", "").toDF("t")
+      .repartition(4)
+      .selectExpr("t", "rolling_hash(t) AS h")
+      .as[(String, Long)].collect().toMap
+    // expected values from direct driver-side eval of the expression —
+    // bit-equality proves the executor-compiled codegen matches
+    def expected(s: String): Long =
+      graft.functions.RollingHash(
+        org.apache.spark.sql.catalyst.expressions.Literal(s))
+        .eval(null).asInstanceOf[Long]
+    assert(out("abc") == expected("abc"))
+    assert(out("hello world") == expected("hello world"))
+    assert(out("") == expected(""))
+  }
+
+  test("HTTP page_number fan-out fetches pages from executor processes") {
+    import graft.http.HttpJsonSource._
+    import graft.config.PipelineConfig.Retry
+    val spec = FetchSpec(s"$base/paged", Seq.empty, Seq.empty,
+      Some("/data"), Retry(maxAttempts = 3, maxDelaySecs = 1, minDelaySecs = 0))
+    val fetched = fetchPageNumber(spark, spec, "page", "per_page", 5,
+      Some(TotalHint.Items("/total")))
+    val ids = fetched.rows
+      .select(get_json_object(col("value"), "$.id").cast("int").as("id"))
+      .collect().map(_.getInt(0)).toSet
+    assert(ids == (1 to 23).toSet)
+  }
+
+  test("multimodal decoder seam survives executor serialization") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (1L, Array[Byte](1, 2, 3, 4)),
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])).toDF("id", "payload")
+      .repartition(3)
+    val out = graft.ops.Multimodal.withMediaMeta(df, "payload",
+      graft.ops.Multimodal.StubDecoder)
+    assert(out.count() == 3)
+    val meta = out.selectExpr("id", "media.format").as[(Long, String)]
+      .collect().toMap
+    assert(meta.values.toSet == Set("stub"))
+  }
+
+  test("dedup query (persist + localCheckpoint lifecycle) runs on the cluster") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "a completely different document about spark cluster testing"),
+      (4L, "yet another unrelated text with no overlap whatsoever here")
+    ).toDF("doc_id", "text")
+    val dups = graft.ops.Dedup.minhashLsh(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(dups == Set((1L, 2L)))
+    graft.ops.Dedup.clearPairCache()
+    graft.ops.Dedup.clearShingleCache()
+  }
+}
