@@ -49,6 +49,24 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("cands")) {
+      println(s"PROF ann_candidates ${Similarity.annCandidateCount(emb)}")
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("super")) {
+      // the two >linear scalers (PROF_SF1.md): prefix pays the per-doc
+      // sorted-prefix aggregation, ANN generates O(n^1.5·nProbe)
+      // candidates by design — this mode times just those two so the
+      // 100× exponent fit doesn't drag the whole family along
+      q("ngram_prefix")(Dedup.ngramJaccardPrefix(docs).count())
+      q("embedding_ann")(Similarity.embeddingNearDupAnn(emb).count())
+      // the algorithmic term, separated from verify-join spill: the
+      // candidate count is the O(n^1.5·nProbe) design quantity
+      println(s"PROF ann_candidates ${Similarity.annCandidateCount(emb)}")
+      spark.stop()
+      return
+    }
     if (corpusOnly) {
       // corpus-statistics / curation family (round-5 operators):
       // every one a token or shingle aggregation whose work is

@@ -208,6 +208,55 @@ object Similarity {
   private[graft] def autoCells(n: Long): Int =
     math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
+  /** The ANN candidate stage: probe-cell × primary-cell equi-join,
+    * deduped to narrow (id, id) pairs — the vectors join back AFTER
+    * the distinct, so the distinct shuffles narrow rows and the
+    * cosine sees plain array columns instead of conditional array
+    * expressions. Exposed for the scale profile, which counts
+    * candidates to separate the designed O(n^1.5·nProbe) term from
+    * local spill effects in the verify join.
+    *
+    * boundA > 0 restricts output to pairs with min(id) < boundA (the
+    * recall-gate shape: "verify the bounded region exactly"). A
+    * post-filter on least() can't prune either join input — the full
+    * probe×primary product would materialize first — so the bound
+    * splits into two side-filtered joins instead: a qualifying pair
+    * has its < boundA member on the probe side of the first join or
+    * the primary side of the second, and the union's overlap (both
+    * sides bounded) collapses in the existing distinct. At high
+    * nProbe (the exhaustive recall setting) this cuts the candidate
+    * join output by ~corpus/boundA.
+    */
+  private[graft] def annCandidates(e: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      nProbe: Int, boundA: Long): DataFrame = {
+    val probes = nearestCells(e, model, nProbe)
+    val primary = probes.filter(col("rk") === 1)
+      .select(col("vec_id").as("p_id"), col("cell"))
+    val joined =
+      if (boundA > 0)
+        probes.filter(col("vec_id") < boundA).join(primary, "cell")
+          .unionAll(probes.join(primary.filter(col("p_id") < boundA), "cell"))
+      else probes.join(primary, "cell")
+    joined
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(
+        least(col("vec_id"), col("p_id")).as("vec_a"),
+        greatest(col("vec_id"), col("p_id")).as("vec_b"))
+      .distinct()
+  }
+
+  /** Count the ANN candidate pairs for a corpus at the auto-sized
+    * cell count — the scale profile's algorithmic-term probe.
+    */
+  private[graft] def annCandidateCount(embeddings: DataFrame,
+      nProbe: Int = 2, trainMod: Int = 4): Long = {
+    val cells = autoCells(embeddings.count())
+    val e = withNorm(embeddings).withColumn("fv",
+      array_to_vector(transform(col("v"), x => x.cast("double"))))
+    annCandidates(e, quantizerFor(e, cells, trainMod), nProbe, 0L).count()
+  }
+
   def embeddingNearDupAnn(embeddings: DataFrame, minCosine: Double = 0.4,
       nCells: Int = 0, nProbe: Int = 2, trainMod: Int = 4,
       boundA: Long = 0): DataFrame = {
@@ -217,33 +266,7 @@ object Similarity {
     val e = withNorm(embeddings).withColumn("fv",
       array_to_vector(transform(col("v"), x => x.cast("double"))))
     val model = quantizerFor(e, cells, trainMod)
-    // candidates stay (id, id) pairs — the vectors join back AFTER
-    // dedup, so the distinct shuffles narrow rows and the cosine sees
-    // plain array columns instead of conditional array expressions
-    val probes = nearestCells(e, model, nProbe)
-    val primary = probes.filter(col("rk") === 1)
-      .select(col("vec_id").as("p_id"), col("cell"))
-    // boundA > 0 restricts output to pairs with min(id) < boundA (the
-    // recall-gate shape: "verify the bounded region exactly"). A
-    // post-filter on least() can't prune either join input — the full
-    // probe×primary product would materialize first — so the bound
-    // splits into two side-filtered joins instead: a qualifying pair
-    // has its < boundA member on the probe side of the first join or
-    // the primary side of the second, and the union's overlap (both
-    // sides bounded) collapses in the existing distinct. At high
-    // nProbe (the exhaustive recall setting) this cuts the candidate
-    // join output by ~corpus/boundA.
-    val joined =
-      if (boundA > 0)
-        probes.filter(col("vec_id") < boundA).join(primary, "cell")
-          .unionAll(probes.join(primary.filter(col("p_id") < boundA), "cell"))
-      else probes.join(primary, "cell")
-    val candidates = joined
-      .filter(col("vec_id") =!= col("p_id"))
-      .select(
-        least(col("vec_id"), col("p_id")).as("vec_a"),
-        greatest(col("vec_id"), col("p_id")).as("vec_b"))
-      .distinct()
+    val candidates = annCandidates(e, model, nProbe, boundA)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("norm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),

@@ -1,8 +1,6 @@
 package graft.writer
 
-import java.nio.file.{Files, Path, Paths}
 import scala.collection.immutable.ListMap
-import scala.sys.process._
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
@@ -27,85 +25,33 @@ import PgSql._
   */
 class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
 
-  private def findBin(name: String): Option[String] =
-    Seq(s"/usr/local/bin/$name", s"/usr/bin/$name", s"/usr/lib/postgresql/15/bin/$name")
-      .find(p => Files.isExecutable(Paths.get(p)))
-
-  private var dir: Path = _
-  private var sock: String = _
+  private val pg = new PgTestServer
   private var up: Boolean = false
 
-  // initdb refuses to run as root; the sandbox runs tests as root, so
-  // server-side commands drop to `nobody` via runuser when needed
-  private def serverCmd(cmd: Seq[String]): Seq[String] =
-    if (System.getProperty("user.name") == "root")
-      Seq("runuser", "-u", "nobody", "--") ++ cmd
-    else cmd
-
-  private def runIn(cmd: Seq[String]): (Int, String) = {
-    val out = new StringBuilder
-    val logger = ProcessLogger(s => out.append(s).append('\n'),
-      s => out.append(s).append('\n'))
-    val code = Process(cmd, new java.io.File("/tmp")).!(logger)
-    (code, out.toString)
-  }
-
   override def beforeAll(): Unit = {
-    (findBin("initdb"), findBin("pg_ctl"), findBin("psql")) match {
-      case (Some(initdb), Some(pgCtl), Some(_)) =>
-        dir = Files.createTempDirectory("graft-pg")
-        sock = dir.resolve("sock").toString
-        Files.createDirectories(Paths.get(sock))
-        // the nobody user must own the data dir and socket dir
-        runIn(Seq("chmod", "-R", "777", dir.toString))
-        val (initCode, initOut) = runIn(serverCmd(Seq(
-          initdb, "-D", s"$dir/data", "-A", "trust", "-U", "graft")))
-        if (initCode == 0) {
-          val (startCode, startOut) = runIn(serverCmd(Seq(
-            pgCtl, "-D", s"$dir/data",
-            "-o", s"-c listen_addresses='' -k $sock",
-            "-l", s"$dir/pg.log", "-w", "start")))
-          up = startCode == 0
-          if (!up) info(s"pg_ctl start failed:\n$startOut")
-        } else info(s"initdb failed:\n$initOut")
-      case _ => info("postgres binaries not found; live PG tests cancelled")
-    }
+    up = pg.start()
+    if (!up) info(s"live PG unavailable, tests cancelled:\n${pg.lastBootLog}")
   }
 
-  override def afterAll(): Unit = if (up) {
-    findBin("pg_ctl").foreach(pgCtl =>
-      runIn(serverCmd(Seq(pgCtl, "-D", s"$dir/data", "-w", "-m", "fast", "stop"))))
-  }
-
-  private def psqlBin = findBin("psql").get
+  override def afterAll(): Unit = if (up) pg.stop()
 
   /** Run SQL, fail the test on error, return trimmed rows output. */
   private def sql(q: String): String = {
-    val (code, out) = runIn(Seq(psqlBin, "-h", sock, "-U", "graft",
-      "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-tAc", q))
+    val (code, out) = pg.sqlRaw(q)
     assert(code == 0, s"psql failed for:\n$q\n$out")
-    out.trim
+    out
   }
 
   /** Run SQL expecting failure, return the combined error text. */
   private def sqlErr(q: String): String = {
-    val (code, out) = runIn(Seq(psqlBin, "-h", sock, "-U", "graft",
-      "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-tAc", q))
+    val (code, out) = pg.sqlRaw(q)
     assert(code != 0, s"expected failure for:\n$q\nbut got:\n$out")
     out
   }
 
   /** Fill JDBC `?` placeholders with SQL literals, in order. */
-  private def fill(sqlText: String, lits: Seq[String]): String = {
-    val it = lits.iterator
-    val sb = new StringBuilder
-    sqlText.foreach {
-      case '?' => sb.append(it.next())
-      case c => sb.append(c)
-    }
-    assert(!it.hasNext, "too many literals")
-    sb.toString
-  }
+  private def fill(sqlText: String, lits: Seq[String]): String =
+    PgTestServer.fill(sqlText, lits)
 
   private val schema = ListMap(
     "id" -> PgBigInt, "name" -> PgText, "score" -> PgDouble,
