@@ -35,7 +35,26 @@ object Bench {
   def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
-  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  /** Lower-median: the middle run for odd sizes, the BETTER of the
+    * two middles for even sizes — so reps=2 degrades to the old
+    * min-of-2 behavior rather than reporting the worse run.
+    */
+  private def median(xs: Seq[Double]): Double =
+    xs.sorted.apply((xs.size - 1) / 2)
+
+  /** A JSON string literal from an arbitrary (exception) message:
+    * truncate the RAW text first so no escape pair is ever split,
+    * then escape backslash/quote and strip control characters
+    * (tabs/CRs in JVM messages are illegal inside JSON strings).
+    */
+  private def jsonString(raw: String): String =
+    "\"" + raw.take(300)
+      .map {
+        case '\\' => "\\\\"
+        case '"' => "\\\""
+        case c if c < ' ' => " "
+        case c => c.toString
+      }.mkString + "\""
 
   /** Time one query: `reps` timed runs, median. The FIRST exception
     * aborts the query's remaining reps and is reported verbatim —
@@ -76,12 +95,12 @@ object Bench {
     val qs = ok.map { r => "\"" + r.name + "\":" + f"${r.secs.get}%.3f" }
       .mkString("{", ",", "}")
     val errs = results.flatMap(r => r.err.map(m =>
-        "\"" + r.name + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"")
-          .replace("\n", " ").take(300) + "\""))
+        "\"" + r.name + "\":" + jsonString(m)))
       .mkString("{", ",", "}")
     val total = ok.flatMap(_.secs).sum
     val status = if (results.exists(_.err.isDefined)) "error" else "ok"
-    val rowsPerSec = (pipelineRows / pipelineSec).round
+    val rowsPerSec =
+      if (pipelineSec > 0) (pipelineRows / pipelineSec).round else 0L
     f"""{"metric":"total","value":$total%.3f,"unit":"sec","action":"$actionName","status":"$status","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_rows_per_sec":$rowsPerSec}"""
   }
 
@@ -115,16 +134,27 @@ object Bench {
       }
       (loaded, (System.nanoTime() - p0) / 1e9)
     }
-    val runs = (1 to 3).map(_ => pipelineOnce())
-    val (loaded, pipelineSec) = runs.sortBy(_._2).apply(runs.size / 2)
+    // the pipeline leg reports through the same contract as every
+    // query: a breakage lands in the errors object and the JSON line
+    // + artifact are still emitted (not a crash that discards the
+    // preceding full run)
+    val (pipelineResult, loaded, pipelineSec) =
+      try {
+        val runs = (1 to 3).map(_ => pipelineOnce())
+        val (rows, sec) = runs.sortBy(_._2).apply((runs.size - 1) / 2)
+        (QResult("x_pipeline_100k_load", Some(sec), None), rows, sec)
+      } catch {
+        case e: Throwable =>
+          (QResult("x_pipeline_100k_load", None,
+            Some(s"${e.getClass.getName}: ${e.getMessage}")), 0L, 0.0)
+      }
 
-    val withPipeline = results :+
-      QResult("x_pipeline_100k_load", Some(pipelineSec), None)
+    val withPipeline = results :+ pipelineResult
     val line = renderJson(withPipeline, sfDir, actionName, loaded, pipelineSec)
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
-    val failed = results.count(_.err.isDefined)
+    val failed = withPipeline.count(_.err.isDefined)
     spark.stop()
     if (failed > 0) {
       System.err.println(s"bench: $failed quer${if (failed == 1) "y" else "ies"} failed")

@@ -246,26 +246,35 @@ object Similarity {
       .distinct()
   }
 
+  /** The shared ANN prologue: normed vectors with the ml-vector
+    * column, and the (memoized) coarse quantizer. One body for both
+    * the query path and the profile's candidate count — the quantizer
+    * memo keys on the semanticHash of the training plan, so the two
+    * paths must build IDENTICAL plans to share a fit.
+    * nCells = 0 → size from the corpus row count (a parquet
+    * metadata-only count); explicit values pin the oracle paths.
+    */
+  private def preparedForAnn(embeddings: DataFrame, nCells: Int,
+      trainMod: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
+    val e = withNorm(embeddings).withColumn("fv",
+      array_to_vector(transform(col("v"), x => x.cast("double"))))
+    (e, quantizerFor(e, cells, trainMod))
+  }
+
   /** Count the ANN candidate pairs for a corpus at the auto-sized
     * cell count — the scale profile's algorithmic-term probe.
     */
   private[graft] def annCandidateCount(embeddings: DataFrame,
       nProbe: Int = 2, trainMod: Int = 4): Long = {
-    val cells = autoCells(embeddings.count())
-    val e = withNorm(embeddings).withColumn("fv",
-      array_to_vector(transform(col("v"), x => x.cast("double"))))
-    annCandidates(e, quantizerFor(e, cells, trainMod), nProbe, 0L).count()
+    val (e, model) = preparedForAnn(embeddings, 0, trainMod)
+    annCandidates(e, model, nProbe, 0L).count()
   }
 
   def embeddingNearDupAnn(embeddings: DataFrame, minCosine: Double = 0.4,
       nCells: Int = 0, nProbe: Int = 2, trainMod: Int = 4,
       boundA: Long = 0): DataFrame = {
-    // nCells = 0 → size from the corpus row count (a parquet
-    // metadata-only count); explicit values pin the oracle paths
-    val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
-    val e = withNorm(embeddings).withColumn("fv",
-      array_to_vector(transform(col("v"), x => x.cast("double"))))
-    val model = quantizerFor(e, cells, trainMod)
+    val (e, model) = preparedForAnn(embeddings, nCells, trainMod)
     val candidates = annCandidates(e, model, nProbe, boundA)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
       col("norm").as("na"))

@@ -69,13 +69,26 @@ class BenchSpec extends AnyFunSuite {
 
   test("median-of-3 takes the middle run") {
     var i = 0
-    val delays = Seq(5L, 60L, 25L)
+    // wide spread: scheduling overhead on a loaded box only ADDS to a
+    // sleep, so the middle (120 ms) run stays separable from 5 ms and
+    // 500 ms even with ~300 ms of jitter
+    val delays = Seq(5L, 500L, 120L)
     val r = Bench.runOne("m", reps = 3,
       action = _ => { Thread.sleep(delays(i)); i += 1 }) {
       import spark.implicits._
       Seq(1).toDF("v")
     }
-    // middle run is 25 ms; median must sit between the extremes
-    assert(r.secs.get >= 0.020 && r.secs.get < 0.060)
+    assert(r.secs.get >= 0.115 && r.secs.get < 0.499)
+  }
+
+  test("error messages render as valid JSON even when truncated mid-escape") {
+    // 299 chars then a backslash: naive escape-then-truncate leaves a
+    // lone trailing backslash that swallows the closing quote
+    val nasty = "x" * 299 + "\\\"\ttail"
+    val r = Bench.QResult("q_bad", None, Some(nasty))
+    val json = Bench.renderJson(Seq(r), "sfX", "count", 0L, 0.0)
+    import spark.implicits._
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(json).toDS)
+    assert(parsed.collect()(0).getAs[String]("status") == "error")
   }
 }

@@ -24,35 +24,22 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/paged", (ex: HttpExchange) => {
       pagedRequests.incrementAndGet()
-      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      val params = q.split('&').filter(_.contains("="))
-        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val params = graft.HttpStub.qparams(ex)
       val page = params.getOrElse("page", "1").toInt
       val per = params.getOrElse("per_page", "100").toInt
       val all = (1 to 8).map(i => s"""{"id": $i, "v": "p$i"}""")
       val slice = all.slice((page - 1) * per, (page - 1) * per + per)
-      val body = s"""{"meta": {"total": 8}, "data": [${slice.mkString(",")}]}"""
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      graft.HttpStub.respond(ex,
+        s"""{"meta": {"total": 8}, "data": [${slice.mkString(",")}]}""")
     })
     server.createContext("/posts", (ex: HttpExchange) => {
-      val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-      val params = q.split('&').filter(_.contains("="))
-        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+      val params = graft.HttpStub.qparams(ex)
       val start = params.getOrElse("start", "0").toInt
       val limit = params.getOrElse("limit", "100").toInt
       val all = (1 to 8).map(i =>
         s"""{"userId": ${i % 4 * 3}, "id": $i, "title": "t$i", "body": "b$i"}""")
       val page = all.slice(start, start + limit)
-      val body = s"""{"data": [${page.mkString(",")}]}"""
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      graft.HttpStub.respond(ex, s"""{"data": [${page.mkString(",")}]}""")
     })
     // bearer-gated endpoint: 403 unless the exact Authorization header
     // arrives — exercises the bearer_token_env → .env → header wiring
@@ -61,11 +48,7 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
       val (status, body) =
         if (auth.contains("Bearer env-tok-7")) (200, """{"data": [{"id": 1}]}""")
         else (403, """{"data": []}""")
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(status, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      graft.HttpStub.respond(ex, body, status = status)
     })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"

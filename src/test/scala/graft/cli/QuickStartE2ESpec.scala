@@ -38,9 +38,7 @@ class QuickStartE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
       val (status, body) =
         if (!auth.contains("Bearer qs-tok-42")) (403, """{"data": []}""")
         else {
-          val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-          val params = q.split('&').filter(_.contains("="))
-            .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+          val params = graft.HttpStub.qparams(ex)
           val page = params.getOrElse("page", "1").toInt
           val per = params.getOrElse("per_page", "100").toInt
           val all = (1 to 7).map(i =>
@@ -48,11 +46,7 @@ class QuickStartE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
           val slice = all.slice((page - 1) * per, (page - 1) * per + per)
           (200, s"""{"meta": {"total": 7}, "data": [${slice.mkString(",")}]}""")
         }
-      val bytes = body.getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(status, bytes.length.toLong)
-      ex.getResponseBody.write(bytes)
-      ex.close()
+      graft.HttpStub.respond(ex, body, status = status)
     })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"
@@ -127,8 +121,9 @@ class QuickStartE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // --- the PG leg: writer-generated DDL + MERGE with these rows ---
     assume(pgUp, "live PG unavailable")
-    val major = sql("SHOW server_version").takeWhile(_ != '.').toInt
-    assume(major >= 15, s"server is $major, MERGE path needs 15+")
+    val digits = sql("SHOW server_version").takeWhile(_.isDigit)
+    assume(digits.nonEmpty && digits.toInt >= 15,
+      s"server version digits '$digits', MERGE path needs 15+")
 
     val schema = PgSql.schemaOfSpark(out.schema)
     def lits(rs: Seq[(Long, String, Double)]): Seq[String] =

@@ -56,10 +56,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/paged", (ex: HttpExchange) => {
-      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        .split('&').filter(_.contains("=")).map { kv =>
-          val Array(k, v) = kv.split("=", 2); k -> v
-        }.toMap
+      val params = graft.HttpStub.qparams(ex)
       val page = params("page").toInt
       val per = params("per_page").toInt
       val from = (page - 1) * per + 1
@@ -68,12 +65,7 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (from > 23) "[]"
         else (from to to).map(i => s"""{"id": $i, "name": "u$i"}""")
           .mkString("[", ",", "]")
-      val body = s"""{"total": 23, "data": $items}"""
-        .getBytes(StandardCharsets.UTF_8)
-      ex.getResponseHeaders.set("Content-Type", "application/json")
-      ex.sendResponseHeaders(200, body.length.toLong)
-      ex.getResponseBody.write(body)
-      ex.close()
+      graft.HttpStub.respond(ex, s"""{"total": 23, "data": $items}""")
     })
     server.start()
     base = s"http://127.0.0.1:${server.getAddress.getPort}"

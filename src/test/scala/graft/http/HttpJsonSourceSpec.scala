@@ -24,20 +24,11 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private val retry = Retry(maxAttempts = 3, maxDelaySecs = 1, minDelaySecs = 0)
 
   private def qparams(ex: HttpExchange): Map[String, String] =
-    Option(ex.getRequestURI.getRawQuery).getOrElse("").split('&')
-      .filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
-      }.toMap
+    graft.HttpStub.qparams(ex)
 
   private def respond(ex: HttpExchange, body: String,
-      contentType: String = "application/json", status: Int = 200): Unit = {
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", contentType)
-    ex.sendResponseHeaders(status, bytes.length.toLong)
-    ex.getResponseBody.write(bytes)
-    ex.close()
-  }
+      contentType: String = "application/json", status: Int = 200): Unit =
+    graft.HttpStub.respond(ex, body, contentType, status)
 
   // 7 items served in pages: ids 1..7
   private def items(from: Int, to: Int): String =

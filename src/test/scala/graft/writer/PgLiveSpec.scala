@@ -87,8 +87,9 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("PG-15 MERGE updates matched rows and inserts new ones (A21/A22)") {
     assume(up)
-    val major = sql("SHOW server_version").takeWhile(_ != '.').toInt
-    assume(major >= 15, s"server is $major, MERGE path needs 15+")
+    val digits = sql("SHOW server_version").takeWhile(_.isDigit)
+    assume(digits.nonEmpty && digits.toInt >= 15,
+      s"server version digits '$digits', MERGE path needs 15+")
     sql(fill(mergeSql("t_live", schema, Seq("id"), 2), Seq(
       "2", "'grace-2'", "8.5", "true", "'{\"k\": 20}'", // matched → update
       "3", "'alan'", "7.0", "true", "'{\"k\": 3}'"))) // new → insert
@@ -98,8 +99,9 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("MERGE with a column that is NULL in every source row still types (typed VALUES)") {
     assume(up)
-    val major = sql("SHOW server_version").takeWhile(_ != '.').toInt
-    assume(major >= 15, s"server is $major, MERGE path needs 15+")
+    val digits = sql("SHOW server_version").takeWhile(_.isDigit)
+    assume(digits.nonEmpty && digits.toInt >= 15,
+      s"server version digits '$digits', MERGE path needs 15+")
     // without the per-column casts in the VALUES source, an all-NULL
     // bigint/double column fails type inference for the whole batch
     sql(fill(mergeSql("t_live", schema, Seq("id"), 2), Seq(
