@@ -208,13 +208,12 @@ object Similarity {
   private[graft] def autoCells(n: Long): Int =
     math.max(16, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
-  /** The ANN candidate stage: probe-cell × primary-cell equi-join,
-    * deduped to narrow (id, id) pairs — the vectors join back AFTER
-    * the distinct, so the distinct shuffles narrow rows and the
-    * cosine sees plain array columns instead of conditional array
-    * expressions. Exposed for the scale profile, which counts
-    * candidates to separate the designed O(n^1.5·nProbe) term from
-    * local spill effects in the verify join.
+  /** The ANN candidate stage as a standalone relation: probe-cell ×
+    * primary-cell equi-join, deduped to narrow (id, id) pairs. The
+    * production query ([[embeddingNearDupAnn]]) fuses scoring into
+    * the cell join instead of materializing this; the profile uses
+    * this stage to COUNT candidates — the designed O(n^1.5·nProbe)
+    * term — independent of scoring and threshold effects.
     *
     * boundA > 0 restricts output to pairs with min(id) < boundA (the
     * recall-gate shape: "verify the bounded region exactly"). A
@@ -275,16 +274,50 @@ object Similarity {
       nCells: Int = 0, nProbe: Int = 2, trainMod: Int = 4,
       boundA: Long = 0): DataFrame = {
     val (e, model) = preparedForAnn(embeddings, nCells, trainMod)
-    val candidates = annCandidates(e, model, nProbe, boundA)
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"),
-      col("norm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"),
-      col("norm").as("nb"))
-    candidates.join(a, "vec_a").join(b, "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")).as("cos"))
+    // Round-7 rework: the cosine is computed INSIDE the cell join,
+    // where both vectors are already co-located, so the similarity
+    // threshold prunes the O(n^1.5·nProbe) pair stream IN-PARTITION
+    // before anything wide ever shuffles. The previous shape
+    // (distinct the (id,id) candidates, then join the vectors back)
+    // shuffled the full pair stream three times — 139.7M pairs at the
+    // 100x profile, ~46 GB of vector payload, spill-bound on one box
+    // (PROF_SF1.md); now the only wide shuffles are the probe/primary
+    // relations themselves (n·(nProbe+1) rows of float vectors) and
+    // the distinct runs over the few threshold-survivors.
+    //
+    // Bit-exactness: dot(va,vb) is orientation-symmetric (per-index
+    // fold, commutative products), but the sequential division
+    // dot/na/nb is NOT — so the norm DIVISION ORDER is keyed to the
+    // least-id side with conditional SCALARS (the arrays stay plain
+    // columns for codegen), reproducing exactly the value the
+    // join-back shape produced and the recall oracle recomputes. A
+    // pair generated in both orientations yields the same cosine, so
+    // the final distinct collapses it.
+    val probes = nearestCells(e, model, nProbe)
+      .join(e.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+    val left = probes.select(col("vec_id"), col("cell"),
+      col("v").as("va"), col("norm").as("na"))
+    val right = probes.filter(col("rk") === 1)
+      .select(col("vec_id").as("p_id"), col("cell"),
+        col("v").as("vb"), col("norm").as("nb"))
+    // same boundA split as annCandidates (see its scaladoc)
+    val joined =
+      if (boundA > 0)
+        left.filter(col("vec_id") < boundA).join(right, "cell")
+          .unionAll(left.join(right.filter(col("p_id") < boundA), "cell"))
+      else left.join(right, "cell")
+    val aFirst = col("vec_id") < col("p_id")
+    joined
+      .filter(col("vec_id") =!= col("p_id"))
+      .select(
+        least(col("vec_id"), col("p_id")).as("vec_a"),
+        greatest(col("vec_id"), col("p_id")).as("vec_b"),
+        (dot(col("va"), col("vb"))
+          / when(aFirst, col("na")).otherwise(col("nb"))
+          / when(aFirst, col("nb")).otherwise(col("na"))).as("cos"))
       .filter(col("cos") >= minCosine)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .distinct()
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
