@@ -136,6 +136,24 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.values.toSet == Set("stub"))
   }
 
+  test("IVF ANN (KMeans quantizer + fused cell-join scoring) runs on the cluster") {
+    val sp = spark; import sp.implicits._
+    // two tight clusters; near-dup pairs exist only within a cluster
+    val emb = (0 until 8).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(d => base * (1.0f + 0.001f * i * d)))
+    }.toDF("vec_id", "embedding")
+    val pairs = graft.ops.Similarity
+      .embeddingNearDupAnn(emb, minCosine = 0.9, nCells = 2, nProbe = 2,
+        trainMod = 1)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val sameSign = for {
+      a <- 0L until 8L; b <- (a + 1) until 8L if a % 2 == b % 2
+    } yield (a, b)
+    assert(pairs == sameSign.toSet)
+    graft.ops.Similarity.clearQuantizerCache()
+  }
+
   test("dedup query (persist + localCheckpoint lifecycle) runs on the cluster") {
     val sp = spark; import sp.implicits._
     val docs = Seq(
