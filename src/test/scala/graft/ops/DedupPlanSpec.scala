@@ -84,4 +84,24 @@ class DedupPlanSpec extends AnyFunSuite {
     assert(cellJoin.findFirstIn(ann).isDefined,
       s"candidate pairing is not an equi-join on cell:\n$ann")
   }
+
+  test("full-corpus ANN: the similarity threshold prunes BELOW the distinct shuffle") {
+    // the round-7 fusion contract: scoring happens inside the cell
+    // join and the threshold filter runs in-partition, so the only
+    // exchange over pair-shaped rows is the distinct over threshold
+    // SURVIVORS. In the top-down plan print, the distinct's exchange
+    // must therefore sit ABOVE the threshold filter; a refactor that
+    // reintroduces distinct-then-score would flip that order and
+    // reinstate a shuffle proportional to the candidate count
+    // (measured 20x at the 100x profile, PROF_SF1.md).
+    val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val ann = physical(Similarity.embeddingNearDupAnn(emb, minCosine = 0.4))
+    val distinctExchange = ann.indexOf("Exchange hashpartitioning(vec_a")
+    val thresholdFilter = ann.indexOf(">= 0.4")
+    assert(distinctExchange >= 0, s"no distinct exchange over pairs found:\n$ann")
+    assert(thresholdFilter >= 0, s"no similarity-threshold filter found:\n$ann")
+    assert(distinctExchange < thresholdFilter,
+      s"threshold filter sits above the distinct exchange — the pair " +
+        s"stream is being shuffled before pruning:\n$ann")
+  }
 }
