@@ -59,7 +59,10 @@ object SchemaInfer {
 
   private def typeOf(n: JsonNode): JType =
     if (n.isBoolean) JBool
-    else if (n.isIntegralNumber) JLong
+    // integrals beyond Long range (JSON permits them; Jackson parses
+    // them as BigInteger) type as Double — a LongType field would
+    // null the row at parse time instead of degrading the value
+    else if (n.isIntegralNumber) { if (n.canConvertToLong) JLong else JDouble }
     else if (n.isFloatingPointNumber) JDouble
     // arrays and objects are degraded to JSON-text strings on this path
     else JString
@@ -106,18 +109,21 @@ object SchemaInfer {
     */
   def degradeRow(json: String): String = {
     val node = mapper.readTree(json)
-    if (!node.isObject) json
-    else {
-      val out = mapper.createObjectNode()
-      val names = node.fieldNames()
-      while (names.hasNext) {
-        val name = names.next()
-        val v = node.get(name)
-        if (v.isContainerNode) out.put(name, mapper.writeValueAsString(v))
-        else out.set(name, v)
-      }
-      mapper.writeValueAsString(out)
+    // same rejection as inferStreaming, but on EVERY row: a non-object
+    // row beyond the 100-row sample must fail loudly here, not parse
+    // as an all-null row against the object schema (the reference's
+    // rejection, schema.rs:36-47, is not sample-capped either)
+    require(node != null && node.isObject,
+      s"schema inference expects JSON objects, got: $node")
+    val out = mapper.createObjectNode()
+    val names = node.fieldNames()
+    while (names.hasNext) {
+      val name = names.next()
+      val v = node.get(name)
+      if (v.isContainerNode) out.put(name, mapper.writeValueAsString(v))
+      else out.set(name, v)
     }
+    mapper.writeValueAsString(out)
   }
 
   /** Batch-path (nested) inference + load: Spark's native JSON source
@@ -139,22 +145,43 @@ object SchemaInfer {
   def readNestedSampled(spark: SparkSession, rows: Dataset[String],
       sample: Seq[String]): DataFrame = {
     import spark.implicits._
-    if (sample.isEmpty) readNested(spark, rows)
-    else {
+    if (sample.isEmpty) {
+      // an empty sample (e.g. a paged API whose first page carries no
+      // rows but whose total hint is valid) falls back to Spark's own
+      // inference — which is itself a full pass. Cache the rows so
+      // that pass and every later action on the returned DataFrame
+      // share ONE consumption of the source; without it an
+      // executor-side-effecting dataset (HTTP page fetches) would
+      // re-fetch on every action. The cache is released by the
+      // context cleaner when the DataFrame is dropped.
+      readNested(spark, rows.cache())
+    } else {
       val schema = spark.read.json(sample.take(SampleCap).toDS()).schema
       spark.read.schema(schema).json(rows)
     }
   }
 
-  /** Streaming-path load: infer on a driver-side sample (cap 100), then
-    * read the full distributed dataset with the fixed schema, degrading
-    * nested values to JSON text exactly like the reference's path.
+  /** Streaming-path load with a DRIVER-HELD sample (the same contract
+    * as [[readNestedSampled]]): infer on the sample (cap 100), then
+    * read the full distributed dataset ONCE with the fixed schema,
+    * degrading nested values to JSON text exactly like the
+    * reference's path. Use this form when consuming `rows` has side
+    * effects (executor-parallel HTTP fetches).
     */
-  def readStreaming(spark: SparkSession, rows: Dataset[String]): DataFrame = {
+  def readStreamingSampled(spark: SparkSession, rows: Dataset[String],
+      sample: Seq[String]): DataFrame = {
     import spark.implicits._
-    val sample = rows.limit(SampleCap).collect()
-    val schema = inferStreaming(sample)
+    val schema = inferStreaming(sample.take(SampleCap))
     val degraded = rows.map(degradeRow)
     spark.read.schema(schema).json(degraded)
   }
+
+  /** Streaming-path load sampling from the dataset itself. NOTE: this
+    * consumes `rows` twice (limit+collect for the sample, then the
+    * full parse) — fine for driver-built or cached datasets, but an
+    * executor-side-effecting source must pass its driver-held sample
+    * to [[readStreamingSampled]] instead.
+    */
+  def readStreaming(spark: SparkSession, rows: Dataset[String]): DataFrame =
+    readStreamingSampled(spark, rows, rows.limit(SampleCap).collect().toSeq)
 }

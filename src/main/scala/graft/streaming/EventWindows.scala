@@ -11,6 +11,23 @@ import org.apache.spark.sql.types.StructType
   */
 object EventWindows {
 
+  /** Parity-harness runner shared by every streaming entry point in
+    * this package: AvailableNow over the finite parquet fixture into
+    * a named in-memory sink. The memory sink collects output on the
+    * DRIVER — it exists so the batch==streaming specs can read the
+    * result as a table, and it is NOT the deployment shape. The
+    * deployable piece is the transform itself: a real pipeline
+    * applies the same transform to `readStream` and writes to a
+    * durable sink (parquet/kafka/foreachBatch) with a production
+    * trigger.
+    */
+  private[streaming] def runToMemory(df: org.apache.spark.sql.DataFrame,
+      queryName: String, mode: String): StreamingQuery =
+    df.writeStream.outputMode(mode)
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Tumbling 1-hour counts per event_type (batch form). */
   def tumblingHourly(events: DataFrame): DataFrame =
     events.groupBy(
@@ -96,16 +113,14 @@ object EventWindows {
       (userId, st.nSessions, st.maxEvents)
     }
 
-    spark.readStream.schema(schema).parquet(dir)
-      .selectExpr("user_id", "unix_micros(ts) DIV 1000 AS ms", "event_id")
-      .as[(Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
-      .toDF("user_id", "n_sessions", "max_session_events")
-      .writeStream.outputMode("update")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    runToMemory(
+      spark.readStream.schema(schema).parquet(dir)
+        .selectExpr("user_id", "unix_micros(ts) DIV 1000 AS ms", "event_id")
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "n_sessions", "max_session_events"),
+      queryName, "update")
   }
 
   /** Per-user firsts for the funnel's stateful streaming form:
@@ -148,16 +163,14 @@ object EventWindows {
     val reader = spark.readStream.schema(schema)
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
-    tuned.parquet(dir)
-      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
-      .as[(Long, String, Long)]
-      .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
-      .toDF("user_id", "t_view_us", "t_click_us", "t_purchase_us")
-      .writeStream.outputMode("update")
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    runToMemory(
+      tuned.parquet(dir)
+        .selectExpr("user_id", "event_type", "unix_micros(ts) AS us")
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "t_view_us", "t_click_us", "t_purchase_us"),
+      queryName, "update")
   }
 
   /** Structured Streaming form of [[tumblingHourly]], parameterized on
@@ -174,12 +187,12 @@ object EventWindows {
   def streamingTumblingHourly(spark: SparkSession, dir: String,
       schema: StructType, queryName: String,
       outputMode: String = "complete"): StreamingQuery =
-    spark.readStream.schema(schema).parquet(dir)
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .writeStream.outputMode(outputMode)
-      .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    runToMemory(
+      spark.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        // same aggregates as the batch form — the parity contract is
+        // the full row, not just the count
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+      queryName, outputMode)
 }

@@ -84,6 +84,21 @@ class SchemaInferSpec extends AnyFunSuite {
     assert(out.contains(""""tags":"[1,2]""""))
   }
 
+  test("degradeRow rejects non-object rows — the rejection is not sample-capped") {
+    // a bad row beyond the 100-row inference sample must fail loudly
+    // at parse time, not become a silent all-null row
+    val e = intercept[IllegalArgumentException] { degradeRow("[1,2]") }
+    assert(e.getMessage.contains("expects JSON objects"))
+    intercept[IllegalArgumentException] { degradeRow("\"scalar\"") }
+  }
+
+  test("integrals beyond Long range type as Double, not a row-nulling Long") {
+    val schema = inferStreaming(Seq(
+      """{"small": 1, "huge": 18446744073709551615}"""))
+    assert(schema("small").dataType == LongType)
+    assert(schema("huge").dataType == DoubleType)
+  }
+
   test("readStreaming end-to-end: degraded nested values, fixed schema") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

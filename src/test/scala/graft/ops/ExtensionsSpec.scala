@@ -262,10 +262,14 @@ class ExtensionsSpec extends AnyFunSuite {
     val q = graft.streaming.EventWindows.streamingTumblingHourly(
       spark, dir, events.schema, "stream_out")
     try q.processAllAvailable() finally q.stop()
+    // full-row parity: counts AND the value aggregate (a streaming
+    // form that silently dropped sum_value would still pass a
+    // count-only check)
     val streamed = spark.table("stream_out")
-      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
     val batch = graft.streaming.EventWindows.tumblingHourly(events)
-      .select(col("window_start"), col("event_type"), col("n"))
+      .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
@@ -359,6 +363,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == events.count())
     assert(spark.table("dedup_out").select("event_id").distinct().count()
       == events.count())
+    // an empty key list is a config error with a named message, not a
+    // bare NoSuchElementException from keys.head
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDedup.streamingDedupFirst(
+        spark, dir, events.schema, "dedup_none", Seq.empty)
+    }
+    assert(e.getMessage.contains("dedup key"))
   }
 
   test("all extension queries execute and return rows at sf0.001") {
