@@ -147,14 +147,18 @@ object SchemaInfer {
     import spark.implicits._
     if (sample.isEmpty) {
       // an empty sample (e.g. a paged API whose first page carries no
-      // rows but whose total hint is valid) falls back to Spark's own
-      // inference — which is itself a full pass. Cache the rows so
-      // that pass and every later action on the returned DataFrame
-      // share ONE consumption of the source; without it an
-      // executor-side-effecting dataset (HTTP page fetches) would
-      // re-fetch on every action. The cache is released by the
-      // context cleaner when the DataFrame is dropped.
-      readNested(spark, rows.cache())
+      // rows but whose total hint is valid) falls back to sampling
+      // the dataset itself — a BOUNDED consumption (limit scans
+      // partitions incrementally), not Spark's full inference pass,
+      // and not a `.cache()` of the rows: CacheManager holds cached
+      // relations until an explicit unpersist, so caching here would
+      // pin every such load's InMemoryRelation for the session.
+      val selfSample = rows.limit(SampleCap).collect().toSeq
+      if (selfSample.isEmpty) readNested(spark, rows) // truly empty source
+      else {
+        val schema = spark.read.json(selfSample.toDS()).schema
+        spark.read.schema(schema).json(rows)
+      }
     } else {
       val schema = spark.read.json(sample.take(SampleCap).toDS()).schema
       spark.read.schema(schema).json(rows)

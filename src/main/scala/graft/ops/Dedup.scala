@@ -100,7 +100,7 @@ object Dedup {
     * scaladoc for the plan shape).
     */
   private def withShingles(docs: DataFrame)(build: DataFrame => DataFrame): DataFrame =
-    build(cachedShingles(docs)).localCheckpoint(true)
+    PlanAudit.checkpointed(build(cachedShingles(docs)))
 
   /** Exact-Jaccard verification of a (small) candidate pair set: join
     * the candidates with per-doc shingle arrays and intersect per pair.
@@ -383,19 +383,17 @@ object Dedup {
 
   def dupClusters(docs: DataFrame, leftMax: Long = 200): DataFrame = {
     val pairs = minhashLsh(docs, leftMax).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint(true)
+    val edges = PlanAudit.checkpointed(pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // round 0 fused into the node extraction: every node starts at
     // min(own id, min neighbor id) rather than its own id — one
     // aggregation replaces the distinct + a full propagation round,
     // and clique-shaped near-dup clusters converge immediately
     // (leaving a single confirmation round)
-    var labels = edges.groupBy(col("doc_a"))
+    var labels = PlanAudit.checkpointed(edges.groupBy(col("doc_a"))
       .agg(min(col("doc_b")).as("mn"))
       .select(col("doc_a").as("doc_id"),
-        least(col("doc_a"), col("mn")).as("lbl"))
-      .localCheckpoint(true)
+        least(col("doc_a"), col("mn")).as("lbl")))
     var changed = 1L
     val superseded = scala.collection.mutable.ArrayBuffer[DataFrame](edges)
     while (changed > 0) {
@@ -407,7 +405,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (col("nlbl") < col("lbl")).as("moved"))
-      val materialized = next.localCheckpoint(true)
+      val materialized = PlanAudit.checkpointed(next)
       changed = materialized.filter(col("moved")).count()
       superseded += labels // this round's snapshot, replaced below
       labels = materialized.select(col("doc_id"), col("lbl"))

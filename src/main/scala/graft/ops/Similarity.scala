@@ -216,15 +216,10 @@ object Similarity {
     * term — independent of scoring and threshold effects.
     *
     * boundA > 0 restricts output to pairs with min(id) < boundA (the
-    * recall-gate shape: "verify the bounded region exactly"). A
-    * post-filter on least() can't prune either join input — the full
-    * probe×primary product would materialize first — so the bound
-    * splits into two side-filtered joins instead: a qualifying pair
-    * has its < boundA member on the probe side of the first join or
-    * the primary side of the second, and the union's overlap (both
-    * sides bounded) collapses in the existing distinct. At high
-    * nProbe (the exhaustive recall setting) this cuts the candidate
-    * join output by ~corpus/boundA.
+    * recall-gate shape: "verify the bounded region exactly") — see
+    * [[cellJoin]] for the split that makes the bound prune the join
+    * inputs. At high nProbe (the exhaustive recall setting) this cuts
+    * the candidate join output by ~corpus/boundA.
     */
   private[graft] def annCandidates(e: DataFrame,
       model: org.apache.spark.ml.clustering.KMeansModel,
@@ -232,18 +227,37 @@ object Similarity {
     val probes = nearestCells(e, model, nProbe)
     val primary = probes.filter(col("rk") === 1)
       .select(col("vec_id").as("p_id"), col("cell"))
-    val joined =
-      if (boundA > 0)
-        probes.filter(col("vec_id") < boundA).join(primary, "cell")
-          .unionAll(probes.join(primary.filter(col("p_id") < boundA), "cell"))
-      else probes.join(primary, "cell")
-    joined
+    cellJoin(probes, primary, boundA)
       .filter(col("vec_id") =!= col("p_id"))
       .select(
         least(col("vec_id"), col("p_id")).as("vec_a"),
         greatest(col("vec_id"), col("p_id")).as("vec_b"))
       .distinct()
   }
+
+  /** The ANN probe-side × primary-side cell equi-join, shared by
+    * [[annCandidates]] (narrow counting) and [[embeddingNearDupAnn]]
+    * (fused scoring) so the profile's candidate count and the
+    * production pair stream can never drift apart. `left` carries the
+    * probe rows keyed by `vec_id`, `right` the primary-cell rows
+    * keyed by `p_id`; any payload columns ride along untouched.
+    *
+    * boundA > 0 keeps only pairs whose min(id) < boundA. A
+    * post-filter on least() can't prune either join input — the full
+    * probe×primary product would materialize first — so the bound
+    * splits into two side-filtered joins: a qualifying pair has its
+    * < boundA member on the probe side (first branch) or, failing
+    * that, on the primary side (second branch, whose probe side is
+    * restricted to >= boundA so the branches are DISJOINT — no pair
+    * is generated, or scored, twice across branches).
+    */
+  private def cellJoin(left: DataFrame, right: DataFrame,
+      boundA: Long): DataFrame =
+    if (boundA > 0)
+      left.filter(col("vec_id") < boundA).join(right, "cell")
+        .unionAll(left.filter(col("vec_id") >= boundA)
+          .join(right.filter(col("p_id") < boundA), "cell"))
+    else left.join(right, "cell")
 
   /** The shared ANN prologue: normed vectors with the ml-vector
     * column, and the (memoized) coarse quantizer. One body for both
@@ -300,14 +314,8 @@ object Similarity {
     val right = probes.filter(col("rk") === 1)
       .select(col("vec_id").as("p_id"), col("cell"),
         col("v").as("vb"), col("norm").as("nb"))
-    // same boundA split as annCandidates (see its scaladoc)
-    val joined =
-      if (boundA > 0)
-        left.filter(col("vec_id") < boundA).join(right, "cell")
-          .unionAll(left.join(right.filter(col("p_id") < boundA), "cell"))
-      else left.join(right, "cell")
     val aFirst = col("vec_id") < col("p_id")
-    joined
+    cellJoin(left, right, boundA)
       .filter(col("vec_id") =!= col("p_id"))
       .select(
         least(col("vec_id"), col("p_id")).as("vec_a"),

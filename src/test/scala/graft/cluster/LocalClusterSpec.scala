@@ -143,15 +143,16 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       val base = if (i % 2 == 0) 1.0f else -1.0f
       (i.toLong, Array.tabulate(8)(d => base * (1.0f + 0.001f * i * d)))
     }.toDF("vec_id", "embedding")
-    val pairs = graft.ops.Similarity
-      .embeddingNearDupAnn(emb, minCosine = 0.9, nCells = 2, nProbe = 2,
-        trainMod = 1)
-      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
-    val sameSign = for {
-      a <- 0L until 8L; b <- (a + 1) until 8L if a % 2 == b % 2
-    } yield (a, b)
-    assert(pairs == sameSign.toSet)
-    graft.ops.Similarity.clearQuantizerCache()
+    try {
+      val pairs = graft.ops.Similarity
+        .embeddingNearDupAnn(emb, minCosine = 0.9, nCells = 2, nProbe = 2,
+          trainMod = 1)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val sameSign = for {
+        a <- 0L until 8L; b <- (a + 1) until 8L if a % 2 == b % 2
+      } yield (a, b)
+      assert(pairs == sameSign.toSet)
+    } finally graft.ops.Similarity.clearQuantizerCache()
   }
 
   test("dedup query (persist + localCheckpoint lifecycle) runs on the cluster") {
@@ -162,10 +163,13 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "a completely different document about spark cluster testing"),
       (4L, "yet another unrelated text with no overlap whatsoever here")
     ).toDF("doc_id", "text")
-    val dups = graft.ops.Dedup.minhashLsh(docs)
-      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    assert(dups == Set((1L, 2L)))
-    graft.ops.Dedup.clearPairCache()
-    graft.ops.Dedup.clearShingleCache()
+    try {
+      val dups = graft.ops.Dedup.minhashLsh(docs)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(dups == Set((1L, 2L)))
+    } finally {
+      graft.ops.Dedup.clearPairCache()
+      graft.ops.Dedup.clearShingleCache()
+    }
   }
 }

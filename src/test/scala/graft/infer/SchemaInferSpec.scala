@@ -99,6 +99,25 @@ class SchemaInferSpec extends AnyFunSuite {
     assert(schema("huge").dataType == DoubleType)
   }
 
+  test("empty-sample fallback infers from a bounded self-sample, pins no cache") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val rows = Seq("""{"a":1,"b":"x"}""", """{"a":2,"b":"y"}""").toDS()
+    val df = readNestedSampled(spark, rows, Seq.empty)
+    assert(df.columns.toSet == Set("a", "b"))
+    assert(df.count() == 2)
+    // the fallback must not leave the source dataset registered in
+    // CacheManager (that pin outlives the returned DataFrame — the
+    // leak this path previously had)
+    val cachedNodes = rows.queryExecution.withCachedData.collect {
+      case i: org.apache.spark.sql.execution.columnar.InMemoryRelation => i
+    }
+    assert(cachedNodes.isEmpty, "source rows were left cached")
+    // a truly empty source degrades to an empty frame, not a throw
+    assert(readNestedSampled(spark, spark.emptyDataset[String], Seq.empty)
+      .count() == 0)
+  }
+
   test("readStreaming end-to-end: degraded nested values, fixed schema") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._

@@ -50,17 +50,38 @@ class AggregateMixSpec extends AnyFunSuite {
   }
 
   test("no driver query mixes count(DISTINCT) with a heap-buffered aggregate") {
-    // building each DataFrame runs the eager (checkpointing) dedup
-    // builders at sf0.001 — small jobs; their returned plans are
-    // checkpoint scans, which trivially contain no Aggregate
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        if (mixedAggregates(fn(spark, dir)).nonEmpty) Some(name) else None
+    // the eager (checkpointing) dedup builders return checkpoint
+    // scans, which trivially contain no Aggregate — so their INTERNAL
+    // pipelines are audited via the PlanAudit seam, which hands every
+    // pre-checkpoint DataFrame to the sink while its lineage is still
+    // the full pipeline. Clear the memo caches FIRST so the builders
+    // actually run (a pair-cache hit from an earlier suite would skip
+    // the build and record nothing).
+    try {
+      graft.ops.Dedup.clearPairCache()
+      graft.ops.Dedup.clearShingleCache()
+      graft.ops.Similarity.clearQuantizerCache()
+      var auditedOffenders = List.empty[String]
+      var preCheckpointPlans = 0
+      val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val bad = graft.ops.PlanAudit.withSink({ pre =>
+            preCheckpointPlans += 1
+            if (mixedAggregates(pre).nonEmpty)
+              auditedOffenders ::= s"$name (pre-checkpoint)"
+          })(mixedAggregates(fn(spark, dir)).nonEmpty)
+          if (bad) Some(name) else None
+      } ++ auditedOffenders.reverse
+      assert(offenders.isEmpty,
+        s"queries mixing distinct + buffered aggregates in one Aggregate: $offenders")
+      // the seam must have fired, or the checkpointed family was
+      // silently skipped and this net is vacuous for it
+      assert(preCheckpointPlans > 0,
+        "PlanAudit sink never fired: checkpointed builders were not audited")
+    } finally {
+      graft.ops.Dedup.clearPairCache()
+      graft.ops.Dedup.clearShingleCache()
+      graft.ops.Similarity.clearQuantizerCache()
     }
-    assert(offenders.isEmpty,
-      s"queries mixing distinct + buffered aggregates in one Aggregate: $offenders")
-    graft.ops.Dedup.clearPairCache()
-    graft.ops.Dedup.clearShingleCache()
-    graft.ops.Similarity.clearQuantizerCache()
   }
 }
