@@ -155,6 +155,32 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Similarity.clearQuantizerCache()
   }
 
+  test("stateful streaming (mapGroupsWithState) runs across executor JVMs") {
+    // the state store, the GroupState update closure, and the tuple
+    // encoders all serialize to separate executor processes here —
+    // the classic cluster-only failure surface local[n] cannot see
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cluster-stream").toString
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 2L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3L),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    events.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingUserSessions(
+      sp, dir, events.schema, "cluster_sessions")
+    try q.processAllAvailable() finally q.stop()
+    // update mode emits one row per user per micro-batch; both columns
+    // are monotone, so fold with max (the documented consumer contract)
+    val out = sp.table("cluster_sessions")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("ns"), max("max_session_events").as("me"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, ns, me) => u -> ((ns, me)) }.toMap
+    assert(out == Map(1L -> ((2L, 2L)), 2L -> ((1L, 1L))))
+  }
+
   test("dedup query (persist + localCheckpoint lifecycle) runs on the cluster") {
     val sp = spark; import sp.implicits._
     val docs = Seq(

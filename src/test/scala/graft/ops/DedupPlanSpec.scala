@@ -85,6 +85,31 @@ class DedupPlanSpec extends AnyFunSuite {
       s"candidate pairing is not an equi-join on cell:\n$ann")
   }
 
+  test("ANN boundA split: branches disjoint, pairs equal the filtered unbounded set") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val boundA = 250L
+    try {
+      val bounded = Similarity.embeddingNearDupAnn(emb, boundA = boundA)
+      val full = Similarity.embeddingNearDupAnn(emb)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select(col("vec_a"), col("vec_b")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = pairs(bounded)
+      val f = pairs(full.filter(col("vec_a") < boundA))
+      assert(pairs(full).nonEmpty, "unbounded ANN found no pairs at sf0.001")
+      assert(b == f,
+        s"boundA path diverges from the filtered unbounded set: " +
+          s"only-bounded=${b -- f}, only-full=${f -- b}")
+      // disjointness marker: the second union branch's probe side must
+      // carry the complementary >= filter, or overlapping pairs are
+      // scored twice before the distinct (the round-7 review fix)
+      val plan = physical(bounded)
+      assert(plan.contains(">= 250"),
+        s"second boundA branch lost its complementary probe-side filter:\n$plan")
+    } finally Similarity.clearQuantizerCache()
+  }
+
   test("full-corpus ANN: the similarity threshold prunes BELOW the distinct shuffle") {
     // the round-7 fusion contract: scoring happens inside the cell
     // join and the threshold filter runs in-partition, so the only
