@@ -329,6 +329,53 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** kNN majority-vote label propagation: vectors with
+    * `vec_id < labeledMax` carry ground-truth labels (the seed set);
+    * every other vector is assigned the majority label of its k
+    * nearest labeled neighbors by cosine. This is the auto-labeling
+    * step of a training-data pipeline — propagating a hand-labeled
+    * seed set's quality/domain/topic labels to the full corpus before
+    * filtering or mixing on them.
+    *
+    * Deterministic: neighbor ranking ties break on neighbor id, vote
+    * ties on the smaller label — both reproducible by the SQL oracle.
+    *
+    * Scale shape: the labeled seed set broadcasts (bounded by
+    * `labeledMax` — seed sets are hand-curated, orders of magnitude
+    * smaller than the corpus); the corpus side stays partitioned, the
+    * vectors are dropped BEFORE the top-k window so the only exchange
+    * is the narrow (vec_id, label, cos, n_id) score stream. A seed
+    * set too large to broadcast cell-blocks like [[knnIvf]] instead —
+    * same quantizer machinery, labeled side assigned to cells,
+    * corpus probing its nProbe nearest.
+    */
+  def knnClassify(embeddings: DataFrame, k: Int = 5,
+      labeledMax: Long = 250): DataFrame = {
+    val e = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val labeled = e.filter(col("vec_id") < labeledMax)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("norm").as("nn"), col("label"))
+    val scored = e.filter(col("vec_id") >= labeledMax)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .join(broadcast(labeled))
+      .select(col("vec_id"), col("n_id"), col("label"),
+        cosineWithNorms(col("v"), col("nv"), col("norm"), col("nn")).as("cos"))
+    val topk = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("n_id"))
+    val votes = scored.withColumn("rnk", row_number().over(topk))
+      .filter(col("rnk") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val byVotes = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("pr", row_number().over(byVotes))
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("label").as("label_pred"), col("votes"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Random-hyperplane LSH (sign sketch) ANN: vectors hash to a
     * `nPlanes`-bit bucket by the sign of their dot product with fixed
     * pseudo-random hyperplanes; queries only score their own bucket.

@@ -161,6 +161,11 @@ object Extensions {
     "x_knn_ivf_recall" -> ((s, d) =>
       Similarity.knnIvf(t(s, d, "embeddings"), nProbe = 12)),
 
+    // kNN majority-vote label propagation from the first-250 seed set
+    // — exact (broadcast seed, brute scoring), full DuckDB oracle
+    "x_knn_classify" -> ((s, d) =>
+      Similarity.knnClassify(t(s, d, "embeddings"))),
+
     // same contract for the full-corpus ANN dedup path: at the PINNED
     // quantizer size, nProbe=12/16 is exhaustive-by-measurement on
     // these corpora, so the (bounded region of the) ANN output equals
@@ -656,6 +661,26 @@ object Extensions {
     "x_dedup_embedding_ann_recall" -> embeddingPairsSql,
 
     "x_knn_brute" -> knnBruteSql,
+
+    // same cosine + ranking conventions as knnBruteSql; vote ties
+    // break on the smaller label, mirroring the Spark window order
+    "x_knn_classify" ->
+      """WITH s AS (
+        |  SELECT u.vec_id, l.vec_id AS n_id, l.label,
+        |    list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+        |                           CAST(l.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings u JOIN embeddings l
+        |    ON u.vec_id >= 250 AND l.vec_id < 250),
+        |r AS (SELECT vec_id, label, c,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, n_id) AS rnk
+        |  FROM s),
+        |v AS (SELECT vec_id, label, COUNT(*) AS votes
+        |  FROM r WHERE rnk <= 5 GROUP BY vec_id, label),
+        |p AS (SELECT vec_id, label, votes,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS pr
+        |  FROM v)
+        |SELECT vec_id, label AS label_pred, CAST(votes AS BIGINT) AS votes
+        |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin,
 
     // IVF at nProbe=12 provably returns brute top-k on this corpus —
     // shared SQL pins both the IVF machinery and recall drift

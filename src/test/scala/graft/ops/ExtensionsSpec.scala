@@ -66,6 +66,28 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall $recall")
   }
 
+  test("kNN label propagation: majority vote with deterministic ties") {
+    val sp = spark; import sp.implicits._
+    // seed vectors 0-3: two axis-aligned clusters with labels 7 and 9
+    // (and one mislabeled outlier in cluster A to force a 2-1 vote);
+    // vectors 4-5 are unlabeled, one per cluster
+    val emb = Seq(
+      (0L, Array(1.0f, 0.02f, 0.05f), 7),
+      (1L, Array(1.0f, 0.01f, 0.0f), 7),
+      (2L, Array(0.99f, 0.0f, 0.02f), 9), // mislabeled outlier in A
+      (3L, Array(0.0f, 1.0f, 0.0f), 9),
+      (4L, Array(1.0f, 0.005f, 0.03f), -1), // unlabeled, cluster A
+      (5L, Array(0.01f, 0.98f, 0.0f), -1) // unlabeled, cluster B
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(emb, k = 3, labeledMax = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+    // vec 4's 3-NN are {0,1,2}: labels 7,7,9 -> majority 7 with 2 votes
+    // vec 5's 3-NN include 3 (label 9) and two of cluster A; its top-1
+    // is 3, but majority is the 2-vote cluster-A side: 7 beats 9 on
+    // votes, proving the vote (not nearest-single) semantics
+    assert(out == List((4L, 7, 2L), (5L, 7, 2L)))
+  }
+
   test("LSH ANN recall vs brute-force top-5 is reasonable") {
     val brute = Similarity.knnBrute(graft.engine.Tables.table(spark, sf, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
