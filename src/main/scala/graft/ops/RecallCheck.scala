@@ -32,6 +32,13 @@ object RecallCheck {
           s"(${(brute -- lsh).size} missed, ${(lsh -- brute).size} extra)")
       }
 
+      val classifyExact = rows(Similarity.knnClassify(emb))
+      (2 to 16 by 2).foreach { np =>
+        val ivfCls = rows(Similarity.knnClassifyIvf(emb, nProbe = np))
+        println(s"RECALL $dir classifyIvf(nProbe=$np)==exact: ${ivfCls == classifyExact} " +
+          s"(${(classifyExact -- ivfCls).size} diff, ${(ivfCls -- classifyExact).size} extra)")
+      }
+
       val brutePairs = rows(Dedup.embeddingCosinePairs(emb))
       (2 to 16 by 2).foreach { np =>
         val annPairs = rows(

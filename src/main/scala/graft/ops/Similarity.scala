@@ -362,6 +362,15 @@ object Similarity {
       .join(broadcast(labeled))
       .select(col("vec_id"), col("n_id"), col("label"),
         cosineWithNorms(col("v"), col("nv"), col("norm"), col("nn")).as("cos"))
+    majorityVote(scored, k)
+  }
+
+  /** The shared vote tail of both classify paths: per-vector top-k by
+    * (cos desc, neighbor id), then the plurality label with ties to
+    * the smaller label. Operates on the narrow (vec_id, n_id, label,
+    * cos) score stream — vectors were dropped by the caller.
+    */
+  private def majorityVote(scored: DataFrame, k: Int): DataFrame = {
     val topk = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("n_id"))
     val votes = scored.withColumn("rnk", row_number().over(topk))
@@ -374,6 +383,41 @@ object Similarity {
       .filter(col("pr") === 1)
       .select(col("vec_id"), col("label").as("label_pred"), col("votes"))
       .orderBy(col("vec_id"))
+  }
+
+  /** IVF cell-blocked form of [[knnClassify]] for seed sets too large
+    * to broadcast: labeled vectors are assigned to their primary
+    * quantizer cell, each unlabeled vector probes its `nProbe` nearest
+    * cells, and only same-cell (unlabeled, labeled) pairs are scored —
+    * O(corpus · seed·nProbe/nCells) instead of O(corpus · seed). Both
+    * sides shuffle once on `cell` (each unlabeled vector's payload
+    * moves nProbe times — the standard IVF trade); each labeled vector
+    * lives in exactly one cell and probe rows are unique, so the score
+    * stream has no duplicate pairs and no dedup stage. Approximate at
+    * production probe counts — a true neighbor in an unprobed cell is
+    * missed; at probe counts measured exhaustive on a corpus
+    * (RecallCheck), the output equals [[knnClassify]] bit-for-bit.
+    */
+  def knnClassifyIvf(embeddings: DataFrame, k: Int = 5,
+      labeledMax: Long = 250, nCells: Int = 16, nProbe: Int = 4,
+      trainMod: Int = 4): DataFrame = {
+    val e = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"), col("label"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("fv",
+        array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val model = quantizerFor(e, nCells, trainMod)
+    val labeled = model.transform(e.filter(col("vec_id") < labeledMax))
+      .select(col("vec_id").as("n_id"), col("v").as("nv"),
+        col("norm").as("nn"), col("label"), col("cell"))
+    val probed = e.filter(col("vec_id") >= labeledMax)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .join(nearestCells(e.filter(col("vec_id") >= labeledMax), model, nProbe)
+        .select(col("vec_id"), col("cell")), "vec_id")
+    val scored = probed.join(labeled, Seq("cell"))
+      .select(col("vec_id"), col("n_id"), col("label"),
+        cosineWithNorms(col("v"), col("nv"), col("norm"), col("nn")).as("cos"))
+    majorityVote(scored, k)
   }
 
   /** Random-hyperplane LSH (sign sketch) ANN: vectors hash to a

@@ -166,6 +166,19 @@ object Extensions {
     "x_knn_classify" -> ((s, d) =>
       Similarity.knnClassify(t(s, d, "embeddings"))),
 
+    // IVF cell-blocked classify at nProbe == nCells: probing every
+    // cell scores every labeled vector, so equality with the exact
+    // oracle is guaranteed BY CONSTRUCTION — the gate pins the cell
+    // machinery (assignment, probe enumeration, no dup/dropped pairs,
+    // vote tail), not recall. Production probe counts are a library
+    // knob; on this fixture's 10 uniform random labels a vote-
+    // agreement metric would measure tie-break churn, not quality
+    // (RecallCheck sweep: top-k neighbor recall is the informative
+    // measure, and x_knn_ivf_recall already gates it).
+    "x_knn_classify_ivf_check" -> ((s, d) =>
+      Similarity.knnClassifyIvf(t(s, d, "embeddings"),
+        nCells = 16, nProbe = 16)),
+
     // same contract for the full-corpus ANN dedup path: at the PINNED
     // quantizer size, nProbe=12/16 is exhaustive-by-measurement on
     // these corpora, so the (bounded region of the) ANN output equals
@@ -484,6 +497,29 @@ object Extensions {
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** kNN majority-vote label propagation (`Similarity.knnClassify`):
+    * knnBruteSql's cosine + ranking conventions over the first-250
+    * seed set, then plurality vote with ties to the smaller label —
+    * the exact order the Spark windows use.
+    */
+  private val knnClassifySql =
+    """WITH s AS (
+      |  SELECT u.vec_id, l.vec_id AS n_id, l.label,
+      |    list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
+      |                           CAST(l.embedding AS DOUBLE[])) AS c
+      |  FROM embeddings u JOIN embeddings l
+      |    ON u.vec_id >= 250 AND l.vec_id < 250),
+      |r AS (SELECT vec_id, label, c,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, n_id) AS rnk
+      |  FROM s),
+      |v AS (SELECT vec_id, label, COUNT(*) AS votes
+      |  FROM r WHERE rnk <= 5 GROUP BY vec_id, label),
+      |p AS (SELECT vec_id, label, votes,
+      |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS pr
+      |  FROM v)
+      |SELECT vec_id, label AS label_pred, CAST(votes AS BIGINT) AS votes
+      |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin
+
   private val knnBruteSql =
     """WITH s AS (
       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -664,23 +700,11 @@ object Extensions {
 
     // same cosine + ranking conventions as knnBruteSql; vote ties
     // break on the smaller label, mirroring the Spark window order
-    "x_knn_classify" ->
-      """WITH s AS (
-        |  SELECT u.vec_id, l.vec_id AS n_id, l.label,
-        |    list_cosine_similarity(CAST(u.embedding AS DOUBLE[]),
-        |                           CAST(l.embedding AS DOUBLE[])) AS c
-        |  FROM embeddings u JOIN embeddings l
-        |    ON u.vec_id >= 250 AND l.vec_id < 250),
-        |r AS (SELECT vec_id, label, c,
-        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY c DESC, n_id) AS rnk
-        |  FROM s),
-        |v AS (SELECT vec_id, label, COUNT(*) AS votes
-        |  FROM r WHERE rnk <= 5 GROUP BY vec_id, label),
-        |p AS (SELECT vec_id, label, votes,
-        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY votes DESC, label) AS pr
-        |  FROM v)
-        |SELECT vec_id, label AS label_pred, CAST(votes AS BIGINT) AS votes
-        |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin,
+    "x_knn_classify" -> knnClassifySql,
+
+    // nProbe == nCells scores every labeled vector — exact by
+    // construction, so the IVF machinery shares the classify oracle
+    "x_knn_classify_ivf_check" -> knnClassifySql,
 
     // IVF at nProbe=12 provably returns brute top-k on this corpus —
     // shared SQL pins both the IVF machinery and recall drift

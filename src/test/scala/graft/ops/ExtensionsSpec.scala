@@ -86,6 +86,15 @@ class ExtensionsSpec extends AnyFunSuite {
     // is 3, but majority is the 2-vote cluster-A side: 7 beats 9 on
     // votes, proving the vote (not nearest-single) semantics
     assert(out == List((4L, 7, 2L), (5L, 7, 2L)))
+    // the IVF cell-blocked form at nProbe == nCells scores every
+    // labeled vector, so it must reproduce the exact path verbatim
+    try {
+      val ivf = Similarity
+        .knnClassifyIvf(emb, k = 3, labeledMax = 4, nCells = 2, nProbe = 2,
+          trainMod = 1)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toList
+      assert(ivf == out)
+    } finally Similarity.clearQuantizerCache()
   }
 
   test("LSH ANN recall vs brute-force top-5 is reasonable") {
