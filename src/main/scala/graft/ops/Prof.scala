@@ -49,6 +49,15 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("classify")) {
+      // label-propagation family: exact is O(corpus · seed) with the
+      // seed fixed (250), so the scale column should track corpus
+      // size; the IVF form scores seed·nProbe/nCells per vector
+      q("knn_classify")(Similarity.knnClassify(emb).count())
+      q("knn_classify_ivf")(Similarity.knnClassifyIvf(emb).count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("cands")) {
       println(s"PROF ann_candidates ${Similarity.annCandidateCount(emb)}")
       spark.stop()
