@@ -141,6 +141,14 @@ object SchemaInfer {
     * consuming `rows` has side effects (executor-parallel HTTP page
     * fetches would otherwise run twice). Fields absent from the sample
     * read as null, like the reference's sampled inference.
+    *
+    * Empty-sample fallback: a bounded prefix of `rows` is collected
+    * for inference instead (still the 100-row contract), which IS one
+    * extra partial consumption of a side-effecting source. Like every
+    * path here, the returned DataFrame re-reads `rows` per action —
+    * callers that run multiple actions cache the RESULT (the A13
+    * replay contract); nothing is pinned in CacheManager by this
+    * method itself.
     */
   def readNestedSampled(spark: SparkSession, rows: Dataset[String],
       sample: Seq[String]): DataFrame = {

@@ -54,7 +54,13 @@ object Prof {
       // seed fixed (250), so the scale column should track corpus
       // size; the IVF form scores seed·nProbe/nCells per vector
       q("knn_classify")(Similarity.knnClassify(emb).count())
-      q("knn_classify_ivf")(Similarity.knnClassifyIvf(emb).count())
+      // clear the quantizer memo inside the thunk (the minhash
+      // clearPairCache pattern): min-of-2 must time the BUILD
+      // including the KMeans fit, not a memo hit
+      q("knn_classify_ivf") {
+        Similarity.clearQuantizerCache()
+        Similarity.knnClassifyIvf(emb).count()
+      }
       spark.stop()
       return
     }

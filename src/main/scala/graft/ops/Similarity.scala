@@ -349,11 +349,19 @@ object Similarity {
     * same quantizer machinery, labeled side assigned to cells,
     * corpus probing its nProbe nearest.
     */
-  def knnClassify(embeddings: DataFrame, k: Int = 5,
-      labeledMax: Long = 250): DataFrame = {
-    val e = Spread(embeddings)
+  /** The shared classify prologue: normed labeled corpus, so the
+    * exact and IVF paths can never drift on the projection or the
+    * norm formula (the same role [[preparedForAnn]] plays for the
+    * ANN paths).
+    */
+  private def labeledCorpus(embeddings: DataFrame): DataFrame =
+    Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"), col("label"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+
+  def knnClassify(embeddings: DataFrame, k: Int = 5,
+      labeledMax: Long = 250): DataFrame = {
+    val e = labeledCorpus(embeddings)
     val labeled = e.filter(col("vec_id") < labeledMax)
       .select(col("vec_id").as("n_id"), col("v").as("nv"),
         col("norm").as("nn"), col("label"))
@@ -389,35 +397,46 @@ object Similarity {
     * to broadcast: labeled vectors are assigned to their primary
     * quantizer cell, each unlabeled vector probes its `nProbe` nearest
     * cells, and only same-cell (unlabeled, labeled) pairs are scored —
-    * O(corpus · seed·nProbe/nCells) instead of O(corpus · seed). Both
-    * sides shuffle once on `cell` (each unlabeled vector's payload
-    * moves nProbe times — the standard IVF trade); each labeled vector
-    * lives in exactly one cell and probe rows are unique, so the score
-    * stream has no duplicate pairs and no dedup stage. Approximate at
-    * production probe counts — a true neighbor in an unprobed cell is
-    * missed; at probe counts measured exhaustive on a corpus
-    * (RecallCheck), the output equals [[knnClassify]] bit-for-bit.
+    * O(corpus · seed·nProbe/nCells) instead of O(corpus · seed).
+    *
+    * Exchange shape: the corpus payload moves twice — once on
+    * `vec_id` joining its probe rows back (the window that ranks
+    * cells needs that partitioning anyway, and the join reuses the
+    * exchange), once on `cell` into the scoring join, duplicated
+    * nProbe times (the standard IVF trade); the seed side moves once
+    * on `cell`. Each labeled vector lives in exactly one cell and
+    * probe rows are unique, so the score stream has no duplicate
+    * pairs and no dedup stage.
+    *
+    * Approximate at production probe counts — a true neighbor in an
+    * unprobed cell degrades the vote, and an unlabeled vector whose
+    * probed cells hold NO seeds is emitted with a NULL
+    * label_pred/votes rather than silently dropped (a corpus-labeling
+    * pipeline must see every document; NULL marks "probe deeper or
+    * fall back to exact"). At probe counts covering every seed cell
+    * (nProbe == nCells guarantees it), the output equals
+    * [[knnClassify]] bit-for-bit.
     */
   def knnClassifyIvf(embeddings: DataFrame, k: Int = 5,
       labeledMax: Long = 250, nCells: Int = 16, nProbe: Int = 4,
       trainMod: Int = 4): DataFrame = {
-    val e = Spread(embeddings)
-      .select(col("vec_id"), col("embedding").as("v"), col("label"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-      .withColumn("fv",
-        array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val e = labeledCorpus(embeddings).withColumn("fv",
+      array_to_vector(transform(col("v"), x => x.cast("double"))))
     val model = quantizerFor(e, nCells, trainMod)
     val labeled = model.transform(e.filter(col("vec_id") < labeledMax))
       .select(col("vec_id").as("n_id"), col("v").as("nv"),
         col("norm").as("nn"), col("label"), col("cell"))
-    val probed = e.filter(col("vec_id") >= labeledMax)
+    val unlabeled = e.filter(col("vec_id") >= labeledMax)
       .select(col("vec_id"), col("v"), col("norm"))
+    val probed = unlabeled
       .join(nearestCells(e.filter(col("vec_id") >= labeledMax), model, nProbe)
         .select(col("vec_id"), col("cell")), "vec_id")
     val scored = probed.join(labeled, Seq("cell"))
       .select(col("vec_id"), col("n_id"), col("label"),
         cosineWithNorms(col("v"), col("nv"), col("norm"), col("nn")).as("cos"))
-    majorityVote(scored, k)
+    unlabeled.select(col("vec_id"))
+      .join(majorityVote(scored, k), Seq("vec_id"), "left")
+      .orderBy(col("vec_id"))
   }
 
   /** Random-hyperplane LSH (sign sketch) ANN: vectors hash to a

@@ -97,6 +97,29 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Similarity.clearQuantizerCache()
   }
 
+  test("IVF classify emits NULL (not a dropped row) when probed cells hold no seeds") {
+    val sp = spark; import sp.implicits._
+    // seeds 0-1 sit in the +x cluster; unlabeled 2 is +x (covered),
+    // unlabeled 3 is +y — its single probed cell contains no seeds
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.99f, 0.01f), 7),
+      (2L, Array(0.98f, 0.02f), -1),
+      (3L, Array(0.0f, 1.0f), -1)
+    ).toDF("vec_id", "embedding", "label")
+    try {
+      val out = Similarity
+        .knnClassifyIvf(emb, k = 5, labeledMax = 2, nCells = 2, nProbe = 1,
+          trainMod = 1)
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getInt(1)))).toList
+      // every unlabeled vector appears; the uncovered one is flagged
+      // NULL instead of silently missing from the output
+      assert(out == List((2L, Some(7)), (3L, None)), out.toString)
+    } finally Similarity.clearQuantizerCache()
+  }
+
   test("LSH ANN recall vs brute-force top-5 is reasonable") {
     val brute = Similarity.knnBrute(graft.engine.Tables.table(spark, sf, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
@@ -307,10 +330,15 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(col("window_start"), col("event_type"),
         col("n").as("n_b"), col("sum_value").as("sv_b"))
     val joined = streamed.join(batch, Seq("window_start", "event_type"), "full_outer")
+    // the null disjuncts are load-bearing: abs(null - x) > t is SQL
+    // NULL and would silently drop a row that exists on one side only
+    // or nulled its sum on one side
     val divergent = joined.filter(
       col("n_s").isNull || col("n_b").isNull || col("n_s") =!= col("n_b")
+        || (col("sv_s").isNull =!= col("sv_b").isNull)
         || abs(col("sv_s") - col("sv_b")) > lit(0.011))
-    assert(divergent.isEmpty, divergent.collect().mkString("; "))
+      .collect()
+    assert(divergent.isEmpty, divergent.mkString("; "))
   }
 
   test("stateful streaming sessionization equals the batch form") {
