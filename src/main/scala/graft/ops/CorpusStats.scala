@@ -138,6 +138,60 @@ object CorpusStats {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Bigram language-model novelty profile: train a bigram LM on the
+    * corpus (counts, no smoothing), score every document against it.
+    * The perplexity-filtering shape of CCNet/Gopher-style curation —
+    * a document whose word transitions are improbable under the
+    * corpus's own statistics is boilerplate-mutated, shuffled, or
+    * out-of-domain — reduced to integer arithmetic so the oracle
+    * compare has no float boundary:
+    *
+    *   cond_ppm(w1,w2) = (1e6 · C(w1,w2)) div C(w1·)
+    *
+    * is the conditional probability P(w2|w1) in parts-per-million,
+    * computed by exact integer division (C(w1·) counts w1 as a bigram
+    * LEFT context, so Σ_w2 cond ≈ 1e6 per context). Per document:
+    * positional bigram count, Σ tf·cond_ppm (mean transition
+    * probability = sum/n, divided client-side), the rarest
+    * transition, and the count of corpus-unique bigrams (novel word
+    * joins live here). Documents under two tokens have no bigrams and
+    * drop out, mirroring the SQL oracle's inner unnest.
+    *
+    * Shape — identical substrate to [[unigramRarity]], one level up:
+    * ONE corpus shuffle up front on compact doc rows keyed by doc_id
+    * (satisfies the (doc_id, bigram) tf clustering AND the final
+    * per-doc fold; the explode stays inline over the transform so
+    * Generate fuses with the projection). Both model tables — bigram
+    * counts and left-context counts — derive from the same tf
+    * aggregate (ReusedExchange) and join back size-gated by AQE:
+    * broadcast in the Heaps'-law common case, shuffle join when a
+    * pathological corpus grows bigram vocabulary linearly. At 100 TB
+    * the model tables are the only relations smaller than the corpus,
+    * and nothing else moves twice.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val ws = TextOps.words(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val tf = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val cbg = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
+    val cw1 = tf.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("tf")).as("cw1"))
+    val cond = expr("(1000000 * cbg) div cw1")
+    tf.join(cbg, "bg")
+      .join(cw1, substring_index(col("bg"), " ", 1) === col("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * cond).as("sum_cond_ppm"),
+        min(cond).as("min_cond_ppm"),
+        sum(when(col("cbg") === 1, col("tf")).otherwise(0L)).as("n_novel"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Global top-k trigram shingles by document frequency (ties broken
     * by the shingle itself, so top-k is total-ordered). The plan is
     * partial-agg counts then `TakeOrderedAndProject` — the global

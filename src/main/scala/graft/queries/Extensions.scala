@@ -265,6 +265,12 @@ object Extensions {
     "x_corpus_top_trigrams" -> ((s, d) =>
       CorpusStats.topTrigrams(t(s, d, "documents"))),
 
+    // bigram LM novelty — corpus-trained transition probabilities in
+    // exact integer ppm, the perplexity-filtering shape without a
+    // float boundary
+    "x_text_bigram_lm" -> ((s, d) =>
+      CorpusStats.bigramLm(t(s, d, "documents"))),
+
     // rarest-first distinctive terms (df asc, tf desc) — a
     // deterministic integer proxy for tf·idf, no float idf to diverge
     "x_text_top_terms" -> ((s, d) =>
@@ -844,6 +850,27 @@ object Extensions {
         |  CAST(MIN(f.freq) AS BIGINT) AS min_freq,
         |  CAST(SUM(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
         |FROM t JOIN f USING (w)
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // DuckDB `//` and Spark `div` are both exact integer division
+    // (operands positive here, so floor == truncate); range(1, n) is
+    // end-exclusive = bigram start positions 1..n-1, matching Spark's
+    // sequence(1, n-1)
+    "x_text_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM w),
+        |t AS (SELECT doc_id, bg, COUNT(*) AS tf FROM b GROUP BY doc_id, bg),
+        |c AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cbg FROM t GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(tf) AS BIGINT) AS cw1
+        |  FROM t GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(SUM(t.tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(t.tf * ((1000000 * c.cbg) // c1.cw1)) AS BIGINT) AS sum_cond_ppm,
+        |  CAST(MIN((1000000 * c.cbg) // c1.cw1) AS BIGINT) AS min_cond_ppm,
+        |  CAST(SUM(CASE WHEN c.cbg = 1 THEN t.tf ELSE 0 END) AS BIGINT) AS n_novel
+        |FROM t JOIN c USING (bg) JOIN c1 ON split_part(t.bg, ' ', 1) = c1.w1
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     // ROW_NUMBER is BIGINT in DuckDB, INT in Spark — cast; COUNT(*)

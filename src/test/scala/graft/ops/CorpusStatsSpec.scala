@@ -71,6 +71,27 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(d2.getAs[Long]("n_hapax") == 1)          // dog
   }
 
+  test("bigramLm matches hand-computed conditional ppm") {
+    // positional bigrams — doc 1: (a b)x2, (b a); doc 2: (a b), (b c)
+    // corpus counts: C(a b)=3, C(b a)=1, C(b c)=1
+    // left contexts:  C(a·)=3, C(b·)=2
+    // cond_ppm: a b → 1e6·3 div 3 = 1000000; b a, b c → 1e6 div 2 = 500000
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val rs = CorpusStats.bigramLm(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rs.keySet == Set(1L, 2L)) // a one-token doc has no bigrams
+    val d1 = rs(1L)
+    assert(d1.getAs[Long]("n_bigrams") == 3)
+    assert(d1.getAs[Long]("sum_cond_ppm") == 2 * 1000000L + 500000L)
+    assert(d1.getAs[Long]("min_cond_ppm") == 500000L)
+    assert(d1.getAs[Long]("n_novel") == 1) // "b a" is corpus-unique
+    val d2 = rs(2L)
+    assert(d2.getAs[Long]("n_bigrams") == 2)
+    assert(d2.getAs[Long]("sum_cond_ppm") == 1000000L + 500000L)
+    assert(d2.getAs[Long]("n_novel") == 1) // "b c"
+  }
+
   test("mixtureReport cells partition the corpus and shares sum to 1") {
     val docs = graft.engine.Tables
       .table(spark, "/root/testdata/sf0.001", "documents")
