@@ -38,5 +38,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dist2_d"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "dist2_d"),
       arity("dist2_d", 2)(exprs => SquaredDistance(exprs.head, exprs(1)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("int8_pack"),
+      new ExpressionInfo(classOf[Int8Pack].getName, "int8_pack"),
+      arity("int8_pack", 2)(exprs => Int8Pack(exprs.head, exprs(1)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("int8_dot"),
+      new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
+      arity("int8_dot", 2)(exprs => Int8Dot(exprs.head, exprs(1)))))
   }
 }

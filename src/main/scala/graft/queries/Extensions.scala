@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Chunking, CorpusStats, Dedup, Multimodal, Profile, Sampling, Similarity, TextOps}
+import graft.ops.{Chunking, CorpusStats, Dedup, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -143,6 +143,19 @@ object Extensions {
     // ---- similarity search --------------------------------------------------
     "x_knn_brute" -> ((s, d) =>
       Similarity.knnBrute(t(s, d, "embeddings"))),
+
+    // int8 quantization audit — self-dot computed via the array fold
+    // AND via the packed-binary codegen expressions, side by side, so
+    // the hash compare pins the native pack/dot to the formula on
+    // every corpus vector
+    "x_embed_quantize" -> ((s, d) =>
+      Quantize.quantizeProfile(t(s, d, "embeddings"))),
+
+    // top-k by QUANTIZED cosine over packed int8 codes — deterministic
+    // rounding, so unlike the float ANN paths this carries a full
+    // value oracle (DuckDB recomputes codes, integer dots, ranking)
+    "x_knn_quantized" -> ((s, d) =>
+      Quantize.knnQuantized(t(s, d, "embeddings"))),
 
     // approximate, but with a FULL value oracle: the hyperplanes are
     // deterministic literals, so DuckDB replicates bucketing +
@@ -703,6 +716,64 @@ object Extensions {
     "x_dedup_embedding_ann_recall" -> embeddingPairsSql,
 
     "x_knn_brute" -> knnBruteSql,
+
+    // int8 codes recomputed element-wise: abs/list_max stay FLOAT
+    // (widened to DOUBLE exactly like Spark's cast), floor(x/s + 0.5)
+    // is the identical IEEE arithmetic, and all downstream columns
+    // are integer folds — no float tolerance anywhere
+    "x_embed_quantize" ->
+      """WITH q0 AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |      / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale, len(embedding) AS nd,
+        |    CASE WHEN scale > 0 THEN
+        |      list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
+        |  FROM q0)
+        |SELECT vec_id, scale, CAST(nd AS INT) AS n_dims,
+        |  CAST(list_sum(code) AS BIGINT) AS sum_code,
+        |  CAST(list_min(code) AS BIGINT) AS min_code,
+        |  CAST(list_max(code) AS BIGINT) AS max_code,
+        |  CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS self_dot_q,
+        |  CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS self_dot_packed
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    // quantized ranking is integers-divided-by-√integers — the
+    // division order (dot, then query norm, then neighbor norm)
+    // matches the Spark column exactly
+    "x_knn_quantized" ->
+      """WITH q0 AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+        |      / 127.0 AS scale
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale > 0 THEN
+        |      list_transform(embedding,
+        |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
+        |  FROM q0),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.code) + 1),
+        |      i -> q.code[i] * e.code[i])) AS BIGINT) AS dq,
+        |    CAST(list_sum(list_transform(q.code, x -> x * x)) AS BIGINT) AS sq,
+        |    CAST(list_sum(list_transform(e.code, x -> x * x)) AS BIGINT) AS sn
+        |  FROM c q JOIN c e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |r AS (SELECT query_id, neighbor_id, dq,
+        |    dq / sqrt(CAST(sq AS DOUBLE)) / sqrt(CAST(sn AS DOUBLE)) AS qc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY dq / sqrt(CAST(sq AS DOUBLE)) / sqrt(CAST(sn AS DOUBLE)) DESC,
+        |        neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+        |  dq AS dot_q, ROUND(qc, 4) AS qcosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // same cosine + ranking conventions as knnBruteSql; vote ties
     // break on the smaller label, mirroring the Spark window order
