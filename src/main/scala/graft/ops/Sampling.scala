@@ -88,6 +88,52 @@ object Sampling {
       .filter(col("bucket") < cutFor(col(stratumCol), rates, defaultRate))
   }
 
+  /** Rebalance a skewed stratum (language, source, domain) to the
+    * MINORITY stratum's size: every stratum keeps
+    * `floor(min_count · 10000 / its_count)` of its md5 buckets, so
+    * kept counts land within bucket-granularity of the smallest
+    * stratum and the post-sample mixture is (approximately) uniform —
+    * the "don't let English drown the long tail" step of a
+    * multilingual corpus build. The keep decision is the same
+    * engine-portable bucket compare as [[deterministicSample]], with
+    * the rates DERIVED from the corpus instead of supplied: rates stay
+    * exact integers (`(mn · 10000) div n_docs`), so the decision table
+    * is reproducible anywhere md5 and integer division exist.
+    *
+    * Annotates, never filters (`bucket`, `cut`, `keep`) — composed
+    * pipelines report every stage's counts from one aggregation, and
+    * the filter is `col("keep")` when the caller wants it.
+    *
+    * Shape at 100 TB: the cuts table is one compact aggregation
+    * (stratum cardinality rows) windowed over itself, then a
+    * broadcast join back — the corpus moves zero times; the only
+    * corpus-sized work is the scan and the codegen'd md5 per row.
+    */
+  def rebalanceToMin(df: DataFrame, stratumCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val cuts = counts.withColumn("cut",
+      expr("cast((min(n_docs) over () * 10000) div n_docs as int)"))
+    df.withColumn("bucket", bucket(col(idCol)))
+      .join(broadcast(cuts), stratumCol)
+      .withColumn("keep", col("bucket") < col("cut"))
+  }
+
+  /** The audit summary of [[rebalanceToMin]]: per-stratum input size,
+    * bucket cut, and kept count — the table a data card reports next
+    * to the mixture. Runs over the compact (stratum, id) projection,
+    * so the corpus-sized relation contributes two column-pruned scans
+    * and nothing wider ever shuffles.
+    */
+  def rebalanceSummary(df: DataFrame, stratumCol: String,
+      idCol: String): DataFrame =
+    rebalanceToMin(df.select(col(stratumCol), col(idCol)), stratumCol, idCol)
+      .groupBy(col(stratumCol), col("n_docs"), col("cut"))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col(stratumCol).as("stratum"), col("n_docs"), col("cut"),
+        col("n_kept"))
+      .orderBy(col("stratum"))
+
   /** Deterministic stratified sample: the `n` rows per stratum whose
     * md5(id) sorts lowest (id as final tie-break) — i.e. "give me N
     * uniformly-pseudo-random rows from every language / source /

@@ -294,6 +294,11 @@ object Extensions {
       Profile.columnProfile(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // rebalance the skewed lang mixture to the minority language:
+    // corpus-derived integer bucket cuts, md5-deterministic keeps
+    "x_mixture_rebalance" -> ((s, d) =>
+      Sampling.rebalanceSummary(t(s, d, "documents"), "lang", "doc_id")),
+
     // stratified sample: 5 deterministic pseudo-random docs per lang
     "x_sample_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(
@@ -1065,6 +1070,24 @@ object Extensions {
 
     // same md5-bucket scheme as x_split_assign, with the cut chosen
     // per source — DuckDB recomputes the survivor set exactly
+    // same md5-bucket convention as the sampling oracles; the cuts
+    // are exact integer division, so no float boundary anywhere
+    "x_mixture_rebalance" ->
+      """WITH n AS (SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT stratum, n_docs, MIN(n_docs) OVER () AS mn FROM n),
+        |cuts AS (SELECT stratum, n_docs,
+        |  CAST((mn * 10000) // n_docs AS INT) AS cut FROM m),
+        |b AS (SELECT doc_id, lang AS stratum,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+        |         % 10000 AS INT) AS bucket
+        |  FROM documents)
+        |SELECT b.stratum, cuts.n_docs, cuts.cut,
+        |  CAST(SUM(CASE WHEN b.bucket < cuts.cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM b JOIN cuts USING (stratum)
+        |GROUP BY b.stratum, cuts.n_docs, cuts.cut
+        |ORDER BY stratum""".stripMargin,
+
     "x_sample_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -48,6 +48,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.toSet == shuffled.toSet)
   }
 
+  test("rebalanceToMin derives minority-anchored integer cuts and keeps by bucket") {
+    val sp = spark; import sp.implicits._
+    // strata: a has 4 rows, b has 2 → mn=2; cut_a = 20000 div 4 = 5000,
+    // cut_b = 20000 div 2 = 10000 (minority keeps everything)
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"), (6L, "b"))
+      .toDF("doc_id", "stratum")
+    val rs = Sampling.rebalanceToMin(df, "stratum", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("cut"), r.getAs[Int]("bucket"), r.getAs[Boolean]("keep"))).toMap
+    assert(rs.size == 6, "annotates, never filters")
+    assert(rs(1L)._1 == 5000 && rs(5L)._1 == 10000)
+    // keep is exactly the bucket compare, and minority keeps all
+    rs.values.foreach { case (cut, b, keep) => assert(keep == (b < cut)) }
+    assert(rs(5L)._3 && rs(6L)._3)
+    // summary agrees with a recount of the annotated rows
+    val sum = Sampling.rebalanceSummary(df, "stratum", "doc_id").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2), r.getLong(3))).toMap
+    assert(sum("a")._1 == 4 && sum("a")._2 == 5000)
+    assert(sum("b") == ((2L, 10000, 2L)))
+    assert(sum("a")._3 == rs.collect { case (id, (_, _, true)) => id }
+      .count(id => id <= 4))
+  }
+
   test("deterministic samples nest: smaller fraction is a subset of larger") {
     def ids(f: Double) = Sampling.deterministicSample(docs, "doc_id", f)
       .collect().map(_.getLong(0)).toSet
