@@ -170,12 +170,16 @@ object CorpusStats {
     * and nothing else moves twice.
     */
   def bigramLm(docs: DataFrame): DataFrame = {
-    val ws = TextOps.words(col("text"))
+    // project the split once, THEN build bigrams over the column —
+    // the inline form re-tokenizes inside every element_at of the
+    // lambda (see TextOps.ngramsOf), measured 4.5× slower at sf0.1
+    val ws = col("ws")
     val bigrams = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
       .otherwise(array().cast("array<string>"))
     val tf = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
     val cbg = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
@@ -211,7 +215,8 @@ object CorpusStats {
     val tokens = Dedup.corpusShinglesIfCached(docs)
       .map(_.select(explode(col("g")).as("shingle")))
       .getOrElse(Spread(docs)
-        .select(explode(TextOps.ngrams(col("text"), 3)).as("shingle")))
+        .select(TextOps.words(col("text")).as("ws"))
+        .select(explode(TextOps.ngramsOf(col("ws"), 3)).as("shingle")))
     tokens
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))

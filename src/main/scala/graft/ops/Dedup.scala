@@ -46,7 +46,9 @@ object Dedup {
     * whole explode+aggregate pipeline on a single task.
     */
   private[graft] def shingled(docs: DataFrame): DataFrame =
-    Spread(docs).select(col("doc_id"), TextOps.ngrams(col("text"), 3).as("g"))
+    Spread(docs)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.ngramsOf(col("ws"), 3).as("g"))
 
   /** Shingle relations memoized across dedup calls, keyed by the
     * semantic hash of the docs plan: a dedup pipeline computes several

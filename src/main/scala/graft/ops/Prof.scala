@@ -64,6 +64,20 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("r7new")) {
+      // round-7 additions: bigram LM is O(total tokens) like the
+      // unigram family (its model tables grow with bigram vocabulary —
+      // ScaleGen's prefixed copies grow vocab LINEARLY, deliberately
+      // exercising the AQE broadcast gate at the upper scales);
+      // quantized kNN is O(corpus · 5 queries) over packed bytes;
+      // rebalance is one compact-projection scan + a tiny windowed agg
+      q("bigram_lm")(CorpusStats.bigramLm(docs).count())
+      q("knn_quantized")(Quantize.knnQuantized(emb).count())
+      q("mixture_rebalance")(
+        Sampling.rebalanceSummary(docs, "lang", "doc_id").count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("cands")) {
       println(s"PROF ann_candidates ${Similarity.annCandidateCount(emb)}")
       spark.stop()

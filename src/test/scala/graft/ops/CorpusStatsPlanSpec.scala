@@ -91,6 +91,24 @@ class CorpusStatsPlanSpec extends AnyFunSuite {
     assert(ex == 2, s"expected 2 hash exchanges, got $ex:\n$plan")
   }
 
+  test("bigramLm scans once and reuses the tf exchange for both model tables") {
+    val plan = finalPlan(CorpusStats.bigramLm(docs))
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 parquet scan, got $scans:\n$plan")
+    // one explode per tf consumer above the reused doc_id exchange:
+    // the apply side, the bigram-count build, the context-count build
+    val generates = "Generate explode".r.findAllIn(plan).size
+    assert(generates == 3, s"expected 3 explodes (one per branch), got $generates:\n$plan")
+    // exactly three hash shuffles: the up-front doc_id repartition
+    // plus one model-table exchange each for C(w1,w2) and C(w1·) —
+    // the exploded bigram relation itself never re-shuffles
+    val ex = hashExchanges(plan)
+    assert(ex == 3, s"expected 3 hash exchanges, got $ex:\n$plan")
+    // both model joins size-gate to broadcast on a Heaps'-law corpus
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj == 2, s"expected 2 broadcast joins, got $bhj:\n$plan")
+  }
+
   test("vocabulary join broadcasts on a normal (Heaps' law) corpus") {
     Seq(
       "unigramRarity" -> finalPlan(CorpusStats.unigramRarity(docs)),
