@@ -108,6 +108,30 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("") == expected(""))
   }
 
+  test("int8 pack/dot round-trips binary payloads across executor JVMs") {
+    val sp = spark; import sp.implicits._
+    // the packed form is a byte[] flowing through real serialization —
+    // exactly what local[n] cannot exercise; verify the quantized
+    // self-dot computed on executors matches driver-side arithmetic
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(40)(Seq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val out = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .repartition(4)
+      .selectExpr("id",
+        "int8_dot(int8_pack(v, cast(array_max(transform(v, x -> abs(x))) as double) / 127.0d)," +
+          " int8_pack(v, cast(array_max(transform(v, x -> abs(x))) as double) / 127.0d)) AS d")
+      .as[(Long, Long)].collect().toMap
+    def expectedSelfDot(v: Seq[Float]): Long = {
+      val scale = v.map(x => math.abs(x)).max.toDouble / 127.0
+      val codes = v.map(x => math.floor(x.toDouble / scale + 0.5).toLong)
+      codes.map(c => c * c).sum
+    }
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(out(i.toLong) == expectedSelfDot(v), s"vector $i")
+    }
+  }
+
   test("HTTP page_number fan-out fetches pages from executor processes") {
     import graft.http.HttpJsonSource._
     import graft.config.PipelineConfig.Retry
