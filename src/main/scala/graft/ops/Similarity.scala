@@ -182,6 +182,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The two scale levers composed: IVF cell blocking bounds how many
+    * pairs are SCORED ([[knnIvf]]), int8 packing bounds how many BYTES
+    * each scored pair carries ([[Quantize.knnQuantized]]) — the
+    * production ANN shape at 100 TB, where the candidate join's
+    * payload is 64 B of codes per vector instead of 256 B of floats
+    * and the per-pair score is one integer `int8_dot`. The corpus
+    * never shuffles: the cell join broadcasts the (Q · nProbe)-row
+    * packed query set, candidates filter in-partition, and the only
+    * corpus-derived exchange is the top-k window's candidate stream
+    * (nProbe/nCells of the corpus, in packed bytes).
+    *
+    * Same output contract and division order as
+    * [[Quantize.knnQuantized]], so at nProbe == nCells (every cell
+    * probed, every vector a candidate exactly once) the output equals
+    * it bit-for-bit — the driver gate `x_knn_quantized_ivf_check`
+    * pins the composition against the full quantized-search oracle.
+    * At production probe counts it is approximate exactly like
+    * [[knnIvf]]: a true neighbor in an unprobed cell is missed.
+    */
+  def knnQuantizedIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
+      nCells: Int = 16, nProbe: Int = 4, trainMod: Int = 4): DataFrame = {
+    val e = Spread(embeddings).select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("fv",
+        array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val model = quantizerFor(e, nCells, trainMod)
+    val packed = model.transform(e)
+      .withColumn("pack", Quantize.packedOf(col("v"), Quantize.scaleOf(col("v"))))
+      .select(col("vec_id"), col("cell"), col("pack"))
+      .withColumn("selfq", Quantize.i8dot(col("pack"), col("pack")))
+    val probeDf = nearestCells(e.filter(col("vec_id") < nQueries), model, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = packed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("pack").as("qpack"),
+        col("selfq").as("qself"))
+      .join(probeDf, "query_id")
+    val scored = packed
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dot_q", Quantize.i8dot(col("qpack"), col("pack")))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dot_q"),
+        // query-norm first, then neighbor-norm — the bit-exact
+        // contract shared with Quantize.knnQuantized and its oracle
+        (col("dot_q").cast("double") / sqrt(col("qself").cast("double"))
+          / sqrt(col("selfq").cast("double"))).as("qcos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dot_q"), round(col("qcos"), 4).as("qcosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Full-corpus embedding near-dup via IVF cell blocking: every
     * vector joins the vectors of its `nProbe` nearest cells, and only
     * those candidates pay the exact cosine — O(n²/nCells·nProbe)

@@ -157,6 +157,14 @@ object Extensions {
     "x_knn_quantized" -> ((s, d) =>
       Quantize.knnQuantized(t(s, d, "embeddings"))),
 
+    // IVF cell blocking + int8 scoring composed; nProbe == nCells
+    // probes every cell, so the output provably equals knnQuantized
+    // and the composition shares its full oracle (the
+    // x_knn_classify_ivf_check pattern)
+    "x_knn_quantized_ivf_check" -> ((s, d) =>
+      Similarity.knnQuantizedIvf(t(s, d, "embeddings"),
+        nCells = 16, nProbe = 16)),
+
     // approximate, but with a FULL value oracle: the hyperplanes are
     // deterministic literals, so DuckDB replicates bucketing +
     // multi-probe + top-k bit-exactly (see lshOracle below)
@@ -544,6 +552,43 @@ object Extensions {
       |SELECT vec_id, label AS label_pred, CAST(votes AS BIGINT) AS votes
       |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin
 
+  /** DuckDB replication of the int8-quantized search: codes, integer
+    * dots, and ranking are all deterministic, so this is a FULL value
+    * oracle — shared by `x_knn_quantized` (brute over packed codes)
+    * and `x_knn_quantized_ivf_check` (the IVF composition at
+    * nProbe == nCells, where probing every cell makes the candidate
+    * set identical).
+    */
+  private val knnQuantizedSql =
+    """WITH q0 AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+      |      / 127.0 AS scale
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id,
+      |    CASE WHEN scale > 0 THEN
+      |      list_transform(embedding,
+      |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+      |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
+      |  FROM q0),
+      |s AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(q.code) + 1),
+      |      i -> q.code[i] * e.code[i])) AS BIGINT) AS dq,
+      |    CAST(list_sum(list_transform(q.code, x -> x * x)) AS BIGINT) AS sq,
+      |    CAST(list_sum(list_transform(e.code, x -> x * x)) AS BIGINT) AS sn
+      |  FROM c q JOIN c e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, dq,
+      |    dq / sqrt(CAST(sq AS DOUBLE)) / sqrt(CAST(sn AS DOUBLE)) AS qc,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY dq / sqrt(CAST(sq AS DOUBLE)) / sqrt(CAST(sn AS DOUBLE)) DESC,
+      |        neighbor_id) AS rnk
+      |  FROM s)
+      |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+      |  dq AS dot_q, ROUND(qc, 4) AS qcosine
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val knnBruteSql =
     """WITH s AS (
       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -750,35 +795,11 @@ object Extensions {
     // quantized ranking is integers-divided-by-√integers — the
     // division order (dot, then query norm, then neighbor norm)
     // matches the Spark column exactly
-    "x_knn_quantized" ->
-      """WITH q0 AS (
-        |  SELECT vec_id, embedding,
-        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-        |      / 127.0 AS scale
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id,
-        |    CASE WHEN scale > 0 THEN
-        |      list_transform(embedding,
-        |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
-        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
-        |  FROM q0),
-        |s AS (
-        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-        |    CAST(list_sum(list_transform(range(1, len(q.code) + 1),
-        |      i -> q.code[i] * e.code[i])) AS BIGINT) AS dq,
-        |    CAST(list_sum(list_transform(q.code, x -> x * x)) AS BIGINT) AS sq,
-        |    CAST(list_sum(list_transform(e.code, x -> x * x)) AS BIGINT) AS sn
-        |  FROM c q JOIN c e ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
-        |r AS (SELECT query_id, neighbor_id, dq,
-        |    dq / sqrt(CAST(sq AS DOUBLE)) / sqrt(CAST(sn AS DOUBLE)) AS qc,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY dq / sqrt(CAST(sq AS DOUBLE)) / sqrt(CAST(sn AS DOUBLE)) DESC,
-        |        neighbor_id) AS rnk
-        |  FROM s)
-        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
-        |  dq AS dot_q, ROUND(qc, 4) AS qcosine
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+    "x_knn_quantized" -> knnQuantizedSql,
+
+    // nProbe == nCells probes every cell — the IVF+int8 composition
+    // provably equals knnQuantized and shares its oracle
+    "x_knn_quantized_ivf_check" -> knnQuantizedSql,
 
     // same cosine + ranking conventions as knnBruteSql; vote ties
     // break on the smaller label, mirroring the Spark window order

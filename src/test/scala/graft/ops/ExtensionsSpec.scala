@@ -120,6 +120,30 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Similarity.clearQuantizerCache()
   }
 
+  test("quantized IVF at nProbe == nCells equals knnQuantized bit-for-bit") {
+    val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+    try {
+      val full = Quantize.knnQuantized(emb).collect().toSeq
+      val ivf = Similarity.knnQuantizedIvf(emb, nCells = 4, nProbe = 4,
+        trainMod = 2).collect().toSeq
+      assert(full == ivf)
+    } finally Similarity.clearQuantizerCache()
+  }
+
+  test("quantized IVF at production probes keeps most of the quantized top-k") {
+    val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+    try {
+      val full = Quantize.knnQuantized(emb).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      val ivf = Similarity.knnQuantizedIvf(emb, nCells = 4, nProbe = 2,
+        trainMod = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      // probing half the cells must beat the half-the-corpus floor
+      val recall = (full & ivf).size.toDouble / full.size
+      assert(recall >= 0.5, s"recall $recall")
+    } finally Similarity.clearQuantizerCache()
+  }
+
   test("LSH ANN recall vs brute-force top-5 is reasonable") {
     val brute = Similarity.knnBrute(graft.engine.Tables.table(spark, sf, "embeddings"))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
