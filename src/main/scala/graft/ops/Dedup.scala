@@ -421,6 +421,43 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical-representative selection by QUALITY, not by min id:
+    * each near-dup cluster keeps its highest-scoring member (distinct
+    * word count — an integer quality proxy; boilerplate-trimmed or
+    * truncated variants lose to the fullest copy), ties to the
+    * smaller doc_id. The "which duplicate do we train on" step —
+    * min-id keeps whichever copy happened to be crawled first; this
+    * keeps the best one.
+    *
+    * Scale shape: the corpus never shuffles. The cluster label
+    * relation is pair-graph-sized (only docs that near-dup anything;
+    * it is already checkpointed by [[dupClusters]], so its two
+    * consumers here don't recompute it) — the argmax window runs over
+    * the clustered SUBSET only, and singleton docs pass through as
+    * their own representative with a literal n_members=1, paying one
+    * column-pruned scan and an anti join against the small label set.
+    */
+  def keepBestPerCluster(docs: DataFrame, leftMax: Long = 200): DataFrame = {
+    val clusters = dupClusters(docs, leftMax)
+    val scored = docs.select(col("doc_id"),
+      size(array_distinct(TextOps.words(col("text")))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    val best = scored.join(clusters, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wc))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id"), col("score"), col("n_members"))
+    val singles = scored
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("cluster_id"), col("doc_id"), col("score"),
+        lit(1L).as("n_members"))
+    best.unionByName(singles).orderBy(col("cluster_id"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing at least
     * `minShared` distinct n-gram shingles with any benchmark document
     * — the pre-training curation step that keeps eval data out of the

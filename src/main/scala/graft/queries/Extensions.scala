@@ -44,6 +44,12 @@ object Extensions {
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
 
+    // canonical selection by quality: each cluster keeps its
+    // highest-distinct-word-count member (ties to smaller id),
+    // singletons pass through without touching the window
+    "x_dedup_keep_best" -> ((s, d) =>
+      Dedup.keepBestPerCluster(t(s, d, "documents"))),
+
     // deterministic 80/10/10 split by md5 bucket — stable under
     // retries/partitioning AND recomputable by any engine with md5,
     // which is what makes the assignment auditable (and oracled)
@@ -665,6 +671,28 @@ object Extensions {
         |$pairClosureCte
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // same recursive closure; the representative is the argmax by
+    // distinct-word count (ties to smaller id), singletons label
+    // themselves — COUNT(*) OVER is BIGINT in both engines
+    "x_dedup_keep_best" ->
+      raw"""WITH RECURSIVE $shingleCte,
+        |$pairClosureCte,
+        |lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |q AS (SELECT doc_id,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS score
+        |  FROM documents),
+        |c AS (SELECT q.doc_id, COALESCE(lbl.cluster_id, q.doc_id) AS cluster_id,
+        |    q.score
+        |  FROM q LEFT JOIN lbl USING (doc_id)),
+        |r AS (SELECT cluster_id, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, doc_id) AS rk,
+        |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM c)
+        |SELECT cluster_id, doc_id, score, CAST(n_members AS BIGINT) AS n_members
+        |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
     // md5 is bit-identical across engines, so the split assignment is
     // fully auditable: DuckDB recomputes bucket and label exactly

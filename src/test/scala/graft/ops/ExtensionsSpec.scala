@@ -120,6 +120,21 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Similarity.clearQuantizerCache()
   }
 
+  test("keepBestPerCluster keeps the highest-quality member, not the min id") {
+    val sp = spark; import sp.implicits._
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")  // 12 distinct words
+    val fuller = base + " extra"                          // 13 — near-dup, better
+    val docs = Seq((10L, base), (20L, fuller),
+      (30L, "completely different words here now ok")).toDF("doc_id", "text")
+    try {
+      val rs = Dedup.keepBestPerCluster(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      // cluster 10 = {10, 20}: doc 20 wins on score (13 > 12) despite
+      // the larger id; doc 30 is a singleton representative of itself
+      assert(rs.toSeq == Seq((10L, 20L, 13, 2L), (30L, 30L, 6, 1L)))
+    } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
+  }
+
   test("quantized IVF at nProbe == nCells equals knnQuantized bit-for-bit") {
     val emb = graft.engine.Tables.table(spark, sf, "embeddings")
     try {
