@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -146,16 +145,4 @@ case class Int8Dot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Int8Dot =
     copy(left = newLeft, right = newRight)
-}
-
-object Int8Ops {
-  /** Register `int8_pack(vec, scale)` / `int8_dot(a, b)` for
-    * SQL/`call_function` use in this session.
-    */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "int8_pack", exprs => Int8Pack(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "int8_dot", exprs => Int8Dot(exprs.head, exprs(1)), "scala_udf")
-  }
 }

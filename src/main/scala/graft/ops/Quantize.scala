@@ -42,10 +42,15 @@ object Quantize {
     array_max(transform(v, x => abs(x))).cast("double") / lit(127.0)
 
   /** Codes in the auditable `array<long>` form:
-    * `floor(x/scale + 0.5)`, all zeros for a zero vector (scale 0).
+    * `floor(x/scale + 0.5)`, all zeros for a zero vector (scale 0),
+    * NULL for a NULL scale (an EMPTY embedding array: array_max of
+    * nothing) — matching [[graft.functions.Int8Pack]]'s null
+    * contract, so the pack==codes identity the quantization audit
+    * pins holds on degenerate rows too.
     */
   def codesOf(v: Column, scale: Column): Column =
-    when(scale > 0, transform(v, x => floor(x.cast("double") / scale + lit(0.5))))
+    when(scale.isNull, lit(null).cast("array<bigint>"))
+      .when(scale > 0, transform(v, x => floor(x.cast("double") / scale + lit(0.5))))
       .otherwise(transform(v, _ => lit(0L)))
 
   /** Codes packed one byte per dimension (the shuffle form). */

@@ -114,8 +114,14 @@ object Sampling {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
     val cuts = counts.withColumn("cut",
       expr("cast((min(n_docs) over () * 10000) div n_docs as int)"))
+    // null-safe join: a NULL stratum (undetected language) is a real
+    // stratum with its own count row — a using-column join would
+    // silently drop those rows, violating the annotate-never-filter
+    // contract above
+    val cutsK = cuts.withColumnRenamed(stratumCol, "__stratum")
     df.withColumn("bucket", bucket(col(idCol)))
-      .join(broadcast(cuts), stratumCol)
+      .join(broadcast(cutsK), col(stratumCol) <=> col("__stratum"))
+      .drop("__stratum")
       .withColumn("keep", col("bucket") < col("cut"))
   }
 

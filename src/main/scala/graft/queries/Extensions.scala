@@ -573,7 +573,8 @@ object Extensions {
       |  FROM embeddings),
       |c AS (
       |  SELECT vec_id,
-      |    CASE WHEN scale > 0 THEN
+      |    CASE WHEN scale IS NULL THEN NULL
+      |    WHEN scale > 0 THEN
       |      list_transform(embedding,
       |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
       |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
@@ -807,7 +808,8 @@ object Extensions {
         |  FROM embeddings),
         |c AS (
         |  SELECT vec_id, scale, len(embedding) AS nd,
-        |    CASE WHEN scale > 0 THEN
+        |    CASE WHEN scale IS NULL THEN NULL
+        |    WHEN scale > 0 THEN
         |      list_transform(embedding,
         |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
         |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
@@ -1117,8 +1119,6 @@ object Extensions {
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
         |FROM per""".stripMargin,
 
-    // same md5-bucket scheme as x_split_assign, with the cut chosen
-    // per source — DuckDB recomputes the survivor set exactly
     // same md5-bucket convention as the sampling oracles; the cuts
     // are exact integer division, so no float boundary anywhere
     "x_mixture_rebalance" ->
@@ -1137,6 +1137,8 @@ object Extensions {
         |GROUP BY b.stratum, cuts.n_docs, cuts.cut
         |ORDER BY stratum""".stripMargin,
 
+    // same md5-bucket scheme as x_split_assign, with the cut chosen
+    // per source — DuckDB recomputes the survivor set exactly
     "x_sample_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, source,

@@ -55,6 +55,20 @@ class Int8OpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("empty embedding array: codesOf and int8_pack agree on NULL") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // scaleOf(empty) = array_max of nothing = NULL; both forms must
+    // yield NULL (not zero-codes vs NULL) or the pack==codes identity
+    // the quantization audit pins would break on degenerate rows
+    val df = Seq(Seq.empty[Float]).toDF("v")
+    val scale = graft.ops.Quantize.scaleOf(col("v"))
+    val r = df.select(
+      graft.ops.Quantize.codesOf(col("v"), scale).as("c"),
+      graft.ops.Quantize.packedOf(col("v"), scale).as("p")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("codes stay within [-127, 127] under the companion scale") {
     import spark.implicits._
     val rnd = new scala.util.Random(3)

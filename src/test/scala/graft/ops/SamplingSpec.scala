@@ -71,6 +71,21 @@ class SamplingSpec extends AnyFunSuite {
       .count(id => id <= 4))
   }
 
+  test("rebalanceToMin annotates NULL-stratum rows instead of dropping them") {
+    val sp = spark; import sp.implicits._
+    // undetected language = NULL stratum: a real stratum with a count
+    // row, not a row to silently lose in the join back
+    val df = Seq((1L, Option("a")), (2L, Option("a")), (3L, Option.empty[String]))
+      .toDF("doc_id", "stratum")
+    val rs = Sampling.rebalanceToMin(df, "stratum", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Int]("cut"))).toMap
+    assert(rs.size == 3, "every row annotated, NULL stratum included")
+    // NULL is the minority stratum (1 doc) → cut 10000; "a" halves
+    assert(rs(3L) == ((1L, 10000)))
+    assert(rs(1L) == ((2L, 5000)))
+  }
+
   test("deterministic samples nest: smaller fraction is a subset of larger") {
     def ids(f: Double) = Sampling.deterministicSample(docs, "doc_id", f)
       .collect().map(_.getLong(0)).toSet
