@@ -508,6 +508,65 @@ object Dedup {
       .orderBy(col("inc_id"), col("corpus_id"))
   }
 
+  /** Window-level duplicate-span coverage: for every document, how
+    * many of its `w`-word windows also occur verbatim in ANOTHER
+    * document, and how many words those windows cover once the
+    * overlapping hits are merged into maximal spans (the
+    * gaps-and-islands sum `Σ min(next_pos - pos, w)`). This is the
+    * substring-granularity complement of the whole-document paths
+    * above — the reference's dedup stops at the document level
+    * (`/root/reference/src/pipeline/mod.rs` has no analog); the
+    * design follows the exact-substring corpus-dedup idea of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL 2022), re-expressed as positional n-grams instead of a
+    * suffix array so it stays a pure shuffle pipeline. Within-doc
+    * repetition is deliberately excluded (that signal is
+    * [[TextOps.repetitionColumns]]' job): a gram counts only when its
+    * min and max doc_id differ.
+    *
+    * Scale shape: the positional-gram relation is `Σ n_words` rows —
+    * linear in corpus tokens — and the corpus is scanned and exploded
+    * exactly ONCE for it: the cross-doc test (`min(doc_id) ≠
+    * max(doc_id)` per gram) is fused INTO the gram partition as a
+    * whole-partition window, so the hit filter runs where the gram
+    * rows already live instead of aggregating to a dup-gram set and
+    * joining the explosion back against itself (which re-scans and
+    * re-explodes the corpus — column pruning makes the two exchange
+    * subtrees differ, so Catalyst cannot reuse one exchange for
+    * both). The per-doc merge is then a window + aggregate over
+    * `doc_id` partitioning — one more shuffle of the (doc_id, pos)
+    * hits only. Nothing is quadratic, collected, or broadcast;
+    * annotate-don't-filter: every document gets a row, zeros when
+    * clean.
+    */
+  def duplicateSpans(docs: DataFrame, w: Int = 5): DataFrame = {
+    val grams = Spread(docs)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(TextOps.positionalNgramsOf(col("ws"), w)).as(Seq("pos", "gram")))
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    val hits = grams
+      .withColumn("mn", min(col("doc_id")).over(byGram))
+      .withColumn("mx", max(col("doc_id")).over(byGram))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = hits
+      .withColumn("cov",
+        least(coalesce(lead(col("pos"), 1).over(byDoc) - col("pos"), lit(w)), lit(w)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("cov")).as("dup_words"))
+    docs.select(col("doc_id"), size(TextOps.words(col("text"))).as("n_words"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+      .withColumn("dup_frac", col("dup_words").cast("double") / col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs over `embeddings` (float arrays
     * cast to double; sequential fold keeps the dot product
     * bit-deterministic). Left side bounded like the text paths.

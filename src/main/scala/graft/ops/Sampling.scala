@@ -155,4 +155,38 @@ object Sampling {
       .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
     df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
   }
+
+  /** Per-group quota by score: keep the `n` best rows of every group
+    * (domain caps à la RefinedWeb/FineWeb — no single source may
+    * dominate the mixture), ranked by `scoreCol` descending with
+    * `idCol` as the deterministic tie-break. Emits the kept rows with
+    * their 1-based `rank_in_group`.
+    *
+    * Skew is the whole problem at 100 TB — one domain can be a
+    * double-digit share of a web corpus, and a single
+    * `Window.partitionBy(group)` sorts that entire group in one task.
+    * So the rank runs in two exact phases: a salted local top-n per
+    * `(group, id mod salts)` sub-partition first, then the global
+    * window over the ≤ `salts·n` survivors per group. The prune is
+    * provably lossless: a row beaten by ≥ n rows inside its own salt
+    * bucket is beaten by ≥ n rows of its group globally, so no
+    * global-top-n row is ever dropped — and the salt choice therefore
+    * cannot affect the output, only the partition sizes. NULL groups
+    * and NULL ids form their own buckets (null-safe window keys);
+    * NULL scores sort last on both engines (`desc_nulls_last`).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: String, n: Int, salts: Int = 32): DataFrame = {
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), pmod(col(idCol), lit(salts.toLong)))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    df.withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= n)
+      .drop("lrk")
+      .withColumn("rank_in_group", row_number().over(global))
+      .filter(col("rank_in_group") <= n)
+  }
 }

@@ -43,6 +43,21 @@ object TextOps {
     */
   def ngrams(text: Column, n: Int): Column = ngramsOf(words(text), n)
 
+  /** Positional (non-distinct) word n-grams: element `i` (0-based) is
+    * the n-gram starting at word `i`, so `posexplode` over the result
+    * recovers (position, gram) pairs — the substrate for window-level
+    * duplicate-span detection, where WHERE a gram occurs matters as
+    * much as whether it does. Same projected-words contract and
+    * short-doc guard as [[ngramsOf]].
+    */
+  def positionalNgramsOf(ws: Column, n: Int): Column = {
+    val count = size(ws) - (n - 1)
+    when(count >= 1,
+      transform(sequence(lit(1), greatest(count, lit(1))),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alphanumeric marks — a deterministic stand-in for a real
     * subword tokenizer's token count.

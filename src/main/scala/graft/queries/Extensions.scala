@@ -50,6 +50,11 @@ object Extensions {
     "x_dedup_keep_best" -> ((s, d) =>
       Dedup.keepBestPerCluster(t(s, d, "documents"))),
 
+    // substring-granularity dedup: per-doc count + merged-span word
+    // coverage of 5-word windows that recur verbatim in OTHER docs
+    "x_dedup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"))),
+
     // deterministic 80/10/10 split by md5 bucket — stable under
     // retries/partitioning AND recomputable by any engine with md5,
     // which is what makes the assignment auditable (and oracled)
@@ -319,6 +324,15 @@ object Extensions {
           t(s, d, "documents").select(col("doc_id"), col("lang")),
           "lang", "doc_id", 5)
         .orderBy(col("lang"), col("rnk"))),
+
+    // per-source quota (domain cap): keep the 10 best docs of every
+    // source by distinct-word-count score; salted two-phase rank
+    "x_sample_source_cap" -> ((s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
+        size(array_distinct(TextOps.words(col("text")))).as("score"))
+      Sampling.capPerGroup(scored, "source", "doc_id", "score", 10)
+        .orderBy(col("doc_id"))
+    }),
 
     // incremental dedup: "today's batch" (doc_id ≡ 0 mod 10) against
     // the already-kept corpus (the rest) — the daily-ingest shape
@@ -695,6 +709,41 @@ object Extensions {
         |SELECT cluster_id, doc_id, score, CAST(n_members AS BIGINT) AS n_members
         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
 
+    // positional 5-grams via unnest(generate_series); a gram is
+    // cross-doc iff min(doc_id) <> max(doc_id); merged-span coverage
+    // is the gaps-and-islands sum min(next_pos - pos, 5)
+    "x_dedup_spans" ->
+      """WITH wsx AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, n_words - 4)) AS i, ws
+        |  FROM wsx),
+        |p AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM g),
+        |x AS (
+        |  SELECT gram FROM p GROUP BY gram
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |h AS (
+        |  SELECT p.doc_id, p.pos,
+        |    least(coalesce(lead(p.pos) OVER (PARTITION BY p.doc_id
+        |      ORDER BY p.pos) - p.pos, 5), 5) AS cov
+        |  FROM p JOIN x USING (gram)),
+        |s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
+        |    CAST(sum(cov) AS BIGINT) AS dup_words
+        |  FROM h GROUP BY doc_id)
+        |SELECT wsx.doc_id, wsx.n_words,
+        |  coalesce(s.n_dup_windows, 0) AS n_dup_windows,
+        |  coalesce(s.dup_words, 0) AS dup_words,
+        |  CAST(coalesce(s.dup_words, 0) AS DOUBLE) / wsx.n_words AS dup_frac
+        |FROM wsx LEFT JOIN s USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // md5 is bit-identical across engines, so the split assignment is
     // fully auditable: DuckDB recomputes bucket and label exactly
     "x_split_assign" ->
@@ -1046,6 +1095,21 @@ object Extensions {
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS INT) AS rnk
         |FROM documents
         |QUALIFY rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    // the salt phase is provably output-invariant, so the oracle is
+    // just the single global window the two-phase rank computes
+    "x_sample_source_cap" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC NULLS LAST, doc_id ASC) AS INT) AS rank_in_group
+        |  FROM s)
+        |SELECT doc_id, source, score, rank_in_group
+        |FROM r WHERE rank_in_group <= 10 ORDER BY doc_id""".stripMargin,
 
     // same trigram construction as the self-dedup family; the oracle
     // pays the small cross product the Spark side never does

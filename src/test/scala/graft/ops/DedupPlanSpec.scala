@@ -50,6 +50,22 @@ class DedupPlanSpec extends AnyFunSuite {
       }
   }
 
+  test("duplicateSpans: corpus exploded once, cross-doc test fused in-partition") {
+    val docs = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val plan = physical(Dedup.duplicateSpans(docs))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"span detection degenerated from equi-joins:\n$plan")
+    // the positional-gram explode is the expensive relation: the
+    // cross-doc min/max must run as a window INSIDE the gram
+    // partition — an aggregate-then-join-back shape re-explodes the
+    // corpus (a second Generate), doubling the dominant cost
+    val generates = "Generate posexplode".r.findAllIn(plan).size
+    assert(generates == 1,
+      s"expected exactly 1 posexplode of the corpus, found $generates:\n$plan")
+  }
+
   test("embeddingCosinePairs rejects an unbounded left side") {
     val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val e = intercept[IllegalArgumentException] {

@@ -135,6 +135,48 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
   }
 
+  test("duplicateSpans: cross-doc windows only, merged-interval coverage") {
+    val sp = spark; import sp.implicits._
+    // w=3: docs 1 and 2 share "a b c" (d1 pos0 / d2 pos1) and
+    // "b c d" (d1 pos1 / d2 pos2); doc 3 is clean; doc 4 repeats a
+    // trigram WITHIN itself only, which must not count as duplicated
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x a b c d y"),
+      (3L, "q r s t u v"),
+      (4L, "m n o m n o m n o")).toDF("doc_id", "text")
+    val rs = Dedup.duplicateSpans(docs, w = 3).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // d1: hits at pos {0,1} -> cov = (1-0) + 3 = 4 words (a b c d)
+    assert(rs(1L) == ((6, 2L, 4L, 4.0 / 6)))
+    // d2: hits at pos {1,2} -> 4 words (a b c d)
+    assert(rs(2L) == ((6, 2L, 4L, 4.0 / 6)))
+    assert(rs(3L) == ((6, 0L, 0L, 0.0)))
+    assert(rs(4L) == ((9, 0L, 0L, 0.0)), "within-doc repeats excluded")
+  }
+
+  test("capPerGroup: salted two-phase rank equals the naive global window") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    // 200 rows over 3 groups + a NULL group; scores collide on purpose
+    // so the id tie-break matters
+    val rows = (1L to 200L).map(i =>
+      (i, if (i % 17 == 0) None else Some(s"g${i % 3}"), rnd.nextInt(20)))
+    val df = rows.toDF("id", "grp", "score")
+    val capped = Sampling.capPerGroup(df, "grp", "id", "score", n = 5, salts = 8)
+      .collect().map(r => (Option(r.get(1)).map(_.toString),
+        r.getLong(0), r.getInt(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("score").desc_nulls_last, col("id"))
+    val naive = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).collect()
+      .map(r => (Option(r.get(1)).map(_.toString),
+        r.getLong(0), r.getInt(3))).toSet
+    assert(capped == naive, "salt prune must be lossless")
+    assert(capped.count(_._1.isEmpty) == 5, "NULL group capped like any other")
+  }
+
   test("quantized IVF at nProbe == nCells equals knnQuantized bit-for-bit") {
     val emb = graft.engine.Tables.table(spark, sf, "embeddings")
     try {
