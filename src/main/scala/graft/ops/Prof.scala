@@ -78,6 +78,24 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("spans")) {
+      // third-batch additions: duplicate-span detection is one
+      // explode + two window shuffles, O(total tokens · log) from the
+      // in-partition sorts — the scale column should track corpus
+      // tokens. Driven by a sum over the span columns, not count():
+      // count() over the final docs-left-join could let the planner
+      // skip materializing the span aggregate's values.
+      q("dup_spans")(Dedup.duplicateSpans(docs)
+        .agg(sum(col("dup_words")), sum(col("n_dup_windows")))
+        .collect().length.toLong)
+      q("source_cap") {
+        val scored = docs.select(col("doc_id"), col("source"),
+          size(array_distinct(TextOps.words(col("text")))).as("score"))
+        Sampling.capPerGroup(scored, "source", "doc_id", "score", 10).count()
+      }
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("cands")) {
       println(s"PROF ann_candidates ${Similarity.annCandidateCount(emb)}")
       spark.stop()
