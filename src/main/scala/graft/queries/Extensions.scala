@@ -122,6 +122,33 @@ object Extensions {
         .orderBy(col("source"), col("lang"))
     }),
 
+    // curation report v2 — the third-batch composition: per source,
+    // how much substring-level duplication the corpus carries (span
+    // coverage share) and how the domain cap bites (kept vs raw),
+    // one aggregation over the annotated doc-level relations
+    "x_pipeline_curation_v2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val spans = Dedup.duplicateSpans(docs)
+        .select(col("doc_id"), col("n_words"), col("n_dup_windows"),
+          col("dup_words"))
+      val scored = docs.select(col("doc_id"), col("source"),
+        size(array_distinct(TextOps.words(col("text")))).as("score"))
+      val kept = Sampling.capPerGroup(scored, "source", "doc_id", "score", 10)
+        .select(col("doc_id"), lit(1L).as("kept"))
+      docs.select(col("doc_id"), col("source"))
+        .join(spans, "doc_id")
+        .join(kept, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("kept"), lit(0L))).as("n_kept"),
+          sum(when(col("n_dup_windows") > 0, 1L).otherwise(0L)).as("n_with_dups"),
+          sum(col("dup_words")).as("dup_words"),
+          sum(col("n_words").cast("long")).as("n_words"))
+        .withColumn("dup_word_share",
+          col("dup_words").cast("double") / col("n_words"))
+        .orderBy(col("source"))
+    }),
+
     // split-leakage audit: how many verified near-dup pairs span two
     // different train/val/test splits — the eval-contamination check a
     // pipeline runs after splitting. Reported as counts per
@@ -814,6 +841,54 @@ object Extensions {
         |  CAST(SUM(CASE WHEN g AND nodup THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped,
         |  CAST(SUM(CASE WHEN g AND nodup AND smp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    // one oracle over the whole third-batch composition: the spans
+    // CTE chain (positional 5-grams -> cross-doc filter -> merged
+    // coverage) x the cap rank, aggregated per source
+    "x_pipeline_curation_v2" ->
+      """WITH wsx AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS ws,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(generate_series(1, n_words - 4)) AS i, ws
+        |  FROM wsx),
+        |p AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM g),
+        |x AS (
+        |  SELECT gram FROM p GROUP BY gram
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |h AS (
+        |  SELECT p.doc_id,
+        |    least(coalesce(lead(p.pos) OVER (PARTITION BY p.doc_id
+        |      ORDER BY p.pos) - p.pos, 5), 5) AS cov
+        |  FROM p JOIN x USING (gram)),
+        |sp AS (
+        |  SELECT doc_id, count(*) AS n_dup_windows, sum(cov) AS dup_words
+        |  FROM h GROUP BY doc_id),
+        |sc AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS score
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY score DESC NULLS LAST, doc_id ASC) AS rk
+        |  FROM sc),
+        |k AS (SELECT doc_id, 1 AS kept FROM r WHERE rk <= 10)
+        |SELECT w.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(coalesce(k.kept, 0)) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN coalesce(sp.n_dup_windows, 0) > 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_with_dups,
+        |  CAST(sum(coalesce(sp.dup_words, 0)) AS BIGINT) AS dup_words,
+        |  CAST(sum(w.n_words) AS BIGINT) AS n_words,
+        |  CAST(sum(coalesce(sp.dup_words, 0)) AS DOUBLE)
+        |    / sum(w.n_words) AS dup_word_share
+        |FROM wsx w LEFT JOIN sp USING (doc_id) LEFT JOIN k USING (doc_id)
+        |GROUP BY w.source ORDER BY w.source""".stripMargin,
 
     // the leakage audit reuses the shared pair fragment plus the
     // md5-bucket split CASE from x_split_assign

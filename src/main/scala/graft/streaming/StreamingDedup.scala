@@ -1,8 +1,11 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
+
+import graft.ops.TextOps
 
 /** Streaming exact deduplication (an extension beyond the reference,
   * whose execution is bounded — SURVEY B37).
@@ -33,6 +36,89 @@ object StreamingDedup {
       spark.readStream.schema(schema).parquet(dir)
         .withWatermark("ts", watermarkDelay)
         .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*),
+      queryName, "append")
+  }
+
+  /** Streaming NEAR-dup candidate discovery — the continuous-ingest
+    * form of [[graft.ops.Dedup.minhashLsh]]'s banding stage: as
+    * documents arrive, emit every MinHash-band candidate pair exactly
+    * once, so a downstream verifier can confirm/merge near-dups
+    * without ever re-scanning the corpus.
+    *
+    * The MinHash signature is computed per ROW (64
+    * `array_min(transform(g, x -> xxhash64(x, k)))` column
+    * expressions over the already-distinct shingle array) — the same
+    * min over the same shingle set as the batch path's
+    * explode+groupBy form, so signatures and band hashes are
+    * bit-identical to [[graft.ops.Dedup]]'s, with no streaming
+    * aggregation state needed to build them. Banding and the
+    * `(band, bucket)` key join shape also mirror the batch stage;
+    * the state per bucket is the doc-id list seen so far, and a new
+    * arrival emits one pair per prior occupant of the bucket.
+    *
+    * The completed-stream PAIR SET (after dropping the cross-bucket
+    * duplicates, as the batch `distinct()` does) is
+    * arrival-order-INVARIANT: pair {a,b} is emitted from a bucket
+    * exactly when the later-processed of the two lands in it, so any
+    * interleaving of micro-batches yields the same set — equality
+    * with the batch banding is asserted across forced multi-batch
+    * execution in the spec, not just single-batch.
+    *
+    * At scale: state per bucket is the bucket's occupancy, which for
+    * random 64-bit band hashes is near-dup cluster size, not corpus
+    * size (the same property that makes batch LSH's bucket self-join
+    * tractable); a boilerplate-heavy corpus that floods one bucket
+    * needs the same mitigation as batch (drop degenerate shingle
+    * sets up front). No watermark: near-dup state cannot expire
+    * without forgetting the corpus — bound it by routing ANCIENT
+    * partitions through the batch incremental path instead.
+    */
+  def streamingMinhashPairs(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String,
+      bands: Int = 32, rowsPerBand: Int = 2,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    import spark.implicits._
+    val sigLen = bands * rowsPerBand
+
+    def update(bucket: (Int, Long), rows: Iterator[(Int, Long, Long)],
+        state: GroupState[List[Long]]): Iterator[(Long, Long)] = {
+      var seen = state.getOption.getOrElse(List.empty[Long])
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rows.map(_._3).toSeq.sorted.foreach { id =>
+        if (!seen.contains(id)) {
+          seen.foreach(prev =>
+            out += ((math.min(prev, id), math.max(prev, id))))
+          seen = id :: seen
+        }
+      }
+      state.update(seen)
+      out.iterator
+    }
+
+    val reader = spark.readStream.schema(schema)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    val banded = tuned.parquet(dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.ngramsOf(col("ws"), 3).as("g"))
+      // batch parity: a doc with no shingles contributes no tokens to
+      // the batch groupBy, hence no signature and no candidates
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"), array((0 until sigLen).map(k =>
+        array_min(transform(col("g"), x => xxhash64(x, lit(k))))): _*).as("sig"))
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(concat_ws(",",
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string")))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .select(col("band"), col("bucket"), col("doc_id"))
+      .as[(Int, Long, Long)]
+
+    EventWindows.runToMemory(
+      banded.groupByKey(r => (r._1, r._2))
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+        .toDF("doc_a", "doc_b"),
       queryName, "append")
   }
 }

@@ -135,6 +135,27 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
   }
 
+  test("streaming LSH candidate pairs equal the batch banding across micro-batches") {
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("docs-lsh-stream").toString
+    // 4 files + maxFilesPerTrigger=1 forces pairs to span micro-batch
+    // boundaries, exercising bucket state surviving batches
+    docs.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.StreamingDedup.streamingMinhashPairs(
+      spark, dir, docs.schema, "lsh_pairs_stream", maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lsh_pairs_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      val batch = Dedup.minhashCandidates(
+          Dedup.shingled(docs), leftMax = Long.MaxValue, bands = 32, rowsPerBand = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch.nonEmpty, "fixture must contain banded candidates")
+      assert(streamed == batch,
+        s"streaming-only: ${streamed -- batch}; batch-only: ${batch -- streamed}")
+    } finally Dedup.clearShingleCache()
+  }
+
   test("duplicateSpans: cross-doc windows only, merged-interval coverage") {
     val sp = spark; import sp.implicits._
     // w=3: docs 1 and 2 share "a b c" (d1 pos0 / d2 pos1) and
