@@ -440,7 +440,7 @@ object Dedup {
   def keepBestPerCluster(docs: DataFrame, leftMax: Long = 200): DataFrame = {
     val clusters = dupClusters(docs, leftMax)
     val scored = docs.select(col("doc_id"),
-      size(array_distinct(TextOps.words(col("text")))).as("score"))
+      TextOps.distinctWordCount(col("text")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("score").desc, col("doc_id"))

@@ -90,7 +90,7 @@ object Prof {
         .collect().length.toLong)
       q("source_cap") {
         val scored = docs.select(col("doc_id"), col("source"),
-          size(array_distinct(TextOps.words(col("text")))).as("score"))
+          TextOps.distinctWordCount(col("text")).as("score"))
         Sampling.capPerGroup(scored, "source", "doc_id", "score", 10).count()
       }
       spark.stop()

@@ -140,53 +140,62 @@ object Sampling {
         col("n_kept"))
       .orderBy(col("stratum"))
 
+  /** Salted two-phase per-group top-n — the skew-proof form every
+    * group-quota operator here shares. Skew is the whole problem at
+    * 100 TB: one domain (or language) can be a double-digit share of
+    * a web corpus, and a single `Window.partitionBy(group)` sorts
+    * that entire group in one task. So the rank runs in two exact
+    * phases: a salted local top-n per `(group, hash(id) mod salts)`
+    * sub-partition first, then the global window over the ≤ `salts·n`
+    * survivors per group. The prune is provably lossless FOR ANY
+    * TOTAL ORDER: a row beaten by ≥ n rows inside its own salt bucket
+    * is beaten by ≥ n rows of its group globally, so no global-top-n
+    * row is ever dropped — and the salt choice (engine-local `hash`,
+    * never user-visible) therefore cannot affect the output, only the
+    * partition sizes. Survivor ranks equal true group ranks for every
+    * kept row. NULL groups and NULL ids form their own buckets
+    * (null-safe window keys).
+    */
+  private def saltedTopN(df: DataFrame, groupCol: String, idCol: String,
+      order: Seq[Column], n: Int, salts: Int, rankName: String): DataFrame = {
+    val local = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol), pmod(hash(col(idCol)), lit(salts)))
+      .orderBy(order: _*)
+    val global = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(order: _*)
+    df.withColumn("__lrk", row_number().over(local))
+      .filter(col("__lrk") <= n)
+      .drop("__lrk")
+      .withColumn(rankName, row_number().over(global))
+      .filter(col(rankName) <= n)
+  }
+
   /** Deterministic stratified sample: the `n` rows per stratum whose
     * md5(id) sorts lowest (id as final tie-break) — i.e. "give me N
     * uniformly-pseudo-random rows from every language / source /
-    * shard", stable across partitioning, re-runs, and engines. One
-    * shuffle on the stratum key; each window partition holds one
-    * stratum. Skewed strata ride on the same md5 order, so the output
-    * never depends on which executor saw a row first.
+    * shard", stable across partitioning, re-runs, and engines. Runs
+    * as the [[saltedTopN]] two-phase rank, so a mega-stratum never
+    * pins its whole sort on one task; the md5 order makes the kept
+    * set (and `rnk`) recomputable by any engine with md5.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
-      n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")).asc, col(idCol).asc)
-    df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= n)
-  }
+      n: Int): DataFrame =
+    saltedTopN(df, stratumCol, idCol,
+      Seq(md5(col(idCol).cast("string")).asc, col(idCol).asc),
+      n, salts = 32, rankName = "rnk")
 
   /** Per-group quota by score: keep the `n` best rows of every group
     * (domain caps à la RefinedWeb/FineWeb — no single source may
     * dominate the mixture), ranked by `scoreCol` descending with
     * `idCol` as the deterministic tie-break. Emits the kept rows with
-    * their 1-based `rank_in_group`.
-    *
-    * Skew is the whole problem at 100 TB — one domain can be a
-    * double-digit share of a web corpus, and a single
-    * `Window.partitionBy(group)` sorts that entire group in one task.
-    * So the rank runs in two exact phases: a salted local top-n per
-    * `(group, id mod salts)` sub-partition first, then the global
-    * window over the ≤ `salts·n` survivors per group. The prune is
-    * provably lossless: a row beaten by ≥ n rows inside its own salt
-    * bucket is beaten by ≥ n rows of its group globally, so no
-    * global-top-n row is ever dropped — and the salt choice therefore
-    * cannot affect the output, only the partition sizes. NULL groups
-    * and NULL ids form their own buckets (null-safe window keys);
-    * NULL scores sort last on both engines (`desc_nulls_last`).
+    * their 1-based `rank_in_group`. NULL scores sort last on both
+    * engines (`desc_nulls_last`); skew safety and salt invisibility
+    * per [[saltedTopN]].
     */
   def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
-      scoreCol: String, n: Int, salts: Int = 32): DataFrame = {
-    val local = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol), pmod(col(idCol), lit(salts.toLong)))
-      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
-    val global = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
-    df.withColumn("lrk", row_number().over(local))
-      .filter(col("lrk") <= n)
-      .drop("lrk")
-      .withColumn("rank_in_group", row_number().over(global))
-      .filter(col("rank_in_group") <= n)
-  }
+      scoreCol: String, n: Int, salts: Int = 32): DataFrame =
+    saltedTopN(df, groupCol, idCol,
+      Seq(col(scoreCol).desc_nulls_last, col(idCol).asc),
+      n, salts, rankName = "rank_in_group")
 }

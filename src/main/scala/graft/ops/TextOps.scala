@@ -29,13 +29,8 @@ object TextOps {
     * length, so at 100 TB it is the difference between one tokenize
     * pass and hundreds per document.
     */
-  def ngramsOf(ws: Column, n: Int): Column = {
-    val count = size(ws) - (n - 1)
-    array_distinct(when(count >= 1,
-      transform(sequence(lit(1), greatest(count, lit(1))),
-        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
-      .otherwise(array().cast("array<string>")))
-  }
+  def ngramsOf(ws: Column, n: Int): Column =
+    array_distinct(positionalNgramsOf(ws, n))
 
   /** [[ngramsOf]] over raw text, for one-shot/non-hot callers: pays
     * the inline-split re-evaluation described there — hot paths must
@@ -47,8 +42,10 @@ object TextOps {
     * the n-gram starting at word `i`, so `posexplode` over the result
     * recovers (position, gram) pairs — the substrate for window-level
     * duplicate-span detection, where WHERE a gram occurs matters as
-    * much as whether it does. Same projected-words contract and
-    * short-doc guard as [[ngramsOf]].
+    * much as whether it does. [[ngramsOf]] is exactly the
+    * `array_distinct` of this, so the expression body (and the
+    * projected-words contract plus short-doc guard documented there)
+    * has ONE source of truth.
     */
   def positionalNgramsOf(ws: Column, n: Int): Column = {
     val count = size(ws) - (n - 1)
@@ -57,6 +54,14 @@ object TextOps {
         i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct-word count — the deterministic quality score the
+    * canonical-selection and quota operators rank by (shared so the
+    * Spark sites and their DuckDB `len(list_distinct(...))` oracles
+    * can only desync in one place).
+    */
+  def distinctWordCount(text: Column): Column =
+    size(array_distinct(words(text)))
 
   /** BPE-ish token count: alpha runs, digit runs, and single
     * non-alphanumeric marks — a deterministic stand-in for a real

@@ -128,14 +128,18 @@ object Extensions {
     // one aggregation over the annotated doc-level relations
     "x_pipeline_curation_v2" -> ((s, d) => {
       val docs = t(s, d, "documents")
+      // spans already carries n_words per doc (annotate-don't-filter:
+      // one row per doc), and source+score ride ONE extra projection —
+      // the report pays two corpus scans beyond the span substrate's
+      // own, not four
       val spans = Dedup.duplicateSpans(docs)
         .select(col("doc_id"), col("n_words"), col("n_dup_windows"),
           col("dup_words"))
       val scored = docs.select(col("doc_id"), col("source"),
-        size(array_distinct(TextOps.words(col("text")))).as("score"))
+        TextOps.distinctWordCount(col("text")).as("score"))
       val kept = Sampling.capPerGroup(scored, "source", "doc_id", "score", 10)
         .select(col("doc_id"), lit(1L).as("kept"))
-      docs.select(col("doc_id"), col("source"))
+      scored.select(col("doc_id"), col("source"))
         .join(spans, "doc_id")
         .join(kept, Seq("doc_id"), "left")
         .groupBy(col("source"))
@@ -356,7 +360,7 @@ object Extensions {
     // source by distinct-word-count score; salted two-phase rank
     "x_sample_source_cap" -> ((s, d) => {
       val scored = t(s, d, "documents").select(col("doc_id"), col("source"),
-        size(array_distinct(TextOps.words(col("text")))).as("score"))
+        TextOps.distinctWordCount(col("text")).as("score"))
       Sampling.capPerGroup(scored, "source", "doc_id", "score", 10)
         .orderBy(col("doc_id"))
     }),
@@ -529,6 +533,51 @@ object Extensions {
     * that begins with the SQL concat operator `||` (the second strip
     * eats its first pipe).
     */
+  /** The duplicate-span CTE chain shared by `x_dedup_spans` and
+    * `x_pipeline_curation_v2` (positional 5-grams → cross-doc filter
+    * → merged gaps-and-islands coverage per doc), so the paired
+    * oracles cannot desync. `wsx` deliberately carries `source`:
+    * unused by the standalone span oracle, needed by the composition.
+    */
+  private val spanCte =
+    """wsx AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS ws,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(generate_series(1, n_words - 4)) AS i, ws
+      |  FROM wsx),
+      |p AS (
+      |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+      |    array_to_string(ws[i : i + 4], ' ') AS gram
+      |  FROM g),
+      |x AS (
+      |  SELECT gram FROM p GROUP BY gram
+      |  HAVING min(doc_id) <> max(doc_id)),
+      |h AS (
+      |  SELECT p.doc_id, p.pos,
+      |    least(coalesce(lead(p.pos) OVER (PARTITION BY p.doc_id
+      |      ORDER BY p.pos) - p.pos, 5), 5) AS cov
+      |  FROM p JOIN x USING (gram)),
+      |sp AS (
+      |  SELECT doc_id, count(*) AS n_dup_windows, sum(cov) AS dup_words
+      |  FROM h GROUP BY doc_id)"""
+
+  /** The distinct-word quality score ([[graft.ops.TextOps.distinctWordCount]])
+    * and the per-source cap rank, shared by `x_sample_source_cap` and
+    * `x_pipeline_curation_v2`.
+    */
+  private val capRankCte =
+    """sc AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS score
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, source, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY score DESC NULLS LAST, doc_id ASC) AS INT) AS rk
+      |  FROM sc)"""
+
   private val shingleCte =
     """d AS (
       |  SELECT doc_id, list_distinct(list_transform(
@@ -740,35 +789,12 @@ object Extensions {
     // cross-doc iff min(doc_id) <> max(doc_id); merged-span coverage
     // is the gaps-and-islands sum min(next_pos - pos, 5)
     "x_dedup_spans" ->
-      """WITH wsx AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws,
-        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    unnest(generate_series(1, n_words - 4)) AS i, ws
-        |  FROM wsx),
-        |p AS (
-        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-        |    array_to_string(ws[i : i + 4], ' ') AS gram
-        |  FROM g),
-        |x AS (
-        |  SELECT gram FROM p GROUP BY gram
-        |  HAVING min(doc_id) <> max(doc_id)),
-        |h AS (
-        |  SELECT p.doc_id, p.pos,
-        |    least(coalesce(lead(p.pos) OVER (PARTITION BY p.doc_id
-        |      ORDER BY p.pos) - p.pos, 5), 5) AS cov
-        |  FROM p JOIN x USING (gram)),
-        |s AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows,
-        |    CAST(sum(cov) AS BIGINT) AS dup_words
-        |  FROM h GROUP BY doc_id)
+      raw"""WITH $spanCte
         |SELECT wsx.doc_id, wsx.n_words,
-        |  coalesce(s.n_dup_windows, 0) AS n_dup_windows,
-        |  coalesce(s.dup_words, 0) AS dup_words,
-        |  CAST(coalesce(s.dup_words, 0) AS DOUBLE) / wsx.n_words AS dup_frac
-        |FROM wsx LEFT JOIN s USING (doc_id)
+        |  CAST(coalesce(sp.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        |  CAST(coalesce(sp.dup_words, 0) AS BIGINT) AS dup_words,
+        |  CAST(coalesce(sp.dup_words, 0) AS DOUBLE) / wsx.n_words AS dup_frac
+        |FROM wsx LEFT JOIN sp USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // md5 is bit-identical across engines, so the split assignment is
@@ -842,41 +868,11 @@ object Extensions {
         |  CAST(SUM(CASE WHEN g AND nodup AND smp THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
         |FROM f GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
-    // one oracle over the whole third-batch composition: the spans
-    // CTE chain (positional 5-grams -> cross-doc filter -> merged
-    // coverage) x the cap rank, aggregated per source
+    // one oracle over the whole third-batch composition: the shared
+    // span chain x the shared cap rank, aggregated per source
     "x_pipeline_curation_v2" ->
-      """WITH wsx AS (
-        |  SELECT doc_id, source, string_split(text, ' ') AS ws,
-        |    CAST(len(string_split(text, ' ')) AS INT) AS n_words
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(generate_series(1, n_words - 4)) AS i, ws
-        |  FROM wsx),
-        |p AS (
-        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
-        |    array_to_string(ws[i : i + 4], ' ') AS gram
-        |  FROM g),
-        |x AS (
-        |  SELECT gram FROM p GROUP BY gram
-        |  HAVING min(doc_id) <> max(doc_id)),
-        |h AS (
-        |  SELECT p.doc_id,
-        |    least(coalesce(lead(p.pos) OVER (PARTITION BY p.doc_id
-        |      ORDER BY p.pos) - p.pos, 5), 5) AS cov
-        |  FROM p JOIN x USING (gram)),
-        |sp AS (
-        |  SELECT doc_id, count(*) AS n_dup_windows, sum(cov) AS dup_words
-        |  FROM h GROUP BY doc_id),
-        |sc AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS score
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, source,
-        |    ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY score DESC NULLS LAST, doc_id ASC) AS rk
-        |  FROM sc),
+      raw"""WITH $spanCte,
+        |$capRankCte,
         |k AS (SELECT doc_id, 1 AS kept FROM r WHERE rk <= 10)
         |SELECT w.source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
@@ -1174,17 +1170,9 @@ object Extensions {
     // the salt phase is provably output-invariant, so the oracle is
     // just the single global window the two-phase rank computes
     "x_sample_source_cap" ->
-      """WITH s AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS score
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, source, score,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
-        |      ORDER BY score DESC NULLS LAST, doc_id ASC) AS INT) AS rank_in_group
-        |  FROM s)
-        |SELECT doc_id, source, score, rank_in_group
-        |FROM r WHERE rank_in_group <= 10 ORDER BY doc_id""".stripMargin,
+      raw"""WITH $capRankCte
+        |SELECT doc_id, source, score, rk AS rank_in_group
+        |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
 
     // same trigram construction as the self-dedup family; the oracle
     // pays the small cross product the Spark side never does

@@ -56,13 +56,20 @@ object StreamingDedup {
     * the state per bucket is the doc-id list seen so far, and a new
     * arrival emits one pair per prior occupant of the bucket.
     *
-    * The completed-stream PAIR SET (after dropping the cross-bucket
-    * duplicates, as the batch `distinct()` does) is
-    * arrival-order-INVARIANT: pair {a,b} is emitted from a bucket
-    * exactly when the later-processed of the two lands in it, so any
-    * interleaving of micro-batches yields the same set — equality
-    * with the batch banding is asserted across forced multi-batch
-    * execution in the spec, not just single-batch.
+    * A pair that collides in several bands is emitted once per
+    * shared bucket by the stateful stage; a trailing streaming
+    * `dropDuplicates` (the streaming analog of the batch stage's
+    * `distinct()`) collapses those, so the SINK receives each pair
+    * exactly once — a downstream verifier never re-verifies a pair.
+    * Its state is one entry per distinct emitted pair, the same
+    * cardinality the batch candidate set materializes.
+    *
+    * The completed-stream PAIR SET is arrival-order-INVARIANT:
+    * pair {a,b} is emitted from a bucket exactly when the
+    * later-processed of the two lands in it, so any interleaving of
+    * micro-batches yields the same set — equality with the batch
+    * banding is asserted across forced multi-batch execution in the
+    * spec, not just single-batch.
     *
     * At scale: state per bucket is the bucket's occupancy, which for
     * random 64-bit band hashes is near-dup cluster size, not corpus
@@ -118,7 +125,8 @@ object StreamingDedup {
     EventWindows.runToMemory(
       banded.groupByKey(r => (r._1, r._2))
         .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
-        .toDF("doc_a", "doc_b"),
+        .toDF("doc_a", "doc_b")
+        .dropDuplicates("doc_a", "doc_b"),
       queryName, "append")
   }
 }

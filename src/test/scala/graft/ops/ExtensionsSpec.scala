@@ -144,8 +144,13 @@ class ExtensionsSpec extends AnyFunSuite {
     val q = graft.streaming.StreamingDedup.streamingMinhashPairs(
       spark, dir, docs.schema, "lsh_pairs_stream", maxFilesPerTrigger = 1)
     try q.processAllAvailable() finally q.stop()
-    val streamed = spark.table("lsh_pairs_stream").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = spark.table("lsh_pairs_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val streamed = rows.toSet
+    // exactly-once to the sink: a multi-band collision must not reach
+    // a downstream verifier more than once
+    assert(rows.length == streamed.size,
+      s"sink received ${rows.length - streamed.size} duplicate pair rows")
     try {
       val batch = Dedup.minhashCandidates(
           Dedup.shingled(docs), leftMax = Long.MaxValue, bands = 32, rowsPerBand = 2)
