@@ -85,4 +85,77 @@ object Sketches {
   /** simhash(h) → bigint */
   def simhash(h: Column): Column =
     udaf(new SimHash(), Encoders.scalaLong).apply(h)
+
+  /** Misra-Gries frequent-items result: surviving candidate items and
+    * the total decrement mass applied (`debt`). The a-posteriori
+    * guarantee the consumers gate on: for ANY item, true count −
+    * sketch estimate ≤ debt, so an item ABSENT from `items` has true
+    * count ≤ debt.
+    */
+  final case class MGResult(items: Array[String], debt: Long)
+
+  /** Misra-Gries heavy-hitters sketch (Misra & Gries 1982; mergeable
+    * form per Agarwal et al., "Mergeable Summaries", PODS 2012) over
+    * string items, at most `capacity` counters.
+    *
+    * reduce: increment if tracked or there is room; otherwise
+    * decrement every counter by 1 (one global decrement, debt += 1)
+    * and drop zeros — amortized O(1) per item since each overflow
+    * removes `capacity`+1 mass. merge: sum counter maps; if over
+    * capacity, subtract the (capacity+1)-th largest count from all
+    * and keep the positive ones (debt += that count). The debt field
+    * is what makes the sketch SELF-CERTIFYING downstream: a consumer
+    * that exact-counts the candidates can prove its top-k exact
+    * whenever the k-th exact count exceeds the debt.
+    */
+  class FreqItems(capacity: Int)
+      extends Aggregator[String, (scala.collection.mutable.HashMap[String, Long], Long), MGResult] {
+    require(capacity > 0, s"FreqItems capacity must be positive, got $capacity")
+    type Buf = (scala.collection.mutable.HashMap[String, Long], Long)
+
+    override def zero: Buf = (scala.collection.mutable.HashMap.empty, 0L)
+
+    override def reduce(buf: Buf, item: String): Buf = {
+      val (m, debt) = buf
+      if (m.contains(item)) { m(item) += 1; (m, debt) }
+      else if (m.size < capacity) { m(item) = 1; (m, debt) }
+      else {
+        // decrement-all: absorbs one occurrence of capacity+1 distinct
+        // items (including the new one), keeping every estimate an
+        // underestimate by at most the accumulated debt
+        val dead = m.iterator.filter(_._2 == 1).map(_._1).toList
+        m.mapValuesInPlace((_, v) => v - 1)
+        dead.foreach(m.remove)
+        (m, debt + 1)
+      }
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      val (ma, da) = a
+      val (mb, db) = b
+      mb.foreach { case (k, v) => ma(k) = ma.getOrElse(k, 0L) + v }
+      if (ma.size <= capacity) (ma, da + db)
+      else {
+        // subtract the (capacity+1)-th largest count from everything:
+        // at most `capacity` survivors, debt grows by the subtracted
+        // count (the per-item underestimate this step introduces)
+        val cut = ma.values.toArray.sortInPlaceWith(_ > _).apply(capacity)
+        val dead = ma.iterator.filter(_._2 <= cut).map(_._1).toList
+        ma.mapValuesInPlace((_, v) => v - cut)
+        dead.foreach(ma.remove)
+        (ma, da + db + cut)
+      }
+    }
+
+    override def finish(buf: Buf): MGResult =
+      MGResult(buf._1.keys.toArray.sorted, buf._2)
+
+    override def bufferEncoder: Encoder[Buf] =
+      Encoders.kryo[(scala.collection.mutable.HashMap[String, Long], Long)]
+    override def outputEncoder: Encoder[MGResult] = Encoders.product[MGResult]
+  }
+
+  /** freq_items(item) → struct<items: array<string>, debt: bigint> */
+  def freqItems(item: Column, capacity: Int): Column =
+    udaf(new FreqItems(capacity), Encoders.STRING).apply(item)
 }

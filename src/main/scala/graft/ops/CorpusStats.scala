@@ -222,4 +222,67 @@ object CorpusStats {
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
   }
+
+  /** [[topTrigrams]] via a Misra-Gries sketch — the scale path for a
+    * corpus whose n-gram VOCABULARY is too large to shuffle: the
+    * exact form's partial aggregation still emits one row per
+    * distinct shingle per partition, while the sketch pass emits at
+    * most `capacity` counters per partition regardless of vocabulary
+    * ([[graft.functions.Sketches.FreqItems]], mergeable per Agarwal
+    * et al. 2012). A second pass exact-counts only the ≤ `capacity`
+    * surviving candidates (broadcast semi-join — the corpus shuffles
+    * nothing but candidate matches), so the OUTPUT is exact and
+    * shares [[topTrigrams]]'s oracle bit-for-bit.
+    *
+    * Self-certifying, not trust-me (the "provable exact config over
+    * measured agreement" rule): Misra-Gries guarantees any item
+    * absent from the candidates has true count ≤ debt (the sketch's
+    * accumulated decrement mass), so if the k-th exact candidate
+    * count exceeds the debt, the true top-k is provably inside the
+    * candidate set — and this operator REQUIREs exactly that,
+    * failing with a raise-the-capacity error instead of silently
+    * returning plausible-but-unproven heavy hitters. Eager like the
+    * dedup builders: the gate needs the counts, so construction runs
+    * the job and the returned plan is the pinned result. The only
+    * driver materialization is the candidate list (≤ `capacity`
+    * strings — bounded like the ANN centroid table) and the k result
+    * rows.
+    *
+    * Sizing: total debt ≤ n/(capacity+1) (n = total gram
+    * occurrences), so certification needs capacity ≳ n / c_k where
+    * c_k is the k-th heavy hitter's count. Real web corpora have
+    * enormous c_k (boilerplate) and certify easily; a near-uniform
+    * corpus is the adversarial case and wants capacity near its
+    * vocabulary (at which point debt is 0 and the result is exact by
+    * construction). The 32k default certifies the sf0.1 fixture with
+    * debt 0 at ~1 MB of counter state per partition.
+    */
+  def topTrigramsSketch(docs: DataFrame, k: Int = 20,
+      capacity: Int = 32768): DataFrame = {
+    val spark = docs.sparkSession
+    def tokens = Dedup.corpusShinglesIfCached(docs)
+      .map(_.select(explode(col("g")).as("shingle")))
+      .getOrElse(Spread(docs)
+        .select(TextOps.words(col("text")).as("ws"))
+        .select(explode(TextOps.ngramsOf(col("ws"), 3)).as("shingle")))
+    val mg = tokens
+      .select(graft.functions.Sketches.freqItems(col("shingle"), capacity).as("mg"))
+      .select(col("mg.items").as("items"), col("mg.debt").as("debt"))
+      .head()
+    val debt = mg.getAs[Long]("debt")
+    val cands = spark.createDataset(mg.getSeq[String](0).toList)(
+      org.apache.spark.sql.Encoders.STRING).toDF("shingle")
+    val exact = tokens.join(broadcast(cands), "shingle")
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(k)
+    val pinned = PlanAudit.checkpointed(exact)
+    val kth = pinned.orderBy(col("df").asc).select(col("df")).head(1)
+    require(debt == 0L ||
+        (kth.nonEmpty && kth.head.getLong(0) > debt),
+      s"topTrigramsSketch cannot certify exactness: k-th candidate count " +
+        s"${kth.headOption.map(_.getLong(0)).getOrElse(0L)} does not exceed " +
+        s"the sketch debt $debt — raise capacity (currently $capacity)")
+    pinned
+  }
 }

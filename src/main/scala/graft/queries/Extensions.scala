@@ -328,6 +328,13 @@ object Extensions {
     "x_corpus_top_trigrams" -> ((s, d) =>
       CorpusStats.topTrigrams(t(s, d, "documents"))),
 
+    // Misra-Gries two-pass form: bounded counters per partition, then
+    // exact counts of the candidates only — self-certifying (throws
+    // unless the k-th count provably exceeds the sketch debt), so it
+    // shares the exact oracle bit-for-bit
+    "x_corpus_top_trigrams_sketch" -> ((s, d) =>
+      CorpusStats.topTrigramsSketch(t(s, d, "documents"))),
+
     // bigram LM novelty — corpus-trained transition probabilities in
     // exact integer ppm, the perplexity-filtering shape without a
     // float boundary
@@ -1347,6 +1354,14 @@ object Extensions {
         |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
 
     "x_corpus_top_trigrams" ->
+      raw"""WITH $shingleCte,
+        |t AS (SELECT unnest(g) AS shingle FROM d)
+        |SELECT shingle, COUNT(*) AS df FROM t
+        |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    // the sketch path certifies exactness (or throws), so its oracle
+    // IS the exact top-k — same SQL, bit-for-bit
+    "x_corpus_top_trigrams_sketch" ->
       raw"""WITH $shingleCte,
         |t AS (SELECT unnest(g) AS shingle FROM d)
         |SELECT shingle, COUNT(*) AS df FROM t

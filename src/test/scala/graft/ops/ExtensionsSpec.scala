@@ -161,6 +161,48 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Dedup.clearShingleCache()
   }
 
+  test("Misra-Gries heavy hitters: certified-exact top-k, hostile capacity throws") {
+    val sp = spark; import sp.implicits._
+    // skewed stream: "hot" dominates, mid-frequency terms, long tail
+    val rnd = new scala.util.Random(7)
+    val words = Seq.fill(300)("hot") ++ Seq.fill(80)("warm") ++
+      Seq.fill(40)("mild") ++ (1 to 400).map(i => s"tail${rnd.nextInt(200)}")
+    val docs = rnd.shuffle(words).grouped(20).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    // unigram equivalent via the trigram machinery is awkward here;
+    // drive the sketch+gate directly through topTrigramsSketch on the
+    // fixture instead, and the aggregator's bound on the hand stream
+    val mg = docs.select(TextOps.words(col("text")).as("ws"))
+      .select(explode(col("ws")).as("w"))
+      .select(graft.functions.Sketches.freqItems(col("w"), 16).as("mg"))
+      .select(col("mg.items"), col("mg.debt")).head()
+    val items = mg.getSeq[String](0).toSet
+    val debt = mg.getLong(1)
+    // the MG guarantee: an absent item's true count is <= debt
+    val truth = words.groupBy(identity).view.mapValues(_.size).toMap
+    truth.foreach { case (w, n) =>
+      if (!items.contains(w))
+        assert(n <= debt, s"absent '$w' has count $n > debt $debt")
+    }
+    assert(items.contains("hot") && items.contains("warm"))
+
+    // end-to-end on the corpus fixture: certified-exact == exact path
+    val exact = Extensions.queries("x_corpus_top_trigrams")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sketch = Extensions.queries("x_corpus_top_trigrams_sketch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sketch == exact)
+
+    // hostile capacity: the gate must throw a named error, never
+    // return unproven hitters
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.topTrigramsSketch(
+        graft.engine.Tables.table(spark, sf, "documents"), capacity = 4)
+    }
+    assert(e.getMessage.contains("raise capacity"))
+  }
+
   test("duplicateSpans: cross-doc windows only, merged-interval coverage") {
     val sp = spark; import sp.implicits._
     // w=3: docs 1 and 2 share "a b c" (d1 pos0 / d2 pos1) and
