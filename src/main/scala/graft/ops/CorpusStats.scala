@@ -207,21 +207,27 @@ object CorpusStats {
     * a top-k (the substrate's storage cost belongs to the consumers
     * that traverse it repeatedly).
     */
-  def topTrigrams(docs: DataFrame, k: Int = 20): DataFrame = {
-    // keep the explode INLINE over the ngrams expression in the
-    // streaming fallback: projecting the array first and exploding in
-    // a second select defeats the Project-into-Generate fusion and
-    // measured 4.5× slower at sf0.1
-    val tokens = Dedup.corpusShinglesIfCached(docs)
+  /** The exploded trigram-occurrence relation both top-k paths
+    * aggregate over — rides the memoized shingle substrate when a
+    * dedup query already built it; standalone it keeps the explode
+    * INLINE over the ngrams expression (projecting the array first
+    * and exploding in a second select defeats the
+    * Project-into-Generate fusion, measured 4.5× slower at sf0.1).
+    * One definition so the exact path and the sketch path can never
+    * desync on the substrate.
+    */
+  private def trigramTokens(docs: DataFrame): DataFrame =
+    Dedup.corpusShinglesIfCached(docs)
       .map(_.select(explode(col("g")).as("shingle")))
       .getOrElse(Spread(docs)
         .select(TextOps.words(col("text")).as("ws"))
         .select(explode(TextOps.ngramsOf(col("ws"), 3)).as("shingle")))
-    tokens
+
+  def topTrigrams(docs: DataFrame, k: Int = 20): DataFrame =
+    trigramTokens(docs)
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
-  }
 
   /** [[topTrigrams]] via a Misra-Gries sketch — the scale path for a
     * corpus whose n-gram VOCABULARY is too large to shuffle: the
@@ -259,30 +265,35 @@ object CorpusStats {
     */
   def topTrigramsSketch(docs: DataFrame, k: Int = 20,
       capacity: Int = 32768): DataFrame = {
+    require(capacity >= k,
+      s"topTrigramsSketch needs capacity >= k ($capacity < $k): the sketch " +
+        "cannot even retain k candidates")
     val spark = docs.sparkSession
-    def tokens = Dedup.corpusShinglesIfCached(docs)
-      .map(_.select(explode(col("g")).as("shingle")))
-      .getOrElse(Spread(docs)
-        .select(TextOps.words(col("text")).as("ws"))
-        .select(explode(TextOps.ngramsOf(col("ws"), 3)).as("shingle")))
-    val mg = tokens
+    val mg = trigramTokens(docs)
       .select(graft.functions.Sketches.freqItems(col("shingle"), capacity).as("mg"))
       .select(col("mg.items").as("items"), col("mg.debt").as("debt"))
       .head()
     val debt = mg.getAs[Long]("debt")
     val cands = spark.createDataset(mg.getSeq[String](0).toList)(
       org.apache.spark.sql.Encoders.STRING).toDF("shingle")
-    val exact = tokens.join(broadcast(cands), "shingle")
+    val exact = trigramTokens(docs).join(broadcast(cands), "shingle")
       .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("shingle"))
       .limit(k)
     val pinned = PlanAudit.checkpointed(exact)
-    val kth = pinned.orderBy(col("df").asc).select(col("df")).head(1)
+    val rows = pinned.orderBy(col("df").asc).select(col("df")).head(k)
+    // debt > 0 implies the vocabulary exceeds capacity >= k, so the
+    // TRUE top-k has k rows — a shorter result means the sketch
+    // dropped hitters and must refuse, even if the surviving counts
+    // all clear the debt (the truncated-result hole: comparing the
+    // min of FEWER than k rows against the debt certifies nothing
+    // about the ranks the sketch lost)
     require(debt == 0L ||
-        (kth.nonEmpty && kth.head.getLong(0) > debt),
-      s"topTrigramsSketch cannot certify exactness: k-th candidate count " +
-        s"${kth.headOption.map(_.getLong(0)).getOrElse(0L)} does not exceed " +
-        s"the sketch debt $debt — raise capacity (currently $capacity)")
+        (rows.length == k && rows.head.getLong(0) > debt),
+      s"topTrigramsSketch cannot certify exactness: " +
+        s"${rows.length} candidate rows (k=$k), k-th count " +
+        s"${rows.headOption.map(_.getLong(0)).getOrElse(0L)}, sketch debt " +
+        s"$debt — raise capacity (currently $capacity)")
     pinned
   }
 }

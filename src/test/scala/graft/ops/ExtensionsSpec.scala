@@ -195,12 +195,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sketch == exact)
 
     // hostile capacity: the gate must throw a named error, never
-    // return unproven hitters
-    val e = intercept[IllegalArgumentException] {
+    // return unproven hitters. capacity < k is rejected up front
+    val tooSmall = intercept[IllegalArgumentException] {
       CorpusStats.topTrigramsSketch(
         graft.engine.Tables.table(spark, sf, "documents"), capacity = 4)
     }
+    assert(tooSmall.getMessage.contains("capacity >= k"))
+    // capacity >= k but far below the vocabulary: uncertifiable
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.topTrigramsSketch(
+        graft.engine.Tables.table(spark, sf, "documents"), capacity = 32)
+    }
     assert(e.getMessage.contains("raise capacity"))
+  }
+
+  test("MG sketch refuses a truncated top-k even when surviving counts clear the debt") {
+    val sp = spark; import sp.implicits._
+    // 2 heavy trigrams (df 100) + ~1000 singleton trigrams: with
+    // capacity 8 >= k 5, the sketch keeps only the heavy survivors,
+    // so fewer than k candidate rows exist while each clears the
+    // debt — certifying would silently drop ranks 3..5
+    val rnd = new scala.util.Random(5)
+    val hot = (1 to 100).map(i => (i.toLong, "alpha beta gamma delta"))
+    val tail = (1 to 500).map(i =>
+      (1000L + i, (1 to 4).map(_ => s"w${rnd.nextInt(100000)}").mkString(" ")))
+    val docs = (hot ++ tail).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      CorpusStats.topTrigramsSketch(docs, k = 5, capacity = 8)
+    }
+    assert(e.getMessage.contains("candidate rows") ||
+      e.getMessage.contains("raise capacity"))
+    // and with enough capacity the same corpus certifies and matches
+    // the exact path
+    val exact = CorpusStats.topTrigrams(docs, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val certified = CorpusStats.topTrigramsSketch(docs, k = 5, capacity = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(certified == exact)
   }
 
   test("duplicateSpans: cross-doc windows only, merged-interval coverage") {
