@@ -86,6 +86,41 @@ object Quantize {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-DIMENSION diagnostics over the int8 codes — the embedding-
+    * space health check a training pipeline runs before trusting a
+    * similarity index: a dimension whose codes are all zero (or
+    * whose min==max) is collapsed and contributes nothing to any
+    * dot product; a dimension pinned at ±127 is saturating its
+    * scale. Computed over the quantized CODES, not the raw floats,
+    * deliberately: integer sums are order-independent, so unlike a
+    * float mean this profile is bit-exact under any partitioning and
+    * carries a full DuckDB oracle (a float-sum version would
+    * hash-mismatch on reduction order alone).
+    *
+    * Scale shape: explode n·d code values, aggregate to d rows —
+    * partial aggregation collapses every partition to ≤ d counters
+    * before the (tiny) shuffle, the same shape as the sketch
+    * profiles. Rows with NULL codes (empty embeddings) are excluded
+    * and surface via `n` < corpus count rather than poisoning every
+    * dimension with NULL.
+    */
+  def dimensionProfile(embeddings: DataFrame): DataFrame = {
+    val codes = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("scale", scaleOf(col("v")))
+      .select(codesOf(col("v"), col("scale")).as("code"))
+      .filter(col("code").isNotNull)
+    codes.select(posexplode(col("code")).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sum_code"),
+        min(col("v")).as("min_code"),
+        max(col("v")).as("max_code"),
+        sum(when(col("v") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .withColumn("mean_code", col("sum_code").cast("double") / col("n"))
+      .orderBy(col("dim"))
+  }
+
   /** Exact top-k by QUANTIZED cosine for each query vector: the
     * [[Similarity.knnBrute]] shape — broadcast the packed queries,
     * score every corpus vector, window top-k — but every moved byte

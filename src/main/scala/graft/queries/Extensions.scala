@@ -193,6 +193,12 @@ object Extensions {
     "x_embed_quantize" -> ((s, d) =>
       Quantize.quantizeProfile(t(s, d, "embeddings"))),
 
+    // per-DIMENSION code diagnostics (collapsed/saturated dims) —
+    // integer sums are order-independent, so unlike a float-mean
+    // profile this is bit-exact under any partitioning
+    "x_embed_dim_profile" -> ((s, d) =>
+      Quantize.dimensionProfile(t(s, d, "embeddings"))),
+
     // top-k by QUANTIZED cosine over packed int8 codes — deterministic
     // rounding, so unlike the float ANN paths this carries a full
     // value oracle (DuckDB recomputes codes, integer dots, ranking)
@@ -662,20 +668,30 @@ object Extensions {
     * nProbe == nCells, where probing every cell makes the candidate
     * set identical).
     */
-  private val knnQuantizedSql =
-    """WITH q0 AS (
+  /** The int8-quantization CTE chain (companion scale, then codes —
+    * NULL for a NULL scale, zeros for a zero vector, matching
+    * [[graft.ops.Quantize.codesOf]]'s contract) shared by every
+    * quantization oracle so the code formula lives in ONE place.
+    * `scale`/`nd` are carried for the consumers that need them and
+    * inert for the rest.
+    */
+  private val quantCodesCte =
+    """q0 AS (
       |  SELECT vec_id, embedding,
       |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
       |      / 127.0 AS scale
       |  FROM embeddings),
       |c AS (
-      |  SELECT vec_id,
+      |  SELECT vec_id, scale, len(embedding) AS nd,
       |    CASE WHEN scale IS NULL THEN NULL
       |    WHEN scale > 0 THEN
       |      list_transform(embedding,
       |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
       |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
-      |  FROM q0),
+      |  FROM q0)"""
+
+  private val knnQuantizedSql =
+    raw"""WITH $quantCodesCte,
       |s AS (
       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
       |    CAST(list_sum(list_transform(range(1, len(q.code) + 1),
@@ -928,19 +944,7 @@ object Extensions {
     // is the identical IEEE arithmetic, and all downstream columns
     // are integer folds — no float tolerance anywhere
     "x_embed_quantize" ->
-      """WITH q0 AS (
-        |  SELECT vec_id, embedding,
-        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
-        |      / 127.0 AS scale
-        |  FROM embeddings),
-        |c AS (
-        |  SELECT vec_id, scale, len(embedding) AS nd,
-        |    CASE WHEN scale IS NULL THEN NULL
-        |    WHEN scale > 0 THEN
-        |      list_transform(embedding,
-        |        x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
-        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
-        |  FROM q0)
+      raw"""WITH $quantCodesCte
         |SELECT vec_id, scale, CAST(nd AS INT) AS n_dims,
         |  CAST(list_sum(code) AS BIGINT) AS sum_code,
         |  CAST(list_min(code) AS BIGINT) AS min_code,
@@ -953,6 +957,24 @@ object Extensions {
     // division order (dot, then query norm, then neighbor norm)
     // matches the Spark column exactly
     "x_knn_quantized" -> knnQuantizedSql,
+
+    // parallel unnests zip code values with their 1-based positions;
+    // NULL-code rows (empty embeddings) are excluded, surfacing as
+    // n < corpus count instead of a NULL in every dimension
+    "x_embed_dim_profile" ->
+      raw"""WITH $quantCodesCte,
+        |e AS (
+        |  SELECT unnest(code) AS v,
+        |    unnest(generate_series(1, len(code))) AS i
+        |  FROM c WHERE code IS NOT NULL)
+        |SELECT CAST(i - 1 AS INT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_code,
+        |  CAST(min(v) AS BIGINT) AS min_code,
+        |  CAST(max(v) AS BIGINT) AS max_code,
+        |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_code
+        |FROM e GROUP BY i ORDER BY dim""".stripMargin,
 
     // nProbe == nCells probes every cell — the IVF+int8 composition
     // provably equals knnQuantized and shares its oracle
