@@ -207,6 +207,37 @@ object CorpusStats {
     * a top-k (the substrate's storage cost belongs to the consumers
     * that traverse it repeatedly).
     */
+  /** Composition drift between an incoming batch and the standing
+    * corpus — the ingest-monitoring check that catches a scraper
+    * suddenly over-delivering one domain or language before it skews
+    * the mixture: per (source, lang) cell, counts and document
+    * shares on both sides plus the share delta. Shares are exact
+    * integer counts divided once at the end (IEEE-deterministic, the
+    * [[mixtureReport]] convention), so the report carries a full
+    * value oracle. A cell present on only one side still reports
+    * (zero-filled), because a VANISHED stratum is exactly the drift
+    * worth alarming on.
+    *
+    * Scale shape: two cell-sized aggregations (partial-agg to the
+    * source×lang cell count per partition), windows only over the
+    * aggregate, one full-outer join of two tiny relations — the
+    * corpora themselves never shuffle.
+    */
+  def mixtureDrift(cur: DataFrame, prev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    def shares(df: DataFrame, nCol: String, sCol: String) =
+      df.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as(nCol))
+        .withColumn(sCol, col(nCol).cast("double") / sum(col(nCol)).over(w))
+    shares(cur, "n_cur", "share_cur")
+      .join(shares(prev, "n_prev", "share_prev"),
+        Seq("source", "lang"), "full")
+      .na.fill(0L, Seq("n_cur", "n_prev"))
+      .na.fill(0.0, Seq("share_cur", "share_prev"))
+      .withColumn("delta_share", col("share_cur") - col("share_prev"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** The exploded trigram-occurrence relation both top-k paths
     * aggregate over — rides the memoized shingle substrate when a
     * dedup query already built it; standalone it keeps the explode

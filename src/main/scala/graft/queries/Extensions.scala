@@ -378,6 +378,16 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // mixture drift: "today's batch" (doc_id ≡ 0 mod 10) vs the
+    // standing corpus — per-cell share deltas, zero-filled so a
+    // vanished stratum still alarms
+    "x_corpus_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      CorpusStats.mixtureDrift(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0))
+    }),
+
     // incremental dedup: "today's batch" (doc_id ≡ 0 mod 10) against
     // the already-kept corpus (the rest) — the daily-ingest shape
     "x_dedup_incremental" -> ((s, d) => {
@@ -1202,6 +1212,36 @@ object Extensions {
       raw"""WITH $capRankCte
         |SELECT doc_id, source, score, rk AS rank_in_group
         |FROM r WHERE rk <= 10 ORDER BY doc_id""".stripMargin,
+
+    // full-outer on the cell keys with explicit zero fills — the
+    // share divisions happen once per side, exactly as Spark's
+    "x_corpus_drift" ->
+      """WITH cur AS (
+        |  SELECT source, lang, count(*) AS n
+        |  FROM documents WHERE doc_id % 10 = 0 GROUP BY source, lang),
+        |prv AS (
+        |  SELECT source, lang, count(*) AS n
+        |  FROM documents WHERE doc_id % 10 <> 0 GROUP BY source, lang),
+        |a AS (
+        |  SELECT source, lang, CAST(n AS BIGINT) AS n_cur,
+        |    CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS BIGINT) FROM cur)
+        |      AS share_cur
+        |  FROM cur),
+        |b AS (
+        |  SELECT source, lang, CAST(n AS BIGINT) AS n_prev,
+        |    CAST(n AS DOUBLE) / (SELECT CAST(sum(n) AS BIGINT) FROM prv)
+        |      AS share_prev
+        |  FROM prv)
+        |SELECT coalesce(a.source, b.source) AS source,
+        |  coalesce(a.lang, b.lang) AS lang,
+        |  coalesce(a.n_cur, 0) AS n_cur,
+        |  coalesce(a.share_cur, 0.0) AS share_cur,
+        |  coalesce(b.n_prev, 0) AS n_prev,
+        |  coalesce(b.share_prev, 0.0) AS share_prev,
+        |  coalesce(a.share_cur, 0.0) - coalesce(b.share_prev, 0.0)
+        |    AS delta_share
+        |FROM a FULL OUTER JOIN b USING (source, lang)
+        |ORDER BY source, lang""".stripMargin,
 
     // same trigram construction as the self-dedup family; the oracle
     // pays the small cross product the Spark side never does
