@@ -234,6 +234,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(certified == exact)
   }
 
+  test("mixtureDrift zero-fills one-sided cells so vanished strata alarm") {
+    val sp = spark; import sp.implicits._
+    val cur = Seq((1L, "a", "en"), (2L, "a", "en")).toDF("doc_id", "source", "lang")
+    val prev = Seq((3L, "a", "en"), (4L, "b", "fr"), (5L, "b", "fr"),
+      (6L, "b", "fr")).toDF("doc_id", "source", "lang")
+    val rs = CorpusStats.mixtureDrift(cur, prev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    assert(rs(("a", "en")) == ((2L, 1.0, 1L, 0.25, 0.75)))
+    // (b, fr) vanished from the incoming batch: zero-filled, not dropped
+    assert(rs(("b", "fr")) == ((0L, 0.0, 3L, 0.75, -0.75)))
+  }
+
+  test("dimensionProfile flags collapsed and saturated dimensions") {
+    val sp = spark; import sp.implicits._
+    // dim 0 varies, dim 1 always 0 (collapsed), dim 2 = the max-abs
+    // component on every row (saturated at code 127)
+    val emb = Seq(
+      (1L, Seq(0.5f, 0.0f, 1.0f)),
+      (2L, Seq(-0.25f, 0.0f, 0.5f)),
+      (3L, Seq(0.1f, 0.0f, 0.2f))).toDF("vec_id", "embedding")
+    val rs = Quantize.dimensionProfile(emb).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // (n, min, max, n_zero) per dim
+    assert(rs(1) == ((3L, 0L, 0L, 3L)), "collapsed dim: all-zero codes")
+    assert(rs(2) == ((3L, 127L, 127L, 0L)), "saturated dim pinned at 127")
+    assert(rs(0)._2 < rs(0)._3, "live dim keeps spread")
+  }
+
   test("duplicateSpans: cross-doc windows only, merged-interval coverage") {
     val sp = spark; import sp.implicits._
     // w=3: docs 1 and 2 share "a b c" (d1 pos0 / d2 pos1) and
