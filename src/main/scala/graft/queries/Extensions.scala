@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Chunking, CorpusStats, Dedup, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps}
+import graft.ops.{Chunking, CorpusStats, Dedup, Integrity, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -396,6 +396,12 @@ object Extensions {
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0))
     }),
+
+    // cross-table integrity audit (dbt-style relationship /
+    // uniqueness / range checks) — one violation count per check,
+    // passing checks visible as explicit zero rows
+    "x_integrity_audit" -> ((s, d) =>
+      Integrity.audit(n => t(s, d, n))),
 
     // fixed-width histogram over l_quantity (integral doubles 1..50)
     "x_profile_histogram" -> ((s, d) =>
@@ -1257,6 +1263,44 @@ object Extensions {
         |  AND len(list_intersect(i.g, c.g)) * 2
         |      >= len(i.g) + len(c.g) - len(list_intersect(i.g, c.g))
         |ORDER BY inc_id, corpus_id""".stripMargin,
+
+    // NOT EXISTS mirrors left-anti NULL semantics exactly (a NULL fk
+    // matches nothing on either engine and counts as a violation)
+    "x_integrity_audit" ->
+      """SELECT 'customer_orphan_nation' AS "check",
+        |  CAST(count(*) AS BIGINT) AS n_violations
+        |FROM customer c WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'lineitem_nonpositive_qty', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_quantity <= 0
+        |UNION ALL
+        |SELECT 'lineitem_negative_price', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_extendedprice < 0
+        |UNION ALL
+        |SELECT 'lineitem_orphan_orders', CAST(count(*) AS BIGINT)
+        |FROM lineitem l WHERE NOT EXISTS
+        |  (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem_unique_line',
+        |  CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_discount_range', CAST(count(*) AS BIGINT)
+        |FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+        |UNION ALL
+        |SELECT 'orders_orphan_customer', CAST(count(*) AS BIGINT)
+        |FROM orders o WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'orders_unique_key',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'supplier_orphan_nation', CAST(count(*) AS BIGINT)
+        |FROM supplier s WHERE NOT EXISTS
+        |  (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+        |ORDER BY "check"""".stripMargin,
 
     "x_profile_histogram" ->
       """SELECT CAST(FLOOR((l_quantity - 1.0) / 5.0) AS BIGINT) AS bucket,
