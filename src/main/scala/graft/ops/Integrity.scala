@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * fact side only ever aggregates to a single partial-agg counter
   * per partition), each uniqueness check is `count(*) −
   * count(distinct key)` (no heap-buffered aggregate mixed in), and
-  * each range check is a codegen'd filter + count. Zero rows are
+  * the scalar range checks share ONE scan of the fact table
+  * (conditional sums unpivoted with stack). Zero rows are
   * emitted per check either way: a PASSING suite is the visible
   * `n_violations = 0` row, not an absent one.
   *
@@ -50,20 +51,33 @@ object Integrity {
     val supplier = tables("supplier")
     val nation = tables("nation")
 
+    // the three scalar range checks over the fact table fuse into ONE
+    // scan (conditional sums, unpivoted to rows with stack) — at
+    // 100 TB re-scanning the fact table once per check is the whole
+    // cost; the uniqueness check keeps its own scan because mixing
+    // count(DISTINCT) into the same aggregate would Expand-double the
+    // scanned rows, and alone it prunes to the two key columns
+    val liScalar = lineitem.agg(
+        coalesce(sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)), lit(0L))
+          .as("nonpos"),
+        coalesce(sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)), lit(0L))
+          .as("negprice"),
+        coalesce(sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)), lit(0L)).as("discrange"))
+      .selectExpr("stack(3, " +
+        "'lineitem_nonpositive_qty', nonpos, " +
+        "'lineitem_negative_price', negprice, " +
+        "'orders_discount_range', discrange) AS (check, n_violations)")
+
     val checks = Seq(
+      liScalar,
       check("customer_orphan_nation", count(lit(1)),
         orphans(customer, "c_nationkey", nation, "n_nationkey")),
-      check("lineitem_nonpositive_qty", count(lit(1)),
-        lineitem.filter(col("l_quantity") <= 0)),
-      check("lineitem_negative_price", count(lit(1)),
-        lineitem.filter(col("l_extendedprice") < 0)),
       check("lineitem_orphan_orders", count(lit(1)),
         orphans(lineitem, "l_orderkey", orders, "o_orderkey")),
       check("lineitem_unique_line",
         count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")),
         lineitem),
-      check("orders_discount_range", count(lit(1)),
-        lineitem.filter(col("l_discount") < 0 || col("l_discount") > 1)),
       check("orders_orphan_customer", count(lit(1)),
         orphans(orders, "o_custkey", customer, "c_custkey")),
       check("orders_unique_key",
