@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table access for the probe corpus and extension operators.
   *
@@ -19,13 +19,19 @@ object Tables {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); with
-    // spark.sql.legacy.parquet.nanosAsLong it arrives as a long that we
-    // rebuild into a proper TimestampType (integer DIV — a double
-    // division would lose precision above 2^53 ns).
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) if name == "events" =>
+    // Normalize events.ts to TimestampType whatever the fixture stores:
+    //  - TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong → a
+    //    long we rebuild (integer DIV — a double division would lose
+    //    precision above 2^53 ns);
+    //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ,
+    //    which epoch functions (unix_micros) reject; with the session
+    //    pinned to UTC the cast is an exact relabel of the same micros.
+    if (name != "events") df
+    else df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
