@@ -67,6 +67,51 @@ class BenchSpec extends AnyFunSuite {
     intercept[Exception] { Bench.materialize(trapped) }
   }
 
+  test("reps are pass-interleaved across the suite, not back-to-back per query") {
+    // one host transient hitting 3 back-to-back reps poisons a query's
+    // median; interleaved passes put each query's samples minutes apart
+    val order = scala.collection.mutable.Buffer[String]()
+    def mk(name: String): (org.apache.spark.sql.SparkSession, String) => DataFrame =
+      (s, _) => { order += name; import s.implicits._; Seq(1).toDF("v") }
+    Bench.runAll(spark, "unused",
+      Seq("q_b" -> mk("q_b"), "q_a" -> mk("q_a")),
+      reps = 3, action = df => { df.count(); () })
+    assert(order.toSeq == Seq("q_a", "q_b", "q_a", "q_b", "q_a", "q_b"))
+  }
+
+  test("a query erroring in a later pass is still reported as an error") {
+    var calls = 0
+    def flaky(s: org.apache.spark.sql.SparkSession, @annotation.unused d: String): DataFrame = {
+      calls += 1
+      if (calls >= 2) throw new RuntimeException("pass-2 failure")
+      import s.implicits._; Seq(1).toDF("v")
+    }
+    val results = Bench.runAll(spark, "unused", Seq("q_flaky" -> flaky _),
+      reps = 3, action = df => { df.count(); () })
+    assert(results.head.secs.isEmpty)
+    assert(results.head.err.get.contains("pass-2 failure"))
+    // remaining passes are skipped once a query errors
+    assert(calls == 2)
+  }
+
+  test("compact summary line stays under the driver tail window and parses") {
+    // 100 ok queries + 1 error: the full line would be kilobytes; the
+    // summary must stay ≤200 bytes regardless of suite size
+    val results = (1 to 100).map(i => Bench.QResult(f"q_$i%03d", Some(1.234), None)) :+
+      Bench.QResult("q_bad", None, Some("boom"))
+    val s = Bench.renderSummary(results, 123456L)
+    assert(s.getBytes("UTF-8").length <= 200)
+    assert(!s.contains("\n"))
+    import spark.implicits._
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(s).toDS)
+    val row = parsed.collect()(0)
+    assert(row.getAs[String]("metric") == "total")
+    assert(row.getAs[String]("status") == "error")
+    assert(row.getAs[Long]("n_queries") == 101L)
+    assert(row.getAs[Long]("n_errors") == 1L)
+    assert(row.getAs[Long]("pipeline_rows_per_sec") == 123456L)
+  }
+
   test("median-of-3 takes the middle run") {
     var i = 0
     // wide spread: scheduling overhead on a loaded box only ADDS to a
