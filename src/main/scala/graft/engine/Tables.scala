@@ -24,14 +24,20 @@ object Tables {
     //    long we rebuild (integer DIV — a double division would lose
     //    precision above 2^53 ns);
     //  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ,
-    //    which epoch functions (unix_micros) reject; with the session
-    //    pinned to UTC the cast is an exact relabel of the same micros.
+    //    which epoch functions (unix_micros) reject; timestampdiff on
+    //    two NTZ operands is pure wall-clock arithmetic, so rebuilding
+    //    from the micros-since-epoch diff copies the stored micros
+    //    exactly REGARDLESS of the session timezone. A bare
+    //    .cast(TimestampType) — and, less obviously, to_utc_timestamp —
+    //    shift by the session offset when the session isn't UTC;
+    //    TablesTsSpec pins the non-UTC case.
     if (name != "events") df
     else df.schema.fields.find(_.name == "ts").map(_.dataType) match {
       case Some(LongType) =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case Some(TimestampNTZType) =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
+        df.withColumn("ts", timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")))
       case _ => df
     }
   }
