@@ -61,6 +61,16 @@ object Prof {
         Similarity.clearQuantizerCache()
         Similarity.knnClassifyIvf(emb).count()
       }
+      // warm-vs-cold splits the memoized KMeans fit out of the query
+      // cost; the _check pair times the bench's all-cells exactness
+      // gate (nProbe == nCells) the driver actually runs
+      q("knn_classify_ivf_warm")(Similarity.knnClassifyIvf(emb).count())
+      q("knn_classify_ivf_check_cold") {
+        Similarity.clearQuantizerCache()
+        Similarity.knnClassifyIvf(emb, nCells = 16, nProbe = 16).count()
+      }
+      q("knn_classify_ivf_check_warm")(
+        Similarity.knnClassifyIvf(emb, nCells = 16, nProbe = 16).count())
       spark.stop()
       return
     }

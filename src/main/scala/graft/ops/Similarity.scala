@@ -107,8 +107,19 @@ object Similarity {
     */
   private def quantizerFor(e: DataFrame, nCells: Int,
       trainMod: Int): org.apache.spark.ml.clustering.KMeansModel = {
-    val trainSample = e.filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
-    val key = (trainSample.queryExecution.analyzed.semanticHash(),
+    // Canonicalize the training lineage to the two columns KMeans
+    // reads BEFORE hashing: after optimizer pruning, the (vec_id, fv)
+    // projection over a given corpus is the same plan whichever
+    // family asked — the classify path's `label`, the ANN path's
+    // `norm` prune away — so one corpus trains ONE quantizer per cell
+    // count instead of one per family. The fit is the dominant cold
+    // constant of every IVF query (~2 s at sf0.1: knn_classify_ivf
+    // cold 3.15 s vs warm 1.14 s, `Prof classify`), and the model is
+    // unchanged: same sample rows, same partitioning and order, and
+    // KMeans reads only `fv`.
+    val trainSample = e.select(col("vec_id"), col("fv"))
+      .filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
+    val key = (trainSample.queryExecution.optimizedPlan.semanticHash(),
       java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
       nCells)
     quantizers.getOrElseUpdate(key)(
@@ -116,6 +127,11 @@ object Similarity {
         .setFeaturesCol("fv").setPredictionCol("cell")
         .fit(trainSample))
   }
+
+  /** Current quantizer-memo population — profiling/spec hook for the
+    * cross-family fit-sharing contract (see [[quantizerFor]]).
+    */
+  private[ops] def quantizerCacheSize: Int = quantizers.size
 
   /** `nProbe` nearest coarse cells per vector, fully distributed: the
     * centroid table (nCells rows) broadcasts, every vector scores all

@@ -97,6 +97,28 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Similarity.clearQuantizerCache()
   }
 
+  test("IVF families over one corpus share a single memoized quantizer fit") {
+    // the KMeans fit is the dominant cold constant of every IVF query
+    // (~2 s at sf0.1); quantizerFor canonicalizes the training lineage
+    // to (vec_id, fv) so the knn, classify, and quantized families all
+    // hit ONE memo entry per (corpus, nCells) instead of refitting
+    val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    try {
+      Similarity.clearQuantizerCache()
+      Similarity.knnIvf(emb, nCells = 16, nProbe = 16).count()
+      assert(Similarity.quantizerCacheSize == 1)
+      Similarity.knnClassifyIvf(emb, nCells = 16, nProbe = 16).count()
+      assert(Similarity.quantizerCacheSize == 1,
+        "classify must reuse the knnIvf quantizer, not refit")
+      Similarity.knnQuantizedIvf(emb, nCells = 16, nProbe = 16).count()
+      assert(Similarity.quantizerCacheSize == 1,
+        "quantized must reuse the knnIvf quantizer, not refit")
+      Similarity.embeddingNearDupAnn(emb, nCells = 16).count()
+      assert(Similarity.quantizerCacheSize == 1,
+        "ANN dedup must reuse the knnIvf quantizer, not refit")
+    } finally Similarity.clearQuantizerCache()
+  }
+
   test("IVF classify emits NULL (not a dropped row) when probed cells hold no seeds") {
     val sp = spark; import sp.implicits._
     // seeds 0-1 sit in the +x cluster; unlabeled 2 is +x (covered),
