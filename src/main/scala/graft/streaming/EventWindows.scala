@@ -85,9 +85,10 @@ object EventWindows {
     * order (within-batch disorder is sorted here, but an entire LATE
     * batch would move the session tail backwards and split sessions).
     * File sources with time-ordered file arrival satisfy this; for a
-    * heavily out-of-order source, prefer a
-    * `session_window(col("ts"), gap)` aggregation with a watermark,
-    * which buys reordering tolerance at the cost of windowed state.
+    * heavily out-of-order source, prefer
+    * [[streamingSessionWindows]] — a `session_window` aggregation
+    * with a watermark, which buys reordering tolerance at the cost of
+    * windowed state.
     * Both emitted columns are monotone nondecreasing, so when
     * execution splits into multiple batches (update mode emits one
     * row per user per batch), consumers fold with `max` per user —
@@ -122,6 +123,49 @@ object EventWindows {
         .toDF("user_id", "n_sessions", "max_session_events"),
       queryName, "update")
   }
+
+  /** Watermark-tolerant sessionization via Spark's built-in
+    * `session_window`: events whose windows overlap merge into one
+    * session, and the watermark bounds how late an event may arrive
+    * and still merge — the escape hatch [[streamingUserSessions]]'s
+    * ordering contract points to for sources that cannot guarantee
+    * per-user batch arrival order. State is per-open-session (not
+    * per-user-tail), evicted once the watermark passes a session's
+    * end.
+    *
+    * Emits one row per (user_id, session) with the session's event
+    * count; the per-user summary ([[userSessions]]'s columns) is one
+    * aggregation over it — kept OUT of this query because stacking a
+    * second streaming aggregation on a session window needs
+    * `foreachBatch` in real deployments; the spec (and a deployment)
+    * folds the sink instead.
+    *
+    * Output-mode notes: Spark does not support `update` mode for
+    * session windows. `"append"` (real-unbounded shape) emits only
+    * watermark-closed sessions and evicts their state; `"complete"`
+    * (default here, the bounded parity shape — same convention as
+    * [[streamingTumblingHourly]]) re-emits all sessions so a finite
+    * fixture's trailing sessions (which no watermark ever closes)
+    * are visible to the parity check.
+    *
+    * Boundary convention: a gap of EXACTLY `gap` splits here (windows
+    * merge on overlap, i.e. strictly-less-than) but merges in the
+    * batch form (strictly-greater-than split) — divergence is
+    * confined to events landing on the gap boundary at timestamp
+    * precision, which real corpora don't produce (the parity spec
+    * runs on the fixture and holds exactly).
+    */
+  def streamingSessionWindows(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String,
+      gap: String = "30 minutes", watermark: String = "2 hours",
+      outputMode: String = "complete"): StreamingQuery =
+    runToMemory(
+      spark.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", watermark)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), gap).as("session"))
+        .agg(count(lit(1)).as("n_events")),
+      queryName, outputMode)
 
   /** Per-user firsts for the funnel's stateful streaming form:
     * epoch-micros of the first view/click/purchase, `Long.MaxValue`

@@ -586,6 +586,24 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("session_window streaming sessionization equals the batch form") {
+    // the watermark-tolerant alternative to mapGroupsWithState the
+    // ordering-contract scaladoc points to — per-user summaries folded
+    // from the per-session sink rows must equal userSessions exactly
+    val events = graft.engine.Tables.table(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("events-sessionw").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingSessionWindows(
+      spark, dir, events.schema, "sessionw_out")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sessionw_out")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
+    val batch = graft.streaming.EventWindows.userSessions(events)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful streaming funnel equals the batch form across micro-batches") {
     val events = graft.engine.Tables.table(spark, sf, "events")
     val dir = java.nio.file.Files.createTempDirectory("events-funnel").toString
