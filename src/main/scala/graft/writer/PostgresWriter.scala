@@ -28,7 +28,8 @@ final class PostgresWriter(
     primaryKey: Seq[String] = Seq.empty,
     batchSize: Int = 5000,
     autoCreate: Boolean = true,
-    truncateFirst: Boolean = false) extends DataWriter with Serializable {
+    truncateFirst: Boolean = false,
+    useCopy: Boolean = false) extends DataWriter with Serializable {
 
   private def connect(): Connection =
     DriverManager.getConnection(url, user, password)
@@ -95,6 +96,10 @@ final class PostgresWriter(
     val bs = PostgresWriter.effectiveBatch(batchSize, pgSchema.size)
     val md = mode
     val version15Plus = major >= 15
+    // COPY is append-only by protocol: merge/upsert semantics need the
+    // conflict machinery of the statement forms, so the fast path
+    // engages only for Append and other modes keep their SQL shapes
+    val copyPath = useCopy && mode == WriteMode.Append
     val counter = df.sparkSession.sparkContext.longAccumulator("rowsWritten")
 
     prepared.foreachPartition { (rows: Iterator[Row]) =>
@@ -104,18 +109,26 @@ final class PostgresWriter(
         try {
           val buf = new scala.collection.mutable.ArrayBuffer[Row](bs)
           def flush(): Unit = if (buf.nonEmpty) {
-            val sql = md match {
-              case WriteMode.Append => PgSql.insertSql(tbl, pgSchema, buf.size)
-              case WriteMode.Merge if version15Plus =>
-                PgSql.mergeSql(tbl, pgSchema, pk, buf.size)
-              case WriteMode.Merge =>
-                PgSql.upsertSql(tbl, pgSchema, pk, buf.size)
+            if (copyPath) {
+              val data = new java.lang.StringBuilder(buf.size * 64)
+              buf.foreach(r =>
+                data.append(PgCopy.encodeRow(r.toSeq, pgSchema)))
+              PostgresWriter.copyInto(conn,
+                PgCopy.copySql(tbl, pgSchema), data.toString)
+            } else {
+              val sql = md match {
+                case WriteMode.Append => PgSql.insertSql(tbl, pgSchema, buf.size)
+                case WriteMode.Merge if version15Plus =>
+                  PgSql.mergeSql(tbl, pgSchema, pk, buf.size)
+                case WriteMode.Merge =>
+                  PgSql.upsertSql(tbl, pgSchema, pk, buf.size)
+              }
+              val st = conn.prepareStatement(sql)
+              try {
+                PostgresWriter.bindRows(st, buf, pgSchema)
+                st.executeUpdate()
+              } finally st.close()
             }
-            val st = conn.prepareStatement(sql)
-            try {
-              PostgresWriter.bindRows(st, buf, pgSchema)
-              st.executeUpdate()
-            } finally st.close()
             counter.add(buf.size.toLong)
             buf.clear()
           }
@@ -148,6 +161,24 @@ object PostgresWriter {
   private[writer] def effectiveBatch(batchSize: Int, nCols: Int): Int =
     math.max(1, math.min(batchSize, 65535 / math.max(nCols, 1)))
 
+  /** Drive `COPY … FROM STDIN` through pgjdbc's CopyManager, reached
+    * by reflection: the sandbox has no PostgreSQL JDBC driver jar (so
+    * the classes cannot be compile-time references — the live suite
+    * covers the identical encoded stream via `psql` instead), while a
+    * production classpath with pgjdbc present takes this path
+    * directly. Runs inside the caller's transaction like any other
+    * flush. Returns rows copied.
+    */
+  private[writer] def copyInto(conn: Connection, sql: String,
+      data: String): Long = {
+    val iface = Class.forName("org.postgresql.PGConnection")
+    val pgConn = conn.unwrap(iface.asInstanceOf[Class[AnyRef]])
+    val cm = iface.getMethod("getCopyAPI").invoke(pgConn)
+    cm.getClass.getMethod("copyIn", classOf[String], classOf[java.io.Reader])
+      .invoke(cm, sql, new java.io.StringReader(data))
+      .asInstanceOf[java.lang.Long].longValue()
+  }
+
   /** Bind rows column-major into a flattened multi-row placeholder
     * list, coercing each value to its destination column type with the
     * lattice of postgres.rs:775-851: strings parse into numeric dest
@@ -172,12 +203,12 @@ object PostgresWriter {
   // ObjectMapper is thread-safe once configured; shared across binds
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
 
-  private def jsonString(s: String): String = mapper.writeValueAsString(s)
+  private[writer] def jsonString(s: String): String = mapper.writeValueAsString(s)
 
-  private def isValidJson(s: String): Boolean =
+  private[writer] def isValidJson(s: String): Boolean =
     try { mapper.readTree(s); true } catch { case _: Exception => false }
 
-  private def isIntegral(n: Number): Boolean = n match {
+  private[writer] def isIntegral(n: Number): Boolean = n match {
     case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
         _: java.lang.Long => true
     case _ => false

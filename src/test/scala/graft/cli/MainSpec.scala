@@ -274,6 +274,12 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Main.run(args, spark, (_: String) => None) == 1)
   }
 
+  test("--pg-copy CLI flag lands in the parsed args") {
+    assert(Main.parseArgs(Array(
+      "-m", "mods", "-y", "cfg.yaml", "--pg-copy")).pgCopy)
+    assert(!Main.parseArgs(Array("-m", "mods", "-y", "cfg.yaml")).pgCopy)
+  }
+
   test("--master CLI flag lands in the parsed args") {
     val args = Main.parseArgs(Array(
       "-m", "mods", "-y", "cfg.yaml", "--master", "spark://m:7077"))

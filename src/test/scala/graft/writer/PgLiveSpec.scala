@@ -123,4 +123,82 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     val err = sqlErr(truncateSql("t_never_existed"))
     assert(err.contains("does not exist"), err)
   }
+
+  test("COPY stream round-trips the bind lattice's edge cases (live)") {
+    assume(up)
+    val cschema = ListMap("id" -> PgBigInt, "name" -> PgText,
+      "score" -> PgDouble, "active" -> PgBoolean, "props" -> PgJsonb,
+      "blob" -> PgBytea)
+    sql("DROP TABLE IF EXISTS t_copy")
+    sql(createTableSql("t_copy", cschema, Seq("id")))
+    val rows = Seq(
+      Seq[Any](1L, "plain", 2.5d, true, """{"k": 1}""",
+        Array[Byte](0xde.toByte, 0xad.toByte)),
+      // lattice coercions + every escaped character in one text field
+      Seq[Any](2L, "tab\there\nnl\\bs\rcr", "1e3", "1", "{oops", null),
+      Seq[Any](3L, null, Double.NaN, false, null, Array.empty[Byte]))
+    val data = rows.map(PgCopy.encodeRow(_, cschema)).mkString
+    val (code, out) = pg.copyRaw(PgCopy.copySql("t_copy", cschema), data)
+    assert(code == 0, out)
+    assert(sql("SELECT count(*) FROM t_copy") == "3")
+    // server-side equality so tab/newline bytes never pass through
+    // psql's own output escaping
+    assert(sql(
+      "SELECT name = E'tab\\there\\nnl\\\\bs\\rcr' FROM t_copy WHERE id = 2") == "t")
+    assert(sql("SELECT score FROM t_copy WHERE id = 2") == "1000") // "1e3" parsed
+    assert(sql("SELECT active FROM t_copy WHERE id = 2") == "t") // "1" is true
+    assert(sql("SELECT props::text FROM t_copy WHERE id = 2") == "\"{oops\"")
+    assert(sql("SELECT blob IS NULL FROM t_copy WHERE id = 2") == "t")
+    assert(sql("SELECT blob = '\\xdead'::bytea FROM t_copy WHERE id = 1") == "t")
+    assert(sql("SELECT props->>'k' FROM t_copy WHERE id = 1") == "1")
+    assert(sql("SELECT name IS NULL FROM t_copy WHERE id = 3") == "t")
+    assert(sql("SELECT score::text FROM t_copy WHERE id = 3") == "NaN")
+    assert(sql("SELECT blob = ''::bytea FROM t_copy WHERE id = 3") == "t")
+  }
+
+  test("COPY append throughput >= multi-row INSERT at batch 5000 (live)") {
+    assume(up)
+    val tschema = ListMap("id" -> PgBigInt, "name" -> PgText,
+      "score" -> PgDouble, "active" -> PgBoolean, "props" -> PgJsonb)
+    sql("DROP TABLE IF EXISTS t_ins")
+    sql("DROP TABLE IF EXISTS t_cpy")
+    sql(createTableSql("t_ins", tschema))
+    sql(createTableSql("t_cpy", tschema))
+    val n = 50000
+    val batch = 5000 // the writer's default flush size
+    def rowVals(i: Int): Seq[Any] =
+      Seq(i.toLong, s"user_$i", i * 0.5, i % 2 == 0, s"""{"k": $i}""")
+
+    // INSERT side: the same 5000-row multi-row statements the writer
+    // flushes, literals inlined (psql has no extended protocol), all
+    // batches in ONE stdin-fed psql process
+    val insertScript = (0 until n).grouped(batch).map { chunk =>
+      val values = chunk.map { i =>
+        val Seq(id, nm, sc, ac, pr) = rowVals(i)
+        s"($id, '$nm', $sc, $ac, '$pr')"
+      }.mkString(", ")
+      s"INSERT INTO t_ins (id, name, score, active, props) VALUES $values;"
+    }.mkString("\n")
+    // COPY side: the writer's exact encoded stream, inline in a script
+    // through the identical one-process stdin channel
+    val copyData = (0 until n).map(i =>
+      PgCopy.encodeRow(rowVals(i), tschema)).mkString
+    val copyScript =
+      PgCopy.copySql("t_cpy", tschema) + ";\n" + copyData + "\\.\n"
+
+    def timed(script: String): Double = {
+      val t0 = System.nanoTime()
+      val (code, out) = pg.scriptRaw(script)
+      assert(code == 0, out)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val insSec = timed(insertScript)
+    val cpySec = timed(copyScript)
+    assert(sql("SELECT count(*), sum(id) FROM t_ins") ==
+      sql("SELECT count(*), sum(id) FROM t_cpy"))
+    info(f"INSERT $n rows: $insSec%.2f s (${n / insSec}%.0f rows/s); " +
+      f"COPY: $cpySec%.2f s (${n / cpySec}%.0f rows/s)")
+    assert(cpySec <= insSec,
+      f"COPY ($cpySec%.2f s) should not be slower than INSERT ($insSec%.2f s)")
+  }
 }

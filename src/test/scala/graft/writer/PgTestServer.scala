@@ -27,12 +27,19 @@ final class PgTestServer {
       Seq("runuser", "-u", "nobody", "--") ++ cmd
     else cmd
 
+  // stdout and stderr arrive on separate pump threads — appends must
+  // synchronize or the shared builder corrupts under interleaving
+  private def collectingLogger(out: StringBuilder): ProcessLogger = {
+    def add(s: String): Unit = out.synchronized {
+      out.append(s).append('\n'); ()
+    }
+    ProcessLogger(add, add)
+  }
+
   private def runIn(cmd: Seq[String]): (Int, String) = {
     val out = new StringBuilder
-    val logger = ProcessLogger(s => out.append(s).append('\n'),
-      s => out.append(s).append('\n'))
-    val code = Process(cmd, new java.io.File("/tmp")).!(logger)
-    (code, out.toString)
+    val code = Process(cmd, new java.io.File("/tmp")).!(collectingLogger(out))
+    (code, out.synchronized(out.toString))
   }
 
   def start(): Boolean =
@@ -69,6 +76,35 @@ final class PgTestServer {
     val (code, out) = runIn(Seq(findBin("psql").get, "-h", sock, "-U", "graft",
       "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-tAc", q))
     (code, out.trim)
+  }
+
+  /** Run a full SQL script fed on stdin (one psql process — the same
+    * channel shape for INSERT scripts and COPY-with-inline-data
+    * scripts, so throughput comparisons don't measure process forks).
+    */
+  def scriptRaw(script: String): (Int, String) = {
+    val out = new StringBuilder
+    val cmd = Seq(findBin("psql").get, "-h", sock, "-U", "graft",
+      "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-q", "-f", "-")
+    val code = (Process(cmd, new java.io.File("/tmp")) #<
+      new java.io.ByteArrayInputStream(script.getBytes("UTF-8")))
+      .!(collectingLogger(out))
+    (code, out.synchronized(out.toString).trim)
+  }
+
+  /** Run a `COPY … FROM STDIN` statement via psql, feeding `data`
+    * (already COPY-text-encoded) on stdin — the live channel for the
+    * writer's COPY fast path, whose encoded stream is identical to
+    * what `PostgresWriter.copyInto` hands pgjdbc.
+    */
+  def copyRaw(copyStatement: String, data: String): (Int, String) = {
+    val out = new StringBuilder
+    val cmd = Seq(findBin("psql").get, "-h", sock, "-U", "graft",
+      "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-c", copyStatement)
+    val code = (Process(cmd, new java.io.File("/tmp")) #<
+      new java.io.ByteArrayInputStream(data.getBytes("UTF-8")))
+      .!(collectingLogger(out))
+    (code, out.synchronized(out.toString).trim)
   }
 }
 
