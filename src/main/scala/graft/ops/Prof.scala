@@ -111,6 +111,25 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("pq")) {
+      // covering-margin probe for the PQ prefilter: the worst PQ rank
+      // any TRUE brute top-5 neighbor lands at, per geometry — the
+      // candidate depth must exceed this with margin for
+      // x_knn_pq_rerank's brute-equality contract to hold
+      val brute = Similarity.knnBrute(emb)
+        .select(col("query_id"), col("neighbor_id"))
+      for ((m, k, tm) <- Seq((8, 16, 4), (8, 16, 1), (16, 16, 1),
+          (8, 32, 1), (16, 32, 1))) {
+        Pq.clearCodebookCache()
+        val worst = brute.join(Pq.prefilterRanks(emb, 5, m, k, tm),
+            Seq("query_id", "neighbor_id"))
+          .agg(max(col("crk"))).head().getInt(0)
+        println(s"PROF pq m=$m k=$k trainMod=$tm worst_true_rank=$worst")
+      }
+      Pq.clearCodebookCache()
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("super")) {
       // the two >linear scalers (PROF_SF1.md): prefix pays the per-doc
       // sorted-prefix aggregation, ANN generates O(n^1.5·nProbe)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Chunking, CorpusStats, Dedup, Integrity, Multimodal, Profile, Quantize, Sampling, Similarity, TextOps}
+import graft.ops.{Chunking, CorpusStats, Dedup, Integrity, Multimodal, Pq, Profile, Quantize, Sampling, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -185,6 +185,14 @@ object Extensions {
     // ---- similarity search --------------------------------------------------
     "x_knn_brute" -> ((s, d) =>
       Similarity.knnBrute(t(s, d, "embeddings"))),
+
+    // PQ (product quantization) two-stage retrieval: 8×4-bit ADC
+    // prefilter to 100 candidates, exact cosine rerank to top-5 — at
+    // this covering depth the output equals brute bit-for-bit, so the
+    // memory-bound production index shape (32× smaller resident codes)
+    // carries the FULL brute oracle instead of a recall sibling
+    "x_knn_pq_rerank" -> ((s, d) =>
+      Pq.knnPqRerank(t(s, d, "embeddings"))),
 
     // int8 quantization audit — self-dot computed via the array fold
     // AND via the packed-binary codegen expressions, side by side, so
@@ -954,6 +962,10 @@ object Extensions {
     "x_dedup_embedding_ann_recall" -> embeddingPairsSql,
 
     "x_knn_brute" -> knnBruteSql,
+
+    // PQ prefilter + exact rerank: at the covering candidate depth
+    // the reranked top-k IS the brute top-k, so the oracle is brute's
+    "x_knn_pq_rerank" -> knnBruteSql,
 
     // int8 codes recomputed element-wise: abs/list_max stay FLOAT
     // (widened to DOUBLE exactly like Spark's cast), floor(x/s + 0.5)

@@ -119,6 +119,60 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Similarity.clearQuantizerCache()
   }
 
+  test("PQ rerank equals brute top-k exactly at the covering candidate depth") {
+    // the two-stage contract behind x_knn_pq_rerank's full brute
+    // oracle: the PQ top-100 prefilter must cover every true top-5
+    // neighbor on these corpora, after which the exact rerank output
+    // is bit-identical to knnBrute (ordering, rounding, and all)
+    try {
+      for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+        val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+        val brute = Similarity.knnBrute(emb).collect().toSeq
+        val pq = Pq.knnPqRerank(emb).collect().toSeq
+        assert(pq == brute, s"PQ rerank diverged from brute at $sf")
+      }
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("PQ codebooks memoize per corpus and codes stay in range") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    try {
+      Pq.clearCodebookCache()
+      Pq.knnPqRerank(emb).count()
+      assert(Pq.codebookCacheSize == 1)
+      Pq.knnPqRerank(emb).count() // same corpus: no refit
+      assert(Pq.codebookCacheSize == 1)
+      // every vector carries m=16 codes, each addressing a real
+      // centroid in [0, 32), and a strictly positive PQ norm
+      val enc = Pq.encodedFor(emb)
+      val bad = enc.filter(size(col("codes")) =!= 16
+        || exists(col("codes"), c => c < 0 || c >= 32)
+        || !(col("pq_norm") > 0d)).count()
+      assert(bad == 0L)
+      assert(Pq.codebookCacheSize == 1) // encode reused the same fit
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("PQ prefilter covers the true neighbors with margin at the default depth") {
+    // the contract behind reusing brute's oracle: if quantizer drift
+    // ever pushes a true top-5 neighbor toward the 400-candidate
+    // boundary, this margin check reddens BEFORE the driver gate does
+    import org.apache.spark.sql.functions._
+    try {
+      for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+        val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+        val brute = Similarity.knnBrute(emb)
+          .select(col("query_id"), col("neighbor_id"))
+        val worst = brute
+          .join(Pq.prefilterRanks(emb, 5, 16, 32, 1),
+            Seq("query_id", "neighbor_id"))
+          .agg(max(col("crk"))).head().getInt(0)
+        assert(worst <= 200, s"covering margin eroded at $sf: worst=$worst")
+      }
+    } finally Pq.clearCodebookCache()
+  }
+
   test("IVF classify emits NULL (not a dropped row) when probed cells hold no seeds") {
     val sp = spark; import sp.implicits._
     // seeds 0-1 sit in the +x cluster; unlabeled 2 is +x (covered),
