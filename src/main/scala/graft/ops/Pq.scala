@@ -158,67 +158,59 @@ object Pq {
     * candidate depth the rows are identical — `x_knn_pq_rerank`
     * hash-matches the brute oracle.
     */
-  /** Stage 1 as a standalone relation: every (query, corpus) pair's
-    * ADC score with its per-query PQ rank `crk` — shared by the query
-    * path and the covering-margin spec (which asserts every TRUE
-    * top-k neighbor sits at `crk` well inside the candidate depth,
-    * the `annCandidates` profile pattern).
-    */
-  private[ops] def prefilterRanks(embeddings: DataFrame, nQueries: Long,
-      m: Int, kCodes: Int, trainMod: Int): DataFrame = {
-    val base = Spread(embeddings)
-      .select(col("vec_id"), col("embedding").as("v"))
-    val b = codebookFor(base, m, kCodes, trainMod)
-    val enc = encoded(embeddings, b)
-
-    // per-query ADC lookup table: qtab[s·k + c] = <q[s], cb(s)(c)> —
-    // m·k partial dots computed once per QUERY, not per pair
-    val cbc = cbCol(b)
-    val q = enc.filter(col("vec_id") < nQueries)
+  /** The query relation (query_id, qv, qn) for vec_id < nQueries. */
+  private def queriesOf(enc: DataFrame, nQueries: Long): DataFrame =
+    enc.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"))
-      .withColumn("qtab", flatten(
-        transform(sequence(lit(0), lit(b.m - 1)), s =>
-          transform(sequence(lit(0), lit(b.k - 1)), c =>
-            aggregate(
-              zip_with(slice(col("qv"), s * b.subDim + 1, lit(b.subDim)),
-                element_at(element_at(cbc, s + 1), c + 1), (x, y) => x * y),
-              lit(0.0d), (a, x) => a + x)))))
 
-    // PQ scan: the corpus side touches only (vec_id, codes, pq_norm);
-    // each pair costs m lookups; only the narrow score stream reaches
-    // the ranking window
-    val adc = aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(b.m - 1)),
-        (c, s) => element_at(col("qtab"), s * b.k + c + 1)),
-      lit(0.0d), (a, x) => a + x)
-    val prefiltered = enc.select(col("vec_id"), col("codes"), col("pq_norm"))
-      .join(broadcast(q.select(col("query_id"), col("qtab"), col("qn"))),
-        col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adc / col("qn") / col("pq_norm")).as("pq_cos"))
-    val byPq = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_cos").desc, col("neighbor_id"))
-    prefiltered.withColumn("crk", row_number().over(byPq))
+  /** Attach the per-query ADC lookup table: qtab[s·k + c] =
+    * <q[s], cb(s)(c)> — m·k partial dots computed once per QUERY,
+    * not per pair.
+    */
+  private def withQtab(q: DataFrame, b: Codebook): DataFrame = {
+    val cbc = cbCol(b)
+    q.withColumn("qtab", flatten(
+      transform(sequence(lit(0), lit(b.m - 1)), s =>
+        transform(sequence(lit(0), lit(b.k - 1)), c =>
+          aggregate(
+            zip_with(slice(col("qv"), s * b.subDim + 1, lit(b.subDim)),
+              element_at(element_at(cbc, s + 1), c + 1), (x, y) => x * y),
+            lit(0.0d), (a, x) => a + x)))))
   }
 
-  def knnPqRerank(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
-      m: Int = 16, kCodes: Int = 32, candidates: Int = 400,
-      trainMod: Int = 1): DataFrame = {
-    val base = Spread(embeddings)
-      .select(col("vec_id"), col("embedding").as("v"))
-    val b = codebookFor(base, m, kCodes, trainMod)
-    val enc = encoded(embeddings, b)
-    val cand = prefilterRanks(embeddings, nQueries, m, kCodes, trainMod)
-      .filter(col("crk") <= candidates)
-      .select(col("query_id"), col("neighbor_id"))
-    val q = enc.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qn"))
+  /** ADC dot of `codes` against `qtab`: m table lookups per pair. */
+  private def adcOf(b: Codebook): Column = aggregate(
+    zip_with(col("codes"), sequence(lit(0), lit(b.m - 1)),
+      (c, s) => element_at(col("qtab"), s * b.k + c + 1)),
+    lit(0.0d), (a, x) => a + x)
 
-    // stage 2 — exact rerank: fetch full vectors for the Q·candidates
-    // ids only (broadcast-candidate equi-join), brute's exact cosine
-    // and ordering over that bounded set
+  /** Rank a (vec_id, codes, pq_norm[, …]) candidate stream against the
+    * broadcast query tables by approximate PQ cosine — the shared
+    * stage-1 ranking window of both the full-scan and the
+    * cell-blocked path.
+    */
+  private def pqRank(candidates: DataFrame, qSide: DataFrame,
+      b: Codebook, joinCols: Seq[String]): DataFrame = {
+    val joined = if (joinCols.isEmpty)
+      candidates.join(broadcast(qSide), col("query_id") =!= col("vec_id"))
+    else candidates.join(broadcast(qSide), joinCols)
+      .filter(col("query_id") =!= col("vec_id"))
+    val scored = joined.select(col("query_id"),
+      col("vec_id").as("neighbor_id"),
+      (adcOf(b) / col("qn") / col("pq_norm")).as("pq_cos"))
+    val byPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_cos").desc, col("neighbor_id"))
+    scored.withColumn("crk", row_number().over(byPq))
+  }
+
+  /** Stage 2 — exact rerank: fetch full vectors for the Q·candidates
+    * ids only (broadcast-candidate equi-join), brute's exact cosine
+    * and ordering over that bounded set. One body for both PQ paths,
+    * so the check query can never drift from the production shape.
+    */
+  private def exactRerank(enc: DataFrame, q: DataFrame, cand: DataFrame,
+      k: Int): DataFrame = {
     val rescored = enc.select(col("vec_id").as("neighbor_id"),
         col("v"), col("norm"))
       .join(broadcast(cand), Seq("neighbor_id"))
@@ -234,5 +226,80 @@ object Pq {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Stage 1 as a standalone relation: every (query, corpus) pair's
+    * ADC score with its per-query PQ rank `crk` — shared by the query
+    * path and the covering-margin spec (which asserts every TRUE
+    * top-k neighbor sits at `crk` well inside the candidate depth,
+    * the `annCandidates` profile pattern).
+    */
+  private[ops] def prefilterRanks(embeddings: DataFrame, nQueries: Long,
+      m: Int, kCodes: Int, trainMod: Int): DataFrame = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val b = codebookFor(base, m, kCodes, trainMod)
+    val enc = encoded(embeddings, b)
+    val q = withQtab(queriesOf(enc, nQueries), b)
+      .select(col("query_id"), col("qtab"), col("qn"))
+    pqRank(enc.select(col("vec_id"), col("codes"), col("pq_norm")),
+      q, b, Seq.empty)
+  }
+
+  def knnPqRerank(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
+      m: Int = 16, kCodes: Int = 32, candidates: Int = 400,
+      trainMod: Int = 1): DataFrame = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val b = codebookFor(base, m, kCodes, trainMod)
+    val enc = encoded(embeddings, b)
+    val cand = prefilterRanks(embeddings, nQueries, m, kCodes, trainMod)
+      .filter(col("crk") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(enc, queriesOf(enc, nQueries), cand, k)
+  }
+
+  /** IVF × PQ — the canonical large-corpus ANN layout (both scale
+    * levers composed): the coarse quantizer's cells bound how many
+    * CODES are scanned per query (nProbe/nCells of the corpus), PQ
+    * bounds the BYTES per scanned row, and the exact rerank restores
+    * full precision on the Q·candidates survivors. Reuses the
+    * memoized IVF coarse quantizer (`Similarity.cellsFor` — the same
+    * fit every IVF family shares) and this file's codebooks, with the
+    * same ranking window and rerank tail as [[knnPqRerank]].
+    *
+    * At nProbe == nCells every cell is probed, each (query, vector)
+    * pair is scored exactly once (a vector lives in one cell, probe
+    * rows are unique), and the candidate stream equals the full-scan
+    * path's — so the output equals [[knnPqRerank]] and, at covering
+    * depth, [[Similarity.knnBrute]] bit-for-bit: the
+    * `x_knn_pq_ivf_check` driver gate pins the composition against
+    * the brute oracle (the `x_knn_quantized_ivf_check` pattern). At
+    * production probe counts it is approximate exactly like
+    * [[Similarity.knnIvf]].
+    */
+  def knnPqIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
+      nCells: Int = 16, nProbe: Int = 4, m: Int = 16, kCodes: Int = 32,
+      candidates: Int = 400, trainMod: Int = 1,
+      cellTrainMod: Int = 4): DataFrame = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val b = codebookFor(base, m, kCodes, trainMod)
+    val enc = encoded(embeddings, b)
+    val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
+    val q = queriesOf(enc, nQueries)
+    val qProbed = withQtab(q, b)
+      .select(col("query_id"), col("qtab"), col("qn"))
+      .join(Similarity.probeSets(
+          enc.filter(col("vec_id") < nQueries)
+            .select(col("vec_id"), col("v")), model, nProbe)
+        .select(col("vec_id").as("query_id"), col("cell")), "query_id")
+    val cand = pqRank(
+        enc.select(col("vec_id"), col("codes"), col("pq_norm"))
+          .join(cells, "vec_id"),
+        qProbed, b, Seq("cell"))
+      .filter(col("crk") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(enc, q, cand, k)
   }
 }

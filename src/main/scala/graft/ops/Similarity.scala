@@ -133,6 +133,27 @@ object Similarity {
     */
   private[ops] def quantizerCacheSize: Int = quantizers.size
 
+  /** Coarse-quantizer services for sibling operators (the IVF×PQ
+    * composition in [[Pq]]): the corpus cell assignment and the
+    * fitted model for probe enumeration. Uses the same canonical
+    * training lineage as every IVF family, so the composition shares
+    * the memoized fit instead of training its own.
+    */
+  private[ops] def cellsFor(embeddings: DataFrame, nCells: Int,
+      trainMod: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    val e = withNorm(embeddings).withColumn("fv",
+      array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val model = quantizerFor(e, nCells, trainMod)
+    (model.transform(e).select(col("vec_id"), col("cell")), model)
+  }
+
+  /** [[nearestCells]] for sibling operators: (vec_id, cell, rk) probe
+    * rows for `vecs` = (vec_id, v).
+    */
+  private[ops] def probeSets(vecs: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      nProbe: Int): DataFrame = nearestCells(vecs, model, nProbe)
+
   /** `nProbe` nearest coarse cells per vector, fully distributed: the
     * centroid table (nCells rows) broadcasts, every vector scores all
     * centroids, a per-vector window keeps the closest `nProbe` —

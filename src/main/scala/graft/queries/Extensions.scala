@@ -194,6 +194,13 @@ object Extensions {
     "x_knn_pq_rerank" -> ((s, d) =>
       Pq.knnPqRerank(t(s, d, "embeddings"))),
 
+    // IVF × PQ composed (the canonical FAISS-style layout) at
+    // nProbe == nCells: probing every cell makes the candidate stream
+    // equal the full PQ scan's, so the composition shares the brute
+    // oracle and the gate pins the cell machinery + ADC + rerank
+    "x_knn_pq_ivf_check" -> ((s, d) =>
+      Pq.knnPqIvf(t(s, d, "embeddings"), nCells = 16, nProbe = 16)),
+
     // int8 quantization audit — self-dot computed via the array fold
     // AND via the packed-binary codegen expressions, side by side, so
     // the hash compare pins the native pack/dot to the formula on
@@ -966,6 +973,10 @@ object Extensions {
     // PQ prefilter + exact rerank: at the covering candidate depth
     // the reranked top-k IS the brute top-k, so the oracle is brute's
     "x_knn_pq_rerank" -> knnBruteSql,
+
+    // IVF×PQ at nProbe == nCells: candidate stream provably equals
+    // the full PQ scan's, so the composition shares brute's oracle
+    "x_knn_pq_ivf_check" -> knnBruteSql,
 
     // int8 codes recomputed element-wise: abs/list_max stay FLOAT
     // (widened to DOUBLE exactly like Spark's cast), floor(x/s + 0.5)

@@ -154,6 +154,25 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Pq.clearCodebookCache()
   }
 
+  test("IVF×PQ at full probes equals the full-scan PQ rerank (and brute)") {
+    // the x_knn_pq_ivf_check contract: probing every cell makes the
+    // cell-blocked candidate stream equal the full PQ scan's, so the
+    // composed output must be bit-identical to both siblings; at
+    // partial probes the composition still returns k rows per query
+    val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+    try {
+      val brute = Similarity.knnBrute(emb).collect().toSeq
+      val full = Pq.knnPqIvf(emb, nCells = 16, nProbe = 16).collect().toSeq
+      assert(full == brute)
+      val partial = Pq.knnPqIvf(emb, nCells = 16, nProbe = 4)
+      assert(partial.groupBy("query_id").count().collect()
+        .forall(_.getLong(1) == 5L))
+    } finally {
+      Pq.clearCodebookCache()
+      Similarity.clearQuantizerCache()
+    }
+  }
+
   test("PQ prefilter covers the true neighbors with margin at the default depth") {
     // the contract behind reusing brute's oracle: if quantizer drift
     // ever pushes a true top-5 neighbor toward the 400-candidate
