@@ -206,14 +206,15 @@ object Bench {
       (line + "\n").getBytes("UTF-8"))
     val rowsPerSec =
       if (pipelineSec > 0) (loaded / pipelineSec).round else 0L
-    // compact summary printed LAST so the driver's stdout-tail window
-    // always holds one complete JSON object (see renderSummary)
-    println(renderSummary(withPipeline, rowsPerSec))
     val failed = withPipeline.count(_.err.isDefined)
+    // stop BEFORE the summary: Spark's shutdown chatter must not land
+    // after the compact line, so a bounded combined-output tail always
+    // ends with one complete JSON object (see renderSummary)
     spark.stop()
-    if (failed > 0) {
+    if (failed > 0)
       System.err.println(s"bench: $failed quer${if (failed == 1) "y" else "ies"} failed")
-      sys.exit(1)
-    }
+    println(renderSummary(withPipeline, rowsPerSec))
+    System.out.flush()
+    if (failed > 0) sys.exit(1)
   }
 }
