@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("int8_dot"),
       new ExpressionInfo(classOf[Int8Dot].getName, "int8_dot"),
       arity("int8_dot", 2)(exprs => Int8Dot(exprs.head, exprs(1)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("adc_dot"),
+      new ExpressionInfo(classOf[AdcDot].getName, "adc_dot"),
+      arity("adc_dot", 3)(exprs => AdcDot(exprs.head, exprs(1), exprs(2)))))
   }
 }

@@ -179,11 +179,13 @@ object Pq {
             lit(0.0d), (a, x) => a + x)))))
   }
 
-  /** ADC dot of `codes` against `qtab`: m table lookups per pair. */
-  private def adcOf(b: Codebook): Column = aggregate(
-    zip_with(col("codes"), sequence(lit(0), lit(b.m - 1)),
-      (c, s) => element_at(col("qtab"), s * b.k + c + 1)),
-    lit(0.0d), (a, x) => a + x)
+  /** ADC dot of `codes` against `qtab` via the native codegen
+    * expression `adc_dot` (m table lookups per pair, fused into the
+    * join's codegen stage — same left-fold order as the HOF
+    * `aggregate(zip_with(...))` form, bit-identical results).
+    */
+  private def adcOf(b: Codebook): Column =
+    call_function("adc_dot", col("codes"), col("qtab"), lit(b.k))
 
   /** Rank a (vec_id, codes, pq_norm[, …]) candidate stream against the
     * broadcast query tables by approximate PQ cosine — the shared
