@@ -80,7 +80,15 @@ object Pq {
       java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
       m, k, trainMod)
     codebooks.getOrElseUpdate(key) {
-      val cb = (0 until m).map { s =>
+      // the m fits are independent Spark jobs over tiny per-subspace
+      // projections — submit them concurrently (Spark's scheduler
+      // interleaves jobs safely) instead of paying m serial
+      // fit latencies; each fit is deterministic (fixed seed per
+      // subspace), so concurrency cannot change the codebook
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fits = (0 until m).map { s => Future {
         val sub = sample.select(array_to_vector(
           transform(slice(col("v"), s * subDim + 1, subDim),
             x => x.cast("double"))).as("fv"))
@@ -88,8 +96,9 @@ object Pq {
           .setFeaturesCol("fv").setPredictionCol("code")
           .fit(sub)
           .clusterCenters.map(_.toArray)
-      }.toArray
-      Codebook(m, k, subDim, cb)
+      }}
+      Codebook(m, k, subDim,
+        fits.map(Await.result(_, Duration.Inf)).toArray)
     }
   }
 
@@ -248,15 +257,32 @@ object Pq {
       q, b, Seq.empty)
   }
 
+  /** Candidate depth for a corpus of n vectors: 400 at fixture
+    * scale, growing as n/5 past 2,000 — the `autoCells` pattern.
+    * Measured necessity (`Prof <dir> pq`): at the 10× ScaleGen corpus
+    * the worst true-neighbor PQ rank is 1,148, past any fixed
+    * fixture-tuned depth — near-random embeddings put true neighbors
+    * (cosine ~0.3) inside a noise cloud that grows with n, so the
+    * covering depth must scale with it. Scanning 20 % of the 10-B
+    * codes still moves ~128× fewer bytes than scanning 100 % of the
+    * 256-B vectors, and the rerank stays Q·C exact cosines; corpora
+    * where 20 % is too expensive take [[knnPqIvf]] at production
+    * probes (approximate) instead.
+    */
+  private[ops] def autoCandidates(n: Long): Int =
+    math.max(400, (n / 5)).toInt
+
   def knnPqRerank(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
-      m: Int = 16, kCodes: Int = 32, candidates: Int = 400,
+      m: Int = 16, kCodes: Int = 32, candidates: Int = 0,
       trainMod: Int = 1): DataFrame = {
     val base = Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
     val b = codebookFor(base, m, kCodes, trainMod)
     val enc = encoded(embeddings, b)
+    val depth = if (candidates > 0) candidates
+      else autoCandidates(embeddings.count())
     val cand = prefilterRanks(embeddings, nQueries, m, kCodes, trainMod)
-      .filter(col("crk") <= candidates)
+      .filter(col("crk") <= depth)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(enc, queriesOf(enc, nQueries), cand, k)
   }
@@ -282,13 +308,15 @@ object Pq {
     */
   def knnPqIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
       nCells: Int = 16, nProbe: Int = 4, m: Int = 16, kCodes: Int = 32,
-      candidates: Int = 400, trainMod: Int = 1,
+      candidates: Int = 0, trainMod: Int = 1,
       cellTrainMod: Int = 4): DataFrame = {
     val base = Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
     val b = codebookFor(base, m, kCodes, trainMod)
     val enc = encoded(embeddings, b)
     val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
+    val depth = if (candidates > 0) candidates
+      else autoCandidates(embeddings.count())
     val q = queriesOf(enc, nQueries)
     val qProbed = withQtab(q, b)
       .select(col("query_id"), col("qtab"), col("qn"))
@@ -300,7 +328,7 @@ object Pq {
         enc.select(col("vec_id"), col("codes"), col("pq_norm"))
           .join(cells, "vec_id"),
         qProbed, b, Seq("cell"))
-      .filter(col("crk") <= candidates)
+      .filter(col("crk") <= depth)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(enc, q, cand, k)
   }

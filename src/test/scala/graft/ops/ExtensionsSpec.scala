@@ -189,6 +189,13 @@ class ExtensionsSpec extends AnyFunSuite {
           .agg(max(col("crk"))).head().getInt(0)
         assert(worst <= 200, s"covering margin eroded at $sf: worst=$worst")
       }
+      // the depth the contract leans on scales with the corpus: fixed
+      // 400 at fixture sizes, n/5 past 2,000 (at the 10× ScaleGen
+      // corpus the worst true rank is 1,148 — a fixed fixture-tuned
+      // depth would silently break brute-equality there)
+      assert(Pq.autoCandidates(500) == 400)
+      assert(Pq.autoCandidates(2000) == 400)
+      assert(Pq.autoCandidates(20000) == 4000)
     } finally Pq.clearCodebookCache()
   }
 
