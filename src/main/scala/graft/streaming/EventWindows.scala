@@ -217,6 +217,64 @@ object EventWindows {
       queryName, "update")
   }
 
+  /** Per-user retention state: first-event epoch day, the set of
+    * active epoch days, and a monotone update counter.
+    */
+  final case class RetentionState(cohortDay: Long, days: Set[Long],
+      version: Long)
+
+  /** Stateful streaming form of the retention-cohort query
+    * (`x_events_retention`): state per user is its cohort day + the
+    * set of active days (bounded by the stream's day span, not its
+    * event count) and each micro-batch emits the user's FULL current
+    * (cohort_day, day_offset) snapshot stamped with a monotone
+    * `version`. Snapshot-plus-version makes the fold order-tolerant
+    * where the funnel's min-fold relies on monotone firsts: a LATE
+    * batch carrying an earlier first event rewrites the cohort and
+    * every offset, and consumers simply keep each user's
+    * max-`version` rows — `SELECT … WHERE (user_id, version) IN
+    * (max per user)` — then aggregate distinct users per
+    * (cohort_day, day_offset). The spec pins equality with the batch
+    * query across forced multi-batch execution.
+    */
+  def streamingRetention(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+
+    val MsPerDay = 86400000L
+    def update(userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[RetentionState])
+        : Iterator[(Long, Long, java.sql.Date, Int)] = {
+      var st = state.getOption.getOrElse(
+        RetentionState(Long.MaxValue, Set.empty, 0L))
+      rows.foreach { case (_, ms) =>
+        val day = ms / MsPerDay // events are post-epoch; floor division
+        st = RetentionState(math.min(st.cohortDay, day), st.days + day,
+          st.version)
+      }
+      st = st.copy(version = st.version + 1)
+      state.update(st)
+      st.days.iterator.map(d => (userId, st.version,
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(st.cohortDay)),
+        (d - st.cohortDay).toInt))
+    }
+
+    val reader = spark.readStream.schema(schema)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    runToMemory(
+      tuned.parquet(dir)
+        .selectExpr("user_id", "unix_micros(ts) DIV 1000 AS ms")
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(update)
+        .toDF("user_id", "version", "cohort_day", "day_offset"),
+      queryName, "update")
+  }
+
   /** Structured Streaming form of [[tumblingHourly]], parameterized on
     * output mode because the watermark's role differs:
     * - `"append"` — the real-unbounded-source shape: the 2-hour
@@ -238,5 +296,21 @@ object EventWindows {
         // same aggregates as the batch form — the parity contract is
         // the full row, not just the count
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+      queryName, outputMode)
+
+  /** Structured Streaming form of [[slidingTwoHour]] — same watermark
+    * semantics as [[streamingTumblingHourly]]; a sliding window just
+    * assigns each event to windowDuration/slideDuration overlapping
+    * windows, so state per key is that factor larger and the
+    * append-mode eviction contract matters sooner on a real stream.
+    */
+  def streamingSlidingTwoHour(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String,
+      outputMode: String = "complete"): StreamingQuery =
+    runToMemory(
+      spark.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", "4 hours")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
       queryName, outputMode)
 }

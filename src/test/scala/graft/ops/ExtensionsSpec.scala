@@ -654,6 +654,43 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(divergent.isEmpty, divergent.mkString("; "))
   }
 
+  test("streaming sliding windows equal the batch form") {
+    // counts only (no float sums), so the parity check is exact
+    val events = graft.engine.Tables.table(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("events-sliding").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingSlidingTwoHour(
+      spark, dir, events.schema, "sliding_out")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_out")
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val batch = graft.streaming.EventWindows.slidingTwoHour(events)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful streaming retention equals the batch form across micro-batches") {
+    val events = graft.engine.Tables.table(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("events-retention").toString
+    // several files + maxFilesPerTrigger=1: state (cohort + day set)
+    // must survive batches, and a batch carrying an earlier first
+    // event must rewrite the user's cohort via the snapshot emission
+    events.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingRetention(
+      spark, dir, events.schema, "retention_out", maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    val snap = spark.table("retention_out")
+    // keep each user's latest snapshot (max version), then aggregate
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+    val latest = snap
+      .withColumn("maxv", max(col("version")).over(byUser))
+      .filter(col("version") === col("maxv"))
+    val streamed = latest.groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val batch = Extensions.queries("x_events_retention")(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stateful streaming sessionization equals the batch form") {
     val events = graft.engine.Tables.table(spark, sf, "events")
     val dir = java.nio.file.Files.createTempDirectory("events-sessions").toString
