@@ -559,11 +559,13 @@ object Similarity {
     val planesCol = array(planes.map(pl => array(pl.map(lit): _*)): _*)
 
     val e = withNorm(embeddings)
+    // plane·v via the codegen dot (identical sequential left fold —
+    // the sign, and with it the bucket, the probe set and the oracle
+    // contract, cannot move); only the bucket assembly stays a HOF
     val bucketed = e.withColumn("bucket",
       aggregate(
         zip_with(planesCol, sequence(lit(0), lit(nPlanes - 1)), (plane, ix) =>
-          when(aggregate(zip_with(plane, col("v"), (p, x) => p * x),
-            lit(0.0d), (acc, v) => acc + v) >= 0,
+          when(call_function("dot_d", plane, col("v")) >= 0,
             pow(lit(2.0d), ix).cast("long")).otherwise(lit(0L))),
         lit(0L), (acc, bit) => acc + bit))
 
