@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("adc_dot"),
       new ExpressionInfo(classOf[AdcDot].getName, "adc_dot"),
       arity("adc_dot", 3)(exprs => AdcDot(exprs.head, exprs(1), exprs(2)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      arity("pq_encode", 3)(exprs => PqEncode(exprs.head, exprs(1), exprs(2)))))
   }
 }

@@ -102,24 +102,46 @@ object Pq {
     }
   }
 
-  /** The codebook as a nested plan literal: [m][k][subDim] doubles. */
+  /** The codebook as a nested plan literal: [m][k][subDim] doubles.
+    * `typedLit` embeds the whole structure as ONE literal object — an
+    * `array(lit, …)` of thousands of elements generates one codegen
+    * assignment per element and overflows janino's parser (measured:
+    * a 2,048-literal CreateArray fails to compile and silently falls
+    * back to interpreted evaluation).
+    */
   private def cbCol(b: Codebook): Column =
-    array(b.cb.map(sub => array(sub.map(cent =>
-      array(cent.map(lit).toIndexedSeq: _*)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    typedLit(b.cb.map(_.map(_.toIndexedSeq).toIndexedSeq).toIndexedSeq)
 
   /** Per-(subspace, code) centroid self-dot as a flat [m·k] literal —
     * lets the PQ norm cost m lookups per vector instead of m·subDim
     * multiplications.
     */
   private def sqTabCol(b: Codebook): Column =
-    array((for (s <- 0 until b.m; c <- 0 until b.k)
-      yield lit(b.cb(s)(c).map(x => x * x).sum)).toIndexedSeq: _*)
+    typedLit((for (s <- 0 until b.m; c <- 0 until b.k)
+      yield b.cb(s)(c).map(x => x * x).sum).toIndexedSeq)
+
+  /** The codebook as a FLAT plan literal in (s, c, j) order —
+    * `pq_encode`'s layout: centroid (s, c) occupies
+    * `[(s·k + c)·subDim, +subDim)`.
+    */
+  private def cbFlatCol(b: Codebook): Column =
+    typedLit((for (s <- 0 until b.m; c <- 0 until b.k; j <- 0 until b.subDim)
+      yield b.cb(s)(c)(j)).toIndexedSeq)
 
   /** Encode a vector column: codes(s) = argmin_c ||v[s·subDim ..] −
-    * cb(s)(c)||² — pure column HOFs, fully distributed; distance ties
-    * break to the lower code (strict `<` keeps the first minimum).
+    * cb(s)(c)||², via the native codegen expression `pq_encode` —
+    * the per-vector hot loop of the one-time corpus index build.
+    * Distance ties break to the lower code (strict `<` keeps the
+    * first minimum), identical to the HOF form [[codesOfHof]] that
+    * the bit-equality spec keeps pinned.
     */
-  private def codesOf(v: Column, b: Codebook): Column = {
+  private def codesOf(v: Column, b: Codebook): Column =
+    call_function("pq_encode", v, cbFlatCol(b), lit(b.m))
+
+  /** The interpreted-HOF reference implementation of [[codesOf]] —
+    * kept solely as the spec's bit-equality oracle for `pq_encode`.
+    */
+  private[ops] def codesOfHof(v: Column, b: Codebook): Column = {
     val cbc = cbCol(b)
     transform(sequence(lit(0), lit(b.m - 1)), s => {
       val sub = slice(v, s * b.subDim + 1, lit(b.subDim))
@@ -151,6 +173,18 @@ object Pq {
         zip_with(col("codes"), sequence(lit(0), lit(b.m - 1)),
           (c, s) => element_at(sq, s * b.k + c + 1)),
         lit(0.0d), (a, x) => a + x)))
+  }
+
+  /** Spec hook: native and HOF codes side by side for the
+    * bit-equality pin of `pq_encode`.
+    */
+  private[ops] def encodedBoth(embeddings: DataFrame): DataFrame = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val b = codebookFor(base, 16, 32, 1)
+    base.select(col("vec_id"),
+      codesOf(col("v"), b).as("codes_native"),
+      codesOfHof(col("v"), b).as("codes_hof"))
   }
 
   /** Spec hook: the encoded corpus for the default geometry. */

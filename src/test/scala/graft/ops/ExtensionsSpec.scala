@@ -173,6 +173,18 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native pq_encode emits the same codes as the HOF argmin, element for element") {
+    import org.apache.spark.sql.functions._
+    try {
+      for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+        val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+        val diverged = Pq.encodedBoth(emb)
+          .filter(col("codes_native") =!= col("codes_hof")).count()
+        assert(diverged == 0L, s"pq_encode drifted from the HOF argmin at $sf")
+      }
+    } finally Pq.clearCodebookCache()
+  }
+
   test("PQ prefilter covers the true neighbors with margin at the default depth") {
     // the contract behind reusing brute's oracle: if quantizer drift
     // ever pushes a true top-5 neighbor toward the 400-candidate
