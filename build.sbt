@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run stdout must pass through RAW: sbt's default logger wraps
+// it with an "[info] " prefix, which made the bench summary line —
+// printed LAST precisely so a bounded stdout tail ends with one
+// complete JSON object — unparseable for 9 rounds (BENCH_r*.json
+// "parsed": null). StdoutOutput hands the child's stdout straight
+// to ours, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

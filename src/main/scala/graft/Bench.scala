@@ -79,44 +79,53 @@ object Bench {
         QResult(name, None, Some(s"${e.getClass.getName}: ${e.getMessage}"))
     }
 
-  /** Run a query map; pure over the inputs so the error path is
-    * spec-testable without a full bench.
-    *
-    * Reps are PASS-INTERLEAVED: `reps` full passes over the whole
-    * (name-sorted) suite, each query's median taken ACROSS passes.
-    * Back-to-back per-query reps (the pre-round-9 shape) let a single
+  /** The interleaved core: `reps` full passes over the thunk list in
+    * the GIVEN order, each leg's median taken ACROSS passes.
+    * Back-to-back per-leg reps (the pre-round-9 shape) let a single
     * multi-minute host transient poison all reps of a contiguous
-    * query block — median-of-3 cannot reject a transient longer than
-    * one query's reps. With passes minutes apart, a transient inflates
-    * at most one of each query's three samples and the median holds.
+    * block — median-of-3 cannot reject a transient longer than one
+    * leg's reps. With passes minutes apart, a transient inflates at
+    * most one of each leg's samples and the median holds. The
+    * round-10 change routes EVERY timed leg through here — including
+    * the headline pipeline leg, whose 3 back-to-back reps the round-9
+    * artifact let one late transient poison into a 31× phantom.
     *
-    * A query that throws in ANY pass is reported as an error (no
-    * timing) and skipped in the remaining passes — same honesty
-    * contract as before: a broken query can never masquerade as fast.
+    * A leg that throws in ANY pass is reported as an error (no
+    * timing) and skipped in the remaining passes — a broken leg can
+    * never masquerade as fast.
     */
-  def runAll(spark: SparkSession, sfDir: String,
-      queries: Seq[(String, (SparkSession, String) => DataFrame)],
-      reps: Int, action: DataFrame => Unit): Seq[QResult] = {
-    val sorted = queries.sortBy(_._1)
+  def runThunks(thunks: Seq[(String, () => Unit)], reps: Int): Seq[QResult] = {
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val errs = scala.collection.mutable.Map.empty[String, String]
-    for (_ <- 1 to reps; (name, fn) <- sorted if !errs.contains(name))
+    for (_ <- 1 to reps; (name, fn) <- thunks if !errs.contains(name))
       try {
         val t0 = System.nanoTime()
-        action(fn(spark, sfDir))
+        fn()
         times.update(name,
           times.getOrElse(name, Vector.empty) :+ (System.nanoTime() - t0) / 1e9)
       } catch {
         case e: Throwable =>
           errs(name) = s"${e.getClass.getName}: ${e.getMessage}"
       }
-    sorted.map { case (name, _) =>
+    thunks.map { case (name, _) =>
       errs.get(name) match {
         case Some(m) => QResult(name, None, Some(m))
         case None    => QResult(name, Some(median(times(name))), None)
       }
     }
   }
+
+  /** Run a query map (name-sorted) through the interleaved core; pure
+    * over the inputs so the error path is spec-testable without a
+    * full bench.
+    */
+  def runAll(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      reps: Int, action: DataFrame => Unit): Seq[QResult] =
+    runThunks(
+      queries.sortBy(_._1).map { case (name, fn) =>
+        name -> (() => action(fn(spark, sfDir)))
+      }, reps)
 
   /** The one JSON line. Field layout is upward-compatible with prior
     * rounds (`metric/value/unit/queries/sf/pipeline_*`); adds
@@ -167,39 +176,33 @@ object Bench {
     // query reflects steady-state, not session startup
     graft.engine.Tables.names.foreach(n =>
       graft.engine.Tables.table(spark, sfDir, n).count())
-    val results = runAll(spark, sfDir, SparkEntry.queries.toSeq, reps = 3, action)
 
     // headline BASELINE comparison: ingest -> SQL transform -> sink
     // load of the 100k-row (at sf0.1) events table, the analog of the
     // reference's "100K+ rows end-to-end" metric (BASELINE.md)
     val events = graft.engine.Tables.table(spark, sfDir, "events")
-    def pipelineOnce(): (Long, Double) = {
+    @volatile var pipelineRows = 0L
+    def pipelineOnce(): Unit = {
       val sinkDir = java.nio.file.Files.createTempDirectory("bench-sink").toString
-      val p0 = System.nanoTime()
-      val loaded = graft.engine.Engine.withSqlOver(spark, events, "events",
+      pipelineRows = graft.engine.Engine.withSqlOver(spark, events, "events",
         """SELECT event_id, user_id, event_type, value,
           |  get_json_object(props, '$.k') AS k_val FROM events""".stripMargin) { out =>
         new graft.writer.ParquetWriter(s"$sinkDir/events_out")
           .write(out, graft.writer.WriteMode.Append).rowsWritten
       }
-      (loaded, (System.nanoTime() - p0) / 1e9)
     }
-    // the pipeline leg reports through the same contract as every
-    // query: a breakage lands in the errors object and the JSON line
-    // + artifact are still emitted (not a crash that discards the
-    // preceding full run)
-    val (pipelineResult, loaded, pipelineSec) =
-      try {
-        val runs = (1 to 3).map(_ => pipelineOnce())
-        val (rows, sec) = runs.sortBy(_._2).apply((runs.size - 1) / 2)
-        (QResult("x_pipeline_100k_load", Some(sec), None), rows, sec)
-      } catch {
-        case e: Throwable =>
-          (QResult("x_pipeline_100k_load", None,
-            Some(s"${e.getClass.getName}: ${e.getMessage}")), 0L, 0.0)
-      }
-
-    val withPipeline = results :+ pipelineResult
+    // the pipeline leg runs INSIDE the interleaved pass loop — its 3
+    // reps land minutes apart like every query's, so one late host
+    // transient can no longer poison all of them (the round-9
+    // artifact's 17.6 s-for-a-0.6 s-pipeline phantom); it reports
+    // through the same honesty contract (errors object, nonzero exit)
+    val thunks = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) => name -> (() => action(fn(spark, sfDir)))
+    } :+ ("x_pipeline_100k_load" -> (() => pipelineOnce()))
+    val withPipeline = runThunks(thunks, reps = 3)
+    val pipelineResult = withPipeline.last
+    val loaded = pipelineRows
+    val pipelineSec = pipelineResult.secs.getOrElse(0.0)
     val line = renderJson(withPipeline, sfDir, actionName, loaded, pipelineSec)
     println(line)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -79,6 +79,22 @@ class BenchSpec extends AnyFunSuite {
     assert(order.toSeq == Seq("q_a", "q_b", "q_a", "q_b", "q_a", "q_b"))
   }
 
+  test("runThunks interleaves arbitrary legs (the pipeline leg rides the pass loop)") {
+    // the headline pipeline leg is appended as a thunk to the same
+    // interleaved pass loop as the queries — its reps must alternate
+    // with theirs, not run back-to-back at the end (the round-9
+    // artifact's transient-poisoned 31× phantom)
+    val order = scala.collection.mutable.Buffer[String]()
+    val thunks = Seq[(String, () => Unit)](
+      "q_a" -> (() => { order += "q_a"; () }),
+      "x_pipeline_100k_load" -> (() => { order += "pipe"; () }))
+    val results = Bench.runThunks(thunks, reps = 3)
+    assert(order.toSeq ==
+      Seq("q_a", "pipe", "q_a", "pipe", "q_a", "pipe"))
+    assert(results.map(_.name) == Seq("q_a", "x_pipeline_100k_load"))
+    assert(results.forall(_.secs.isDefined))
+  }
+
   test("a query erroring in a later pass is still reported as an error") {
     var calls = 0
     def flaky(s: org.apache.spark.sql.SparkSession, @annotation.unused d: String): DataFrame = {
