@@ -28,6 +28,8 @@ case class AdcDot(first: Expression, second: Expression, third: Expression)
 
   override def nullable: Boolean = true
 
+  override def prettyName: String = "adc_dot"
+
   override def checkInputDataTypes(): TypeCheckResult =
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(IntegerType, _), ArrayType(DoubleType, _), IntegerType) =>

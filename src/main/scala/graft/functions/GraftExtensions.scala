@@ -54,5 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       arity("pq_encode", 3)(exprs => PqEncode(exprs.head, exprs(1), exprs(2)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("pq_pack"),
+      new ExpressionInfo(classOf[PqPack].getName, "pq_pack"),
+      arity("pq_pack", 1)(exprs => PqPack(exprs.head))))
+    extensions.injectFunction((
+      new FunctionIdentifier("adc_dot_packed"),
+      new ExpressionInfo(classOf[AdcDotPacked].getName, "adc_dot_packed"),
+      arity("adc_dot_packed", 3)(exprs =>
+        AdcDotPacked(exprs.head, exprs(1), exprs(2)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("sdc_dot"),
+      new ExpressionInfo(classOf[SdcDot].getName, "sdc_dot"),
+      arity("sdc_dot", 4)(exprs =>
+        SdcDot(exprs.head, exprs(1), exprs(2), exprs(3)))))
   }
 }

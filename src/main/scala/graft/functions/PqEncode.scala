@@ -22,8 +22,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   * brute-oracle contract — are identical.
   *
   * Null contract: null input → null, null element → null, and a
-  * geometry that doesn't divide evenly (v.length % m != 0, or
-  * codebook not a multiple of m·subDim) → null.
+  * geometry that doesn't divide evenly (v.length % m != 0, an empty
+  * vector, or codebook not a multiple of m·subDim) → null.
   */
 case class PqEncode(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression {
@@ -31,6 +31,8 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullable: Boolean = true
+
+  override def prettyName: String = "pq_encode"
 
   override def checkInputDataTypes(): TypeCheckResult =
     (ArrayNum.elemOf(first.dataType), second.dataType, third.dataType) match {
@@ -47,7 +49,10 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
     val m = mAny.asInstanceOf[Int]
     val get = ArrayNum.getterOf(first.dataType)
     val dim = v.numElements()
-    if (m <= 0 || dim % m != 0) return null
+    // dim == 0 would pass the modulo check with subDim = 0 and then
+    // divide by zero in `cbn % (m * subDim)` — an empty vector is a
+    // geometry violation like any other and yields null
+    if (m <= 0 || dim == 0 || dim % m != 0) return null
     val subDim = dim / m
     val cbn = cb.numElements()
     if (cbn == 0 || cbn % (m * subDim) != 0) return null
@@ -96,7 +101,7 @@ case class PqEncode(first: Expression, second: Expression, third: Expression)
       s"""
          |int $dim = $v.numElements();
          |int $cbn = $cb.numElements();
-         |boolean $bad = ($m <= 0) || ($dim % $m != 0) || ($cbn == 0);
+         |boolean $bad = ($m <= 0) || ($dim == 0) || ($dim % $m != 0) || ($cbn == 0);
          |int $subDim = $bad ? 1 : ($dim / $m);
          |$bad = $bad || ($cbn % ($m * $subDim) != 0);
          |if ($bad) {

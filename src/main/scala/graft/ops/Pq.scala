@@ -72,14 +72,23 @@ object Pq {
     */
   private def codebookFor(e: DataFrame, m: Int, k: Int,
       trainMod: Int): Codebook = {
-    val dim = 64
-    val subDim = dim / m
     val sample = e.select(col("vec_id"), col("v"))
       .filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
     val key = (sample.queryExecution.optimizedPlan.semanticHash(),
       java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
       m, k, trainMod)
     codebooks.getOrElseUpdate(key) {
+      // the subspace geometry comes from the DATA, not a constant: a
+      // corpus of any dimension trains a codebook whose flat length
+      // agrees with its vectors, and an m that doesn't divide the
+      // observed dim fails HERE with a real error instead of
+      // pq_encode's geometry check silently nulling every code
+      // downstream. One 1-row driver fetch, paid only on a memo miss
+      // (the KMeans fits below each run whole Spark jobs).
+      val dim = e.select(size(col("v")).as("d")).head.getInt(0)
+      require(dim > 0 && dim % m == 0,
+        s"pq: corpus dimension $dim is not divisible into m=$m subspaces")
+      val subDim = dim / m
       // the m fits are independent Spark jobs over tiny per-subspace
       // projections — submit them concurrently (Spark's scheduler
       // interleaves jobs safely) instead of paying m serial
@@ -128,6 +137,21 @@ object Pq {
     typedLit((for (s <- 0 until b.m; c <- 0 until b.k; j <- 0 until b.subDim)
       yield b.cb(s)(c)(j)).toIndexedSeq)
 
+  /** The symmetric-distance table as a flat [m·k·k] literal —
+    * `sdc_dot`'s layout: `tab[(s·k + ca)·k + cb] =
+    * <cb(s)(ca), cb(s)(cb)>`. m·k² = 16,384 doubles at the default
+    * geometry (~128 KB) — one `typedLit` object, same janino
+    * rationale as [[cbCol]]; symmetric in (ca, cb) by construction.
+    */
+  private def sdcTabCol(b: Codebook): Column =
+    typedLit((for (s <- 0 until b.m; ca <- 0 until b.k; cb <- 0 until b.k)
+      yield {
+        var acc = 0.0d
+        var j = 0
+        while (j < b.subDim) { acc += b.cb(s)(ca)(j) * b.cb(s)(cb)(j); j += 1 }
+        acc
+      }).toIndexedSeq)
+
   /** Encode a vector column: codes(s) = argmin_c ||v[s·subDim ..] −
     * cb(s)(c)||², via the native codegen expression `pq_encode` —
     * the per-vector hot loop of the one-time corpus index build.
@@ -158,10 +182,19 @@ object Pq {
     })
   }
 
-  /** The encoded corpus: (vec_id, v, norm, codes, pq_norm). `pq_norm`
-    * is the reconstruction's norm — since the reconstruction is the
-    * concatenation of per-subspace centroids, its self-dot is the sum
-    * of m table lookups.
+  /** The encoded corpus: (vec_id, v, norm, codes, pcodes, pq_norm).
+    * `pq_norm` is the reconstruction's norm — since the
+    * reconstruction is the concatenation of per-subspace centroids,
+    * its self-dot is the sum of m table lookups. `pcodes` is the
+    * byte-packed code vector (`pq_pack`): m bytes instead of an
+    * `array<int>`'s ~(8 + 4·m + bitmap) Tungsten bytes, so the codes
+    * relation the retrieval stage scans (and any shuffle/broadcast
+    * that ever carries it) realizes the claimed 16–25× reduction.
+    * `codes` (the int-array form) stays as a NAMED intermediate:
+    * referencing it from both `pcodes` and `pq_norm` keeps
+    * CollapseProject from inlining — and thereby duplicating — the
+    * non-cheap `pq_encode`, so the corpus is argmin-encoded exactly
+    * once per row (PqPlanSpec pins the single encode site).
     */
   private[ops] def encoded(embeddings: DataFrame, b: Codebook): DataFrame = {
     val sq = sqTabCol(b)
@@ -169,6 +202,7 @@ object Pq {
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
       .withColumn("codes", codesOf(col("v"), b))
+      .withColumn("pcodes", call_function("pq_pack", col("codes")))
       .withColumn("pq_norm", sqrt(aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(b.m - 1)),
           (c, s) => element_at(sq, s * b.k + c + 1)),
@@ -222,15 +256,17 @@ object Pq {
             lit(0.0d), (a, x) => a + x)))))
   }
 
-  /** ADC dot of `codes` against `qtab` via the native codegen
-    * expression `adc_dot` (m table lookups per pair, fused into the
-    * join's codegen stage — same left-fold order as the HOF
-    * `aggregate(zip_with(...))` form, bit-identical results).
+  /** ADC dot of the BYTE-PACKED `pcodes` against `qtab` via the
+    * native codegen expression `adc_dot_packed` (m table lookups per
+    * pair, fused into the join's codegen stage — same left-fold order
+    * as the int-array `adc_dot` and the HOF `aggregate(zip_with(...))`
+    * form, bit-identical results; the pack/ADC round-trip spec pins
+    * it).
     */
   private def adcOf(b: Codebook): Column =
-    call_function("adc_dot", col("codes"), col("qtab"), lit(b.k))
+    call_function("adc_dot_packed", col("pcodes"), col("qtab"), lit(b.k))
 
-  /** Rank a (vec_id, codes, pq_norm[, …]) candidate stream against the
+  /** Rank a (vec_id, pcodes, pq_norm[, …]) candidate stream against the
     * broadcast query tables by approximate PQ cosine — the shared
     * stage-1 ranking window of both the full-scan and the
     * cell-blocked path.
@@ -279,16 +315,26 @@ object Pq {
     * top-k neighbor sits at `crk` well inside the candidate depth,
     * the `annCandidates` profile pattern).
     */
+  /** [[prefilterRanks]] over an ALREADY-encoded corpus — the query
+    * path shares one `encoded(...)` subtree between stage 1 and the
+    * rerank (column pruning strips `pq_encode` from the
+    * vectors-only rerank branch, so the corpus is PQ-encoded exactly
+    * once per query; PqPlanSpec pins the single encode subtree).
+    */
+  private[ops] def prefilterRanksOf(enc: DataFrame, b: Codebook,
+      nQueries: Long): DataFrame = {
+    val q = withQtab(queriesOf(enc, nQueries), b)
+      .select(col("query_id"), col("qtab"), col("qn"))
+    pqRank(enc.select(col("vec_id"), col("pcodes"), col("pq_norm")),
+      q, b, Seq.empty)
+  }
+
   private[ops] def prefilterRanks(embeddings: DataFrame, nQueries: Long,
       m: Int, kCodes: Int, trainMod: Int): DataFrame = {
     val base = Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
     val b = codebookFor(base, m, kCodes, trainMod)
-    val enc = encoded(embeddings, b)
-    val q = withQtab(queriesOf(enc, nQueries), b)
-      .select(col("query_id"), col("qtab"), col("qn"))
-    pqRank(enc.select(col("vec_id"), col("codes"), col("pq_norm")),
-      q, b, Seq.empty)
+    prefilterRanksOf(encoded(embeddings, b), b, nQueries)
   }
 
   /** Candidate depth for a corpus of n vectors: 400 at fixture
@@ -304,21 +350,169 @@ object Pq {
     * probes (approximate) instead.
     */
   private[ops] def autoCandidates(n: Long): Int =
-    math.max(400, (n / 5)).toInt
+    // clamp BEFORE narrowing: a bare `(n / 5).toInt` overflows to a
+    // negative depth past ~10.7B rows — the 100 TB regime — and a
+    // negative depth filters out every candidate (silently empty
+    // results instead of brute-equal top-k)
+    math.min(math.max(400L, n / 5L), Int.MaxValue.toLong).toInt
+
+  /** Corpus row count, memoized per (plan, file set) alongside the
+    * codebook memo — `autoCandidates` would otherwise issue an extra
+    * driver-side count job on every invocation.
+    */
+  private val counts = new BoundedMemo[(Int, Int), Long](capacity = 32)
+
+  private def countFor(e: DataFrame): Long = {
+    val key = (e.queryExecution.optimizedPlan.semanticHash(),
+      java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]))
+    counts.getOrElseUpdate(key)(e.count())
+  }
+
+  /** Ceiling on the Q·depth candidate set the exactness-gate rerank
+    * BROADCASTS (two longs per row ≈ 64 MB at this bound — inside
+    * Spark's broadcast comfort zone). The linear-depth exactness gate
+    * would otherwise silently hit the broadcast limit near ~10M
+    * vectors; past the bound, take [[knnPqIvf]] at production probe
+    * counts — the `Dedup.embeddingCosinePairs` enforced-bound
+    * pattern.
+    */
+  private[ops] val maxRerankCandidates = 4L * 1000 * 1000
+
+  private def requireRerankBound(nQueries: Long, depth: Int): Unit =
+    require(nQueries * depth <= maxRerankCandidates,
+      s"pq rerank would broadcast $nQueries queries x $depth candidates " +
+        s"(> $maxRerankCandidates): past this scale the exactness-gate " +
+        "configuration is the wrong tool — use knnPqIvf with production " +
+        "nProbe/candidates, or cap `candidates` explicitly")
 
   def knnPqRerank(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
       m: Int = 16, kCodes: Int = 32, candidates: Int = 0,
       trainMod: Int = 1): DataFrame = {
     val base = Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
+    val depth = if (candidates > 0) candidates
+      else autoCandidates(countFor(base))
+    requireRerankBound(nQueries, depth)
     val b = codebookFor(base, m, kCodes, trainMod)
     val enc = encoded(embeddings, b)
-    val depth = if (candidates > 0) candidates
-      else autoCandidates(embeddings.count())
-    val cand = prefilterRanks(embeddings, nQueries, m, kCodes, trainMod)
+    val cand = prefilterRanksOf(enc, b, nQueries)
       .filter(col("crk") <= depth)
       .select(col("query_id"), col("neighbor_id"))
     exactRerank(enc, queriesOf(enc, nQueries), cand, k)
+  }
+
+  /** PQ-accelerated embedding near-dup — the two-lever layout of
+    * [[knnPqIvf]] applied to DEDUP: the IVF cells bound which pairs
+    * are generated (the `Similarity.embeddingNearDupAnn` candidate
+    * machinery, probe×primary cell join with the same disjoint
+    * boundA split), and the pair stream carries m-BYTE packed codes
+    * instead of 256 B vectors — the cell join's shuffle payload,
+    * the dominant I/O term of near-dup at 100 TB, drops ~16×. Pair
+    * scoring is SDC (symmetric distance: both sides are codes, so
+    * the approximate dot is centroid-vs-centroid via the broadcast
+    * [m·k²] table — `sdc_dot`, codegen'd); pairs whose SDC cosine
+    * clears `minCosine - margin` fetch their full vectors (two
+    * broadcast-survivor equi-joins, the [[exactRerank]] pattern) and
+    * are verified with EXACT cosine — bit-identical formula and
+    * division order to `Dedup.embeddingCosinePairs`.
+    *
+    * Exactness contract (the `x_knn_pq_ivf_check` pattern): at
+    * nProbe == nCells every (a, b) pair reaches the SDC filter, and
+    * at a margin that covers the measured one-sided gap
+    * `exact − SDC` on qualifying pairs ([[sdcTruePairGap]]) no true
+    * pair is lost — the output equals
+    * `Dedup.embeddingCosinePairs(embeddings, minCosine, boundA)`
+    * bit-for-bit and shares its full DuckDB oracle.
+    *
+    * The default margin is the measured covering point for these
+    * corpora: worst gap 0.30 / 0.28 / 0.32 at sf0.001/0.01/0.1
+    * (near-random synthetic embeddings are PQ's adversarial case —
+    * both sides quantized, so SDC noise is ~2× ADC's, and the dup
+    * threshold 0.4 sits barely above the ~0.3 noise-cloud top, so
+    * the 0.35 margin leaves only a ~3× SDC prune here). On a real
+    * near-dup corpus (dups at cosine 0.9+, clustered embeddings) the
+    * gap is far below the threshold-to-noise distance and the SDC
+    * stage prunes orders of magnitude; margin is the recall knob. At
+    * production nProbe the candidate volume is O(n^1.5·nProbe)
+    * exactly like [[Similarity.embeddingNearDupAnn]] — and whatever
+    * the margin, the CELL JOIN (the dominant shuffle) moves m-byte
+    * codes, never vectors.
+    */
+  def embeddingNearDupPq(embeddings: DataFrame, minCosine: Double = 0.4,
+      nCells: Int = 16, nProbe: Int = 16, m: Int = 16, kCodes: Int = 32,
+      trainMod: Int = 1, cellTrainMod: Int = 4, margin: Double = 0.35,
+      boundA: Long = 500): DataFrame = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val b = codebookFor(base, m, kCodes, trainMod)
+    val enc = encoded(embeddings, b)
+    val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
+    val codesRel = enc.select(col("vec_id"), col("pcodes"), col("pq_norm"))
+    val probes = Similarity.probeSets(
+      enc.select(col("vec_id"), col("v")), model, nProbe)
+    val left = probes.join(codesRel, "vec_id")
+      .select(col("vec_id"), col("cell"),
+        col("pcodes").as("pa"), col("pq_norm").as("pqa"))
+    val right = cells.join(codesRel, "vec_id")
+      .select(col("vec_id").as("p_id"), col("cell"),
+        col("pcodes").as("pb"), col("pq_norm").as("pqb"))
+    val sdcCos = call_function("sdc_dot", col("pa"), col("pb"),
+      sdcTabCol(b), lit(b.k)) / col("pqa") / col("pqb")
+    val survivors = Similarity.cellJoin(left, right, boundA)
+      .filter(col("vec_id") =!= col("p_id"))
+      .filter(sdcCos >= minCosine - margin)
+      .select(least(col("vec_id"), col("p_id")).as("vec_a"),
+        greatest(col("vec_id"), col("p_id")).as("vec_b"))
+      .distinct()
+    // exact verify on survivors only: the corpus stays partitioned,
+    // the survivor pair list (and then the a-side enriched pairs)
+    // broadcast — full vectors are touched for survivors alone
+    val av = enc.select(col("vec_id").as("vec_a"),
+      col("v").as("va"), col("norm").as("na"))
+    val bv = enc.select(col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("norm").as("nb"))
+    val withA = av.join(broadcast(survivors), Seq("vec_a"))
+    bv.join(broadcast(withA), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        Similarity.cosineWithNorms(col("va"), col("vb"),
+          col("na"), col("nb")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** Spec/profile hook: worst |SDC cosine − exact cosine| over all
+    * scored pairs with min(id) < boundA — the measured covering
+    * margin that [[embeddingNearDupPq]]'s default must dominate.
+    */
+  /** The covering statistic for [[embeddingNearDupPq]]'s margin: the
+    * worst ONE-SIDED underestimate `exact − SDC` over pairs at or
+    * near the threshold (exact cosine ≥ `nearMin`). Only
+    * underestimates on qualifying pairs can lose a true pair — an
+    * overestimate merely lets a non-pair through to the exact
+    * verify, which filters it.
+    */
+  private[graft] def sdcTruePairGap(embeddings: DataFrame, m: Int = 16,
+      kCodes: Int = 32, trainMod: Int = 1, boundA: Long = 500,
+      nearMin: Double = 0.35): Double = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val b = codebookFor(base, m, kCodes, trainMod)
+    val enc = encoded(embeddings, b)
+    val a = enc.filter(col("vec_id") < boundA)
+      .select(col("vec_id").as("vec_a"), col("v").as("va"),
+        col("norm").as("na"), col("pcodes").as("pa"), col("pq_norm").as("pqa"))
+    val bb = enc.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("norm").as("nb"), col("pcodes").as("pb"), col("pq_norm").as("pqb"))
+    val sdcCos = call_function("sdc_dot", col("pa"), col("pb"),
+      sdcTabCol(b), lit(b.k)) / col("pqa") / col("pqb")
+    val exact = Similarity.cosineWithNorms(col("va"), col("vb"),
+      col("na"), col("nb"))
+    a.join(bb, col("vec_a") < col("vec_b"))
+      .select(exact.as("cos"), (exact - sdcCos).as("gap"))
+      .filter(col("cos") >= nearMin)
+      .agg(max(col("gap")).as("worst"))
+      .head.getDouble(0)
   }
 
   /** IVF × PQ — the canonical large-corpus ANN layout (both scale
@@ -346,11 +540,12 @@ object Pq {
       cellTrainMod: Int = 4): DataFrame = {
     val base = Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
+    val depth = if (candidates > 0) candidates
+      else autoCandidates(countFor(base))
+    requireRerankBound(nQueries, depth)
     val b = codebookFor(base, m, kCodes, trainMod)
     val enc = encoded(embeddings, b)
     val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
-    val depth = if (candidates > 0) candidates
-      else autoCandidates(embeddings.count())
     val q = queriesOf(enc, nQueries)
     val qProbed = withQtab(q, b)
       .select(col("query_id"), col("qtab"), col("qn"))
@@ -359,7 +554,7 @@ object Pq {
             .select(col("vec_id"), col("v")), model, nProbe)
         .select(col("vec_id").as("query_id"), col("cell")), "query_id")
     val cand = pqRank(
-        enc.select(col("vec_id"), col("codes"), col("pq_norm"))
+        enc.select(col("vec_id"), col("pcodes"), col("pq_norm"))
           .join(cells, "vec_id"),
         qProbed, b, Seq("cell"))
       .filter(col("crk") <= depth)

@@ -341,7 +341,7 @@ object Similarity {
     * restricted to >= boundA so the branches are DISJOINT — no pair
     * is generated, or scored, twice across branches).
     */
-  private def cellJoin(left: DataFrame, right: DataFrame,
+  private[ops] def cellJoin(left: DataFrame, right: DataFrame,
       boundA: Long): DataFrame =
     if (boundA > 0)
       left.filter(col("vec_id") < boundA).join(right, "cell")

@@ -182,15 +182,26 @@ object Extensions {
     "x_dedup_embedding_ann" -> ((s, d) =>
       Similarity.embeddingNearDupAnn(t(s, d, "embeddings"))),
 
+    // PQ-accelerated near-dup (the two-lever ANN layout applied to
+    // dedup): the cell join carries 16-BYTE packed codes instead of
+    // 256 B vectors, pairs are SDC-prescored on codes alone, and full
+    // vectors are fetched only for margin-survivors. At all-cells
+    // probes + the measured covering margin the output equals the
+    // exact baseline bit-for-bit, so it shares its full DuckDB oracle
+    "x_dedup_embedding_pq" -> ((s, d) =>
+      Pq.embeddingNearDupPq(t(s, d, "embeddings"))),
+
     // ---- similarity search --------------------------------------------------
     "x_knn_brute" -> ((s, d) =>
       Similarity.knnBrute(t(s, d, "embeddings"))),
 
-    // PQ (product quantization) two-stage retrieval: 8×4-bit ADC
-    // prefilter to 100 candidates, exact cosine rerank to top-5 — at
-    // this covering depth the output equals brute bit-for-bit, so the
-    // memory-bound production index shape (32× smaller resident codes)
-    // carries the FULL brute oracle instead of a recall sibling
+    // PQ (product quantization) two-stage retrieval: 16-subspace ×
+    // 32-code (5-bit) ADC prefilter to an n-scaled candidate depth
+    // (max(400, n/5) — `Pq.autoCandidates`), exact cosine rerank to
+    // top-5 — at this covering depth the output equals brute
+    // bit-for-bit, so the memory-bound production index shape
+    // (16–25× smaller resident codes) carries the FULL brute oracle
+    // instead of a recall sibling
     "x_knn_pq_rerank" -> ((s, d) =>
       Pq.knnPqRerank(t(s, d, "embeddings"))),
 
@@ -967,6 +978,12 @@ object Extensions {
     // nProbe=12 the ANN candidates provably cover every true pair on
     // this corpus, so the outputs are identical (RecallCheck-verified)
     "x_dedup_embedding_ann_recall" -> embeddingPairsSql,
+
+    // PQ near-dup at all-cells + covering SDC margin: every pair is
+    // generated, no qualifying pair's SDC score falls below
+    // minCosine - margin (PqDedupSpec measures the gap), and the
+    // exact verify recomputes the baseline's cosine — identical rows
+    "x_dedup_embedding_pq" -> embeddingPairsSql,
 
     "x_knn_brute" -> knnBruteSql,
 

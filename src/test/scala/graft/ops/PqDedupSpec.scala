@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The PQ near-dup composition's exactness contract: at
+  * nProbe == nCells and a covering SDC margin,
+  * [[Pq.embeddingNearDupPq]] equals the exact bounded baseline
+  * [[Dedup.embeddingCosinePairs]] row-for-row — which is what lets
+  * the driver query carry the baseline's full DuckDB oracle.
+  */
+class PqDedupSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def emb(sf: String) =
+    graft.engine.Tables.table(spark, s"/root/testdata/$sf", "embeddings")
+
+  test("SDC one-sided gap on qualifying pairs is dominated by the default margin") {
+    try {
+      // the covering statistic: only an UNDERESTIMATE on a pair at or
+      // above the threshold can lose a true pair (overestimates pass
+      // through to the exact verify, which filters them). If the
+      // corpus generator or codebook geometry changes enough to push
+      // the gap past the 0.35 default margin, the exactness contract
+      // below is at risk and this test names it first.
+      val gap1 = Pq.sdcTruePairGap(emb("sf0.001"))
+      assert(gap1 < 0.33, f"sf0.001 worst exact-SDC gap $gap1%.4f leaves " +
+        "< 0.02 headroom under the default 0.35 margin")
+      Pq.clearCodebookCache()
+      // sf0.01 is the driver's correctness-gate corpus
+      val gap2 = Pq.sdcTruePairGap(emb("sf0.01"))
+      assert(gap2 < 0.33, f"sf0.01 worst exact-SDC gap $gap2%.4f leaves " +
+        "< 0.02 headroom under the default 0.35 margin")
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("embeddingNearDupPq at all-cells + covering margin equals the exact baseline") {
+    try {
+      val got = Pq.embeddingNearDupPq(emb("sf0.001")).collect().toSeq
+      val want = Dedup.embeddingCosinePairs(emb("sf0.001")).collect().toSeq
+      assert(want.nonEmpty, "fixture must contain near-dup pairs")
+      assert(got == want,
+        s"PQ near-dup must equal the exact baseline bit-for-bit " +
+          s"(got ${got.size} rows, want ${want.size})")
+    } finally {
+      Pq.clearCodebookCache()
+      Similarity.clearQuantizerCache()
+    }
+  }
+
+  test("embeddingNearDupPq plan: no cartesian, survivors fetched via broadcast joins") {
+    try {
+      val df = Pq.embeddingNearDupPq(emb("sf0.001"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"),
+        s"no unconstrained cartesian anywhere:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"survivor vector fetch must broadcast the pair list:\n$plan")
+      // the pair stream is scored on packed codes — the SDC filter
+      // must sit in the plan (pruning before any vector is fetched)
+      assert(plan.contains("sdc_dot"),
+        s"expected the SDC prefilter in the pair join:\n$plan")
+    } finally {
+      Pq.clearCodebookCache()
+      Similarity.clearQuantizerCache()
+    }
+  }
+}

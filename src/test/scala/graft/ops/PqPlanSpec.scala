@@ -41,6 +41,31 @@ class PqPlanSpec extends AnyFunSuite {
     } finally Pq.clearCodebookCache()
   }
 
+  test("knnPqRerank PQ-encodes the corpus exactly once (shared subtree, pruned rerank branch)") {
+    try {
+      val df = Pq.knnPqRerank(emb)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val n = "pq_encode\\(".r.findAllIn(plan).size
+      assert(n == 1,
+        s"expected ONE pq_encode over the corpus (stage 1) — the rerank " +
+          s"branch must prune codes out — but the plan evaluates it $n times:\n$plan")
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("the exactness-gate rerank refuses an un-broadcastable Q x depth candidate set") {
+    val e = intercept[IllegalArgumentException] {
+      Pq.knnPqRerank(emb, nQueries = 5, candidates = 1000001)
+    }
+    assert(e.getMessage.contains("knnPqIvf"),
+      s"the error must point at the scale path: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.knnPqIvf(emb, nQueries = 5, candidates = 1000001)
+    }
+    assert(e2.getMessage.contains("knnPqIvf"))
+  }
+
   test("knnPqIvf keeps the cell join broadcast and adds no corpus shuffle join") {
     try {
       val plan = finalPlan(Pq.knnPqIvf(emb, nCells = 16, nProbe = 4))
