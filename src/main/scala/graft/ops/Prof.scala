@@ -111,6 +111,34 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("pqscale")) {
+      // wall-clock scale rows for the PQ retrieval family at an
+      // arbitrary ScaleGen SF (PROF_SF1.md 100× certification):
+      // cold = codebook KMeans fits + count + encode + retrieve,
+      // warm = the memoized-quantizer query cost the bench pays
+      // after first touch. The _ivf_check row times the all-cells
+      // exactness-gate configuration the driver actually runs.
+      q("knn_pq_rerank_cold") {
+        Pq.clearCodebookCache(); Similarity.clearQuantizerCache()
+        Pq.knnPqRerank(emb).count()
+      }
+      q("knn_pq_rerank_warm")(Pq.knnPqRerank(emb).count())
+      q("knn_pq_ivf_check_warm")(
+        Pq.knnPqIvf(emb, nCells = 16, nProbe = 16).count())
+      q("dedup_embedding_pq_warm")(Pq.embeddingNearDupPq(emb).count())
+      // the depth law, one notch harder: worst PQ rank any TRUE brute
+      // top-5 neighbor lands at, default geometry — autoCandidates
+      // (n/5 past fixture sizes) must dominate this with margin
+      val brute = Similarity.knnBrute(emb)
+        .select(col("query_id"), col("neighbor_id"))
+      val worst = brute.join(Pq.prefilterRanks(emb, 5, 16, 32, 1),
+          Seq("query_id", "neighbor_id"))
+        .agg(max(col("crk"))).head().getInt(0)
+      println(s"PROF pqscale default-geometry worst_true_rank=$worst " +
+        s"depth=${Pq.autoCandidates(emb.count())}")
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("pq")) {
       // covering-margin probe for the PQ prefilter: the worst PQ rank
       // any TRUE brute top-5 neighbor lands at, per geometry — the

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Term-based ranked retrieval over the documents corpus — the
+  * search half of a curation stack (find contaminated/near-query
+  * docs, audit what a crawl actually contains, spot-check a mixture
+  * by keyword). Complements the embedding ANN family: ANN answers
+  * "what is semantically near this vector", search answers "what
+  * contains these terms, ranked".
+  *
+  * Both queries are "model on the corpus, score the matches"
+  * pipelines like [[CorpusStats.unigramRarity]], with one structural
+  * advantage: the query-term filter lands BEFORE any aggregation, so
+  * the relations that shuffle are bounded by the MATCHING postings
+  * (docs containing a query term), never the corpus. At 100 TB the
+  * only corpus-sized work is the codegen'd tokenize+explode scan;
+  * everything downstream is match-sized, and the final top-k is
+  * `TakeOrderedAndProject` (only k rows reach the driver stage).
+  *
+  * Scoring is BM25 on an exact-integer lattice (the
+  * [[CorpusStats.bigramLm]] ppm convention) so the driver gate gets a
+  * full value oracle with zero float risk:
+  *  - k1 = 1.2 and b = 0.75 are carried as the rationals 6/5 and 3/4
+  *    and cleared to integers, never as doubles;
+  *  - the doc-length norm is `nd_ppm = (1e6·dl·N) div T` (doc length
+  *    in ppm of the corpus mean avgdl = T/N);
+  *  - the tf saturation is
+  *    `tfnorm_ppm = (44e6·tf·1e6) div (2e7·tf + 6e6 + 18·nd_ppm)` —
+  *    the exact integer clearing of tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+  *    scaled to ppm;
+  *  - idf is the LOG-FREE exact-rational Robertson odds ratio
+  *    `idf_ppm = (1e6·(2N−2df+1)) div (2df+1)` — the same deliberate
+  *    integer-proxy trade as [[CorpusStats.topTermsPerDoc]]: `ln` is
+  *    the one op whose last ulp differs across engines, and the odds
+  *    ratio is monotone in df exactly like log-idf, so per-term
+  *    ordering is preserved and the score is bit-exact everywhere;
+  *  - `term_score = (idf_ppm·tfnorm_ppm) div 1e6`, summed per doc as
+  *    BIGINT (order-independent — no IEEE sum-order hazard).
+  *
+  * Overflow headroom (BIGINT lattice): `44e12·tf` caps tf at ~2·10^5
+  * per (doc, term) — an order past any Gopher-surviving document —
+  * and `idf_ppm·tfnorm_ppm` caps N at ~4·10^6 docs for a df=1 term;
+  * past that scale rare-term idf saturates the lattice and the ppm
+  * scale drops to per-mille (one constant), which this fixture-scale
+  * default doesn't pre-pessimize.
+  */
+object Search {
+
+  /** Default query terms — mid-frequency vocabulary present at every
+    * fixture SF, so df spreads across the terms.
+    */
+  val defaultTerms: Seq[String] = Seq("spark", "merge", "hash")
+
+  /** BM25 top-k: (rank, doc_id, score_ppm-summed, n_hit, n_tokens).
+    * Matching is disjunctive (any query term); `n_hit` counts the
+    * distinct query terms present, so conjunctive (AND) search is the
+    * `n_hit = |terms|` filter over this same relation.
+    */
+  def bm25TopK(docs: DataFrame, terms: Seq[String] = defaultTerms,
+      k: Int = 10): DataFrame = {
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    // per-doc length and the two corpus scalars derive from the same
+    // compact (doc_id, dl) relation; stats is a 1-row broadcast
+    val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tt"))
+    // the postings: query-term filter BEFORE the group-by — only
+    // matching (doc, term) rows ever aggregate or shuffle
+    val tf = toks.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ndPpm = expr("(1000000 * dl * nn) div tt")
+    val tfnormPpm = expr(
+      "(44000000 * tf * 1000000) div (20000000 * tf + 6000000 + 18 * nd_ppm)")
+    val idfPpm = expr("(1000000 * (2 * nn - 2 * df + 1)) div (2 * df + 1)")
+    val scored = tf
+      .join(dfreq, "term") // |terms|-row model table, AQE-broadcast
+      .join(dl, "doc_id")  // doc_id-keyed like tf: no re-shuffle
+      .crossJoin(broadcast(stats))
+      .withColumn("nd_ppm", ndPpm)
+      .withColumn("tfnorm_ppm", tfnormPpm)
+      .withColumn("idf_ppm", idfPpm)
+      .withColumn("term_score", expr("(idf_ppm * tfnorm_ppm) div 1000000"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).as("n_hit"),
+        max(col("dl")).as("n_tokens"))
+    // global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    // k rows cross stages, never a full sort; rank attaches AFTER the
+    // limit so its window sees only k rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("score"),
+        col("n_hit"), col("n_tokens"))
+      .orderBy(col("rank"))
+  }
+
+  /** Exact-phrase search: docs containing the token sequence
+    * `phrase`, ranked by occurrence count — (rank, doc_id, n_occur).
+    * Positional containment, not bag-of-words: occurrence i requires
+    * ws[i+j] == phrase[j] for all j. The per-doc count folds inside
+    * the tokenize projection as a codegen'd higher-order aggregate
+    * over start positions — no explode, no shuffle except the final
+    * bounded `TakeOrderedAndProject`; at 100 TB this is one
+    * corpus-sized scan and nothing else.
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int = 10): DataFrame = {
+    require(phrase.nonEmpty, "phrase search needs at least one token")
+    val ws = col("ws")
+    val matchAt = (i: org.apache.spark.sql.Column) =>
+      phrase.zipWithIndex.map { case (t, j) =>
+        element_at(ws, i + j).eqNullSafe(lit(t))
+      }.reduce(_ && _)
+    val nOccur = when(size(ws) >= phrase.length,
+      aggregate(sequence(lit(1), size(ws) - (phrase.length - 1)),
+        lit(0L), (acc, i) => acc + when(matchAt(i), 1L).otherwise(0L)))
+      .otherwise(0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occur").desc, col("doc_id"))
+    docs.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), nOccur.as("n_occur"))
+      .filter(col("n_occur") > 0)
+      .orderBy(col("n_occur").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("n_occur"))
+      .orderBy(col("rank"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Chunking, CorpusStats, Dedup, Integrity, Multimodal, Pq, Profile, Quantize, Sampling, Similarity, TextOps}
+import graft.ops.{Chunking, CorpusStats, Dedup, Integrity, Multimodal, Pq, Profile, Quantize, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -377,6 +377,19 @@ object Extensions {
     // deterministic integer proxy for tf·idf, no float idf to diverge
     "x_text_top_terms" -> ((s, d) =>
       CorpusStats.topTermsPerDoc(t(s, d, "documents"))),
+
+    // BM25 ranked retrieval on the exact-integer ppm lattice: log-free
+    // odds-ratio idf + integer-cleared tf saturation, so the top-k
+    // carries a full value oracle with zero float risk; the postings
+    // relation is query-term-filtered BEFORE any aggregation
+    "x_search_bm25" -> ((s, d) =>
+      Search.bm25TopK(t(s, d, "documents"))),
+
+    // exact-phrase (positional) search, occurrence-counted: one
+    // corpus scan with a codegen'd positional fold, then a bounded
+    // TakeOrdered top-k — no shuffle carries corpus-sized data
+    "x_search_phrase" -> ((s, d) =>
+      Search.phraseSearch(t(s, d, "documents"), Seq("batch", "batch"))),
 
     // ANALYZE-style one-pass numeric column profile
     "x_profile_lineitem" -> ((s, d) =>
@@ -1204,6 +1217,51 @@ object Extensions {
         |  CAST(SUM(CASE WHEN c.cbg = 1 THEN t.tf ELSE 0 END) AS BIGINT) AS n_novel
         |FROM t JOIN c USING (bg) JOIN c1 ON split_part(t.bg, ' ', 1) = c1.w1
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same integer-ppm lattice as the Spark side, literally: all
+    // divisions are `//` over positive BIGINTs (floor == truncate ==
+    // Spark `div`), the idf is the log-free odds ratio, and the only
+    // HUGEINT (DuckDB's SUM) casts back — so the top-k scores compare
+    // bit-for-bit
+    "x_search_bm25" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS nn, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+        |tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(ws) AS w FROM toks)
+        |  WHERE w IN ('spark', 'merge', 'hash') GROUP BY doc_id, w),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.tf, dfreq.df, dl.dl, stats.nn,
+        |    (1000000 * dl.dl * stats.nn) // stats.tt AS nd_ppm
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |ts AS (SELECT doc_id, dl,
+        |    ((1000000 * (2 * nn - 2 * df + 1)) // (2 * df + 1))
+        |      * ((44000000 * tf * 1000000)
+        |         // (20000000 * tf + 6000000 + 18 * nd_ppm))
+        |      // 1000000 AS term_score
+        |  FROM sc),
+        |agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
+        |    COUNT(*) AS n_hit, MAX(dl) AS n_tokens
+        |  FROM ts GROUP BY doc_id),
+        |r AS (SELECT doc_id, score, n_hit, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM agg)
+        |SELECT CAST(rnk AS INT) AS rank, doc_id, score, n_hit, n_tokens
+        |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
+
+    // positional containment: range(1, len) is end-exclusive = start
+    // positions 1..len-1, matching Spark's sequence(1, size-1) for a
+    // 2-token phrase; list indexing is 1-based in both engines
+    "x_search_phrase" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(list_filter(range(1, len(ws)), i ->
+        |      ws[i] = 'batch' AND ws[i+1] = 'batch')) AS BIGINT) AS n_occur
+        |  FROM toks WHERE len(ws) >= 2),
+        |r AS (SELECT doc_id, n_occur,
+        |    ROW_NUMBER() OVER (ORDER BY n_occur DESC, doc_id) AS rnk
+        |  FROM m WHERE n_occur > 0)
+        |SELECT CAST(rnk AS INT) AS rank, doc_id, n_occur
+        |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
 
     // ROW_NUMBER is BIGINT in DuckDB, INT in Spark — cast; COUNT(*)
     // is BIGINT in both

@@ -146,7 +146,12 @@ object EventWindows {
     * (default here, the bounded parity shape — same convention as
     * [[streamingTumblingHourly]]) re-emits all sessions so a finite
     * fixture's trailing sessions (which no watermark ever closes)
-    * are visible to the parity check.
+    * are visible to the parity check. The append contract — a closed
+    * session is emitted EXACTLY once, in the first batch whose
+    * watermark passes its end, and never-closed trailing sessions
+    * are withheld — is pinned by its own multi-batch spec
+    * (`maxFilesPerTrigger` forces the batch boundaries, exactly like
+    * [[streamingFunnelFirsts]]).
     *
     * Boundary convention: a gap of EXACTLY `gap` splits here (windows
     * merge on overlap, i.e. strictly-less-than) but merges in the
@@ -158,14 +163,19 @@ object EventWindows {
   def streamingSessionWindows(spark: SparkSession, dir: String,
       schema: StructType, queryName: String,
       gap: String = "30 minutes", watermark: String = "2 hours",
-      outputMode: String = "complete"): StreamingQuery =
+      outputMode: String = "complete",
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
     runToMemory(
-      spark.readStream.schema(schema).parquet(dir)
+      tuned.parquet(dir)
         .withWatermark("ts", watermark)
         .groupBy(col("user_id"),
           session_window(col("ts"), gap).as("session"))
         .agg(count(lit(1)).as("n_events")),
       queryName, outputMode)
+  }
 
   /** Per-user firsts for the funnel's stateful streaming form:
     * epoch-micros of the first view/click/purchase, `Long.MaxValue`

@@ -733,6 +733,67 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("session_window append mode: watermark-closed sessions emitted exactly once") {
+    // the eviction contract of the real-unbounded shape: a session is
+    // emitted in the first batch whose watermark passes its end, never
+    // re-emitted, and trailing sessions the watermark never closes are
+    // withheld. Three hand-pinned phases arrive as separate
+    // micro-batches (maxFilesPerTrigger=1, file mod-times pinned so
+    // the oldest-first file source preserves phase order):
+    //   A: user 1 sessions [00:00,00:50) n=3 and [01:30,02:00) n=1,
+    //      user 2 session [00:05,00:35) n=1           (max ET 01:30)
+    //   B: users 1,3 events at 10:00+                 (max ET 10:05)
+    //   C: user 3 event at 10:06 — a data batch whose STARTING
+    //      watermark (10:05 - 2h = 08:05) passes every phase-A
+    //      session end, forcing their append emission without relying
+    //      on a trailing no-data batch
+    // Phase B/C sessions end at 10:35+ > final watermark → withheld.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("events-sessionw-append").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val phaseA = Seq(
+      (1L, ts("00:00:00")), (1L, ts("00:10:00")), (1L, ts("00:20:00")),
+      (1L, ts("01:30:00")),
+      (2L, ts("00:05:00"))).toDF("user_id", "ts")
+    val phaseB = Seq(
+      (3L, ts("10:00:00")), (3L, ts("10:05:00")),
+      (1L, ts("10:00:00"))).toDF("user_id", "ts")
+    val phaseC = Seq((3L, ts("10:06:00"))).toDF("user_id", "ts")
+    def pinTimes(modMs: Long, already: Set[String]): Set[String] = {
+      val fs = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      fs.filterNot(f => already(f.getName)).foreach(_.setLastModified(modMs))
+      fs.map(_.getName).toSet
+    }
+    val t0 = System.currentTimeMillis() - 600000
+    phaseA.coalesce(1).write.mode("append").parquet(dir)
+    val afterA = pinTimes(t0, Set.empty)
+    phaseB.coalesce(1).write.mode("append").parquet(dir)
+    val afterB = pinTimes(t0 + 60000, afterA)
+    phaseC.coalesce(1).write.mode("append").parquet(dir)
+    pinTimes(t0 + 120000, afterB)
+    val q = graft.streaming.EventWindows.streamingSessionWindows(
+      spark, dir, phaseA.schema, "sessionw_append",
+      outputMode = "append", maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("sessionw_append")
+      .select(col("user_id"), col("session.start").cast("string").as("s"),
+        col("session.end").cast("string").as("e"), col("n_events"))
+      .collect()
+    val got = rows.map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, "2026-01-01 00:00:00", "2026-01-01 00:50:00", 3L),
+      (1L, "2026-01-01 01:30:00", "2026-01-01 02:00:00", 1L),
+      (2L, "2026-01-01 00:05:00", "2026-01-01 00:35:00", 1L))
+    // row count == set size pins exactly-once (no duplicate emission
+    // across batches); set equality pins both the closed-session
+    // payload and the withholding of the unclosed 10:00+ sessions
+    assert(rows.length == 3, s"expected 3 emissions, got ${rows.toSeq}")
+    assert(got == expected, s"got $got")
+  }
+
   test("stateful streaming funnel equals the batch form across micro-batches") {
     val events = graft.engine.Tables.table(spark, sf, "events")
     val dir = java.nio.file.Files.createTempDirectory("events-funnel").toString
