@@ -411,10 +411,13 @@ object Pq {
     * scoring is SDC (symmetric distance: both sides are codes, so
     * the approximate dot is centroid-vs-centroid via the broadcast
     * [m·k²] table — `sdc_dot`, codegen'd); pairs whose SDC cosine
-    * clears `minCosine - margin` fetch their full vectors (two
-    * broadcast-survivor equi-joins, the [[exactRerank]] pattern) and
-    * are verified with EXACT cosine — bit-identical formula and
-    * division order to `Dedup.embeddingCosinePairs`.
+    * clears `minCosine - margin` fetch their full vectors via two
+    * SIZE-GATED survivor equi-joins (AQE broadcasts when the prune is
+    * strong — the real-corpus case — and keeps partitioned joins when
+    * it isn't, so a weak prune shuffles survivor-proportional bytes
+    * instead of OOMing the driver) and are verified with EXACT
+    * cosine — bit-identical formula and division order to
+    * `Dedup.embeddingCosinePairs`.
     *
     * Exactness contract (the `x_knn_pq_ivf_check` pattern): at
     * nProbe == nCells every (a, b) pair reaches the SDC filter, and
@@ -464,15 +467,22 @@ object Pq {
       .select(least(col("vec_id"), col("p_id")).as("vec_a"),
         greatest(col("vec_id"), col("p_id")).as("vec_b"))
       .distinct()
-    // exact verify on survivors only: the corpus stays partitioned,
-    // the survivor pair list (and then the a-side enriched pairs)
-    // broadcast — full vectors are touched for survivors alone
+    // exact verify on survivors only — via SIZE-GATED equi-joins (no
+    // broadcast hint): on a real near-dup corpus the SDC stage prunes
+    // orders of magnitude and AQE's runtime conversion broadcasts the
+    // small survivor list; on an adversarial corpus where the margin
+    // barely prunes (these near-random fixtures at 30×+: ~n·boundA/3
+    // pairs), a forced broadcast of pairs-with-vectors OOMs the
+    // driver, while the partitioned join just shuffles
+    // survivor-proportional bytes — the CorpusStats vocab-join
+    // self-defense pattern. Full vectors are touched for survivors
+    // alone either way.
     val av = enc.select(col("vec_id").as("vec_a"),
       col("v").as("va"), col("norm").as("na"))
     val bv = enc.select(col("vec_id").as("vec_b"),
       col("v").as("vb"), col("norm").as("nb"))
-    val withA = av.join(broadcast(survivors), Seq("vec_a"))
-    bv.join(broadcast(withA), Seq("vec_b"))
+    val withA = av.join(survivors, Seq("vec_a"))
+    bv.join(withA, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         Similarity.cosineWithNorms(col("va"), col("vb"),
           col("na"), col("nb")).as("cos"))

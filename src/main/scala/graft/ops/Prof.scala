@@ -111,6 +111,17 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("search")) {
+      // ranked retrieval: both are one corpus-scan shapes (BM25's
+      // postings are term-filtered before aggregation; phrase search
+      // is a positional fold with no explode), so the scale column
+      // should track corpus tokens ~linearly
+      q("search_bm25")(Search.bm25TopK(docs).count())
+      q("search_phrase")(
+        Search.phraseSearch(docs, Seq("batch", "batch")).count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("pqscale")) {
       // wall-clock scale rows for the PQ retrieval family at an
       // arbitrary ScaleGen SF (PROF_SF1.md 100× certification):

@@ -585,7 +585,13 @@ object Extensions {
       EventWindows.slidingTwoHour(t(s, d, "events"))),
 
     "x_events_sessions" -> ((s, d) =>
-      EventWindows.userSessions(t(s, d, "events")))
+      EventWindows.userSessions(t(s, d, "events"))),
+
+    // time-bounded view→click attribution pairing — the batch form of
+    // the stream-stream interval join (streaming form spec-pinned
+    // equal, including cross-batch pairing)
+    "x_events_stream_join" -> ((s, d) =>
+      EventWindows.viewClickPairs(t(s, d, "events")))
   )
 
   /** Shared DuckDB CTE fragments for the trigram-shingle family: ONE
@@ -1603,6 +1609,21 @@ object Extensions {
 
     "x_skew_salted_count" ->
       "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1 ORDER BY l_returnflag",
+
+    // inclusive bounds both ends; epoch_us on both engines reads the
+    // stored microseconds exactly (the fixture carries no sub-µs
+    // nanos), so lag_us is exact integer arithmetic
+    "x_events_stream_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id AS user_id, view_id, click_id,
+        |  CAST(epoch_us(click_ts) - epoch_us(view_ts) AS BIGINT) AS lag_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |WHERE click_ts >= view_ts
+        |  AND click_ts <= view_ts + INTERVAL 30 MINUTE
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
 
     "x_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -22,11 +22,18 @@ object EventWindows {
     * trigger.
     */
   private[streaming] def runToMemory(df: org.apache.spark.sql.DataFrame,
-      queryName: String, mode: String): StreamingQuery =
-    df.writeStream.outputMode(mode)
+      queryName: String, mode: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val w = df.writeStream.outputMode(mode)
       .format("memory").queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // AvailableNow drains the files present at START and terminates —
+    // right for the one-shot parity harnesses. The multi-phase
+    // eviction specs instead write files WHILE the query runs (with
+    // `processAllAvailable()` barriers between phases — the only
+    // arrival-order control that doesn't lean on file mod-time
+    // ordering), which needs the continuous micro-batch trigger.
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 
   /** Tumbling 1-hour counts per event_type (batch form). */
   def tumblingHourly(events: DataFrame): DataFrame =
@@ -164,7 +171,8 @@ object EventWindows {
       schema: StructType, queryName: String,
       gap: String = "30 minutes", watermark: String = "2 hours",
       outputMode: String = "complete",
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+      maxFilesPerTrigger: Int = 0,
+      availableNow: Boolean = true): StreamingQuery = {
     val reader = spark.readStream.schema(schema)
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
@@ -174,7 +182,75 @@ object EventWindows {
         .groupBy(col("user_id"),
           session_window(col("ts"), gap).as("session"))
         .agg(count(lit(1)).as("n_events")),
-      queryName, outputMode)
+      queryName, outputMode, availableNow)
+  }
+
+  /** View→click attribution pairing (batch form): every (view, click)
+    * pair of the same user where the click lands within
+    * `maxLagMinutes` of the view — the time-bounded event-correlation
+    * join behind attribution, conversion-lag, and causal-window
+    * analyses. Inclusive on both bounds; `lag_us` is the exact
+    * integer microsecond lag (both engines compute it from the stored
+    * micros, no float).
+    *
+    * Shape: an equi-join on user_id with the time bound as a pushed
+    * residual predicate — a standard shuffle hash join whose bytes are
+    * the two filtered event streams, never a cartesian; at 100 TB
+    * both sides partition by user_id and the residual prunes
+    * in-partition. The streaming form is
+    * [[streamingViewClickPairs]] — same pairs, incremental.
+    */
+  def viewClickPairs(events: DataFrame, maxLagMinutes: Int = 30): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    views.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") +
+          expr(s"INTERVAL $maxLagMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+      .orderBy(col("user_id"), col("view_id"), col("click_id"))
+  }
+
+  /** Stream-stream interval join — [[viewClickPairs]] incremental:
+    * both sides carry watermarks, and the time-bound condition lets
+    * Spark derive the state retention window (a view older than the
+    * click watermark minus the lag bound can never match again and
+    * its state is evicted; same for clicks) — the bounded-state
+    * contract that makes a stream-stream inner join runnable forever.
+    * Append mode is the only supported output mode for stream-stream
+    * joins; each pair is emitted exactly once, when both sides have
+    * arrived. The parity spec pins streamed == batch on the fixture;
+    * the multi-phase spec pins cross-batch pairing (a click arriving
+    * batches after its view still pairs).
+    */
+  def streamingViewClickPairs(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String, maxLagMinutes: Int = 30,
+      watermark: String = "2 hours",
+      availableNow: Boolean = true): StreamingQuery = {
+    def side(eventType: String, idAs: String, tsAs: String,
+        userAs: String) =
+      spark.readStream.schema(schema).parquet(dir)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(userAs), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, watermark)
+    val views = side("view", "view_id", "view_ts", "user_id")
+    val clicks = side("click", "click_id", "click_ts", "c_user_id")
+    runToMemory(
+      views.join(clicks,
+          expr(s"""user_id = c_user_id AND
+            click_ts >= view_ts AND
+            click_ts <= view_ts + interval $maxLagMinutes minutes"""))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("lag_us")),
+      queryName, "append", availableNow)
   }
 
   /** Per-user firsts for the funnel's stateful streaming form:
@@ -298,15 +374,21 @@ object EventWindows {
     */
   def streamingTumblingHourly(spark: SparkSession, dir: String,
       schema: StructType, queryName: String,
-      outputMode: String = "complete"): StreamingQuery =
+      outputMode: String = "complete",
+      maxFilesPerTrigger: Int = 0,
+      availableNow: Boolean = true): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
     runToMemory(
-      spark.readStream.schema(schema).parquet(dir)
+      tuned.parquet(dir)
         .withWatermark("ts", "2 hours")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         // same aggregates as the batch form — the parity contract is
         // the full row, not just the count
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
-      queryName, outputMode)
+      queryName, outputMode, availableNow)
+  }
 
   /** Structured Streaming form of [[slidingTwoHour]] — same watermark
     * semantics as [[streamingTumblingHourly]]; a sliding window just

@@ -735,19 +735,17 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("session_window append mode: watermark-closed sessions emitted exactly once") {
     // the eviction contract of the real-unbounded shape: a session is
-    // emitted in the first batch whose watermark passes its end, never
-    // re-emitted, and trailing sessions the watermark never closes are
-    // withheld. Three hand-pinned phases arrive as separate
-    // micro-batches (maxFilesPerTrigger=1, file mod-times pinned so
-    // the oldest-first file source preserves phase order):
+    // emitted once its watermark passes its end, never re-emitted, and
+    // trailing sessions the watermark never closes are withheld. The
+    // phases are written WHILE the query runs with
+    // `processAllAvailable()` barriers between them — the only
+    // arrival-order control that doesn't lean on file mod-time
+    // ordering (pinned mod-times proved non-deterministic here):
     //   A: user 1 sessions [00:00,00:50) n=3 and [01:30,02:00) n=1,
     //      user 2 session [00:05,00:35) n=1           (max ET 01:30)
-    //   B: users 1,3 events at 10:00+                 (max ET 10:05)
-    //   C: user 3 event at 10:06 — a data batch whose STARTING
-    //      watermark (10:05 - 2h = 08:05) passes every phase-A
-    //      session end, forcing their append emission without relying
-    //      on a trailing no-data batch
-    // Phase B/C sessions end at 10:35+ > final watermark → withheld.
+    //   B: users 1,3 events at 10:00+ — advances the watermark to
+    //      08:05, past every phase-A session end → they emit
+    // Phase B sessions end at 10:35+ > final watermark → withheld.
     import spark.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("events-sessionw-append").toString
@@ -759,24 +757,15 @@ class ExtensionsSpec extends AnyFunSuite {
     val phaseB = Seq(
       (3L, ts("10:00:00")), (3L, ts("10:05:00")),
       (1L, ts("10:00:00"))).toDF("user_id", "ts")
-    val phaseC = Seq((3L, ts("10:06:00"))).toDF("user_id", "ts")
-    def pinTimes(modMs: Long, already: Set[String]): Set[String] = {
-      val fs = new java.io.File(dir).listFiles()
-        .filter(_.getName.endsWith(".parquet"))
-      fs.filterNot(f => already(f.getName)).foreach(_.setLastModified(modMs))
-      fs.map(_.getName).toSet
-    }
-    val t0 = System.currentTimeMillis() - 600000
     phaseA.coalesce(1).write.mode("append").parquet(dir)
-    val afterA = pinTimes(t0, Set.empty)
-    phaseB.coalesce(1).write.mode("append").parquet(dir)
-    val afterB = pinTimes(t0 + 60000, afterA)
-    phaseC.coalesce(1).write.mode("append").parquet(dir)
-    pinTimes(t0 + 120000, afterB)
     val q = graft.streaming.EventWindows.streamingSessionWindows(
       spark, dir, phaseA.schema, "sessionw_append",
-      outputMode = "append", maxFilesPerTrigger = 1)
-    try q.processAllAvailable() finally q.stop()
+      outputMode = "append", availableNow = false)
+    try {
+      q.processAllAvailable()
+      phaseB.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
     val rows = spark.table("sessionw_append")
       .select(col("user_id"), col("session.start").cast("string").as("s"),
         col("session.end").cast("string").as("e"), col("n_events"))
@@ -791,6 +780,53 @@ class ExtensionsSpec extends AnyFunSuite {
     // across batches); set equality pins both the closed-session
     // payload and the withholding of the unclosed 10:00+ sessions
     assert(rows.length == 3, s"expected 3 emissions, got ${rows.toSeq}")
+    assert(got == expected, s"got $got")
+  }
+
+  test("tumbling append mode drops late rows behind the watermark") {
+    // the other half of the eviction contract: an event arriving AFTER
+    // the watermark has passed its window must be dropped, not merged
+    // or re-emitted. Phases written while the query runs, barriered by
+    // processAllAvailable (see the session-window append spec):
+    //   A: hour-00 views (1.0, 2.0) + hour-01 click (1.5)  (max ET 01:30)
+    //   B: hour-10 view — advances the watermark to 08:00, closing and
+    //      emitting the hour-00/01 windows
+    //   C: a LATE view at 00:30 value 100.0 — behind the 08:00
+    //      watermark: dropped, never merged, never re-emitted
+    // Expected append output: exactly the two closed windows with
+    // phase-A-only aggregates; the hour-10 window stays open/withheld.
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("events-tumbling-append").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val phaseA = Seq(
+      (ts("00:10:00"), "view", 1.0), (ts("00:20:00"), "view", 2.0),
+      (ts("01:30:00"), "click", 1.5)).toDF("ts", "event_type", "value")
+    val phaseB = Seq((ts("10:00:00"), "view", 1.0))
+      .toDF("ts", "event_type", "value")
+    val phaseC = Seq((ts("00:30:00"), "view", 100.0))
+      .toDF("ts", "event_type", "value")
+    phaseA.coalesce(1).write.mode("append").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingTumblingHourly(
+      spark, dir, phaseA.schema, "tumbling_append",
+      outputMode = "append", availableNow = false)
+    try {
+      q.processAllAvailable()
+      phaseB.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      phaseC.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("tumbling_append")
+      .select(col("window.start").cast("string").as("s"), col("event_type"),
+        col("n"), col("sum_value"))
+      .collect()
+    val got = rows.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val expected = Set(
+      ("2026-01-01 00:00:00", "view", 2L, 3.0),
+      ("2026-01-01 01:00:00", "click", 1L, 1.5))
+    assert(rows.length == 2, s"expected 2 emissions, got ${rows.toSeq}")
     assert(got == expected, s"got $got")
   }
 
@@ -819,6 +855,81 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(streamed.getLong(0) == batch.getAs[Long]("n_view"))
     assert(streamed.getLong(1) == batch.getAs[Long]("n_view_click"))
     assert(streamed.getLong(2) == batch.getAs[Long]("n_view_click_purchase"))
+  }
+
+  test("viewClickPairs: inclusive bounds, per-user, exact integer lag") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val events = Seq(
+      (100L, 1L, ts("00:00:00"), "view"),
+      (101L, 1L, ts("00:00:00"), "click"),  // same instant: lag 0, kept
+      (102L, 1L, ts("00:30:00"), "click"),  // exactly +30m: inclusive
+      (103L, 1L, ts("00:30:00.000001"), "click"), // 1 µs past: dropped
+      (104L, 2L, ts("00:10:00"), "click"),  // other user: no pair
+      (105L, 3L, ts("00:05:00"), "view"),
+      (106L, 3L, ts("00:04:00"), "click"))  // click BEFORE view: dropped
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = graft.streaming.EventWindows.viewClickPairs(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 100L, 101L, 0L),
+      (1L, 100L, 102L, 1800000000L)), s"got $got")
+  }
+
+  test("stream-stream interval join equals the batch form on the fixture") {
+    val events = graft.engine.Tables.table(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("events-ssjoin").toString
+    events.write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingViewClickPairs(
+      spark, dir, events.schema, "ssjoin_out")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_out")
+    val batch = graft.streaming.EventWindows.viewClickPairs(events)
+    assert(batch.count() > 0, "fixture must produce pairs")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream-stream join pairs across batches and evicts watermark-dead state") {
+    // the contract that distinguishes a STREAM join from a batch one:
+    //   A: views for users 1 and 2 at 00:00
+    //   B: user 1's click at 00:10 — arrives a batch later, must still
+    //      pair (view state alive); a user-3 view and a user-4 click
+    //      at 05:00 advance BOTH sides' watermarks (the global
+    //      watermark is the MIN across watermark operators, so one
+    //      side advancing alone holds it back) to 03:00, past every
+    //      phase-A view's 30-minute match window → their state is
+    //      evicted
+    //   C: user 2's click at 00:05 — in-lag by event time but behind
+    //      the 03:00 watermark: dropped as late, no pair (exactly the
+    //      unbounded-state leak this eviction exists to prevent)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    def df(rows: (Long, Long, String, String)*) =
+      rows.map { case (e, u, t, et) => (e, u, ts(t), et) }
+        .toDF("event_id", "user_id", "ts", "event_type")
+    val dir = java.nio.file.Files
+      .createTempDirectory("events-ssjoin-phased").toString
+    val phaseA = df((100L, 1L, "00:00:00", "view"),
+      (200L, 2L, "00:00:00", "view"))
+    val phaseB = df((101L, 1L, "00:10:00", "click"),
+      (300L, 3L, "05:00:00", "view"),
+      (400L, 4L, "05:00:00", "click"))
+    val phaseC = df((201L, 2L, "00:05:00", "click"))
+    phaseA.coalesce(1).write.mode("append").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingViewClickPairs(
+      spark, dir, phaseA.schema, "ssjoin_phased", availableNow = false)
+    try {
+      q.processAllAvailable()
+      phaseB.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      phaseC.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin_phased")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set((1L, 100L, 101L, 600000000L)), s"got $got")
   }
 
   test("dedupAgainstCorpus flags only incoming docs near-dup to corpus") {

@@ -48,7 +48,7 @@ class PqDedupSpec extends AnyFunSuite {
     }
   }
 
-  test("embeddingNearDupPq plan: no cartesian, survivors fetched via broadcast joins") {
+  test("embeddingNearDupPq plan: no cartesian, survivor joins size-gated") {
     try {
       val df = Pq.embeddingNearDupPq(emb("sf0.001"))
       df.collect()
@@ -56,8 +56,13 @@ class PqDedupSpec extends AnyFunSuite {
         .split("== Initial Plan ==").head
       assert(!plan.contains("CartesianProduct"),
         s"no unconstrained cartesian anywhere:\n$plan")
+      // the survivor joins carry NO broadcast hint (a weak SDC prune
+      // at scale would OOM a forced broadcast of pairs-with-vectors —
+      // observed at the 30× ScaleGen corpus); what pins the small-case
+      // efficiency is AQE's runtime conversion broadcasting the tiny
+      // fixture survivor list here
       assert(plan.contains("BroadcastHashJoin"),
-        s"survivor vector fetch must broadcast the pair list:\n$plan")
+        s"AQE must size-gate the fixture's survivor fetch to broadcast:\n$plan")
       // the pair stream is scored on packed codes — the SDC filter
       // must sit in the plan (pruning before any vector is fetched)
       assert(plan.contains("sdc_dot"),
