@@ -169,6 +169,49 @@ object CorpusStats {
     * the model tables are the only relations smaller than the corpus,
     * and nothing else moves twice.
     */
+  /** Cross-corpus bigram LM scoring — train the transition model on a
+    * REFERENCE slice (`source = trainSource`), score every OTHER
+    * document against it: the held-out perplexity-filter shape
+    * ("score the crawl against a clean-corpus LM", where
+    * [[bigramLm]] is the self-trained novelty variant). Per scored
+    * doc: bigram count, Σ tf·cond_ppm with out-of-model bigrams
+    * contributing 0, the rarest SEEN transition (0 when every bigram
+    * is unseen), and the tf-weighted out-of-model count — all exact
+    * integers, so the full value oracle holds.
+    *
+    * Shape: the scored side is the same one-shuffle doc_id-keyed tf
+    * substrate as [[bigramLm]]; the model tables aggregate the train
+    * slice only and join back LEFT (seen-ness is data, not a filter),
+    * AQE-size-gated. A seen bigram's left context is necessarily in
+    * the model, so the ppm division never sees a missing cw1.
+    */
+  def bigramLmCross(docs: DataFrame, trainSource: String = "src0"): DataFrame = {
+    val ws = col("ws")
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    def tfOf(d: DataFrame) = d.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val train = tfOf(docs.filter(col("source") === trainSource))
+    val scoreTf = tfOf(docs.filter(col("source") =!= trainSource))
+    val cbg = train.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
+    val cw1 = train.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("tf")).as("cw1"))
+    val seen = col("cbg").isNotNull
+    val cond = when(seen, expr("(1000000 * cbg) div cw1")).otherwise(lit(0L))
+    scoreTf.join(cbg, Seq("bg"), "left")
+      .join(cw1, substring_index(col("bg"), " ", 1) === col("w1"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf") * cond).as("sum_cond_ppm"),
+        coalesce(min(when(seen, cond)), lit(0L)).as("min_seen_cond_ppm"),
+        sum(when(seen, lit(0L)).otherwise(col("tf"))).as("n_oov"))
+      .orderBy(col("doc_id"))
+  }
+
   def bigramLm(docs: DataFrame): DataFrame = {
     // project the split once, THEN build bigrams over the column —
     // the inline form re-tokenizes inside every element_at of the

@@ -170,6 +170,32 @@ object Dedup {
   def ngramJaccardPrefix(docs: DataFrame, leftMax: Long = 200): DataFrame =
     withShingles(docs)(sh => verifyPairs(prefixCandidates(sh, leftMax), sh))
 
+  /** Cross-source duplication matrix: for every unordered pair of
+    * sources, how many verified near-dup document pairs cross (or
+    * stay inside) it — the curation report that surfaces mirror
+    * sites, content farms, and scrape overlap BEFORE dedup decides
+    * who wins. Rides the prefix-filter pair relation (and therefore
+    * the memoized verified-pair substrate — computing the matrix
+    * after a dedup run re-verifies nothing), then two joins against
+    * the 2-column (doc_id, source) projection, AQE-size-gated like
+    * every model-table join here; the aggregate is source²-sized.
+    * All-integer output.
+    */
+  def sourceDupMatrix(docs: DataFrame): DataFrame = {
+    val pairs = ngramJaccardPrefix(docs).select(col("doc_a"), col("doc_b"))
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** The prefix-filter candidate stage, pre-checkpoint — exposed so
     * plan-shape specs can pin its physical form (no Window node, the
     * pair join is a hash equi-join on the shingle).
@@ -463,9 +489,15 @@ object Dedup {
     * — the pre-training curation step that keeps eval data out of the
     * training set. Same inverted-index shape as the Jaccard paths
     * (shingle equi-join, count per pair — contamination never pays an
-    * all-pairs scan), and the benchmark side is typically tiny, so at
-    * 100 TB its exploded shingles broadcast while the corpus streams.
-    * The integer threshold keeps the cut bit-exact across engines.
+    * all-pairs scan). The benchmark join carries NO broadcast hint:
+    * a typical benchmark suite is tiny and AQE's runtime conversion
+    * broadcasts its exploded shingles while the corpus streams, but a
+    * LARGE held-out set (the shingles explode a benchmark's token
+    * count ×shingle-width) falls back to a partitioned shingle join
+    * instead of OOMing the driver — the same size-gating self-defense
+    * as the PQ near-dup survivor fetch and the CorpusStats vocab
+    * joins. The integer threshold keeps the cut bit-exact across
+    * engines.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame,
       minShared: Int = 5): DataFrame = {
@@ -473,7 +505,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("g")).as("shingle"))
     val b = cachedShingles(benchmark)
       .select(col("doc_id").as("benchmark_id"), explode(col("g")).as("shingle"))
-    c.join(broadcast(b), Seq("shingle"))
+    c.join(b, Seq("shingle"))
       .groupBy(col("doc_id"), col("benchmark_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

@@ -467,22 +467,26 @@ object Pq {
       .select(least(col("vec_id"), col("p_id")).as("vec_a"),
         greatest(col("vec_id"), col("p_id")).as("vec_b"))
       .distinct()
-    // exact verify on survivors only — via SIZE-GATED equi-joins (no
-    // broadcast hint): on a real near-dup corpus the SDC stage prunes
-    // orders of magnitude and AQE's runtime conversion broadcasts the
-    // small survivor list; on an adversarial corpus where the margin
-    // barely prunes (these near-random fixtures at 30×+: ~n·boundA/3
-    // pairs), a forced broadcast of pairs-with-vectors OOMs the
-    // driver, while the partitioned join just shuffles
-    // survivor-proportional bytes — the CorpusStats vocab-join
-    // self-defense pattern. Full vectors are touched for survivors
-    // alone either way.
-    val av = enc.select(col("vec_id").as("vec_a"),
-      col("v").as("va"), col("norm").as("na"))
+    // exact verify on survivors only, in the byte-minimal join order:
+    // the BARE 16 B/row pair list shuffles to meet the corpus on
+    // vec_b (size-gated, no hint — on a real corpus the SDC prune
+    // leaves few survivors and AQE broadcasts them; on this
+    // adversarial fixture at 30×+ it stays a partitioned join instead
+    // of OOMing the driver), and only THEN does the a-side vector
+    // attach — `vec_a = least(pair) < boundA` by cellJoin's
+    // construction, so the a-side relation prunes to ≤ boundA rows
+    // and AQE broadcasts it at any sane bound (boundA = 0 disables
+    // the prune along with the cellJoin bound). Attaching va first
+    // (the previous shape) pushed pairs-with-256B-vectors through the
+    // vec_b shuffle — measured 17× more shuffle bytes at 100×
+    // (weak-prune corpus).
+    val av = (if (boundA > 0) enc.filter(col("vec_id") < boundA) else enc)
+      .select(col("vec_id").as("vec_a"),
+        col("v").as("va"), col("norm").as("na"))
     val bv = enc.select(col("vec_id").as("vec_b"),
       col("v").as("vb"), col("norm").as("nb"))
-    val withA = av.join(survivors, Seq("vec_a"))
-    bv.join(withA, Seq("vec_b"))
+    val withB = bv.join(survivors, Seq("vec_b"))
+    withB.join(av, Seq("vec_a"))
       .select(col("vec_a"), col("vec_b"),
         Similarity.cosineWithNorms(col("va"), col("vb"),
           col("na"), col("nb")).as("cos"))

@@ -122,6 +122,13 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("pqdedup")) {
+      // just the PQ near-dup leg — for re-measuring verify-join
+      // reworks without paying the full pqscale sweep
+      q("dedup_embedding_pq_warm")(Pq.embeddingNearDupPq(emb).count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("pqscale")) {
       // wall-clock scale rows for the PQ retrieval family at an
       // arbitrary ScaleGen SF (PROF_SF1.md 100× certification):

@@ -373,6 +373,18 @@ object Extensions {
     "x_text_bigram_lm" -> ((s, d) =>
       CorpusStats.bigramLm(t(s, d, "documents"))),
 
+    // held-out LM scoring: model trained on the src0 slice only,
+    // every other doc scored against it (out-of-model bigrams → 0 ppm
+    // + counted) — the clean-reference perplexity filter
+    "x_text_bigram_lm_cross" -> ((s, d) =>
+      CorpusStats.bigramLmCross(t(s, d, "documents"))),
+
+    // cross-source duplication matrix over the verified near-dup
+    // pairs — which sources mirror each other, before dedup picks
+    // winners
+    "x_dedup_source_matrix" -> ((s, d) =>
+      Dedup.sourceDupMatrix(t(s, d, "documents"))),
+
     // rarest-first distinctive terms (df asc, tf desc) — a
     // deterministic integer proxy for tf·idf, no float idf to diverge
     "x_text_top_terms" -> ((s, d) =>
@@ -833,6 +845,23 @@ object Extensions {
         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY k""".stripMargin,
 
+    // unordered source pair counts over exactly the verified near-dup
+    // pair set (the trigram pair CTE re-joined to sources)
+    "x_dedup_source_matrix" ->
+      raw"""WITH $shingleCte,
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
+        |  WHERE len(list_intersect(a.g, b.g)) > 0
+        |    AND len(list_intersect(a.g, b.g)) * 2
+        |        >= len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+        |SELECT least(da.source, db.source) AS source_a,
+        |  greatest(da.source, db.source) AS source_b,
+        |  COUNT(*) AS n_pairs
+        |FROM p JOIN documents da ON p.doc_a = da.doc_id
+        |       JOIN documents db ON p.doc_b = db.doc_id
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
     // the text near-dup strategies provably agree on this corpus
     "x_dedup_ngram_jaccard" -> trigramCte,
     "x_dedup_ngram_prefix" -> trigramCte,
@@ -1207,6 +1236,35 @@ object Extensions {
     // (operands positive here, so floor == truncate); range(1, n) is
     // end-exclusive = bigram start positions 1..n-1, matching Spark's
     // sequence(1, n-1)
+    // held-out variant: model CTEs aggregate the src0 slice only,
+    // scored docs LEFT-join it; COALESCE mirrors Spark's when(seen)
+    // lattice exactly (0 ppm for out-of-model bigrams)
+    "x_text_bigram_lm_cross" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+        |  FROM w),
+        |tr AS (SELECT bg, COUNT(*) AS tf FROM b
+        |  WHERE source = 'src0' GROUP BY bg),
+        |c AS (SELECT bg, CAST(SUM(tf) AS BIGINT) AS cbg FROM tr GROUP BY bg),
+        |c1 AS (SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(tf) AS BIGINT) AS cw1
+        |  FROM tr GROUP BY 1),
+        |t AS (SELECT doc_id, bg, COUNT(*) AS tf FROM b
+        |  WHERE source <> 'src0' GROUP BY doc_id, bg),
+        |j AS (SELECT t.doc_id, t.tf, c.cbg,
+        |    CASE WHEN c.cbg IS NOT NULL
+        |      THEN (1000000 * c.cbg) // c1.cw1 ELSE 0 END AS cond
+        |  FROM t LEFT JOIN c USING (bg)
+        |         LEFT JOIN c1 ON split_part(t.bg, ' ', 1) = c1.w1)
+        |SELECT doc_id,
+        |  CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(tf * cond) AS BIGINT) AS sum_cond_ppm,
+        |  CAST(COALESCE(MIN(CASE WHEN cbg IS NOT NULL THEN cond END), 0)
+        |    AS BIGINT) AS min_seen_cond_ppm,
+        |  CAST(SUM(CASE WHEN cbg IS NULL THEN tf ELSE 0 END) AS BIGINT) AS n_oov
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "x_text_bigram_lm" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |b AS (SELECT doc_id,

@@ -92,6 +92,43 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(d2.getAs[Long]("n_novel") == 1) // "b c"
   }
 
+  test("bigramLmCross trains on src0 only and zeroes out-of-model bigrams") {
+    // train (src0): "a b a b" → C(a b)=2, C(b a)=1; contexts C(a·)=2, C(b·)=1
+    // scored doc 2: "a b c" — (a b) seen: 1e6·2 div 2 = 1000000; (b c) OOV
+    // scored doc 3: "x y" — everything OOV
+    val docs = Seq(
+      (1L, "a b a b", "src0"),
+      (2L, "a b c", "src1"),
+      (3L, "x y", "src2"))
+      .toDF("doc_id", "text", "source")
+    val rs = CorpusStats.bigramLmCross(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rs.keySet == Set(2L, 3L), "train docs must not be scored")
+    val d2 = rs(2L)
+    assert(d2.getAs[Long]("n_bigrams") == 2)
+    assert(d2.getAs[Long]("sum_cond_ppm") == 1000000L)
+    assert(d2.getAs[Long]("min_seen_cond_ppm") == 1000000L)
+    assert(d2.getAs[Long]("n_oov") == 1)
+    val d3 = rs(3L)
+    assert(d3.getAs[Long]("n_bigrams") == 1)
+    assert(d3.getAs[Long]("sum_cond_ppm") == 0L)
+    assert(d3.getAs[Long]("min_seen_cond_ppm") == 0L)
+    assert(d3.getAs[Long]("n_oov") == 1)
+  }
+
+  test("sourceDupMatrix counts verified pairs per unordered source pair") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, base, "srcA"),
+      (2L, base + " tail", "srcB"), // near-dup of 1
+      (3L, base, "srcA"),           // exact dup of 1 (and near-dup of 2)
+      (4L, (1 to 30).map(i => s"z$i").mkString(" "), "srcB")) // unrelated
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceDupMatrix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("srcA", "srcA", 1L), ("srcA", "srcB", 2L)), s"got $got")
+  }
+
   test("mixtureReport cells partition the corpus and shares sum to 1") {
     val docs = graft.engine.Tables
       .table(spark, "/root/testdata/sf0.001", "documents")
