@@ -68,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SdcDot].getName, "sdc_dot"),
       arity("sdc_dot", 4)(exprs =>
         SdcDot(exprs.head, exprs(1), exprs(2), exprs(3)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("phrase_count"),
+      new ExpressionInfo(classOf[PhraseCount].getName, "phrase_count"),
+      arity("phrase_count", 2)(exprs => PhraseCount(exprs.head, exprs(1)))))
   }
 }

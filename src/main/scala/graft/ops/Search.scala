@@ -103,23 +103,18 @@ object Search {
   /** Exact-phrase search: docs containing the token sequence
     * `phrase`, ranked by occurrence count — (rank, doc_id, n_occur).
     * Positional containment, not bag-of-words: occurrence i requires
-    * ws[i+j] == phrase[j] for all j. The per-doc count folds inside
-    * the tokenize projection as a codegen'd higher-order aggregate
-    * over start positions — no explode, no shuffle except the final
+    * ws[i+j] == phrase[j] for all j. The per-doc count runs inside
+    * the tokenize projection via the native codegen `phrase_count`
+    * expression (the HOF fold is CodegenFallback — it would break the
+    * scan's codegen span; [[phraseCountHof]] keeps it as the spec's
+    * bit-equality oracle) — no explode, no shuffle except the final
     * bounded `TakeOrderedAndProject`; at 100 TB this is one
     * corpus-sized scan and nothing else.
     */
   def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int = 10): DataFrame = {
     require(phrase.nonEmpty, "phrase search needs at least one token")
-    val ws = col("ws")
-    val matchAt = (i: org.apache.spark.sql.Column) =>
-      phrase.zipWithIndex.map { case (t, j) =>
-        element_at(ws, i + j).eqNullSafe(lit(t))
-      }.reduce(_ && _)
-    val nOccur = when(size(ws) >= phrase.length,
-      aggregate(sequence(lit(1), size(ws) - (phrase.length - 1)),
-        lit(0L), (acc, i) => acc + when(matchAt(i), 1L).otherwise(0L)))
-      .otherwise(0L)
+    val nOccur = call_function("phrase_count", col("ws"),
+      typedLit(phrase.toIndexedSeq))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_occur").desc, col("doc_id"))
     docs.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
@@ -129,5 +124,22 @@ object Search {
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("doc_id"), col("n_occur"))
       .orderBy(col("rank"))
+  }
+
+  /** The interpreted-HOF reference form of `phrase_count` — kept
+    * solely as the spec's bit-equality oracle (the `Pq.codesOfHof`
+    * convention). `eqNullSafe` gives the same null-element match
+    * semantics the expression implements.
+    */
+  private[ops] def phraseCountHof(ws: org.apache.spark.sql.Column,
+      phrase: Seq[String]): org.apache.spark.sql.Column = {
+    val matchAt = (i: org.apache.spark.sql.Column) =>
+      phrase.zipWithIndex.map { case (t, j) =>
+        element_at(ws, i + j).eqNullSafe(lit(t))
+      }.reduce(_ && _)
+    when(size(ws) >= phrase.length,
+      aggregate(sequence(lit(1), size(ws) - (phrase.length - 1)),
+        lit(0L), (acc, i) => acc + when(matchAt(i), 1L).otherwise(0L)))
+      .otherwise(0L)
   }
 }

@@ -100,6 +100,22 @@ class SearchSpec extends AnyFunSuite {
     assert(got == Seq((1, 1L, 2L), (2, 2L, 1L)), s"got $got")
   }
 
+  test("native phrase_count equals the HOF fold on the fixture corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val phrase = Seq("batch", "batch")
+    val both = docs
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        call_function("phrase_count", col("ws"),
+          typedLit(phrase.toIndexedSeq)).as("native"),
+        Search.phraseCountHof(col("ws"), phrase).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.filter(col("native") > 0).count() > 0,
+      "fixture must contain the phrase somewhere")
+  }
+
   test("top-k is TakeOrdered, never a corpus-wide global sort") {
     val docs = graft.engine.Tables.table(
       spark, "/root/testdata/sf0.001", "documents")
