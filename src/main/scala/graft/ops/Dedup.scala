@@ -170,6 +170,77 @@ object Dedup {
   def ngramJaccardPrefix(docs: DataFrame, leftMax: Long = 200): DataFrame =
     withShingles(docs)(sh => verifyPairs(prefixCandidates(sh, leftMax), sh))
 
+  /** Character-level near-dup via banded edit distance over a fixed
+    * key prefix — the modality the token/vector families can't see
+    * (single-character mutations, OCR noise, template drift), with a
+    * PassJoin-style substring-shift index so candidate generation is
+    * collision-driven, never all-pairs:
+    *
+    *  - key = the first `prefixLen` chars (docs shorter than the key
+    *    are excluded here; a production deployment handles the short
+    *    tail in per-length-band buckets, where |len(a)−len(b)| ≤ d
+    *    bounds each bucket's partners to ±1 band);
+    *  - PROBE side (bounded to doc_id < boundA, the family's shared
+    *    a-side convention): the key splits into d+1 equal chunks —
+    *    by pigeonhole, two keys within edit distance d agree EXACTLY
+    *    on at least one chunk, displaced by at most d;
+    *  - PRIMARY side (every doc): for each chunk index, the
+    *    substrings starting within ±d of the chunk's home position —
+    *    (2d+1)·(d+1) short keys per doc;
+    *  - candidates join on (chunk index, content) — an equi-join on
+    *    short strings whose volume is collision-driven (random text
+    *    almost never collides; near-dups always do) — then verify
+    *    with the banded `levenshtein(a, b, d)` (early-exit DP) and
+    *    keep distance ≤ d.
+    *
+    * Completeness: the pigeonhole lemma guarantees every true pair
+    * surfaces from the least-id member's chunks, so the output EQUALS
+    * the brute all-pairs filter and shares its full DuckDB oracle
+    * (the provable-exactness-gate pattern). All-integer distance.
+    */
+  def editDistancePairs(docs: DataFrame, prefixLen: Int = 40,
+      maxDist: Int = 3, boundA: Long = 200): DataFrame = {
+    val nChunks = maxDist + 1
+    require(prefixLen % nChunks == 0,
+      s"prefixLen $prefixLen must split into ${nChunks} equal chunks")
+    val cw = prefixLen / nChunks
+    val keys = docs
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
+      .filter(length(col("s")) === prefixLen)
+    // probe chunks: (i, s[p_i, cw]) for the d+1 home positions
+    val probes = keys.filter(col("doc_id") < boundA)
+      .select(col("doc_id").as("a_id"), col("s").as("sa"),
+        explode(array((0 until nChunks).map(i =>
+          struct(lit(i).as("ci"),
+            substring(col("s"), i * cw + 1, cw).as("ck"))): _*)).as("c"))
+      .select(col("a_id"), col("sa"), col("c.ci").as("ci"), col("c.ck").as("ck"))
+    // primary windows: every substring starting within ±d of each home
+    val windows = keys
+      .select(col("doc_id").as("b_id"), col("s").as("sb"),
+        explode(array((for {
+          i <- 0 until nChunks
+          st <- math.max(0, i * cw - maxDist) to
+            math.min(i * cw + maxDist, prefixLen - cw)
+        } yield struct(lit(i).as("ci"),
+          substring(col("s"), st + 1, cw).as("ck"))): _*)).as("c"))
+      .select(col("b_id"), col("sb"), col("c.ci").as("ci"), col("c.ck").as("ck"))
+      .distinct()
+    // id-oriented strings BEFORE distinct: a pair surfacing from both
+    // probe orientations must collapse to ONE row (levenshtein is
+    // symmetric, so the value is unaffected)
+    probes.join(windows, Seq("ci", "ck"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"),
+        when(col("a_id") < col("b_id"), col("sa")).otherwise(col("sb")).as("s1"),
+        when(col("a_id") < col("b_id"), col("sb")).otherwise(col("sa")).as("s2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Cross-source duplication matrix: for every unordered pair of
     * sources, how many verified near-dup document pairs cross (or
     * stay inside) it — the curation report that surfaces mirror

@@ -100,6 +100,62 @@ object Search {
       .orderBy(col("rank"))
   }
 
+  /** Multi-query BM25 — N queries scored in ONE corpus pass, the
+    * realistic retrieval shape (per-query invocation would re-scan
+    * the corpus N times). Same integer lattice as [[bm25TopK]]; the
+    * postings prune to the UNION of all query terms before any
+    * aggregation, the (query_id, term) relation fans matches out per
+    * query (a tiny broadcast), df stays global (a term's document
+    * frequency does not depend on who asked), and the top-k window
+    * partitions BY QUERY — per-group top-k, never a global sort, so
+    * the reduction parallelizes across queries at any corpus size.
+    * Output: (query_id, rank, doc_id, score, n_hit).
+    */
+  val defaultQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "merge", "hash"),
+    2L -> Seq("window", "scan"),
+    3L -> Seq("join", "filter", "sort"))
+
+  def bm25TopKMulti(docs: DataFrame,
+      queries: Seq[(Long, Seq[String])] = defaultQueries,
+      k: Int = 5): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val toks = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tt"))
+    val tf = toks.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(qterms), "term")
+      .withColumn("nd_ppm", expr("(1000000 * dl * nn) div tt"))
+      .withColumn("tfnorm_ppm", expr(
+        "(44000000 * tf * 1000000) div (20000000 * tf + 6000000 + 18 * nd_ppm)"))
+      .withColumn("idf_ppm",
+        expr("(1000000 * (2 * nn - 2 * df + 1)) div (2 * df + 1)"))
+      .withColumn("term_score", expr("(idf_ppm * tfnorm_ppm) div 1000000"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_hit"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score"), col("n_hit"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Exact-phrase search: docs containing the token sequence
     * `phrase`, ranked by occurrence count — (rank, doc_id, n_occur).
     * Positional containment, not bag-of-words: occurrence i requires

@@ -403,6 +403,16 @@ object Extensions {
     "x_search_phrase" -> ((s, d) =>
       Search.phraseSearch(t(s, d, "documents"), Seq("batch", "batch"))),
 
+    // multi-query BM25: three queries scored in one corpus pass,
+    // per-query top-k via a query-partitioned window
+    "x_search_bm25_multi" -> ((s, d) =>
+      Search.bm25TopKMulti(t(s, d, "documents"))),
+
+    // character-level near-dup: PassJoin-style chunk index + banded
+    // levenshtein verify; provably equals the brute all-pairs filter
+    "x_dedup_edit_distance" -> ((s, d) =>
+      Dedup.editDistancePairs(t(s, d, "documents"))),
+
     // ANALYZE-style one-pass numeric column profile
     "x_profile_lineitem" -> ((s, d) =>
       Profile.columnProfile(t(s, d, "lineitem"),
@@ -1311,6 +1321,53 @@ object Extensions {
         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM agg)
         |SELECT CAST(rnk AS INT) AS rank, doc_id, score, n_hit, n_tokens
         |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
+
+    // same lattice as the single-query oracle with the query relation
+    // as a VALUES CTE; df is global, the top-k window partitions by
+    // query
+    "x_search_bm25_multi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |q(query_id, term) AS (VALUES
+        |  (1, 'spark'), (1, 'merge'), (1, 'hash'),
+        |  (2, 'window'), (2, 'scan'),
+        |  (3, 'join'), (3, 'filter'), (3, 'sort')),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS nn, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+        |tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(ws) AS w FROM toks)
+        |  WHERE w IN (SELECT term FROM q) GROUP BY doc_id, w),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT q.query_id, tf.doc_id, tf.tf, dfreq.df, dl.dl, stats.nn,
+        |    (1000000 * dl.dl * stats.nn) // stats.tt AS nd_ppm
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats JOIN q ON tf.term = q.term),
+        |ts AS (SELECT query_id, doc_id,
+        |    ((1000000 * (2 * nn - 2 * df + 1)) // (2 * df + 1))
+        |      * ((44000000 * tf * 1000000)
+        |         // (20000000 * tf + 6000000 + 18 * nd_ppm))
+        |      // 1000000 AS term_score
+        |  FROM sc),
+        |agg AS (SELECT query_id, doc_id,
+        |    CAST(SUM(term_score) AS BIGINT) AS score, COUNT(*) AS n_hit
+        |  FROM ts GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, score, n_hit,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rnk FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rnk AS INT) AS rank,
+        |  doc_id, score, n_hit
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // brute all-pairs reference the chunk-index path provably equals
+    // (pigeonhole completeness); banded levenshtein values agree with
+    // the unbanded oracle on kept pairs by definition
+    "x_dedup_edit_distance" ->
+      """WITH s AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents
+        |  WHERE length(substr(text, 1, 40)) = 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.doc_id < 200
+        |WHERE levenshtein(a.s, b.s) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // positional containment: range(1, len) is end-exclusive = start
     // positions 1..len-1, matching Spark's sequence(1, size-1) for a

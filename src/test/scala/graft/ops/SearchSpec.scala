@@ -100,6 +100,57 @@ class SearchSpec extends AnyFunSuite {
     assert(got == Seq((1, 1L, 2L), (2, 2L, 1L)), s"got $got")
   }
 
+  test("bm25TopKMulti slices match the single-query reference fold") {
+    val corpus = Seq(
+      1L -> "spark spark spark merge join filter scan scan",
+      2L -> "merge merge hash hash hash hash scan scan scan scan scan scan",
+      3L -> "join filter scan order sort window agg key",
+      4L -> "spark hash",
+      5L -> "merge filter spark merge merge merge merge merge merge merge")
+    val terms = Seq("spark", "merge", "hash")
+    val got = Search.bm25TopKMulti(docsOf(corpus: _*),
+        Seq(7L -> terms), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val want = refBm25(corpus, terms, 3)
+      .map { case (rk, id, s, h, _) => (7L, rk, id, s, h) }
+    assert(got == want, s"got $got")
+  }
+
+  test("editDistancePairs equals an independent brute levenshtein filter") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 40 chars
+    assert(base.length == 40)
+    val corpus = Seq(
+      1L -> base,
+      2L -> (base.take(4) + "XY" + base.drop(6)),       // 2 substitutions
+      3L -> (base.take(5) + base.drop(6) + "Z"),        // deletion + append (shifts chunks)
+      4L -> base.reverse)                               // unrelated
+      .map { case (id, t) => (id, t + " tail words beyond the key prefix") } :+
+      (5L -> "short text")  // under the key length: excluded entirely
+    import spark.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val keys = corpus.map { case (id, t) => (id, t.take(40)) }
+      .filter(_._2.length == 40)
+    val want = (for {
+      (a, sa) <- keys; (b, sb) <- keys
+      if a < b && lev(sa, sb) <= 3
+    } yield (a, b, lev(sa, sb))).toSet
+    assert(want.nonEmpty, "fixture must contain edit-distance pairs")
+    assert(got == want, s"got $got want $want")
+  }
+
   test("native phrase_count equals the HOF fold on the fixture corpus") {
     import org.apache.spark.sql.functions._
     val docs = graft.engine.Tables.table(
