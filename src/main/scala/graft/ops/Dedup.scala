@@ -207,34 +207,42 @@ object Dedup {
     val keys = docs
       .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
       .filter(length(col("s")) === prefixLen)
-    // probe chunks: (i, s[p_i, cw]) for the d+1 home positions
+    // the index relations carry IDS AND CHUNK KEYS ONLY — the
+    // byte-minimal convention (the PQ survivor-fetch pattern): the
+    // 40-char keys would otherwise replicate 4×/(2d+1)(d+1)× through
+    // the candidate join's shuffle, and they re-attach once per
+    // DISTINCT pair below instead
     val probes = keys.filter(col("doc_id") < boundA)
-      .select(col("doc_id").as("a_id"), col("s").as("sa"),
+      .select(col("doc_id").as("a_id"),
         explode(array((0 until nChunks).map(i =>
           struct(lit(i).as("ci"),
             substring(col("s"), i * cw + 1, cw).as("ck"))): _*)).as("c"))
-      .select(col("a_id"), col("sa"), col("c.ci").as("ci"), col("c.ck").as("ck"))
-    // primary windows: every substring starting within ±d of each home
+      .select(col("a_id"), col("c.ci").as("ci"), col("c.ck").as("ck"))
+    // primary windows: every substring starting within ±d of each
+    // home position. No pre-join distinct — coincident windows only
+    // duplicate CANDIDATES, which the pair-level distinct collapses;
+    // a window-side distinct would pay a full extra shuffle of the
+    // (2d+1)(d+1)-wide index to save join input it cannot dominate
     val windows = keys
-      .select(col("doc_id").as("b_id"), col("s").as("sb"),
+      .select(col("doc_id").as("b_id"),
         explode(array((for {
           i <- 0 until nChunks
           st <- math.max(0, i * cw - maxDist) to
             math.min(i * cw + maxDist, prefixLen - cw)
         } yield struct(lit(i).as("ci"),
           substring(col("s"), st + 1, cw).as("ck"))): _*)).as("c"))
-      .select(col("b_id"), col("sb"), col("c.ci").as("ci"), col("c.ck").as("ck"))
-      .distinct()
-    // id-oriented strings BEFORE distinct: a pair surfacing from both
-    // probe orientations must collapse to ONE row (levenshtein is
-    // symmetric, so the value is unaffected)
-    probes.join(windows, Seq("ci", "ck"))
+      .select(col("b_id"), col("c.ci").as("ci"), col("c.ck").as("ck"))
+    val cand = probes.join(windows, Seq("ci", "ck"))
       .filter(col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("doc_a"),
-        greatest(col("a_id"), col("b_id")).as("doc_b"),
-        when(col("a_id") < col("b_id"), col("sa")).otherwise(col("sb")).as("s1"),
-        when(col("a_id") < col("b_id"), col("sb")).otherwise(col("sa")).as("s2"))
+        greatest(col("a_id"), col("b_id")).as("doc_b"))
       .distinct()
+    // verify on distinct pairs: keys re-attach via two AQE-gated
+    // joins (the doc_a side prunes to < boundA rows)
+    val ka = keys.filter(col("doc_id") < boundA)
+      .select(col("doc_id").as("doc_a"), col("s").as("s1"))
+    val kb = keys.select(col("doc_id").as("doc_b"), col("s").as("s2"))
+    cand.join(kb, Seq("doc_b")).join(ka, Seq("doc_a"))
       .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("dist"))

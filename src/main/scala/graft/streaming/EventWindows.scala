@@ -376,18 +376,30 @@ object EventWindows {
       schema: StructType, queryName: String,
       outputMode: String = "complete",
       maxFilesPerTrigger: Int = 0,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true): StreamingQuery =
+    runToMemory(tumblingStream(spark, dir, schema, maxFilesPerTrigger),
+      queryName, outputMode, availableNow)
+
+  /** The watermarked tumbling transform over a file stream, UNSUNK —
+    * the deployable piece: the parity harness memory-sinks it
+    * ([[streamingTumblingHourly]]); a durable deployment attaches
+    * `foreachBatch` feeding the writer stack's idempotent MERGE
+    * (update-mode re-emissions of a refined window UPDATE the same
+    * PK row, so at-least-once delivery × idempotent sink =
+    * effectively-once — the live-PG streaming spec pins that
+    * composition end-to-end).
+    */
+  private[graft] def tumblingStream(spark: SparkSession, dir: String,
+      schema: StructType, maxFilesPerTrigger: Int = 0): DataFrame = {
     val reader = spark.readStream.schema(schema)
     val tuned = if (maxFilesPerTrigger > 0)
       reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
-    runToMemory(
-      tuned.parquet(dir)
-        .withWatermark("ts", "2 hours")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        // same aggregates as the batch form — the parity contract is
-        // the full row, not just the count
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
-      queryName, outputMode, availableNow)
+    tuned.parquet(dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // same aggregates as the batch form — the parity contract is
+      // the full row, not just the count
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
   }
 
   /** Structured Streaming form of [[slidingTwoHour]] — same watermark
