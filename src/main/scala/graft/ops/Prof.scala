@@ -117,8 +117,13 @@ object Prof {
       // is a positional fold with no explode), so the scale column
       // should track corpus tokens ~linearly
       q("search_bm25")(Search.bm25TopK(docs).count())
+      q("search_bm25_multi")(Search.bm25TopKMulti(docs).count())
       q("search_phrase")(
         Search.phraseSearch(docs, Seq("batch", "batch")).count())
+      // chunk-index candidate volume is collision-driven: ScaleGen
+      // copies carry disjoint vocabularies, so the column should stay
+      // near the 1× value while the corpus grows 100×
+      q("dedup_edit_distance")(Dedup.editDistancePairs(docs).count())
       spark.stop()
       return
     }

@@ -167,6 +167,24 @@ class SearchSpec extends AnyFunSuite {
       "fixture must contain the phrase somewhere")
   }
 
+  test("multi-query and edit-distance plans: equi-joins only, no cartesian") {
+    val docs = graft.engine.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    for (df <- Seq(Search.bm25TopKMulti(docs),
+        Dedup.editDistancePairs(docs))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!plan.contains("CartesianProduct"), plan)
+      // the only permitted nested-loop is the deliberate 1-row
+      // corpus-stats scalar attach (crossJoin(broadcast(stats))) —
+      // every BNLJ line must be that broadcast Cross form
+      val bnlj = plan.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("Cross")), plan)
+    }
+  }
+
   test("top-k is TakeOrdered, never a corpus-wide global sort") {
     val docs = graft.engine.Tables.table(
       spark, "/root/testdata/sf0.001", "documents")
