@@ -60,6 +60,23 @@ object Search {
     */
   def bm25TopK(docs: DataFrame, terms: Seq[String] = defaultTerms,
       k: Int = 10): DataFrame = {
+    // global top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    // k rows cross stages, never a full sort; rank attaches AFTER the
+    // limit so its window sees only k rows
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    bm25Scored(docs, terms)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("score"),
+        col("n_hit"), col("n_tokens"))
+      .orderBy(col("rank"))
+  }
+
+  /** The disjunctive scoring relation (doc_id, score, n_hit,
+    * n_tokens) both single-query top-k forms rank over.
+    */
+  private def bm25Scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
     val toks = docs.repartition(col("doc_id"))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
     // per-doc length and the two corpus scalars derive from the same
@@ -76,7 +93,7 @@ object Search {
     val tfnormPpm = expr(
       "(44000000 * tf * 1000000) div (20000000 * tf + 6000000 + 18 * nd_ppm)")
     val idfPpm = expr("(1000000 * (2 * nn - 2 * df + 1)) div (2 * df + 1)")
-    val scored = tf
+    tf
       .join(dfreq, "term") // |terms|-row model table, AQE-broadcast
       .join(dl, "doc_id")  // doc_id-keyed like tf: no re-shuffle
       .crossJoin(broadcast(stats))
@@ -88,12 +105,20 @@ object Search {
       .agg(sum(col("term_score")).as("score"),
         count(lit(1)).as("n_hit"),
         max(col("dl")).as("n_tokens"))
-    // global top-k: orderBy+limit compiles to TakeOrderedAndProject —
-    // k rows cross stages, never a full sort; rank attaches AFTER the
-    // limit so its window sees only k rows
+  }
+
+  /** Conjunctive (AND) BM25: only documents containing EVERY query
+    * term rank — the `n_hit = |terms|` filter over the disjunctive
+    * scoring relation, applied BEFORE the top-k so excluded docs
+    * never reach the ordering. Same lattice, same oracle shape.
+    */
+  def bm25TopKConj(docs: DataFrame, terms: Seq[String] = defaultTerms,
+      k: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
-    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    bm25Scored(docs, terms)
+      .filter(col("n_hit") === terms.distinct.size)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rank", row_number().over(w))
       .select(col("rank"), col("doc_id"), col("score"),
         col("n_hit"), col("n_tokens"))

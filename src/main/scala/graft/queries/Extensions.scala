@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Chunking, CorpusStats, Dedup, Integrity, Multimodal, Pq, Profile, Quantize, Sampling, Search, Similarity, TextOps}
+import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, Integrity, Multimodal, Pq, Profile, Quantize, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -407,6 +407,18 @@ object Extensions {
     // per-query top-k via a query-partitioned window
     "x_search_bm25_multi" -> ((s, d) =>
       Search.bm25TopKMulti(t(s, d, "documents"))),
+
+    // conjunctive (AND) search: only docs containing EVERY query term
+    // rank — the n_hit == |terms| filter before the top-k
+    "x_search_bm25_conj" -> ((s, d) =>
+      Search.bm25TopKConj(t(s, d, "documents"))),
+
+    // BPE tokenizer training substrate: first-iteration adjacent
+    // character-pair weights (the full trainer bpeMerges is pinned by
+    // an in-JVM reference fold; this one-shot query carries the
+    // complete oracle for the shared counting machinery)
+    "x_text_bpe_pairs" -> ((s, d) =>
+      Bpe.bpePairCounts(t(s, d, "documents"))),
 
     // character-level near-dup: PassJoin-style chunk index + banded
     // levenshtein verify; provably equals the brute all-pairs filter
@@ -1321,6 +1333,53 @@ object Extensions {
         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM agg)
         |SELECT CAST(rnk AS INT) AS rank, doc_id, score, n_hit, n_tokens
         |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
+
+    // the disjunctive lattice + a HAVING on the distinct-term count
+    "x_search_bm25_conj" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM toks),
+        |stats AS (SELECT COUNT(*) AS nn, CAST(SUM(dl) AS BIGINT) AS tt FROM dl),
+        |tf AS (SELECT doc_id, w AS term, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(ws) AS w FROM toks)
+        |  WHERE w IN ('spark', 'merge', 'hash') GROUP BY doc_id, w),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.doc_id, tf.tf, dfreq.df, dl.dl, stats.nn,
+        |    (1000000 * dl.dl * stats.nn) // stats.tt AS nd_ppm
+        |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+        |ts AS (SELECT doc_id, dl,
+        |    ((1000000 * (2 * nn - 2 * df + 1)) // (2 * df + 1))
+        |      * ((44000000 * tf * 1000000)
+        |         // (20000000 * tf + 6000000 + 18 * nd_ppm))
+        |      // 1000000 AS term_score
+        |  FROM sc),
+        |agg AS (SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
+        |    COUNT(*) AS n_hit, MAX(dl) AS n_tokens
+        |  FROM ts GROUP BY doc_id HAVING COUNT(*) = 3),
+        |r AS (SELECT doc_id, score, n_hit, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rnk FROM agg)
+        |SELECT CAST(rnk AS INT) AS rank, doc_id, score, n_hit, n_tokens
+        |FROM r WHERE rnk <= 10 ORDER BY rank""".stripMargin,
+
+    // first-iteration BPE pair weights: per-word char pairs (overlaps
+    // included, the classic count) weighted by corpus word frequency;
+    // parallel unnest of equal-length lists zips positionally
+    "x_text_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word, COUNT(*) AS freq FROM w
+        |  WHERE length(word) > 0 GROUP BY word),
+        |p AS (SELECT freq,
+        |    unnest(list_transform(generate_series(1, length(word) - 1),
+        |      i -> substr(word, i, 1))) AS l_sym,
+        |    unnest(list_transform(generate_series(1, length(word) - 1),
+        |      i -> substr(word, i + 1, 1))) AS r_sym
+        |  FROM v WHERE length(word) >= 2),
+        |agg AS (SELECT l_sym, r_sym, CAST(SUM(freq) AS BIGINT) AS weight
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT l_sym, r_sym, weight,
+        |    ROW_NUMBER() OVER (ORDER BY weight DESC, l_sym, r_sym) AS rnk
+        |  FROM agg)
+        |SELECT CAST(rnk AS INT) AS rank, l_sym, r_sym, weight
+        |FROM r WHERE rnk <= 20 ORDER BY rank""".stripMargin,
 
     // same lattice as the single-query oracle with the query relation
     // as a VALUES CTE; df is global, the top-k window partitions by

@@ -100,6 +100,26 @@ class SearchSpec extends AnyFunSuite {
     assert(got == Seq((1, 1L, 2L), (2, 2L, 1L)), s"got $got")
   }
 
+  test("bm25TopKConj keeps only all-terms documents, scores unchanged") {
+    val corpus = Seq(
+      1L -> "spark spark spark merge join filter scan scan",
+      2L -> "merge merge hash hash hash hash scan scan scan scan scan scan",
+      4L -> "spark hash",
+      6L -> "spark merge hash spark",
+      7L -> "hash merge spark hash hash")
+    val terms = Seq("spark", "merge", "hash")
+    val got = Search.bm25TopKConj(docsOf(corpus: _*), terms, k = 10)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val want = refBm25(corpus, terms, corpus.size)
+      .filter { case (_, _, _, hits, _) => hits == 3 }
+      .zipWithIndex
+      .map { case ((_, id, s, h, dl), i) => (i + 1, id, s, h, dl) }
+    assert(want.size == 2, s"fixture must have exactly docs 6,7 qualify: $want")
+    assert(got == want, s"got $got")
+  }
+
   test("bm25TopKMulti slices match the single-query reference fold") {
     val corpus = Seq(
       1L -> "spark spark spark merge join filter scan scan",
