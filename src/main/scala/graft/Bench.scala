@@ -201,7 +201,9 @@ object Bench {
     } :+ ("x_pipeline_100k_load" -> (() => pipelineOnce()))
     val withPipeline = runThunks(thunks, reps = 3)
     val pipelineResult = withPipeline.last
-    val loaded = pipelineRows
+    // a leg that errored in any pass must not report a prior pass's
+    // row count next to its error — zero the rows like the timing
+    val loaded = if (pipelineResult.err.isDefined) 0L else pipelineRows
     val pipelineSec = pipelineResult.secs.getOrElse(0.0)
     val line = renderJson(withPipeline, sfDir, actionName, loaded, pipelineSec)
     println(line)

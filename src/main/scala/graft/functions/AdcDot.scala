@@ -46,6 +46,11 @@ case class AdcDot(first: Expression, second: Expression, third: Expression)
     val k = kAny.asInstanceOf[Int]
     val m = codes.numElements()
     val tn = tab.numElements()
+    // geometry gate in long arithmetic: a large caller-supplied k
+    // would overflow s*k+c into a negative index that slips past the
+    // ix >= tn bound (the expression is SQL-registered); the gate
+    // also proves every subsequent int index in-range
+    if (k <= 0 || m.toLong * k > tn) return null
     var acc = 0.0d
     var s = 0
     while (s < m) {
@@ -71,8 +76,9 @@ case class AdcDot(first: Expression, second: Expression, third: Expression)
       s"""
          |int $m = $codes.numElements();
          |int $tn = $tab.numElements();
+         |if ($k <= 0 || (long) $m * $k > $tn) { ${ev.isNull} = true; }
          |double $acc = 0.0;
-         |for (int $s = 0; $s < $m; $s++) {
+         |for (int $s = 0; !${ev.isNull} && $s < $m; $s++) {
          |  if ($codes.isNullAt($s)) { ${ev.isNull} = true; break; }
          |  int $c = $codes.getInt($s);
          |  int $ix = $s * $k + $c;

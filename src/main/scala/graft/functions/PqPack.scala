@@ -106,6 +106,10 @@ case class AdcDotPacked(first: Expression, second: Expression,
     val tab = tabAny.asInstanceOf[ArrayData]
     val k = kAny.asInstanceOf[Int]
     val tn = tab.numElements()
+    // geometry gate in long arithmetic (the AdcDot/SdcDot convention):
+    // a large caller-supplied k would overflow s*k+c into a negative
+    // index past the ix >= tn bound
+    if (k <= 0 || codes.length.toLong * k > tn) return null
     var acc = 0.0d
     var s = 0
     while (s < codes.length) {
@@ -128,11 +132,12 @@ case class AdcDotPacked(first: Expression, second: Expression,
       val acc = ctx.freshName("acc")
       s"""
          |int $tn = $tab.numElements();
+         |if ($k <= 0 || (long) $codes.length * $k > $tn) { ${ev.isNull} = true; }
          |double $acc = 0.0;
-         |for (int $s = 0; $s < $codes.length; $s++) {
+         |for (int $s = 0; !${ev.isNull} && $s < $codes.length; $s++) {
          |  int $c = $codes[$s] & 0xFF;
          |  int $ix = $s * $k + $c;
-         |  if ($c >= $k || $ix >= $tn || $tab.isNullAt($ix)) {
+         |  if ($c >= $k || $tab.isNullAt($ix)) {
          |    ${ev.isNull} = true; break;
          |  }
          |  $acc += $tab.getDouble($ix);

@@ -26,7 +26,12 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
   * [[AdcDot]] convention).
   *
   * Null contract: null input → null, code length mismatch → null, a
-  * code ≥ k or a lookup past the table's end → null.
+  * code ≥ k or a lookup past the table's end → null. The geometry
+  * gate `m·k² ≤ table length` is checked UP FRONT in long arithmetic:
+  * the expression is SQL-registered, and a large caller-supplied k
+  * would otherwise overflow the int index into a NEGATIVE value that
+  * slips past the `ix >= tn` bound and reads off-heap garbage — the
+  * gate also makes every subsequent int index provably in-range.
   */
 case class SdcDot(first: Expression, second: Expression,
     third: Expression, fourth: Expression) extends QuaternaryExpression {
@@ -55,13 +60,15 @@ case class SdcDot(first: Expression, second: Expression,
     val k = kAny.asInstanceOf[Int]
     if (pa.length != pb.length) return null
     val tn = tab.numElements()
+    val mk = pa.length.toLong * k
+    if (k <= 0 || mk > tn || mk * k > tn) return null
     var acc = 0.0d
     var s = 0
     while (s < pa.length) {
       val ca = pa(s) & 0xFF
       val cb = pb(s) & 0xFF
+      if (ca >= k || cb >= k) return null
       val ix = (s * k + ca) * k + cb
-      if (ca >= k || cb >= k || ix >= tn) return null
       if (tab.isNullAt(ix)) return null
       acc += tab.getDouble(ix)
       s += 1
@@ -76,18 +83,21 @@ case class SdcDot(first: Expression, second: Expression,
       val cb = ctx.freshName("cb")
       val ix = ctx.freshName("ix")
       val tn = ctx.freshName("tn")
+      val mk = ctx.freshName("mk")
       val acc = ctx.freshName("acc")
       s"""
-         |if ($pa.length != $pb.length) {
+         |int $tn = $tab.numElements();
+         |long $mk = (long) $pa.length * $k;
+         |if ($pa.length != $pb.length
+         |    || $k <= 0 || $mk > $tn || $mk * $k > $tn) {
          |  ${ev.isNull} = true;
          |} else {
-         |  int $tn = $tab.numElements();
          |  double $acc = 0.0;
          |  for (int $s = 0; $s < $pa.length; $s++) {
          |    int $ca = $pa[$s] & 0xFF;
          |    int $cb = $pb[$s] & 0xFF;
          |    int $ix = ($s * $k + $ca) * $k + $cb;
-         |    if ($ca >= $k || $cb >= $k || $ix >= $tn || $tab.isNullAt($ix)) {
+         |    if ($ca >= $k || $cb >= $k || $tab.isNullAt($ix)) {
          |      ${ev.isNull} = true; break;
          |    }
          |    $acc += $tab.getDouble($ix);

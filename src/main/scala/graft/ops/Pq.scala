@@ -80,12 +80,20 @@ object Pq {
     codebooks.getOrElseUpdate(key) {
       // the subspace geometry comes from the DATA, not a constant: a
       // corpus of any dimension trains a codebook whose flat length
-      // agrees with its vectors, and an m that doesn't divide the
-      // observed dim fails HERE with a real error instead of
-      // pq_encode's geometry check silently nulling every code
-      // downstream. One 1-row driver fetch, paid only on a memo miss
-      // (the KMeans fits below each run whole Spark jobs).
-      val dim = e.select(size(col("v")).as("d")).head.getInt(0)
+      // agrees with its vectors, and an empty corpus, a MIXED-
+      // dimension corpus, or an m that doesn't divide the observed
+      // dim all fail HERE with a real error instead of pq_encode's
+      // geometry check silently nulling every code downstream. One
+      // tiny aggregate job, paid only on a memo miss (the KMeans fits
+      // below each run whole Spark jobs) — a single-row probe would
+      // miss heterogeneous dimensions entirely.
+      val dims = sample.agg(min(size(col("v"))).as("lo"),
+        max(size(col("v"))).as("hi")).head
+      require(!dims.isNullAt(0),
+        "pq: cannot train a codebook on an empty embeddings sample")
+      val (dimLo, dim) = (dims.getInt(0), dims.getInt(1))
+      require(dimLo == dim,
+        s"pq: corpus has mixed embedding dimensions ($dimLo..$dim)")
       require(dim > 0 && dim % m == 0,
         s"pq: corpus dimension $dim is not divisible into m=$m subspaces")
       val subDim = dim / m
@@ -522,11 +530,15 @@ object Pq {
       sdcTabCol(b), lit(b.k)) / col("pqa") / col("pqb")
     val exact = Similarity.cosineWithNorms(col("va"), col("vb"),
       col("na"), col("nb"))
-    a.join(bb, col("vec_a") < col("vec_b"))
+    val row = a.join(bb, col("vec_a") < col("vec_b"))
       .select(exact.as("cos"), (exact - sdcCos).as("gap"))
       .filter(col("cos") >= nearMin)
       .agg(max(col("gap")).as("worst"))
-      .head.getDouble(0)
+      .head
+    // no pair reaches nearMin → max over the empty set is SQL null:
+    // no qualifying pair can be lost, so the covering margin needed
+    // is 0 (a bare getDouble would NPE on exactly those corpora)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 
   /** IVF × PQ — the canonical large-corpus ANN layout (both scale

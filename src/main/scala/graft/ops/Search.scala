@@ -73,10 +73,34 @@ object Search {
       .orderBy(col("rank"))
   }
 
-  /** The disjunctive scoring relation (doc_id, score, n_hit,
-    * n_tokens) both single-query top-k forms rank over.
+  /** ONE definition of the integer lattice (scaladoc derivation
+    * above) — the single edit site if the ppm scale ever changes;
+    * the three DuckDB oracle strings in Extensions must mirror it.
     */
-  private def bm25Scored(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  private val ndPpmE = "(1000000 * dl * nn) div tt"
+  private val tfnormPpmE =
+    "(44000000 * tf * 1000000) div (20000000 * tf + 6000000 + 18 * nd_ppm)"
+  private val idfPpmE = "(1000000 * (2 * nn - 2 * df + 1)) div (2 * df + 1)"
+  private val termScoreE = "(idf_ppm * tfnorm_ppm) div 1000000"
+
+  /** The shared scoring core: (query_id, doc_id, score, n_hit,
+    * n_tokens) for a batch of queries — every public form derives
+    * from this one relation. The postings prune to the UNION of all
+    * query terms before any aggregation; the (query_id, term)
+    * relation fans matches out per query (tiny broadcast); df stays
+    * global (a term's document frequency does not depend on who
+    * asked).
+    */
+  private def scoredByQuery(docs: DataFrame,
+      queries: Seq[(Long, Seq[String])]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-pair distinct: a repeated term inside one query must not
+    // double its postings
+    val qterms = queries
+      .flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
     val toks = docs.repartition(col("doc_id"))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
     // per-doc length and the two corpus scalars derive from the same
@@ -86,26 +110,30 @@ object Search {
     // the postings: query-term filter BEFORE the group-by — only
     // matching (doc, term) rows ever aggregate or shuffle
     val tf = toks.select(col("doc_id"), explode(col("ws")).as("term"))
-      .filter(col("term").isin(terms: _*))
+      .filter(col("term").isin(allTerms: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val ndPpm = expr("(1000000 * dl * nn) div tt")
-    val tfnormPpm = expr(
-      "(44000000 * tf * 1000000) div (20000000 * tf + 6000000 + 18 * nd_ppm)")
-    val idfPpm = expr("(1000000 * (2 * nn - 2 * df + 1)) div (2 * df + 1)")
     tf
       .join(dfreq, "term") // |terms|-row model table, AQE-broadcast
       .join(dl, "doc_id")  // doc_id-keyed like tf: no re-shuffle
       .crossJoin(broadcast(stats))
-      .withColumn("nd_ppm", ndPpm)
-      .withColumn("tfnorm_ppm", tfnormPpm)
-      .withColumn("idf_ppm", idfPpm)
-      .withColumn("term_score", expr("(idf_ppm * tfnorm_ppm) div 1000000"))
-      .groupBy(col("doc_id"))
+      .join(broadcast(qterms), "term")
+      .withColumn("nd_ppm", expr(ndPpmE))
+      .withColumn("tfnorm_ppm", expr(tfnormPpmE))
+      .withColumn("idf_ppm", expr(idfPpmE))
+      .withColumn("term_score", expr(termScoreE))
+      .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_score")).as("score"),
         count(lit(1)).as("n_hit"),
         max(col("dl")).as("n_tokens"))
   }
+
+  /** The disjunctive scoring relation (doc_id, score, n_hit,
+    * n_tokens) both single-query top-k forms rank over — the shared
+    * core with a one-query batch.
+    */
+  private def bm25Scored(docs: DataFrame, terms: Seq[String]): DataFrame =
+    scoredByQuery(docs, Seq(0L -> terms)).drop("query_id")
 
   /** Conjunctive (AND) BM25: only documents containing EVERY query
     * term rank — the `n_hit = |terms|` filter over the disjunctive
@@ -145,36 +173,16 @@ object Search {
       queries: Seq[(Long, Seq[String])] = defaultQueries,
       k: Int = 5): DataFrame = {
     require(queries.nonEmpty, "need at least one query")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val qterms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
-      .toDF("query_id", "term")
-    val allTerms = queries.flatMap(_._2).distinct
-    val toks = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-    val dl = toks.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("nn"), sum(col("dl")).as("tt"))
-    val tf = toks.select(col("doc_id"), explode(col("ws")).as("term"))
-      .filter(col("term").isin(allTerms: _*))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(dfreq, "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .join(broadcast(qterms), "term")
-      .withColumn("nd_ppm", expr("(1000000 * dl * nn) div tt"))
-      .withColumn("tfnorm_ppm", expr(
-        "(44000000 * tf * 1000000) div (20000000 * tf + 6000000 + 18 * nd_ppm)"))
-      .withColumn("idf_ppm",
-        expr("(1000000 * (2 * nn - 2 * df + 1)) div (2 * df + 1)"))
-      .withColumn("term_score", expr("(idf_ppm * tfnorm_ppm) div 1000000"))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("term_score")).as("score"), count(lit(1)).as("n_hit"))
+    // an empty term list would silently vanish from the output (no
+    // postings rows) — indistinguishable from "no matches"; fail fast
+    require(queries.forall(_._2.nonEmpty),
+      s"every query needs at least one term: " +
+        queries.filter(_._2.isEmpty).map(_._1).mkString(","))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scoredByQuery(docs, queries)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         col("score"), col("n_hit"))

@@ -182,7 +182,9 @@ class SearchSpec extends AnyFunSuite {
         call_function("phrase_count", col("ws"),
           typedLit(phrase.toIndexedSeq)).as("native"),
         Search.phraseCountHof(col("ws"), phrase).as("hof"))
-    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // null-SAFE inequality: a plain =!= is SQL-null on rows where one
+    // side is null — exactly the rows where the forms could diverge
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
     assert(both.filter(col("native") > 0).count() > 0,
       "fixture must contain the phrase somewhere")
   }
