@@ -625,7 +625,14 @@ object Extensions {
     // the stream-stream interval join (streaming form spec-pinned
     // equal, including cross-batch pairing)
     "x_events_stream_join" -> ((s, d) =>
-      EventWindows.viewClickPairs(t(s, d, "events")))
+      EventWindows.viewClickPairs(t(s, d, "events"))),
+
+    // the abandonment stream: LEFT-OUTER time-bounded pairing — every
+    // view, null click columns when unconverted (streaming form emits
+    // unmatched views once the watermark proves no in-lag click can
+    // arrive; spec-pinned)
+    "x_events_stream_join_outer" -> ((s, d) =>
+      EventWindows.viewClickPairsOuter(t(s, d, "events")))
   )
 
   /** Shared DuckDB CTE fragments for the trigram-shingle family: ONE
@@ -1798,6 +1805,21 @@ object Extensions {
         |WHERE click_ts >= view_ts
         |  AND click_ts <= view_ts + INTERVAL 30 MINUTE
         |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
+    // the time bound lives in the JOIN condition (a WHERE would turn
+    // the left join inner); null sort keys pinned via coalesce — Spark
+    // orders nulls first ASC, DuckDB last
+    "x_events_stream_join_outer" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id AS c_user_id, event_id AS click_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.user_id AS user_id, view_id, click_id,
+        |  CAST(epoch_us(click_ts) - epoch_us(view_ts) AS BIGINT) AS lag_us
+        |FROM v LEFT JOIN c ON v.user_id = c.c_user_id
+        |  AND click_ts >= view_ts
+        |  AND click_ts <= view_ts + INTERVAL 30 MINUTE
+        |ORDER BY v.user_id, view_id, COALESCE(click_id, -1)""".stripMargin,
 
     "x_events_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -217,6 +217,69 @@ object EventWindows {
       .orderBy(col("user_id"), col("view_id"), col("click_id"))
   }
 
+  /** LEFT-OUTER form of [[viewClickPairs]]: every view appears, with
+    * null click columns when no click landed inside the lag window —
+    * the ABANDONMENT stream (the unconverted views are usually the
+    * rows the analysis wants). The time bound lives in the JOIN
+    * condition, not a post-filter — a left join with a WHERE on the
+    * right side would silently turn inner. Null sort keys are pinned
+    * with coalesce(click_id, -1): Spark orders nulls first ASC,
+    * DuckDB last, and the oracle must not depend on that dialect
+    * choice.
+    */
+  def viewClickPairsOuter(events: DataFrame,
+      maxLagMinutes: Int = 30): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+    views.join(clicks,
+        col("user_id") === col("c_user_id") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") +
+            expr(s"INTERVAL $maxLagMinutes MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("lag_us"))
+      .orderBy(col("user_id"), col("view_id"),
+        coalesce(col("click_id"), lit(-1L)))
+  }
+
+  /** Stream-stream LEFT-OUTER interval join — [[viewClickPairsOuter]]
+    * incremental: matched pairs emit when both sides arrive; an
+    * UNMATCHED view emits (null click columns) only once the
+    * watermark proves no in-lag click can still arrive — exactly-once
+    * for both row kinds, pinned by the multi-phase spec. Same
+    * watermark/state-retention machinery as the inner form.
+    */
+  def streamingViewClickPairsOuter(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String, maxLagMinutes: Int = 30,
+      watermark: String = "2 hours",
+      availableNow: Boolean = true): StreamingQuery = {
+    def side(eventType: String, idAs: String, tsAs: String,
+        userAs: String) =
+      spark.readStream.schema(schema).parquet(dir)
+        .filter(col("event_type") === eventType)
+        .select(col("user_id").as(userAs), col("event_id").as(idAs),
+          col("ts").as(tsAs))
+        .withWatermark(tsAs, watermark)
+    val views = side("view", "view_id", "view_ts", "user_id")
+    val clicks = side("click", "click_id", "click_ts", "c_user_id")
+    runToMemory(
+      views.join(clicks,
+          expr(s"""user_id = c_user_id AND
+            click_ts >= view_ts AND
+            click_ts <= view_ts + interval $maxLagMinutes minutes"""),
+          "left_outer")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("lag_us")),
+      queryName, "append", availableNow)
+  }
+
   /** Stream-stream interval join — [[viewClickPairs]] incremental:
     * both sides carry watermarks, and the time-bound condition lets
     * Spark derive the state retention window (a view older than the

@@ -932,6 +932,44 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L, 101L, 600000000L)), s"got $got")
   }
 
+  test("stream-stream LEFT-OUTER join: unmatched views emit once the watermark proves abandonment") {
+    // phase A: views for users 1 and 2 at 00:00
+    // phase B: user 1's click at 00:10 (matched pair emits); a user-3
+    //   view and user-4 click at 05:00 advance BOTH watermarks to
+    //   03:00, past 00:00+30m — user 2's view is now provably
+    //   unconverted and must emit exactly once with null click
+    //   columns; user 3's own view (05:00) is NOT yet provably
+    //   unmatched and stays withheld; the unmatched user-4 click
+    //   never emits (left outer, not full)
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    def df(rows: (Long, Long, String, String)*) =
+      rows.map { case (e, u, t, et) => (e, u, ts(t), et) }
+        .toDF("event_id", "user_id", "ts", "event_type")
+    val dir = java.nio.file.Files
+      .createTempDirectory("events-ssjoin-outer").toString
+    val phaseA = df((100L, 1L, "00:00:00", "view"),
+      (200L, 2L, "00:00:00", "view"))
+    val phaseB = df((401L, 1L, "00:10:00", "click"),
+      (300L, 3L, "05:00:00", "view"),
+      (400L, 4L, "05:00:00", "click"))
+    phaseA.coalesce(1).write.mode("append").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingViewClickPairsOuter(
+      spark, dir, phaseA.schema, "ssjoin_outer", availableNow = false)
+    try {
+      q.processAllAvailable()
+      phaseB.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("ssjoin_outer").collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(rows.length == 2, s"exactly-once per row kind, got ${rows.toSeq}")
+    assert(got == Set((1L, 100L, 401L, 600000000L), (2L, 200L, -1L, -1L)),
+      s"got $got")
+  }
+
   test("dedupAgainstCorpus flags only incoming docs near-dup to corpus") {
     import spark.implicits._
     val mk = (ws: Seq[String]) => ws.mkString(" ")
