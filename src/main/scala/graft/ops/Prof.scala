@@ -124,6 +124,24 @@ object Prof {
       // copies carry disjoint vocabularies, so the column should stay
       // near the 1× value while the corpus grows 100×
       q("dedup_edit_distance")(Dedup.editDistancePairs(docs).count())
+      // trainer: ONE corpus pass (word vocab) + 10 vocab-sized
+      // iterations; ScaleGen vocab grows linearly with copies, so the
+      // column tracks vocabulary, not corpus
+      q("bpe_merges_10")(Bpe.bpeMerges(docs, 10).count())
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("events")) {
+      // windowed-event / stream-join family over the ScaleGen events
+      // copies (user-id-shifted: per-user structure preserved, never
+      // crossing copies): the joins key on user_id and the windows on
+      // (window, type) or user — all should scale ~linearly in events
+      val ev = graft.engine.Tables.table(spark, dir, "events")
+      import graft.streaming.EventWindows
+      q("stream_join")(EventWindows.viewClickPairs(ev).count())
+      q("stream_join_outer")(EventWindows.viewClickPairsOuter(ev).count())
+      q("tumbling")(EventWindows.tumblingHourly(ev).count())
+      q("sessions")(EventWindows.userSessions(ev).count())
       spark.stop()
       return
     }

@@ -57,10 +57,25 @@ object ScaleGen {
       }
     }.reduce(_ unionByName _)
 
+    // events: copy k shifts user_id (and event_id) into its own id
+    // space, so per-user structure — sessions, funnels, view→click
+    // pairs — is exactly preserved per copy and never crosses copies;
+    // the event-time distribution is left untouched (watermarks and
+    // windows see the same timeline, copies only multiply users)
+    val ev = graft.engine.Tables.table(spark, src, "events")
+    val evOut = (0 until copies).map { k =>
+      copyOf(ev, k, "event_id") { e =>
+        if (k == 0) e
+        else e.withColumn("user_id", col("user_id") + lit(k * 1000000L))
+      }
+    }.reduce(_ unionByName _)
+
     docsOut.repartition(8).write.mode("overwrite").parquet(s"$out/documents.parquet")
     embOut.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    evOut.repartition(8).write.mode("overwrite").parquet(s"$out/events.parquet")
     println(s"SCALEGEN wrote ${copies}x corpus to $out: " +
       s"docs=${spark.read.parquet(s"$out/documents.parquet").count()} " +
-      s"embs=${spark.read.parquet(s"$out/embeddings.parquet").count()}")
+      s"embs=${spark.read.parquet(s"$out/embeddings.parquet").count()} " +
+      s"events=${spark.read.parquet(s"$out/events.parquet").count()}")
   }
 }
