@@ -236,4 +236,48 @@ object Profile {
         (lit(lo) + (col("bucket") + 1) * width).as("hi"), col("n"))
       .orderBy(col("bucket"))
   }
+
+  /** Pairwise Pearson correlations over INTEGER-EXACT derived
+    * columns, on the moment lattice: one aggregation pass computes
+    * every Σx, Σx², Σxy as exact BIGINTs (order-independent sums —
+    * `corr()` itself accumulates doubles whose partial order varies
+    * per run), and the correlation derives as
+    * `num / sqrt(den_x) / sqrt(den_y)` with
+    * num = n·Σxy − Σx·Σy, den_c = n·Σc² − (Σc)² — exact integers
+    * cast once, a fixed IEEE expression both engines evaluate to the
+    * same bits, so even the float column carries the full hash
+    * oracle. The one-row aggregate pivots to a row per pair via the
+    * free single-row explode ([[pivotToRows]]' pattern); the corpus
+    * is scanned exactly once for all pairs. A constant column yields
+    * den = 0 and corr NULL (0/0 → NaN is nulled explicitly — the
+    * dialect-stable encoding of "undefined").
+    */
+  def corrReport(df: DataFrame,
+      cols: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(cols.size >= 2, "corrReport needs at least two columns")
+    val named = df.select(cols.map { case (n, c) => c.cast("long").as(n) }: _*)
+    val pairs = cols.map(_._1).combinations(2).map(p => (p(0), p(1))).toSeq
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      cols.map { case (n, _) => sum(col(n)).as(s"s_$n") } ++
+      cols.map { case (n, _) => sum(col(n) * col(n)).as(s"s2_$n") } ++
+      pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}_$b") }
+    val one = named.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(s"$a~$b").as("pair"), col("n").as("n"),
+        (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+          .as("num"),
+        (col("n") * col(s"s2_$a") - col(s"s_$a") * col(s"s_$a"))
+          .as("den_x"),
+        (col("n") * col(s"s2_$b") - col(s"s_$b") * col(s"s_$b"))
+          .as("den_y"))
+    }
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.*"))
+      .withColumn("corr", when(col("den_x") > 0 && col("den_y") > 0,
+        round(col("num").cast("double")
+          / sqrt(col("den_x").cast("double"))
+          / sqrt(col("den_y").cast("double")), 4)))
+      .orderBy(col("pair"))
+  }
 }

@@ -430,6 +430,15 @@ object Extensions {
       Profile.columnProfile(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // pairwise Pearson correlations on the exact-integer moment
+    // lattice (order-independent sums; the IEEE division/sqrt tail is
+    // a fixed expression over exact inputs → full hash oracle)
+    "x_profile_corr" -> ((s, d) =>
+      Profile.corrReport(t(s, d, "lineitem"), Seq(
+        "qty" -> col("l_quantity"),
+        "tax_pct" -> round(col("l_tax") * 100),
+        "disc_pct" -> round(col("l_discount") * 100)))),
+
     // rebalance the skewed lang mixture to the minority language:
     // corpus-derived integer bucket cuts, md5-deterministic keeps
     "x_mixture_rebalance" -> ((s, d) =>
@@ -1465,6 +1474,44 @@ object Extensions {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, rnk, term, tf, df FROM r
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // identical moment lattice: every sum CAST back from HUGEINT to
+    // BIGINT BEFORE the products so both engines multiply the same
+    // 64-bit values; DuckDB round() and Spark round() agree half-up
+    // for the positive tax/discount scalings
+    "x_profile_corr" ->
+      """WITH t AS (SELECT
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_pct
+        |  FROM lineitem),
+        |a AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(qty) AS BIGINT) AS s_qty,
+        |    CAST(SUM(tax_pct) AS BIGINT) AS s_tax,
+        |    CAST(SUM(disc_pct) AS BIGINT) AS s_disc,
+        |    CAST(SUM(qty * qty) AS BIGINT) AS s2_qty,
+        |    CAST(SUM(tax_pct * tax_pct) AS BIGINT) AS s2_tax,
+        |    CAST(SUM(disc_pct * disc_pct) AS BIGINT) AS s2_disc,
+        |    CAST(SUM(qty * tax_pct) AS BIGINT) AS sp_qt,
+        |    CAST(SUM(qty * disc_pct) AS BIGINT) AS sp_qd,
+        |    CAST(SUM(tax_pct * disc_pct) AS BIGINT) AS sp_td
+        |  FROM t),
+        |p AS (
+        |  SELECT 'qty~tax_pct' AS pair, n, n * sp_qt - s_qty * s_tax AS num,
+        |    n * s2_qty - s_qty * s_qty AS den_x,
+        |    n * s2_tax - s_tax * s_tax AS den_y FROM a
+        |  UNION ALL
+        |  SELECT 'qty~disc_pct', n, n * sp_qd - s_qty * s_disc,
+        |    n * s2_qty - s_qty * s_qty, n * s2_disc - s_disc * s_disc FROM a
+        |  UNION ALL
+        |  SELECT 'tax_pct~disc_pct', n, n * sp_td - s_tax * s_disc,
+        |    n * s2_tax - s_tax * s_tax, n * s2_disc - s_disc * s_disc FROM a)
+        |SELECT pair, n, CAST(num AS BIGINT) AS num,
+        |  CAST(den_x AS BIGINT) AS den_x, CAST(den_y AS BIGINT) AS den_y,
+        |  CASE WHEN den_x > 0 AND den_y > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / sqrt(CAST(den_x AS DOUBLE))
+        |          / sqrt(CAST(den_y AS DOUBLE)), 4) END AS corr
+        |FROM p ORDER BY pair""".stripMargin,
 
     // SUM over a CASE is HUGEINT in DuckDB — cast back to BIGINT;
     // min/max carry data values unchanged, so DOUBLE compares exactly

@@ -143,4 +143,24 @@ class ProfileSpec extends AnyFunSuite {
     val perLang = a.groupBy(_._1).view.mapValues(_.size).toMap
     assert(perLang.values.forall(_ == 5), s"per-stratum counts: $perLang")
   }
+
+  test("corrReport: perfect, anti, and undefined correlations") {
+    // y = 2x+1 (corr 1), z = -x (corr -1), w constant (undefined)
+    val df = Seq((1L, 3L, -1L, 5L), (2L, 5L, -2L, 5L),
+      (3L, 7L, -3L, 5L), (4L, 9L, -4L, 5L)).toDF("x", "y", "z", "w")
+    val rs = Profile.corrReport(df, Seq(
+        "x" -> col("x"), "y" -> col("y"), "z" -> col("z"), "w" -> col("w")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rs("x~y").getAs[Double]("corr") == 1.0)
+    assert(rs("x~z").getAs[Double]("corr") == -1.0)
+    assert(rs("x~w").isNullAt(rs("x~w").fieldIndex("corr")),
+      "constant column must yield NULL corr, not NaN")
+    // the exact-integer moments behind the floats
+    val xy = rs("x~y")
+    assert(xy.getAs[Long]("n") == 4)
+    // n*sxy - sx*sy = 4*(3+10+21+36) - 10*24 = 280 - 240 = 40
+    assert(xy.getAs[Long]("num") == 40L)
+    // n*sx2 - sx^2 = 4*30 - 100 = 20
+    assert(xy.getAs[Long]("den_x") == 20L)
+  }
 }
