@@ -237,6 +237,45 @@ object Profile {
       .orderBy(col("bucket"))
   }
 
+  /** EXACT per-group quantiles (type-1: the value at rank
+    * ⌈p·n⌉ ascending) — per-source length percentiles are the input
+    * to mixture/truncation decisions, and the grouped form is what
+    * `approx_percentile` can't give bit-exactly. The percentile is
+    * carried as a RATIONAL (num, den): the selection rank is
+    * `(num·n + den − 1) div den` — pure integer arithmetic, no float
+    * p·n to diverge at a rounding boundary. One window pass per
+    * group (row_number + count over the group), filter to the ≤ |ps|
+    * selected ranks — output is groups × percentiles rows. Ties in
+    * the value column cannot change the selected VALUE (any
+    * row_number permutation of equal values yields the same value at
+    * a rank), so no tiebreak column is needed for determinism.
+    */
+  def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) => n > 0 && n <= d },
+      s"percentiles must be rationals in (0, 1]: $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    // one pass: each ranked row fans out over the (tiny) percentile
+    // list and keeps the rows sitting at a selected rank — a row can
+    // legitimately serve several percentiles in a small group
+    val pcts = explode(array(ps.map { case (num, den) =>
+      struct(lit(num).as("num"), lit(den).as("den"),
+        lit(num * 100 / den).as("pct"))
+    }: _*))
+    ranked.select(col(groupCol).as("grp"), col("n"), col("rk"),
+        col(valueCol).as("value"), pcts.as("q"))
+      // integer ceil: (num·n + den − 1) div den
+      .filter(col("rk") === expr("(q.num * n + q.den - 1) div q.den"))
+      .select(col("grp"), col("q.pct").as("pct"), col("n"),
+        col("rk").as("rank"), col("value"))
+      .orderBy(col("grp"), col("pct"))
+  }
+
   /** Pairwise Pearson correlations over INTEGER-EXACT derived
     * columns, on the moment lattice: one aggregation pass computes
     * every Σx, Σx², Σxy as exact BIGINTs (order-independent sums —

@@ -430,6 +430,12 @@ object Extensions {
       Profile.columnProfile(t(s, d, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
 
+    // exact per-source length percentiles (type-1 at integer-rational
+    // ranks) — the grouped form approx_percentile can't give
+    // bit-exactly; mixture/truncation decisions read this table
+    "x_profile_group_quantiles" -> ((s, d) =>
+      Profile.quantilesByGroup(t(s, d, "documents"), "source", "n_chars")),
+
     // pairwise Pearson correlations on the exact-integer moment
     // lattice (order-independent sums; the IEEE division/sqrt tail is
     // a fixed expression over exact inputs → full hash oracle)
@@ -1474,6 +1480,20 @@ object Extensions {
         |  FROM tf JOIN df USING (term))
         |SELECT doc_id, rnk, term, tf, df FROM r
         |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // identical integer rank lattice: ceil via (num·n + den−1) // den,
+    // both sides pure BIGINT; ROW_NUMBER/ COUNT windows match
+    "x_profile_group_quantiles" ->
+      """WITH r AS (SELECT source AS grp, n_chars AS value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars ASC) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |q(num, den, pct) AS (VALUES (1, 2, 50), (9, 10, 90), (99, 100, 99))
+        |SELECT grp, pct, n, CAST(rk AS INT) AS rank, value
+        |FROM r CROSS JOIN q
+        |WHERE rk = (num * n + den - 1) // den
+        |ORDER BY grp, pct""".stripMargin,
 
     // identical moment lattice: every sum CAST back from HUGEINT to
     // BIGINT BEFORE the products so both engines multiply the same

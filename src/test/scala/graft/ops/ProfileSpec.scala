@@ -163,4 +163,19 @@ class ProfileSpec extends AnyFunSuite {
     // n*sx2 - sx^2 = 4*30 - 100 = 20
     assert(xy.getAs[Long]("den_x") == 20L)
   }
+
+  test("quantilesByGroup selects exact type-1 ranks per group") {
+    val df = ((1 to 10).map(v => ("a", v.toLong)) :+ ("b", 7L))
+      .toDF("src", "v")
+    val got = Profile.quantilesByGroup(df, "src", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4))).toSeq
+    // group a (n=10): p50 -> rank ceil(5)=5 value 5; p90 -> rank 9;
+    // p99 -> rank ceil(9.9)=10. group b (n=1): every pct -> rank 1.
+    assert(got == Seq(
+      ("a", 50, 10L, 5, 5L), ("a", 90, 10L, 9, 9L), ("a", 99, 10L, 10, 10L),
+      ("b", 50, 1L, 1, 7L), ("b", 90, 1L, 1, 7L), ("b", 99, 1L, 1, 7L)),
+      s"got $got")
+  }
 }
