@@ -70,6 +70,53 @@ object Quantize {
     * One narrow pass over the corpus, no joins, no shuffle beyond the
     * scan-spread; every column is a codegen'd expression.
     */
+  /** Quantized dimension co-moment matrix — the whitening / OPQ-prep
+    * statistic (rotate-then-quantize needs exactly these second
+    * moments): for every dimension pair i ≤ j, Σ over vectors of
+    * code_i·code_j as an exact BIGINT, the per-dimension sums, and
+    * the population covariance derived from the exact moments
+    * (`(n·Σxy − Σx·Σy) / n²` — one IEEE division of exact integers,
+    * fixed order, so the float column carries the full hash oracle;
+    * int8 codes make the products exact where raw float embeddings
+    * would sum order-dependently).
+    *
+    * Shape: ONE corpus scan — each vector explodes into its
+    * d(d+1)/2 upper-triangle products PLUS d marginal sentinel
+    * entries (j = −1 carries code_i itself), map-side combined
+    * straight to the geometry-sized cell table; the marginal rows
+    * pivot back via two joins against the d-row relation (AQE
+    * broadcast). Nothing downstream of the scan is corpus-sized.
+    */
+  def dimCovariance(embeddings: DataFrame): DataFrame = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val codes = base
+      .select(codesOf(col("v"), scaleOf(col("v"))).as("q"))
+      .filter(col("q").isNotNull)
+    val d = size(col("q"))
+    val q = col("q")
+    val entries = flatten(transform(sequence(lit(1), d), i => concat(
+      // marginal sentinel: (i, -1, x_i)
+      array(struct((i - 1).cast("int").as("i"), lit(-1).as("j"),
+        element_at(q, i).as("xy"))),
+      transform(sequence(i, d), j => struct(
+        (i - 1).cast("int").as("i"), (j - 1).cast("int").as("j"),
+        (element_at(q, i) * element_at(q, j)).as("xy"))))))
+    val cells = codes.select(explode(entries).as("p"))
+      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+      .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("s"))
+    val marg = cells.filter(col("j") === -1)
+      .select(col("i").as("mi"), col("s").as("ms"))
+    cells.filter(col("j") =!= -1)
+      .join(marg.select(col("mi").as("i"), col("ms").as("s_x")), Seq("i"))
+      .join(marg.select(col("mi").as("j"), col("ms").as("s_y")), Seq("j"))
+      .select(col("i"), col("j"), col("n"), col("s_x"), col("s_y"),
+        col("s").as("s_xy"),
+        round((col("n") * col("s") - col("s_x") * col("s_y")).cast("double")
+          / (col("n") * col("n")).cast("double"), 4).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
   def quantizeProfile(embeddings: DataFrame): DataFrame = {
     val base = Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))

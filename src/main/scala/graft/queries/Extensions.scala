@@ -225,6 +225,12 @@ object Extensions {
     "x_embed_dim_profile" -> ((s, d) =>
       Quantize.dimensionProfile(t(s, d, "embeddings"))),
 
+    // quantized dimension co-moment matrix — the whitening/OPQ-prep
+    // statistic: exact integer second moments from ONE corpus scan,
+    // covariance as a fixed IEEE division of exact integers
+    "x_embed_dim_cov" -> ((s, d) =>
+      Quantize.dimCovariance(t(s, d, "embeddings"))),
+
     // top-k by QUANTIZED cosine over packed int8 codes — deterministic
     // rounding, so unlike the float ANN paths this carries a full
     // value oracle (DuckDB recomputes codes, integer dots, ranking)
@@ -1123,6 +1129,28 @@ object Extensions {
         |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_code
         |FROM e GROUP BY i ORDER BY dim""".stripMargin,
+
+    // the co-moment matrix over the same quantization CTE: per-vector
+    // positional self-join for the pair products, parallel-unnest
+    // marginals, covariance as the identical fixed IEEE division
+    "x_embed_dim_cov" ->
+      raw"""WITH $quantCodesCte,
+        |e AS (
+        |  SELECT vec_id, unnest(code) AS v,
+        |    unnest(generate_series(1, len(code))) AS i
+        |  FROM c WHERE code IS NOT NULL),
+        |m AS (SELECT i, CAST(SUM(v) AS BIGINT) AS s FROM e GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(a.v * b.v) AS BIGINT) AS s_xy
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.j - 1 AS INT) AS j, CAST(p.i - 1 AS INT) AS i,
+        |  p.n, ma.s AS s_x, mb.s AS s_y, p.s_xy,
+        |  ROUND(CAST(p.n * p.s_xy - ma.s * mb.s AS DOUBLE)
+        |        / CAST(p.n * p.n AS DOUBLE), 4) AS cov
+        |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
+        |ORDER BY i, j""".stripMargin,
 
     // nProbe == nCells probes every cell — the IVF+int8 composition
     // provably equals knnQuantized and shares its oracle

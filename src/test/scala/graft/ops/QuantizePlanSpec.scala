@@ -41,4 +41,24 @@ class QuantizePlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"profile must not join:\n$plan")
     assert(!plan.contains("HashAggregate"), s"profile must not aggregate:\n$plan")
   }
+
+  test("dimCovariance: exact moments on a hand-quantized fixture") {
+    import spark.implicits._
+    // scale = 1/127 for both -> codes [127,127] and [127,-127]
+    val emb = Seq((1L, Seq(1.0f, 1.0f)), (2L, Seq(1.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val rs = Quantize.dimCovariance(emb).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r)).toMap
+    assert(rs.keySet == Set((0, 0), (0, 1), (1, 1)))
+    val c00 = rs((0, 0))
+    assert(c00.getAs[Long]("n") == 2 && c00.getAs[Long]("s_x") == 254L)
+    assert(c00.getAs[Long]("s_xy") == 2 * 127L * 127L)
+    assert(c00.getAs[Double]("cov") == 0.0) // constant dimension
+    val c01 = rs((0, 1))
+    assert(c01.getAs[Long]("s_xy") == 0L && c01.getAs[Double]("cov") == 0.0)
+    val c11 = rs((1, 1))
+    assert(c11.getAs[Long]("s_x") == 0L)
+    assert(c11.getAs[Long]("s_xy") == 2 * 127L * 127L)
+    assert(c11.getAs[Double]("cov") == 127.0 * 127.0)
+  }
 }
