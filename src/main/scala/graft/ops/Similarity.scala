@@ -598,4 +598,38 @@ object Similarity {
         round(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Semantic decontamination — the vector-space analog of
+    * [[Dedup.decontaminate]]: flag corpus vectors whose cosine to ANY
+    * benchmark vector reaches `minCosine`. N-gram decontamination
+    * misses paraphrase/translation leakage; this is the check that
+    * catches it. Per flagged vector: the number of near benchmark
+    * vectors, the max cosine (rounded AFTER the max — the per-pair
+    * cosines are the same exact expression [[knnBrute]] carries, so
+    * the max is deterministic), and the smallest matching benchmark
+    * id (a stable example to audit).
+    *
+    * At 100 TB: the benchmark (a bounded eval set) broadcasts, the
+    * corpus stays partitioned, and the aggregation is per corpus
+    * vector — one pass, the [[knnBrute]] layout with a threshold
+    * instead of a top-k. A benchmark too large to broadcast takes
+    * the cell-blocked candidate machinery
+    * ([[embeddingNearDupAnn]]'s) instead.
+    */
+  def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minCosine: Double = 0.4): DataFrame = {
+    val c = withNorm(corpus)
+    val b = withNorm(benchmark)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("norm").as("bn"))
+    c.join(broadcast(b),
+        cosineWithNorms(col("v"), col("bv"), col("norm"), col("bn"))
+          >= minCosine)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_near"),
+        round(max(cosineWithNorms(col("v"), col("bv"), col("norm"),
+          col("bn"))), 4).as("max_cosine"),
+        min(col("b_id")).as("nearest_min_id"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -231,6 +231,16 @@ object Extensions {
     "x_embed_dim_cov" -> ((s, d) =>
       Quantize.dimCovariance(t(s, d, "embeddings"))),
 
+    // semantic decontamination: corpus vectors near ANY benchmark
+    // vector (first 25 ids as the held-out set) — the paraphrase
+    // leakage the n-gram x_decontaminate cannot see
+    "x_decontaminate_embedding" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.embeddingDecontaminate(
+        e.filter(col("vec_id") >= 25), e.filter(col("vec_id") < 25),
+        minCosine = 0.3)
+    }),
+
     // top-k by QUANTIZED cosine over packed int8 codes — deterministic
     // rounding, so unlike the float ANN paths this carries a full
     // value oracle (DuckDB recomputes codes, integer dots, ranking)
@@ -1129,6 +1139,24 @@ object Extensions {
         |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_code
         |FROM e GROUP BY i ORDER BY dim""".stripMargin,
+
+    // list_cosine_similarity reproduces the Spark cosine at the
+    // shared ROUND(...,4) (the x_dedup_embedding convention); round
+    // AFTER the max, count/min are exact
+    "x_decontaminate_embedding" ->
+      """WITH b AS (SELECT vec_id AS b_id, embedding AS be
+        |  FROM embeddings WHERE vec_id < 25),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 25),
+        |j AS (SELECT c.vec_id, b.b_id,
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(b.be AS DOUBLE[])) AS cos
+        |  FROM c JOIN b ON
+        |    list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                           CAST(b.be AS DOUBLE[])) >= 0.3)
+        |SELECT vec_id, COUNT(*) AS n_near,
+        |  ROUND(MAX(cos), 4) AS max_cosine,
+        |  MIN(b_id) AS nearest_min_id
+        |FROM j GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // the co-moment matrix over the same quantization CTE: per-vector
     // positional self-join for the pair products, parallel-unnest

@@ -1059,4 +1059,28 @@ class ExtensionsSpec extends AnyFunSuite {
     val acc = out.count(r => r.getString(1) == r.getString(2)).toDouble / out.length
     assert(acc > 0.5, s"langid accuracy $acc on en/zh")
   }
+
+  test("embeddingDecontaminate flags exactly the threshold-crossing corpus vectors") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val bench = e.filter(col("vec_id") < 25)
+    val corpus = e.filter(col("vec_id") >= 25)
+    val got = Similarity.embeddingDecontaminate(corpus, bench, minCosine = 0.3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // reference: the bounded brute pair relation restricted to
+    // (benchmark, corpus) pairs at the same threshold
+    val pairs = Dedup.embeddingCosinePairs(e, minCosine = 0.3, leftMax = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 25 && b >= 25 }
+    val want = pairs.groupBy(_._2).map { case (v, ps) =>
+      v -> (ps.size.toLong, ps.map(_._3).max, ps.map(_._1).min)
+    }
+    assert(want.nonEmpty, "fixture must contain near-benchmark vectors")
+    assert(got.keySet == want.keySet)
+    want.foreach { case (v, (n, maxCos, minId)) =>
+      val r = got(v)
+      assert(r.getAs[Long]("n_near") == n, s"vec $v n_near")
+      assert(r.getAs[Double]("max_cosine") == maxCos, s"vec $v max_cosine")
+      assert(r.getAs[Long]("nearest_min_id") == minId, s"vec $v nearest id")
+    }
+  }
 }
