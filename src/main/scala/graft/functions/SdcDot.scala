@@ -88,8 +88,9 @@ case class SdcDot(first: Expression, second: Expression,
       s"""
          |int $tn = $tab.numElements();
          |long $mk = (long) $pa.length * $k;
-         |if ($pa.length != $pb.length
-         |    || $k <= 0 || $mk > $tn || $mk * $k > $tn) {
+         |// one line: Spark strip-margins generated code, so a
+         |// continuation line starting with '|' would be eaten
+         |if ($pa.length != $pb.length || $k <= 0 || $mk > $tn || $mk * $k > $tn) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $acc = 0.0;
