@@ -106,6 +106,97 @@ object Bpe {
       .orderBy(col("rank"))
   }
 
+  /** One compiled pass applying a whole merge table to one word:
+    * code-point symbolization (the `substring(word, i, 1)` slicing —
+    * whole code points, never surrogate halves), then per merge in
+    * rank order the same left-to-right non-overlapping scan
+    * [[applyMerge]] implements as a HOF fold.
+    *
+    * JVM code rather than a chained column expression on purpose: the
+    * merge table is model state of ARBITRARY depth, and nesting
+    * [[applyMerge]] n-deep explodes Catalyst — each fold references
+    * its input ~4×, Project collapse inlines every reference, and the
+    * expression tree grows ~4ⁿ (an 8-merge chain already hangs the
+    * optimizer for minutes). The trainer never hits this because it
+    * localCheckpoints between single-merge passes.
+    */
+  private[ops] def applyMergeTable(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Array[String] = {
+      val cps = word.codePoints().toArray
+      cps.map(cp => new String(Character.toChars(cp)))
+    }
+    merges.foreach { case (l, r) =>
+      val b = Array.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+          b += (l + r); j += 2
+        } else { b += syms(j); j += 1 }
+      }
+      syms = b.result()
+    }
+    syms.toSeq
+  }
+
+  /** ENCODE half of the tokenizer story: apply a merge table in rank
+    * order to each word, returning `(word, toks array<string>)`.
+    *
+    * Runs on the DISTINCT-word relation deliberately: encoding cost
+    * is vocabulary-sized (Heaps' law), never corpus-sized — the
+    * corpus pays only the occurrence→vocab join in
+    * [[bpeEncodeTokens]]. The per-word scan is a UDF at this
+    * vocab-sized seam (the [[Multimodal]] decoder convention): the
+    * merge table broadcasts inside the closure, the corpus-sized hot
+    * path stays fully codegen.
+    */
+  private[ops] def encodeVocab(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val enc = udf((w: String) =>
+      if (w == null) null else applyMergeTable(w, merges))
+    words.select(col("word"), enc(col("word")).as("toks"))
+  }
+
+  /** Per-document token accounting under a FIXED merge table — the
+    * consumer-facing "what does this tokenizer cost me" statistic
+    * (sequence packing and mixture budgeting read token counts):
+    * `(doc_id, n_words, n_chars, n_tokens)`, all exact integers, so
+    * the full hash oracle holds. `n_chars − n_tokens` is the number
+    * of merge operations that fired.
+    *
+    * Scale shape: one corpus pass explodes occurrences; the fold runs
+    * once per DISTINCT word ([[encodeVocab]]); occurrences join the
+    * encoded vocab on `word` (vocab-sized build side — AQE broadcasts
+    * it) and aggregate per doc with map-side combine. Nothing
+    * iterative, nothing collected.
+    */
+  def bpeEncodeTokens(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val occ = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+    val enc = encodeVocab(occ.select(col("word")).distinct(), merges)
+      .select(col("word"), size(col("toks")).cast("long").as("n_toks"))
+    occ.join(enc, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_toks")).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pinned English-ish merge table of the driver-gate encode
+    * query — FIXED model state, applied in rank order (later merges
+    * consume earlier merges' output symbols: th+e, an+d). The DuckDB
+    * oracle replays it as a chain of `replace` calls over a
+    * private-use-char symbol encoding — a genuinely different
+    * formulation of the same left-to-right non-overlapping semantics,
+    * so a hash match cross-checks the fold itself.
+    */
+  val PinnedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "an" -> "d", "e" -> "r", "o" -> "n", "r" -> "e")
+
   /** The driver-gate query: FIRST-iteration adjacent character-pair
     * weights, top-k — one-shot and fully SQL-expressible, so it
     * carries the complete DuckDB oracle while [[bpeMerges]] (the
@@ -114,7 +205,12 @@ object Bpe {
     */
   def bpePairCounts(docs: DataFrame, k: Int = 20): DataFrame = {
     val sym = symbolized(docs)
+    // non-foldable zero partition key == the no-partition k-row
+    // window, minus Spark's "No Partition Defined" WARN (the
+    // Search.onePartKey convention — a lit() key would be optimized
+    // away by EliminateWindowPartitions)
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Search.onePartKey(col("weight")))
       .orderBy(col("weight").desc, col("l_sym"), col("r_sym"))
     pairCounts(sym)
       .orderBy(col("weight").desc, col("l_sym"), col("r_sym")).limit(k)

@@ -172,9 +172,12 @@ object Prof {
       // (n/5 past fixture sizes) must dominate this with margin
       val brute = Similarity.knnBrute(emb)
         .select(col("query_id"), col("neighbor_id"))
-      val worst = brute.join(Pq.prefilterRanks(emb, 5, 16, 32, 1),
+      // max over an EMPTY join is SQL NULL — guard like coveringMargin
+      // and report a sentinel instead of an NPE
+      val worstRow = brute.join(Pq.prefilterRanks(emb, 5, 16, 32, 1),
           Seq("query_id", "neighbor_id"))
-        .agg(max(col("crk"))).head().getInt(0)
+        .agg(max(col("crk"))).head()
+      val worst = if (worstRow.isNullAt(0)) -1 else worstRow.getInt(0)
       println(s"PROF pqscale default-geometry worst_true_rank=$worst " +
         s"depth=${Pq.autoCandidates(emb.count())}")
       spark.stop()

@@ -252,6 +252,12 @@ object Profile {
     */
   def quantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100))): DataFrame = {
+    // NOTE scale limit: exactness requires ONE sort per group (the
+    // window below), so a group's rows must fit one task's spill
+    // budget. With few giant groups at 100 TB — a corpus-sized
+    // `source` — use [[quantilesByGroupSketch]] (constant-memory
+    // mergeable per-group sketch) and gate it with
+    // [[quantilesByGroupSketchCheck]].
     require(ps.nonEmpty && ps.forall { case (n, d) => n > 0 && n <= d },
       s"percentiles must be rationals in (0, 1]: $ps")
     val w = org.apache.spark.sql.expressions.Window
@@ -273,6 +279,89 @@ object Profile {
       .filter(col("rk") === expr("(q.num * n + q.den - 1) div q.den"))
       .select(col("grp"), col("q.pct").as("pct"), col("n"),
         col("rk").as("rank"), col("value"))
+      .orderBy(col("grp"), col("pct"))
+  }
+
+  /** The SCALE sibling of [[quantilesByGroup]]: per-group approximate
+    * percentiles via `percentile_approx` — a constant-memory GK
+    * summary per group with map-side partial merge, so a single
+    * corpus-sized group costs bounded executor memory instead of one
+    * giant per-group sort. Sketch internals are engine-specific →
+    * rows-only in the driver gate; the accuracy contract is pinned by
+    * [[quantilesByGroupSketchCheck]] (the `sketchCheck` convention).
+    */
+  def quantilesByGroupSketch(df: DataFrame, groupCol: String,
+      valueCol: String,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100)),
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) => n > 0 && n <= d },
+      s"percentiles must be rationals in (0, 1]: $ps")
+    val pArr = array(ps.map { case (n, d) => lit(n.toDouble / d) }: _*)
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col(valueCol), pArr, lit(accuracy)).as("aq"))
+      .select(col("grp"), col("n"),
+        explode(array(ps.zipWithIndex.map { case ((num, den), i) =>
+          struct(lit(num * 100 / den).as("pct"),
+            element_at(col("aq"), i + 1).as("approx_value"))
+        }: _*)).as("q"))
+      .select(col("grp"), col("q.pct").as("pct"), col("n"),
+        col("q.approx_value").as("approx_value"))
+      .orderBy(col("grp"), col("pct"))
+  }
+
+  /** Hash-matched accuracy gate for [[quantilesByGroupSketch]]: per
+    * (group, percentile), the exact ±5-rank-point envelope values
+    * (type-1 at the integer-rational clamp ranks — DuckDB recomputes
+    * them bit-exactly) and `ok` = the approximate percentile falls
+    * inside [exact_lo, exact_hi]. The oracle pins every `ok` to 1, so
+    * grouped-sketch drift turns the driver gate red instead of hiding
+    * behind the sketch row's no_oracle — the same pattern as
+    * [[sketchCheck]] and the IVF recall gate.
+    */
+  def quantilesByGroupSketchCheck(df: DataFrame, groupCol: String,
+      valueCol: String,
+      ps: Seq[(Int, Int)] = Seq((1, 2), (9, 10), (99, 100)),
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (n, d) => n > 0 && n <= d },
+      s"percentiles must be rationals in (0, 1]: $ps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol).asc)
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+    val pcts = explode(array(ps.zipWithIndex.map { case ((num, den), i) =>
+      struct(lit(num).as("num"), lit(den).as("den"),
+        lit(num * 100 / den).as("pct"), lit(i + 1).as("ix"))
+    }: _*))
+    val fan = ranked.select(col(groupCol).as("grp"), col("n"), col("rk"),
+      col(valueCol).as("value"), pcts.as("q"))
+    // envelope ranks at p ± 1/20, integer-ceil, clamped into [1, n]
+    val loRank = greatest(
+      expr("((20 * q.num - q.den) * n + 20 * q.den - 1) div (20 * q.den)"),
+      lit(1))
+    val hiRank = least(
+      expr("((20 * q.num + q.den) * n + 20 * q.den - 1) div (20 * q.den)"),
+      col("n"))
+    val lo = fan.filter(col("rk") === loRank)
+      .select(col("grp"), col("q.pct").as("pct"), col("q.ix").as("ix"),
+        col("n"), col("value").as("exact_lo"))
+    val hi = fan.filter(col("rk") === hiRank)
+      .select(col("grp"), col("q.pct").as("pct"),
+        col("value").as("exact_hi"))
+    val pArr = array(ps.map { case (n, d) => lit(n.toDouble / d) }: _*)
+    val approx = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(percentile_approx(col(valueCol), pArr, lit(accuracy)).as("aq"))
+    lo.join(hi, Seq("grp", "pct"))
+      .join(approx, Seq("grp"))
+      .withColumn("approx", element_at(col("aq"), col("ix")))
+      .select(col("grp"), col("pct"), col("n"), col("exact_lo"),
+        col("exact_hi"),
+        (col("approx") >= col("exact_lo") &&
+          col("approx") <= col("exact_hi")).cast("int").as("ok"))
       .orderBy(col("grp"), col("pct"))
   }
 

@@ -80,12 +80,15 @@ object Quantize {
     * int8 codes make the products exact where raw float embeddings
     * would sum order-dependently).
     *
-    * Shape: ONE corpus scan — each vector explodes into its
-    * d(d+1)/2 upper-triangle products PLUS d marginal sentinel
-    * entries (j = −1 carries code_i itself), map-side combined
-    * straight to the geometry-sized cell table; the marginal rows
-    * pivot back via two joins against the d-row relation (AQE
-    * broadcast). Nothing downstream of the scan is corpus-sized.
+    * Shape: ONE corpus scan folding each vector into a flat long[]
+    * moment buffer ([[graft.functions.DimMoments]]) — one ≈18 KB
+    * partial buffer per partition, merged once, exploded into the
+    * geometry-sized cell table at the very end. No per-product row
+    * ever exists: the explode formulation this replaced materialized
+    * n·(d(d+1)/2 + d) struct rows through the hash aggregate and was
+    * the most expensive query in the bench by 2×. The covariance
+    * division stays OUTSIDE the aggregate, in the same fixed-order
+    * integer column expression, so the bit-exact oracle is unchanged.
     */
   def dimCovariance(embeddings: DataFrame): DataFrame = {
     val base = Spread(embeddings)
@@ -93,27 +96,14 @@ object Quantize {
     val codes = base
       .select(codesOf(col("v"), scaleOf(col("v"))).as("q"))
       .filter(col("q").isNotNull)
-    val d = size(col("q"))
-    val q = col("q")
-    val entries = flatten(transform(sequence(lit(1), d), i => concat(
-      // marginal sentinel: (i, -1, x_i)
-      array(struct((i - 1).cast("int").as("i"), lit(-1).as("j"),
-        element_at(q, i).as("xy"))),
-      transform(sequence(i, d), j => struct(
-        (i - 1).cast("int").as("i"), (j - 1).cast("int").as("j"),
-        (element_at(q, i) * element_at(q, j)).as("xy"))))))
-    val cells = codes.select(explode(entries).as("p"))
-      .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-      .agg(count(lit(1)).as("n"), sum(col("p.xy")).as("s"))
-    val marg = cells.filter(col("j") === -1)
-      .select(col("i").as("mi"), col("s").as("ms"))
-    cells.filter(col("j") =!= -1)
-      .join(marg.select(col("mi").as("i"), col("ms").as("s_x")), Seq("i"))
-      .join(marg.select(col("mi").as("j"), col("ms").as("s_y")), Seq("j"))
-      .select(col("i"), col("j"), col("n"), col("s_x"), col("s_y"),
-        col("s").as("s_xy"),
-        round((col("n") * col("s") - col("s_x") * col("s_y")).cast("double")
-          / (col("n") * col("n")).cast("double"), 4).as("cov"))
+    codes.agg(graft.functions.DimMoments.dimMoments(col("q")).as("cells"))
+      .select(explode(col("cells")).as("c"))
+      .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"),
+        col("c.s_x").as("s_x"), col("c.s_y").as("s_y"),
+        col("c.s_xy").as("s_xy"),
+        round((col("c.n") * col("c.s_xy") - col("c.s_x") * col("c.s_y"))
+          .cast("double") / (col("c.n") * col("c.n")).cast("double"), 4)
+          .as("cov"))
       .orderBy(col("i"), col("j"))
   }
 

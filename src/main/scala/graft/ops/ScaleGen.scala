@@ -63,6 +63,12 @@ object ScaleGen {
     // the event-time distribution is left untouched (watermarks and
     // windows see the same timeline, copies only multiply users)
     val ev = graft.engine.Tables.table(spark, src, "events")
+    // the copy stride must clear every base user_id, or copies silently
+    // collide and corrupt the "per-user structure never crosses copies"
+    // invariant the scale rows depend on
+    val maxUser = ev.agg(max(col("user_id"))).head().getLong(0)
+    require(maxUser < 1000000L,
+      s"events user_id stride 1e6 would collide: max base user_id $maxUser")
     val evOut = (0 until copies).map { k =>
       copyOf(ev, k, "event_id") { e =>
         if (k == 0) e

@@ -48,6 +48,20 @@ import org.apache.spark.sql.functions._
   */
 object Search {
 
+  /** A NON-FOLDABLE all-zero window partition key. `partitionBy(lit)`
+    * does not survive the optimizer (EliminateWindowPartitions drops
+    * foldable keys), and arithmetic disguises like `x*0` get
+    * constant-folded too — both restore the empty partitionSpec and
+    * its "No Partition Defined" WARN. `pmod(hash(c), 1)` is opaque to
+    * every simplification rule yet still maps each row — null
+    * included (hash(null) is defined) — to the one partition the
+    * post-limit k-row rank window means to use.
+    */
+  private[ops] def onePartKey(c: org.apache.spark.sql.Column):
+      org.apache.spark.sql.Column =
+    pmod(hash(c), lit(1))
+
+
   /** Default query terms — mid-frequency vocabulary present at every
     * fixture SF, so df spreads across the terms.
     */
@@ -62,8 +76,11 @@ object Search {
       k: Int = 10): DataFrame = {
     // global top-k: orderBy+limit compiles to TakeOrderedAndProject —
     // k rows cross stages, never a full sort; rank attaches AFTER the
-    // limit so its window sees only k rows
+    // limit so its window sees only k rows. The constant partition key
+    // is semantically the no-partition window (one k-row partition)
+    // without Spark's "No Partition Defined" WARN on every run.
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(onePartKey(col("doc_id")))
       .orderBy(col("score").desc, col("doc_id"))
     bm25Scored(docs, terms)
       .orderBy(col("score").desc, col("doc_id")).limit(k)
@@ -143,6 +160,7 @@ object Search {
   def bm25TopKConj(docs: DataFrame, terms: Seq[String] = defaultTerms,
       k: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(onePartKey(col("doc_id")))
       .orderBy(col("score").desc, col("doc_id"))
     bm25Scored(docs, terms)
       .filter(col("n_hit") === terms.distinct.size)
@@ -205,6 +223,7 @@ object Search {
     val nOccur = call_function("phrase_count", col("ws"),
       typedLit(phrase.toIndexedSeq))
     val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(onePartKey(col("doc_id")))
       .orderBy(col("n_occur").desc, col("doc_id"))
     docs.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), nOccur.as("n_occur"))
@@ -218,7 +237,10 @@ object Search {
   /** The interpreted-HOF reference form of `phrase_count` — kept
     * solely as the spec's bit-equality oracle (the `Pq.codesOfHof`
     * convention). `eqNullSafe` gives the same null-element match
-    * semantics the expression implements.
+    * semantics the expression implements, and a NULL words array
+    * yields NULL (the expression's null contract — without the
+    * explicit branch, `when`'s null condition would fall through to
+    * `otherwise(0)` and the parity pin would break on null-text docs).
     */
   private[ops] def phraseCountHof(ws: org.apache.spark.sql.Column,
       phrase: Seq[String]): org.apache.spark.sql.Column = {
@@ -226,9 +248,10 @@ object Search {
       phrase.zipWithIndex.map { case (t, j) =>
         element_at(ws, i + j).eqNullSafe(lit(t))
       }.reduce(_ && _)
-    when(size(ws) >= phrase.length,
-      aggregate(sequence(lit(1), size(ws) - (phrase.length - 1)),
-        lit(0L), (acc, i) => acc + when(matchAt(i), 1L).otherwise(0L)))
+    when(ws.isNull, lit(null).cast("bigint"))
+      .when(size(ws) >= phrase.length,
+        aggregate(sequence(lit(1), size(ws) - (phrase.length - 1)),
+          lit(0L), (acc, i) => acc + when(matchAt(i), 1L).otherwise(0L)))
       .otherwise(0L)
   }
 }

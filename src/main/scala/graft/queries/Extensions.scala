@@ -436,6 +436,14 @@ object Extensions {
     "x_text_bpe_pairs" -> ((s, d) =>
       Bpe.bpePairCounts(t(s, d, "documents"))),
 
+    // ENCODE half of the tokenizer: per-doc token accounting under the
+    // pinned merge table — Spark applies the left-to-right
+    // non-overlapping symbol fold per distinct word; the oracle
+    // replays the same merges as a replace-chain over a private-use
+    // char encoding (a different formulation of the same semantics)
+    "x_text_bpe_tokens" -> ((s, d) =>
+      Bpe.bpeEncodeTokens(t(s, d, "documents"), Bpe.PinnedMerges)),
+
     // character-level near-dup: PassJoin-style chunk index + banded
     // levenshtein verify; provably equals the brute all-pairs filter
     "x_dedup_edit_distance" -> ((s, d) =>
@@ -451,6 +459,17 @@ object Extensions {
     // bit-exactly; mixture/truncation decisions read this table
     "x_profile_group_quantiles" -> ((s, d) =>
       Profile.quantilesByGroup(t(s, d, "documents"), "source", "n_chars")),
+
+    // the 100 TB path for the same statistic: per-group GK sketch, no
+    // per-group sort — engine-specific values, so rows-only; accuracy
+    // pinned by the hash-matched check sibling below
+    "x_profile_group_quantiles_sketch" -> ((s, d) =>
+      Profile.quantilesByGroupSketch(t(s, d, "documents"), "source", "n_chars")),
+
+    // exact ±5-rank-point envelope per (group, pct) with ok pinned to
+    // 1 by the oracle — grouped-sketch drift turns the gate red
+    "x_profile_group_quantiles_sketch_check" -> ((s, d) =>
+      Profile.quantilesByGroupSketchCheck(t(s, d, "documents"), "source", "n_chars")),
 
     // pairwise Pearson correlations on the exact-integer moment
     // lattice (order-independent sums; the IEEE division/sqrt tail is
@@ -1459,6 +1478,33 @@ object Extensions {
         |SELECT CAST(rnk AS INT) AS rank, l_sym, r_sym, weight
         |FROM r WHERE rnk <= 20 ORDER BY rank""".stripMargin,
 
+    // BPE encode under the pinned merge table. Each merge output is a
+    // single private-use char (chr 57344+rank), so applying merge k is
+    // one left-to-right non-overlapping replace over the partially
+    // encoded word — exactly the symbol-fold semantics of the Spark
+    // side, reached by entirely different machinery. Later merges
+    // reference earlier outputs via their chars (th+e, an+d).
+    "x_text_bpe_tokens" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |nw AS (SELECT doc_id, word FROM w WHERE length(word) > 0),
+        |enc AS (SELECT doc_id, length(word) AS nc, length(
+        |    replace(replace(replace(replace(replace(replace(replace(replace(
+        |      word,
+        |      'th', chr(57344)),
+        |      chr(57344) || 'e', chr(57345)),
+        |      'in', chr(57346)),
+        |      'an', chr(57347)),
+        |      chr(57347) || 'd', chr(57348)),
+        |      'er', chr(57349)),
+        |      'on', chr(57350)),
+        |      're', chr(57351))) AS nt
+        |  FROM nw)
+        |SELECT doc_id, COUNT(*) AS n_words,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+        |  CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // same lattice as the single-query oracle with the query relation
     // as a VALUES CTE; df is global, the top-k window partitions by
     // query
@@ -1549,6 +1595,31 @@ object Extensions {
         |SELECT grp, pct, n, CAST(rk AS INT) AS rank, value
         |FROM r CROSS JOIN q
         |WHERE rk = (num * n + den - 1) // den
+        |ORDER BY grp, pct""".stripMargin,
+
+    // grouped-sketch accuracy gate: exact type-1 envelope values at
+    // the p ± 1/20 clamp ranks (same integer-rational rank lattice as
+    // the exact query) with every ok flag pinned to 1 — the Spark
+    // side computes ok from the real approx-vs-envelope comparison,
+    // so sketch drift hash-mismatches here instead of hiding behind
+    // the sketch row's rows-only check
+    "x_profile_group_quantiles_sketch_check" ->
+      """WITH r AS (SELECT source AS grp, n_chars AS value,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars ASC) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |q(num, den, pct) AS (VALUES (1, 2, 50), (9, 10, 90), (99, 100, 99)),
+        |f AS (SELECT grp, n, rk, value, num, den, pct FROM r CROSS JOIN q),
+        |lo AS (SELECT grp, pct, n, value AS exact_lo FROM f
+        |  WHERE rk = GREATEST(
+        |    ((20 * num - den) * n + 20 * den - 1) // (20 * den), 1)),
+        |hi AS (SELECT grp, pct, value AS exact_hi FROM f
+        |  WHERE rk = LEAST(
+        |    ((20 * num + den) * n + 20 * den - 1) // (20 * den), n))
+        |SELECT lo.grp AS grp, lo.pct AS pct, n, exact_lo, exact_hi,
+        |  CAST(1 AS INT) AS ok
+        |FROM lo JOIN hi ON lo.grp = hi.grp AND lo.pct = hi.pct
         |ORDER BY grp, pct""".stripMargin,
 
     // identical moment lattice: every sum CAST back from HUGEINT to

@@ -14,11 +14,37 @@ class BpeSpec extends AnyFunSuite {
 
   private lazy val spark = graft.SparkTestSession.spark
 
+  /** Code-point lexicographic compare — matches Spark's UTF8String
+    * (UTF-8 binary) ordering, which diverges from Java's
+    * `String.compareTo` (UTF-16 code-unit order) when supplementary
+    * characters mix with U+E000..U+FFFF.
+    */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Code-point symbolization — Spark's `substring(word, i, 1)` slices
+    * whole code points, so the reference must not split a
+    * supplementary char into surrogate halves.
+    */
+  private def codePointSyms(w: String): Vector[String] =
+    w.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp)))
+
   /** Classic BPE reference: n merges over (symbols, freq) rows. */
   private def refMerges(vocab: Seq[(String, Long)],
       n: Int): Seq[(Int, String, String, String, Long)] = {
     var rows: Seq[(Vector[String], Long)] =
-      vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      vocab.map { case (w, f) => (codePointSyms(w), f) }
     val out = scala.collection.mutable.ListBuffer
       .empty[(Int, String, String, String, Long)]
     for (i <- 1 to n) {
@@ -29,8 +55,16 @@ class BpeSpec extends AnyFunSuite {
         }
       }
       if (counts.nonEmpty && out.size == i - 1) {
-        val ((l, r), w) = counts.toSeq
-          .sortBy { case ((l, r), w) => (-w, l, r) }.head
+        // max weight, ties broken by CODE-POINT order on (l, r) — the
+        // UTF8String ordering the trainer's orderBy actually uses
+        def beats(y: ((String, String), Long), x: ((String, String), Long)): Boolean = {
+          if (y._2 != x._2) return y._2 > x._2
+          val cl = cpCompare(y._1._1, x._1._1)
+          if (cl != 0) cl < 0 else cpCompare(y._1._2, x._1._2) < 0
+        }
+        val ((l, r), w) = counts.toSeq.reduceLeft { (x, y) =>
+          if (beats(y, x)) y else x
+        }
         out += ((i, l, r, l + r, w))
         rows = rows.map { case (syms, f) =>
           val b = Vector.newBuilder[String]
@@ -69,6 +103,80 @@ class BpeSpec extends AnyFunSuite {
       .collect().map(_.getSeq[String](0).toList).toSet
     assert(got == Set(List("aa", "aa"), List("aa", "a"), List("b", "aa")),
       s"got $got")
+  }
+
+  test("trainer matches the reference beyond ASCII: supplementary + private-use tie-break") {
+    import spark.implicits._
+    // symbols: 😀 (U+1F600, supplementary) and  (U+E000, private use).
+    // Java compareTo orders "😀" BEFORE "" (surrogate
+    // D83D < E000); code-point order says U+1F600 > U+E000 — equal-
+    // weight ties between pairs led by these symbols flip between the
+    // two orderings, and a UTF-16 reference would learn the wrong
+    // merge first. Equal weights by construction: each word once.
+    val g = new String(Character.toChars(0x1F600))
+    val p = ""
+    val docs = Seq((1L, s"$g$g $p$p"), (2L, s"$g$g $p$p"))
+      .toDF("doc_id", "text")
+    val vocab = Bpe.wordVocab(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = refMerges(vocab, 2)
+    val got = Bpe.bpeMerges(docs, 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // the first merge must be the private-use pair: U+E000 < U+1F600
+    // in code points even though "" > surrogate in UTF-16
+    assert(got.head._2 == p, s"expected code-point tie-break, got $got")
+  }
+
+  /** Reference encode: apply merges in rank order, each a left-to-
+    * right non-overlapping pass.
+    */
+  private def refEncode(word: String,
+      merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(codePointSyms(word)) { case (syms, (l, r)) =>
+      val b = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+          b += (l + r); j += 2
+        } else { b += syms(j); j += 1 }
+      }
+      b.result()
+    }
+
+  test("encodeVocab(train output) round-trips the trainer's own fixture") {
+    import spark.implicits._
+    // the classic Sennrich-style corpus: train, then encode the same
+    // words with the learned table — tokens must match the reference
+    // fold applying the same merges
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")).toDF("doc_id", "text")
+    val merges = Bpe.bpeMerges(docs, 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.size == 6)
+    val words = Seq("low", "lower", "newest", "widest").toDF("word")
+    val got = Bpe.encodeVocab(words, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    got.foreach { case (w, toks) =>
+      assert(toks == refEncode(w, merges), s"word $w: got $toks")
+      assert(toks.mkString == w, "tokens must concatenate back to the word")
+    }
+  }
+
+  test("bpeEncodeTokens: per-doc integer accounting under the pinned table") {
+    import spark.implicits._
+    // hand-traced under PinnedMerges (th, th+e, in, an, an+d, er, on, re):
+    //   the→[the]=1  thin→[th,in]=2  cat→[c,a,t]=3
+    //   and→[and]=1  other→[o,the,r]=3
+    val docs = Seq((1L, "the thin cat"), (2L, "and other"))
+      .toDF("doc_id", "text")
+    val got = Bpe.bpeEncodeTokens(docs, Bpe.PinnedMerges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 3L, 10L, 6L), (2L, 2L, 8L, 4L)), s"got $got")
   }
 
   test("pair weights count overlapping occurrences times word frequency") {

@@ -178,4 +178,37 @@ class ProfileSpec extends AnyFunSuite {
       ("b", 50, 1L, 1, 7L), ("b", 90, 1L, 1, 7L), ("b", 99, 1L, 1, 7L)),
       s"got $got")
   }
+
+  test("grouped sketch stays inside the exact ±5-rank envelope (check all-green)") {
+    val docs = graft.engine.Tables.table(
+      spark, "/root/testdata/sf0.001", "documents")
+    val chk = Profile.quantilesByGroupSketchCheck(docs, "source", "n_chars")
+      .collect()
+    assert(chk.nonEmpty)
+    chk.foreach { r =>
+      assert(r.getAs[Int]("ok") == 1,
+        s"sketch outside envelope: grp=${r.get(0)} pct=${r.get(1)} " +
+          s"lo=${r.get(3)} hi=${r.get(4)}")
+      assert(r.getAs[Long]("exact_lo") <= r.getAs[Long]("exact_hi"))
+    }
+    // sketch rows pair 1:1 with the exact query's (grp, pct) grid and
+    // agree on the group counts
+    val exact = Profile.quantilesByGroup(docs, "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("n")).toMap
+    val sk = Profile.quantilesByGroupSketch(docs, "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getAs[Long]("n")).toMap
+    assert(sk == exact.map { case (k, n) => k -> n })
+  }
+
+  test("grouped sketch check: envelope ranks clamp into [1, n] on tiny groups") {
+    // n=1 groups force both envelope ranks to clamp (lo<1, hi>n)
+    val df = Seq(("a", 5L), ("b", 9L)).toDF("src", "v")
+    val got = Profile.quantilesByGroupSketchCheck(df, "src", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSeq
+    assert(got == Seq(
+      ("a", 50, 1L, 5L, 5L, 1), ("a", 90, 1L, 5L, 5L, 1), ("a", 99, 1L, 5L, 5L, 1),
+      ("b", 50, 1L, 9L, 9L, 1), ("b", 90, 1L, 9L, 9L, 1), ("b", 99, 1L, 9L, 9L, 1)),
+      s"got $got")
+  }
 }
