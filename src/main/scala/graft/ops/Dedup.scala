@@ -176,10 +176,14 @@ object Dedup {
     * PassJoin-style substring-shift index so candidate generation is
     * collision-driven, never all-pairs:
     *
-    *  - key = the first `prefixLen` chars (docs shorter than the key
-    *    are excluded here; a production deployment handles the short
-    *    tail in per-length-band buckets, where |len(a)−len(b)| ≤ d
-    *    bounds each bucket's partners to ±1 band);
+    *  - key = the first `prefixLen` chars; FULL keys (docs at least
+    *    `prefixLen` long — the overwhelming mass of a web corpus) go
+    *    through the chunk index below, and the SHORT tail (keys of
+    *    1..prefixLen−1 chars) through per-length-band buckets: band =
+    *    ⌊len/d⌋, so |len(a)−len(b)| ≤ d confines each short doc's
+    *    partners to its own ±1 band, and every band-bucket join has a
+    *    short side — the tail's candidate volume is O(|tail| × band
+    *    occupancy), never corpus²;
     *  - PROBE side (bounded to doc_id < boundA, the family's shared
     *    a-side convention): the key splits into d+1 equal chunks —
     *    by pigeonhole, two keys within edit distance d agree EXACTLY
@@ -193,9 +197,13 @@ object Dedup {
     *    with the banded `levenshtein(a, b, d)` (early-exit DP) and
     *    keep distance ≤ d.
     *
-    * Completeness: the pigeonhole lemma guarantees every true pair
-    * surfaces from the least-id member's chunks, so the output EQUALS
-    * the brute all-pairs filter and shares its full DuckDB oracle
+    * Completeness: the pigeonhole lemma guarantees every full×full
+    * pair surfaces from the least-id member's chunks; a pair with a
+    * short member has |len diff| ≤ d or it can't be within distance
+    * d at all, so the band buckets surface it (short probes also
+    * reach into the full-key band for the boundary lengths
+    * prefixLen−d..prefixLen−1). The output therefore EQUALS the
+    * brute all-pairs filter and shares its full DuckDB oracle
     * (the provable-exactness-gate pattern). All-integer distance.
     */
   def editDistancePairs(docs: DataFrame, prefixLen: Int = 40,
@@ -203,10 +211,12 @@ object Dedup {
     val nChunks = maxDist + 1
     require(prefixLen % nChunks == 0,
       s"prefixLen $prefixLen must split into ${nChunks} equal chunks")
+    require(maxDist >= 1, s"maxDist $maxDist must be >= 1")
     val cw = prefixLen / nChunks
-    val keys = docs
+    val allKeys = docs
       .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("s"))
-      .filter(length(col("s")) === prefixLen)
+      .filter(length(col("s")) >= 1)
+    val keys = allKeys.filter(length(col("s")) === prefixLen)
     // the index relations carry IDS AND CHUNK KEYS ONLY — the
     // byte-minimal convention (the PQ survivor-fetch pattern): the
     // 40-char keys would otherwise replicate 4×/(2d+1)(d+1)× through
@@ -232,16 +242,45 @@ object Dedup {
         } yield struct(lit(i).as("ci"),
           substring(col("s"), st + 1, cw).as("ck"))): _*)).as("c"))
       .select(col("b_id"), col("c.ci").as("ci"), col("c.ck").as("ck"))
-    val cand = probes.join(windows, Seq("ci", "ck"))
+    val chunkCand = probes.join(windows, Seq("ci", "ck"))
       .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    // short-tail band buckets: every candidate leg pairs a probe side
+    // (id < boundA) against a side that is ALL short keys, or is all
+    // keys while the probe itself is short — so no leg is full×full
+    // and the chunk index stays the only full-corpus path. Relations
+    // carry (id, len, band) only — the byte-minimal convention again.
+    val banded = allKeys
+      .select(col("doc_id"), length(col("s")).as("len"),
+        (length(col("s")) / maxDist).cast("int").as("band"))
+    val shortB = banded.filter(col("len") < prefixLen)
+    // probe emits its own band ±1; |len(a)−len(b)| ≤ d then implies
+    // the partner's band is among them
+    def probeBands(df: DataFrame) = df
+      .select(col("doc_id").as("a_id"), col("len").as("la"),
+        explode(array(col("band") - 1, col("band"), col("band") + 1))
+          .as("band"))
+    val bandCand =
+      probeBands(banded.filter(col("doc_id") < boundA))
+        .join(shortB.select(col("doc_id").as("b_id"),
+          col("len").as("lb"), col("band")), Seq("band"))
+      .unionByName(
+        probeBands(shortB.filter(col("doc_id") < boundA))
+          .join(banded.filter(col("len") === prefixLen)
+            .select(col("doc_id").as("b_id"), col("len").as("lb"),
+              col("band")), Seq("band")))
+      .filter(col("a_id") =!= col("b_id") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .select(col("a_id"), col("b_id"))
+    val cand = chunkCand.unionByName(bandCand)
       .select(least(col("a_id"), col("b_id")).as("doc_a"),
         greatest(col("a_id"), col("b_id")).as("doc_b"))
       .distinct()
     // verify on distinct pairs: keys re-attach via two AQE-gated
     // joins (the doc_a side prunes to < boundA rows)
-    val ka = keys.filter(col("doc_id") < boundA)
+    val ka = allKeys.filter(col("doc_id") < boundA)
       .select(col("doc_id").as("doc_a"), col("s").as("s1"))
-    val kb = keys.select(col("doc_id").as("doc_b"), col("s").as("s2"))
+    val kb = allKeys.select(col("doc_id").as("doc_b"), col("s").as("s2"))
     cand.join(kb, Seq("doc_b")).join(ka, Seq("doc_a"))
       .withColumn("dist", levenshtein(col("s1"), col("s2"), maxDist))
       .filter(col("dist") >= 0 && col("dist") <= maxDist)

@@ -1545,7 +1545,7 @@ object Extensions {
     // the unbanded oracle on kept pairs by definition
     "x_dedup_edit_distance" ->
       """WITH s AS (SELECT doc_id, substr(text, 1, 40) AS s FROM documents
-        |  WHERE length(substr(text, 1, 40)) = 40)
+        |  WHERE length(substr(text, 1, 40)) >= 1)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
         |FROM s a JOIN s b ON a.doc_id < b.doc_id AND a.doc_id < 200

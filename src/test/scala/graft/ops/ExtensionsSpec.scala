@@ -932,6 +932,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L, 101L, 600000000L)), s"got $got")
   }
 
+  test("stream-stream join state is BOUNDED: numRowsTotal falls back after watermark passage") {
+    // the behavioral eviction spec above proves late rows don't PAIR;
+    // this one proves the state store itself shrinks — the metric a
+    // 100 TB deployment alarms on. Phases mirror the eviction spec:
+    //   A: 2 views at 00:00            → state holds 2 rows
+    //   B: watermark-advancing events  → phase-A view state evicted:
+    //      total state falls below (A's rows + B's rows); only the
+    //      watermark-live B rows remain
+    //   C: a late click                → dropped BEFORE the join, so
+    //      state does not grow at all
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    def df(rows: (Long, Long, String, String)*) =
+      rows.map { case (e, u, t, et) => (e, u, ts(t), et) }
+        .toDF("event_id", "user_id", "ts", "event_type")
+    val dir = java.nio.file.Files
+      .createTempDirectory("events-ssjoin-state").toString
+    val phaseA = df((100L, 1L, "00:00:00", "view"),
+      (200L, 2L, "00:00:00", "view"))
+    val phaseB = df((101L, 1L, "00:10:00", "click"),
+      (300L, 3L, "05:00:00", "view"),
+      (400L, 4L, "05:00:00", "click"))
+    val phaseC = df((201L, 2L, "00:05:00", "click"))
+    phaseA.coalesce(1).write.mode("append").parquet(dir)
+    val q = graft.streaming.EventWindows.streamingViewClickPairs(
+      spark, dir, phaseA.schema, "ssjoin_state", availableNow = false)
+    // state rows across ALL stateful operators at the latest batch
+    def stateRows: Long = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+    try {
+      q.processAllAvailable()
+      val afterA = stateRows
+      assert(afterA == 2, s"phase A must buffer both views, got $afterA")
+      phaseB.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val afterB = stateRows
+      // no eviction would leave 2+3 = 5; the watermark (03:00) must
+      // have reclaimed the phase-A views and the 00:10 click, leaving
+      // only the two 05:00 rows
+      assert(afterB == 2, s"watermark must evict dead join state, got $afterB")
+      phaseC.coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val afterC = stateRows
+      assert(afterC == afterB,
+        s"a late row must never grow join state: $afterB -> $afterC")
+    } finally q.stop()
+  }
+
   test("stream-stream LEFT-OUTER join: unmatched views emit once the watermark proves abandonment") {
     // phase A: views for users 1 and 2 at 00:00
     // phase B: user 1's click at 00:10 (matched pair emits); a user-3
@@ -1045,11 +1093,14 @@ class ExtensionsSpec extends AnyFunSuite {
     // x_dedup_embedding_ann_recall run the same machinery at probe
     // counts that provably reproduce the exact baseline — and the
     // sketch profile (engine-specific HLL/KLL internals) is accuracy-
-    // pinned against the exact profile operators in ProfileSpec. The
+    // pinned against the exact profile operators in ProfileSpec, and
+    // the per-group GK sketch quantiles by the hash-matched
+    // x_profile_group_quantiles_sketch_check envelope sibling. The
     // LSH path has a FULL value oracle (deterministic hyperplane
     // literals).
     assert(noOracle ==
-      Set("x_knn_ivf", "x_dedup_embedding_ann", "x_profile_sketch"))
+      Set("x_knn_ivf", "x_dedup_embedding_ann", "x_profile_sketch",
+        "x_profile_group_quantiles_sketch"))
     assert((Extensions.oracle.keySet -- Extensions.queries.keySet).isEmpty)
   }
 

@@ -155,19 +155,27 @@ class SearchSpec extends AnyFunSuite {
       2L -> (base.take(4) + "XY" + base.drop(6)),       // 2 substitutions
       3L -> (base.take(5) + base.drop(6) + "Z"),        // deletion + append (shifts chunks)
       4L -> base.reverse)                               // unrelated
-      .map { case (id, t) => (id, t + " tail words beyond the key prefix") } :+
-      (5L -> "short text")  // under the key length: excluded entirely
+      .map { case (id, t) => (id, t + " tail words beyond the key prefix") } ++ Seq(
+      5L -> "short text",                    // short tail: band buckets
+      6L -> "short t3xt",                    // short near-dup of 5 (1 sub)
+      7L -> base.take(38),                   // short×full boundary: 2 dels from 1
+      8L -> "zqvkrw 9f",                     // short unrelated (same band as 5/6)
+      9L -> "x")                             // 1-char: alone in band 0
     import spark.implicits._
     val docs = corpus.toDF("doc_id", "text")
     val got = Dedup.editDistancePairs(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val keys = corpus.map { case (id, t) => (id, t.take(40)) }
-      .filter(_._2.length == 40)
+      .filter(_._2.nonEmpty)
     val want = (for {
       (a, sa) <- keys; (b, sb) <- keys
       if a < b && lev(sa, sb) <= 3
     } yield (a, b, lev(sa, sb))).toSet
     assert(want.nonEmpty, "fixture must contain edit-distance pairs")
+    assert(want.exists { case (a, b, _) => Set(a, b) == Set(5L, 6L) },
+      "fixture must contain a short-tail near-dup pair")
+    assert(want.exists { case (a, b, _) => Set(a, b) == Set(1L, 7L) },
+      "fixture must contain a short-x-full boundary pair")
     assert(got == want, s"got $got want $want")
   }
 
