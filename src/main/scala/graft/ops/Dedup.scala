@@ -690,17 +690,7 @@ object Dedup {
     * clean.
     */
   def duplicateSpans(docs: DataFrame, w: Int = 5): DataFrame = {
-    val grams = Spread(docs)
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-      .select(col("doc_id"),
-        posexplode(TextOps.positionalNgramsOf(col("ws"), w)).as(Seq("pos", "gram")))
-    val byGram = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gram"))
-    val hits = grams
-      .withColumn("mn", min(col("doc_id")).over(byGram))
-      .withColumn("mx", max(col("doc_id")).over(byGram))
-      .filter(col("mn") =!= col("mx"))
-      .select(col("doc_id"), col("pos"))
+    val hits = dupWindowHits(docs, w)
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val spans = hits
@@ -714,6 +704,71 @@ object Dedup {
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
         coalesce(col("dup_words"), lit(0L)).as("dup_words"))
       .withColumn("dup_frac", col("dup_words").cast("double") / col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The (doc_id, 0-based window start) relation of `w`-word windows
+    * that recur verbatim in ANOTHER document — the shared substrate
+    * of [[duplicateSpans]] (the statistic) and [[spanRemove]] (the
+    * action). The cross-doc test is fused into the gram partition as
+    * a whole-partition window; see [[duplicateSpans]] for why that
+    * beats aggregate-then-self-join here.
+    */
+  private[graft] def dupWindowHits(docs: DataFrame, w: Int): DataFrame = {
+    val grams = Spread(docs)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(TextOps.positionalNgramsOf(col("ws"), w)).as(Seq("pos", "gram")))
+    val byGram = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gram"))
+    grams
+      .withColumn("mn", min(col("doc_id")).over(byGram))
+      .withColumn("mx", max(col("doc_id")).over(byGram))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  /** The dedup ACTION the span statistic above only measures:
+    * reconstruct each document with every cross-document duplicated
+    * `w`-word window removed — Lee et al.'s ExactSubstr deletion
+    * step (the reference has no analog; its pipeline stops at
+    * whole-rows) at n-gram granularity. Kept tokens preserve their
+    * original order; removing a span never splices two previously
+    * distant tokens into a NEW duplicated window, so one pass is a
+    * fixed point (grams of the cleaned text that were not already
+    * duplicated stay non-duplicated — deletion only shortens docs).
+    *
+    * Scale shape: rides [[dupWindowHits]] (one corpus explode +
+    * whole-partition window), then per-doc covered positions explode
+    * ×w on HIT rows only, a (doc_id, pos)-distinct, and one
+    * `collect_list` of covered positions per doc — bounded by doc
+    * length, the same per-doc-array contract as the prefix-filter
+    * aggregation. Reconstruction is a pure per-row expression
+    * (`filter` + `array_join`), no further shuffle. The membership
+    * probe is O(|covered|) per token via `array_contains`; a
+    * boolean-mask native expression is the constant-factor upgrade
+    * if profile ever shows heavily-duplicated long docs dominating.
+    * Annotate-don't-filter: every doc emits a row; `n_removed = 0`
+    * rows carry their canonically re-joined (single-space) text.
+    */
+  def spanRemove(docs: DataFrame, w: Int = 5): DataFrame = {
+    val covArr = dupWindowHits(docs, w)
+      // 1-based covered token positions: window at 0-based pos covers
+      // tokens pos+1 .. pos+w
+      .select(col("doc_id"),
+        explode(sequence(col("pos") + 1, col("pos") + w)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("cov"))
+    Spread(docs)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .join(covArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast("bigint").as("n_removed"),
+        array_join(filter(col("ws"),
+          (tok, i) => !array_contains(
+            coalesce(col("cov"), array().cast("array<int>")), i + 1)),
+          " ").as("clean_text"))
       .orderBy(col("doc_id"))
   }
 

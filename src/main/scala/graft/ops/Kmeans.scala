@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means on the int8 quantization lattice —
+  * the semantic-clustering operator a curation pipeline uses to
+  * balance topic mixtures, spot mode collapse, and seed
+  * cluster-stratified sampling. Unlike the float KMeans inside the
+  * IVF quantizer ([[Similarity]] — engine-specific, declared
+  * rows-only at the driver gate), every quantity here lives on the
+  * integer lattice of [[Quantize]] codes:
+  *
+  *  - init: the k lowest-`vec_id` vectors' codes (no RNG);
+  *  - assignment: exact integer squared distance, ties to the lowest
+  *    cluster id (`array_position` returns the FIRST minimum);
+  *  - update: element-wise FLOOR mean (`floorDiv`) keeps centroids
+  *    integral; an emptied cluster keeps its previous centroid;
+  *  - fixed iteration count, then one final assignment.
+  *
+  * Determinism is the point: integer sums commute, so the result is
+  * bit-identical under any partitioning/retry AND replayable by any
+  * engine with list arithmetic — the driver gate holds the full
+  * assignment table to a DuckDB hash oracle, where float k-means
+  * could never survive reduction-order drift.
+  *
+  * Scale shape: per iteration, one corpus pass — the k×d centroid
+  * table rides INTO the scan as a literal (broadcast-by-construction,
+  * no join), and the update aggregates (cluster, dim) cells with
+  * map-side partial combine, so the shuffle is ≤ k·d rows per
+  * partition regardless of corpus size. The k·d longs collected per
+  * iteration are model state (the BPE-argmax convention), not a data
+  * collect. Centroids memoize per (corpus plan, file set, k, iters)
+  * like the IVF quantizer, so the purity/summary queries re-running
+  * the fit in one session pay it once.
+  */
+object Kmeans {
+
+  private val models =
+    new BoundedMemo[(Int, Int, Int, Int), Array[Array[Long]]](capacity = 32)
+
+  /** Drop memoized centroid sets (after overwriting a corpus path
+    * in-session — same staleness caveat as the IVF quantizer memo).
+    */
+  def clearCache(): Unit = models.clear()
+
+  /** Non-null int8 code vectors, the clustering substrate. */
+  private def codesDf(embeddings: DataFrame): DataFrame =
+    Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .select(col("vec_id"),
+        Quantize.codesOf(col("v"), Quantize.scaleOf(col("v"))).as("q"))
+      .filter(col("q").isNotNull)
+
+  /** Integer squared distance of `q` to every centroid, the minimum,
+    * and the argmin cluster (first match = lowest id on ties).
+    */
+  private def withCluster(codes: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val lits = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    codes
+      .withColumn("dists", transform(lits, c =>
+        aggregate(zip_with(col("q"), c, (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x)))
+      .withColumn("dist2", array_min(col("dists")))
+      .withColumn("cluster",
+        (array_position(col("dists"), col("dist2")) - 1).cast("int"))
+      .drop("dists")
+  }
+
+  /** One Lloyd update: assign against `cents`, then floor-mean the
+    * members of each cluster (empty clusters carry over).
+    */
+  private def step(codes: DataFrame,
+      cents: Array[Array[Long]]): Array[Array[Long]] = {
+    val next = cents.map(_.clone())
+    withCluster(codes, cents)
+      .select(col("cluster"), posexplode(col("q")).as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .collect()
+      .foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          math.floorDiv(r.getLong(3), r.getLong(2))
+      }
+    next
+  }
+
+  /** Fit (or reuse) the centroid set: k lowest-id seeds, `iters`
+    * floor-mean updates. Mixed-dimension corpora are rejected the
+    * way [[Pq]] rejects them — zip_with would silently null-pad.
+    */
+  private def centroidsFor(codes: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] = {
+    val key = (codes.queryExecution.optimizedPlan.semanticHash(),
+      java.util.Arrays.hashCode(codes.inputFiles.asInstanceOf[Array[AnyRef]]),
+      k, iters)
+    models.getOrElseUpdate(key) {
+      val dims = codes.select(size(col("q")).as("d")).distinct()
+        .limit(2).collect().map(_.getInt(0))
+      require(dims.length == 1,
+        s"kmeansInt8 requires a single embedding dimension, found ${dims.toSeq}")
+      val seeds = codes.orderBy(col("vec_id")).limit(k).collect()
+      require(seeds.length == k,
+        s"kmeansInt8 needs at least k=$k non-null vectors, found ${seeds.length}")
+      var cents = seeds.map(_.getSeq[Long](1).toArray)
+      for (_ <- 1 to iters) cents = step(codes, cents)
+      cents
+    }
+  }
+
+  /** Per-vector final assignment: (vec_id, cluster, dist2) — the
+    * driver-gate query, hash-exact against the DuckDB replay.
+    */
+  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val codes = codesDf(embeddings)
+    withCluster(codes, centroidsFor(codes, k, iters))
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Cluster × label composition — the purity/mixture report a
+    * curation run reads to decide stratified quotas: per cluster,
+    * its size, per-label member counts, and the integer-lattice
+    * inertia contribution. Rides the memoized fit.
+    */
+  def kmeansPurity(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val codes = codesDf(embeddings)
+    val asg = withCluster(codes, centroidsFor(codes, k, iters))
+    asg.join(Spread(embeddings).select(col("vec_id"), col("label")),
+        Seq("vec_id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("dist2")).as("sum_dist2"))
+      .orderBy(col("cluster"), col("label"))
+  }
+}

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, Integrity, Multimodal, Pq, Profile, Quantize, Sampling, Search, Similarity, TextOps}
+import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, Integrity, Kmeans, Multimodal, Pq, Profile, Quantize, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -54,6 +54,13 @@ object Extensions {
     // coverage of 5-word windows that recur verbatim in OTHER docs
     "x_dedup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(t(s, d, "documents"))),
+
+    // the dedup ACTION the statistic above measures: reconstruct each
+    // doc with every cross-doc duplicated window removed (ExactSubstr
+    // deletion at n-gram granularity) — clean_text re-joins kept
+    // tokens in original order
+    "x_dedup_span_remove" -> ((s, d) =>
+      Dedup.spanRemove(t(s, d, "documents"))),
 
     // deterministic 80/10/10 split by md5 bucket — stable under
     // retries/partitioning AND recomputable by any engine with md5,
@@ -230,6 +237,19 @@ object Extensions {
     // covariance as a fixed IEEE division of exact integers
     "x_embed_dim_cov" -> ((s, d) =>
       Quantize.dimCovariance(t(s, d, "embeddings"))),
+
+    // deterministic Lloyd's k-means on the int8 lattice: lowest-id
+    // seeds, integer distances (ties to lowest cluster), floor-mean
+    // updates, fixed iterations — bit-identical under any
+    // partitioning, so the full assignment table is hash-oracled
+    // where the float IVF quantizer had to stay rows-only
+    "x_embed_kmeans" -> ((s, d) =>
+      Kmeans.kmeansAssign(t(s, d, "embeddings"))),
+
+    // cluster x label composition + lattice inertia — the purity /
+    // mixture report cluster-stratified curation quotas read
+    "x_embed_kmeans_purity" -> ((s, d) =>
+      Kmeans.kmeansPurity(t(s, d, "embeddings"))),
 
     // semantic decontamination: corpus vectors near ANY benchmark
     // vector (first 25 ids as the held-out set) — the paraphrase
@@ -842,6 +862,57 @@ object Extensions {
       |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
       |  FROM q0)"""
 
+  /** CTE chain replaying [[graft.ops.Kmeans]] exactly: quantize,
+    * lowest-id seeds, then per iteration an argmin assignment
+    * (row_number ordered by (d2, cl) — the lowest-cluster tie-break)
+    * and a floor-mean centroid update with empty-cluster carry-over.
+    * Ends with `asg{iters+1}`, the final assignment against the
+    * final centroids. Generated, not hand-unrolled, so k/iters stay
+    * in one place with the Spark defaults.
+    */
+  private def kmeansCte(k: Int, iters: Int): String = {
+    val codes =
+      s"""kq0 AS (
+         |  SELECT vec_id, embedding,
+         |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+         |      / 127.0 AS scale
+         |  FROM embeddings),
+         |cv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)) AS code
+         |  FROM kq0 WHERE scale > 0
+         |  UNION ALL
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(0 AS BIGINT))
+         |  FROM kq0 WHERE scale = 0),
+         |cent0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, code
+         |  FROM (SELECT vec_id, code FROM cv ORDER BY vec_id LIMIT $k))""".stripMargin
+    def assign(i: Int, cent: String) =
+      s"""a$i AS (
+         |  SELECT vec_id, code, cl, d2,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+         |  FROM (SELECT v.vec_id, v.code, ct.cl,
+         |      CAST(list_sum(list_transform(generate_series(1, len(v.code)),
+         |        j -> (v.code[j] - ct.code[j]) * (v.code[j] - ct.code[j])))
+         |        AS BIGINT) AS d2
+         |    FROM cv v, $cent ct)),
+         |asg$i AS (SELECT vec_id, code, cl, d2 FROM a$i WHERE rn = 1)""".stripMargin
+    def update(i: Int) =
+      s"""upd$i AS (
+         |  SELECT cl, list(m ORDER BY dim) AS code FROM (
+         |    SELECT cl, dim,
+         |      CAST(floor(CAST(sum(code[dim]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         |    FROM asg$i, unnest(generate_series(1, len(code))) AS t(dim)
+         |    GROUP BY cl, dim) GROUP BY cl),
+         |cent$i AS (
+         |  SELECT p.cl, COALESCE(u.code, p.code) AS code
+         |  FROM cent${i - 1} p LEFT JOIN upd$i u USING (cl))""".stripMargin
+    (codes +: (1 to iters).flatMap(i =>
+      Seq(assign(i, s"cent${i - 1}"), update(i))) :+
+      assign(iters + 1, s"cent$iters")).mkString(",\n")
+  }
+
   private val knnQuantizedSql =
     raw"""WITH $quantCodesCte,
       |s AS (
@@ -987,6 +1058,31 @@ object Extensions {
         |  CAST(coalesce(sp.dup_words, 0) AS BIGINT) AS dup_words,
         |  CAST(coalesce(sp.dup_words, 0) AS DOUBLE) / wsx.n_words AS dup_frac
         |FROM wsx LEFT JOIN sp USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // removal replay: covered 1-based positions are hit-start + 1..5;
+    // kept tokens re-join ordered by position (string_agg ORDER BY),
+    // '' when every token was covered — matching Spark's array_join
+    // over the filtered (possibly empty) words array
+    "x_dedup_span_remove" ->
+      raw"""WITH $spanCte,
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + o AS p
+        |  FROM h, unnest(generate_series(1, 5)) AS u(o)),
+        |w2 AS (
+        |  SELECT doc_id, ws[i] AS tok, i
+        |  FROM wsx, unnest(generate_series(1, n_words)) AS t(i)),
+        |kept AS (
+        |  SELECT w2.doc_id, string_agg(w2.tok, ' ' ORDER BY w2.i) AS clean_text
+        |  FROM w2 LEFT JOIN cov ON w2.doc_id = cov.doc_id AND w2.i = cov.p
+        |  WHERE cov.p IS NULL GROUP BY w2.doc_id),
+        |cg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY doc_id)
+        |SELECT wsx.doc_id, CAST(wsx.n_words AS BIGINT) AS n_tokens,
+        |  COALESCE(cg.n_removed, 0) AS n_removed,
+        |  COALESCE(kept.clean_text, '') AS clean_text
+        |FROM wsx LEFT JOIN cg USING (doc_id) LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // md5 is bit-identical across engines, so the split assignment is
@@ -1198,6 +1294,22 @@ object Extensions {
         |        / CAST(p.n * p.n AS DOUBLE), 4) AS cov
         |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
         |ORDER BY i, j""".stripMargin,
+
+    // full Lloyd replay on the integer lattice: the generated CTE
+    // chain ends at asg4 = final assignment vs the iteration-3
+    // centroids (k=8, iters=3 — the Spark defaults)
+    "x_embed_kmeans" ->
+      raw"""WITH ${kmeansCte(8, 3)}
+        |SELECT vec_id, cl AS cluster, d2 AS dist2
+        |FROM asg4 ORDER BY vec_id""".stripMargin,
+
+    "x_embed_kmeans_purity" ->
+      raw"""WITH ${kmeansCte(8, 3)}
+        |SELECT a.cl AS cluster, e.label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a.d2) AS BIGINT) AS sum_dist2
+        |FROM asg4 a JOIN embeddings e USING (vec_id)
+        |GROUP BY a.cl, e.label ORDER BY cluster, label""".stripMargin,
 
     // nProbe == nCells probes every cell — the IVF+int8 composition
     // provably equals knnQuantized and shares its oracle

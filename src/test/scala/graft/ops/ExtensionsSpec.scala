@@ -400,6 +400,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rs(4L) == ((9, 0L, 0L, 0.0)), "within-doc repeats excluded")
   }
 
+  test("spanRemove deletes exactly the covered tokens, preserves order and spacing tokens") {
+    val sp = spark; import sp.implicits._
+    // same sharing structure as the duplicateSpans fixture, plus a
+    // doc with a doubled space (split yields an empty token — the
+    // canonical re-join must reproduce it) and a fully-covered doc
+    val docs = Seq(
+      (1L, "a b c d e f"),        // covered: a b c d -> "e f"
+      (2L, "x a b c d y"),        // covered: a b c d -> "x y"
+      (3L, "q r  s t u v"),       // clean, double space survives re-join
+      (4L, "m n o m n o m n o"),  // within-doc repeats only: untouched
+      (5L, "a b c"),              // whole doc = shared trigram -> ""
+      (6L, "z a b c z2"))         // shares "a b c" with 1/2/5
+      .toDF("doc_id", "text")
+    val rs = Dedup.spanRemove(docs, w = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(rs(1L) == ((6L, 4L, "e f")))
+    assert(rs(2L) == ((6L, 4L, "x y")))
+    assert(rs(3L) == ((7L, 0L, "q r  s t u v")), "double space must round-trip")
+    assert(rs(4L) == ((9L, 0L, "m n o m n o m n o")))
+    assert(rs(5L) == ((3L, 3L, "")), "fully covered doc empties")
+    assert(rs(6L) == ((5L, 3L, "z z2")))
+    // removal is a FIXED POINT: cleaning the cleaned corpus changes
+    // nothing (deletion only shortens docs, never splices new dups)
+    val cleaned = Dedup.spanRemove(docs, w = 3)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val again = Dedup.spanRemove(cleaned, w = 3)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    assert(cleaned.exceptAll(again).isEmpty && again.exceptAll(cleaned).isEmpty)
+  }
+
   test("capPerGroup: salted two-phase rank equals the naive global window") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(11)

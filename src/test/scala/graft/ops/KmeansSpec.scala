@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Int8-lattice k-means pinned against an independent driver-side
+  * Lloyd fold (same seeds/tie-break/floor-mean contract, written
+  * over plain Scala arrays) — the distributed form must match it
+  * bit-for-bit on the full fixture corpus.
+  */
+class KmeansSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private val K = 8
+  private val ITERS = 3
+
+  /** Quantize exactly like [[Quantize.codesOf]]: float max-abs
+    * widened to double, floor(x/scale + 0.5).
+    */
+  private def quant(v: Seq[Float]): Array[Long] = {
+    val s = v.iterator.map(math.abs).foldLeft(0f)(math.max).toDouble / 127.0
+    if (s == 0) Array.fill(v.length)(0L)
+    else v.map(x => math.floor(x.toDouble / s + 0.5).toLong).toArray
+  }
+
+  private def dist2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Reference Lloyd: lowest-id seeds, argmin ties to lowest
+    * cluster, floor-mean update, empty-cluster carry-over.
+    */
+  private def refKmeans(codes: Seq[(Long, Array[Long])])
+      : (Map[Long, (Int, Long)], Array[Array[Long]]) = {
+    var cents = codes.sortBy(_._1).take(K).map(_._2.clone()).toArray
+    def assign() = codes.map { case (id, q) =>
+      val ds = cents.map(dist2(q, _))
+      val best = ds.indices.minBy(i => (ds(i), i))
+      id -> (best, ds(best))
+    }.toMap
+    for (_ <- 1 to ITERS) {
+      val a = assign()
+      val next = cents.map(_.clone())
+      for (cl <- 0 until K) {
+        val mem = codes.filter { case (id, _) => a(id)._1 == cl }
+        if (mem.nonEmpty) {
+          val d = mem.head._2.length
+          next(cl) = Array.tabulate(d)(j =>
+            math.floorDiv(mem.map(_._2(j)).sum, mem.size.toLong))
+        }
+      }
+      cents = next
+    }
+    (assign(), cents)
+  }
+
+  private def fixtureCodes(): Seq[(Long, Array[Long])] =
+    graft.engine.Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> quant(r.getSeq[Float](1)))
+      .toSeq
+
+  test("kmeansAssign equals the driver-side Lloyd reference on the fixture corpus") {
+    val got = Kmeans.kmeansAssign(
+        graft.engine.Tables.table(spark, sf, "embeddings"), K, ITERS)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val (want, _) = refKmeans(fixtureCodes())
+    assert(got.size == want.size)
+    assert(got == want)
+    // non-degenerate clustering: more than one populated cluster and
+    // every cluster id in range
+    val cls = got.values.map(_._1).toSet
+    assert(cls.size > 1 && cls.forall(c => c >= 0 && c < K))
+  }
+
+  test("kmeansPurity composition sums to the corpus and rides the memoized fit") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val purity = Kmeans.kmeansPurity(e, K, ITERS).collect()
+    val asg = Kmeans.kmeansAssign(e, K, ITERS)
+    assert(purity.map(_.getLong(2)).sum == asg.count())
+    // inertia partitioned by (cluster, label) re-sums to the total
+    val total = asg.agg(sum(col("dist2"))).head().getLong(0)
+    assert(purity.map(_.getLong(3)).sum == total)
+  }
+
+  test("ties break to the LOWEST cluster id and floor-mean handles negatives") {
+    val sp = spark; import sp.implicits._
+    // both seeds are the SAME point (codes (127,0)), so the
+    // iteration-1 assignment is all-ties: everything must go to
+    // cluster 0, leaving cluster 1 empty (carry-over). Cluster 0's
+    // dim-2 mean is then (0+0+1-2-3)/5 = floor(-0.8) = -1 — floorDiv,
+    // where truncation would give 0 and keep the centroids
+    // coincident (all-ties again, everything in 0). The final split
+    // below only happens if BOTH the tie-break and the floor are
+    // right.
+    val rows = Seq(
+      (1L, Seq(127f, 0f)), (2L, Seq(127f, 0f)),
+      (10L, Seq(127f, 1f)), (11L, Seq(127f, -2f)), (12L, Seq(127f, -3f)))
+      .toDF("vec_id", "embedding")
+    val got = Kmeans.kmeansAssign(rows, k = 2, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // final centroids: c0 = (127,-1), c1 = (127,0) -> 0/±... rows at
+    // dim2 >= 0 are closer to c1, the negatives to c0
+    assert(got == Map(1L -> 1, 2L -> 1, 10L -> 1, 11L -> 0, 12L -> 0),
+      s"got $got")
+  }
+
+  test("mixed-dimension corpora are rejected like Pq") {
+    val sp = spark; import sp.implicits._
+    val rows = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f)))
+      .toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException](
+      Kmeans.kmeansAssign(rows, k = 2, iters = 1).collect())
+    assert(ex.getMessage.contains("single embedding dimension"))
+  }
+}
