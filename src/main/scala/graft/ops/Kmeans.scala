@@ -135,4 +135,86 @@ object Kmeans {
       .agg(count(lit(1)).as("n"), sum(col("dist2")).as("sum_dist2"))
       .orderBy(col("cluster"), col("label"))
   }
+
+  /** Integer self-dot of a code array (the quantized-cosine norm
+    * term — scales cancel, see [[Quantize]]).
+    */
+  private def selfDot(q: Column): Column =
+    aggregate(q, lit(0L), (s, x) => s + x * x)
+
+  /** IVF ANN over the DETERMINISTIC lattice cells: the same
+    * cell-probe shape as [[Similarity.knnQuantizedIvf]], but the
+    * coarse quantizer is this module's integer k-means — so cell
+    * assignment, probe choice (nProbe nearest centroids by integer
+    * distance, ties to the lowest cell), candidate set, and the
+    * quantized-cosine ranking are ALL bit-deterministic, and the
+    * driver gate holds the output to a full DuckDB hash oracle AT
+    * PRODUCTION PROBE COUNTS — where the float-quantizer IVF is only
+    * hash-checkable in its probe-everything degenerate form.
+    * Approximate exactly like any IVF (a true neighbor in an
+    * unprobed cell is missed) — but *reproducibly* approximate:
+    * every engine replaying the definition gets the identical
+    * neighbor lists, which is what an audited retrieval pipeline
+    * needs from its index.
+    *
+    * Scale shape: corpus stays partitioned with its codes (the cell
+    * join broadcasts the Q·nProbe query rows); per-pair cost is one
+    * integer dot; the only corpus-derived exchange is the top-k
+    * window's candidate stream (≈ nProbe/k of the corpus).
+    */
+  def knnIvfLattice(embeddings: DataFrame, topK: Int = 5,
+      nQueries: Long = 5, k: Int = 8, iters: Int = 3,
+      nProbe: Int = 3): DataFrame = {
+    val codes = codesDf(embeddings)
+    val cents = centroidsFor(codes, k, iters)
+    val asg = withCluster(codes, cents)
+      .withColumn("selfq", selfDot(col("q")))
+    val lits = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+    val qs = codes.filter(col("vec_id") < nQueries)
+      .withColumn("ranked", array_sort(zip_with(
+        transform(lits, c =>
+          aggregate(zip_with(col("q"), c, (a, b) => (a - b) * (a - b)),
+            lit(0L), (s, x) => s + x)),
+        sequence(lit(0), lit(k - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))))
+      .select(col("vec_id").as("query_id"), col("q").as("qcode"),
+        selfDot(col("q")).as("qself"),
+        explode(slice(col("ranked"), 1, nProbe)).as("pc"))
+      .select(col("query_id"), col("qcode"), col("qself"),
+        col("pc.i").as("cluster"))
+    val scored = asg
+      .join(broadcast(qs), Seq("cluster"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("qcode"), col("q"), (a, b) => a * b),
+          lit(0L), (s, x) => s + x))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dot_q"),
+        // query-norm first, then neighbor-norm — the division order
+        // shared with Quantize.knnQuantized and its oracle
+        (col("dot_q").cast("double") / sqrt(col("qself").cast("double"))
+          / sqrt(col("selfq").cast("double"))).as("qcos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qcos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dot_q"), round(col("qcos"), 4).as("qcosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Cluster-stratified sample: `n` md5-ordered vectors per semantic
+    * cluster — the "uniformly across topics, deterministically"
+    * draw a curation mixture starts from. Rides the memoized fit
+    * and [[Sampling.stratifiedSample]]'s salted two-phase rank.
+    */
+  def clusterSample(embeddings: DataFrame, n: Int = 3, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val codes = codesDf(embeddings)
+    val asg = withCluster(codes, centroidsFor(codes, k, iters))
+      .select(col("vec_id"), col("cluster"))
+    Sampling.stratifiedSample(asg, "cluster", "vec_id", n)
+      .select(col("cluster"), col("rnk"), col("vec_id"))
+      .orderBy(col("cluster"), col("rnk"))
+  }
 }

@@ -251,6 +251,19 @@ object Extensions {
     "x_embed_kmeans_purity" -> ((s, d) =>
       Kmeans.kmeansPurity(t(s, d, "embeddings"))),
 
+    // IVF over the deterministic lattice cells: hash-oracled ANN at
+    // PRODUCTION probe counts (the float-quantizer IVF can only be
+    // hash-checked in its probe-everything degenerate form) —
+    // reproducibly approximate, which is what an audited retrieval
+    // pipeline needs from its index
+    "x_knn_ivf_lattice" -> ((s, d) =>
+      Kmeans.knnIvfLattice(t(s, d, "embeddings"))),
+
+    // n md5-ordered vectors per semantic cluster — the deterministic
+    // topic-balanced draw a curation mixture starts from
+    "x_sample_cluster" -> ((s, d) =>
+      Kmeans.clusterSample(t(s, d, "embeddings"))),
+
     // semantic decontamination: corpus vectors near ANY benchmark
     // vector (first 25 ids as the held-out set) — the paraphrase
     // leakage the n-gram x_decontaminate cannot see
@@ -1310,6 +1323,50 @@ object Extensions {
         |  CAST(sum(a.d2) AS BIGINT) AS sum_dist2
         |FROM asg4 a JOIN embeddings e USING (vec_id)
         |GROUP BY a.cl, e.label ORDER BY cluster, label""".stripMargin,
+
+    // probe the 3 nearest final centroids (integer distance, ties to
+    // the lowest cell), score cell members with the shared quantized
+    // cosine (query-norm first), rank desc with neighbor_id ties
+    "x_knn_ivf_lattice" ->
+      raw"""WITH ${kmeansCte(8, 3)},
+        |sq AS (SELECT vec_id, code, cl,
+        |    CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS selfq
+        |  FROM asg4),
+        |qr AS (
+        |  SELECT q.vec_id AS query_id, q.code AS qcode, q.selfq AS qself, ct.cl,
+        |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |      list_sum(list_transform(generate_series(1, len(q.code)),
+        |        j -> (q.code[j] - ct.code[j]) * (q.code[j] - ct.code[j]))),
+        |      ct.cl) AS rn
+        |  FROM sq q, cent3 ct WHERE q.vec_id < 5),
+        |pr AS (SELECT query_id, qcode, qself, cl FROM qr WHERE rn <= 3),
+        |s AS (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.code)),
+        |      j -> p.qcode[j] * a.code[j])) AS BIGINT) AS dq,
+        |    p.qself AS sq2, a.selfq AS sn
+        |  FROM pr p JOIN sq a ON a.cl = p.cl AND a.vec_id <> p.query_id),
+        |r AS (SELECT query_id, neighbor_id, dq,
+        |    dq / sqrt(CAST(sq2 AS DOUBLE)) / sqrt(CAST(sn AS DOUBLE)) AS qc,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+        |      dq / sqrt(CAST(sq2 AS DOUBLE)) / sqrt(CAST(sn AS DOUBLE)) DESC,
+        |      neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id,
+        |  dq AS dot_q, ROUND(qc, 4) AS qcosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // replay: same per-cluster md5 rank as the stratified-sample
+    // oracle, over the lattice assignment
+    "x_sample_cluster" ->
+      raw"""WITH ${kmeansCte(8, 3)},
+        |rk AS (
+        |  SELECT cl AS cluster, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY cl
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS rnk
+        |  FROM asg4)
+        |SELECT cluster, rnk, vec_id FROM rk
+        |WHERE rnk <= 3 ORDER BY cluster, rnk""".stripMargin,
 
     // nProbe == nCells probes every cell — the IVF+int8 composition
     // provably equals knnQuantized and shares its oracle

@@ -111,6 +111,41 @@ class KmeansSpec extends AnyFunSuite {
       s"got $got")
   }
 
+  test("knnIvfLattice: probe-everything equals the exact quantized search; production probes keep recall") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    // nProbe == k degenerates to exact: every vector is a candidate
+    // exactly once, so the output must equal knnQuantized bit-for-bit
+    val allProbes = Kmeans.knnIvfLattice(e, nProbe = K).collect().toSeq
+    val exact = Quantize.knnQuantized(e).collect().toSeq
+    assert(allProbes == exact, "probe-everything must equal the exact search")
+    // production probes: well-formed output and non-trivial recall
+    val ivf = Kmeans.knnIvfLattice(e).collect()
+    val byQ = ivf.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 5L).toSet)
+    byQ.values.foreach(rows =>
+      assert(rows.map(_.getInt(1)).toSeq == (1 to rows.length)))
+    val exactSet = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val gotSet = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = gotSet.count(exactSet).toDouble / exactSet.size
+    assert(recall >= 0.6, s"3-of-8-cell probe recall $recall")
+  }
+
+  test("clusterSample: n md5-ordered members per cluster, consistent with the assignment") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val sample = Kmeans.clusterSample(e, n = 3).collect()
+    val asg = Kmeans.kmeansAssign(e).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCluster = sample.groupBy(_.getInt(0))
+    assert(byCluster.values.forall(_.length <= 3))
+    byCluster.foreach { case (cl, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+      rows.foreach(r => assert(asg(r.getLong(2)) == cl,
+        s"sampled vec ${r.getLong(2)} not in cluster $cl"))
+    }
+    // every populated cluster contributes
+    assert(byCluster.keySet == asg.values.toSet)
+  }
+
   test("mixed-dimension corpora are rejected like Pq") {
     val sp = spark; import sp.implicits._
     val rows = Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f)))
