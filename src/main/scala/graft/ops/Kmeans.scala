@@ -44,29 +44,51 @@ object Kmeans {
     */
   def clearCache(): Unit = models.clear()
 
-  /** Non-null int8 code vectors, the clustering substrate. */
+  /** Non-null int8 code vectors, the clustering substrate — the
+    * auditable `array<long>` form (the update step's posexplode and
+    * the oracle replay read it) AND the packed binary form the hot
+    * distance loops consume; the pack==codes identity is pinned by
+    * the quantization audit ([[Quantize.quantizeProfile]]).
+    */
   private def codesDf(embeddings: DataFrame): DataFrame =
     Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
       .select(col("vec_id"),
-        Quantize.codesOf(col("v"), Quantize.scaleOf(col("v"))).as("q"))
+        Quantize.codesOf(col("v"), Quantize.scaleOf(col("v"))).as("q"),
+        Quantize.packedOf(col("v"), Quantize.scaleOf(col("v"))).as("pack"))
       .filter(col("q").isNotNull)
+
+  /** Distances of a packed vector to every centroid, as
+    * `array<bigint>`: dist²(q,c) = q·q + c·c − 2·q·c — algebraically
+    * the HOF Σ(qᵢ−cᵢ)², but each term is one NATIVE `int8_dot` loop
+    * (c·c folds driver-side into a literal), so the per-(row,
+    * centroid) cost is a compiled 64-iteration loop instead of ~64
+    * interpreted lambda dispatches — the dist2_d lesson from the
+    * float IVF, on the integer lattice. All terms exact BIGINTs:
+    * values (and ties) identical to the HOF form and the oracle.
+    */
+  private def distsTo(cents: Array[Array[Long]], pack: Column,
+      qq: Column): Column = {
+    require(cents.forall(_.forall(v => v >= -128 && v <= 127)),
+      "centroid codes must fit int8")
+    zip_with(
+      typedLit(cents.map(_.map(_.toByte)).toSeq),
+      typedLit(cents.map(c => c.map(x => x * x).sum).toSeq),
+      (c, cd) => qq + cd - lit(2L) * Quantize.i8dot(pack, c))
+  }
 
   /** Integer squared distance of `q` to every centroid, the minimum,
     * and the argmin cluster (first match = lowest id on ties).
     */
   private def withCluster(codes: DataFrame,
-      cents: Array[Array[Long]]): DataFrame = {
-    val lits = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+      cents: Array[Array[Long]]): DataFrame =
     codes
-      .withColumn("dists", transform(lits, c =>
-        aggregate(zip_with(col("q"), c, (a, b) => (a - b) * (a - b)),
-          lit(0L), (s, x) => s + x)))
+      .withColumn("qq", Quantize.i8dot(col("pack"), col("pack")))
+      .withColumn("dists", distsTo(cents, col("pack"), col("qq")))
       .withColumn("dist2", array_min(col("dists")))
       .withColumn("cluster",
         (array_position(col("dists"), col("dist2")) - 1).cast("int"))
-      .drop("dists")
-  }
+      .drop("dists", "qq")
 
   /** One Lloyd update: assign against `cents`, then floor-mean the
     * members of each cluster (empty clusters carry over).
@@ -96,16 +118,27 @@ object Kmeans {
       java.util.Arrays.hashCode(codes.inputFiles.asInstanceOf[Array[AnyRef]]),
       k, iters)
     models.getOrElseUpdate(key) {
-      val dims = codes.select(size(col("q")).as("d")).distinct()
-        .limit(2).collect().map(_.getInt(0))
-      require(dims.length == 1,
-        s"kmeansInt8 requires a single embedding dimension, found ${dims.toSeq}")
-      val seeds = codes.orderBy(col("vec_id")).limit(k).collect()
-      require(seeds.length == k,
-        s"kmeansInt8 needs at least k=$k non-null vectors, found ${seeds.length}")
-      var cents = seeds.map(_.getSeq[Long](1).toArray)
-      for (_ <- 1 to iters) cents = step(codes, cents)
-      cents
+      // quantize once, iterate over the cached codes: the fit makes
+      // iters+2 passes (dim check, seeds, one per update), and
+      // re-deriving codes from parquet each pass quadruples the scan
+      // cost — the cache-the-training-relation contract every
+      // iterative fitter (Spark ML KMeans included) assumes. Spilled
+      // to disk when the corpus outgrows memory; released before
+      // returning either way.
+      val cached = codes.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val dims = cached.select(size(col("q")).as("d")).distinct()
+          .limit(2).collect().map(_.getInt(0))
+        require(dims.length == 1,
+          s"kmeansInt8 requires a single embedding dimension, found ${dims.toSeq}")
+        val seeds = cached.orderBy(col("vec_id")).limit(k).collect()
+        require(seeds.length == k,
+          s"kmeansInt8 needs at least k=$k non-null vectors, found ${seeds.length}")
+        var cents = seeds.map(_.getSeq[Long](1).toArray)
+        for (_ <- 1 to iters) cents = step(cached, cents)
+        cents
+      } finally cached.unpersist()
     }
   }
 
@@ -136,12 +169,6 @@ object Kmeans {
       .orderBy(col("cluster"), col("label"))
   }
 
-  /** Integer self-dot of a code array (the quantized-cosine norm
-    * term — scales cancel, see [[Quantize]]).
-    */
-  private def selfDot(q: Column): Column =
-    aggregate(q, lit(0L), (s, x) => s + x * x)
-
   /** IVF ANN over the DETERMINISTIC lattice cells: the same
     * cell-probe shape as [[Similarity.knnQuantizedIvf]], but the
     * coarse quantizer is this module's integer k-means — so cell
@@ -168,26 +195,22 @@ object Kmeans {
     val codes = codesDf(embeddings)
     val cents = centroidsFor(codes, k, iters)
     val asg = withCluster(codes, cents)
-      .withColumn("selfq", selfDot(col("q")))
-    val lits = typedLit(cents.map(_.toIndexedSeq).toIndexedSeq)
+      .withColumn("selfq", Quantize.i8dot(col("pack"), col("pack")))
     val qs = codes.filter(col("vec_id") < nQueries)
+      .withColumn("qq", Quantize.i8dot(col("pack"), col("pack")))
       .withColumn("ranked", array_sort(zip_with(
-        transform(lits, c =>
-          aggregate(zip_with(col("q"), c, (a, b) => (a - b) * (a - b)),
-            lit(0L), (s, x) => s + x)),
+        distsTo(cents, col("pack"), col("qq")),
         sequence(lit(0), lit(k - 1)),
         (d, i) => struct(d.as("d"), i.as("i")))))
-      .select(col("vec_id").as("query_id"), col("q").as("qcode"),
-        selfDot(col("q")).as("qself"),
+      .select(col("vec_id").as("query_id"), col("pack").as("qpack"),
+        col("qq").as("qself"),
         explode(slice(col("ranked"), 1, nProbe)).as("pc"))
-      .select(col("query_id"), col("qcode"), col("qself"),
+      .select(col("query_id"), col("qpack"), col("qself"),
         col("pc.i").as("cluster"))
     val scored = asg
       .join(broadcast(qs), Seq("cluster"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("dot_q",
-        aggregate(zip_with(col("qcode"), col("q"), (a, b) => a * b),
-          lit(0L), (s, x) => s + x))
+      .withColumn("dot_q", Quantize.i8dot(col("qpack"), col("pack")))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("dot_q"),
         // query-norm first, then neighbor-norm — the division order
         // shared with Quantize.knnQuantized and its oracle

@@ -106,6 +106,27 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("r11new")) {
+      // round-11 additions. span_remove sums clean_text length so the
+      // reconstruction expression (the per-row cost) can't be pruned
+      // by a count-only drive; kmeans cold/warm splits the memoized
+      // fit (3 driver-anchored passes) from the final assignment pass.
+      q("span_remove")(Dedup.spanRemove(docs)
+        .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
+        .collect().length.toLong)
+      q("kmeans_cold") {
+        Kmeans.clearCache()
+        Kmeans.kmeansAssign(emb).agg(sum(col("dist2"))).collect().length.toLong
+      }
+      q("kmeans_warm")(
+        Kmeans.kmeansAssign(emb).agg(sum(col("dist2"))).collect().length.toLong)
+      q("kmeans_purity_warm")(Kmeans.kmeansPurity(emb)
+        .agg(sum(col("n")), sum(col("sum_dist2"))).collect().length.toLong)
+      q("knn_ivf_lattice_warm")(Kmeans.knnIvfLattice(emb).count())
+      q("cluster_sample_warm")(Kmeans.clusterSample(emb).count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("cands")) {
       println(s"PROF ann_candidates ${Similarity.annCandidateCount(emb)}")
       spark.stop()
