@@ -751,8 +751,26 @@ object Dedup {
     * Annotate-don't-filter: every doc emits a row; `n_removed = 0`
     * rows carry their canonically re-joined (single-space) text.
     */
-  def spanRemove(docs: DataFrame, w: Int = 5): DataFrame = {
-    val covArr = dupWindowHits(docs, w)
+  def spanRemove(docs: DataFrame, w: Int = 5): DataFrame =
+    removeCovered(
+      Spread(docs).select(col("doc_id"), TextOps.words(col("text")).as("ws")),
+      dupWindowHits(docs, w), w)
+
+  /** Shared removal tail of [[spanRemove]] and
+    * [[decontaminateRemove]]: given the token relation and the
+    * (doc_id, 0-based window start) hit relation, delete every
+    * covered token and re-join the survivors. Covered positions
+    * explode ×w on HIT rows only, collapse through a
+    * (doc_id, pos)-distinct, and gather into one per-doc sorted
+    * array (bounded by doc length); reconstruction is a pure per-row
+    * expression. `array_contains` makes the membership probe
+    * O(|covered|) per token — a boolean-mask native expression is
+    * the upgrade if heavily-duplicated long docs ever dominate a
+    * profile.
+    */
+  private[graft] def removeCovered(toks: DataFrame, hits: DataFrame,
+      w: Int): DataFrame = {
+    val covArr = hits
       // 1-based covered token positions: window at 0-based pos covers
       // tokens pos+1 .. pos+w
       .select(col("doc_id"),
@@ -760,8 +778,7 @@ object Dedup {
       .distinct()
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("p"))).as("cov"))
-    Spread(docs)
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    toks
       .join(covArr, Seq("doc_id"), "left")
       .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tokens"),
         coalesce(size(col("cov")), lit(0)).cast("bigint").as("n_removed"),
@@ -770,6 +787,32 @@ object Dedup {
             coalesce(col("cov"), array().cast("array<int>")), i + 1)),
           " ").as("clean_text"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Decontamination ACTION: delete from every corpus document each
+    * `w`-word window that appears VERBATIM anywhere in the benchmark
+    * set — the surgical alternative to dropping whole flagged docs
+    * ([[decontaminate]] is the detector; this is the scalpel, the
+    * n-gram-level eval-overlap scrub of open-corpus pipelines). The
+    * benchmark gram set stays un-hinted like the detector's join:
+    * AQE broadcasts a normal benchmark's grams, a pathologically
+    * large held-out set degrades to a partitioned equi-join instead
+    * of OOMing the driver. Same removal semantics, covered-position
+    * algebra, and reconstruction expression as [[spanRemove]].
+    */
+  def decontaminateRemove(corpus: DataFrame, benchmark: DataFrame,
+      w: Int = 5): DataFrame = {
+    def grams(df: DataFrame) = Spread(df)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        posexplode(TextOps.positionalNgramsOf(col("ws"), w))
+          .as(Seq("pos", "gram")))
+    val benchGrams = grams(benchmark).select(col("gram")).distinct()
+    val hits = grams(corpus).join(benchGrams, Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    removeCovered(
+      Spread(corpus).select(col("doc_id"), TextOps.words(col("text")).as("ws")),
+      hits, w)
   }
 
   /** Embedding-cosine near-dup pairs over `embeddings` (float arrays

@@ -82,6 +82,16 @@ object Extensions {
         docs.filter(col("doc_id") < 50))
     }),
 
+    // the decontamination ACTION: delete every corpus window that
+    // appears verbatim in the benchmark slice — the n-gram-level
+    // eval-overlap scrub (the detector above flags; this removes)
+    "x_decontaminate_remove" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminateRemove(
+        docs.filter(col("doc_id") >= 50),
+        docs.filter(col("doc_id") < 50))
+    }),
+
     // composed corpus-cleaning pipeline — the operators working
     // together the way a training-data pipeline uses them: repetition
     // quality gates (integer arithmetic — no float boundary), then
@@ -1111,6 +1121,37 @@ object Extensions {
         |       WHEN bucket < 9000 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // removal replay: 5-gram windows of corpus docs that appear in
+    // the benchmark gram set; covered = start+1..start+5; kept tokens
+    // re-join ordered (the span-remove oracle pattern)
+    "x_decontaminate_remove" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |    array_to_string(ws[i : i + 4], ' ') AS gram
+        |  FROM toks, unnest(generate_series(1, len(ws) - 4)) AS t(i)),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 50),
+        |h AS (SELECT g.doc_id, g.pos FROM g JOIN bg USING (gram)
+        |  WHERE g.doc_id >= 50),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+        |  FROM h, unnest(generate_series(1, 5)) AS u(o)),
+        |w2 AS (SELECT doc_id, ws[i] AS tok, i
+        |  FROM toks, unnest(generate_series(1, len(ws))) AS t(i)
+        |  WHERE doc_id >= 50),
+        |kept AS (
+        |  SELECT w2.doc_id, string_agg(w2.tok, ' ' ORDER BY w2.i) AS clean_text
+        |  FROM w2 LEFT JOIN cov ON w2.doc_id = cov.doc_id AND w2.i = cov.p
+        |  WHERE cov.p IS NULL GROUP BY w2.doc_id),
+        |cg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed
+        |  FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |  COALESCE(cg.n_removed, 0) AS n_removed,
+        |  COALESCE(kept.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN cg USING (doc_id) LEFT JOIN kept USING (doc_id)
+        |WHERE t.doc_id >= 50
+        |ORDER BY doc_id""".stripMargin,
 
     "x_decontaminate" ->
       raw"""WITH $shingleCte

@@ -431,6 +431,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cleaned.exceptAll(again).isEmpty && again.exceptAll(cleaned).isEmpty)
   }
 
+  test("decontaminateRemove deletes exactly the benchmark-overlapping windows") {
+    val sp = spark; import sp.implicits._
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains bench 5-gram "alpha..epsilon" at 0-based pos 1 only
+      (100L, "pre alpha beta gamma delta epsilon post tail more words"),
+      (101L, "nothing shared here at all okay"),
+      // the whole doc IS a benchmark window
+      (102L, "beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val rs = Dedup.decontaminateRemove(corpus, bench)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(rs.keySet == Set(100L, 101L, 102L),
+      "benchmark docs must not appear in the output")
+    assert(rs(100L) == ((10L, 5L, "pre post tail more words")))
+    assert(rs(101L) == ((6L, 0L, "nothing shared here at all okay")))
+    assert(rs(102L) == ((5L, 5L, "")))
+  }
+
   test("capPerGroup: salted two-phase rank equals the naive global window") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(11)
