@@ -142,6 +142,33 @@ object Kmeans {
     }
   }
 
+  /** The fitted centroid set itself — the model handoff for the
+    * offline-fit / online-serve split: a streaming job cannot run
+    * multi-pass Lloyd, so it fits here on the batch corpus and
+    * serves arriving vectors via [[assignWithCentroids]].
+    */
+  def centroids(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 3): Array[Array[Long]] =
+    centroidsFor(codesDf(embeddings), k, iters)
+
+  /** Assignment against a FIXED centroid set, streaming-safe: no
+    * Spread (a streaming relation has no file listing) and no fit —
+    * just the quantize + native-dot assignment projection, usable
+    * under `readStream` as a pure per-row map. Emits
+    * (vec_id, cluster, dist2), unordered.
+    */
+  def assignWithCentroids(embeddings: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val codes = embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .select(col("vec_id"),
+        Quantize.codesOf(col("v"), Quantize.scaleOf(col("v"))).as("q"),
+        Quantize.packedOf(col("v"), Quantize.scaleOf(col("v"))).as("pack"))
+      .filter(col("q").isNotNull)
+    withCluster(codes, cents)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
   /** Per-vector final assignment: (vec_id, cluster, dist2) — the
     * driver-gate query, hash-exact against the DuckDB replay.
     */
