@@ -66,6 +66,26 @@ class DedupPlanSpec extends AnyFunSuite {
       s"expected exactly 1 posexplode of the corpus, found $generates:\n$plan")
   }
 
+  test("spanRemove / decontaminateRemove: equi-joins only, one corpus explode per gram relation") {
+    val docs = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val remove = physical(Dedup.spanRemove(docs))
+    assert(!remove.contains("BroadcastNestedLoopJoin") &&
+      !remove.contains("CartesianProduct"),
+      s"span removal degenerated from equi-joins:\n$remove")
+    // the hit relation must come from the SAME single fused-window
+    // explode as duplicateSpans (one posexplode of the corpus); the
+    // reconstruction side re-splits the docs but never re-explodes
+    val gen = "Generate posexplode".r.findAllIn(remove).size
+    assert(gen == 1,
+      s"expected exactly 1 posexplode in spanRemove, found $gen:\n$remove")
+    val decon = physical(Dedup.decontaminateRemove(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 50),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") < 50)))
+    assert(!decon.contains("CartesianProduct"),
+      s"decontaminateRemove degenerated to a cartesian:\n$decon")
+  }
+
   test("embeddingCosinePairs rejects an unbounded left side") {
     val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val e = intercept[IllegalArgumentException] {

@@ -431,6 +431,64 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cleaned.exceptAll(again).isEmpty && again.exceptAll(cleaned).isEmpty)
   }
 
+  test("spanRemove and decontaminateRemove equal brute references on a randomized high-collision corpus") {
+    val sp = spark; import sp.implicits._
+    // tiny alphabet + short docs -> dense cross-doc trigram sharing,
+    // overlapping windows, whole-doc removals, length-1/2 docs with
+    // no grams at all; seeded so failures reproduce
+    val rnd = new scala.util.Random(1234)
+    // ~1700 possible trigrams vs ~1200 drawn: roughly half the grams
+    // collide cross-doc, so docs mix duplicated and unique windows
+    val vocab = ('a' to 'l').map(_.toString).toVector
+    val corpus = (1L to 120L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    val w = 3
+    def gramsOf(t: String): Seq[(Int, String)] = {
+      val ws = t.split(" ", -1)
+      (0 to ws.length - w).map(p => p -> ws.slice(p, p + w).mkString(" "))
+    }
+    def removeRef(keep: Seq[(Long, String)], dupStarts: Map[Long, Seq[Int]])
+        : Map[Long, (Long, Long, String)] =
+      keep.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        val cov = dupStarts.getOrElse(id, Nil)
+          .flatMap(p => p until math.min(p + w, ws.length)).toSet
+        id -> ((ws.length.toLong, cov.size.toLong,
+          ws.zipWithIndex.collect { case (tok, i) if !cov(i) => tok }
+            .mkString(" ")))
+      }.toMap
+    // --- spanRemove reference: grams in >= 2 distinct docs
+    val docGrams = corpus.map { case (id, t) => id -> gramsOf(t) }
+    val byGram = docGrams.flatMap { case (id, gs) => gs.map(g => g._2 -> id) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct }
+    val dupStarts = docGrams.map { case (id, gs) =>
+      id -> gs.collect { case (p, g) if byGram(g).size >= 2 => p }
+    }.toMap
+    val wantSpan = removeRef(corpus, dupStarts)
+    val docs = corpus.toDF("doc_id", "text")
+    val gotSpan = Dedup.spanRemove(docs, w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(gotSpan == wantSpan)
+    assert(wantSpan.values.exists(_._3.isEmpty), "corpus must fully empty some doc")
+    assert(wantSpan.values.exists(v => v._2 > 0 && v._3.nonEmpty),
+      "corpus must partially clean some doc")
+    // --- decontaminateRemove reference: windows present in the bench slice
+    val (bench, rest) = corpus.partition(_._1 <= 20)
+    val benchGrams = bench.flatMap(b => gramsOf(b._2)).map(_._2).toSet
+    val deconStarts = rest.map { case (id, t) =>
+      id -> gramsOf(t).collect { case (p, g) if benchGrams(g) => p }
+    }.toMap
+    val wantDecon = removeRef(rest, deconStarts)
+    val gotDecon = Dedup.decontaminateRemove(
+        docs.filter(col("doc_id") > 20), docs.filter(col("doc_id") <= 20), w)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(gotDecon == wantDecon)
+  }
+
   test("decontaminateRemove deletes exactly the benchmark-overlapping windows") {
     val sp = spark; import sp.implicits._
     val bench = Seq(

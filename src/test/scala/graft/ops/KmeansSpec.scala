@@ -34,18 +34,18 @@ class KmeansSpec extends AnyFunSuite {
   /** Reference Lloyd: lowest-id seeds, argmin ties to lowest
     * cluster, floor-mean update, empty-cluster carry-over.
     */
-  private def refKmeans(codes: Seq[(Long, Array[Long])])
-      : (Map[Long, (Int, Long)], Array[Array[Long]]) = {
-    var cents = codes.sortBy(_._1).take(K).map(_._2.clone()).toArray
+  private def refKmeans(codes: Seq[(Long, Array[Long])], k: Int = K,
+      iters: Int = ITERS): (Map[Long, (Int, Long)], Array[Array[Long]]) = {
+    var cents = codes.sortBy(_._1).take(k).map(_._2.clone()).toArray
     def assign() = codes.map { case (id, q) =>
       val ds = cents.map(dist2(q, _))
       val best = ds.indices.minBy(i => (ds(i), i))
       id -> (best, ds(best))
     }.toMap
-    for (_ <- 1 to ITERS) {
+    for (_ <- 1 to iters) {
       val a = assign()
       val next = cents.map(_.clone())
-      for (cl <- 0 until K) {
+      for (cl <- 0 until k) {
         val mem = codes.filter { case (id, _) => a(id)._1 == cl }
         if (mem.nonEmpty) {
           val d = mem.head._2.length
@@ -144,6 +144,40 @@ class KmeansSpec extends AnyFunSuite {
     }
     // every populated cluster contributes
     assert(byCluster.keySet == asg.values.toSet)
+  }
+
+  test("kmeansAssign equals the reference on a randomized corpus (k=4, dim=8, negatives + zero vectors)") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(77)
+    val rows = (1L to 150L).map { i =>
+      val v =
+        if (i % 37 == 0) Seq.fill(8)(0f) // zero vector: scale 0, codes 0
+        else Seq.fill(8)((rnd.nextFloat() * 2 - 1) * (1 + rnd.nextInt(50)))
+      (i, v)
+    }
+    val got = Kmeans.kmeansAssign(rows.toDF("vec_id", "embedding"),
+        k = 4, iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val codes = rows.map { case (id, v) => id -> quant(v) }
+    val (want, _) = refKmeans(codes, k = 4, iters = 2)
+    assert(got == want)
+  }
+
+  test("plan shapes: assignment joins nothing, lattice IVF is broadcast + group-limit") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val asg = Kmeans.kmeansAssign(e)
+    asg.collect() // force the fit so the remaining plan is assignment-only
+    val p1 = asg.queryExecution.executedPlan.toString
+    assert(!p1.contains("Join"),
+      s"assignment must carry centroids as literals, not a join:\n$p1")
+    val p2 = Kmeans.knnIvfLattice(e).queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"),
+      s"the cell join must broadcast the query side:\n$p2")
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      s"lattice IVF degenerated from an equi-join:\n$p2")
+    assert(p2.contains("WindowGroupLimit"),
+      s"top-k must ride the window group-limit pushdown:\n$p2")
   }
 
   test("mixed-dimension corpora are rejected like Pq") {
