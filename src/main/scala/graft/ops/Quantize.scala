@@ -123,6 +123,41 @@ object Quantize {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding NORM outliers on the exact integer lattice — the
+    * broken-vector audit a pipeline runs before trusting a
+    * similarity index: a vector whose quantized self-dot sits in the
+    * extreme tails is a truncated/corrupted/zero embedding or a
+    * scale blow-up, and it poisons every cosine it touches. `selfq`
+    * is the exact BIGINT `int8_dot(pack, pack)`; the trim thresholds
+    * are EXACT type-1 quantiles at integer-rational ranks
+    * ([[Profile.quantilesByGroup]] with a constant group — at 100 TB
+    * swap in the GK sketch sibling, the documented giant-group scale
+    * path), re-attached via the sanctioned 1-row broadcast. Every
+    * column is an integer, so the full flag table hash-matches the
+    * DuckDB replay. Annotate-don't-filter: all vectors emit, flagged
+    * or not.
+    */
+  def embeddingOutliers(embeddings: DataFrame,
+      lo: (Int, Int) = (1, 50), hi: (Int, Int) = (49, 50)): DataFrame = {
+    val sq = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("pack", packedOf(col("v"), scaleOf(col("v"))))
+      .filter(col("pack").isNotNull)
+      .select(col("vec_id"), i8dot(col("pack"), col("pack")).as("selfq"))
+    val thr = Profile.quantilesByGroup(
+        sq.withColumn("g", lit("all")), "g", "selfq", Seq(lo, hi))
+      .agg(
+        min(when(col("pct") === lit(lo._1 * 100 / lo._2), col("value")))
+          .as("lo_val"),
+        min(when(col("pct") === lit(hi._1 * 100 / hi._2), col("value")))
+          .as("hi_val"))
+    sq.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("selfq"), col("lo_val"), col("hi_val"),
+        (col("selfq") < col("lo_val") || col("selfq") > col("hi_val"))
+          .cast("int").as("is_outlier"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-DIMENSION diagnostics over the int8 codes — the embedding-
     * space health check a training pipeline runs before trusting a
     * similarity index: a dimension whose codes are all zero (or

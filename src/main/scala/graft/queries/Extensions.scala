@@ -248,6 +248,12 @@ object Extensions {
     "x_embed_dim_cov" -> ((s, d) =>
       Quantize.dimCovariance(t(s, d, "embeddings"))),
 
+    // norm-outlier audit on the exact lattice: vectors whose integer
+    // self-dot falls in the 2%/98% type-1 quantile tails (broken /
+    // truncated / blown-up embeddings) — all-integer, fully oracled
+    "x_embed_outliers" -> ((s, d) =>
+      Quantize.embeddingOutliers(t(s, d, "embeddings"))),
+
     // deterministic Lloyd's k-means on the int8 lattice: lowest-id
     // seeds, integer distances (ties to lowest cluster), floor-mean
     // updates, fixed iterations — bit-identical under any
@@ -1364,6 +1370,25 @@ object Extensions {
         |  CAST(sum(a.d2) AS BIGINT) AS sum_dist2
         |FROM asg4 a JOIN embeddings e USING (vec_id)
         |GROUP BY a.cl, e.label ORDER BY cluster, label""".stripMargin,
+
+    // type-1 rank selection replayed with the shared integer-ceil
+    // rank formula; value-at-rank is tie-stable, so no tiebreak col
+    "x_embed_outliers" ->
+      raw"""WITH $quantCodesCte,
+        |s AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS selfq
+        |  FROM c WHERE code IS NOT NULL),
+        |r AS (SELECT vec_id, selfq,
+        |    row_number() OVER (ORDER BY selfq) AS rk,
+        |    count(*) OVER () AS n FROM s),
+        |t AS (SELECT
+        |    max(CASE WHEN rk = (1 * n + 50 - 1) // 50 THEN selfq END) AS lo_val,
+        |    max(CASE WHEN rk = (49 * n + 50 - 1) // 50 THEN selfq END) AS hi_val
+        |  FROM r)
+        |SELECT s.vec_id, s.selfq, t.lo_val, t.hi_val,
+        |  CAST(CASE WHEN s.selfq < t.lo_val OR s.selfq > t.hi_val
+        |    THEN 1 ELSE 0 END AS INT) AS is_outlier
+        |FROM s, t ORDER BY vec_id""".stripMargin,
 
     // probe the 3 nearest final centroids (integer distance, ties to
     // the lowest cell), score cell members with the shared quantized

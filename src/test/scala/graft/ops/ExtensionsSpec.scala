@@ -509,6 +509,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rs(102L) == ((5L, 5L, "")))
   }
 
+  test("embeddingOutliers flags exactly the strict type-1 tails") {
+    val sp = spark; import sp.implicits._
+    // per-vector scaling makes selfq shape-dependent: (1,1,0)-shaped
+    // vectors all land at 32258 whatever their magnitude; one
+    // (1,0,0) sits low at 16129 and one (1,1,1) high at 48387. n=100:
+    // lo rank ceil(100/50)=2 and hi rank ceil(49*100/50)=98 both
+    // select 32258, so exactly the two strict outliers flag.
+    val rows =
+      Seq(1L -> Seq(5f, 0f, 0f), 100L -> Seq(2f, 2f, 2f)) ++
+        (2L to 99L).map(i => i -> Seq(i.toFloat, i.toFloat, 0f))
+    val got = Quantize.embeddingOutliers(rows.toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(got.size == 100)
+    assert(got(1L) == ((16129L, 32258L, 32258L, 1)), s"low tail: ${got(1L)}")
+    assert(got(100L) == ((48387L, 32258L, 32258L, 1)), s"high tail: ${got(100L)}")
+    assert(got.collect { case (id, (_, _, _, 1)) => id }.toSet == Set(1L, 100L))
+  }
+
   test("capPerGroup: salted two-phase rank equals the naive global window") {
     val sp = spark; import sp.implicits._
     val rnd = new scala.util.Random(11)
