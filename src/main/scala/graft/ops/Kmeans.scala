@@ -37,7 +37,8 @@ import org.apache.spark.sql.functions._
 object Kmeans {
 
   private val models =
-    new BoundedMemo[(Int, Int, Int, Int), Array[Array[Long]]](capacity = 32)
+    new BoundedMemo[(Int, Int, Int, Int), Vector[Array[Array[Long]]]](
+      capacity = 32)
 
   /** Drop memoized centroid sets (after overwriting a corpus path
     * in-session — same staleness caveat as the IVF quantizer memo).
@@ -113,7 +114,16 @@ object Kmeans {
     * way [[Pq]] rejects them — zip_with would silently null-pad.
     */
   private def centroidsFor(codes: DataFrame, k: Int,
-      iters: Int): Array[Array[Long]] = {
+      iters: Int): Array[Array[Long]] =
+    centroidTrail(codes, k, iters).last
+
+  /** The whole centroid TRAIL — element i is the set after i update
+    * steps (0 = the raw seeds); [[kmeansFitReport]] replays one
+    * assignment against each to expose the per-iteration inertia
+    * curve. Memoized as a unit: the trail IS the fit.
+    */
+  private def centroidTrail(codes: DataFrame, k: Int,
+      iters: Int): Vector[Array[Array[Long]]] = {
     val key = (codes.queryExecution.optimizedPlan.semanticHash(),
       java.util.Arrays.hashCode(codes.inputFiles.asInstanceOf[Array[AnyRef]]),
       k, iters)
@@ -135,9 +145,9 @@ object Kmeans {
         val seeds = cached.orderBy(col("vec_id")).limit(k).collect()
         require(seeds.length == k,
           s"kmeansInt8 needs at least k=$k non-null vectors, found ${seeds.length}")
-        var cents = seeds.map(_.getSeq[Long](1).toArray)
-        for (_ <- 1 to iters) cents = step(cached, cents)
-        cents
+        var trail = Vector(seeds.map(_.getSeq[Long](1).toArray))
+        for (_ <- 1 to iters) trail = trail :+ step(cached, trail.last)
+        trail
       } finally cached.unpersist()
     }
   }
@@ -150,6 +160,25 @@ object Kmeans {
   def centroids(embeddings: DataFrame, k: Int = 8,
       iters: Int = 3): Array[Array[Long]] =
     centroidsFor(codesDf(embeddings), k, iters)
+
+  /** Fit observability — the per-iteration training curve: for each
+    * assignment pass i (1 = against the raw seeds, iters+1 = the
+    * final model), the assigned count and total lattice inertia.
+    * Lloyd's with an EXACT mean decreases inertia monotonically; the
+    * floor-mean lattice projection can nudge a step by a few units,
+    * so the curve is the *audit* of that tradeoff, not a proof
+    * obligation. Rides the memoized trail (no refit); one pass per
+    * iteration, each folding to a single row before the union.
+    */
+  def kmeansFitReport(embeddings: DataFrame, k: Int = 8,
+      iters: Int = 3): DataFrame = {
+    val codes = codesDf(embeddings)
+    centroidTrail(codes, k, iters).zipWithIndex.map { case (cents, i) =>
+      withCluster(codes, cents)
+        .agg(count(lit(1)).as("n"), sum(col("dist2")).as("inertia"))
+        .select(lit(i + 1).as("iter"), col("n"), col("inertia"))
+    }.reduce(_ unionByName _).orderBy(col("iter"))
+  }
 
   /** Assignment against a FIXED centroid set, streaming-safe: no
     * Spread (a streaming relation has no file listing) and no fit —

@@ -267,6 +267,12 @@ object Extensions {
     "x_embed_kmeans_purity" -> ((s, d) =>
       Kmeans.kmeansPurity(t(s, d, "embeddings"))),
 
+    // per-iteration training curve of the lattice fit: assigned
+    // count + total inertia against each centroid trail element —
+    // the fit audit (floor-mean can nudge a step; the curve shows it)
+    "x_embed_kmeans_fit" -> ((s, d) =>
+      Kmeans.kmeansFitReport(t(s, d, "embeddings"))),
+
     // IVF over the deterministic lattice cells: hash-oracled ANN at
     // PRODUCTION probe counts (the float-quantizer IVF can only be
     // hash-checked in its probe-everything degenerate form) —
@@ -1389,6 +1395,16 @@ object Extensions {
         |  CAST(CASE WHEN s.selfq < t.lo_val OR s.selfq > t.hi_val
         |    THEN 1 ELSE 0 END AS INT) AS is_outlier
         |FROM s, t ORDER BY vec_id""".stripMargin,
+
+    // training-curve replay: one aggregate per asg{i} of the shared
+    // iteration chain
+    "x_embed_kmeans_fit" ->
+      raw"""WITH ${kmeansCte(8, 3)}
+        |${(1 to 4).map(i =>
+             s"SELECT CAST($i AS INT) AS iter, CAST(count(*) AS BIGINT) AS n, " +
+             s"CAST(sum(d2) AS BIGINT) AS inertia FROM asg$i")
+             .mkString("\n|UNION ALL\n|")}
+        |ORDER BY iter""".stripMargin,
 
     // probe the 3 nearest final centroids (integer distance, ties to
     // the lowest cell), score cell members with the shared quantized

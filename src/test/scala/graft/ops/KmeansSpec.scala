@@ -163,6 +163,19 @@ class KmeansSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("fit report: one row per assignment pass, constant n, final row equals the assignment") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val rep = Kmeans.kmeansFitReport(e, K, ITERS).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rep.map(_._1).toSeq == (1 to ITERS + 1))
+    assert(rep.map(_._2).distinct.length == 1, "every pass assigns the corpus")
+    val fin = Kmeans.kmeansAssign(e, K, ITERS)
+      .agg(count(lit(1)), sum(col("dist2"))).head()
+    assert(rep.last._2 == fin.getLong(0) && rep.last._3 == fin.getLong(1))
+    assert(rep.last._3 < rep.head._3,
+      s"training must improve on the seed assignment: $rep")
+  }
+
   test("plan shapes: assignment joins nothing, lattice IVF is broadcast + group-limit") {
     val e = graft.engine.Tables.table(spark, sf, "embeddings")
     val asg = Kmeans.kmeansAssign(e)
