@@ -124,6 +124,17 @@ object Prof {
         .agg(sum(col("n")), sum(col("sum_dist2"))).collect().length.toLong)
       q("knn_ivf_lattice_warm")(Kmeans.knnIvfLattice(emb).count())
       q("cluster_sample_warm")(Kmeans.clusterSample(emb).count())
+      // per-copy benchmark slice: ScaleGen strides ids by 1e7/copy,
+      // so the modulo recovers "ids < 50" inside every copy
+      q("decontaminate_remove")(Dedup.decontaminateRemove(
+          docs.filter(col("doc_id") % 10000000L >= 50),
+          docs.filter(col("doc_id") % 10000000L < 50))
+        .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
+        .collect().length.toLong)
+      q("embed_outliers")(Quantize.embeddingOutliers(emb)
+        .agg(sum(col("is_outlier"))).collect().length.toLong)
+      q("kmeans_fit_report_warm")(
+        Kmeans.kmeansFitReport(emb).collect().length.toLong)
       spark.stop()
       return
     }

@@ -248,6 +248,29 @@ object Extensions {
     "x_embed_dim_cov" -> ((s, d) =>
       Quantize.dimCovariance(t(s, d, "embeddings"))),
 
+    // embedding-side curation datacard composing the round-11
+    // families: per semantic cluster its size, lattice inertia,
+    // norm-outlier count, label diversity, and the deterministic
+    // md5-rank-1 exemplar — the per-topic health table a mixture
+    // decision reads; one oracle for the whole composition
+    "x_pipeline_curation_v3" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val asg = Kmeans.kmeansAssign(e)
+      val outs = Quantize.embeddingOutliers(e)
+        .select(col("vec_id"), col("is_outlier"))
+      val ex = Kmeans.clusterSample(e, n = 1)
+        .select(col("cluster"), col("vec_id").as("exemplar_id"))
+      asg.join(outs, "vec_id")
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("dist2")).as("inertia"),
+          sum(col("is_outlier").cast("long")).as("n_outliers"),
+          countDistinct(col("label")).as("n_labels"))
+        .join(ex, "cluster")
+        .orderBy(col("cluster"))
+    }),
+
     // norm-outlier audit on the exact lattice: vectors whose integer
     // self-dot falls in the 2%/98% type-1 quantile tails (broken /
     // truncated / blown-up embeddings) — all-integer, fully oracled
@@ -1376,6 +1399,42 @@ object Extensions {
         |  CAST(sum(a.d2) AS BIGINT) AS sum_dist2
         |FROM asg4 a JOIN embeddings e USING (vec_id)
         |GROUP BY a.cl, e.label ORDER BY cluster, label""".stripMargin,
+
+    // composition replay: iteration chain -> final assignment joined
+    // with the outlier flags (selfq over the same cv codes) and the
+    // per-cluster md5-rank-1 exemplar
+    "x_pipeline_curation_v3" ->
+      raw"""WITH ${kmeansCte(8, 3)},
+        |so AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS selfq
+        |  FROM cv),
+        |r2 AS (SELECT vec_id, selfq,
+        |    row_number() OVER (ORDER BY selfq) AS rk,
+        |    count(*) OVER () AS nn FROM so),
+        |t2 AS (SELECT
+        |    max(CASE WHEN rk = (1 * nn + 50 - 1) // 50 THEN selfq END) AS lo_val,
+        |    max(CASE WHEN rk = (49 * nn + 50 - 1) // 50 THEN selfq END) AS hi_val
+        |  FROM r2),
+        |fl AS (SELECT so.vec_id,
+        |    CASE WHEN so.selfq < t2.lo_val OR so.selfq > t2.hi_val
+        |      THEN 1 ELSE 0 END AS o
+        |  FROM so, t2),
+        |ex AS (SELECT cl, vec_id AS exemplar_id FROM (
+        |    SELECT cl, vec_id, row_number() OVER (PARTITION BY cl
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+        |    FROM asg4) WHERE rk = 1),
+        |agg AS (
+        |  SELECT a.cl AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.d2) AS BIGINT) AS inertia,
+        |    CAST(sum(fl.o) AS BIGINT) AS n_outliers,
+        |    CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels
+        |  FROM asg4 a JOIN fl ON fl.vec_id = a.vec_id
+        |  JOIN embeddings e ON e.vec_id = a.vec_id
+        |  GROUP BY a.cl)
+        |SELECT agg.cluster, agg.n, agg.inertia, agg.n_outliers,
+        |  agg.n_labels, ex.exemplar_id
+        |FROM agg JOIN ex ON ex.cl = agg.cluster
+        |ORDER BY cluster""".stripMargin,
 
     // type-1 rank selection replayed with the shared integer-ceil
     // rank formula; value-at-rank is tie-stable, so no tiebreak col
