@@ -126,7 +126,7 @@ object Main {
         val sourceName = rendered.source.getOrElse(
           throw new IllegalArgumentException(
             s"module $module declares no {{ use_source(...) }}"))
-        val source = cfg.source(sourceName).withBearerResolved(getenv)
+        val source = graft.http.OAuth2.applyAuth(cfg.source(sourceName), getenv)
         val target = rendered.sink.map(cfg.target)
         val destTable = source.destTable
 

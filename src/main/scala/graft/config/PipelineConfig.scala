@@ -54,7 +54,16 @@ object PipelineConfig {
         * same credential model as the postgres `username_env`/
         * `password_env` (secrets stay out of committed YAML).
         */
-      bearerTokenEnv: Option[String] = None) {
+      bearerTokenEnv: Option[String] = None,
+      /** `oauth2:` — client-credentials grant against `token_url`;
+        * the fetched access token becomes the request bearer. The
+        * reference lists OAuth2 as planned and unimplemented
+        * (/root/reference/README.md:121-124); this is the natural
+        * landing spot its config dialect implies. Mutually exclusive
+        * with a static bearer token (the token WOULD silently win
+        * otherwise — rejected at parse instead).
+        */
+      oauth2: Option[OAuth2Conf] = None) {
     def destTable: String = tableDestinationName.getOrElse(name)
 
     /** Resolve `bearer_token_env` (preferred over an inline
@@ -72,6 +81,35 @@ object PipelineConfig {
           copy(bearerToken = Some(v))
         case None => this
       }
+  }
+
+  /** OAuth2 client-credentials config: `token_url` plus a client id
+    * and secret, each with the env-indirection rule every credential
+    * here follows (env name preferred; missing/empty env is a config
+    * error; the secret additionally REQUIRES one of the two forms).
+    */
+  final case class OAuth2Conf(
+      tokenUrl: String,
+      clientId: Option[String], clientIdEnv: Option[String],
+      clientSecret: Option[String], clientSecretEnv: Option[String],
+      scope: Option[String]) {
+    private def resolve(kind: String, env: Option[String],
+        inline: Option[String], getenv: String => Option[String]): String =
+      env match {
+        case Some(e) =>
+          val v = getenv(e).getOrElse(throw new IllegalArgumentException(
+            s"environment variable '$e' for oauth2 $kind is not set"))
+          if (v.trim.isEmpty) throw new IllegalArgumentException(
+            s"environment variable '$e' for oauth2 $kind is empty")
+          v
+        case None => inline.getOrElse(throw new IllegalArgumentException(
+          s"oauth2 $kind not provided"))
+      }
+
+    def resolvedClientId(getenv: String => Option[String] = sys.env.get): String =
+      resolve("client_id", clientIdEnv, clientId, getenv)
+    def resolvedClientSecret(getenv: String => Option[String] = sys.env.get): String =
+      resolve("client_secret", clientSecretEnv, clientSecret, getenv)
   }
 
   final case class PostgresAuth(
@@ -199,8 +237,19 @@ object PipelineConfig {
     }
   }
 
-  private def parseSource(m: Map[String, Any]): Source =
-    Source(
+  private def parseOAuth2(v: Option[Any]): Option[OAuth2Conf] = v.map { o0 =>
+    val m = asMap(o0, "oauth2 must be a mapping")
+    OAuth2Conf(
+      tokenUrl = str(m, "token_url"),
+      clientId = optStr(m, "client_id"),
+      clientIdEnv = optStr(m, "client_id_env"),
+      clientSecret = optStr(m, "client_secret"),
+      clientSecretEnv = optStr(m, "client_secret_env"),
+      scope = optStr(m, "scope"))
+  }
+
+  private def parseSource(m: Map[String, Any]): Source = {
+    val s = Source(
       name = str(m, "name"),
       url = str(m, "url"),
       tableDestinationName = optStr(m, "table_destination_name"),
@@ -212,7 +261,13 @@ object PipelineConfig {
       primaryKeyInDest = optStr(m, "primary_key_in_dest"),
       pageSize = optStr(m, "page_size").map(_.toLong),
       bearerToken = optStr(m, "bearer_token"),
-      bearerTokenEnv = optStr(m, "bearer_token_env"))
+      bearerTokenEnv = optStr(m, "bearer_token_env"),
+      oauth2 = parseOAuth2(m.get("oauth2")))
+    if (s.oauth2.isDefined && (s.bearerToken.isDefined || s.bearerTokenEnv.isDefined))
+      throw new IllegalArgumentException(
+        s"source '${s.name}': oauth2 and bearer_token(_env) are mutually exclusive")
+    s
+  }
 
   private def parseTarget(m: Map[String, Any]): Target = {
     val kind = optStr(m, "type").getOrElse("postgres")
