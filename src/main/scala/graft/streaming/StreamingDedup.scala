@@ -130,3 +130,48 @@ object StreamingDedup {
       queryName, "append")
   }
 }
+
+/** Streaming benchmark decontamination — the live-ingest counterpart
+  * of [[graft.ops.Dedup.decontaminate]]: documents arriving on a
+  * stream are scored against a FROZEN benchmark shingle set and
+  * flagged when they share at least `minShared` distinct trigrams
+  * with it. Deliberately STATELESS: a document's flag depends only on
+  * its own row and the broadcast benchmark set (one static row of
+  * collected grams — the scalar-attach convention), so the query
+  * runs in append mode with no watermark, no state store, and
+  * exactly-one output row per flagged doc in any micro-batching.
+  * A benchmark refresh is a new query start — the model-handoff
+  * contract shared with the streaming cluster monitor.
+  */
+object StreamingDecontaminate {
+
+  /** Benchmark trigram set as one static row (`bg`). */
+  private[streaming] def benchmarkSet(benchmark: org.apache.spark.sql.DataFrame) =
+    benchmark
+      .select(TextOps.words(col("text")).as("ws"))
+      .select(explode(TextOps.ngramsOf(col("ws"), 3)).as("g"))
+      .distinct()
+      .agg(collect_set(col("g")).as("bg"))
+
+  /** Flagged (doc_id, n_shared) rows over a parquet-file stream,
+    * append mode to a memory sink named `queryName`.
+    */
+  def streamingFlags(spark: SparkSession, dir: String, schema: StructType,
+      queryName: String, benchmark: org.apache.spark.sql.DataFrame,
+      minShared: Int = 5, maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(dir)
+    src
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.ngramsOf(col("ws"), 3).as("g"))
+      .crossJoin(broadcast(benchmarkSet(benchmark)))
+      .select(col("doc_id"),
+        size(array_intersect(col("g"), col("bg"))).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
+}

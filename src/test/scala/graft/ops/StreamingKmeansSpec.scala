@@ -33,4 +33,42 @@ class StreamingKmeansSpec extends AnyFunSuite {
     assert(batch.count() > 1, "fixture must populate several clusters")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming decontamination flags equal the batch form across micro-batches") {
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 50)
+    val corpus = docs.filter(col("doc_id") >= 50)
+    val dir = java.nio.file.Files
+      .createTempDirectory("docs-stream-decon").toString
+    corpus.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.StreamingDecontaminate.streamingFlags(
+      spark, dir, corpus.schema, "decon_stream", bench, minShared = 5,
+      maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "fixture must exercise multiple micro-batches")
+    val streamed = spark.table("decon_stream")
+    // batch reference: same expressions, batch execution
+    import graft.ops.TextOps
+    val batch = corpus
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.ngramsOf(col("ws"), 3).as("g"))
+      .crossJoin(broadcast(
+        bench.select(TextOps.words(col("text")).as("ws"))
+          .select(explode(TextOps.ngramsOf(col("ws"), 3)).as("g"))
+          .distinct().agg(collect_set(col("g")).as("bg"))))
+      .select(col("doc_id"),
+        size(array_intersect(col("g"), col("bg"))).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+    assert(batch.count() > 0, "fixture must contain contaminated docs")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the flagged doc set must agree with the pairwise batch detector
+    val pairDocs = graft.ops.Dedup.decontaminate(corpus, bench)
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = streamed.select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.intersect(pairDocs) == pairDocs,
+      "every pairwise-flagged doc must flag against the union set")
+  }
 }
