@@ -565,6 +565,30 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-proof split assignment: every document draws its
+    * train/val/test split from its near-dup CLUSTER label's md5
+    * bucket (singletons from their own id), so two near-duplicate
+    * documents can never land on opposite sides of a train/eval cut —
+    * the contamination `x_split_leakage` MEASURES is prevented by
+    * construction here (per-doc bucketing splits a dup pair with
+    * probability 2·p·(1−p)). Rides the memoized MinHash pair
+    * substrate and label propagation; the bucket/label rule is
+    * byte-identical to [[Sampling.assignSplits]], so the assignment
+    * stays engine-auditable.
+    */
+  def assignSplitsClusterSafe(docs: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    val cl = dupClusters(docs)
+    val withCl = docs.select(col("doc_id"))
+      .join(cl, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    Sampling.assignSplits(withCl, "cluster_id", weights)
+      .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonical-representative selection by QUALITY, not by min id:
     * each near-dup cluster keeps its highest-scoring member (distinct
     * word count — an integer quality proxy; boilerplate-trimmed or

@@ -71,6 +71,13 @@ object Extensions {
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .orderBy(col("doc_id"))),
 
+    // leakage-PROOF variant: the split key is the near-dup cluster
+    // label, so dup pairs can never straddle a train/eval cut — the
+    // contamination x_split_leakage measures, prevented by
+    // construction
+    "x_split_cluster_safe" -> ((s, d) =>
+      Dedup.assignSplitsClusterSafe(t(s, d, "documents"))),
+
     // benchmark decontamination: corpus docs sharing ≥5 distinct
     // trigrams with the (tiny, broadcast) benchmark slice — the
     // keep-eval-out-of-training curation step, as an inverted-index
@@ -1142,6 +1149,26 @@ object Extensions {
         |  COALESCE(kept.clean_text, '') AS clean_text
         |FROM wsx LEFT JOIN cg USING (doc_id) LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // the recursive closure labels clusters, singletons self-label,
+    // then the shared md5-bucket CASE keys on cluster_id
+    "x_split_cluster_safe" ->
+      raw"""WITH RECURSIVE $shingleCte,
+        |$pairClosureCte,
+        |lbl AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |  FROM reach GROUP BY a),
+        |c AS (SELECT doc.doc_id,
+        |    COALESCE(lbl.cluster_id, doc.doc_id) AS cluster_id
+        |  FROM documents doc LEFT JOIN lbl USING (doc_id)),
+        |bk AS (SELECT doc_id, cluster_id,
+        |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4))::INT
+        |         % 10000 AS INT) AS bucket
+        |  FROM c)
+        |SELECT doc_id, cluster_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM bk ORDER BY doc_id""".stripMargin,
 
     // md5 is bit-identical across engines, so the split assignment is
     // fully auditable: DuckDB recomputes bucket and label exactly

@@ -509,6 +509,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rs(102L) == ((5L, 5L, "")))
   }
 
+  test("cluster-safe splits: near-dup pairs never straddle a train/eval cut") {
+    val asg = Extensions.queries("x_split_cluster_safe")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3))))
+      .toMap
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+    assert(asg.size == docs.count(), "annotate-don't-filter: every doc splits")
+    val pairs = Extensions.queries("x_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(asg(a)._1 == asg(b)._1 && asg(a)._2 == asg(b)._2,
+        s"near-dup pair ($a,$b) must share cluster and split: ${asg(a)} ${asg(b)}")
+    }
+    assert(asg.values.map(_._2).toSet == Set("train", "val", "test"),
+      "500 docs must populate all three splits")
+  }
+
   test("embeddingOutliers flags exactly the strict type-1 tails") {
     val sp = spark; import sp.implicits._
     // per-vector scaling makes selfq shape-dependent: (1,1,0)-shaped
