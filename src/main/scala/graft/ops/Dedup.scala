@@ -565,6 +565,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** WITHIN-document repeated-span removal, keep-first: a `w`-word
+    * window that already occurred verbatim EARLIER in the same
+    * document is deleted (boilerplate echoes, stutter loops, copy-
+    * paste artifacts). [[TextOps]]' repetition columns measure this
+    * signal; this is the action — and the within-doc counterpart of
+    * [[spanRemove]], whose windows must recur in OTHER docs. Pure
+    * per-row expression work: no join, no shuffle, no state — the
+    * operator is a projection and scales as a scan, the best
+    * possible 100 TB shape. Per-doc cost is quadratic in the gram
+    * count (each window string-compares against its predecessors),
+    * bounded by max doc length; a rolling-hash prefilter is the
+    * constant-factor upgrade if long-doc corpora ever dominate a
+    * profile. Annotate-don't-filter: every doc emits, zeros when
+    * echo-free.
+    */
+  def withinDocRemove(docs: DataFrame, w: Int = 3): DataFrame =
+    Spread(docs)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .withColumn("gs", TextOps.positionalNgramsOf(col("ws"), w))
+      // flag 1-based gram index i when gs[i] appears among gs[1..i-1];
+      // sequence(1, greatest(size, 1)) never counts DOWN (Spark's
+      // sequence(2, 1) would), the i >= 2 cut lives in the filter
+      .withColumn("cov", array_distinct(flatten(transform(
+        filter(sequence(lit(1), greatest(size(col("gs")), lit(1))),
+          i => i >= 2 &&
+            array_position(slice(col("gs"), lit(1), i - 1),
+              element_at(col("gs"), i)) > 0),
+        i => sequence(i, i + (w - 1))))))
+      .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tokens"),
+        size(col("cov")).cast("bigint").as("n_removed"),
+        array_join(filter(col("ws"),
+          (tok, i0) => !array_contains(col("cov"), i0 + 1)), " ")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+
   /** Leakage-proof split assignment: every document draws its
     * train/val/test split from its near-dup CLUSTER label's md5
     * bucket (singletons from their own id), so two near-duplicate

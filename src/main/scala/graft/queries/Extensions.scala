@@ -62,6 +62,12 @@ object Extensions {
     "x_dedup_span_remove" -> ((s, d) =>
       Dedup.spanRemove(t(s, d, "documents"))),
 
+    // within-doc counterpart, keep-first: windows repeating earlier
+    // in the SAME doc are deleted (echo/boilerplate scrub) — a pure
+    // projection, no shuffle at all
+    "x_dedup_within_doc" -> ((s, d) =>
+      Dedup.withinDocRemove(t(s, d, "documents"))),
+
     // deterministic 80/10/10 split by md5 bucket — stable under
     // retries/partitioning AND recomputable by any engine with md5,
     // which is what makes the assignment auditable (and oracled)
@@ -1124,6 +1130,31 @@ object Extensions {
         |  CAST(coalesce(sp.dup_words, 0) AS DOUBLE) / wsx.n_words AS dup_frac
         |FROM wsx LEFT JOIN sp USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // keep-first replay: 1-based gram i flags when found among its
+    // predecessors (list_position is NULL-not-0 when absent); kept
+    // tokens rebuild via the NULL-mask (empty-string tokens survive)
+    "x_dedup_within_doc" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, ws, len(ws) AS n,
+        |    list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+        |      i -> array_to_string(ws[i : i + 2], ' ')) AS gs
+        |  FROM toks),
+        |f AS (SELECT doc_id, ws, n,
+        |    list_distinct(flatten(list_transform(
+        |      list_filter(generate_series(2, len(gs)),
+        |        i -> coalesce(list_position(gs[1 : i - 1], gs[i]), 0) > 0),
+        |      i -> generate_series(i, i + 2)))) AS cov
+        |  FROM g),
+        |k AS (SELECT doc_id, n, cov,
+        |    list_filter(list_transform(generate_series(1, n),
+        |      i -> CASE WHEN list_contains(cov, i) THEN NULL ELSE ws[i] END),
+        |      x -> x IS NOT NULL) AS kept
+        |  FROM f)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(len(cov) AS BIGINT) AS n_removed,
+        |  array_to_string(kept, ' ') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     // removal replay: covered 1-based positions are hit-start + 1..5;
     // kept tokens re-join ordered by position (string_agg ORDER BY),

@@ -489,6 +489,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(gotDecon == wantDecon)
   }
 
+  test("withinDocRemove keeps the FIRST occurrence, collapses stutter, ignores cross-doc echoes") {
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "a b c X a b c Y"),      // 2nd "a b c" (grams idx 5) removed
+      (2L, "a a a a a"),            // stutter: windows 2,3 flagged -> keep "a"
+      (3L, "p q r s t u"),          // echo-free: untouched
+      (4L, "a b c d e f"))          // shares "a b c" with doc 1 — WITHIN only
+      .toDF("doc_id", "text")
+    val rs = Dedup.withinDocRemove(docs, w = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(rs(1L) == ((8L, 3L, "a b c X Y")))
+    assert(rs(2L) == ((5L, 4L, "a")))
+    assert(rs(3L) == ((6L, 0L, "p q r s t u")))
+    assert(rs(4L) == ((6L, 0L, "a b c d e f")),
+      "cross-doc repeats are spanRemove's job, not this one's")
+    // fixture sanity: the corpus contains real within-doc echoes at w=3
+    val touched = Dedup.withinDocRemove(
+        graft.engine.Tables.table(spark, sf, "documents"))
+      .filter(col("n_removed") > 0).count()
+    assert(touched > 0, "fixture must contain within-doc repeats")
+  }
+
   test("decontaminateRemove deletes exactly the benchmark-overlapping windows") {
     val sp = spark; import sp.implicits._
     val bench = Seq(
