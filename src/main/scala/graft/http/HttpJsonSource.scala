@@ -39,7 +39,16 @@ object HttpJsonSource {
       retry: Retry,
       requestTimeoutSecs: Long = 30,
       connectTimeoutSecs: Long = 10,
-      bearerToken: Option[String] = None)
+      bearerToken: Option[String] = None,
+      /** When set, the bearer is RE-RESOLVED per request through
+        * [[OAuth2.token]]'s cache (a fresh POST only past the expiry
+        * horizon), overriding `bearerToken` — so a run longer than
+        * `expires_in` refreshes mid-pagination, and a 401 from the
+        * data API retries once on a force-refreshed token. Plain
+        * data in a case class: ships to executors with the spec
+        * (each executor JVM then holds its own token cache).
+        */
+      oauth: Option[OAuth2.TokenSpec] = None)
 
   // tokens already warned about, so an invalid token logs once per
   // JVM (the reference warns once at client build; requests here are
@@ -59,7 +68,7 @@ object HttpJsonSource {
     * including a custom Authorization — survive the skip.
     */
   private[http] def effectiveHeaders(spec: FetchSpec): Seq[(String, String)] =
-    spec.bearerToken match {
+    spec.oauth.map(OAuth2.token(_)).orElse(spec.bearerToken) match {
       case Some(token) =>
         val v = s"Bearer $token"
         // RFC 9110 field-value chars: tab, space–0xFF minus DEL
@@ -114,18 +123,36 @@ object HttpJsonSource {
   private def sendWithRetry[T](client: HttpClient, spec: FetchSpec,
       extra: Seq[(String, String)], handler: HttpResponse.BodyHandler[T],
       errorPeek: T => String, discard: T => Unit): HttpResponse[T] = {
-    val builder = HttpRequest.newBuilder(buildUri(spec, extra))
-      .timeout(Duration.ofSeconds(spec.requestTimeoutSecs)).GET()
-    effectiveHeaders(spec).foreach { case (k, v) => builder.header(k, v) }
-    val req = builder.build()
+    // the request is built PER attempt: with an oauth spec the bearer
+    // header re-resolves through the token cache, so an attempt after
+    // a refresh (expiry horizon passed, or the 401 eviction below)
+    // carries the new token instead of the one from attempt 1
+    def buildReq(): HttpRequest = {
+      val builder = HttpRequest.newBuilder(buildUri(spec, extra))
+        .timeout(Duration.ofSeconds(spec.requestTimeoutSecs)).GET()
+      effectiveHeaders(spec).foreach { case (k, v) => builder.header(k, v) }
+      builder.build()
+    }
     var attempt = 0
+    var refreshed = false
     var delayMs = spec.retry.minDelaySecs * 1000
     while (true) {
       attempt += 1
+      val req = buildReq()
       val resp: Either[Throwable, HttpResponse[T]] =
         try Right(client.send(req, handler))
         catch { case e: java.io.IOException => Left(e) }
       resp match {
+        // one free replay on 401 under oauth: the cached token may be
+        // revoked or expired past our margin (server clock skew) —
+        // evict it and retry immediately on a fresh one; a second 401
+        // is a real authorization error and fails fast below
+        case Right(r) if r.statusCode() == 401 && spec.oauth.isDefined
+            && !refreshed =>
+          discard(r.body())
+          refreshed = true
+          attempt -= 1
+          spec.oauth.foreach(OAuth2.invalidate)
         case Right(r) if r.statusCode() < 500 =>
           if (r.statusCode() >= 400) {
             val peek = errorPeek(r.body())
@@ -392,8 +419,17 @@ object HttpJsonSource {
   def load(spark: SparkSession, source: Source, pageSize: Long = 100,
       totalHint: Option[TotalHint] = None): DataFrame = {
     import spark.implicits._
+    // an oauth2 block whose credentials are already inline (the shape
+    // OAuth2.applyAuth returns) rides along as a TokenSpec so every
+    // page fetch re-resolves the bearer through the token cache;
+    // unresolved env-indirected blocks stay None (resolution is
+    // applyAuth's job — it holds the getenv seam)
+    val oauthSpec = source.oauth2.flatMap(o =>
+      for (id <- o.clientId; secret <- o.clientSecret)
+        yield OAuth2.TokenSpec(o.tokenUrl, id, secret, o.scope, source.retry))
     val spec = FetchSpec(source.url, source.headers, source.queryParams,
-      source.dataPath, source.retry, bearerToken = source.bearerToken)
+      source.dataPath, source.retry, bearerToken = source.bearerToken,
+      oauth = oauthSpec)
     val effectivePageSize = source.pageSize.getOrElse(pageSize)
     source.pagination match {
       case Some(Pagination.PageNumber(pp, ppp, itemsPtr, pagesPtr)) =>

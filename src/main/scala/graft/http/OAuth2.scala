@@ -39,29 +39,38 @@ object OAuth2 {
 
   private final case class Cached(token: String, expiresAtMs: Long)
 
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Cached]()
+  // keyed on (token_url, client_id, scope): the SAME client asking for
+  // different scopes holds DIFFERENT grants — sharing one entry would
+  // silently run requests under whichever scope fetched first
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Option[String]), Cached]()
 
   private[http] val refreshMarginMs = 30000L
+
+  private def keyOf(spec: TokenSpec) =
+    (spec.tokenUrl, spec.clientId, spec.scope)
 
   /** Drop every cached token (tests; credential rotation). */
   def clearCache(): Unit = cache.clear()
 
+  /** Drop one cached token — the 401 recovery hook: a token the data
+    * API rejects (revoked server-side, clock skew past the refresh
+    * margin) is evicted so the next [[token]] call fetches fresh.
+    */
+  private[http] def invalidate(spec: TokenSpec): Unit =
+    cache.remove(keyOf(spec))
+
   /** A valid access token for `spec` — cached until its expiry
-    * horizon minus the refresh margin, then re-fetched.
+    * horizon minus the refresh margin, then re-fetched. The
+    * fetch-or-reuse is atomic per key (`compute` holds the entry):
+    * concurrent resolvers of one spec block on a single POST instead
+    * of double-fetching through a get/put race.
     */
   def token(spec: TokenSpec,
-      nowMs: () => Long = () => System.currentTimeMillis()): String = {
-    val key = (spec.tokenUrl, spec.clientId)
-    Option(cache.get(key))
-      .filter(_.expiresAtMs - refreshMarginMs > nowMs())
-      .map(_.token)
-      .getOrElse {
-        val fetched = fetchToken(spec, nowMs)
-        cache.put(key, fetched)
-        fetched.token
-      }
-  }
+      nowMs: () => Long = () => System.currentTimeMillis()): String =
+    cache.compute(keyOf(spec), (_, v) =>
+      if (v != null && v.expiresAtMs - refreshMarginMs > nowMs()) v
+      else fetchToken(spec, nowMs)).token
 
   private def enc(s: String): String =
     URLEncoder.encode(s, StandardCharsets.UTF_8)
@@ -124,17 +133,30 @@ object OAuth2 {
   }
 
   /** Resolve a source's auth: an `oauth2:` block fetches (or reuses)
-    * a token and installs it as the bearer; otherwise the static
+    * a token — validating the credentials up front, so a wrong secret
+    * reads as a config error at resolution, not a mid-run page
+    * failure — and installs it as the bearer; otherwise the static
     * bearer env-indirection applies. The CLI's one auth entry point.
+    *
+    * The returned source ALSO carries its oauth2 block with the env
+    * indirection resolved to inline credentials: the fetch layer
+    * rebuilds a [[TokenSpec]] from it and re-resolves the token
+    * per-request through the cache ([[HttpJsonSource.effectiveHeaders]]),
+    * so a pipeline outliving `expires_in` refreshes mid-run instead
+    * of sending the expired bearer until the next source resolution.
     */
   def applyAuth(source: Source,
       getenv: String => Option[String] = sys.env.get,
       nowMs: () => Long = () => System.currentTimeMillis()): Source =
     source.oauth2 match {
       case Some(o) =>
-        source.copy(bearerToken = Some(token(TokenSpec(
-          o.tokenUrl, o.resolvedClientId(getenv),
-          o.resolvedClientSecret(getenv), o.scope, source.retry), nowMs)))
+        val id = o.resolvedClientId(getenv)
+        val secret = o.resolvedClientSecret(getenv)
+        val tok = token(TokenSpec(o.tokenUrl, id, secret, o.scope,
+          source.retry), nowMs)
+        source.copy(bearerToken = Some(tok),
+          oauth2 = Some(o.copy(clientId = Some(id), clientIdEnv = None,
+            clientSecret = Some(secret), clientSecretEnv = None)))
       case None => source.withBearerResolved(getenv)
     }
 }

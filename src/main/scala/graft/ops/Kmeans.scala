@@ -155,11 +155,14 @@ object Kmeans {
   /** The fitted centroid set itself — the model handoff for the
     * offline-fit / online-serve split: a streaming job cannot run
     * multi-pass Lloyd, so it fits here on the batch corpus and
-    * serves arriving vectors via [[assignWithCentroids]].
+    * serves arriving vectors via [[assignWithCentroids]]. Returns a
+    * deep copy: the memoized trail's arrays are shared by every later
+    * same-fit query in the session, and a caller mutating the handoff
+    * must not corrupt them.
     */
   def centroids(embeddings: DataFrame, k: Int = 8,
       iters: Int = 3): Array[Array[Long]] =
-    centroidsFor(codesDf(embeddings), k, iters)
+    centroidsFor(codesDf(embeddings), k, iters).map(_.clone())
 
   /** Fit observability — the per-iteration training curve: for each
     * assignment pass i (1 = against the raw seeds, iters+1 = the

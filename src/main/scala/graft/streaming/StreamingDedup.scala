@@ -142,6 +142,15 @@ object StreamingDedup {
   * exactly-one output row per flagged doc in any micro-batching.
   * A benchmark refresh is a new query start — the model-handoff
   * contract shared with the streaming cluster monitor.
+  *
+  * SIZE BOUND: unlike the batch detector's un-hinted join (which AQE
+  * degrades to a partitioned equi-join when the benchmark side grows),
+  * the single-collected-row broadcast here has a hard cliff — the gram
+  * set must fit one row and the driver. [[streamingFlags]] therefore
+  * counts the distinct benchmark grams at query start and REFUSES past
+  * `maxBenchmarkGrams` with a message naming the batch operator, so a
+  * pathologically large held-out set reads as a config error instead
+  * of an opaque broadcast OOM mid-stream.
   */
 object StreamingDecontaminate {
 
@@ -158,7 +167,18 @@ object StreamingDecontaminate {
     */
   def streamingFlags(spark: SparkSession, dir: String, schema: StructType,
       queryName: String, benchmark: org.apache.spark.sql.DataFrame,
-      minShared: Int = 5, maxFilesPerTrigger: Int = 0): StreamingQuery = {
+      minShared: Int = 5, maxFilesPerTrigger: Int = 0,
+      maxBenchmarkGrams: Long = 2000000L): StreamingQuery = {
+    // one cheap batch count at query START (not per micro-batch)
+    // guards the single-row broadcast cliff documented above
+    val nGrams = benchmark
+      .select(explode(TextOps.ngramsOf(TextOps.words(col("text")), 3)).as("g"))
+      .agg(count_distinct(col("g"))).head().getLong(0)
+    require(nGrams <= maxBenchmarkGrams,
+      s"benchmark has $nGrams distinct trigrams > maxBenchmarkGrams=" +
+        s"$maxBenchmarkGrams: the streaming flagger broadcasts the gram set " +
+        "as one row; decontaminate a benchmark this size in batch " +
+        "(graft.ops.Dedup.decontaminate) where the join is AQE-size-gated")
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)

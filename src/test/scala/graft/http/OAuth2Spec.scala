@@ -113,6 +113,64 @@ class OAuth2Spec extends AnyFunSuite {
     }
   }
 
+  test("token cache is scoped: same client with different scopes holds distinct grants") {
+    OAuth2.clearCache()
+    withServer { (server, base) =>
+      val calls = new AtomicInteger(0)
+      server.createContext("/token", ex => {
+        val body = readBody(ex)
+        val n = calls.incrementAndGet()
+        val scope = body.split("&").collectFirst {
+          case kv if kv.startsWith("scope=") => kv.drop(6)
+        }.getOrElse("none")
+        respond(ex, s"""{"access_token":"$scope-$n","expires_in":100}""")
+      })
+      def spec(scope: Option[String]) =
+        OAuth2.TokenSpec(s"$base/token", "cid", "sec", scope, retry)
+      assert(OAuth2.token(spec(Some("read"))) == "read-1")
+      assert(OAuth2.token(spec(Some("write"))) == "write-2",
+        "a different scope must fetch its own token, not reuse read's")
+      assert(OAuth2.token(spec(None)) == "none-3")
+      // each scope now cache-hits its own entry
+      assert(OAuth2.token(spec(Some("read"))) == "read-1")
+      assert(OAuth2.token(spec(Some("write"))) == "write-2")
+      assert(calls.get() == 3)
+    }
+  }
+
+  test("data-API 401 under oauth evicts the cached token and retries once on a fresh one") {
+    OAuth2.clearCache()
+    withServer { (server, base) =>
+      val tokenCalls = new AtomicInteger(0)
+      server.createContext("/token", ex => {
+        val n = tokenCalls.incrementAndGet()
+        respond(ex, s"""{"access_token":"tok$n","expires_in":3600}""")
+      })
+      val rowCalls = new AtomicInteger(0)
+      server.createContext("/rows", ex => {
+        rowCalls.incrementAndGet()
+        // tok1 is "revoked": only the refreshed token is accepted
+        val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+        if (auth.contains("Bearer tok2")) respond(ex, """[{"id":1}]""")
+        else respond(ex, "revoked", status = 401)
+      })
+      val spec = HttpJsonSource.FetchSpec(s"$base/rows", Nil, Nil, None, retry,
+        oauth = Some(OAuth2.TokenSpec(s"$base/token", "cid", "sec", None, retry)))
+      val resp = HttpJsonSource.getWithRetry(
+        HttpJsonSource.buildClient(spec), spec, Seq.empty)
+      assert(resp.statusCode() == 200 && resp.body().contains("\"id\":1"))
+      assert(tokenCalls.get() == 2, "the 401 must force exactly one re-fetch")
+      assert(rowCalls.get() == 2, "one rejected page + one refreshed retry")
+      // a SECOND 401 (token still rejected) fails fast, no refresh loop
+      OAuth2.clearCache()
+      tokenCalls.set(10) // server now issues tok11, tok12... none == tok2
+      val e = intercept[RuntimeException](HttpJsonSource.getWithRetry(
+        HttpJsonSource.buildClient(spec), spec, Seq.empty))
+      assert(e.getMessage.contains("401"))
+      assert(tokenCalls.get() == 12, "refresh happens once, then fail fast")
+    }
+  }
+
   test("config: oauth2 is mutually exclusive with static bearer tokens") {
     val e = intercept[IllegalArgumentException](PipelineConfig.parse(
       """sources:

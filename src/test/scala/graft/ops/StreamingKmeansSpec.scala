@@ -71,4 +71,21 @@ class StreamingKmeansSpec extends AnyFunSuite {
     assert(flagged.intersect(pairDocs) == pairDocs,
       "every pairwise-flagged doc must flag against the union set")
   }
+
+  test("streaming decontamination refuses a benchmark past the broadcast gram bound") {
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+    val bench = docs.filter(col("doc_id") < 50)
+    val dir = java.nio.file.Files
+      .createTempDirectory("docs-stream-decon-bound").toString
+    docs.filter(col("doc_id") >= 50).limit(5)
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDecontaminate.streamingFlags(
+        spark, dir, docs.schema, "decon_stream_bound", bench,
+        maxBenchmarkGrams = 10)
+    }
+    assert(e.getMessage.contains("maxBenchmarkGrams") &&
+      e.getMessage.contains("Dedup.decontaminate"),
+      s"bound error must name the limit and the batch fallback: ${e.getMessage}")
+  }
 }
