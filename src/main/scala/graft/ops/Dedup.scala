@@ -573,25 +573,50 @@ object Dedup {
     * [[spanRemove]], whose windows must recur in OTHER docs. Pure
     * per-row expression work: no join, no shuffle, no state — the
     * operator is a projection and scales as a scan, the best
-    * possible 100 TB shape. Per-doc cost is quadratic in the gram
-    * count (each window string-compares against its predecessors),
-    * bounded by max doc length; a rolling-hash prefilter is the
-    * constant-factor upgrade if long-doc corpora ever dominate a
-    * profile. Annotate-don't-filter: every doc emits, zeros when
-    * echo-free.
+    * possible 100 TB shape.
+    *
+    * Per-doc cost is O(g·log g) via an in-row sort: the (gram,
+    * 1-based index) structs sort lexicographically, so every
+    * repeat of a gram lands adjacent to — and, index-ascending,
+    * AFTER — its first occurrence, and "gram seen earlier" becomes
+    * one predecessor compare per sorted position. Exactly the
+    * keep-first semantics of the naive prefix probe this replaced,
+    * which string-compared each gram against ALL its predecessors —
+    * O(g²·w) token compares, ~10¹⁰ for one 100k-token book, stalling
+    * that row's partition (the r11-flagged long-doc tail). A sort
+    * beats the also-considered rolling-hash prefilter here: the
+    * prefilter still walks O(g²) hash prefixes and needs a collision
+    * caveat, while the sort is asymptotically smaller and exact with
+    * no hash in the semantics at all. Annotate-don't-filter: every
+    * doc emits, zeros when echo-free.
     */
   def withinDocRemove(docs: DataFrame, w: Int = 3): DataFrame =
     Spread(docs)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .withColumn("gs", TextOps.positionalNgramsOf(col("ws"), w))
-      // flag 1-based gram index i when gs[i] appears among gs[1..i-1];
-      // sequence(1, greatest(size, 1)) never counts DOWN (Spark's
-      // sequence(2, 1) would), the i >= 2 cut lives in the filter
+      // (gram, 1-based index) structs in gram-then-index order; the
+      // 2-arg transform lambda supplies the index, so `gs` is
+      // referenced exactly once
+      .withColumn("srt", array_sort(transform(col("gs"),
+        (g, i) => struct(g.as("g"), (i + 1).as("i")))))
+      // adjacent compare via zip_with(tail, whole): sorted position
+      // p+1 repeats position p's gram ⇔ index srt[p+1].i is NOT its
+      // gram's first occurrence. CRITICAL: `srt` appears only at TOP
+      // level (zip_with/slice operands), never inside a lambda body —
+      // an `element_at(srt, p)` probe inside filter/transform lambdas
+      // gets the alias INLINED into the lambda and re-sorts the whole
+      // array PER POSITION (HOF lambdas see no common-subexpression
+      // reuse; measured ~100× on the 500-doc fixture). Top-level
+      // references cost at worst one extra sort per row.
       .withColumn("cov", array_distinct(flatten(transform(
-        filter(sequence(lit(1), greatest(size(col("gs")), lit(1))),
-          i => i >= 2 &&
-            array_position(slice(col("gs"), lit(1), i - 1),
-              element_at(col("gs"), i)) > 0),
+        filter(
+          zip_with(
+            slice(col("srt"), lit(2), greatest(size(col("srt")) - 1, lit(0))),
+            col("srt"),
+            (cur, prev) => when(
+              cur.getField("g") === prev.getField("g"),
+              cur.getField("i"))),
+          x => x.isNotNull),
         i => sequence(i, i + (w - 1))))))
       .select(col("doc_id"), size(col("ws")).cast("bigint").as("n_tokens"),
         size(col("cov")).cast("bigint").as("n_removed"),

@@ -106,6 +106,59 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("r12new")) {
+      // round-12: the within-doc in-row sort vs the r11 prefix probe
+      // it replaced, on the long-doc shape that flagged the probe
+      // (book-length docs stalling their partition), plus the outlier
+      // sketch sibling. Synthetic long docs: small vocab → heavy gram
+      // repetition; 8 docs spread over the 32 threads so wall ≈ one
+      // doc's cost.
+      val sp2 = spark
+      import sp2.implicits._
+      def longDocs(nTokens: Int): org.apache.spark.sql.DataFrame = {
+        val rnd = new scala.util.Random(12)
+        val df = (1L to 8L).map(i =>
+            (i, (0 until nTokens).map(_ => "t" + rnd.nextInt(2000))
+              .mkString(" ")))
+          .toDF("doc_id", "text").repartition(8).cache()
+        df.count(); df
+      }
+      // the REPLACED r11 form, inlined verbatim for the comparison
+      // row: each gram probes a slice of all preceding grams — and
+      // the gs alias inlines into the lambda, so the probe's true
+      // cost includes re-deriving the gram array per position
+      def naive(d: org.apache.spark.sql.DataFrame, w: Int = 3) =
+        d.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+          .withColumn("gs", TextOps.positionalNgramsOf(col("ws"), w))
+          .withColumn("cov", array_distinct(flatten(transform(
+            filter(sequence(lit(1), greatest(size(col("gs")), lit(1))),
+              i => i >= 2 &&
+                array_position(slice(col("gs"), lit(1), i - 1),
+                  element_at(col("gs"), i)) > 0),
+            i => sequence(i, i + (w - 1))))))
+          .select(col("doc_id"),
+            size(col("cov")).cast("bigint").as("n_removed"),
+            array_join(filter(col("ws"),
+              (tok, i0) => !array_contains(col("cov"), i0 + 1)), " ")
+              .as("clean_text"))
+      def drive(d: org.apache.spark.sql.DataFrame): Long = d
+        .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
+        .collect().length.toLong
+      val d10k = longDocs(10000)
+      q("within_doc_10k_sort")(drive(Dedup.withinDocRemove(d10k)))
+      q("within_doc_10k_naive")(drive(naive(d10k)))
+      d10k.unpersist()
+      val d50k = longDocs(50000)
+      q("within_doc_50k_sort")(drive(Dedup.withinDocRemove(d50k)))
+      d50k.unpersist()
+      q("within_doc_corpus")(drive(Dedup.withinDocRemove(docs)))
+      q("embed_outliers_sketch")(Quantize.embeddingOutliersSketch(emb)
+        .agg(sum(col("is_outlier"))).collect().length.toLong)
+      q("embed_outliers_sketch_check")(
+        Quantize.embeddingOutliersSketchCheck(emb).count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("r11new")) {
       // round-11 additions. span_remove sums clean_text length so the
       // reconstruction expression (the per-row cost) can't be pruned

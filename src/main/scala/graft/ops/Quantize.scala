@@ -137,13 +137,33 @@ object Quantize {
     * DuckDB replay. Annotate-don't-filter: all vectors emit, flagged
     * or not.
     */
-  def embeddingOutliers(embeddings: DataFrame,
-      lo: (Int, Int) = (1, 50), hi: (Int, Int) = (49, 50)): DataFrame = {
-    val sq = Spread(embeddings)
+  /** The (vec_id, selfq) relation under the outlier audits: exact
+    * integer self-dot of each packable vector — one narrow codegen
+    * pass, the shared substrate of [[embeddingOutliers]] and
+    * [[embeddingOutliersSketch]].
+    */
+  private def selfqOf(embeddings: DataFrame): DataFrame =
+    Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("pack", packedOf(col("v"), scaleOf(col("v"))))
       .filter(col("pack").isNotNull)
       .select(col("vec_id"), i8dot(col("pack"), col("pack")).as("selfq"))
+
+  /** Attach trim thresholds (a 1-row relation with `lo_val`/`hi_val`)
+    * to the selfq relation and flag the tails — the shared emit of
+    * both outlier audits, so exact and sketch forms differ ONLY in
+    * how the thresholds are computed.
+    */
+  private def flagAgainst(sq: DataFrame, thr: DataFrame): DataFrame =
+    sq.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("selfq"), col("lo_val"), col("hi_val"),
+        (col("selfq") < col("lo_val") || col("selfq") > col("hi_val"))
+          .cast("int").as("is_outlier"))
+      .orderBy(col("vec_id"))
+
+  def embeddingOutliers(embeddings: DataFrame,
+      lo: (Int, Int) = (1, 50), hi: (Int, Int) = (49, 50)): DataFrame = {
+    val sq = selfqOf(embeddings)
     val thr = Profile.quantilesByGroup(
         sq.withColumn("g", lit("all")), "g", "selfq", Seq(lo, hi))
       .agg(
@@ -151,12 +171,56 @@ object Quantize {
           .as("lo_val"),
         min(when(col("pct") === lit(hi._1 * 100 / hi._2), col("value")))
           .as("hi_val"))
-    sq.crossJoin(broadcast(thr))
-      .select(col("vec_id"), col("selfq"), col("lo_val"), col("hi_val"),
-        (col("selfq") < col("lo_val") || col("selfq") > col("hi_val"))
-          .cast("int").as("is_outlier"))
-      .orderBy(col("vec_id"))
+    flagAgainst(sq, thr)
   }
+
+  /** The SCALE sibling of [[embeddingOutliers]] — same flag table,
+    * thresholds from the mergeable GK quantile sketch instead of the
+    * exact type-1 rank selection: the exact form's thresholds need ONE
+    * window task to sort every vector's selfq (the giant-single-group
+    * shape [[Profile.quantilesByGroup]] documents as its scale limit
+    * — billions of rows in one task at 100 TB), while
+    * `percentile_approx` folds each partition into a constant-memory
+    * summary merged once, so the threshold pass is an ordinary
+    * map-side-combined aggregate and the whole plan has NO
+    * corpus-sized single-task stage. Sketch internals are
+    * engine-specific → rows-only at the driver gate; the accuracy
+    * contract is hash-pinned by [[embeddingOutliersSketchCheck]]
+    * (the `_check` convention shared with the grouped-quantile and
+    * profile sketches).
+    */
+  def embeddingOutliersSketch(embeddings: DataFrame,
+      lo: (Int, Int) = (1, 50), hi: (Int, Int) = (49, 50),
+      accuracy: Int = 10000): DataFrame = {
+    val sq = selfqOf(embeddings)
+    val thr = sq
+      .agg(percentile_approx(col("selfq"),
+        array(lit(lo._1.toDouble / lo._2), lit(hi._1.toDouble / hi._2)),
+        lit(accuracy)).as("q"))
+      .select(element_at(col("q"), 1).as("lo_val"),
+        element_at(col("q"), 2).as("hi_val"))
+    flagAgainst(sq, thr)
+  }
+
+  /** Hash-matched accuracy gate for [[embeddingOutliersSketch]]: per
+    * trim percentile, the exact type-1 values at the ±5-rank-point
+    * envelope (integer-rational clamp ranks — the oracle replays them
+    * bit-exactly from the code formula) and `ok` = the sketch
+    * threshold falls inside [exact_lo, exact_hi]. The oracle pins
+    * every `ok` to 1, so sketch-threshold drift turns the driver gate
+    * red instead of hiding behind the sketch row's rows-only check —
+    * delegates to [[Profile.quantilesByGroupSketchCheck]] with the
+    * constant corpus group, so the envelope algebra lives in one
+    * place. (The exact side sorts the corpus in one window task —
+    * fine for the AUDIT, which runs at gate scale; at 100 TB only the
+    * sketch operator runs.)
+    */
+  def embeddingOutliersSketchCheck(embeddings: DataFrame,
+      lo: (Int, Int) = (1, 50), hi: (Int, Int) = (49, 50),
+      accuracy: Int = 10000): DataFrame =
+    Profile.quantilesByGroupSketchCheck(
+      selfqOf(embeddings).withColumn("g", lit("all")), "g", "selfq",
+      Seq(lo, hi), accuracy)
 
   /** Per-DIMENSION diagnostics over the int8 codes — the embedding-
     * space health check a training pipeline runs before trusting a

@@ -290,6 +290,19 @@ object Extensions {
     "x_embed_outliers" -> ((s, d) =>
       Quantize.embeddingOutliers(t(s, d, "embeddings"))),
 
+    // the 100-TB form of the audit: thresholds from the mergeable GK
+    // sketch — no corpus-sized single-task window anywhere in the
+    // plan. Sketch internals are engine-specific → rows-only here;
+    // accuracy is hash-pinned by the _check sibling below
+    "x_embed_outliers_sketch" -> ((s, d) =>
+      Quantize.embeddingOutliersSketch(t(s, d, "embeddings"))),
+
+    // accuracy gate: exact ±5-rank-point envelope values (replayable
+    // integer rank lattice) with ok pinned to 1 by the oracle, so
+    // sketch-threshold drift turns the driver gate red
+    "x_embed_outliers_sketch_check" -> ((s, d) =>
+      Quantize.embeddingOutliersSketchCheck(t(s, d, "embeddings"))),
+
     // deterministic Lloyd's k-means on the int8 lattice: lowest-id
     // seeds, integer distances (ties to lowest cluster), floor-mean
     // updates, fixed iterations — bit-identical under any
@@ -1512,6 +1525,30 @@ object Extensions {
         |  CAST(CASE WHEN s.selfq < t.lo_val OR s.selfq > t.hi_val
         |    THEN 1 ELSE 0 END AS INT) AS is_outlier
         |FROM s, t ORDER BY vec_id""".stripMargin,
+
+    // outlier-sketch accuracy gate: the same ±5-rank-point envelope
+    // lattice as the grouped-quantile sketch check, over the selfq
+    // relation derived from the shared code formula; ok pinned to 1
+    "x_embed_outliers_sketch_check" ->
+      raw"""WITH $quantCodesCte,
+        |s AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS selfq
+        |  FROM c WHERE code IS NOT NULL),
+        |r AS (SELECT 'all' AS grp, selfq AS value,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY selfq ASC) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n FROM s),
+        |q(num, den, pct) AS (VALUES (1, 50, 2), (49, 50, 98)),
+        |f AS (SELECT grp, n, rk, value, num, den, pct FROM r CROSS JOIN q),
+        |lo AS (SELECT grp, pct, n, value AS exact_lo FROM f
+        |  WHERE rk = GREATEST(
+        |    ((20 * num - den) * n + 20 * den - 1) // (20 * den), 1)),
+        |hi AS (SELECT grp, pct, value AS exact_hi FROM f
+        |  WHERE rk = LEAST(
+        |    ((20 * num + den) * n + 20 * den - 1) // (20 * den), n))
+        |SELECT lo.grp AS grp, lo.pct AS pct, n, exact_lo, exact_hi,
+        |  CAST(1 AS INT) AS ok
+        |FROM lo JOIN hi ON lo.grp = hi.grp AND lo.pct = hi.pct
+        |ORDER BY grp, pct""".stripMargin,
 
     // training-curve replay: one aggregate per asg{i} of the shared
     // iteration chain

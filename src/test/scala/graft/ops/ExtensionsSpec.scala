@@ -512,6 +512,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(touched > 0, "fixture must contain within-doc repeats")
   }
 
+  test("withinDocRemove in-row sort equals the naive prefix probe on randomized docs") {
+    val sp = spark; import sp.implicits._
+    val w = 2
+    val rnd = new scala.util.Random(7)
+    // tiny vocab forces heavy gram repetition (adjacent-duplicate runs
+    // in the sort); varied lengths cover the empty/short-doc guards
+    val rows = (1L to 60L).map { i =>
+      val n = rnd.nextInt(40)
+      i -> (0 until n).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+    }
+    def ref(text: String): (Long, Long, String) = {
+      val ws = text.split(" ")
+      val gs =
+        if (ws.length >= w) (0 to ws.length - w).map(j => ws.slice(j, j + w).toSeq)
+        else Seq.empty
+      val seen = scala.collection.mutable.HashSet[Seq[String]]()
+      val cov = scala.collection.mutable.SortedSet[Int]()
+      gs.zipWithIndex.foreach { case (g, j0) =>
+        if (!seen.add(g)) cov ++= (j0 + 1 to j0 + w)
+      }
+      val clean = ws.zipWithIndex
+        .collect { case (t, i0) if !cov.contains(i0 + 1) => t }.mkString(" ")
+      (ws.length.toLong, cov.size.toLong, clean)
+    }
+    val got = Dedup.withinDocRemove(rows.toDF("doc_id", "text"), w).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    rows.foreach { case (id, text) =>
+      assert(got(id) == ref(text), s"doc $id: '$text'")
+    }
+  }
+
   test("decontaminateRemove deletes exactly the benchmark-overlapping windows") {
     val sp = spark; import sp.implicits._
     val bench = Seq(
@@ -567,6 +599,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(1L) == ((16129L, 32258L, 32258L, 1)), s"low tail: ${got(1L)}")
     assert(got(100L) == ((48387L, 32258L, 32258L, 1)), s"high tail: ${got(100L)}")
     assert(got.collect { case (id, (_, _, _, 1)) => id }.toSet == Set(1L, 100L))
+  }
+
+  test("embeddingOutliersSketch agrees with the exact audit and carries no single-task window") {
+    val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+    val exact = Quantize.embeddingOutliers(emb).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val sk = Quantize.embeddingOutliersSketch(emb)
+    val sketch = sk.collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(sketch.keySet == exact.keySet,
+      "annotate-don't-filter: sketch form must emit every vector too")
+    val agree = sketch.count { case (id, f) => exact(id) == f }
+    assert(agree.toDouble / sketch.size >= 0.99,
+      s"sketch flags must track the exact audit: $agree/${sketch.size}")
+    // the scale claim itself: the sketch plan must contain NO window
+    // (the exact form's threshold pass sorts the corpus in one
+    // window task — exactly what this operator exists to avoid)
+    val plan = sk.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"sketch plan must be window-free:\n$plan")
+    // and the check gate holds: every ok flag is 1
+    val check = Quantize.embeddingOutliersSketchCheck(emb).collect()
+    assert(check.length == 2 && check.forall(_.getInt(5) == 1),
+      s"sketch thresholds must sit inside the exact envelope: ${check.toSeq}")
   }
 
   test("capPerGroup: salted two-phase rank equals the naive global window") {
@@ -1267,9 +1322,12 @@ class ExtensionsSpec extends AnyFunSuite {
     // x_profile_group_quantiles_sketch_check envelope sibling. The
     // LSH path has a FULL value oracle (deterministic hyperplane
     // literals).
+    // x_embed_outliers_sketch joins the rows-only set with the same
+    // contract: GK-sketch thresholds are engine-specific, pinned by
+    // the hash-matched x_embed_outliers_sketch_check envelope sibling
     assert(noOracle ==
       Set("x_knn_ivf", "x_dedup_embedding_ann", "x_profile_sketch",
-        "x_profile_group_quantiles_sketch"))
+        "x_profile_group_quantiles_sketch", "x_embed_outliers_sketch"))
     assert((Extensions.oracle.keySet -- Extensions.queries.keySet).isEmpty)
   }
 
