@@ -797,6 +797,18 @@ object Dedup {
     * action). The cross-doc test is fused into the gram partition as
     * a whole-partition window; see [[duplicateSpans]] for why that
     * beats aggregate-then-self-join here.
+    *
+    * Skew-audited (r12, 100× corpus): 5-word shingles are near-unique
+    * — 23.8M distinct keys over 25.1M gram rows, TOP occupancy 4 — so
+    * the gram window has no concentrated key, and the
+    * aggregate-then-join reshape (map-side combine + AQE-splittable
+    * join, the standard skew defense) measured 1.8× SLOWER because it
+    * pays the corpus explode twice (PROF_SF1.md round-12 addendum).
+    * If a future corpus carries verbatim boilerplate at key counts
+    * that DO concentrate (an occupancy audit like `Prof <dir>
+    * spanskew` shows top-gram rows rivalling a partition), salt the
+    * gram key two-phase rather than reshaping to the measured-slower
+    * join.
     */
   private[graft] def dupWindowHits(docs: DataFrame, w: Int): DataFrame = {
     val grams = Spread(docs)

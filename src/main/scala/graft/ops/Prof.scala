@@ -106,6 +106,45 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("spanskew")) {
+      // gram-key skew audit for the span family: how concentrated are
+      // the hottest shingles (the whole-partition window's single-task
+      // exposure), and does an aggregate-then-join reshape (map-side
+      // partial combine collapses skew; AQE splits fat join
+      // partitions) beat the fused window at this scale?
+      val grams = Spread(docs)
+        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        .select(col("doc_id"),
+          posexplode(TextOps.positionalNgramsOf(col("ws"), 5))
+            .as(Seq("pos", "gram")))
+      val occ = grams.groupBy(col("gram")).count()
+        .agg(count(lit(1)).as("n_grams"), max(col("count")).as("top1"),
+          sum(col("count")).as("total")).collect()(0)
+      println(s"SKEW n_distinct_grams=${occ.getLong(0)} top_gram_rows=" +
+        s"${occ.getLong(1)} total_gram_rows=${occ.getLong(2)}")
+      def aggJoinHits(w: Int) = {
+        val g = Spread(docs)
+          .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+          .select(col("doc_id"),
+            posexplode(TextOps.positionalNgramsOf(col("ws"), w))
+              .as(Seq("pos", "gram")))
+        val dup = g.groupBy(col("gram"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("gram"))
+        g.join(dup, Seq("gram")).select(col("doc_id"), col("pos"))
+      }
+      def drive(d: org.apache.spark.sql.DataFrame): Long = d
+        .agg(sum(length(col("clean_text"))), sum(col("n_removed")))
+        .collect().length.toLong
+      q("span_remove_window")(drive(Dedup.spanRemove(docs)))
+      q("span_remove_aggjoin")(drive(Dedup.removeCovered(
+        Spread(docs)
+          .select(col("doc_id"), TextOps.words(col("text")).as("ws")),
+        aggJoinHits(5), 5)))
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("r12new")) {
       // round-12: the within-doc in-row sort vs the r11 prefix probe
       // it replaced, on the long-doc shape that flagged the probe
