@@ -112,8 +112,16 @@ object Main {
     * directory under the real environment, mirroring the reference
     * CLI's `dotenvy::dotenv()` startup (main.rs:11).
     */
+  /** `syncStateOverride` is the test seam for incremental sync: the
+    * default builds a [[graft.writer.PgSyncState]] from the module's
+    * target (production, pgjdbc on the classpath); tests inject a
+    * [[graft.writer.FileSyncState]] so the watermark round-trip runs
+    * without a JDBC driver (the live suite pins the PG state SQL text
+    * separately, via psql — the writer convention).
+    */
   def run(args: Args, spark: SparkSession,
-      getenv: String => Option[String] = graft.config.DotEnv.resolver()): Int = {
+      getenv: String => Option[String] = graft.config.DotEnv.resolver(),
+      syncStateOverride: Option[graft.writer.SyncState] = None): Int = {
     val cfg = PipelineConfig.loadFromPath(args.configPath)
     val t0 = System.nanoTime()
     var ok, failed = 0
@@ -132,12 +140,39 @@ object Main {
 
         log.info("module name={} source={} dest={}", module, sourceName, destTable)
 
+        // incremental sync: read the stored high-water mark and thread
+        // it into the request as the configured `since` parameter, so
+        // a steady-state run fetches only the delta. File sinks are
+        // refused here, not silently degraded: FileWriter maps Merge
+        // to overwrite, which would replace the table with the delta.
+        val incState = source.incremental.map { inc =>
+          val st: graft.writer.SyncState = syncStateOverride.getOrElse {
+            require(args.warehouse.isEmpty,
+              s"source '${source.name}': incremental sync requires a keyed " +
+                "Postgres target — the file warehouse overwrites on merge")
+            val t = target.getOrElse(throw new IllegalArgumentException(
+              s"no target resolved for incremental source '${source.name}'"))
+            new graft.writer.PgSyncState(
+              t.jdbcUrl, t.auth.resolvedUsername(getenv),
+              t.auth.resolvedPassword(getenv))
+          }
+          (st, inc, st.get(source.name))
+        }
+        val fetchSource = incState match {
+          case Some((_, inc, Some(w))) =>
+            log.info("incremental.since source={} {}={}", source.name,
+              inc.sinceParam, w)
+            source.copy(queryParams =
+              source.queryParams :+ (inc.sinceParam -> w))
+          case _ => source
+        }
+
         // fetch once, cache: the SQL below may drive several actions —
         // the Spark analog of the reference's buffered replay channel
         // (fetcher.rs:653-727). Page size + TotalHint come from the
         // source config (page_size / total_*_pointer), CLI default
         // otherwise.
-        val sourceDf = HttpJsonSource.load(spark, source, args.pageSize).cache()
+        val sourceDf = HttpJsonSource.load(spark, fetchSource, args.pageSize).cache()
         try {
           // stage-6 rewrite: source name → destination table name
           val sql = Templates.rewriteIdentifier(rendered.sql, sourceName, destTable)
@@ -152,6 +187,29 @@ object Main {
           val stats = Engine.withSqlOver(spark, sourceDf, destTable, sql) { out =>
             log.debug("sql.execute statement=module table={}", destTable)
             writer.write(out, mode)
+          }
+          // advance the watermark ONLY after the write landed: a
+          // failed load must leave the old mark so the next run
+          // re-fetches the same delta (at-least-once + keyed MERGE =
+          // exactly-once landing). The new mark is the typed max of
+          // (fetched cursor values, old mark) — `greatest` in the
+          // column's own type, so numeric cursors never compare
+          // lexicographically; an empty delta keeps the old mark.
+          incState.foreach { case (st, inc, old) =>
+            require(sourceDf.columns.contains(inc.cursorField),
+              s"source '${source.name}': cursor_field '${inc.cursorField}' " +
+                s"not in fetched columns ${sourceDf.columns.mkString(", ")}")
+            import org.apache.spark.sql.functions.{greatest, lit, max}
+            val c = org.apache.spark.sql.functions.col(inc.cursorField)
+            val dt = sourceDf.schema(inc.cursorField).dataType
+            val tracked = old
+              .map(o => greatest(c, lit(o).cast(dt))).getOrElse(c)
+            val row = sourceDf.agg(max(tracked).cast("string").as("w")).head()
+            if (!row.isNullAt(0)) {
+              st.put(source.name, row.getString(0))
+              log.info("incremental.watermark source={} {}={}", source.name,
+                inc.cursorField, row.getString(0))
+            }
           }
           ok += 1
           log.info("module {} loaded {} rows into {} in {}ms", module,

@@ -63,7 +63,16 @@ object PipelineConfig {
         * with a static bearer token (the token WOULD silently win
         * otherwise — rejected at parse instead).
         */
-      oauth2: Option[OAuth2Conf] = None) {
+      oauth2: Option[OAuth2Conf] = None,
+      /** `incremental:` — per-source delta sync: the stored
+        * high-water mark of `cursor_field` threads into each request
+        * as the `since_param` query parameter, and the new maximum
+        * persists after a successful load (state via
+        * [[graft.writer.SyncState]]). Requires `primary_key_in_dest`:
+        * delta windows overlap by design, and only a keyed MERGE
+        * lands the overlap idempotently.
+        */
+      incremental: Option[Incremental] = None) {
     def destTable: String = tableDestinationName.getOrElse(name)
 
     /** Resolve `bearer_token_env` (preferred over an inline
@@ -237,6 +246,19 @@ object PipelineConfig {
     }
   }
 
+  /** Incremental-sync config: which fetched column is the cursor and
+    * which query parameter carries the stored watermark upstream.
+    */
+  final case class Incremental(cursorField: String, sinceParam: String)
+
+  private def parseIncremental(v: Option[Any]): Option[Incremental] =
+    v.map { i0 =>
+      val m = asMap(i0, "incremental must be a mapping")
+      Incremental(
+        cursorField = str(m, "cursor_field"),
+        sinceParam = optStr(m, "since_param").getOrElse("since"))
+    }
+
   private def parseOAuth2(v: Option[Any]): Option[OAuth2Conf] = v.map { o0 =>
     val m = asMap(o0, "oauth2 must be a mapping")
     OAuth2Conf(
@@ -262,10 +284,15 @@ object PipelineConfig {
       pageSize = optStr(m, "page_size").map(_.toLong),
       bearerToken = optStr(m, "bearer_token"),
       bearerTokenEnv = optStr(m, "bearer_token_env"),
-      oauth2 = parseOAuth2(m.get("oauth2")))
+      oauth2 = parseOAuth2(m.get("oauth2")),
+      incremental = parseIncremental(m.get("incremental")))
     if (s.oauth2.isDefined && (s.bearerToken.isDefined || s.bearerTokenEnv.isDefined))
       throw new IllegalArgumentException(
         s"source '${s.name}': oauth2 and bearer_token(_env) are mutually exclusive")
+    if (s.incremental.isDefined && s.primaryKeyInDest.isEmpty)
+      throw new IllegalArgumentException(
+        s"source '${s.name}': incremental sync requires primary_key_in_dest " +
+          "(delta windows overlap; only a keyed MERGE lands them idempotently)")
     s
   }
 

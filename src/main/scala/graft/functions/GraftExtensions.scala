@@ -72,5 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("phrase_count"),
       new ExpressionInfo(classOf[PhraseCount].getName, "phrase_count"),
       arity("phrase_count", 2)(exprs => PhraseCount(exprs.head, exprs(1)))))
+    extensions.injectFunction((
+      new FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
+      arity("bpe_encode", 3)(exprs =>
+        BpeEncode(exprs.head, exprs(1), exprs(2)))))
   }
 }

@@ -145,17 +145,18 @@ object Bpe {
     * Runs on the DISTINCT-word relation deliberately: encoding cost
     * is vocabulary-sized (Heaps' law), never corpus-sized — the
     * corpus pays only the occurrence→vocab join in
-    * [[bpeEncodeTokens]]. The per-word scan is a UDF at this
-    * vocab-sized seam (the [[Multimodal]] decoder convention): the
-    * merge table broadcasts inside the closure, the corpus-sized hot
-    * path stays fully codegen.
+    * [[bpeEncodeTokens]]. The per-word fold is the native
+    * `bpe_encode` expression ([[graft.functions.BpeEncode]]) with the
+    * merge table riding in as two array literals (model state in the
+    * plan, the k-means-centroid convention) — this was the library's
+    * last `udf()`; [[applyMergeTable]] remains as the spec's
+    * independent bit-equality reference fold.
     */
   private[ops] def encodeVocab(words: DataFrame,
-      merges: Seq[(String, String)]): DataFrame = {
-    val enc = udf((w: String) =>
-      if (w == null) null else applyMergeTable(w, merges))
-    words.select(col("word"), enc(col("word")).as("toks"))
-  }
+      merges: Seq[(String, String)]): DataFrame =
+    words.select(col("word"),
+      call_function("bpe_encode", col("word"),
+        typedLit(merges.map(_._1)), typedLit(merges.map(_._2))).as("toks"))
 
   /** Per-document token accounting under a FIXED merge table — the
     * consumer-facing "what does this tokenizer cost me" statistic

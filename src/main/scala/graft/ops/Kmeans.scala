@@ -40,6 +40,22 @@ object Kmeans {
     new BoundedMemo[(Int, Int, Int, Int), Vector[Array[Array[Long]]]](
       capacity = 32)
 
+  /** Corpus-sized cluster count: √n clamped into [2, 256] and never
+    * above n — the same √n sizing the float IVF adopted
+    * ([[Similarity.autoCells]]) after fixed-cell-count indexes
+    * degraded 27× at 10× data; a fixed k=8 likewise under-clusters a
+    * big corpus (every topic mixture collapses into 8 buckets).
+    * Deliberately a pure integer-pinnable formula — `round ∘ sqrt` of
+    * an integer can never land on an exact .5 (that would need
+    * n = z²+z+¼), so both engines' half-up rounding agree and the
+    * DuckDB oracle replays the rule verbatim. `k = 0` in the public
+    * entry points means "size from the data with this rule".
+    */
+  private[graft] def autoK(n: Long): Int =
+    math.min(n,
+      math.max(2L, math.min(256L,
+        math.round(math.sqrt(n.toDouble))))).toInt
+
   /** Drop memoized centroid sets (after overwriting a corpus path
     * in-session — same staleness caveat as the IVF quantizer memo).
     */
@@ -124,6 +140,9 @@ object Kmeans {
     */
   private def centroidTrail(codes: DataFrame, k: Int,
       iters: Int): Vector[Array[Array[Long]]] = {
+    // k = 0 (auto) memoizes under its own key: the same data always
+    // resolves the same k, so the auto fit is reused without paying
+    // the count on warm calls
     val key = (codes.queryExecution.optimizedPlan.semanticHash(),
       java.util.Arrays.hashCode(codes.inputFiles.asInstanceOf[Array[AnyRef]]),
       k, iters)
@@ -142,9 +161,10 @@ object Kmeans {
           .limit(2).collect().map(_.getInt(0))
         require(dims.length == 1,
           s"kmeansInt8 requires a single embedding dimension, found ${dims.toSeq}")
-        val seeds = cached.orderBy(col("vec_id")).limit(k).collect()
-        require(seeds.length == k,
-          s"kmeansInt8 needs at least k=$k non-null vectors, found ${seeds.length}")
+        val kk = if (k > 0) k else autoK(cached.count())
+        val seeds = cached.orderBy(col("vec_id")).limit(kk).collect()
+        require(seeds.length == kk,
+          s"kmeansInt8 needs at least k=$kk non-null vectors, found ${seeds.length}")
         var trail = Vector(seeds.map(_.getSeq[Long](1).toArray))
         for (_ <- 1 to iters) trail = trail :+ step(cached, trail.last)
         trail
@@ -160,7 +180,7 @@ object Kmeans {
     * same-fit query in the session, and a caller mutating the handoff
     * must not corrupt them.
     */
-  def centroids(embeddings: DataFrame, k: Int = 8,
+  def centroids(embeddings: DataFrame, k: Int = 0,
       iters: Int = 3): Array[Array[Long]] =
     centroidsFor(codesDf(embeddings), k, iters).map(_.clone())
 
@@ -173,13 +193,18 @@ object Kmeans {
     * obligation. Rides the memoized trail (no refit); one pass per
     * iteration, each folding to a single row before the union.
     */
-  def kmeansFitReport(embeddings: DataFrame, k: Int = 8,
+  def kmeansFitReport(embeddings: DataFrame, k: Int = 0,
       iters: Int = 3): DataFrame = {
     val codes = codesDf(embeddings)
+    // the k column audits the RESOLVED cluster count — under auto-k
+    // the sizing rule itself is hash-pinned by the driver gate, so a
+    // drifting √n clamp turns the gate red instead of silently
+    // re-clustering every downstream mixture decision
     centroidTrail(codes, k, iters).zipWithIndex.map { case (cents, i) =>
       withCluster(codes, cents)
         .agg(count(lit(1)).as("n"), sum(col("dist2")).as("inertia"))
-        .select(lit(i + 1).as("iter"), col("n"), col("inertia"))
+        .select(lit(i + 1).as("iter"), lit(cents.length).as("k"),
+          col("n"), col("inertia"))
     }.reduce(_ unionByName _).orderBy(col("iter"))
   }
 
@@ -204,7 +229,7 @@ object Kmeans {
   /** Per-vector final assignment: (vec_id, cluster, dist2) — the
     * driver-gate query, hash-exact against the DuckDB replay.
     */
-  def kmeansAssign(embeddings: DataFrame, k: Int = 8,
+  def kmeansAssign(embeddings: DataFrame, k: Int = 0,
       iters: Int = 3): DataFrame = {
     val codes = codesDf(embeddings)
     withCluster(codes, centroidsFor(codes, k, iters))
@@ -217,7 +242,7 @@ object Kmeans {
     * its size, per-label member counts, and the integer-lattice
     * inertia contribution. Rides the memoized fit.
     */
-  def kmeansPurity(embeddings: DataFrame, k: Int = 8,
+  def kmeansPurity(embeddings: DataFrame, k: Int = 0,
       iters: Int = 3): DataFrame = {
     val codes = codesDf(embeddings)
     val asg = withCluster(codes, centroidsFor(codes, k, iters))
@@ -249,7 +274,7 @@ object Kmeans {
     * window's candidate stream (≈ nProbe/k of the corpus).
     */
   def knnIvfLattice(embeddings: DataFrame, topK: Int = 5,
-      nQueries: Long = 5, k: Int = 8, iters: Int = 3,
+      nQueries: Long = 5, k: Int = 0, iters: Int = 3,
       nProbe: Int = 3): DataFrame = {
     val codes = codesDf(embeddings)
     val cents = centroidsFor(codes, k, iters)
@@ -259,7 +284,9 @@ object Kmeans {
       .withColumn("qq", Quantize.i8dot(col("pack"), col("pack")))
       .withColumn("ranked", array_sort(zip_with(
         distsTo(cents, col("pack"), col("qq")),
-        sequence(lit(0), lit(k - 1)),
+        // cell count from the RESOLVED fit, not the k parameter —
+        // k = 0 means auto-sized
+        sequence(lit(0), lit(cents.length - 1)),
         (d, i) => struct(d.as("d"), i.as("i")))))
       .select(col("vec_id").as("query_id"), col("pack").as("qpack"),
         col("qq").as("qself"),
@@ -285,12 +312,73 @@ object Kmeans {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Per-cluster occupancy drift between a BASELINE count relation
+    * `(cluster, n_base)` and a CURRENT one `(cluster, n_cur)` — the
+    * [[graft.ops.CorpusStats.mixtureDrift]] contract on the semantic
+    * clustering: share of each side, the share delta, and an integer
+    * `drift` flag raised when |Δshare| exceeds `num/den`. The flag
+    * compares CROSS-MULTIPLIED exact integers
+    * (|n_cur·tb − n_base·tc|·den > num·tb·tc, in DECIMAL(38,0) so
+    * corpus-scale products can't wrap a long), so the cut is
+    * bit-exact across engines; the share doubles are fixed-order
+    * divisions of exact integers and carry the hash oracle too.
+    * Clusters missing from one side count 0 there (full outer);
+    * an empty side yields null shares and never flags (0 > 0).
+    *
+    * Both the batch gate query and the streaming trigger
+    * ([[graft.streaming.StreamingKmeans.streamingClusterDrift]])
+    * compute exactly this algebra — parity is spec-pinned.
+    */
+  def occupancyDrift(base: DataFrame, cur: DataFrame,
+      num: Int = 1, den: Int = 10): DataFrame = {
+    require(num > 0 && den > 0, s"threshold must be a positive rational: $num/$den")
+    val j = base.join(cur, Seq("cluster"), "full")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val tot = j.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    j.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_base"), col("n_cur"),
+        when(col("tb") > 0,
+          round(col("n_base").cast("double") / col("tb"), 4)).as("share_base"),
+        when(col("tc") > 0,
+          round(col("n_cur").cast("double") / col("tc"), 4)).as("share_cur"),
+        when(col("tb") > 0 && col("tc") > 0,
+          round(col("n_cur").cast("double") / col("tc")
+            - col("n_base").cast("double") / col("tb"), 4)).as("delta_share"),
+        (abs(dec(col("n_cur")) * dec(col("tb"))
+            - dec(col("n_base")) * dec(col("tc"))) * lit(den)
+          > lit(num) * dec(col("tb")) * dec(col("tc"))).cast("int").as("drift"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The gate form of [[occupancyDrift]]: one corpus, split by vec_id
+    * parity into a baseline half and a "current" half, both assigned
+    * against the ONE memoized full-corpus fit — "which topics are the
+    * new arrivals hitting, vs the corpus so far" with zero extra
+    * fitting. The parity split is a deterministic stand-in for a
+    * time split (the synthetic corpus has no ingest timestamp); a
+    * production monitor feeds real epoch slices to [[occupancyDrift]]
+    * or watches the stream trigger.
+    */
+  def kmeansOccupancyDrift(embeddings: DataFrame, num: Int = 1,
+      den: Int = 10, k: Int = 0, iters: Int = 3): DataFrame = {
+    val codes = codesDf(embeddings)
+    val asg = withCluster(codes, centroidsFor(codes, k, iters))
+      .select(col("vec_id"), col("cluster"))
+    occupancyDrift(
+      asg.filter(col("vec_id") % 2 === 0)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_base")),
+      asg.filter(col("vec_id") % 2 =!= 0)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_cur")),
+      num, den)
+  }
+
   /** Cluster-stratified sample: `n` md5-ordered vectors per semantic
     * cluster — the "uniformly across topics, deterministically"
     * draw a curation mixture starts from. Rides the memoized fit
     * and [[Sampling.stratifiedSample]]'s salted two-phase rank.
     */
-  def clusterSample(embeddings: DataFrame, n: Int = 3, k: Int = 8,
+  def clusterSample(embeddings: DataFrame, n: Int = 3, k: Int = 0,
       iters: Int = 3): DataFrame = {
     val codes = codesDf(embeddings)
     val asg = withCluster(codes, centroidsFor(codes, k, iters))

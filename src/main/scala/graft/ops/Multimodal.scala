@@ -60,27 +60,71 @@ object Multimodal {
     */
   object ImageIoDecoder extends Decoder {
     override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
-      payloads.map { bytes =>
-        if (bytes == null) fallbackRow(bytes)
-        else {
-          val stream = javax.imageio.ImageIO.createImageInputStream(
-            new java.io.ByteArrayInputStream(bytes))
-          try {
-            val readers = javax.imageio.ImageIO.getImageReaders(stream)
-            if (readers.hasNext) {
-              val reader = readers.next()
-              try {
-                reader.setInput(stream, false, true)
-                val nFrames =
-                  try reader.getNumImages(true)
-                  catch { case _: java.io.IOException => 1 }
-                Row(reader.getFormatName.toLowerCase,
-                  reader.getWidth(0), reader.getHeight(0), nFrames)
-              } finally reader.dispose()
-            } else fallbackRow(bytes)
-          } finally if (stream != null) stream.close()
-        }
-      }
+      payloads.map(b => decodeImage(b).getOrElse(fallbackRow(b)))
+  }
+
+  private def decodeImage(bytes: Array[Byte]): Option[Row] = {
+    if (bytes == null) return None
+    val stream = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (readers.hasNext) {
+        val reader = readers.next()
+        try {
+          reader.setInput(stream, false, true)
+          val nFrames =
+            try reader.getNumImages(true)
+            catch { case _: java.io.IOException => 1 }
+          Some(Row(reader.getFormatName.toLowerCase,
+            reader.getWidth(0), reader.getHeight(0), nFrames))
+        } finally reader.dispose()
+      } else None
+    } finally if (stream != null) stream.close()
+  }
+
+  /** Real audio header parsing via the JDK's built-in
+    * `javax.sound.sampled` (WAV, AIFF, AU — no external codec
+    * library): the container type as `format`, the sample rate (Hz)
+    * as `width`, the channel count as `height`, and the PCM frame
+    * length as `n_frames` — the same typed-metadata struct the image
+    * path fills, so downstream filters (`media.format`,
+    * `media.n_frames`) work across modalities. Header-only: the
+    * stream is never fully decoded, so cost is independent of clip
+    * length. Payloads the sound SPI rejects fall back to the
+    * deterministic stub row, keeping the decode total.
+    */
+  object AudioIoDecoder extends Decoder {
+    override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
+      payloads.map(b => decodeAudio(b).getOrElse(fallbackRow(b)))
+  }
+
+  private def decodeAudio(bytes: Array[Byte]): Option[Row] = {
+    if (bytes == null) return None
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = aff.getFormat
+      Some(Row(aff.getType.toString.toLowerCase,
+        math.round(fmt.getSampleRate), fmt.getChannels,
+        aff.getFrameLength))
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Mixed-corpus decoder: image readers first, then the audio SPI,
+    * then the deterministic stub — one decoder instance for a corpus
+    * whose `payload` column carries several modalities, the shape a
+    * real curation pipeline has. Video stays stubbed (no JDK-built-in
+    * video demuxer exists; a production binding lands behind the same
+    * [[Decoder]] seam).
+    */
+  object MediaIoDecoder extends Decoder {
+    override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
+      payloads.map(b =>
+        decodeImage(b).orElse(decodeAudio(b)).getOrElse(fallbackRow(b)))
   }
 
   /** Attach decoded metadata to a DataFrame with a binary `payload`

@@ -96,14 +96,21 @@ object Quantize {
     val codes = base
       .select(codesOf(col("v"), scaleOf(col("v"))).as("q"))
       .filter(col("q").isNotNull)
+    // NOT round(x, 4): Spark's Round goes through BigDecimal.valueOf
+    // (the double's SHORTEST decimal string, then HALF_UP) while
+    // DuckDB rounds the scaled binary double — at a boundary value
+    // the two disagree in the last digit (hit for real at sf0.1:
+    // 79.16675 → .1668 vs .1667). floor(x·10⁴ + 0.5)/10⁴ is the same
+    // IEEE op sequence in both engines, so the 4-digit cut is
+    // bit-stable by construction.
+    val covRaw = (col("c.n") * col("c.s_xy") - col("c.s_x") * col("c.s_y"))
+      .cast("double") / (col("c.n") * col("c.n")).cast("double")
     codes.agg(graft.functions.DimMoments.dimMoments(col("q")).as("cells"))
       .select(explode(col("cells")).as("c"))
       .select(col("c.i").as("i"), col("c.j").as("j"), col("c.n").as("n"),
         col("c.s_x").as("s_x"), col("c.s_y").as("s_y"),
         col("c.s_xy").as("s_xy"),
-        round((col("c.n") * col("c.s_xy") - col("c.s_x") * col("c.s_y"))
-          .cast("double") / (col("c.n") * col("c.n")).cast("double"), 4)
-          .as("cov"))
+        (floor(covRaw * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("cov"))
       .orderBy(col("i"), col("j"))
   }
 

@@ -335,6 +335,15 @@ object Extensions {
     "x_sample_cluster" -> ((s, d) =>
       Kmeans.clusterSample(t(s, d, "embeddings"))),
 
+    // per-cluster occupancy drift (the mixtureDrift contract on the
+    // semantic clustering): parity split as the deterministic epoch
+    // stand-in, both halves against the ONE memoized fit; the flag
+    // compares cross-multiplied exact integers, so the cut is
+    // hash-oracled — the batch contract the streaming trigger
+    // (StreamingKmeans.streamingClusterDrift) is spec-pinned to
+    "x_embed_cluster_drift" -> ((s, d) =>
+      Kmeans.kmeansOccupancyDrift(t(s, d, "embeddings"))),
+
     // semantic decontamination: corpus vectors near ANY benchmark
     // vector (first 25 ids as the held-out set) — the paraphrase
     // leakage the n-gram x_decontaminate cannot see
@@ -748,10 +757,17 @@ object Extensions {
     }),
 
     // ---- multimodal plumbing ------------------------------------------------
+    // the REAL codec chain runs in the gate (imageio → sound SPI →
+    // stub): text payloads exercise the full probe path and land on
+    // the deterministic stub rows the oracle replays — real
+    // image/audio decode is pinned by the in-test-rendered PNG/JPEG/
+    // WAV specs, which this container can generate but the synthetic
+    // corpus does not carry
     "x_multimodal_meta" -> ((s, d) => {
       val withPayload = t(s, d, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      Multimodal.withMediaMeta(withPayload, "payload")
+      Multimodal.withMediaMeta(withPayload, "payload",
+          Multimodal.MediaIoDecoder)
         .select(col("doc_id"),
           col("media.format").as("format"),
           col("media.width").as("width"),
@@ -952,9 +968,19 @@ object Extensions {
     * and a floor-mean centroid update with empty-cluster carry-over.
     * Ends with `asg{iters+1}`, the final assignment against the
     * final centroids. Generated, not hand-unrolled, so k/iters stay
-    * in one place with the Spark defaults.
+    * in one place with the Spark defaults. `k = 0` replays the
+    * auto-k rule ([[graft.ops.Kmeans.autoK]]): √n clamped into
+    * [2, 256] and ≤ n, over the same non-null code relation —
+    * `round(sqrt(integer))` can never land on an exact .5, so both
+    * engines' half-up rounding agrees on every corpus size.
     */
   private def kmeansCte(k: Int, iters: Int): String = {
+    val seedBound =
+      if (k > 0) k.toString
+      else
+        """(SELECT LEAST(count(*), GREATEST(2, LEAST(256,
+          |    CAST(round(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT))))
+          |  FROM cv)""".stripMargin
     val codes =
       s"""kq0 AS (
          |  SELECT vec_id, embedding,
@@ -970,8 +996,9 @@ object Extensions {
          |  SELECT vec_id, list_transform(embedding, x -> CAST(0 AS BIGINT))
          |  FROM kq0 WHERE scale = 0),
          |cent0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cl, code
-         |  FROM (SELECT vec_id, code FROM cv ORDER BY vec_id LIMIT $k))""".stripMargin
+         |  SELECT CAST(rn - 1 AS INT) AS cl, code
+         |  FROM (SELECT code, row_number() OVER (ORDER BY vec_id) AS rn FROM cv)
+         |  WHERE rn <= $seedBound)""".stripMargin
     def assign(i: Int, cent: String) =
       s"""a$i AS (
          |  SELECT vec_id, code, cl, d2,
@@ -1450,8 +1477,9 @@ object Extensions {
         |  GROUP BY 1, 2)
         |SELECT CAST(p.j - 1 AS INT) AS j, CAST(p.i - 1 AS INT) AS i,
         |  p.n, ma.s AS s_x, mb.s AS s_y, p.s_xy,
-        |  ROUND(CAST(p.n * p.s_xy - ma.s * mb.s AS DOUBLE)
-        |        / CAST(p.n * p.n AS DOUBLE), 4) AS cov
+        |  CAST(floor(CAST(p.n * p.s_xy - ma.s * mb.s AS DOUBLE)
+        |        / CAST(p.n * p.n AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+        |    / 10000.0 AS cov
         |FROM p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i
         |ORDER BY i, j""".stripMargin,
 
@@ -1459,12 +1487,12 @@ object Extensions {
     // chain ends at asg4 = final assignment vs the iteration-3
     // centroids (k=8, iters=3 — the Spark defaults)
     "x_embed_kmeans" ->
-      raw"""WITH ${kmeansCte(8, 3)}
+      raw"""WITH ${kmeansCte(0, 3)}
         |SELECT vec_id, cl AS cluster, d2 AS dist2
         |FROM asg4 ORDER BY vec_id""".stripMargin,
 
     "x_embed_kmeans_purity" ->
-      raw"""WITH ${kmeansCte(8, 3)}
+      raw"""WITH ${kmeansCte(0, 3)}
         |SELECT a.cl AS cluster, e.label,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(a.d2) AS BIGINT) AS sum_dist2
@@ -1475,7 +1503,7 @@ object Extensions {
     // with the outlier flags (selfq over the same cv codes) and the
     // per-cluster md5-rank-1 exemplar
     "x_pipeline_curation_v3" ->
-      raw"""WITH ${kmeansCte(8, 3)},
+      raw"""WITH ${kmeansCte(0, 3)},
         |so AS (SELECT vec_id,
         |    CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS selfq
         |  FROM cv),
@@ -1553,9 +1581,11 @@ object Extensions {
     // training-curve replay: one aggregate per asg{i} of the shared
     // iteration chain
     "x_embed_kmeans_fit" ->
-      raw"""WITH ${kmeansCte(8, 3)}
+      raw"""WITH ${kmeansCte(0, 3)}
         |${(1 to 4).map(i =>
-             s"SELECT CAST($i AS INT) AS iter, CAST(count(*) AS BIGINT) AS n, " +
+             s"SELECT CAST($i AS INT) AS iter, " +
+             s"(SELECT CAST(count(*) AS INT) FROM cent0) AS k, " +
+             s"CAST(count(*) AS BIGINT) AS n, " +
              s"CAST(sum(d2) AS BIGINT) AS inertia FROM asg$i")
              .mkString("\n|UNION ALL\n|")}
         |ORDER BY iter""".stripMargin,
@@ -1564,7 +1594,7 @@ object Extensions {
     // the lowest cell), score cell members with the shared quantized
     // cosine (query-norm first), rank desc with neighbor_id ties
     "x_knn_ivf_lattice" ->
-      raw"""WITH ${kmeansCte(8, 3)},
+      raw"""WITH ${kmeansCte(0, 3)},
         |sq AS (SELECT vec_id, code, cl,
         |    CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS selfq
         |  FROM asg4),
@@ -1592,10 +1622,39 @@ object Extensions {
         |  dq AS dot_q, ROUND(qc, 4) AS qcosine
         |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    // drift replay: parity halves of the final assignment, full outer
+    // on cluster, shares as fixed-order divisions of exact integers,
+    // flag via HUGEINT cross-multiplication == Spark's DECIMAL(38,0)
+    "x_embed_cluster_drift" ->
+      raw"""WITH ${kmeansCte(0, 3)},
+        |b AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_base
+        |  FROM asg4 WHERE vec_id % 2 = 0 GROUP BY cl),
+        |cr AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_cur
+        |  FROM asg4 WHERE vec_id % 2 <> 0 GROUP BY cl),
+        |j AS (SELECT COALESCE(b.cl, cr.cl) AS cluster,
+        |    CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM b FULL JOIN cr ON b.cl = cr.cl),
+        |t AS (SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+        |    CAST(SUM(n_cur) AS BIGINT) AS tc FROM j)
+        |SELECT cluster, n_base, n_cur,
+        |  CASE WHEN tb > 0
+        |    THEN ROUND(CAST(n_base AS DOUBLE) / tb, 4) END AS share_base,
+        |  CASE WHEN tc > 0
+        |    THEN ROUND(CAST(n_cur AS DOUBLE) / tc, 4) END AS share_cur,
+        |  CASE WHEN tb > 0 AND tc > 0 THEN ROUND(
+        |    CAST(n_cur AS DOUBLE) / tc - CAST(n_base AS DOUBLE) / tb, 4)
+        |    END AS delta_share,
+        |  CAST(CASE WHEN
+        |      abs(CAST(n_cur AS HUGEINT) * tb - CAST(n_base AS HUGEINT) * tc)
+        |        * 10 > CAST(1 AS HUGEINT) * tb * tc
+        |    THEN 1 ELSE 0 END AS INT) AS drift
+        |FROM j, t ORDER BY cluster""".stripMargin,
+
     // replay: same per-cluster md5 rank as the stratified-sample
     // oracle, over the lattice assignment
     "x_sample_cluster" ->
-      raw"""WITH ${kmeansCte(8, 3)},
+      raw"""WITH ${kmeansCte(0, 3)},
         |rk AS (
         |  SELECT cl AS cluster, vec_id,
         |    CAST(row_number() OVER (PARTITION BY cl

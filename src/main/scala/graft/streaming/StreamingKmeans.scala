@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.Kmeans
@@ -48,4 +48,88 @@ object StreamingKmeans {
       .format("memory").queryName(queryName)
       .start()
   }
+
+  /** The ONLINE drift trigger composing the cluster monitor with the
+    * batch mixture-drift contract: arriving vectors assign to the
+    * frozen batch-fit centroids, running per-cluster occupancy
+    * compares each micro-batch against the fit-time `baseCounts`,
+    * and a cluster whose arrival share has moved more than `num/den`
+    * from its baseline share emits `drift = 1` — the earliest online
+    * signal that a feed's topic mixture is walking away from the
+    * corpus the model was curated on. Emits the FULL per-cluster
+    * report every micro-batch (append mode, `upd` stamps the batch),
+    * so the sink holds the online history and its last `upd` is the
+    * exact batch report — parity with [[graft.ops.Kmeans
+    * .occupancyDrift]] is spec-pinned, flag arithmetic included
+    * (BigInt cross-multiplication here == DECIMAL(38,0) there).
+    *
+    * Scale shape: assignment is the stateless per-row projection;
+    * per-batch counts PRE-AGGREGATE per partition (mapPartitions)
+    * before funnelling into the single O(k)-state group, so the
+    * stateful task sees ≤ partitions·k counter rows per batch, never
+    * the vectors.
+    */
+  def streamingClusterDrift(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String,
+      cents: Array[Array[Long]], baseCounts: Map[Int, Long],
+      num: Int = 1, den: Int = 10,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    require(num > 0 && den > 0, s"threshold must be a positive rational: $num/$den")
+    import spark.implicits._
+    val reader = spark.readStream.schema(schema)
+    val src = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(dir)
+    val tb = baseCounts.values.sum
+    val partial = Kmeans.assignWithCentroids(src, cents)
+      .select(col("cluster")).as[Int]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.Map.empty[Int, Long]
+        it.foreach(c => m(c) = m.getOrElse(c, 0L) + 1L)
+        m.iterator
+      }
+    partial
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[(Int, Long)],
+            state: GroupState[DriftState]) =>
+          val prev = state.getOption.getOrElse(DriftState(0L, Map.empty))
+          val m = scala.collection.mutable.Map(prev.counts.toSeq: _*)
+          rows.foreach { case (c, n) => m(c) = m.getOrElse(c, 0L) + n }
+          val st = DriftState(prev.upd + 1, m.toMap)
+          state.update(st)
+          val tc = st.counts.values.sum
+          (baseCounts.keySet ++ st.counts.keySet).toSeq.sorted.iterator
+            .map { c =>
+              val nb = baseCounts.getOrElse(c, 0L)
+              val nc = st.counts.getOrElse(c, 0L)
+              DriftRow(st.upd, c, nb, nc,
+                if (tb > 0) Some(nb.toDouble / tb) else None,
+                if (tc > 0) Some(nc.toDouble / tc) else None,
+                if (tb > 0 && tc > 0)
+                  Some(nc.toDouble / tc - nb.toDouble / tb) else None,
+                if ((BigInt(nc) * tb - BigInt(nb) * tc).abs * den
+                    > BigInt(num) * tb * tc) 1 else 0)
+            }
+      }
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+  }
 }
+
+/** One emitted drift-report row, per cluster per micro-batch. `upd`
+  * is the batch sequence number — the LAST upd's rows are the current
+  * report, earlier upds its online history. Top-level (not nested in
+  * the object): encoder codegen for flatMapGroupsWithState resolves
+  * constructors reflectively and object-nested case classes trip it.
+  */
+final case class DriftRow(upd: Long, cluster: Int, n_base: Long,
+    n_cur: Long, share_base: Option[Double], share_cur: Option[Double],
+    delta_share: Option[Double], drift: Int)
+
+/** Running per-cluster arrival counts + the batch sequence number —
+  * the O(k) state of [[StreamingKmeans.streamingClusterDrift]].
+  */
+final case class DriftState(upd: Long, counts: Map[Int, Long])

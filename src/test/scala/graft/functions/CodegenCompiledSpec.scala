@@ -51,7 +51,10 @@ class CodegenCompiledSpec extends AnyFunSuite {
     "adc_dot_packed" -> s"adc_dot_packed(pq_pack(array(cast(id % 4 as int), 1)), ${arr(8, i => s"$i.0d")}, 4)",
     // m=2, k=4 → SDC table m·k² = 32
     "sdc_dot" -> (s"sdc_dot(pq_pack(array(cast(id % 4 as int), 1)), " +
-      s"pq_pack(array(2, 3)), ${arr(32, i => s"$i.0d")}, 4)"))
+      s"pq_pack(array(2, 3)), ${arr(32, i => s"$i.0d")}, 4)"),
+    // the pinned-merge prefix: 'th' then 'the' must actually fire
+    "bpe_encode" -> ("bpe_encode(concat('the', id), " +
+      "array('t', 'th'), array('h', 'e'))"))
 
   private def wholeStages(df: DataFrame): Seq[WholeStageCodegenExec] = {
     // materialize first so an adaptive wrapper (if any) is final

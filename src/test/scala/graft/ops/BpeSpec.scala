@@ -179,6 +179,26 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 10L, 6L), (2L, 2L, 8L, 4L)), s"got $got")
   }
 
+  test("native bpe_encode equals the Scala reference fold on randomized unicode words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    // includes a combining-free non-ASCII char, CJK, and an astral
+    // (surrogate-pair) code point — the split must be code-point-wise
+    val cps = "abcdeé日本𝄞".codePoints().toArray
+    val words = (1 to 200).map { _ =>
+      new String((0 until rnd.nextInt(12))
+        .flatMap(_ => Character.toChars(cps(rnd.nextInt(cps.length))).toSeq)
+        .toArray)
+    }.distinct
+    val merges = Seq("a" -> "b", "ab" -> "c", "é" -> "日", "a" -> "a")
+    val got = Bpe.encodeVocab(words.toDF("word"), merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    words.foreach { w =>
+      assert(got(w) == Bpe.applyMergeTable(w, merges).toVector,
+        s"word '$w'")
+    }
+  }
+
   test("pair weights count overlapping occurrences times word frequency") {
     import spark.implicits._
     val docs = Seq((1L, "aaa aaa ab"), (2L, "ab")).toDF("doc_id", "text")

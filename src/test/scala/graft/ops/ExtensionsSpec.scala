@@ -831,6 +831,54 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out(3L) == ("stub", 19 % 640, (19 / 2) % 480, 'n'.toInt & 0x0f))
   }
 
+  test("AudioIoDecoder parses an in-test-rendered WAV header; MediaIoDecoder routes modalities") {
+    import spark.implicits._
+    // a real 16-bit mono 8 kHz WAV rendered via the same JDK sound
+    // SPI that parses it back: 400 PCM frames of a square-ish wave
+    def wavBytes(frames: Int, rate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val pcm = new Array[Byte](frames * fmt.getFrameSize)
+      pcm.indices.foreach(i => pcm(i) = ((i % 64) - 32).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    def pngBytes(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = Seq(
+      (1L, wavBytes(400, 8000f, 1)),
+      (2L, wavBytes(123, 44100f, 2)),
+      (3L, pngBytes(17, 9)),
+      (4L, "neither image nor audio".getBytes("UTF-8")))
+      .toDF("id", "payload").repartition(2)
+    // the audio-only decoder: WAVs parse, the png falls back
+    val audio = Multimodal.withMediaMeta(df, "payload", Multimodal.AudioIoDecoder)
+      .select(col("id"), col("media.format"), col("media.width"),
+        col("media.height"), col("media.n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(audio(1L) == ("wave", 8000, 1, 400))
+    assert(audio(2L) == ("wave", 44100, 2, 123))
+    assert(audio(3L)._1 == "stub", "an image must not parse as audio")
+    // the mixed decoder routes each payload to its real codec
+    val mixed = Multimodal.withMediaMeta(df, "payload", Multimodal.MediaIoDecoder)
+      .select(col("id"), col("media.format"), col("media.width"),
+        col("media.height"), col("media.n_frames"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    assert(mixed(1L) == ("wave", 8000, 1, 400))
+    assert(mixed(3L) == ("png", 17, 9, 1))
+    assert(mixed(4L)._1 == "stub", "garbage stays total via the stub row")
+  }
+
   test("resizeImages downscales into the box; small and non-image payloads handled") {
     import spark.implicits._
     def imageBytes(w: Int, h: Int): Array[Byte] = {

@@ -115,11 +115,12 @@ class KmeansSpec extends AnyFunSuite {
     val e = graft.engine.Tables.table(spark, sf, "embeddings")
     // nProbe == k degenerates to exact: every vector is a candidate
     // exactly once, so the output must equal knnQuantized bit-for-bit
-    val allProbes = Kmeans.knnIvfLattice(e, nProbe = K).collect().toSeq
+    // (k pinned to 8 here — the test describes 8-cell probe geometry)
+    val allProbes = Kmeans.knnIvfLattice(e, k = K, nProbe = K).collect().toSeq
     val exact = Quantize.knnQuantized(e).collect().toSeq
     assert(allProbes == exact, "probe-everything must equal the exact search")
     // production probes: well-formed output and non-trivial recall
-    val ivf = Kmeans.knnIvfLattice(e).collect()
+    val ivf = Kmeans.knnIvfLattice(e, k = K).collect()
     val byQ = ivf.groupBy(_.getLong(0))
     assert(byQ.keySet == (0L until 5L).toSet)
     byQ.values.foreach(rows =>
@@ -163,17 +164,37 @@ class KmeansSpec extends AnyFunSuite {
     assert(got == want)
   }
 
-  test("fit report: one row per assignment pass, constant n, final row equals the assignment") {
+  test("fit report: one row per assignment pass, constant n and k, final row equals the assignment") {
     val e = graft.engine.Tables.table(spark, sf, "embeddings")
     val rep = Kmeans.kmeansFitReport(e, K, ITERS).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(rep.map(_._1).toSeq == (1 to ITERS + 1))
-    assert(rep.map(_._2).distinct.length == 1, "every pass assigns the corpus")
+    assert(rep.forall(_._2 == K), "the k column audits the resolved count")
+    assert(rep.map(_._3).distinct.length == 1, "every pass assigns the corpus")
     val fin = Kmeans.kmeansAssign(e, K, ITERS)
       .agg(count(lit(1)), sum(col("dist2"))).head()
-    assert(rep.last._2 == fin.getLong(0) && rep.last._3 == fin.getLong(1))
-    assert(rep.last._3 < rep.head._3,
+    assert(rep.last._3 == fin.getLong(0) && rep.last._4 == fin.getLong(1))
+    assert(rep.last._4 < rep.head._4,
       s"training must improve on the seed assignment: $rep")
+  }
+
+  test("auto-k: default sizing is sqrt(n) clamped, consistent across the family") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val n = e.filter(col("embedding").isNotNull).count()
+    val expectK = Kmeans.autoK(n)
+    assert(expectK == math.min(n,
+      math.max(2L, math.min(256L, math.round(math.sqrt(n.toDouble))))).toInt)
+    // the fit report's k column carries the resolved auto k
+    val rep = Kmeans.kmeansFitReport(e).collect()
+    assert(rep.forall(_.getInt(1) == expectK),
+      s"auto fit must resolve k=$expectK: ${rep.toSeq}")
+    // auto default == the explicit call at the resolved k, bit-exact
+    val auto = Kmeans.kmeansAssign(e).collect().toSeq
+    val explicit = Kmeans.kmeansAssign(e, k = expectK).collect().toSeq
+    assert(auto == explicit)
+    // clamp edges: tiny corpora never ask for more seeds than vectors
+    assert(Kmeans.autoK(1) == 1 && Kmeans.autoK(3) == 2 &&
+      Kmeans.autoK(100) == 10 && Kmeans.autoK(100000) == 256)
   }
 
   test("plan shapes: assignment joins nothing, lattice IVF is broadcast + group-limit") {

@@ -34,6 +34,45 @@ class StreamingKmeansSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming drift trigger: final micro-batch report equals the batch occupancyDrift") {
+    val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+    // offline-fit / online-serve split: fit + baseline from the even
+    // half, stream the odd half and watch its shares drift
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val cur = emb.filter(col("vec_id") % 2 =!= 0)
+    val cents = Kmeans.centroids(base)
+    val baseCounts = Kmeans.assignWithCentroids(base, cents)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("emb-stream-drift").toString
+    cur.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.StreamingKmeans.streamingClusterDrift(
+      spark, dir, cur.schema, "kmeans_stream_drift", cents, baseCounts,
+      num = 1, den = 50, maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    val sink = spark.table("kmeans_stream_drift")
+    val lastUpd = sink.agg(max(col("upd"))).head().getLong(0)
+    assert(lastUpd > 1, "fixture must exercise multiple micro-batches")
+    // every batch emitted a full per-cluster report (online history)
+    assert(sink.select(col("upd")).distinct().count() == lastUpd)
+    val streamed = sink.filter(col("upd") === lastUpd)
+      .select(col("cluster"), col("n_base"), col("n_cur"),
+        round(col("share_base"), 4).as("share_base"),
+        round(col("share_cur"), 4).as("share_cur"),
+        round(col("delta_share"), 4).as("delta_share"), col("drift"))
+    val batch = Kmeans.occupancyDrift(
+      Kmeans.assignWithCentroids(base, cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_base")),
+      Kmeans.assignWithCentroids(cur, cents)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n_cur")),
+      num = 1, den = 50)
+    assert(batch.filter(col("drift") === 1).count() > 0,
+      "fixture + threshold must actually raise a drift flag")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "final streaming report must equal the batch drift report")
+  }
+
   test("streaming decontamination flags equal the batch form across micro-batches") {
     val docs = graft.engine.Tables.table(spark, sf, "documents")
     val bench = docs.filter(col("doc_id") < 50)
