@@ -73,6 +73,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[PhraseCount].getName, "phrase_count"),
       arity("phrase_count", 2)(exprs => PhraseCount(exprs.head, exprs(1)))))
     extensions.injectFunction((
+      new FunctionIdentifier("int8_dist2s"),
+      new ExpressionInfo(classOf[Int8Dist2s].getName, "int8_dist2s"),
+      arity("int8_dist2s", 2)(exprs => Int8Dist2s(exprs.head, exprs(1)))))
+    extensions.injectFunction((
       new FunctionIdentifier("bpe_encode"),
       new ExpressionInfo(classOf[BpeEncode].getName, "bpe_encode"),
       arity("bpe_encode", 3)(exprs =>

@@ -76,22 +76,22 @@ object Kmeans {
       .filter(col("q").isNotNull)
 
   /** Distances of a packed vector to every centroid, as
-    * `array<bigint>`: dist²(q,c) = q·q + c·c − 2·q·c — algebraically
-    * the HOF Σ(qᵢ−cᵢ)², but each term is one NATIVE `int8_dot` loop
-    * (c·c folds driver-side into a literal), so the per-(row,
-    * centroid) cost is a compiled 64-iteration loop instead of ~64
-    * interpreted lambda dispatches — the dist2_d lesson from the
-    * float IVF, on the integer lattice. All terms exact BIGINTs:
-    * values (and ties) identical to the HOF form and the oracle.
+    * `array<bigint>`: ONE native `int8_dist2s` loop over the whole
+    * k×d centroid block, which rides into the scan as a single binary
+    * literal. This replaced the r11 algebraic form
+    * (`zip_with(typedLit(cents), …)` computing q·q + c·c − 2·int8_dot
+    * per cell): zip_with is a higher-order function — no codegen, one
+    * interpreted lambda dispatch per CELL per row — which was
+    * tolerable at fixed k=8 but scaled linearly with auto-k
+    * (measured 79 s vs ~7 s on the lattice IVF's 100× leg at k=256).
+    * Values are bit-identical exact BIGINTs either way, so argmin
+    * ties and every oracle are untouched.
     */
-  private def distsTo(cents: Array[Array[Long]], pack: Column,
-      qq: Column): Column = {
+  private def distsTo(cents: Array[Array[Long]], pack: Column): Column = {
     require(cents.forall(_.forall(v => v >= -128 && v <= 127)),
       "centroid codes must fit int8")
-    zip_with(
-      typedLit(cents.map(_.map(_.toByte)).toSeq),
-      typedLit(cents.map(c => c.map(x => x * x).sum).toSeq),
-      (c, cd) => qq + cd - lit(2L) * Quantize.i8dot(pack, c))
+    call_function("int8_dist2s", pack,
+      lit(cents.flatMap(_.map(_.toByte))))
   }
 
   /** Integer squared distance of `q` to every centroid, the minimum,
@@ -100,12 +100,11 @@ object Kmeans {
   private def withCluster(codes: DataFrame,
       cents: Array[Array[Long]]): DataFrame =
     codes
-      .withColumn("qq", Quantize.i8dot(col("pack"), col("pack")))
-      .withColumn("dists", distsTo(cents, col("pack"), col("qq")))
+      .withColumn("dists", distsTo(cents, col("pack")))
       .withColumn("dist2", array_min(col("dists")))
       .withColumn("cluster",
         (array_position(col("dists"), col("dist2")) - 1).cast("int"))
-      .drop("dists", "qq")
+      .drop("dists")
 
   /** One Lloyd update: assign against `cents`, then floor-mean the
     * members of each cluster (empty clusters carry over).
@@ -283,7 +282,7 @@ object Kmeans {
     val qs = codes.filter(col("vec_id") < nQueries)
       .withColumn("qq", Quantize.i8dot(col("pack"), col("pack")))
       .withColumn("ranked", array_sort(zip_with(
-        distsTo(cents, col("pack"), col("qq")),
+        distsTo(cents, col("pack")),
         // cell count from the RESOLVED fit, not the k parameter —
         // k = 0 means auto-sized
         sequence(lit(0), lit(cents.length - 1)),

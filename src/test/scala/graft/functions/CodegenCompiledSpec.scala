@@ -54,7 +54,10 @@ class CodegenCompiledSpec extends AnyFunSuite {
       s"pq_pack(array(2, 3)), ${arr(32, i => s"$i.0d")}, 4)"),
     // the pinned-merge prefix: 'th' then 'the' must actually fire
     "bpe_encode" -> ("bpe_encode(concat('the', id), " +
-      "array('t', 'th'), array('h', 'e'))"))
+      "array('t', 'th'), array('h', 'e'))"),
+    // 2-dim vector against a 3-centroid block (6 bytes)
+    "int8_dist2s" -> ("int8_dist2s(int8_pack(array(cast(id % 100 as double), " +
+      "7.0d), 1.0d), int8_pack(array(1.0d, 2.0d, 3.0d, 4.0d, 5.0d, 6.0d), 1.0d))"))
 
   private def wholeStages(df: DataFrame): Seq[WholeStageCodegenExec] = {
     // materialize first so an adaptive wrapper (if any) is final

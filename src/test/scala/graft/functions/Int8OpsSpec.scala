@@ -105,4 +105,35 @@ class Int8OpsSpec extends AnyFunSuite {
         " int8_pack(array(1.0f, 1.0f), 1.0d)) AS d").head()
     assert(r.getLong(0) == 127L - 128L) // clamped to 127 and -128
   }
+
+  test("int8_dist2s equals the per-centroid reference on randomized blocks; geometry nulls") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    // 200 random (vector, centroid-block) pairs: d in 1..9, k in 1..7
+    val rows = (1 to 200).map { i =>
+      val d = 1 + rnd.nextInt(9)
+      val k = 1 + rnd.nextInt(7)
+      val v = Array.fill(d)((rnd.nextInt(255) - 127).toByte)
+      val cents = Array.fill(k * d)((rnd.nextInt(255) - 127).toByte)
+      (i, v, cents)
+    }
+    val got = rows.toDF("i", "v", "cents")
+      .selectExpr("i", "int8_dist2s(v, cents) AS ds")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (i, v, cents) =>
+      val d = v.length
+      val want = cents.grouped(d).map { c =>
+        v.indices.map(j => { val x = v(j).toLong - c(j).toLong; x * x }).sum
+      }.toSeq
+      assert(got(i) == want, s"case $i d=$d")
+    }
+    // geometry violations and nulls
+    val g = spark.sql(
+      """SELECT
+        |  int8_dist2s(CAST(NULL AS BINARY), int8_pack(array(1.0d), 1.0d)) AS n1,
+        |  int8_dist2s(int8_pack(array(1.0d, 2.0d), 1.0d),
+        |              int8_pack(array(1.0d, 2.0d, 3.0d), 1.0d)) AS n2
+        |""".stripMargin).head()
+    assert(g.isNullAt(0) && g.isNullAt(1))
+  }
 }
