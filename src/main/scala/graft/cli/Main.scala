@@ -84,16 +84,22 @@ object Main {
 
   private def makeWriter(target: Option[Target], destTable: String,
       primaryKey: Seq[String], args: Args,
-      getenv: String => Option[String]): DataWriter =
+      getenv: String => Option[String],
+      schemaEvolution: Boolean = false): DataWriter =
     args.warehouse match {
       case Some(dir) =>
         new graft.writer.FileWriter(s"$dir/$destTable", args.warehouseFormat)
       case None =>
         val t = target.getOrElse(throw new IllegalArgumentException(
           s"no target resolved for '$destTable' and no --warehouse fallback"))
-        new PostgresWriter(t.jdbcUrl, t.auth.resolvedUsername(getenv),
-          t.auth.resolvedPassword(getenv), destTable, primaryKey,
-          useCopy = args.pgCopy)
+        if (t.kind == "clickhouse")
+          new graft.writer.ClickHouseWriter(t.jdbcUrl,
+            t.auth.resolvedUsername(getenv), t.auth.resolvedPassword(getenv),
+            destTable, primaryKey)
+        else
+          new PostgresWriter(t.jdbcUrl, t.auth.resolvedUsername(getenv),
+            t.auth.resolvedPassword(getenv), destTable, primaryKey,
+            useCopy = args.pgCopy, schemaEvolution = schemaEvolution)
     }
 
   def main(argv: Array[String]): Unit = {
@@ -152,6 +158,9 @@ object Main {
                 "Postgres target — the file warehouse overwrites on merge")
             val t = target.getOrElse(throw new IllegalArgumentException(
               s"no target resolved for incremental source '${source.name}'"))
+            require(t.kind == "postgres",
+              s"source '${source.name}': incremental sync state lives in a " +
+                s"Postgres table; target '${t.name}' is '${t.kind}'")
             new graft.writer.PgSyncState(
               t.jdbcUrl, t.auth.resolvedUsername(getenv),
               t.auth.resolvedPassword(getenv))
@@ -177,7 +186,7 @@ object Main {
           // stage-6 rewrite: source name → destination table name
           val sql = Templates.rewriteIdentifier(rendered.sql, sourceName, destTable)
           val writer = makeWriter(target, destTable, source.primaryKeyInDest.toSeq,
-            args, getenv)
+            args, getenv, source.schemaEvolution)
           if (args.truncateFirst) {
             log.info("sql.execute statement=truncate table={}", destTable)
             writer.truncate()

@@ -72,7 +72,15 @@ object PipelineConfig {
         * delta windows overlap by design, and only a keyed MERGE
         * lands the overlap idempotently.
         */
-      incremental: Option[Incremental] = None) {
+      incremental: Option[Incremental] = None,
+      /** `schema_evolution: true` — between runs, diff the
+        * destination's live columns against the batch and ALTER the
+        * drift in (add new columns; widen types along the inference
+        * lattice). Additive only — never drops or narrows. The
+        * reference lists this as planned and unimplemented
+        * (/root/reference/README.md:125).
+        */
+      schemaEvolution: Boolean = false) {
     def destTable: String = tableDestinationName.getOrElse(name)
 
     /** Resolve `bearer_token_env` (preferred over an inline
@@ -148,12 +156,15 @@ object PipelineConfig {
 
   final case class Target(
       name: String,
-      kind: String, // "postgres"
+      kind: String, // "postgres" | "clickhouse"
       host: String,
       port: Int,
       database: String,
       auth: PostgresAuth) {
-    def jdbcUrl: String = s"jdbc:postgresql://$host:$port/$database"
+    def jdbcUrl: String = kind match {
+      case "clickhouse" => s"jdbc:clickhouse://$host:$port/$database"
+      case _ => s"jdbc:postgresql://$host:$port/$database"
+    }
   }
 
   final case class Config(sources: Seq[Source], targets: Seq[Target]) {
@@ -285,7 +296,15 @@ object PipelineConfig {
       bearerToken = optStr(m, "bearer_token"),
       bearerTokenEnv = optStr(m, "bearer_token_env"),
       oauth2 = parseOAuth2(m.get("oauth2")),
-      incremental = parseIncremental(m.get("incremental")))
+      incremental = parseIncremental(m.get("incremental")),
+      schemaEvolution = m.get("schema_evolution").exists {
+        case b: java.lang.Boolean => b
+        case "true" => true
+        case "false" => false
+        // a typo'd value must not silently disable evolution
+        case other => throw new IllegalArgumentException(
+          s"schema_evolution must be a boolean, got '$other'")
+      })
     if (s.oauth2.isDefined && (s.bearerToken.isDefined || s.bearerTokenEnv.isDefined))
       throw new IllegalArgumentException(
         s"source '${s.name}': oauth2 and bearer_token(_env) are mutually exclusive")
@@ -298,7 +317,7 @@ object PipelineConfig {
 
   private def parseTarget(m: Map[String, Any]): Target = {
     val kind = optStr(m, "type").getOrElse("postgres")
-    if (kind != "postgres")
+    if (kind != "postgres" && kind != "clickhouse")
       throw new IllegalArgumentException(s"unknown target type '$kind'")
     val auth = m.get("auth").map(asMap(_, "auth must be a mapping"))
       .getOrElse(Map.empty[String, Any])
@@ -306,7 +325,8 @@ object PipelineConfig {
       name = str(m, "name"),
       kind = kind,
       host = str(m, "host"),
-      port = optStr(m, "port").map(_.toInt).getOrElse(5432),
+      port = optStr(m, "port").map(_.toInt)
+        .getOrElse(if (kind == "clickhouse") 8123 else 5432),
       database = str(m, "database"),
       auth = PostgresAuth(
         username = optStr(auth, "username"),

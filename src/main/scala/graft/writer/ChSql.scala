@@ -1,0 +1,104 @@
+package graft.writer
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.types._
+
+/** ClickHouse DDL/DML text generation — the writer the reference
+  * plans but never built (/root/reference/README.md:121,345,529),
+  * expressed in ClickHouse's dialect over the same schema lattice as
+  * [[PgSql]]. Pure functions, unit-tested as SQL text exactly like
+  * the Postgres surface (the reference's writer-test convention,
+  * /root/reference/tests/writer/postgres_tests.rs).
+  *
+  * Dialect choices, all public-docs ClickHouse semantics:
+  *   - columns are `Nullable(T)` — ClickHouse columns are
+  *     non-nullable by default, unlike Postgres, and API payloads
+  *     routinely omit fields;
+  *   - append targets `MergeTree`; merge mode targets
+  *     `ReplacingMergeTree` keyed by the primary key, where a later
+  *     insert of the same key replaces the earlier row at merge time
+  *     — ClickHouse has no upsert statement, dedup-on-merge IS its
+  *     idiomatic equivalent. `ORDER BY` columns cannot be Nullable,
+  *     so key columns stay bare;
+  *   - `optimizeSql` (`OPTIMIZE TABLE .. FINAL`) forces the merge —
+  *     the compaction a keyed load runs after landing a batch so
+  *     readers see exactly-once rows without `SELECT .. FINAL`;
+  *   - JSON/arrays/objects land in `String` (the stable universal
+  *     container; ClickHouse's native JSON type is still marked
+  *     experimental in its docs), binary in `String` too (ClickHouse
+  *     String is raw bytes).
+  */
+object ChSql {
+
+  /** ClickHouse column types over the inference lattice. */
+  sealed trait ChType { def ddl: String }
+  case object ChString extends ChType { val ddl = "String" }
+  case object ChBool extends ChType { val ddl = "Bool" }
+  case object ChInt64 extends ChType { val ddl = "Int64" }
+  case object ChFloat64 extends ChType { val ddl = "Float64" }
+
+  /** Spark type → ChType; mirrors [[PgSql.ofSpark]]'s lattice with
+    * JSONB/BYTEA collapsed into String.
+    */
+  def ofSpark(dt: DataType): ChType = dt match {
+    case BooleanType => ChBool
+    case ByteType | ShortType | IntegerType | LongType => ChInt64
+    case FloatType | DoubleType => ChFloat64
+    case _: DecimalType => ChFloat64
+    case _ => ChString // strings, binary, nested (pre-serialized JSON)
+  }
+
+  def schemaOfSpark(schema: StructType): ListMap[String, ChType] =
+    ListMap(schema.fields.toIndexedSeq.map(f => f.name -> ofSpark(f.dataType)): _*)
+
+  /** Quote an identifier in ClickHouse's backtick form, doubling
+    * embedded backticks.
+    */
+  def quoteIdent(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** CREATE TABLE with engine dispatch: keyed tables get
+    * `ReplacingMergeTree ORDER BY (pk…)` (replace-on-merge = the
+    * merge write mode), keyless tables get `MergeTree ORDER BY
+    * tuple()` (pure append). Key columns are non-Nullable because
+    * ClickHouse rejects Nullable ORDER BY columns.
+    */
+  def createTableSql(table: String, schema: ListMap[String, ChType],
+      primaryKey: Seq[String] = Seq.empty): String = {
+    require(schema.nonEmpty, "cannot create a table with no columns")
+    require(primaryKey.forall(schema.contains),
+      s"primary key ${primaryKey.filterNot(schema.contains)} not in schema")
+    val cols = schema.map { case (name, t) =>
+      val typ = if (primaryKey.contains(name)) t.ddl else s"Nullable(${t.ddl})"
+      s"${quoteIdent(name)} $typ"
+    }
+    val engine =
+      if (primaryKey.isEmpty) "MergeTree ORDER BY tuple()"
+      else s"ReplacingMergeTree ORDER BY (${primaryKey.map(quoteIdent).mkString(", ")})"
+    s"CREATE TABLE IF NOT EXISTS ${quoteIdent(table)} " +
+      s"(${cols.mkString(", ")}) ENGINE = $engine"
+  }
+
+  /** Multi-row parameterized INSERT — the one statement both write
+    * modes use (merge-mode dedup happens in the engine, not the
+    * statement).
+    */
+  def insertSql(table: String, schema: ListMap[String, ChType], nRows: Int): String = {
+    val cols = schema.keys.map(quoteIdent).mkString(", ")
+    val row = "(" + Seq.fill(schema.size)("?").mkString(", ") + ")"
+    s"INSERT INTO ${quoteIdent(table)} ($cols) VALUES " +
+      Seq.fill(nRows)(row).mkString(", ")
+  }
+
+  /** Force the replace-merge after a keyed load so the table holds
+    * exactly one row per key without readers needing `FINAL`.
+    */
+  def optimizeSql(table: String): String =
+    s"OPTIMIZE TABLE ${quoteIdent(table)} FINAL"
+
+  /** Idempotent truncate (ClickHouse has IF EXISTS on TRUNCATE, so no
+    * SQLSTATE-swallowing dance like the Postgres path).
+    */
+  def truncateSql(table: String): String =
+    s"TRUNCATE TABLE IF EXISTS ${quoteIdent(table)}"
+}

@@ -173,4 +173,86 @@ object PgSql {
     * SQLSTATE 42P01 (undefined table).
     */
   def truncateSql(table: String): String = s"TRUNCATE TABLE ${quoteIdent(table)}"
+
+  // ---- schema evolution (reference README.md:125, planned there,
+  // ---- implemented here) -------------------------------------------
+
+  /** information_schema `data_type` name → PgType. `None` marks a
+    * column this writer never creates (uuid, timestamptz, …): a
+    * user-managed column evolution must leave untouched rather than
+    * guess a widening for.
+    */
+  def ofPgTypeName(dataType: String): Option[PgType] =
+    dataType.trim.toLowerCase match {
+      case "text" | "character varying" | "character" | "varchar" => Some(PgText)
+      case "boolean" => Some(PgBoolean)
+      case "bigint" | "integer" | "smallint" => Some(PgBigInt)
+      case "double precision" | "real" | "numeric" => Some(PgDouble)
+      case "jsonb" | "json" => Some(PgJsonb)
+      case "bytea" => Some(PgBytea)
+      case _ => None
+    }
+
+  /** Query returning `column_name|data_type` for the destination, in
+    * ordinal order — shared by the JDBC read-back in the writer and
+    * the psql channel in live specs, so both see identical text.
+    * The table name is embedded as a SQL literal (quotes doubled)
+    * because psql has no bind protocol.
+    */
+  def existingSchemaSql(table: String): String = {
+    val lit = "'" + table.replace("'", "''") + "'"
+    "SELECT column_name, data_type FROM information_schema.columns " +
+      s"WHERE table_schema = current_schema() AND table_name = $lit " +
+      "ORDER BY ordinal_position"
+  }
+
+  /** The USING rewrite carrying existing rows into a widened column
+    * type, chosen to match what [[PostgresWriter.bindValue]] would
+    * have bound had the value arrived after the widening: bytea
+    * degrading to text becomes base64 (bindValue's bytes-into-text
+    * form), numerics/booleans stringify via ::text, BIGINT widens
+    * losslessly to DOUBLE PRECISION.
+    */
+  private def usingExpr(colQ: String, from: PgType, to: PgType): String =
+    (from, to) match {
+      case (PgBytea, PgText) => s"encode($colQ, 'base64')"
+      case (_, PgDouble) => s"$colQ::double precision"
+      case (_, PgText) => s"$colQ::text"
+      case _ => s"$colQ::${to.ddl}" // unreachable under merge's lattice
+    }
+
+  /** Diff the destination's current columns against the incoming
+    * schema into ALTER statements (schema evolution between runs):
+    *
+    *   - incoming column absent from the table → `ADD COLUMN IF NOT
+    *     EXISTS` (nullable; pre-existing rows read NULL);
+    *   - both present but the type-merge lattice widens the existing
+    *     type (BIGINT ⊔ DOUBLE = DOUBLE PRECISION, conflicts degrade
+    *     to TEXT) → `ALTER COLUMN .. TYPE .. USING ..`;
+    *   - existing column already absorbs the incoming type (TEXT
+    *     absorbing anything, DOUBLE absorbing BIGINT) → no statement:
+    *     the bind-time coercion lattice already lands those values;
+    *   - destination columns missing from the incoming batch, or of
+    *     types this writer never creates ([[ofPgTypeName]] → None) →
+    *     untouched (INSERT names only incoming columns).
+    *
+    * Pure text generation; statement order is incoming-column order so
+    * runs are deterministic and specs can compare exact sequences.
+    */
+  def evolveSql(table: String, existing: ListMap[String, PgType],
+      incoming: ListMap[String, PgType]): Seq[String] = {
+    val t = quoteIdent(table)
+    incoming.iterator.flatMap { case (name, want) =>
+      val colQ = quoteIdent(name)
+      existing.get(name) match {
+        case None =>
+          Some(s"ALTER TABLE $t ADD COLUMN IF NOT EXISTS $colQ ${want.ddl}")
+        case Some(have) =>
+          val widened = merge(have, want)
+          if (widened == have) None
+          else Some(s"ALTER TABLE $t ALTER COLUMN $colQ TYPE ${widened.ddl} " +
+            s"USING ${usingExpr(colQ, have, widened)}")
+      }
+    }.toSeq
+  }
 }

@@ -29,7 +29,8 @@ final class PostgresWriter(
     batchSize: Int = 5000,
     autoCreate: Boolean = true,
     truncateFirst: Boolean = false,
-    useCopy: Boolean = false) extends DataWriter with Serializable {
+    useCopy: Boolean = false,
+    schemaEvolution: Boolean = false) extends DataWriter with Serializable {
 
   private def connect(): Connection =
     DriverManager.getConnection(url, user, password)
@@ -76,8 +77,16 @@ final class PostgresWriter(
       if (truncateFirst) truncate()
       if (autoCreate) {
         val st = c.createStatement()
-        try st.execute(PgSql.createTableSql(table, pgSchema, primaryKey))
-        finally st.close()
+        try {
+          st.execute(PgSql.createTableSql(table, pgSchema, primaryKey))
+          // schema evolution (reference README.md:125): CREATE above
+          // was a no-op when the table pre-exists, so diff its live
+          // columns against this batch and ALTER the drift in —
+          // added columns and lattice widenings only, never drops
+          if (schemaEvolution)
+            PgSql.evolveSql(table, PostgresWriter.readSchema(c, table), pgSchema)
+              .foreach(st.execute)
+        } finally st.close()
       }
       version(c)
     } finally c.close()
@@ -148,6 +157,23 @@ final class PostgresWriter(
 }
 
 object PostgresWriter {
+
+  /** Read the destination's current column→type map (ordinal order)
+    * for the evolution diff; columns whose pg type this writer never
+    * creates are dropped here so [[PgSql.evolveSql]] leaves them
+    * untouched.
+    */
+  private[writer] def readSchema(c: Connection, table: String): ListMap[String, PgSql.PgType] = {
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(PgSql.existingSchemaSql(table))
+      var out = ListMap.empty[String, PgSql.PgType]
+      while (rs.next())
+        PgSql.ofPgTypeName(rs.getString(2)).foreach(t =>
+          out = out.updated(rs.getString(1), t))
+      out
+    } finally st.close()
+  }
 
   /** Version gate mirroring postgres.rs:111-113: ON CONFLICT needs
     * 9.5+, so major 9 must also check the minor (9.4 has no upsert).

@@ -164,4 +164,58 @@ class PipelineConfigSpec extends AnyFunSuite {
         |""".stripMargin.stripLineEnd)
     intercept[IllegalArgumentException](PipelineConfig.parse(both))
   }
+
+  test("schema_evolution flag parses; non-boolean rejected") {
+    val cfg = PipelineConfig.parse(
+      """sources:
+        |  - name: s
+        |    url: https://api.example.com/x
+        |    schema_evolution: true
+        |""".stripMargin)
+    assert(cfg.source("s").schemaEvolution)
+    // absent → off (evolution is opt-in: an unexpected ALTER on a
+    // shared table is worse than a failed insert)
+    assert(!PipelineConfig.parse(yaml).source("employees").schemaEvolution)
+    val err = intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        """sources:
+          |  - name: s
+          |    url: https://api.example.com/x
+          |    schema_evolution: maybe
+          |""".stripMargin)
+    }
+    assert(err.getMessage.contains("schema_evolution"))
+  }
+
+  test("clickhouse target parses with its own default port and JDBC url") {
+    val cfg = PipelineConfig.parse(
+      """sources:
+        |  - name: s
+        |    url: https://api.example.com/x
+        |targets:
+        |  - name: ch
+        |    type: clickhouse
+        |    host: ch.example.com
+        |    database: analytics
+        |    auth:
+        |      username: graft
+        |      password: pw
+        |""".stripMargin)
+    val t = cfg.targets.head
+    assert(t.kind == "clickhouse")
+    assert(t.port == 8123)
+    assert(t.jdbcUrl == "jdbc:clickhouse://ch.example.com:8123/analytics")
+    // unknown kinds still rejected at parse
+    val err = intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        """sources: []
+          |targets:
+          |  - name: t
+          |    type: bigtable
+          |    host: h
+          |    database: d
+          |""".stripMargin)
+    }
+    assert(err.getMessage.contains("unknown target type"))
+  }
 }

@@ -1,0 +1,79 @@
+package graft.writer
+
+import scala.collection.immutable.ListMap
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import ChSql._
+
+/** ClickHouse writer SQL text shapes — tested without a live server,
+  * the reference's writer-test convention (its ClickHouse writer is
+  * planned-unimplemented, /root/reference/README.md:121).
+  */
+class ChSqlSpec extends AnyFunSuite {
+
+  private val schema = ListMap(
+    "id" -> ChInt64, "name" -> ChString, "score" -> ChFloat64,
+    "active" -> ChBool)
+
+  test("keyed CREATE targets ReplacingMergeTree; key columns non-Nullable") {
+    assert(createTableSql("t", schema, Seq("id")) ==
+      "CREATE TABLE IF NOT EXISTS `t` (`id` Int64, `name` Nullable(String), " +
+        "`score` Nullable(Float64), `active` Nullable(Bool)) " +
+        "ENGINE = ReplacingMergeTree ORDER BY (`id`)")
+    // keyless: plain MergeTree append table, everything Nullable
+    assert(createTableSql("t", ListMap("v" -> ChString)) ==
+      "CREATE TABLE IF NOT EXISTS `t` (`v` Nullable(String)) " +
+        "ENGINE = MergeTree ORDER BY tuple()")
+    intercept[IllegalArgumentException](createTableSql("t", schema, Seq("nope")))
+    intercept[IllegalArgumentException](createTableSql("t", ListMap.empty))
+  }
+
+  test("multi-row INSERT and the merge-compaction statements") {
+    assert(insertSql("t", schema, 2) ==
+      "INSERT INTO `t` (`id`, `name`, `score`, `active`) " +
+        "VALUES (?, ?, ?, ?), (?, ?, ?, ?)")
+    assert(optimizeSql("t") == "OPTIMIZE TABLE `t` FINAL")
+    assert(truncateSql("t") == "TRUNCATE TABLE IF EXISTS `t`")
+    // backtick quoting doubles embedded backticks
+    assert(quoteIdent("we`ird") == "`we``ird`")
+  }
+
+  test("spark-schema mapping collapses nested/binary into String") {
+    import org.apache.spark.sql.types._
+    assert(ofSpark(LongType) == ChInt64)
+    assert(ofSpark(IntegerType) == ChInt64)
+    assert(ofSpark(DoubleType) == ChFloat64)
+    assert(ofSpark(BooleanType) == ChBool)
+    assert(ofSpark(StringType) == ChString)
+    assert(ofSpark(BinaryType) == ChString)
+    assert(ofSpark(ArrayType(LongType)) == ChString)
+    assert(ofSpark(StructType(Seq(StructField("a", LongType)))) == ChString)
+  }
+
+  test("bind lattice: strings parse into numeric dests, misses go NULL") {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    import java.sql.PreparedStatement
+    // record binds through a proxy, the PostgresBindSpec convention
+    val binds = scala.collection.mutable.ArrayBuffer.empty[(Int, Any)]
+    val handler = new InvocationHandler {
+      override def invoke(proxy: Any, m: Method, as: Array[AnyRef]): AnyRef = {
+        if (m.getName.startsWith("set") && as != null && as.length == 2)
+          binds += ((as(0).asInstanceOf[Int], as(1)))
+        null
+      }
+    }
+    val st = Proxy.newProxyInstance(classOf[PreparedStatement].getClassLoader,
+      Array(classOf[PreparedStatement]), handler).asInstanceOf[PreparedStatement]
+
+    ClickHouseWriter.bindValue(st, 1, "42", ChInt64) // parses
+    ClickHouseWriter.bindValue(st, 2, "x", ChInt64) // miss → NULL
+    ClickHouseWriter.bindValue(st, 3, 1.5: java.lang.Double, ChInt64) // fractional → NULL
+    ClickHouseWriter.bindValue(st, 4, 7: java.lang.Integer, ChString) // stringify
+    ClickHouseWriter.bindValue(st, 5, true: java.lang.Boolean, ChInt64) // 1
+    ClickHouseWriter.bindValue(st, 6, "2.5", ChFloat64)
+    ClickHouseWriter.bindValue(st, 7, null, ChString)
+    assert(binds.toList == List(
+      (1, 42L), (2, null), (3, null), (4, "7"), (5, 1L), (6, 2.5), (7, null)))
+  }
+}

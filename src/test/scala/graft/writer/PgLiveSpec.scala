@@ -201,4 +201,48 @@ class PgLiveSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cpySec <= insSec,
       f"COPY ($cpySec%.2f s) should not be slower than INSERT ($insSec%.2f s)")
   }
+
+  test("schema evolution between runs: add + widen, data carried (README.md:125)") {
+    assume(up)
+    // run 1: the source's first shape — integral score, bool flag
+    val v1 = ListMap("id" -> PgBigInt, "score" -> PgBigInt, "flag" -> PgBoolean)
+    sql("DROP TABLE IF EXISTS t_evolve")
+    sql(createTableSql("t_evolve", v1, Seq("id")))
+    sql(fill(insertSql("t_evolve", v1, 2), Seq(
+      "1", "9", "true",
+      "2", "4", "false")))
+
+    // run 2: the API drifted — score became fractional, flag became a
+    // count, and a new jsonb field appeared. Read the live columns
+    // back through the SAME query text the writer uses over JDBC.
+    val v2 = ListMap("id" -> PgBigInt, "score" -> PgDouble,
+      "flag" -> PgBigInt, "tags" -> PgJsonb)
+    val existing = ListMap(sql(existingSchemaSql("t_evolve")).split('\n').toSeq
+      .filter(_.nonEmpty)
+      .flatMap { line =>
+        val Array(name, typ) = line.split('|')
+        ofPgTypeName(typ).map(name -> _)
+      }: _*)
+    assert(existing == v1) // round-trips through information_schema
+    val stmts = evolveSql("t_evolve", existing, v2)
+    assert(stmts.size == 3, stmts) // widen score, degrade flag, add tags
+    stmts.foreach(sql)
+
+    // pre-existing rows carried: score widened losslessly, the
+    // conflicted flag stringified exactly as bindValue would have
+    // bound a boolean into a TEXT destination, tags backfilled NULL
+    assert(sql("SELECT score FROM t_evolve WHERE id = 1") == "9")
+    assert(sql("SELECT pg_typeof(score) FROM t_evolve LIMIT 1") == "double precision")
+    assert(sql("SELECT flag FROM t_evolve WHERE id = 1") == "true")
+    assert(sql("SELECT count(*) FROM t_evolve WHERE tags IS NULL") == "2")
+
+    // run 2's insert lands through the evolved shape; evolution is
+    // idempotent (second diff emits nothing)
+    // flag's literal arrives as text — the psql analog of bindValue
+    // stringifying a number into a TEXT destination
+    sql(fill(insertSql("t_evolve", v2, 1), Seq("3", "7.5", "'12'", "'[\"a\"]'")))
+    assert(sql("SELECT score FROM t_evolve WHERE id = 3") == "7.5")
+    assert(sql("SELECT tags->>0 FROM t_evolve WHERE id = 3") == "a")
+    assert(evolveSql("t_evolve", v2, v2).isEmpty)
+  }
 }

@@ -113,4 +113,53 @@ class PgSqlSpec extends AnyFunSuite {
     // would make the byte[] bind (bytea wire type) fail the write
     assert(ofSpark(BinaryType) == PgBytea)
   }
+
+  test("schema evolution: ADD COLUMN for new fields, in incoming order") {
+    val existing = ListMap("id" -> PgBigInt, "name" -> PgText)
+    val incoming = ListMap("id" -> PgBigInt, "name" -> PgText,
+      "score" -> PgDouble, "tags" -> PgJsonb)
+    assert(evolveSql("t", existing, incoming) == Seq(
+      """ALTER TABLE "t" ADD COLUMN IF NOT EXISTS "score" DOUBLE PRECISION""",
+      """ALTER TABLE "t" ADD COLUMN IF NOT EXISTS "tags" JSONB"""))
+  }
+
+  test("schema evolution: widen along the merge lattice, absorb is a no-op") {
+    // BIGINT ⊔ DOUBLE = DOUBLE PRECISION — the lossless widening
+    assert(evolveSql("t", ListMap("v" -> PgBigInt), ListMap("v" -> PgDouble)) == Seq(
+      """ALTER TABLE "t" ALTER COLUMN "v" TYPE DOUBLE PRECISION USING "v"::double precision"""))
+    // conflicting pairs degrade to TEXT, stringifying existing rows
+    assert(evolveSql("t", ListMap("v" -> PgBoolean), ListMap("v" -> PgBigInt)) == Seq(
+      """ALTER TABLE "t" ALTER COLUMN "v" TYPE TEXT USING "v"::text"""))
+    // bytea degrades to text as base64 — the same form bindValue
+    // binds for bytes into a TEXT destination, so old and new rows agree
+    assert(evolveSql("t", ListMap("v" -> PgBytea), ListMap("v" -> PgText)) == Seq(
+      """ALTER TABLE "t" ALTER COLUMN "v" TYPE TEXT USING encode("v", 'base64')"""))
+    // existing TEXT absorbs anything; existing DOUBLE absorbs BIGINT:
+    // bind-time coercion handles those values, no DDL needed
+    assert(evolveSql("t", ListMap("v" -> PgText), ListMap("v" -> PgBigInt)).isEmpty)
+    assert(evolveSql("t", ListMap("v" -> PgDouble), ListMap("v" -> PgBigInt)).isEmpty)
+    // jsonb meeting text degrades the column to TEXT
+    assert(evolveSql("t", ListMap("v" -> PgJsonb), ListMap("v" -> PgText)) == Seq(
+      """ALTER TABLE "t" ALTER COLUMN "v" TYPE TEXT USING "v"::text"""))
+  }
+
+  test("schema evolution: destination-only and unmapped columns untouched") {
+    // a column the batch no longer carries is never dropped
+    assert(evolveSql("t",
+      ListMap("id" -> PgBigInt, "legacy" -> PgText),
+      ListMap("id" -> PgBigInt)).isEmpty)
+    // information_schema names map back onto the lattice; exotic
+    // user-managed types map to None and so never reach the diff
+    assert(ofPgTypeName("double precision").contains(PgDouble))
+    assert(ofPgTypeName("character varying").contains(PgText))
+    assert(ofPgTypeName("BIGINT").contains(PgBigInt))
+    assert(ofPgTypeName("uuid").isEmpty)
+    assert(ofPgTypeName("timestamp with time zone").isEmpty)
+    // quoting survives hostile identifiers in both statement forms
+    val stmts = evolveSql("""we"ird""",
+      ListMap("a b" -> PgBigInt), ListMap("a b" -> PgDouble, "x\"y" -> PgText))
+    assert(stmts == Seq(
+      """ALTER TABLE "we""ird" ALTER COLUMN "a b" TYPE DOUBLE PRECISION USING "a b"::double precision""",
+      """ALTER TABLE "we""ird" ADD COLUMN IF NOT EXISTS "x""y" TEXT"""))
+  }
 }
