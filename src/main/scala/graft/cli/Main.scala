@@ -92,7 +92,12 @@ object Main {
       case None =>
         val t = target.getOrElse(throw new IllegalArgumentException(
           s"no target resolved for '$destTable' and no --warehouse fallback"))
-        if (t.kind == "clickhouse")
+        if (t.kind == "bigquery")
+          new graft.writer.BigQueryWriter(t.bqEndpoint, t.project.get,
+            t.database, destTable,
+            graft.writer.BigQueryWriter.StaticToken(t.auth.resolvedPassword(getenv)),
+            primaryKey)
+        else if (t.kind == "clickhouse")
           new graft.writer.ClickHouseWriter(t.jdbcUrl,
             t.auth.resolvedUsername(getenv), t.auth.resolvedPassword(getenv),
             destTable, primaryKey)

@@ -156,15 +156,26 @@ object PipelineConfig {
 
   final case class Target(
       name: String,
-      kind: String, // "postgres" | "clickhouse"
+      kind: String, // "postgres" | "clickhouse" | "bigquery"
       host: String,
       port: Int,
       database: String,
-      auth: PostgresAuth) {
+      auth: PostgresAuth,
+      /** `project` — BigQuery only: the GCP project the `jobs.query`
+        * REST path addresses. For bigquery targets `host` is the API
+        * endpoint (scheme optional, https assumed), `database` is the
+        * dataset, and `auth.password(_env)` carries the bearer token
+        * under the same env-indirection rules as every credential.
+        */
+      project: Option[String] = None) {
     def jdbcUrl: String = kind match {
       case "clickhouse" => s"jdbc:clickhouse://$host:$port/$database"
       case _ => s"jdbc:postgresql://$host:$port/$database"
     }
+
+    /** BigQuery REST endpoint: a bare host assumes https. */
+    def bqEndpoint: String =
+      if (host.contains("://")) host else s"https://$host"
   }
 
   final case class Config(sources: Seq[Source], targets: Seq[Target]) {
@@ -317,8 +328,11 @@ object PipelineConfig {
 
   private def parseTarget(m: Map[String, Any]): Target = {
     val kind = optStr(m, "type").getOrElse("postgres")
-    if (kind != "postgres" && kind != "clickhouse")
+    if (!Set("postgres", "clickhouse", "bigquery")(kind))
       throw new IllegalArgumentException(s"unknown target type '$kind'")
+    if (kind == "bigquery" && optStr(m, "project").isEmpty)
+      throw new IllegalArgumentException(
+        s"bigquery target '${optStr(m, "name").getOrElse("?")}' requires 'project'")
     val auth = m.get("auth").map(asMap(_, "auth must be a mapping"))
       .getOrElse(Map.empty[String, Any])
     Target(
@@ -327,6 +341,7 @@ object PipelineConfig {
       host = str(m, "host"),
       port = optStr(m, "port").map(_.toInt)
         .getOrElse(if (kind == "clickhouse") 8123 else 5432),
+      project = optStr(m, "project"),
       database = str(m, "database"),
       auth = PostgresAuth(
         username = optStr(auth, "username"),

@@ -57,7 +57,7 @@ object OAuth2 {
     * API rejects (revoked server-side, clock skew past the refresh
     * margin) is evicted so the next [[token]] call fetches fresh.
     */
-  private[http] def invalidate(spec: TokenSpec): Unit =
+  private[graft] def invalidate(spec: TokenSpec): Unit =
     cache.remove(keyOf(spec))
 
   /** A valid access token for `spec` — cached until its expiry

@@ -218,4 +218,37 @@ class PipelineConfigSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("unknown target type"))
   }
+
+  test("bigquery target: project required, endpoint + token env rules") {
+    val cfg = PipelineConfig.parse(
+      """sources: []
+        |targets:
+        |  - name: bq
+        |    type: bigquery
+        |    host: bigquery.googleapis.com
+        |    project: my-proj
+        |    database: analytics
+        |    auth:
+        |      password_env: BQ_TOKEN
+        |""".stripMargin)
+    val t = cfg.targets.head
+    assert(t.kind == "bigquery")
+    assert(t.project.contains("my-proj"))
+    assert(t.bqEndpoint == "https://bigquery.googleapis.com")
+    assert(t.auth.resolvedPassword(Map("BQ_TOKEN" -> "tok").get) == "tok")
+    // a scheme-carrying host (stub servers) passes through verbatim
+    assert(t.copy(host = "http://127.0.0.1:9999").bqEndpoint ==
+      "http://127.0.0.1:9999")
+    val err = intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        """sources: []
+          |targets:
+          |  - name: bq
+          |    type: bigquery
+          |    host: h
+          |    database: d
+          |""".stripMargin)
+    }
+    assert(err.getMessage.contains("requires 'project'"))
+  }
 }
