@@ -372,6 +372,59 @@ object Kmeans {
       num, den)
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus, then mark as duplicates
+    * vectors whose quantized cosine to an EARLIER member of the same
+    * cluster reaches `num/den` — the greedy keep-first-seen rule of
+    * the paper with `vec_id` as the deterministic arrival order.
+    * Cross-cluster near-dups are deliberately out of scope (that is
+    * the approximation SemDeDup trades for tractability; the exact
+    * all-pairs baseline is [[graft.ops.Dedup.embeddingCosinePairs]]).
+    * Annotate-don't-filter: every vector reports its cluster, how
+    * many earlier same-cell dups it has, and the keep flag.
+    *
+    * Everything is exact integer arithmetic on the lattice codes —
+    * the cosine cut is cross-multiplied (`dot > 0 ∧ dot²·den² ≥
+    * num²·‖a‖²·‖b‖²`, in DECIMAL(38,0) so corpus-scale squares can't
+    * wrap), so the whole output carries a full DuckDB hash oracle,
+    * which a float-threshold semantic dedup could never do.
+    *
+    * Scale shape: candidates are generated per CELL (equi-join on the
+    * cluster id, never a corpus cross join); √n auto-sized cells hold
+    * √n members each, so pair work is Σ|cell|² ≈ n^1.5 instead of n²
+    * — the SemDeDup design point — and each pair costs one native
+    * `int8_dot`. The per-vector drop decision is a grouped count on
+    * the pair stream; nothing is collected.
+    */
+  def semanticDedup(embeddings: DataFrame, num: Int = 2, den: Int = 5,
+      k: Int = 0, iters: Int = 3): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"cosine threshold must be a rational in (0, 1]: $num/$den")
+    val codes = codesDf(embeddings)
+    val asg = withCluster(codes, centroidsFor(codes, k, iters))
+      .withColumn("selfq", Quantize.i8dot(col("pack"), col("pack")))
+      .select(col("vec_id"), col("cluster"), col("pack"), col("selfq"))
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val pairs = asg
+      .select(col("cluster"), col("vec_id").as("va"),
+        col("pack").as("pa"), col("selfq").as("sa"))
+      .join(asg.select(col("cluster"), col("vec_id").as("vb"),
+        col("pack").as("pb"), col("selfq").as("sb")), Seq("cluster"))
+      .filter(col("va") < col("vb"))
+      .withColumn("dot", Quantize.i8dot(col("pa"), col("pb")))
+      .filter(col("dot") > 0 &&
+        dec(col("dot")) * dec(col("dot")) * lit(den.toLong * den) >=
+          lit(num.toLong * num) * dec(col("sa")) * dec(col("sb")))
+    val dropped = pairs.groupBy(col("vb").as("vec_id"))
+      .agg(count(lit(1)).as("dups"))
+    asg.select(col("vec_id"), col("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dups"), lit(0L)).as("n_dups_before"),
+        col("dups").isNull.cast("int").as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Cluster-stratified sample: `n` md5-ordered vectors per semantic
     * cluster — the "uniformly across topics, deterministically"
     * draw a curation mixture starts from. Rides the memoized fit

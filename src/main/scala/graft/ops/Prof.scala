@@ -230,6 +230,23 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("r12sem")) {
+      // round-12 addition: SemDeDup on the lattice cells. Warm = the
+      // memoized fit is paid, so the row times the pair generation +
+      // greedy-drop decision; the sum drives both output columns so
+      // neither the flag nor the count can be pruned.
+      q("semantic_dedup_cold") {
+        Kmeans.clearCache()
+        Kmeans.semanticDedup(emb)
+          .agg(sum(col("keep")), sum(col("n_dups_before")))
+          .collect().length.toLong
+      }
+      q("semantic_dedup_warm")(Kmeans.semanticDedup(emb)
+        .agg(sum(col("keep")), sum(col("n_dups_before")))
+        .collect().length.toLong)
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("cands")) {
       println(s"PROF ann_candidates ${Similarity.annCandidateCount(emb)}")
       spark.stop()

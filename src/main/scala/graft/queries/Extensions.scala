@@ -322,6 +322,13 @@ object Extensions {
     "x_embed_kmeans_fit" -> ((s, d) =>
       Kmeans.kmeansFitReport(t(s, d, "embeddings"))),
 
+    // SemDeDup (Abbas et al. 2023) on the lattice cells: greedy
+    // keep-first semantic dedup, candidates bounded per cluster,
+    // integer cross-multiplied cosine cut — fully hash-oracled where
+    // a float-threshold semantic dedup couldn't be
+    "x_dedup_semantic" -> ((s, d) =>
+      Kmeans.semanticDedup(t(s, d, "embeddings"))),
+
     // IVF over the deterministic lattice cells: hash-oracled ANN at
     // PRODUCTION probe counts (the float-quantizer IVF can only be
     // hash-checked in its probe-everything degenerate form) —
@@ -1498,6 +1505,30 @@ object Extensions {
         |  CAST(sum(a.d2) AS BIGINT) AS sum_dist2
         |FROM asg4 a JOIN embeddings e USING (vec_id)
         |GROUP BY a.cl, e.label ORDER BY cluster, label""".stripMargin,
+
+    // SemDeDup replay: final assignment -> same-cell ordered pairs
+    // through the integer cosine cut (dot > 0 AND dot²·25 ≥ 4·sa·sb
+    // for the 2/5 default), greedy keep-first via the earlier-dup
+    // count. All-BIGINT arithmetic (dot ≤ 127²·d keeps every product
+    // far under 2^63 at d = 64)
+    "x_dedup_semantic" ->
+      raw"""WITH ${kmeansCte(0, 3)},
+        |sq AS (SELECT vec_id, cl, code,
+        |    CAST(list_sum(list_transform(code, x -> x * x)) AS BIGINT) AS s
+        |  FROM asg4),
+        |pr AS (
+        |  SELECT vb AS vec_id, CAST(count(*) AS BIGINT) AS dups FROM (
+        |    SELECT b.vec_id AS vb, a.s AS sa, b.s AS sb,
+        |      CAST(list_sum(list_transform(generate_series(1, len(a.code)),
+        |        j -> a.code[j] * b.code[j])) AS BIGINT) AS dot
+        |    FROM sq a JOIN sq b ON a.cl = b.cl AND a.vec_id < b.vec_id)
+        |  WHERE dot > 0 AND dot * dot * 25 >= 4 * sa * sb
+        |  GROUP BY vb)
+        |SELECT q.vec_id, q.cl AS cluster,
+        |  COALESCE(p.dups, 0) AS n_dups_before,
+        |  CAST(CASE WHEN p.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM sq q LEFT JOIN pr p USING (vec_id)
+        |ORDER BY q.vec_id""".stripMargin,
 
     // composition replay: iteration chain -> final assignment joined
     // with the outlier flags (selfq over the same cv codes) and the

@@ -222,4 +222,44 @@ class KmeansSpec extends AnyFunSuite {
       Kmeans.kmeansAssign(rows, k = 2, iters = 1).collect())
     assert(ex.getMessage.contains("single embedding dimension"))
   }
+
+  test("semanticDedup: greedy keep-first equals the driver-side reference; cell-bounded plan") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val got = Kmeans.semanticDedup(e, 2, 5, K, ITERS).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3))))
+      .toMap
+
+    // driver-side reference: same fit, same integer cosine cut
+    val (asg, _) = refKmeans(fixtureCodes())
+    val codes = fixtureCodes().toMap
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val ids = codes.keys.toSeq.sorted
+    val want = ids.map { id =>
+      val (cl, _) = asg(id)
+      val q = codes(id); val sq = dot(q, q)
+      val dups = ids.count { o =>
+        o < id && asg(o)._1 == cl && {
+          val d = dot(codes(o), q); val so = dot(codes(o), codes(o))
+          d > 0 && BigInt(d) * BigInt(d) * 25 >= BigInt(4) * BigInt(so) * BigInt(sq)
+        }
+      }
+      id -> ((cl, dups.toLong, if (dups == 0) 1 else 0))
+    }.toMap
+    assert(got == want)
+    // the cut actually bites on the fixture (dropped vectors exist)
+    assert(got.values.exists(_._3 == 0))
+    assert(got.values.forall { case (_, d, keep) => (keep == 1) == (d == 0L) })
+
+    // plan: pair generation is an equi-join on the cluster id — never
+    // a corpus cross join
+    val p = Kmeans.semanticDedup(e, 2, 5, K, ITERS)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semanticDedup pair join degenerated:\n$p")
+  }
 }
