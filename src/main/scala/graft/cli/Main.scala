@@ -100,7 +100,7 @@ object Main {
         else if (t.kind == "clickhouse")
           new graft.writer.ClickHouseWriter(t.jdbcUrl,
             t.auth.resolvedUsername(getenv), t.auth.resolvedPassword(getenv),
-            destTable, primaryKey)
+            destTable, primaryKey, schemaEvolution = schemaEvolution)
         else
           new PostgresWriter(t.jdbcUrl, t.auth.resolvedUsername(getenv),
             t.auth.resolvedPassword(getenv), destTable, primaryKey,

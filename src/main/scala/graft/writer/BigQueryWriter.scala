@@ -99,16 +99,22 @@ final class BigQueryWriter(
       }
       rows.foreach { r =>
         val vals = r.toSeq
-        buf += vals
         // conservative rendered-size estimate: literals roughly double
         // worst-case under escaping, plus per-value punctuation
-        bufBytes += vals.iterator.map {
+        val rowBytes = vals.iterator.map {
           case null => 4
           case s: String => 2 * s.length + 8
           case b: Array[Byte] => (b.length * 4) / 3 + 16
           case other => other.toString.length + 4
         }.sum
-        if (buf.size >= bs || bufBytes >= BigQueryWriter.MaxQueryBytes) flush()
+        // flush BEFORE the cap would be breached, so no statement ever
+        // renders past it (a single over-cap row still ships alone —
+        // nothing smaller could carry it)
+        if (buf.nonEmpty &&
+            (buf.size >= bs || bufBytes + rowBytes >= BigQueryWriter.MaxQueryBytes))
+          flush()
+        buf += vals
+        bufBytes += rowBytes
       }
       flush()
     }

@@ -101,4 +101,68 @@ object ChSql {
     */
   def truncateSql(table: String): String =
     s"TRUNCATE TABLE IF EXISTS ${quoteIdent(table)}"
+
+  /** system.columns `type` name → ChType, unwrapping `Nullable(…)`;
+    * `None` for types this writer never creates (user-managed columns
+    * evolution must leave untouched) — the [[PgSql.ofPgTypeName]]
+    * contract in ClickHouse spelling.
+    */
+  def ofChTypeName(t: String): Option[ChType] = {
+    val bare = t.trim match {
+      case s if s.startsWith("Nullable(") && s.endsWith(")") =>
+        s.stripPrefix("Nullable(").stripSuffix(")")
+      case s => s
+    }
+    bare match {
+      case "String" => Some(ChString)
+      case "Bool" | "UInt8" => Some(ChBool)
+      case "Int64" | "Int32" | "Int16" | "Int8" => Some(ChInt64)
+      case "Float64" | "Float32" => Some(ChFloat64)
+      case _ => None
+    }
+  }
+
+  /** The shared inference-merge lattice in ClickHouse's four types:
+    * String absorbs everything, Int64 ⊔ Float64 = Float64, any other
+    * conflict degrades to String — [[PgSql.merge]] with JSONB/BYTEA
+    * already collapsed away.
+    */
+  def merge(a: ChType, b: ChType): ChType = (a, b) match {
+    case (x, y) if x == y => x
+    case (ChString, _) | (_, ChString) => ChString
+    case (ChInt64, ChFloat64) | (ChFloat64, ChInt64) => ChFloat64
+    case _ => ChString
+  }
+
+  /** Query returning `name|type` for the destination's live columns
+    * in position order — the evolution read-back (system.columns is
+    * ClickHouse's information_schema).
+    */
+  def existingSchemaSql(table: String): String = {
+    val lit = "'" + table.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    "SELECT name, type FROM system.columns " +
+      s"WHERE database = currentDatabase() AND table = $lit ORDER BY position"
+  }
+
+  /** Schema-evolution diff, the [[PgSql.evolveSql]] contract in
+    * ClickHouse dialect: new columns ADD (Nullable), lattice
+    * widenings MODIFY (ClickHouse casts the stored values itself —
+    * no USING clause exists or is needed), destination-only and
+    * unmapped columns untouched, never a drop.
+    */
+  def evolveSql(table: String, existing: ListMap[String, ChType],
+      incoming: ListMap[String, ChType]): Seq[String] = {
+    val t = quoteIdent(table)
+    incoming.iterator.flatMap { case (name, want) =>
+      val colQ = quoteIdent(name)
+      existing.get(name) match {
+        case None =>
+          Some(s"ALTER TABLE $t ADD COLUMN IF NOT EXISTS $colQ Nullable(${want.ddl})")
+        case Some(have) =>
+          val widened = merge(have, want)
+          if (widened == have) None
+          else Some(s"ALTER TABLE $t MODIFY COLUMN $colQ Nullable(${widened.ddl})")
+      }
+    }.toSeq
+  }
 }

@@ -34,7 +34,8 @@ final class ClickHouseWriter(
     table: String,
     primaryKey: Seq[String] = Seq.empty,
     batchSize: Int = 5000,
-    autoCreate: Boolean = true) extends DataWriter with Serializable {
+    autoCreate: Boolean = true,
+    schemaEvolution: Boolean = false) extends DataWriter with Serializable {
 
   private def connect(): Connection =
     DriverManager.getConnection(url, user, password)
@@ -75,8 +76,20 @@ final class ClickHouseWriter(
       val c = connect()
       try {
         val st = c.createStatement()
-        try st.execute(ChSql.createTableSql(table, chSchema, primaryKey))
-        finally st.close()
+        try {
+          st.execute(ChSql.createTableSql(table, chSchema, primaryKey))
+          // schema evolution, the PostgresWriter contract in ClickHouse
+          // dialect. ORDER BY (key) columns are excluded from the diff:
+          // ClickHouse rejects Nullable key columns, and a key whose
+          // TYPE drifts is a config error, not evolvable drift
+          if (schemaEvolution) {
+            val existing = ClickHouseWriter.readSchema(c, table)
+              .filterNot { case (n, _) => primaryKey.contains(n) }
+            val incoming = chSchema
+              .filterNot { case (n, _) => primaryKey.contains(n) }
+            ChSql.evolveSql(table, existing, incoming).foreach(st.execute)
+          }
+        } finally st.close()
       } finally c.close()
     }
 
@@ -120,6 +133,22 @@ final class ClickHouseWriter(
 }
 
 object ClickHouseWriter {
+
+  /** Live column→type read-back for the evolution diff (types this
+    * writer never creates are dropped so the diff leaves them alone).
+    */
+  private[writer] def readSchema(c: Connection,
+      table: String): ListMap[String, ChSql.ChType] = {
+    val st = c.createStatement()
+    try {
+      val rs = st.executeQuery(ChSql.existingSchemaSql(table))
+      var out = ListMap.empty[String, ChSql.ChType]
+      while (rs.next())
+        ChSql.ofChTypeName(rs.getString(2)).foreach(t =>
+          out = out.updated(rs.getString(1), t))
+      out
+    } finally st.close()
+  }
 
   /** Bind rows column-major, coercing to the destination lattice the
     * same way [[PostgresWriter.bindValue]] does, restricted to

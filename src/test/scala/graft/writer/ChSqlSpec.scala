@@ -76,4 +76,29 @@ class ChSqlSpec extends AnyFunSuite {
     assert(binds.toList == List(
       (1, 42L), (2, null), (3, null), (4, "7"), (5, 1L), (6, 2.5), (7, null)))
   }
+
+  test("schema evolution: ADD Nullable, MODIFY widenings, absorb no-ops") {
+    val existing = ListMap("id" -> ChInt64, "v" -> ChInt64, "s" -> ChString)
+    val incoming = ListMap("id" -> ChInt64, "v" -> ChFloat64,
+      "s" -> ChInt64, "tags" -> ChString)
+    // v widens Int64→Float64 (MODIFY; ClickHouse casts stored values
+    // itself, no USING clause exists), s absorbs (String already holds
+    // any incoming), tags is new (ADD Nullable)
+    assert(evolveSql("t", existing, incoming) == Seq(
+      "ALTER TABLE `t` MODIFY COLUMN `v` Nullable(Float64)",
+      "ALTER TABLE `t` ADD COLUMN IF NOT EXISTS `tags` Nullable(String)"))
+    // conflicting pair degrades to String, like the shared lattice
+    assert(evolveSql("t", ListMap("b" -> ChBool), ListMap("b" -> ChInt64)) ==
+      Seq("ALTER TABLE `t` MODIFY COLUMN `b` Nullable(String)"))
+    // destination-only columns never dropped
+    assert(evolveSql("t", ListMap("x" -> ChInt64, "legacy" -> ChString),
+      ListMap("x" -> ChInt64)).isEmpty)
+    // system.columns names round-trip, Nullable unwrapped, exotics None
+    assert(ofChTypeName("Nullable(Int64)").contains(ChInt64))
+    assert(ofChTypeName("String").contains(ChString))
+    assert(ofChTypeName("Float32").contains(ChFloat64))
+    assert(ofChTypeName("UInt8").contains(ChBool))
+    assert(ofChTypeName("DateTime64(3)").isEmpty)
+    assert(ofChTypeName("UUID").isEmpty)
+  }
 }
