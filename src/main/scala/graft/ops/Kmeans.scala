@@ -225,6 +225,23 @@ object Kmeans {
       .select(col("vec_id"), col("cluster"), col("dist2"))
   }
 
+  /** [[assignWithCentroids]] keeping the packed int8 codes —
+    * streaming-safe like it, the substrate the streaming semantic
+    * dedup's state function scores pairs on. Emits
+    * (vec_id, cluster, pack).
+    */
+  private[graft] def assignWithCentroidsPacked(embeddings: DataFrame,
+      cents: Array[Array[Long]]): DataFrame = {
+    val codes = embeddings
+      .select(col("vec_id"), col("embedding").as("v"))
+      .select(col("vec_id"),
+        Quantize.codesOf(col("v"), Quantize.scaleOf(col("v"))).as("q"),
+        Quantize.packedOf(col("v"), Quantize.scaleOf(col("v"))).as("pack"))
+      .filter(col("q").isNotNull)
+    withCluster(codes, cents)
+      .select(col("vec_id"), col("cluster"), col("pack"))
+  }
+
   /** Per-vector final assignment: (vec_id, cluster, dist2) — the
     * driver-gate query, hash-exact against the DuckDB replay.
     */

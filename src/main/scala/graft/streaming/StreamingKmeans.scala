@@ -117,6 +117,82 @@ object StreamingKmeans {
       .format("memory").queryName(queryName)
       .start()
   }
+
+  /** Streaming SemDeDup — the online counterpart of
+    * [[graft.ops.Kmeans.semanticDedup]] under the same offline-fit /
+    * online-serve split as the cluster monitor: arriving vectors
+    * assign to the frozen batch-fit centroids (stateless projection),
+    * and per CELL a stateful stage emits the duplicate-pair relation
+    * `(vec_a, vec_b)` (lower id first) whenever the later-arriving
+    * side of a qualifying pair lands. Like the streaming MinHash
+    * candidates, the emitted PAIR SET is arrival-order-invariant —
+    * pair {a,b} appears exactly when the second of the two arrives,
+    * under any micro-batching — so the completed stream equals the
+    * batch pair relation, and the batch keep/drop flags are a
+    * grouped count downstream (`keep(v) = no pair with vec_b = v`),
+    * parity spec-pinned. Emitting pairs rather than keep flags is
+    * what makes append mode correct: a keep decision could be
+    * retracted by a later smaller-id arrival, a pair never is.
+    *
+    * The duplicate cut is the batch operator's exact integer algebra
+    * (`dot > 0 ∧ dot²·den² ≥ num²·‖a‖²·‖b‖²` in BigInt) on the packed
+    * int8 codes. State per cell is its member list (64 B of codes
+    * per member) — cell occupancy like the MinHash buckets, not
+    * corpus size; a cell CANNOT expire without forgetting members
+    * (same no-watermark argument), so ancient partitions belong on
+    * the batch operator instead.
+    */
+  def streamingSemanticPairs(spark: SparkSession, dir: String,
+      schema: StructType, queryName: String,
+      cents: Array[Array[Long]], num: Int = 2, den: Int = 5,
+      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    require(num > 0 && den > 0 && num <= den,
+      s"cosine threshold must be a rational in (0, 1]: $num/$den")
+    import spark.implicits._
+    val reader = spark.readStream.schema(schema)
+    val src = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(dir)
+
+    def isDup(a: Array[Byte], b: Array[Byte]): Boolean = {
+      var dot = 0L; var sa = 0L; var sb = 0L; var i = 0
+      while (i < a.length) {
+        dot += a(i).toLong * b(i); sa += a(i).toLong * a(i)
+        sb += b(i).toLong * b(i); i += 1
+      }
+      dot > 0 && BigInt(dot) * BigInt(dot) * (den.toLong * den) >=
+        BigInt(num.toLong * num) * BigInt(sa) * BigInt(sb)
+    }
+
+    def update(cluster: Int, rows: Iterator[(Int, Long, Array[Byte])],
+        state: GroupState[List[(Long, Array[Byte])]]): Iterator[(Long, Long)] = {
+      var seen = state.getOption.getOrElse(List.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      // ascending id within the batch: both orders of an in-batch
+      // pair resolve identically, and re-delivered rows are dropped
+      rows.toSeq.sortBy(_._2).foreach { case (_, id, pack) =>
+        if (!seen.exists(_._1 == id)) {
+          seen.foreach { case (pid, ppack) =>
+            if (isDup(ppack, pack))
+              out += ((math.min(pid, id), math.max(pid, id)))
+          }
+          seen = (id, pack) :: seen
+        }
+      }
+      state.update(seen)
+      out.iterator
+    }
+
+    EventWindows.runToMemory(
+      Kmeans.assignWithCentroidsPacked(src, cents)
+        .select(col("cluster"), col("vec_id"), col("pack"))
+        .as[(Int, Long, Array[Byte])]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(update)
+        .toDF("vec_a", "vec_b"),
+      queryName, "append")
+  }
 }
 
 /** One emitted drift-report row, per cluster per micro-batch. `upd`

@@ -127,4 +127,36 @@ class StreamingKmeansSpec extends AnyFunSuite {
       e.getMessage.contains("Dedup.decontaminate"),
       s"bound error must name the limit and the batch fallback: ${e.getMessage}")
   }
+
+  test("streaming semantic pairs equal the batch SemDeDup relation across micro-batches") {
+    val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+    val cents = Kmeans.centroids(emb)
+    val dir = java.nio.file.Files
+      .createTempDirectory("emb-stream-semdedup").toString
+    emb.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.StreamingKmeans.streamingSemanticPairs(
+      spark, dir, emb.schema, "kmeans_stream_sem", cents,
+      maxFilesPerTrigger = 1)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "fixture must actually exercise multiple micro-batches")
+    val pairs = spark.table("kmeans_stream_sem")
+
+    // the batch relation, re-derived per the operator's definition:
+    // n_dups_before(v) = pairs with vec_b = v; keep(v) = none exist
+    val batch = Kmeans.semanticDedup(emb)
+    val fromPairs = batch.select(col("vec_id"), col("cluster"))
+      .join(pairs.groupBy(col("vec_b").as("vec_id"))
+        .agg(count(lit(1)).as("d")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("d"), lit(0L)).as("n_dups_before"),
+        col("d").isNull.cast("int").as("keep"))
+    assert(batch.exceptAll(fromPairs).isEmpty &&
+      fromPairs.exceptAll(batch).isEmpty,
+      "completed-stream pair relation must reproduce the batch keep/drop table")
+    // the relation is non-trivial on the fixture and each pair is
+    // emitted exactly once (the later-arrival contract)
+    assert(pairs.count() > 0)
+    assert(pairs.distinct().count() == pairs.count())
+  }
 }
