@@ -64,8 +64,15 @@ final class BigQueryWriter(
   }
 
   override def truncate(): Unit =
-    BigQueryWriter.post(endpoint, project, auth,
+    try BigQueryWriter.post(endpoint, project, auth,
       BqSql.truncateSql(tablePath), requestTimeoutSecs)
+    catch {
+      // idempotent like the Postgres 42P01 swallow: BigQuery reports
+      // a missing table as a notFound job error ("Not found: Table")
+      case e: graft.errors.GraftError.WriterError
+          if e.getMessage.contains("notFound") ||
+            e.getMessage.contains("Not found") => ()
+    }
 
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     if (mode == WriteMode.Merge && primaryKey.isEmpty)

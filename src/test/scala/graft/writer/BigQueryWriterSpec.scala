@@ -150,4 +150,30 @@ class BigQueryWriterSpec extends AnyFunSuite {
       assert(tokenCalls.get() >= 2) // invalidate forced a re-grant
     }
   }
+
+  test("truncate is idempotent on a missing table, like the Postgres 42P01 swallow") {
+    withServer { (server, base) =>
+      val calls = new AtomicInteger(0)
+      server.createContext("/bigquery/v2/projects/p1/queries", ex => {
+        val q = queryOf(readBody(ex))
+        calls.incrementAndGet()
+        if (q.startsWith("TRUNCATE"))
+          respond(ex,
+            """{"errors": [{"reason": "notFound", """ +
+              """"message": "Not found: Table p1:ds.missing"}]}""")
+        else if (q.contains("boom"))
+          respond(ex, """{"errors": [{"reason": "invalidQuery"}]}""")
+        else respond(ex, """{"jobComplete": true}""")
+      })
+      val w = new BigQueryWriter(base, "p1", "ds", "missing",
+        BigQueryWriter.StaticToken("tok"))
+      w.truncate() // must not throw
+      assert(calls.get() == 1)
+      // only notFound is swallowed — other failures still surface
+      intercept[graft.errors.GraftError.WriterError] {
+        BigQueryWriter.post(base, "p1",
+          BigQueryWriter.StaticToken("tok"), "SELECT boom", 5)
+      }
+    }
+  }
 }
