@@ -286,4 +286,56 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(args.master.contains("spark://m:7077"))
     assert(Main.parseArgs(Array("-m", "mods", "-y", "cfg.yaml")).master.isEmpty)
   }
+
+  test("bigquery target end-to-end: config -> factory -> REST writes land") {
+    val spark = graft.SparkTestSession.spark
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    server.createContext("/bigquery/v2/projects/p1/queries", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      queries.add(mapper.readTree(body).get("query").asText())
+      graft.HttpStub.respond(ex, """{"jobComplete": true}""")
+    })
+
+    val dir = Files.createTempDirectory("pipeline-bq")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    Files.writeString(modules.resolve("posts.sql"),
+      """{{ sink(name="bq") }}
+        |SELECT id, title FROM {{ use_source("posts_api") }} WHERE id <= 2""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: posts_api
+         |    url: $base/posts
+         |    table_destination_name: posts
+         |    data_path: /data
+         |    retry:
+         |      max_attempts: 2
+         |      max_delay_secs: 1
+         |      min_delay_secs: 0
+         |targets:
+         |  - name: bq
+         |    type: bigquery
+         |    host: $base
+         |    project: p1
+         |    database: ds
+         |    auth:
+         |      username: unused
+         |      password: stub-token
+         |""".stripMargin)
+
+    val failed = Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString), spark)
+    assert(failed == 0)
+
+    import scala.jdk.CollectionConverters._
+    val qs = queries.asScala.toList
+    assert(qs.exists(_.startsWith(
+      "CREATE TABLE IF NOT EXISTS `ds.posts` (`id` INT64, `title` STRING)")), qs)
+    val inserted = qs.filter(_.startsWith("INSERT INTO `ds.posts` (`id`, `title`) VALUES "))
+    assert(inserted.flatMap(q =>
+      "\\((\\d+), '(t\\d+)'\\)".r.findAllMatchIn(q)
+        .map(m => (m.group(1).toLong, m.group(2)))).sorted ==
+      List((1L, "t1"), (2L, "t2")))
+  }
 }
