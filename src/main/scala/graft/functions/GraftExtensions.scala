@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       arity("rolling_hash", 1)(exprs => RollingHash(exprs.head))))
     extensions.injectFunction((
+      new FunctionIdentifier("nfc_norm"),
+      new ExpressionInfo(classOf[NfcNorm].getName, "nfc_norm"),
+      arity("nfc_norm", 1)(exprs => NfcNorm(exprs.head))))
+    extensions.injectFunction((
       new FunctionIdentifier("dot_d"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       arity("dot_d", 2)(exprs => DotProduct(exprs.head, exprs(1)))))

@@ -427,6 +427,23 @@ object Extensions {
         col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Unicode NFC canonicalization (native nfc_norm expression) — the
+    // normalize-before-text-keys step: decomposed accents fold to
+    // their precomposed forms so dedup/shingle/fingerprint keys
+    // can't split on byte-identical-looking text. The fixture corpus
+    // is ASCII, so the query plants decomposed sequences (e+U+0301,
+    // i+U+0308) to prove the fold; DuckDB's nfc_normalize replays it
+    "x_text_normalize" -> ((s, d) => {
+      val enriched = concat(col("text"), lit(" cafe\u0301 nai\u0308ve \u00e9"))
+      val norm = call_function("nfc_norm", enriched)
+      t(s, d, "documents").select(col("doc_id"),
+          length(enriched).cast("int").as("n_pre"),
+          length(norm).cast("int").as("n_post"),
+          (length(enriched) - length(norm)).cast("int").as("n_folded"),
+          md5(norm).as("fp_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_text_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text")).filterNot(_._1 == "n_chars")
         .map { case (n, c) => c.as(n) }
@@ -1720,6 +1737,21 @@ object Extensions {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same enrichment built from code points (chr = DuckDB's code-point
+    // constructor; the Spark side embeds the identical chars as \u
+    // literals), then DuckDB's own NFC replays the fold
+    "x_text_normalize" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've ' || chr(233) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS INT) AS n_pre,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS n_post,
+        |  CAST(length(t) - length(nfc_normalize(t)) AS INT) AS n_folded,
+        |  md5(nfc_normalize(t)) AS fp_norm
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     "x_text_quality" ->
       """SELECT doc_id,

@@ -57,7 +57,11 @@ class CodegenCompiledSpec extends AnyFunSuite {
       "array('t', 'th'), array('h', 'e'))"),
     // 2-dim vector against a 3-centroid block (6 bytes)
     "int8_dist2s" -> ("int8_dist2s(int8_pack(array(cast(id % 100 as double), " +
-      "7.0d), 1.0d), int8_pack(array(1.0d, 2.0d, 3.0d, 4.0d, 5.0d, 6.0d), 1.0d))"))
+      "7.0d), 1.0d), int8_pack(array(1.0d, 2.0d, 3.0d, 4.0d, 5.0d, 6.0d), 1.0d))"),
+    // decomposed e + U+0301 (the Scala-source unicode escape embeds
+    // the raw combining char in the SQL literal) must actually take
+    // the normalize branch
+    "nfc_norm" -> "nfc_norm(concat('e\u0301', id))")
 
   private def wholeStages(df: DataFrame): Seq[WholeStageCodegenExec] = {
     // materialize first so an adaptive wrapper (if any) is final
