@@ -148,6 +148,14 @@ object BigQueryWriter {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
 
+  /** One client per JVM — `java.net.http.HttpClient` is thread-safe
+    * and pools connections, so every partition's batch POSTs reuse
+    * keep-alive connections instead of paying a TLS handshake per
+    * statement.
+    */
+  private lazy val client: HttpClient = HttpClient.newBuilder()
+    .connectTimeout(Duration.ofSeconds(30)).build()
+
   /** POST one statement to `jobs.query`; retries once with a fresh
     * token on 401 (OAuth only), fails on HTTP or job errors. Package
     * scope so the spec can drive single statements.
@@ -160,8 +168,6 @@ object BigQueryWriter {
     val payload = mapper.writeValueAsString(body)
 
     def send(token: String): HttpResponse[String] = {
-      val client = HttpClient.newBuilder()
-        .connectTimeout(Duration.ofSeconds(timeoutSecs)).build()
       val req = HttpRequest.newBuilder()
         .uri(URI.create(s"$endpoint/bigquery/v2/projects/$project/queries"))
         .timeout(Duration.ofSeconds(timeoutSecs))
