@@ -222,4 +222,32 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.Dedup.clearShingleCache()
     }
   }
+
+  test("BigQuery REST writer posts from executor JVMs with working auth") {
+    val sp = spark; import sp.implicits._
+    // stub jobs.query on the driver-side server; executor processes
+    // must reach it over real HTTP with the serialized auth + schema
+    val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    server.createContext("/bigquery/v2/projects/pc/queries", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (ex.getRequestHeaders.getFirst("Authorization") == "Bearer cl-tok") {
+        queries.add(mapper.readTree(body).get("query").asText())
+        graft.HttpStub.respond(ex, """{"jobComplete": true}""")
+      } else graft.HttpStub.respond(ex, """{"error": "no auth"}""", status = 401)
+    })
+    val df = spark.range(0, 40, 1, 4)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    val stats = new graft.writer.BigQueryWriter(base, "pc", "ds", "tc",
+      graft.writer.BigQueryWriter.StaticToken("cl-tok"), batchSize = 7)
+      .write(df, graft.writer.WriteMode.Append)
+    assert(stats.rowsWritten == 40)
+    import scala.jdk.CollectionConverters._
+    val qs = queries.asScala.toList
+    assert(qs.count(_.startsWith("CREATE TABLE")) == 1)
+    // every row landed exactly once through the partitioned batches
+    val ids = qs.filter(_.startsWith("INSERT")).flatMap(q =>
+      "\\((\\d+), 'v\\d+'\\)".r.findAllMatchIn(q).map(_.group(1).toLong))
+    assert(ids.sorted == (0L until 40L).toList)
+  }
 }
