@@ -28,9 +28,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   /** One benched query: median wall seconds over `reps` successful
-    * runs, or the failure message of the first throwing run.
+    * runs, or the failure message of the first throwing run. `passes`
+    * keeps the raw per-pass vector (run order): the round-12 artifact
+    * published a 15 s median for a 3 s-warm query and the single
+    * median made cold-fit/churn contamination invisible — the vector
+    * is the evidence that lets a later reader attribute it.
     */
-  final case class QResult(name: String, secs: Option[Double], err: Option[String])
+  final case class QResult(name: String, secs: Option[Double], err: Option[String],
+      passes: Vector[Double] = Vector.empty)
 
   /** Drive the full plan with every output column evaluated: a
     * noop-datasource write consumes each row's columns on the
@@ -73,7 +78,7 @@ object Bench {
         action(build)
         (System.nanoTime() - t0) / 1e9
       }
-      QResult(name, Some(median(times)), None)
+      QResult(name, Some(median(times)), None, times.toVector)
     } catch {
       case e: Throwable =>
         QResult(name, None, Some(s"${e.getClass.getName}: ${e.getMessage}"))
@@ -110,7 +115,7 @@ object Bench {
     thunks.map { case (name, _) =>
       errs.get(name) match {
         case Some(m) => QResult(name, None, Some(m))
-        case None    => QResult(name, Some(median(times(name))), None)
+        case None    => QResult(name, Some(median(times(name))), None, times(name))
       }
     }
   }
@@ -129,13 +134,20 @@ object Bench {
 
   /** The one JSON line. Field layout is upward-compatible with prior
     * rounds (`metric/value/unit/queries/sf/pipeline_*`); adds
-    * `"action"`, `"errors"` and `"status"`.
+    * `"action"`, `"errors"`, `"status"`, and (round 13) `"passes"` —
+    * the raw per-pass time vector per query, run order, so the
+    * published median can always be audited for cold-fit or
+    * cross-query cache-churn contamination (the r12
+    * `x_dedup_embedding_pq` 15 s-median / 3 s-warm incident).
     */
   def renderJson(results: Seq[QResult], sfDir: String, actionName: String,
       pipelineRows: Long, pipelineSec: Double): String = {
     val ok = results.filter(_.secs.isDefined)
     val qs = ok.map { r => "\"" + r.name + "\":" + f"${r.secs.get}%.3f" }
       .mkString("{", ",", "}")
+    val passes = ok.map { r =>
+      "\"" + r.name + "\":" + r.passes.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errs = results.flatMap(r => r.err.map(m =>
         "\"" + r.name + "\":" + jsonString(m)))
       .mkString("{", ",", "}")
@@ -143,7 +155,7 @@ object Bench {
     val status = if (results.exists(_.err.isDefined)) "error" else "ok"
     val rowsPerSec =
       if (pipelineSec > 0) (pipelineRows / pipelineSec).round else 0L
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","action":"$actionName","status":"$status","queries":$qs,"errors":$errs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_rows_per_sec":$rowsPerSec}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","action":"$actionName","status":"$status","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_rows_per_sec":$rowsPerSec}"""
   }
 
   /** A compact (≤200-byte) summary of the same run, printed LAST.

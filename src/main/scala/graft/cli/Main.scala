@@ -92,11 +92,18 @@ object Main {
       case None =>
         val t = target.getOrElse(throw new IllegalArgumentException(
           s"no target resolved for '$destTable' and no --warehouse fallback"))
-        if (t.kind == "bigquery")
+        if (t.kind == "bigquery") {
+          // loud like the incremental-sync target check, not silent:
+          // the BigQuery writer has no evolution support, so accepting
+          // the flag would drop columns without a trace
+          if (schemaEvolution) throw new IllegalArgumentException(
+            "schema_evolution is not supported for bigquery targets " +
+              "(supported: postgres, clickhouse)")
           new graft.writer.BigQueryWriter(t.bqEndpoint, t.project.get,
             t.database, destTable,
             graft.writer.BigQueryWriter.StaticToken(t.auth.resolvedPassword(getenv)),
             primaryKey)
+        }
         else if (t.kind == "clickhouse")
           new graft.writer.ClickHouseWriter(t.jdbcUrl,
             t.auth.resolvedUsername(getenv), t.auth.resolvedPassword(getenv),

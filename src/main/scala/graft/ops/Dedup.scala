@@ -28,13 +28,21 @@ object Dedup {
 
   /** Exact dedup by content key (hash-groupBy): one survivor per key.
     * The fixture has no full-text duplicates, so the key is the
-    * 3-word prefix — same shape, collisions exist.
+    * 3-word prefix — same shape, collisions exist. `normalize = true`
+    * NFC-folds the text before keying ([[TextOps.nfc]]): a verbatim
+    * duplicate whose accents arrive decomposed (e + U+0301 vs U+00E9)
+    * is byte-different and survives the default key — with the fold
+    * on it collapses onto the same key. Default off: established
+    * oracles and already-canonical corpora are untouched.
     */
-  def exactByPrefix(docs: DataFrame, prefixWords: Int = 3): DataFrame = {
+  def exactByPrefix(docs: DataFrame, prefixWords: Int = 3,
+      normalize: Boolean = false): DataFrame = {
     // try_element_at: docs shorter than prefixWords yield nulls (which
     // concat_ws skips) instead of ANSI INVALID_ARRAY_INDEX errors
+    val text =
+      if (normalize) TextOps.nfc(col("text")) else col("text")
     val key = concat_ws(" ",
-      (1 to prefixWords).map(i => try_element_at(split(col("text"), " "), lit(i))): _*)
+      (1 to prefixWords).map(i => try_element_at(split(text, " "), lit(i))): _*)
     docs.select(col("doc_id"), key.as("k"))
       .groupBy(col("k"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))

@@ -391,9 +391,26 @@ object Kmeans {
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the corpus, then mark as duplicates
-    * vectors whose quantized cosine to an EARLIER member of the same
-    * cluster reaches `num/den` — the greedy keep-first-seen rule of
-    * the paper with `vec_id` as the deterministic arrival order.
+    * vectors whose quantized cosine to ANY EARLIER member of the same
+    * cluster reaches `num/den`, with `vec_id` as the deterministic
+    * arrival order.
+    *
+    * DELIBERATE DEVIATION from the paper's sequential greedy: the
+    * paper keeps a vector when it is far from every already-KEPT
+    * member, so on a chain A~B~C with A⊀C it keeps A and C; this
+    * rule drops against any earlier member (kept or not) and keeps
+    * only A. The trade is bought on purpose — the drop decision
+    * becomes a pure function of the (unordered) pair set, which is
+    * what makes (a) the full DuckDB hash oracle possible and (b) the
+    * streaming form's pair emission provably arrival-order-invariant
+    * ([[graft.streaming.StreamingKmeans.streamingSemanticPairs]]);
+    * the sequential rule is inherently order-dependent and
+    * unverifiable by a set-shaped oracle. The deviation only ever
+    * drops MORE (every paper-dropped vector is dropped here too), so
+    * it is conservative for dedup; KmeansSpec measures the keep-rate
+    * delta against a per-cell reference implementation of the
+    * paper's chain rule.
+    *
     * Cross-cluster near-dups are deliberately out of scope (that is
     * the approximation SemDeDup trades for tractability; the exact
     * all-pairs baseline is [[graft.ops.Dedup.embeddingCosinePairs]]).

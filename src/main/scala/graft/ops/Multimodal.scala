@@ -16,6 +16,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default input-stream cache is DISK-backed: every
+  // createImageInputStream over an in-memory byte[] allocates (and
+  // later deletes) a temp file. Pure waste for byte-array decodes —
+  // switch it off once per JVM (object init runs on driver and on
+  // each executor the first time a decode closure touches Multimodal).
+  javax.imageio.ImageIO.setUseCache(false)
+
   val MediaMetaType: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("width", IntegerType),
@@ -114,17 +121,61 @@ object Multimodal {
     }
   }
 
-  /** Mixed-corpus decoder: image readers first, then the audio SPI,
-    * then the deterministic stub — one decoder instance for a corpus
-    * whose `payload` column carries several modalities, the shape a
-    * real curation pipeline has. Video stays stubbed (no JDK-built-in
-    * video demuxer exists; a production binding lands behind the same
-    * [[Decoder]] seam).
+  /** Magic-byte modality sniff: every container format the JDK's two
+    * built-in codec stacks can actually open is identifiable from the
+    * first ≤12 bytes, so the mixed-corpus decoder can dispatch
+    * straight to the one matching decoder — or the stub — without
+    * paying an ImageIO stream + SPI probe AND an audio-SPI
+    * `UnsupportedAudioFileException` per non-media row (on a text
+    * corpus that is ~every row: exception-driven dispatch plus, before
+    * [[ImageIO.setUseCache]] was switched off, a disk-backed cache
+    * file per row).
+    *
+    * Returns 'i' (image: PNG/JPEG/GIF/BMP/TIFF, plus the two-NUL-lead
+    * WBMP candidate), 'a' (audio: RIFF-WAVE/AIFF/AU), or 'o'
+    * (neither). Narrowing only: a payload sniffed 'i' that then fails
+    * image decode still lands on the fallback row, exactly as the
+    * old probe-everything chain did.
+    */
+  private[ops] def sniffModality(b: Array[Byte]): Char = {
+    if (b == null || b.length < 4) return 'o'
+    @inline def at(i: Int) = b(i) & 0xff
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') 'i'
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) 'i' // JPEG
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') 'i'
+    else if (at(0) == 'B' && at(1) == 'M') 'i' // BMP
+    else if ((at(0) == 'I' && at(1) == 'I' && at(2) == 0x2a && at(3) == 0) ||
+             (at(0) == 'M' && at(1) == 'M' && at(2) == 0 && at(3) == 0x2a)) 'i' // TIFF
+    else if (at(0) == 0 && at(1) == 0) 'i' // WBMP has no magic; two-NUL lead is its only tell
+    else if (b.length >= 12 &&
+             at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+             at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E') 'a'
+    else if (b.length >= 12 &&
+             at(0) == 'F' && at(1) == 'O' && at(2) == 'R' && at(3) == 'M' &&
+             at(8) == 'A' && at(9) == 'I' && at(10) == 'F') 'a' // AIFF/AIFC
+    else if (at(0) == '.' && at(1) == 's' && at(2) == 'n' && at(3) == 'd') 'a' // AU
+    else 'o'
+  }
+
+  /** Mixed-corpus decoder: magic-byte sniff first, then ONLY the
+    * matching decoder — image readers for image magics, the audio SPI
+    * for audio magics, the deterministic stub for everything else —
+    * one decoder instance for a corpus whose `payload` column carries
+    * several modalities, the shape a real curation pipeline has.
+    * Non-media rows (i.e. ~every row of a text corpus) never touch a
+    * codec SPI: no per-row exception, no ImageIO stream. Video stays
+    * stubbed (no JDK-built-in video demuxer exists; a production
+    * binding lands behind the same [[Decoder]] seam).
     */
   object MediaIoDecoder extends Decoder {
     override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[Row] =
-      payloads.map(b =>
-        decodeImage(b).orElse(decodeAudio(b)).getOrElse(fallbackRow(b)))
+      payloads.map { b =>
+        sniffModality(b) match {
+          case 'i' => decodeImage(b).getOrElse(fallbackRow(b))
+          case 'a' => decodeAudio(b).getOrElse(fallbackRow(b))
+          case _   => fallbackRow(b)
+        }
+      }
   }
 
   /** Attach decoded metadata to a DataFrame with a binary `payload`

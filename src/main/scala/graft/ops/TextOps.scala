@@ -10,8 +10,22 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace word tokens. */
-  def words(text: Column): Column = split(text, " ")
+  /** Unicode NFC canonicalization (native `nfc_norm` expression) —
+    * the opt-in pre-step for every text-KEYED operation: a decomposed
+    * "é" (e + U+0301) and the precomposed U+00E9 are byte-different,
+    * so without it a verbatim duplicate survives exact dedup and a
+    * shingle/fingerprint key splits in two. Default OFF on the key
+    * operators (`normalize = false`) so established oracles and
+    * already-keyed corpora are untouched; a curation pipeline over
+    * wild text turns it on at the first text-keyed step.
+    */
+  def nfc(text: Column): Column = call_function("nfc_norm", text)
+
+  /** Whitespace word tokens; `normalize = true` folds the text to NFC
+    * first (see [[nfc]]) so tokens can't split on decomposed accents.
+    */
+  def words(text: Column, normalize: Boolean = false): Column =
+    split(if (normalize) nfc(text) else text, " ")
 
   /** Distinct word n-gram shingles over an ALREADY-MATERIALIZED words
     * array column (1-based element_at, guarded for short docs —
@@ -135,11 +149,14 @@ object TextOps {
   }
 
   /** Document fingerprints: md5 of the raw text and of a normalized
-    * form (lowercase, collapsed whitespace).
+    * form (lowercase, collapsed whitespace). `normalize = true`
+    * NFC-folds first ([[nfc]]) so byte-different decomposed accents
+    * can't fingerprint apart; default off keeps existing oracles.
     */
-  def fingerprintMd5(text: Column): Column = md5(text)
-  def fingerprintNormalized(text: Column): Column =
-    md5(regexp_replace(lower(text), "\\s+", " "))
+  def fingerprintMd5(text: Column, normalize: Boolean = false): Column =
+    md5(if (normalize) nfc(text) else text)
+  def fingerprintNormalized(text: Column, normalize: Boolean = false): Column =
+    md5(regexp_replace(lower(if (normalize) nfc(text) else text), "\\s+", " "))
 
   /** PII patterns (emails, phone numbers, IPv4 addresses) — kept to
     * the syntax subset Java regex and RE2 interpret identically, so

@@ -444,6 +444,23 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // the NfcNorm motivating scenario made executable: plant, per
+    // sampled doc, a precomposed ("café résumé …") and a decomposed
+    // ("cafe"+U+0301…) prefix-duplicate — byte-different, visually
+    // identical. With `normalize = true` exact dedup folds both onto
+    // one key (n_dups = 2); with the default OFF they survive apart
+    // (spec-pinned in DedupSpec). DuckDB replays via nfc_normalize
+    "x_dedup_exact_nfc" -> ((s, d) => {
+      val base = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val sampled = base.filter(col("doc_id") % 7 === 0)
+      val pre = sampled.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("caf\u00e9 r\u00e9sum\u00e9 "), col("text")).as("text"))
+      val dec = sampled.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("cafe\u0301 re\u0301sume\u0301 "), col("text")).as("text"))
+      Dedup.exactByPrefix(base.union(pre).union(dec), normalize = true)
+        .orderBy(col("k"))
+    }),
+
     "x_text_quality" -> ((s, d) => {
       val cols = TextOps.qualityColumns(col("text")).filterNot(_._1 == "n_chars")
         .map { case (n, c) => c.as(n) }
@@ -1752,6 +1769,24 @@ object Extensions {
         |  CAST(length(t) - length(nfc_normalize(t)) AS INT) AS n_folded,
         |  md5(nfc_normalize(t)) AS fp_norm
         |FROM e ORDER BY doc_id""".stripMargin,
+
+    // the same planted pre/decomposed prefix-duplicates (chr() builds
+    // the code points), keyed over nfc_normalize — DuckDB's fold must
+    // land both variants on one key exactly like the Spark side's
+    "x_dedup_exact_nfc" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233) || ' ' || text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    'cafe' || chr(769) || ' re' || chr(769) || 'sume' || chr(769) || ' ' || text
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT array_to_string(string_split(nfc_normalize(text), ' ')[1:3], ' ') AS k,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM c GROUP BY 1 ORDER BY k""".stripMargin,
 
     "x_text_quality" ->
       """SELECT doc_id,

@@ -76,14 +76,26 @@ object StreamingDedup {
     * size (the same property that makes batch LSH's bucket self-join
     * tractable); a boilerplate-heavy corpus that floods one bucket
     * needs the same mitigation as batch (drop degenerate shingle
-    * sets up front). No watermark: near-dup state cannot expire
-    * without forgetting the corpus — bound it by routing ANCIENT
-    * partitions through the batch incremental path instead.
+    * sets up front).
+    *
+    * STATE CONTRACT: with the default `ttlIdLag = 0` there is no
+    * watermark and buckets remember every occupant — complete batch
+    * parity, but unbounded on an infinite stream (near-dup state
+    * cannot expire without forgetting the corpus). That default is
+    * for BOUNDED corpora; route ancient history through the batch
+    * incremental path. For infinite streams, `ttlIdLag > 0` evicts
+    * bucket occupants whose doc_id trails the bucket's max seen id
+    * by more than the lag — a sliding dedup window under the
+    * operator's doc_id-is-arrival-order contract; candidate pairs
+    * spanning more than the lag are KNOWINGLY lost (the eviction
+    * spec shows which). The trailing exactly-once `dropDuplicates`
+    * state is unaffected by the lag (it holds emitted pairs, not
+    * members).
     */
   def streamingMinhashPairs(spark: SparkSession, dir: String,
       schema: StructType, queryName: String,
       bands: Int = 32, rowsPerBand: Int = 2,
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+      maxFilesPerTrigger: Int = 0, ttlIdLag: Long = 0): StreamingQuery = {
     import spark.implicits._
     val sigLen = bands * rowsPerBand
 
@@ -97,6 +109,11 @@ object StreamingDedup {
             out += ((math.min(prev, id), math.max(prev, id))))
           seen = id :: seen
         }
+      }
+      if (ttlIdLag > 0 && seen.nonEmpty) {
+        // sliding-window eviction (see STATE CONTRACT above)
+        val horizon = seen.max - ttlIdLag
+        seen = seen.filter(_ >= horizon)
       }
       state.update(seen)
       out.iterator

@@ -136,16 +136,28 @@ object StreamingKmeans {
     *
     * The duplicate cut is the batch operator's exact integer algebra
     * (`dot > 0 ∧ dot²·den² ≥ num²·‖a‖²·‖b‖²` in BigInt) on the packed
-    * int8 codes. State per cell is its member list (64 B of codes
-    * per member) — cell occupancy like the MinHash buckets, not
-    * corpus size; a cell CANNOT expire without forgetting members
-    * (same no-watermark argument), so ancient partitions belong on
-    * the batch operator instead.
+    * int8 codes.
+    *
+    * STATE CONTRACT: with the default `ttlIdLag = 0`, state per cell
+    * is its FULL member list so far (64 B of codes per member) — cell
+    * occupancy, not corpus size, but on an infinite stream it grows
+    * without bound: complete batch parity and bounded state cannot
+    * coexist (a forgotten member is a missable pair). The default is
+    * therefore for BOUNDED corpora (a backfill, a day's partition);
+    * route ancient history through the batch operator. For infinite
+    * streams, `ttlIdLag > 0` turns on eviction: after each update a
+    * cell forgets members whose id trails the cell's max seen id by
+    * more than the lag — under the operator's own contract that
+    * `vec_id` is the arrival order, this is a sliding dedup window,
+    * and pairs spanning more than the lag are KNOWINGLY lost (the
+    * eviction spec shows exactly which). An evicted member was
+    * already compared against everything that arrived before its
+    * eviction, so near-window pairs are unaffected.
     */
   def streamingSemanticPairs(spark: SparkSession, dir: String,
       schema: StructType, queryName: String,
       cents: Array[Array[Long]], num: Int = 2, den: Int = 5,
-      maxFilesPerTrigger: Int = 0): StreamingQuery = {
+      maxFilesPerTrigger: Int = 0, ttlIdLag: Long = 0): StreamingQuery = {
     require(num > 0 && den > 0 && num <= den,
       s"cosine threshold must be a rational in (0, 1]: $num/$den")
     import spark.implicits._
@@ -178,6 +190,13 @@ object StreamingKmeans {
           }
           seen = (id, pack) :: seen
         }
+      }
+      if (ttlIdLag > 0 && seen.nonEmpty) {
+        // sliding-window eviction: ids are the arrival order, so the
+        // cell's max id is its clock; members older than the lag can
+        // no longer form a within-window pair
+        val horizon = seen.iterator.map(_._1).max - ttlIdLag
+        seen = seen.filter(_._1 >= horizon)
       }
       state.update(seen)
       out.iterator

@@ -42,7 +42,9 @@ final class BigQueryWriter(
     primaryKey: Seq[String] = Seq.empty,
     batchSize: Int = 500,
     autoCreate: Boolean = true,
-    requestTimeoutSecs: Long = 60) extends DataWriter with Serializable {
+    requestTimeoutSecs: Long = 60,
+    stagedMerge: Boolean = false,
+    maxAttempts: Int = 5) extends DataWriter with Serializable {
 
   private def tablePath = s"$dataset.$table"
 
@@ -63,16 +65,14 @@ final class BigQueryWriter(
     df.select(cols: _*)
   }
 
+  // idempotent like the Postgres 42P01 swallow — but on the PARSED
+  // job-error reason only: an HTTP-level 404 (misconfigured endpoint,
+  // wrong project path — whose body also says "Not found") must still
+  // propagate, so the swallow never matches message text
   override def truncate(): Unit =
-    try BigQueryWriter.post(endpoint, project, auth,
-      BqSql.truncateSql(tablePath), requestTimeoutSecs)
-    catch {
-      // idempotent like the Postgres 42P01 swallow: BigQuery reports
-      // a missing table as a notFound job error ("Not found: Table")
-      case e: graft.errors.GraftError.WriterError
-          if e.getMessage.contains("notFound") ||
-            e.getMessage.contains("Not found") => ()
-    }
+    BigQueryWriter.post(endpoint, project, auth,
+      BqSql.truncateSql(tablePath), requestTimeoutSecs,
+      maxAttempts = maxAttempts, swallowReasons = Set("notFound"))
 
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     if (mode == WriteMode.Merge && primaryKey.isEmpty)
@@ -84,33 +84,58 @@ final class BigQueryWriter(
 
     if (autoCreate)
       BigQueryWriter.post(endpoint, project, auth,
-        BqSql.createTableSql(tablePath, schema, primaryKey), requestTimeoutSecs)
+        BqSql.createTableSql(tablePath, schema, primaryKey), requestTimeoutSecs,
+        maxAttempts = maxAttempts)
 
-    val (ep, proj, a, tbl, pk, bs, timeout) =
-      (endpoint, project, auth, tablePath, primaryKey, batchSize, requestTimeoutSecs)
-    val md = mode
-    val counter = df.sparkSession.sparkContext.longAccumulator("rowsWritten")
+    // BigQuery serializes mutating DML per table: concurrent MERGEs
+    // from every partition queue shallowly and then abort. The staged
+    // path sidesteps the contention class entirely — partitions
+    // APPEND into a per-write staging table (appends don't compete),
+    // the driver issues ONE key-deduplicated MERGE, then drops the
+    // stage. The direct path remains for single-partition/low-
+    // concurrency writes; its MERGEs retry on the documented
+    // concurrent-update abort (see `post`).
+    if (mode == WriteMode.Merge && stagedMerge) {
+      val stage = s"$dataset.${table}__stage_${java.util.UUID.randomUUID.toString.take(8)}"
+      BigQueryWriter.post(endpoint, project, auth,
+        BqSql.createTableSql(stage, schema), requestTimeoutSecs,
+        maxAttempts = maxAttempts)
+      try {
+        val stats = writeBatches(prepared, schema, stage, WriteMode.Append)
+        BigQueryWriter.post(endpoint, project, auth,
+          BqSql.mergeFromTableSql(tablePath, stage, schema, primaryKey),
+          requestTimeoutSecs, maxAttempts = maxAttempts)
+        stats
+      } finally BigQueryWriter.post(endpoint, project, auth,
+        BqSql.dropTableSql(stage), requestTimeoutSecs, maxAttempts = maxAttempts)
+    } else writeBatches(prepared, schema, tablePath, mode)
+  }
+
+  private def writeBatches(prepared: DataFrame,
+      schema: scala.collection.immutable.ListMap[String, BqSql.BqType],
+      destTable: String, md: WriteMode): WriteStats = {
+    val (ep, proj, a, pk, bs, timeout, attempts) =
+      (endpoint, project, auth, primaryKey, batchSize, requestTimeoutSecs, maxAttempts)
+    val counter = prepared.sparkSession.sparkContext.longAccumulator("rowsWritten")
 
     prepared.foreachPartition { (rows: Iterator[Row]) =>
       val buf = new scala.collection.mutable.ArrayBuffer[Seq[Any]](bs)
       var bufBytes = 0
       def flush(): Unit = if (buf.nonEmpty) {
         val sql = md match {
-          case WriteMode.Append => BqSql.insertSql(tbl, schema, buf.toSeq)
-          case WriteMode.Merge => BqSql.mergeSql(tbl, schema, pk, buf.toSeq)
+          case WriteMode.Append => BqSql.insertSql(destTable, schema, buf.toSeq)
+          case WriteMode.Merge => BqSql.mergeSql(destTable, schema, pk, buf.toSeq)
         }
-        BigQueryWriter.post(ep, proj, a, sql, timeout)
+        BigQueryWriter.post(ep, proj, a, sql, timeout, maxAttempts = attempts)
         counter.add(buf.size.toLong)
         buf.clear()
         bufBytes = 0
       }
       rows.foreach { r =>
         val vals = r.toSeq
-        // conservative rendered-size estimate: literals roughly double
-        // worst-case under escaping, plus per-value punctuation
         val rowBytes = vals.iterator.map {
           case null => 4
-          case s: String => 2 * s.length + 8
+          case s: String => BigQueryWriter.renderedStringBytes(s) + 8
           case b: Array[Byte] => (b.length * 4) / 3 + 16
           case other => other.toString.length + 4
         }.sum
@@ -156,15 +181,92 @@ object BigQueryWriter {
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(30)).build()
 
-  /** POST one statement to `jobs.query`; retries once with a fresh
-    * token on 401 (OAuth only), fails on HTTP or job errors. Package
-    * scope so the spec can drive single statements.
+  /** Exact rendered-size contribution of a string literal under
+    * [[BqSql.escapeString]]: control characters expand to `\\uXXXX`
+    * (6 chars — the old 2·len estimate let a control-char-heavy batch
+    * render past the cap's headroom), backslash/quote/\n\r\t to two.
+    * One scan, no allocation.
+    */
+  private[writer] def renderedStringBytes(s: String): Int = {
+    var extra = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' || c == '\'' || c == '\n' || c == '\r' || c == '\t') extra += 1
+      else if (c < ' ') extra += 5
+      i += 1
+    }
+    s.length + extra
+  }
+
+  /** Job-error reasons worth a backoff-retry: transient backend
+    * faults, rate limits, and the serializable-DML abort BigQuery
+    * raises when MERGEs on one table compete.
+    */
+  private val RetryableReasons =
+    Set("backendError", "internalError", "rateLimitExceeded", "jobRateLimitExceeded")
+
+  private def isRetryableJobError(errors: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    val it = errors.elements()
+    var retryable = false
+    while (it.hasNext) {
+      val e = it.next()
+      val reason = if (e.has("reason")) e.get("reason").asText() else ""
+      val msg = if (e.has("message")) e.get("message").asText() else ""
+      if (RetryableReasons.contains(reason) || msg.contains("concurrent update"))
+        retryable = true
+    }
+    retryable
+  }
+
+  private def reasonsOf(errors: com.fasterxml.jackson.databind.JsonNode): Set[String] = {
+    val it = errors.elements()
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.has("reason")) b += e.get("reason").asText()
+    }
+    b.result()
+  }
+
+  /** Test seam: deterministic exponential backoff (200 ms · 2^k,
+    * capped 5 s); specs stub it out so injected-429 runs don't sleep.
+    */
+  @volatile private[writer] var sleeper: Long => Unit = Thread.sleep
+
+  private def backoff(attempt: Int): Unit =
+    sleeper(math.min(200L << math.min(attempt, 4), 5000L))
+
+  /** POST one statement to `jobs.query`. Robustness contract:
+    *   - 401 → one token refresh (OAuth only), the HTTP-source
+    *     recovery shape;
+    *   - 429 / 5xx / retryable job errors (backendError,
+    *     rateLimitExceeded, the concurrent-DML "concurrent update"
+    *     abort) → exponential backoff, up to `maxAttempts` total;
+    *   - the request carries `timeoutMs`, and a 200 with
+    *     `jobComplete: false` (the server-side wait expired before
+    *     the job finished) POLLS `jobs.getQueryResults` until the job
+    *     completes or attempts run out — a slow DML that later fails
+    *     is never silently counted as written;
+    *   - `swallowReasons`: job errors whose PARSED reasons all fall
+    *     in the set return silently (truncate's notFound) — never
+    *     matched against message text, so an HTTP 404 still throws.
+    * Package scope so the spec can drive single statements.
     */
   private[writer] def post(endpoint: String, project: String, auth: Auth,
-      sql: String, timeoutSecs: Long): Unit = {
+      sql: String, timeoutSecs: Long, maxAttempts: Int = 5,
+      swallowReasons: Set[String] = Set.empty): Unit = {
     val body = mapper.createObjectNode()
     body.put("query", sql)
     body.put("useLegacySql", false)
+    // server-side wait: jobs.query defaults to ~10 s and then returns
+    // jobComplete=false; ask for the full request budget
+    body.put("timeoutMs", math.max(1000L, timeoutSecs * 1000L))
+    // one requestId per STATEMENT, reused across retry attempts:
+    // jobs.query deduplicates repeated requestIds, so a retry after an
+    // ambiguous 5xx (job may have run) cannot double-apply the DML —
+    // at-least-once send, exactly-once execution
+    body.put("requestId", java.util.UUID.randomUUID.toString)
     val payload = mapper.writeValueAsString(body)
 
     def send(token: String): HttpResponse[String] = {
@@ -178,21 +280,83 @@ object BigQueryWriter {
       client.send(req, HttpResponse.BodyHandlers.ofString())
     }
 
-    var resp = send(bearer(auth))
-    if (resp.statusCode() == 401) auth match {
-      case OAuth(spec) =>
-        // expired/revoked grant: evict and retry once with a fresh
-        // token, the HTTP-source 401 recovery contract
-        OAuth2.invalidate(spec)
-        resp = send(bearer(auth))
-      case _ => ()
+    def pollIncomplete(token: String, node: com.fasterxml.jackson.databind.JsonNode,
+        attemptsLeft: Int): Unit = {
+      // jobComplete=false carries a jobReference; poll getQueryResults
+      // until the job lands (completion may still report job errors —
+      // re-checked by the shared tail below)
+      val ref = node.get("jobReference")
+      require(ref != null && ref.has("jobId"),
+        "bigquery: jobComplete=false without a jobReference")
+      val jobId = ref.get("jobId").asText()
+      val loc = if (ref.has("location")) s"&location=${ref.get("location").asText()}" else ""
+      var left = attemptsLeft
+      var cur = node
+      while (!cur.get("jobComplete").asBoolean(false)) {
+        if (left <= 0) throw new graft.errors.GraftError.WriterError(
+          s"bigquery job $jobId did not complete within the poll budget")
+        backoff(maxAttempts - left)
+        val req = HttpRequest.newBuilder()
+          .uri(URI.create(s"$endpoint/bigquery/v2/projects/$project/queries/$jobId" +
+            s"?timeoutMs=${math.max(1000L, timeoutSecs * 1000L)}$loc"))
+          .timeout(Duration.ofSeconds(timeoutSecs))
+          .header("Authorization", s"Bearer $token")
+          .GET().build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 != 2)
+          throw new graft.errors.GraftError.WriterError(
+            s"bigquery getQueryResults HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+        cur = mapper.readTree(resp.body())
+        checkJobErrors(cur)
+        left -= 1
+      }
     }
-    if (resp.statusCode() / 100 != 2)
-      throw new graft.errors.GraftError.WriterError(
-        s"bigquery jobs.query HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
-    val node = mapper.readTree(resp.body())
-    if (node.has("errors") && node.get("errors").size() > 0)
-      throw new graft.errors.GraftError.WriterError(
-        s"bigquery job errors: ${node.get("errors").toString.take(500)}")
+
+    def checkJobErrors(node: com.fasterxml.jackson.databind.JsonNode): Unit =
+      if (node.has("errors") && node.get("errors").size() > 0) {
+        val errors = node.get("errors")
+        val reasons = reasonsOf(errors)
+        if (reasons.nonEmpty && reasons.subsetOf(swallowReasons)) ()
+        else throw new graft.errors.GraftError.WriterError(
+          s"bigquery job errors: ${errors.toString.take(500)}")
+      }
+
+    var attempt = 0
+    var refreshed401 = false
+    var done = false
+    while (!done) {
+      attempt += 1
+      val token = bearer(auth)
+      val resp = send(token)
+      val code = resp.statusCode()
+      if (code == 401 && !refreshed401 && auth.isInstanceOf[OAuth]) {
+        // expired/revoked grant: evict and retry once with a fresh
+        // token, the HTTP-source 401 recovery contract (doesn't spend
+        // a backoff attempt — it's a credential refresh, not a fault)
+        OAuth2.invalidate(auth.asInstanceOf[OAuth].spec)
+        refreshed401 = true
+        attempt -= 1
+      } else if (code == 429 || code / 100 == 5) {
+        if (attempt >= maxAttempts)
+          throw new graft.errors.GraftError.WriterError(
+            s"bigquery jobs.query HTTP $code after $attempt attempts: ${resp.body().take(500)}")
+        backoff(attempt - 1)
+      } else if (code / 100 != 2) {
+        throw new graft.errors.GraftError.WriterError(
+          s"bigquery jobs.query HTTP $code: ${resp.body().take(500)}")
+      } else {
+        val node = mapper.readTree(resp.body())
+        val errors = if (node.has("errors")) node.get("errors") else null
+        if (errors != null && errors.size() > 0 && isRetryableJobError(errors)
+            && attempt < maxAttempts) {
+          backoff(attempt - 1)
+        } else {
+          checkJobErrors(node)
+          if (node.has("jobComplete") && !node.get("jobComplete").asBoolean(false))
+            pollIncomplete(token, node, maxAttempts - attempt)
+          done = true
+        }
+      }
+    }
   }
 }

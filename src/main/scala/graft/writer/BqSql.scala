@@ -164,4 +164,39 @@ object BqSql {
 
   def truncateSql(table: String): String =
     s"TRUNCATE TABLE ${quoteIdent(table)}"
+
+  /** MERGE from a staging table — the stage-append-then-one-MERGE
+    * write path: partitions INSERT into the stage concurrently
+    * (BigQuery serializes mutating DML per TABLE, so appends to the
+    * stage never compete with each other the way concurrent MERGEs on
+    * the target do), then the driver issues this one MERGE. Source
+    * rows are key-deduplicated with ROW_NUMBER first: BigQuery MERGE
+    * errors when several source rows match one target row, and which
+    * duplicate of a single load survives is explicitly
+    * nondeterministic — the same contract as the per-batch literal
+    * MERGE.
+    */
+  def mergeFromTableSql(table: String, stage: String,
+      schema: ListMap[String, BqType], primaryKey: Seq[String]): String = {
+    require(primaryKey.nonEmpty, "merge requires a primary key")
+    val names = schema.keys.toIndexedSeq
+    val pkCols = primaryKey.map(quoteIdent).mkString(", ")
+    val source = s"SELECT * EXCEPT (__rn) FROM (SELECT *, " +
+      s"ROW_NUMBER() OVER (PARTITION BY $pkCols) AS __rn " +
+      s"FROM ${quoteIdent(stage)}) WHERE __rn = 1"
+    val on = primaryKey.map(k => s"t.${quoteIdent(k)} = s.${quoteIdent(k)}")
+      .mkString(" AND ")
+    val updatable = names.filterNot(primaryKey.contains)
+    val matched =
+      if (updatable.isEmpty) ""
+      else " WHEN MATCHED THEN UPDATE SET " +
+        updatable.map(c => s"${quoteIdent(c)} = s.${quoteIdent(c)}").mkString(", ")
+    val colsQ = names.map(quoteIdent)
+    s"MERGE ${quoteIdent(table)} AS t USING ($source) AS s ON $on$matched " +
+      s"WHEN NOT MATCHED THEN INSERT (${colsQ.mkString(", ")}) " +
+      s"VALUES (${colsQ.map(c => s"s.$c").mkString(", ")})"
+  }
+
+  def dropTableSql(table: String): String =
+    s"DROP TABLE IF EXISTS ${quoteIdent(table)}"
 }

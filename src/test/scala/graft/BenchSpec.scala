@@ -95,6 +95,22 @@ class BenchSpec extends AnyFunSuite {
     assert(results.forall(_.secs.isDefined))
   }
 
+  test("per-pass time vectors land in the artifact next to the median") {
+    // the r12 artifact published a 15 s median for a 3 s-warm query;
+    // with only the median recorded, cold-fit/churn contamination was
+    // invisible — the raw vector is the audit trail
+    val results = Bench.runThunks(
+      Seq[(String, () => Unit)]("q_a" -> (() => ())), reps = 3)
+    assert(results.head.passes.size == 3)
+    val r = Bench.QResult("q_x", Some(3.0), None, Vector(15.2, 3.0, 14.9))
+    val json = Bench.renderJson(Seq(r), "sfX", "count", 0L, 0.0)
+    assert(json.contains(""""passes":{"q_x":[15.200,3.000,14.900]}"""))
+    import spark.implicits._
+    val parsed = spark.read.option("mode", "FAILFAST").json(Seq(json).toDS).collect()(0)
+    assert(parsed.getAs[org.apache.spark.sql.Row]("passes")
+      .getAs[scala.collection.Seq[Double]]("q_x").toSeq == Seq(15.2, 3.0, 14.9))
+  }
+
   test("a query erroring in a later pass is still reported as an error") {
     var calls = 0
     def flaky(s: org.apache.spark.sql.SparkSession, @annotation.unused d: String): DataFrame = {

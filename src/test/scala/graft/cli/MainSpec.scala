@@ -338,4 +338,43 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(m => (m.group(1).toLong, m.group(2)))).sorted ==
       List((1L, "t1"), (2L, "t2")))
   }
+
+  test("schema_evolution + bigquery target is rejected loudly, not silently ignored") {
+    val spark = graft.SparkTestSession.spark
+    val bqCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+    server.createContext("/bigquery/v2/projects/pse/queries", (ex: HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      bqCalls.incrementAndGet()
+      graft.HttpStub.respond(ex, """{"jobComplete": true}""")
+    })
+    val dir = Files.createTempDirectory("pipeline-bq-evo")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    Files.writeString(modules.resolve("posts.sql"),
+      """{{ sink(name="bq") }}
+        |SELECT id, title FROM {{ use_source("posts_api") }}""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: posts_api
+         |    url: $base/posts
+         |    table_destination_name: posts
+         |    data_path: /data
+         |    schema_evolution: true
+         |targets:
+         |  - name: bq
+         |    type: bigquery
+         |    host: $base
+         |    project: pse
+         |    database: ds
+         |    auth:
+         |      username: unused
+         |      password: stub-token
+         |""".stripMargin)
+    val failed = Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString), spark)
+    // the module FAILS at wiring — the writer has no evolution
+    // support, so nothing may reach the API (unlike a silent drop)
+    assert(failed == 1)
+    assert(bqCalls.get() == 0)
+  }
 }

@@ -275,6 +275,34 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Dedup.clearShingleCache()
   }
 
+  test("minhash pairs TTL: bucket occupants past the id lag evicted, spanning pairs knowingly lost") {
+    val sp = spark; import sp.implicits._
+    // four IDENTICAL documents (same shingles → same buckets in every
+    // band); controlled arrival order via one file per micro-batch
+    val text = (1 to 8).map(i => s"w$i").mkString(" ")
+    def rows(ids: Long*) = ids
+      .map(id => (id, text, "en", "src", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = rows(1L, 2L, 1000L, 5L)
+    val dir = java.nio.file.Files
+      .createTempDirectory("docs-lsh-stream-ttl").toString
+    def ship(batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100)
+    }
+    ship(rows(1L, 2L)); ship(rows(1000L)); ship(rows(5L))
+    val q = graft.streaming.StreamingDedup.streamingMinhashPairs(
+      spark, dir, all.schema, "lsh_pairs_stream_ttl",
+      maxFilesPerTrigger = 1, ttlIdLag = 10)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("lsh_pairs_stream_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1000's arrival pairs it with the still-live 1 and 2, THEN
+    // pushes them past the horizon; doc 5 can only meet the surviving
+    // 1000 — (1,5)/(2,5) are the knowingly-lost cost of bounded state
+    assert(got == Set((1L, 2L), (1L, 1000L), (2L, 1000L), (5L, 1000L)))
+  }
+
   test("Misra-Gries heavy hitters: certified-exact top-k, hostile capacity throws") {
     val sp = spark; import sp.implicits._
     // skewed stream: "hot" dominates, mid-frequency terms, long tail
@@ -799,6 +827,33 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(messages(e).exists(m => m.contains("dot_d") && m.contains("2 argument")))
   }
 
+  test("NFC-normalized exact dedup catches a decomposed-form duplicate; default off misses it") {
+    import spark.implicits._
+    // visually identical, byte-different: precomposed U+00E9 vs
+    // e + combining U+0301 — the NfcNorm motivating scenario
+    val docs = Seq(
+      (1L, "caf\u00e9 r\u00e9sum\u00e9 body one"),
+      (2L, "cafe\u0301 re\u0301sume\u0301 body two"),
+      (3L, "plain ascii text here")).toDF("doc_id", "text")
+    val off = Dedup.exactByPrefix(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(off.size == 3, "without normalization the decomposed twin survives apart")
+    assert(off.values.forall(_ == 1L))
+    val on = Dedup.exactByPrefix(docs, normalize = true)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(on.size == 2, "with the NFC fold both variants land on one key")
+    assert(on("caf\u00e9 r\u00e9sum\u00e9 body") == (1L, 2L))
+    // the fingerprint pre-step folds the same way
+    val fps = docs.select(
+      TextOps.fingerprintMd5(col("text"), normalize = true).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps.distinct.size == 3) // bodies differ → fingerprints differ
+    val fpPair = Seq((1L, "caf\u00e9"), (2L, "cafe\u0301")).toDF("id", "text")
+      .select(TextOps.fingerprintMd5(col("text"), normalize = true).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fpPair.distinct.size == 1, "same text modulo composition → same fingerprint")
+  }
+
   test("repeat dedup calls hit the pair memo (same pinned result back)") {
     val docs = graft.engine.Tables.table(spark, sf, "documents")
     assert(Dedup.minhashLsh(docs) eq Dedup.minhashLsh(docs))
@@ -877,6 +932,62 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(mixed(1L) == ("wave", 8000, 1, 400))
     assert(mixed(3L) == ("png", 17, 9, 1))
     assert(mixed(4L)._1 == "stub", "garbage stays total via the stub row")
+  }
+
+  test("magic-byte sniff routes every modality; text payloads take the codec-free stub path") {
+    import Multimodal.sniffModality
+    def png = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    def jpg = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    def wav = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](32)), fmt, 16L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // real rendered containers sniff to their modality
+    assert(sniffModality(png) == 'i')
+    assert(sniffModality(jpg) == 'i')
+    assert(sniffModality(wav) == 'a')
+    // hand-built magics for the containers this box can't render
+    assert(sniffModality("GIF89a-rest".getBytes("US-ASCII")) == 'i')
+    assert(sniffModality("BM0000".getBytes("US-ASCII")) == 'i')
+    assert(sniffModality(Array[Byte]('I', 'I', 0x2a, 0, 1, 2)) == 'i') // TIFF LE
+    assert(sniffModality(Array[Byte]('M', 'M', 0, 0x2a, 1, 2)) == 'i') // TIFF BE
+    assert(sniffModality(Array[Byte](0, 0, 40, 40)) == 'i') // WBMP candidate
+    assert(sniffModality("FORMxxxxAIFF".getBytes("US-ASCII")) == 'a')
+    assert(sniffModality(".snd0000".getBytes("US-ASCII")) == 'a')
+    // text / short / null payloads sniff 'o' — by construction they
+    // dispatch straight to the stub: no ImageIO stream, no audio-SPI
+    // exception, per row (the round-12 8x x_multimodal_meta regression)
+    assert(sniffModality("The quick brown fox".getBytes("UTF-8")) == 'o')
+    assert(sniffModality("RIFFxxxxDATA".getBytes("US-ASCII")) == 'o') // RIFF but not WAVE
+    assert(sniffModality("FO".getBytes("US-ASCII")) == 'o')
+    assert(sniffModality(Array.emptyByteArray) == 'o')
+    assert(sniffModality(null) == 'o')
+    // end-to-end: a pure-text corpus through the mixed decoder lands
+    // entirely on the deterministic stub rows (the gate-query shape)
+    import spark.implicits._
+    val texts = (1 to 64).map(i => (i.toLong, s"document number $i body".getBytes("UTF-8")))
+    val out = Multimodal.withMediaMeta(
+        texts.toDF("id", "payload").repartition(3), "payload",
+        Multimodal.MediaIoDecoder)
+      .select(col("media.format")).distinct().collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("stub"))
   }
 
   test("resizeImages downscales into the box; small and non-image payloads handled") {

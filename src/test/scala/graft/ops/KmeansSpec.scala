@@ -223,7 +223,7 @@ class KmeansSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("single embedding dimension"))
   }
 
-  test("semanticDedup: greedy keep-first equals the driver-side reference; cell-bounded plan") {
+  test("semanticDedup: drop-vs-any-earlier equals the driver-side reference; cell-bounded plan") {
     val e = graft.engine.Tables.table(spark, sf, "embeddings")
     val got = Kmeans.semanticDedup(e, 2, 5, K, ITERS).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getInt(3))))
@@ -261,5 +261,47 @@ class KmeansSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"semanticDedup pair join degenerated:\n$p")
+  }
+
+  test("paper's sequential keep-chain sibling: shipped rule is conservative, delta measured") {
+    // the paper's greedy (Abbas et al. 2023) keeps a vector when it is
+    // far from every already-KEPT member: on a chain A~B~C with A⊀C it
+    // keeps A and C, where the shipped arrival-order-invariant rule
+    // keeps only A. This sibling implements the chain rule per cell
+    // driver-side and pins the relationship: shipped-kept ⊆ chain-kept
+    // (the deviation only ever drops MORE — safe for dedup), and the
+    // keep-rate delta on the fixture is small and recorded.
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val shippedKeep = Kmeans.semanticDedup(e, 2, 5, K, ITERS).collect()
+      .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+
+    val (asg, _) = refKmeans(fixtureCodes())
+    val codes = fixtureCodes().toMap
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def near(a: Long, b: Long): Boolean = {
+      val d = dot(codes(a), codes(b))
+      d > 0 && BigInt(d) * BigInt(d) * 25 >=
+        BigInt(4) * BigInt(dot(codes(a), codes(a))) * BigInt(dot(codes(b), codes(b)))
+    }
+    val chainKeep = codes.keys.toSeq.sorted.groupBy(id => asg(id)._1)
+      .values.flatMap { cell =>
+        val kept = scala.collection.mutable.ArrayBuffer[Long]()
+        cell.foreach(id => if (!kept.exists(k => near(k, id))) kept += id)
+        kept
+      }.toSet
+
+    assert(shippedKeep.subsetOf(chainKeep),
+      s"shipped rule must only drop MORE: ${(shippedKeep -- chainKeep).take(5)}")
+    val delta = chainKeep.size - shippedKeep.size
+    assert(delta >= 0)
+    // the fixture carries chains, so the delta is observable but small
+    // — a large delta would mean the conservative rule is gutting the
+    // corpus and the deviation should be revisited
+    assert(delta <= math.max(2, codes.size / 10),
+      s"keep-rate delta $delta of ${codes.size} is no longer small")
   }
 }

@@ -159,4 +159,45 @@ class StreamingKmeansSpec extends AnyFunSuite {
     assert(pairs.count() > 0)
     assert(pairs.distinct().count() == pairs.count())
   }
+
+  test("semantic pairs TTL: sliding id-window evicts, far-spanning pairs knowingly lost") {
+    import spark.implicits._
+    // four IDENTICAL vectors (cosine 1 — always dups) in one cell;
+    // controlled arrival order via one file per micro-batch, distinct
+    // mtimes so FileStreamSource processes oldest-first
+    val vec = Array.fill(16)(1.0f).toSeq
+    def rows(ids: Long*) = ids.map(id => (id, vec, 0)).toDF("vec_id", "embedding", "label")
+    val all = rows(1L, 2L, 1000L, 5L)
+    val cents = Kmeans.centroids(all)
+    val dir = java.nio.file.Files
+      .createTempDirectory("emb-stream-sem-ttl").toString
+    def ship(batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(1100) // distinct source timestamps → deterministic order
+    }
+    ship(rows(1L, 2L)); ship(rows(1000L)); ship(rows(5L))
+
+    val q = graft.streaming.StreamingKmeans.streamingSemanticPairs(
+      spark, dir, all.schema, "kmeans_stream_sem_ttl", cents,
+      maxFilesPerTrigger = 1, ttlIdLag = 10)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("kmeans_stream_sem_ttl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch 1: (1,2). batch 2: 1000 pairs with BOTH live members, then
+    // 1 and 2 fall behind the max-id horizon and are evicted.
+    // batch 3: 5 pairs only with the surviving 1000 — the (1,5)/(2,5)
+    // pairs are the KNOWINGLY-lost cost of bounded state.
+    assert(got == Set((1L, 2L), (1L, 1000L), (2L, 1000L), (5L, 1000L)))
+    assert(!got.contains((1L, 5L)) && !got.contains((2L, 5L)))
+
+    // the default (no TTL) on the same files recovers every pair
+    val q0 = graft.streaming.StreamingKmeans.streamingSemanticPairs(
+      spark, dir, all.schema, "kmeans_stream_sem_nottl", cents,
+      maxFilesPerTrigger = 1)
+    try q0.processAllAvailable() finally q0.stop()
+    val full = spark.table("kmeans_stream_sem_nottl")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 2L), (1L, 5L), (2L, 5L),
+      (1L, 1000L), (2L, 1000L), (5L, 1000L)))
+  }
 }

@@ -151,6 +151,166 @@ class BigQueryWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("429/503 and the concurrent-DML abort retry with backoff; requestId pins exactly-once") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "v").coalesce(1)
+    val slept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val prevSleeper = BigQueryWriter.sleeper
+    BigQueryWriter.sleeper = ms => { slept.add(ms); () }
+    try withServer { (server, base) =>
+      val insertAttempts = new AtomicInteger(0)
+      val requestIds = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      server.createContext("/bigquery/v2/projects/p1/queries", ex => {
+        val body = readBody(ex)
+        val node = mapper.readTree(body)
+        val q = node.get("query").asText()
+        if (q.startsWith("INSERT")) {
+          requestIds.add(node.get("requestId").asText())
+          insertAttempts.incrementAndGet() match {
+            case 1 => respond(ex, """{"error":"slow down"}""", status = 429)
+            case 2 => respond(ex, """{"error":"transient"}""", status = 503)
+            case 3 => respond(ex,
+              """{"errors":[{"reason":"invalidQuery","message":""" +
+                """"Transaction aborted due to concurrent update of table ds.t"}]}""")
+            case _ => respond(ex, """{"jobComplete": true}""")
+          }
+        } else respond(ex, """{"jobComplete": true}""")
+      })
+      val w = new BigQueryWriter(base, "p1", "ds", "t",
+        BigQueryWriter.StaticToken("tok"))
+      val stats = w.write(df, WriteMode.Append)
+      // three injected faults, then success: the row is counted ONCE
+      assert(stats.rowsWritten == 1)
+      assert(insertAttempts.get() == 4)
+      // every retry reused the SAME requestId — the server-side
+      // dedup key that makes an ambiguous-5xx retry exactly-once
+      import scala.jdk.CollectionConverters._
+      assert(requestIds.asScala.toSet.size == 1)
+      // backoff actually engaged, exponentially
+      assert(slept.asScala.toList == List(200L, 400L, 800L))
+    } finally BigQueryWriter.sleeper = prevSleeper
+  }
+
+  test("attempts exhaust: a persistent 503 fails instead of spinning") {
+    val prevSleeper = BigQueryWriter.sleeper
+    BigQueryWriter.sleeper = _ => ()
+    try withServer { (server, base) =>
+      val calls = new AtomicInteger(0)
+      server.createContext("/bigquery/v2/projects/p1/queries", ex => {
+        readBody(ex); calls.incrementAndGet()
+        respond(ex, """{"error":"down"}""", status = 503)
+      })
+      val err = intercept[graft.errors.GraftError.WriterError] {
+        BigQueryWriter.post(base, "p1", BigQueryWriter.StaticToken("tok"),
+          "INSERT INTO x VALUES (1)", 5, maxAttempts = 3)
+      }
+      assert(calls.get() == 3)
+      assert(err.getMessage.contains("503"))
+    } finally BigQueryWriter.sleeper = prevSleeper
+  }
+
+  test("jobComplete=false polls getQueryResults; a job that then fails is not counted") {
+    val prevSleeper = BigQueryWriter.sleeper
+    BigQueryWriter.sleeper = _ => ()
+    try withServer { (server, base) =>
+      val polls = new AtomicInteger(0)
+      server.createContext("/bigquery/v2/projects/p1/queries/job-slow", ex => {
+        readBody(ex)
+        // two pending polls, then complete
+        if (polls.incrementAndGet() < 3)
+          respond(ex, """{"jobComplete": false, "jobReference":{"jobId":"job-slow"}}""")
+        else respond(ex, """{"jobComplete": true}""")
+      })
+      server.createContext("/bigquery/v2/projects/p1/queries/job-doom", ex => {
+        readBody(ex)
+        respond(ex, """{"jobComplete": true, """ +
+          """"errors":[{"reason":"invalidQuery","message":"late failure"}]}""")
+      })
+      server.createContext("/bigquery/v2/projects/p1/queries", ex => {
+        val node = mapper.readTree(readBody(ex))
+        // the request asks for a server-side wait
+        assert(node.has("timeoutMs") && node.get("timeoutMs").asLong() >= 1000L)
+        val q = node.get("query").asText()
+        val job = if (q.contains("doom")) "job-doom" else "job-slow"
+        respond(ex,
+          s"""{"jobComplete": false, "jobReference":{"jobId":"$job"}}""")
+      })
+      // slow-but-successful: polls until complete, then returns
+      BigQueryWriter.post(base, "p1", BigQueryWriter.StaticToken("tok"),
+        "INSERT INTO x VALUES (1)", 5)
+      assert(polls.get() == 3)
+      // slow-then-FAILED: the late job error surfaces — a slow DML
+      // that later fails can never be silently counted as written
+      val err = intercept[graft.errors.GraftError.WriterError] {
+        BigQueryWriter.post(base, "p1", BigQueryWriter.StaticToken("tok"),
+          "INSERT INTO doom VALUES (1)", 5)
+      }
+      assert(err.getMessage.contains("late failure"))
+    } finally BigQueryWriter.sleeper = prevSleeper
+  }
+
+  test("staged merge: partitions append to a stage, ONE driver MERGE, stage dropped") {
+    import spark.implicits._
+    // several partitions would normally race their MERGEs — staged
+    // mode must turn them into stage-appends plus one MERGE
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (1L, "a2"))
+      .toDF("id", "v").repartition(4)
+    withServer { (server, base) =>
+      val queries = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      server.createContext("/bigquery/v2/projects/p1/queries", ex => {
+        queries.add(queryOf(readBody(ex)))
+        respond(ex, """{"jobComplete": true}""")
+      })
+      val w = new BigQueryWriter(base, "p1", "ds", "t",
+        BigQueryWriter.StaticToken("tok"), primaryKey = Seq("id"),
+        stagedMerge = true)
+      val stats = w.write(df, WriteMode.Merge)
+      assert(stats.rowsWritten == 4)
+      import scala.jdk.CollectionConverters._
+      val qs = queries.asScala.toList
+      val merges = qs.filter(_.startsWith("MERGE"))
+      assert(merges.size == 1, "exactly ONE merge statement — no DML contention")
+      val stage = qs.collectFirst {
+        case q if q.startsWith("CREATE TABLE IF NOT EXISTS `ds.t__stage_") =>
+          q.stripPrefix("CREATE TABLE IF NOT EXISTS `").takeWhile(_ != '`')
+      }.get
+      // all inserts hit the stage; the merge reads the stage,
+      // key-deduplicated; the stage is dropped at the end
+      val inserts = qs.filter(_.startsWith("INSERT"))
+      assert(inserts.nonEmpty)
+      assert(inserts.forall(_.startsWith(s"INSERT INTO `$stage`")))
+      assert(merges.head.startsWith("MERGE `ds.t` AS t USING"))
+      assert(merges.head.contains(s"FROM `$stage`"))
+      assert(merges.head.contains("ROW_NUMBER() OVER (PARTITION BY `id`)"))
+      assert(qs.last == s"DROP TABLE IF EXISTS `$stage`")
+    }
+  }
+
+  test("rendered-size estimate dominates the actual escaped literal length") {
+    // control-char-heavy strings expand 6x under \\uXXXX escaping; the
+    // estimate must never undercount (the 1 MB statement cap)
+    val samples = Seq(
+      "plain text", "it's \\ quoted", "tab\there\nand\rthere",
+      "\u0001\u0002\u0003 bells", "\u0000" * 100, "mixed 'q' \u0007 \\ end")
+    samples.foreach { s =>
+      assert(BigQueryWriter.renderedStringBytes(s) >= BqSql.escapeString(s).length,
+        s"undercounted: ${s.take(20)}")
+      assert(BigQueryWriter.renderedStringBytes(s) == BqSql.escapeString(s).length,
+        s"estimate should be exact for: ${s.take(20)}")
+    }
+  }
+
+  test("an HTTP-level 404 (wrong endpoint/project) propagates through truncate") {
+    withServer { (server, base) =>
+      // no context for this project path → the JDK server's own 404,
+      // whose body also says "Not Found" — the old message-text match
+      // would have swallowed it
+      val w = new BigQueryWriter(base, "wrong-project", "ds", "t",
+        BigQueryWriter.StaticToken("tok"))
+      intercept[graft.errors.GraftError.WriterError] { w.truncate() }
+    }
+  }
+
   test("truncate is idempotent on a missing table, like the Postgres 42P01 swallow") {
     withServer { (server, base) =>
       val calls = new AtomicInteger(0)
