@@ -104,10 +104,16 @@ object Main {
             graft.writer.BigQueryWriter.StaticToken(t.auth.resolvedPassword(getenv)),
             primaryKey)
         }
-        else if (t.kind == "clickhouse")
-          new graft.writer.ClickHouseWriter(t.jdbcUrl,
+        else if (t.kind == "clickhouse") {
+          // a host carrying a scheme selects ClickHouse's native
+          // SQL-over-HTTP interface (port 8123) instead of JDBC — the
+          // transport split is inside the writer, keyed off the URL
+          val chUrl = if (t.host.contains("://"))
+            s"${t.host}/?database=${t.database}" else t.jdbcUrl
+          new graft.writer.ClickHouseWriter(chUrl,
             t.auth.resolvedUsername(getenv), t.auth.resolvedPassword(getenv),
             destTable, primaryKey, schemaEvolution = schemaEvolution)
+        }
         else
           new PostgresWriter(t.jdbcUrl, t.auth.resolvedUsername(getenv),
             t.auth.resolvedPassword(getenv), destTable, primaryKey,

@@ -88,6 +88,15 @@ object Dedup {
   private[ops] def corpusShinglesIfCached(docs: DataFrame): Option[DataFrame] =
     shingleCache.get(shingleKey(docs))
 
+  /** The memoized persisted substrate, building it if absent — for
+    * sibling operators that READ the relation more than once (e.g.
+    * [[CorpusStats.gramNovelty]]'s sizes + vocab branches): without
+    * the persist each branch re-runs the tokenize+shingle transform
+    * per pass.
+    */
+  private[ops] def corpusShingles(docs: DataFrame): DataFrame =
+    cachedShingles(docs)
+
   /** The memoized, persisted shingle relation for a corpus — the
     * shared substrate of every shingle consumer (sketches, prefix
     * join, decontamination). Builds and persists on first use;
@@ -159,6 +168,55 @@ object Dedup {
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
     }
+
+  /** Near-CONTAINMENT dedup pairs: |G_a ∩ G_b| ≥ num/den ·
+    * min(|G_a|, |G_b|) on distinct trigram shingle sets — the
+    * asymmetric duplicate class Jaccard structurally misses. A short
+    * document quoted whole inside a much longer one has Jaccard
+    * |∩|/|∪| ≈ |short|/|long| → 0, but containment-of-the-smaller
+    * = 1.0: quotes, copies-with-additions, and template-plus-payload
+    * duplicates all live here (max-containment — |∩|/min — is the
+    * standard symmetric form, avoiding a per-direction pair
+    * explosion while catching exactly the subset-duplicate case).
+    * The cut is all-integer cross-multiplied (den·|∩| ≥ num·min), so
+    * the output carries a full DuckDB hash oracle; the reported
+    * `containment` column is the display ROUND of an exact rational.
+    *
+    * Shape: the same inverted-index token join as
+    * [[ngramJaccardBrute]] (shared-gram candidates, grouped
+    * intersection counts, per-doc sizes joined back) over the
+    * memoized persisted shingle substrate — one corpus explode
+    * feeds the whole dedup family. The PPJoin prefix filter does NOT
+    * apply here (its completeness bound is Jaccard-specific: a pair
+    * can reach containment τ while sharing none of either side's
+    * rare-token prefix when the small doc is all common grams), so
+    * the scale path is the inverted index with the standard df-cap
+    * mitigation (drop ubiquitous grams up front), not a prefix
+    * variant.
+    */
+  def containmentPairs(docs: DataFrame, num: Int = 2, den: Int = 3,
+      leftMax: Long = 200): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"containment threshold must be a rational in (0, 1]: $num/$den")
+    withShingles(docs) { sh =>
+      val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
+      val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
+      val inter = tokens.filter(col("doc_id") < leftMax)
+        .withColumnRenamed("doc_id", "doc_a")
+        .join(tokens.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .filter(col("inter") * den >= least(col("na"), col("nb")) * num)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double")
+            / least(col("na"), col("nb")), 4).as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
 
   /** Exact trigram-Jaccard pairs via prefix filtering (the PPJoin
     * family's prefix filter): tokens get a global total order by

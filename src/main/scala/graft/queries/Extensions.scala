@@ -32,6 +32,13 @@ object Extensions {
     "x_dedup_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardBrute(t(s, d, "documents"))),
 
+    // near-containment: |∩| >= 2/3 * min(|a|,|b|) — the asymmetric
+    // subset-duplicate class (quote/copy-with-additions) Jaccard's
+    // symmetric |∩|/|∪| structurally misses; integer cross-multiplied
+    // cut, full hash oracle
+    "x_dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(t(s, d, "documents"))),
+
     "x_dedup_ngram_prefix" -> ((s, d) =>
       Dedup.ngramJaccardPrefix(t(s, d, "documents"))),
 
@@ -525,6 +532,12 @@ object Extensions {
     // the "train on the corpus, score the corpus" two-pass shape
     "x_text_unigram_rarity" -> ((s, d) =>
       CorpusStats.unigramRarity(t(s, d, "documents"))),
+
+    // per-doc trigram novelty: share of the doc's distinct trigrams
+    // appearing in no other document, in integer ppm — low = template/
+    // boilerplate, high = fresh text; trigram-less docs report NULL
+    "x_text_novelty" -> ((s, d) =>
+      CorpusStats.gramNovelty(t(s, d, "documents"))),
 
     // global heavy hitters: top-20 trigrams by document frequency
     "x_corpus_top_trigrams" -> ((s, d) =>
@@ -1166,6 +1179,19 @@ object Extensions {
 
     // the text near-dup strategies provably agree on this corpus
     "x_dedup_ngram_jaccard" -> trigramCte,
+
+    // max-containment (|∩|/min) with the integer 3|∩| >= 2·min cut —
+    // same shingle substrate, least() instead of the union denominator
+    "x_dedup_containment" ->
+      raw"""WITH $shingleCte
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |        / least(len(a.g), len(b.g)), 4) AS containment
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id AND a.doc_id < 200
+        |WHERE len(list_intersect(a.g, b.g)) > 0
+        |  AND len(list_intersect(a.g, b.g)) * 3
+        |      >= least(len(a.g), len(b.g)) * 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "x_dedup_ngram_prefix" -> trigramCte,
     "x_dedup_minhash_lsh" -> trigramCte,
     "x_dedup_simhash" -> trigramCte,
@@ -1912,6 +1938,24 @@ object Extensions {
         |  CAST(SUM(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
         |FROM t JOIN f USING (w)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // trigram hapax share per doc in integer ppm (// = DuckDB integer
+    // division = Spark's div); trigram-less docs LEFT-join to 0/0/NULL
+    "x_text_novelty" ->
+      raw"""WITH $shingleCte,
+        |tok AS (SELECT doc_id, unnest(g) AS shingle FROM d),
+        |dfr AS (SELECT shingle, COUNT(*) AS df FROM tok GROUP BY 1),
+        |per AS (
+        |  SELECT tok.doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN dfr.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+        |  FROM tok JOIN dfr USING (shingle) GROUP BY 1)
+        |SELECT doc.doc_id,
+        |  COALESCE(per.n_grams, 0) AS n_grams,
+        |  COALESCE(per.n_unique, 0) AS n_unique,
+        |  CASE WHEN per.n_grams IS NOT NULL
+        |    THEN (1000000 * per.n_unique) // per.n_grams END AS novelty_ppm
+        |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
 
     // DuckDB `//` and Spark `div` are both exact integer division
     // (operands positive here, so floor == truncate); range(1, n) is

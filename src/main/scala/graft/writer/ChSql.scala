@@ -57,11 +57,27 @@ object ChSql {
     */
   def quoteIdent(name: String): String = "`" + name.replace("`", "``") + "`"
 
+  /** Writer-managed version column for keyed tables: ClickHouse's
+    * ReplacingMergeTree without a version column keeps an ARBITRARY
+    * row among same-key duplicates — diverging from the Postgres
+    * upsert semantics (later batch row wins) this writer mirrors.
+    * `ReplacingMergeTree(__graft_ver)` keeps the MAX version instead;
+    * the writer stamps every row with `(ingestEpoch << 31) | rowSeq`
+    * ([[ClickHouseWriter]]): later write() calls always beat earlier
+    * ones, and within one load a partition's later row beats its
+    * earlier ones — deterministic given the partitioning. Only
+    * cross-partition duplicates in one load remain
+    * interleaving-shaped, the same race Postgres ON CONFLICT has
+    * across concurrent partition connections.
+    */
+  val VerCol = "__graft_ver"
+
   /** CREATE TABLE with engine dispatch: keyed tables get
-    * `ReplacingMergeTree ORDER BY (pk…)` (replace-on-merge = the
-    * merge write mode), keyless tables get `MergeTree ORDER BY
-    * tuple()` (pure append). Key columns are non-Nullable because
-    * ClickHouse rejects Nullable ORDER BY columns.
+    * `ReplacingMergeTree(__graft_ver) ORDER BY (pk…)` (versioned
+    * replace-on-merge = the merge write mode; see [[VerCol]]),
+    * keyless tables get `MergeTree ORDER BY tuple()` (pure append).
+    * Key columns are non-Nullable because ClickHouse rejects Nullable
+    * ORDER BY columns; the version column is non-Nullable UInt64.
     */
   def createTableSql(table: String, schema: ListMap[String, ChType],
       primaryKey: Seq[String] = Seq.empty): String = {
@@ -71,10 +87,12 @@ object ChSql {
     val cols = schema.map { case (name, t) =>
       val typ = if (primaryKey.contains(name)) t.ddl else s"Nullable(${t.ddl})"
       s"${quoteIdent(name)} $typ"
-    }
+    } ++ (if (primaryKey.isEmpty) Seq.empty
+          else Seq(s"${quoteIdent(VerCol)} UInt64"))
     val engine =
       if (primaryKey.isEmpty) "MergeTree ORDER BY tuple()"
-      else s"ReplacingMergeTree ORDER BY (${primaryKey.map(quoteIdent).mkString(", ")})"
+      else s"ReplacingMergeTree(${quoteIdent(VerCol)}) " +
+        s"ORDER BY (${primaryKey.map(quoteIdent).mkString(", ")})"
     s"CREATE TABLE IF NOT EXISTS ${quoteIdent(table)} " +
       s"(${cols.mkString(", ")}) ENGINE = $engine"
   }
@@ -95,6 +113,87 @@ object ChSql {
     */
   def optimizeSql(table: String): String =
     s"OPTIMIZE TABLE ${quoteIdent(table)} FINAL"
+
+  /** INSERT header for the HTTP transport: ClickHouse's native bulk
+    * path is `INSERT INTO … FORMAT JSONEachRow` with NDJSON rows in
+    * the request body — no literal-escaping surface at all, and the
+    * server parses values straight into the destination columns.
+    */
+  def insertHttpSql(table: String, schema: ListMap[String, ChType]): String =
+    s"INSERT INTO ${quoteIdent(table)} " +
+      s"(${schema.keys.map(quoteIdent).mkString(", ")}) FORMAT JSONEachRow"
+
+  private def jsonString(sb: StringBuilder, s: String): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+
+  /** One JSONEachRow value under the writers' shared coercion
+    * lattice — the HTTP rendering of [[ClickHouseWriter.bindValue]]:
+    * strings parse into numeric destinations (unparseable → null),
+    * numbers/booleans stringify into String destinations, fractional
+    * into Int64 degrades to null, non-finite floats to null (JSON has
+    * no NaN/Infinity).
+    */
+  private def jsonValue(sb: StringBuilder, v: Any, ct: ChType): Unit = (v, ct) match {
+    case (null, _) => sb.append("null")
+
+    case (b: java.lang.Boolean, ChBool) => sb.append(b.toString)
+    case (b: java.lang.Boolean, ChString) => jsonString(sb, b.toString)
+    case (b: java.lang.Boolean, ChInt64) => sb.append(if (b) "1" else "0")
+    case (b: java.lang.Boolean, ChFloat64) => sb.append(if (b) "1.0" else "0.0")
+
+    case (n: Number, ChInt64) =>
+      if (PostgresWriter.isIntegral(n)) sb.append(n.longValue().toString)
+      else sb.append("null")
+    case (n: Number, ChFloat64) =>
+      val d = n.doubleValue()
+      if (java.lang.Double.isFinite(d)) sb.append(d.toString) else sb.append("null")
+    case (n: Number, ChString) => jsonString(sb, n.toString)
+    case (_: Number, _) => sb.append("null")
+
+    case (s: String, ChString) => jsonString(sb, s)
+    case (s: String, ChInt64) =>
+      sb.append(s.toLongOption.map(_.toString).getOrElse("null"))
+    case (s: String, ChFloat64) =>
+      sb.append(s.toDoubleOption.filter(java.lang.Double.isFinite(_))
+        .map(_.toString).getOrElse("null"))
+    case (s: String, ChBool) =>
+      sb.append((s.toLowerCase == "true" || s == "1").toString)
+
+    case (other, _) => jsonString(sb, other.toString)
+  }
+
+  /** Render rows (already column-aligned with `schema`) as NDJSON for
+    * the HTTP INSERT body.
+    */
+  def jsonEachRow(schema: ListMap[String, ChType],
+      rows: Iterable[Seq[Any]]): String = {
+    val sb = new StringBuilder(rows.size * 64)
+    val cols = schema.toIndexedSeq
+    rows.foreach { r =>
+      sb.append('{')
+      var i = 0
+      cols.foreach { case (name, ct) =>
+        if (i > 0) sb.append(',')
+        jsonString(sb, name)
+        sb.append(':')
+        jsonValue(sb, r(i), ct)
+        i += 1
+      }
+      sb.append("}\n")
+    }
+    sb.toString
+  }
 
   /** Idempotent truncate (ClickHouse has IF EXISTS on TRUNCATE, so no
     * SQLSTATE-swallowing dance like the Postgres path).

@@ -7,28 +7,41 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** ClickHouse sink over JDBC — the writer the reference plans
+/** ClickHouse sink — the writer the reference plans
   * (/root/reference/README.md:121) built on this engine's
   * [[DataWriter]] factory seam, with the same distributed shape as
   * [[PostgresWriter]]: DDL once on the driver, then every executor
-  * partition opens its own connection and lands its rows in
-  * parameterized multi-row batches.
+  * partition lands its rows in bounded batches.
+  *
+  * TWO TRANSPORTS behind one seam, picked from the URL scheme:
+  *   - `jdbc:clickhouse://…` — parameterized multi-row batches over
+  *     `java.sql` (a production classpath with `clickhouse-jdbc`
+  *     needs no code change; this sandbox has no driver jar, so the
+  *     JDBC path's statement TEXT is covered by [[ChSqlSpec]]);
+  *   - `http://…` / `https://…` — ClickHouse's NATIVE SQL-over-HTTP
+  *     interface (port 8123): DDL as POSTed statements, inserts as
+  *     `INSERT … FORMAT JSONEachRow` with NDJSON bodies, auth via
+  *     the X-ClickHouse-User/-Key headers. This path runs END-TO-END
+  *     against a stub server in tests — the BigQueryWriter pattern —
+  *     so the actual partition write path executes in CI, which the
+  *     JDBC path cannot.
   *
   * Mode semantics follow ClickHouse's own model rather than
   * pretending it is Postgres: Append inserts into a `MergeTree`;
-  * Merge inserts into a `ReplacingMergeTree` keyed by the primary
-  * key and then issues one driver-side `OPTIMIZE TABLE .. FINAL` so
-  * replaced keys compact away immediately (ClickHouse has no upsert
-  * statement — replace-on-merge is its idiomatic equivalent).
-  *
-  * The sandbox has no ClickHouse JDBC driver jar, so like the
-  * Postgres COPY path the class touches only `java.sql` interfaces;
-  * a production classpath with `clickhouse-jdbc` present needs no
-  * code change. The statement text itself is covered by
-  * [[ChSqlSpec]] the way the reference tests its writers.
+  * Merge inserts into a `ReplacingMergeTree(__graft_ver)` keyed by
+  * the primary key and then issues one driver-side
+  * `OPTIMIZE TABLE .. FINAL` so replaced keys compact away
+  * immediately (ClickHouse has no upsert statement —
+  * replace-on-merge is its idiomatic equivalent). The writer-managed
+  * version column makes the replace DETERMINISTIC — see
+  * [[ChSql.VerCol]]: later write() calls beat earlier ones, a
+  * partition's later row beats its earlier ones; without it
+  * ReplacingMergeTree keeps an arbitrary duplicate, silently
+  * diverging from the Postgres ON CONFLICT semantics this writer
+  * mirrors.
   */
 final class ClickHouseWriter(
-    url: String, // jdbc:clickhouse://host:port/db
+    url: String, // jdbc:clickhouse://host:port/db  OR  http://host:8123/?database=db
     user: String,
     password: String,
     table: String,
@@ -37,11 +50,13 @@ final class ClickHouseWriter(
     autoCreate: Boolean = true,
     schemaEvolution: Boolean = false) extends DataWriter with Serializable {
 
-  private def connect(): Connection =
-    DriverManager.getConnection(url, user, password)
+  private def transport(): ClickHouseWriter.ChTransport =
+    if (url.startsWith("http://") || url.startsWith("https://"))
+      new ClickHouseWriter.HttpTransport(url, user, password)
+    else new ClickHouseWriter.JdbcTransport(url, user, password)
 
   /** Same normalization contract as the Postgres path: nested and
-    * temporal columns become strings so every bind is a setObject.
+    * temporal columns become strings so every value is a scalar.
     */
   private def normalized(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.toIndexedSeq.map { f =>
@@ -58,96 +73,202 @@ final class ClickHouseWriter(
     df.select(cols: _*)
   }
 
-  override def truncate(): Unit = {
-    val c = connect()
-    try {
-      val st = c.createStatement()
-      try st.execute(ChSql.truncateSql(table)) finally st.close()
-    } finally c.close()
-  }
+  override def truncate(): Unit = transport().execute(ChSql.truncateSql(table))
 
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     if (mode == WriteMode.Merge && primaryKey.isEmpty)
       throw new IllegalArgumentException("merge mode requires a primary key")
     val prepared = normalized(df)
     val chSchema = ChSql.schemaOfSpark(prepared.schema)
+    // keyed tables carry the writer-managed version column; its value
+    // is stamped per row at bind/render time, never read from data
+    val keyed = primaryKey.nonEmpty
+    val insertSchema =
+      if (keyed) chSchema.updated(ChSql.VerCol, ChSql.ChInt64) else chSchema
 
     if (autoCreate) {
-      val c = connect()
-      try {
-        val st = c.createStatement()
-        try {
-          st.execute(ChSql.createTableSql(table, chSchema, primaryKey))
-          // schema evolution, the PostgresWriter contract in ClickHouse
-          // dialect. ORDER BY (key) columns are excluded from the diff:
-          // ClickHouse rejects Nullable key columns, and a key whose
-          // TYPE drifts is a config error, not evolvable drift
-          if (schemaEvolution) {
-            val existing = ClickHouseWriter.readSchema(c, table)
-              .filterNot { case (n, _) => primaryKey.contains(n) }
-            val incoming = chSchema
-              .filterNot { case (n, _) => primaryKey.contains(n) }
-            ChSql.evolveSql(table, existing, incoming).foreach(st.execute)
-          }
-        } finally st.close()
-      } finally c.close()
+      val t = transport()
+      t.execute(ChSql.createTableSql(table, chSchema, primaryKey))
+      // schema evolution, the PostgresWriter contract in ClickHouse
+      // dialect. ORDER BY (key) columns are excluded from the diff:
+      // ClickHouse rejects Nullable key columns, and a key whose
+      // TYPE drifts is a config error, not evolvable drift. The
+      // version column reads back as UInt64, which the type map
+      // deliberately drops, so the diff leaves it alone.
+      if (schemaEvolution) {
+        val existing = ClickHouseWriter.readSchema(t, table)
+          .filterNot { case (n, _) => primaryKey.contains(n) }
+        val incoming = chSchema
+          .filterNot { case (n, _) => primaryKey.contains(n) }
+        ChSql.evolveSql(table, existing, incoming).foreach(t.execute)
+      }
     }
 
+    // strictly-increasing ingest epoch per write() call: later loads
+    // always out-version earlier ones even within one wall-clock
+    // second (see ChSql.VerCol for the full determinism contract)
+    val verBase = if (keyed) ClickHouseWriter.nextIngestEpoch() else 0L
     val (tbl, u, usr, pw, bs) = (table, url, user, password, batchSize)
+    val isKeyed = keyed
     val counter = df.sparkSession.sparkContext.longAccumulator("rowsWritten")
 
     prepared.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val conn = DriverManager.getConnection(u, usr, pw)
+        val t = if (u.startsWith("http://") || u.startsWith("https://"))
+          new ClickHouseWriter.HttpTransport(u, usr, pw)
+        else new ClickHouseWriter.JdbcTransport(u, usr, pw)
         try {
-          val buf = new scala.collection.mutable.ArrayBuffer[Row](bs)
+          val buf = new scala.collection.mutable.ArrayBuffer[Seq[Any]](bs)
+          var seq = 0L
           def flush(): Unit = if (buf.nonEmpty) {
-            val st = conn.prepareStatement(ChSql.insertSql(tbl, chSchema, buf.size))
-            try {
-              ClickHouseWriter.bindRows(st, buf, chSchema)
-              st.executeUpdate()
-            } finally st.close()
+            t.insert(tbl, insertSchema, buf)
             counter.add(buf.size.toLong)
             buf.clear()
           }
           rows.foreach { r =>
-            buf += r
+            val vals = if (isKeyed) {
+              // (epoch << 31) | seq: within-partition arrival order,
+              // saturating at 2^31-1 rows (ties beyond that resolve
+              // arbitrarily — documented bound)
+              val ver = (verBase << 31) | math.min(seq, (1L << 31) - 1)
+              seq += 1
+              r.toSeq :+ (ver: Any)
+            } else r.toSeq
+            buf += vals
             if (buf.size >= bs) flush()
           }
           flush()
-        } finally conn.close()
+        } finally t.close()
       }
     }
 
     // one driver-side compaction lands the replace semantics; runs
     // after every partition committed its inserts
-    if (mode == WriteMode.Merge) {
-      val c = connect()
-      try {
-        val st = c.createStatement()
-        try st.execute(ChSql.optimizeSql(table)) finally st.close()
-      } finally c.close()
-    }
+    if (mode == WriteMode.Merge)
+      transport().execute(ChSql.optimizeSql(table))
     WriteStats(counter.value)
   }
 }
 
 object ClickHouseWriter {
 
-  /** Live column→type read-back for the evolution diff (types this
-    * writer never creates are dropped so the diff leaves them alone).
+  /** Strictly-increasing per-JVM ingest epoch (seconds, bumped past
+    * collisions): two write() calls in the same second still get
+    * distinct, ordered version bases.
     */
-  private[writer] def readSchema(c: Connection,
+  private val lastEpoch = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[writer] def nextIngestEpoch(): Long =
+    lastEpoch.updateAndGet(last =>
+      math.max(System.currentTimeMillis() / 1000L, last + 1))
+
+  /** The transport seam: DDL/commands, schema read-back, and batch
+    * insert — everything the writer needs from a ClickHouse.
+    */
+  private[writer] trait ChTransport {
+    def execute(sql: String): Unit
+    /** Rows of a 2-column query (name, type) — the evolution read-back. */
+    def queryPairs(sql: String): Seq[(String, String)]
+    def insert(table: String, schema: ListMap[String, ChSql.ChType],
+        rows: Iterable[Seq[Any]]): Unit
+    def close(): Unit
+  }
+
+  /** SQL-over-HTTP: ClickHouse's native interface. One pooled
+    * `java.net.http.HttpClient` per JVM (the BigQueryWriter pattern).
+    */
+  private[writer] final class HttpTransport(endpoint: String,
+      user: String, password: String) extends ChTransport {
+    import java.net.URI
+    import java.net.http.{HttpRequest, HttpResponse}
+    import java.nio.charset.StandardCharsets
+
+    private def post(body: String): String = {
+      val req = HttpRequest.newBuilder()
+        .uri(URI.create(endpoint))
+        .timeout(java.time.Duration.ofSeconds(60))
+        .header("X-ClickHouse-User", user)
+        .header("X-ClickHouse-Key", password)
+        .header("Content-Type", "text/plain; charset=UTF-8")
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+        .build()
+      val resp = httpClient.send(req, HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new graft.errors.GraftError.WriterError(
+          s"clickhouse HTTP ${resp.statusCode()}: ${resp.body().take(500)}")
+      resp.body()
+    }
+
+    override def execute(sql: String): Unit = { post(sql); () }
+
+    override def queryPairs(sql: String): Seq[(String, String)] =
+      post(sql + " FORMAT TabSeparated").split('\n').toSeq
+        .filter(_.nonEmpty)
+        .map { line =>
+          val tab = line.indexOf('\t')
+          require(tab >= 0, s"clickhouse TSV row without a tab: $line")
+          (line.substring(0, tab), line.substring(tab + 1))
+        }
+
+    override def insert(table: String, schema: ListMap[String, ChSql.ChType],
+        rows: Iterable[Seq[Any]]): Unit = {
+      post(ChSql.insertHttpSql(table, schema) + "\n" +
+        ChSql.jsonEachRow(schema, rows))
+      ()
+    }
+
+    override def close(): Unit = () // the client is JVM-shared
+  }
+
+  /** One pooled HTTP client per JVM — thread-safe, keep-alive. */
+  private lazy val httpClient: java.net.http.HttpClient =
+    java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(30)).build()
+
+  /** JDBC over `java.sql` interfaces only (no driver-jar import). */
+  private[writer] final class JdbcTransport(url: String,
+      user: String, password: String) extends ChTransport {
+    private lazy val conn: Connection =
+      DriverManager.getConnection(url, user, password)
+
+    override def execute(sql: String): Unit = {
+      val st = conn.createStatement()
+      try { st.execute(sql); () } finally st.close()
+    }
+
+    override def queryPairs(sql: String): Seq[(String, String)] = {
+      val st = conn.createStatement()
+      try {
+        val rs = st.executeQuery(sql)
+        val out = Seq.newBuilder[(String, String)]
+        while (rs.next()) out += ((rs.getString(1), rs.getString(2)))
+        out.result()
+      } finally st.close()
+    }
+
+    override def insert(table: String, schema: ListMap[String, ChSql.ChType],
+        rows: Iterable[Seq[Any]]): Unit = {
+      val st = conn.prepareStatement(ChSql.insertSql(table, schema, rows.size))
+      try {
+        bindRows(st, rows, schema)
+        st.executeUpdate()
+        ()
+      } finally st.close()
+    }
+
+    override def close(): Unit = conn.close()
+  }
+
+  /** Live column→type read-back for the evolution diff (types this
+    * writer never creates — including the UInt64 version column — are
+    * dropped so the diff leaves them alone).
+    */
+  private[writer] def readSchema(t: ChTransport,
       table: String): ListMap[String, ChSql.ChType] = {
-    val st = c.createStatement()
-    try {
-      val rs = st.executeQuery(ChSql.existingSchemaSql(table))
-      var out = ListMap.empty[String, ChSql.ChType]
-      while (rs.next())
-        ChSql.ofChTypeName(rs.getString(2)).foreach(t =>
-          out = out.updated(rs.getString(1), t))
-      out
-    } finally st.close()
+    var out = ListMap.empty[String, ChSql.ChType]
+    t.queryPairs(ChSql.existingSchemaSql(table)).foreach { case (name, typ) =>
+      ChSql.ofChTypeName(typ).foreach(ct => out = out.updated(name, ct))
+    }
+    out
   }
 
   /** Bind rows column-major, coercing to the destination lattice the
@@ -157,12 +278,12 @@ object ClickHouseWriter {
     * into String destinations, a fractional number into an Int64
     * destination degrades to NULL rather than erroring the batch.
     */
-  private[writer] def bindRows(st: PreparedStatement, rows: Iterable[Row],
+  private[writer] def bindRows(st: PreparedStatement, rows: Iterable[Seq[Any]],
       schema: ListMap[String, ChSql.ChType]): Unit = {
     var i = 1
     rows.foreach { row =>
       schema.valuesIterator.zipWithIndex.foreach { case (ct, ix) =>
-        bindValue(st, i, row.get(ix), ct)
+        bindValue(st, i, row(ix), ct)
         i += 1
       }
     }

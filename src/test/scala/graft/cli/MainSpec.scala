@@ -339,6 +339,45 @@ class MainSpec extends AnyFunSuite with BeforeAndAfterAll {
       List((1L, "t1"), (2L, "t2")))
   }
 
+  test("clickhouse target with a scheme-carrying host wires the HTTP transport e2e") {
+    val spark = graft.SparkTestSession.spark
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/ch", (ex: HttpExchange) => {
+      bodies.add(new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      graft.HttpStub.respond(ex, "")
+    })
+    val dir = Files.createTempDirectory("pipeline-ch-http")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    Files.writeString(modules.resolve("posts.sql"),
+      """{{ sink(name="ch") }}
+        |SELECT id, title FROM {{ use_source("posts_api") }} WHERE id <= 2""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: posts_api
+         |    url: $base/posts
+         |    table_destination_name: posts
+         |    data_path: /data
+         |targets:
+         |  - name: ch
+         |    type: clickhouse
+         |    host: $base/ch
+         |    database: db
+         |    auth:
+         |      username: u1
+         |      password: p1
+         |""".stripMargin)
+    val failed = Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString), spark)
+    assert(failed == 0)
+    import scala.jdk.CollectionConverters._
+    val qs = bodies.asScala.toList
+    assert(qs.exists(_.startsWith("CREATE TABLE IF NOT EXISTS `posts`")), qs)
+    val rows = qs.filter(_.startsWith("INSERT INTO `posts`"))
+      .flatMap(_.linesIterator.drop(1)).filter(_.nonEmpty).sorted
+    assert(rows == List("""{"id":1,"title":"t1"}""", """{"id":2,"title":"t2"}"""))
+  }
+
   test("schema_evolution + bigquery target is rejected loudly, not silently ignored") {
     val spark = graft.SparkTestSession.spark
     val bqCalls = new java.util.concurrent.atomic.AtomicInteger(0)

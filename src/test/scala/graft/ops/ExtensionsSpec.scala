@@ -827,6 +827,57 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(messages(e).exists(m => m.contains("dot_d") && m.contains("2 argument")))
   }
 
+  test("containment catches the subset-duplicate the Jaccard cut structurally misses") {
+    val sp = spark; import sp.implicits._
+    // short doc quoted WHOLE inside a 4x-longer doc: containment of
+    // the smaller = 1.0 while Jaccard ~ short/long < 1/2
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val long = short + " " + (1 to 40).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long),
+      (3L, "entirely unrelated other text here")).toDF("doc_id", "text")
+    try {
+      val cont = Dedup.containmentPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(cont.toSeq == Seq((1L, 2L, 1.0)),
+        "the quoted-whole pair must surface at containment 1.0")
+      // the same pair fails the family's symmetric Jaccard cut
+      val jac = Dedup.ngramJaccardBrute(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(!jac.contains((1L, 2L)),
+        "fixture must actually be the case Jaccard misses")
+      // threshold is a validated rational
+      intercept[IllegalArgumentException](Dedup.containmentPairs(docs, 3, 2))
+      // plan: candidates come from the shingle equi-join, never a
+      // cartesian
+      val p = Dedup.containmentPairs(docs).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+    } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
+  }
+
+  test("gram novelty: boilerplate scores 0 ppm, fresh text 1e6, trigram-less docs NULL") {
+    val sp = spark; import sp.implicits._
+    val template = "the same template text repeated verbatim again"
+    val docs = Seq(
+      (1L, template), (2L, template), // every trigram shared → 0 ppm
+      (3L, "completely novel wording nobody else uses"), // all unique → 1e6
+      (4L, "too short"), // < 3 words: no trigrams → NULL ppm
+      (5L, template + " plus a fresh unique tail")) // mixed
+      .toDF("doc_id", "text")
+    try {
+      val got = CorpusStats.gramNovelty(docs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+      assert(got(1L)._3 == 0L && got(2L)._3 == 0L)
+      assert(got(3L) == ((4L, 4L, 1000000L)))
+      assert(got(4L) == ((0L, 0L, -1L)), "no trigrams → NULL ppm, not a dropped row")
+      // doc 5: template trigrams are shared (df>=2), the tail's are
+      // unique to it — strictly between 0 and 1e6
+      assert(got(5L)._3 > 0L && got(5L)._3 < 1000000L)
+      assert(got(5L)._1 > got(1L)._1, "doc 5 has more grams than the bare template")
+    } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
+  }
+
   test("NFC-normalized exact dedup catches a decomposed-form duplicate; default off misses it") {
     import spark.implicits._
     // visually identical, byte-different: precomposed U+00E9 vs

@@ -16,11 +16,16 @@ class ChSqlSpec extends AnyFunSuite {
     "id" -> ChInt64, "name" -> ChString, "score" -> ChFloat64,
     "active" -> ChBool)
 
-  test("keyed CREATE targets ReplacingMergeTree; key columns non-Nullable") {
+  test("keyed CREATE targets versioned ReplacingMergeTree; key columns non-Nullable") {
+    // the UInt64 version column is what makes replace-on-merge keep a
+    // DETERMINISTIC duplicate (max version), matching the Postgres
+    // upsert semantics — without it ReplacingMergeTree keeps an
+    // arbitrary row among same-key duplicates of one load
     assert(createTableSql("t", schema, Seq("id")) ==
       "CREATE TABLE IF NOT EXISTS `t` (`id` Int64, `name` Nullable(String), " +
-        "`score` Nullable(Float64), `active` Nullable(Bool)) " +
-        "ENGINE = ReplacingMergeTree ORDER BY (`id`)")
+        "`score` Nullable(Float64), `active` Nullable(Bool), " +
+        "`__graft_ver` UInt64) " +
+        "ENGINE = ReplacingMergeTree(`__graft_ver`) ORDER BY (`id`)")
     // keyless: plain MergeTree append table, everything Nullable
     assert(createTableSql("t", ListMap("v" -> ChString)) ==
       "CREATE TABLE IF NOT EXISTS `t` (`v` Nullable(String)) " +
