@@ -173,15 +173,31 @@ object Main {
           val st: graft.writer.SyncState = syncStateOverride.getOrElse {
             require(args.warehouse.isEmpty,
               s"source '${source.name}': incremental sync requires a keyed " +
-                "Postgres target — the file warehouse overwrites on merge")
+                "warehouse target — the file warehouse overwrites on merge")
             val t = target.getOrElse(throw new IllegalArgumentException(
               s"no target resolved for incremental source '${source.name}'"))
-            require(t.kind == "postgres",
-              s"source '${source.name}': incremental sync state lives in a " +
-                s"Postgres table; target '${t.name}' is '${t.kind}'")
-            new graft.writer.PgSyncState(
-              t.jdbcUrl, t.auth.resolvedUsername(getenv),
-              t.auth.resolvedPassword(getenv))
+            // the watermark lives IN the warehouse the pipeline writes
+            // to (each target kind via its own stack), so state and
+            // data share fate — a restored warehouse backup restores a
+            // CONSISTENT watermark with it
+            t.kind match {
+              case "postgres" => new graft.writer.PgSyncState(
+                t.jdbcUrl, t.auth.resolvedUsername(getenv),
+                t.auth.resolvedPassword(getenv))
+              case "bigquery" => new graft.writer.BqSyncState(
+                t.bqEndpoint, t.project.get, t.database,
+                graft.writer.BigQueryWriter.StaticToken(
+                  t.auth.resolvedPassword(getenv)))
+              case "clickhouse" =>
+                val chUrl = if (t.host.contains("://"))
+                  s"${t.host}/?database=${t.database}" else t.jdbcUrl
+                new graft.writer.ChSyncState(chUrl,
+                  t.auth.resolvedUsername(getenv),
+                  t.auth.resolvedPassword(getenv))
+              case other => throw new IllegalArgumentException(
+                s"source '${source.name}': no sync-state backend for " +
+                  s"target kind '$other'")
+            }
           }
           (st, inc, st.get(source.name))
         }

@@ -473,4 +473,50 @@ object Kmeans {
       .select(col("cluster"), col("rnk"), col("vec_id"))
       .orderBy(col("cluster"), col("rnk"))
   }
+
+  /** Per-cluster TOPIC terms — the human-readable label a semantic
+    * cluster needs before a curation decision (keep/downsample/drop a
+    * topic): join the lattice assignment to the document corpus on
+    * vec_id = doc_id, rank each cluster's BIGRAMS by in-cluster
+    * document frequency, and keep the top `topK`. Bigrams, not
+    * unigrams: collocations ("gradient descent") are topical where
+    * their component words are not, and a unigram surface is one
+    * df-cap away from empty on a small-vocabulary corpus. Bigrams
+    * carried by more than half the corpus are excluded first
+    * (`2·corpus_df ≤ n_docs`, an integer df-cap stopword filter) —
+    * without it every cluster's "topic" is the same function-word
+    * list. All-integer ordering (df desc, then term), so the whole
+    * output carries a full DuckDB hash oracle on top of the replayed
+    * k-means CTE.
+    *
+    * Shape: the assignment rides the memoized fit (k·d driver-side
+    * model state only); the term relation shuffles ONCE into
+    * (cluster, term) counts; the corpus-df side derives from that
+    * same aggregate (k-fold smaller than the corpus, AQE size-gates
+    * its join); n_docs is a 1-row scalar attach; the final window
+    * sorts each cluster's vocabulary, never the corpus.
+    */
+  def clusterTopics(embeddings: DataFrame, docs: DataFrame, topK: Int = 5,
+      k: Int = 0, iters: Int = 3): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val codes = codesDf(embeddings)
+    val asg = withCluster(codes, centroidsFor(codes, k, iters))
+      .select(col("vec_id"), col("cluster"))
+    val terms = docs.join(asg, docs("doc_id") === asg("vec_id"))
+      .select(col("cluster"), col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("cluster"), col("doc_id"),
+        explode(TextOps.ngramsOf(col("ws"), 2)).as("term"))
+    val cdf = terms.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val tot = cdf.groupBy(col("term")).agg(sum(col("df")).as("corpus_df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("df").desc, col("term"))
+    cdf.join(tot, "term").crossJoin(broadcast(nDocs))
+      .filter(col("corpus_df") * 2 <= col("n_docs"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("cluster"), col("rank"), col("term"), col("df"))
+      .orderBy(col("cluster"), col("rank"))
+  }
 }

@@ -329,6 +329,13 @@ object Extensions {
     "x_embed_kmeans_fit" -> ((s, d) =>
       Kmeans.kmeansFitReport(t(s, d, "embeddings"))),
 
+    // per-cluster topic terms: lattice assignment × document corpus
+    // (vec_id = doc_id), top-5 by in-cluster df after the integer
+    // df-cap stopword cut — the label a topic cluster needs before a
+    // keep/downsample/drop curation decision
+    "x_embed_cluster_topics" -> ((s, d) =>
+      Kmeans.clusterTopics(t(s, d, "embeddings"), t(s, d, "documents"))),
+
     // SemDeDup (Abbas et al. 2023) on the lattice cells: greedy
     // keep-first semantic dedup, candidates bounded per cluster,
     // integer cross-multiplied cosine cut — fully hash-oracled where
@@ -1565,6 +1572,31 @@ object Extensions {
         |  CAST(sum(a.d2) AS BIGINT) AS sum_dist2
         |FROM asg4 a JOIN embeddings e USING (vec_id)
         |GROUP BY a.cl, e.label ORDER BY cluster, label""".stripMargin,
+
+    // the replayed k-means assignment joined to documents on
+    // vec_id = doc_id, per-cluster BIGRAM document frequency, the
+    // 2*corpus_df <= n_docs stopword cut, top-5 by (df DESC, term)
+    "x_embed_cluster_topics" ->
+      raw"""WITH ${kmeansCte(0, 3)},
+        |terms AS (
+        |  SELECT a.cl AS cluster, d.doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(d.text, ' ')) - 1, 0)),
+        |      i -> string_split(d.text, ' ')[i] || ' '
+        |           || string_split(d.text, ' ')[i+1]))) AS term
+        |  FROM asg4 a JOIN documents d ON d.doc_id = a.vec_id),
+        |cdf AS (SELECT cluster, term, COUNT(*) AS df FROM terms GROUP BY 1, 2),
+        |tot AS (SELECT term, CAST(SUM(df) AS BIGINT) AS corpus_df
+        |        FROM cdf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT cluster, term, df,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY df DESC, term) AS rnk
+        |  FROM cdf JOIN tot USING (term), n
+        |  WHERE tot.corpus_df * 2 <= n.n_docs)
+        |SELECT cluster, CAST(rnk AS INT) AS rank, term, df
+        |FROM ranked WHERE rnk <= 5 ORDER BY cluster, rank""".stripMargin,
 
     // SemDeDup replay: final assignment -> same-cell ordered pairs
     // through the integer cosine cut (dot > 0 AND dot²·25 ≥ 4·sa·sb

@@ -251,11 +251,14 @@ object BigQueryWriter {
     *   - `swallowReasons`: job errors whose PARSED reasons all fall
     *     in the set return silently (truncate's notFound) — never
     *     matched against message text, so an HTTP 404 still throws.
-    * Package scope so the spec can drive single statements.
+    * Returns the FINAL parsed response (post-poll when polling
+    * happened) so SELECT callers ([[BqSyncState]]) can read
+    * `rows[].f[].v`; DML callers ignore it. Package scope so the
+    * spec can drive single statements.
     */
   private[writer] def post(endpoint: String, project: String, auth: Auth,
       sql: String, timeoutSecs: Long, maxAttempts: Int = 5,
-      swallowReasons: Set[String] = Set.empty): Unit = {
+      swallowReasons: Set[String] = Set.empty): com.fasterxml.jackson.databind.JsonNode = {
     val body = mapper.createObjectNode()
     body.put("query", sql)
     body.put("useLegacySql", false)
@@ -281,7 +284,7 @@ object BigQueryWriter {
     }
 
     def pollIncomplete(token: String, node: com.fasterxml.jackson.databind.JsonNode,
-        attemptsLeft: Int): Unit = {
+        attemptsLeft: Int): com.fasterxml.jackson.databind.JsonNode = {
       // jobComplete=false carries a jobReference; poll getQueryResults
       // until the job lands (completion may still report job errors —
       // re-checked by the shared tail below)
@@ -310,6 +313,7 @@ object BigQueryWriter {
         checkJobErrors(cur)
         left -= 1
       }
+      cur
     }
 
     def checkJobErrors(node: com.fasterxml.jackson.databind.JsonNode): Unit =
@@ -323,8 +327,8 @@ object BigQueryWriter {
 
     var attempt = 0
     var refreshed401 = false
-    var done = false
-    while (!done) {
+    var result: com.fasterxml.jackson.databind.JsonNode = null
+    while (result == null) {
       attempt += 1
       val token = bearer(auth)
       val resp = send(token)
@@ -352,11 +356,13 @@ object BigQueryWriter {
           backoff(attempt - 1)
         } else {
           checkJobErrors(node)
-          if (node.has("jobComplete") && !node.get("jobComplete").asBoolean(false))
-            pollIncomplete(token, node, maxAttempts - attempt)
-          done = true
+          result =
+            if (node.has("jobComplete") && !node.get("jobComplete").asBoolean(false))
+              pollIncomplete(token, node, maxAttempts - attempt)
+            else node
         }
       }
     }
+    result
   }
 }

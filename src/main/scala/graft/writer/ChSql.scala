@@ -57,6 +57,10 @@ object ChSql {
     */
   def quoteIdent(name: String): String = "`" + name.replace("`", "``") + "`"
 
+  /** A ClickHouse single-quoted string literal (backslash escaping). */
+  def stringLiteral(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Writer-managed version column for keyed tables: ClickHouse's
     * ReplacingMergeTree without a version column keeps an ARBITRARY
     * row among same-key duplicates — diverging from the Postgres

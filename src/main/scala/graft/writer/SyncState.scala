@@ -111,6 +111,121 @@ final class PgSyncState(url: String, user: String, password: String,
   }
 }
 
+/** BigQuery-backed state — the watermark table lives in the same
+  * dataset the pipeline writes to, through the same `jobs.query` REST
+  * stack as [[BigQueryWriter]] (retry/backoff, requestId dedup,
+  * jobComplete polling all inherited). State is one row per source;
+  * everything runs on the driver.
+  */
+final class BqSyncState(endpoint: String, project: String, dataset: String,
+    auth: BigQueryWriter.Auth,
+    table: String = "graft_sync_state") extends SyncState {
+  require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    s"state table must be a plain identifier, got '$table'")
+
+  private def path = s"$dataset.$table"
+
+  private def ensure(): Unit = {
+    BigQueryWriter.post(endpoint, project, auth, BqSyncState.createSql(path), 60)
+    ()
+  }
+
+  override def get(sourceName: String): Option[String] = {
+    ensure()
+    val node = BigQueryWriter.post(endpoint, project, auth,
+      BqSyncState.selectSql(path, sourceName), 60)
+    val rows = node.get("rows")
+    if (rows == null || rows.size() == 0) None
+    else {
+      // jobs.query row shape: rows[].f[].v
+      val v = rows.get(0).get("f").get(0).get("v")
+      if (v == null || v.isNull) None else Some(v.asText())
+    }
+  }
+
+  override def put(sourceName: String, watermark: String): Unit = {
+    ensure()
+    BigQueryWriter.post(endpoint, project, auth,
+      BqSyncState.upsertSql(path, sourceName, watermark), 60)
+    ()
+  }
+}
+
+/** The generated GoogleSQL, exposed for spec pinning like
+  * [[PgSyncState]]'s statement text.
+  */
+object BqSyncState {
+  def createSql(path: String): String =
+    s"CREATE TABLE IF NOT EXISTS `$path` (`source_name` STRING, " +
+      "`watermark` STRING, `updated_at` TIMESTAMP)"
+
+  def selectSql(path: String, sourceName: String): String =
+    s"SELECT `watermark` FROM `$path` " +
+      s"WHERE `source_name` = '${BqSql.escapeString(sourceName)}'"
+
+  def upsertSql(path: String, sourceName: String, watermark: String): String = {
+    val src = BqSql.escapeString(sourceName)
+    val w = BqSql.escapeString(watermark)
+    s"MERGE `$path` AS t USING (SELECT '$src' AS `source_name`, " +
+      s"'$w' AS `watermark`) AS s ON t.`source_name` = s.`source_name` " +
+      "WHEN MATCHED THEN UPDATE SET `watermark` = s.`watermark`, " +
+      "`updated_at` = CURRENT_TIMESTAMP() " +
+      "WHEN NOT MATCHED THEN INSERT (`source_name`, `watermark`, `updated_at`) " +
+      "VALUES (s.`source_name`, s.`watermark`, CURRENT_TIMESTAMP())"
+  }
+}
+
+/** ClickHouse-backed state over the writer's transport seam (HTTP or
+  * JDBC from the URL scheme): a tiny `ReplacingMergeTree(ver)` keyed
+  * by source name, `ver` from the writer's strictly-increasing ingest
+  * epoch so the latest put always wins, and reads go through `FINAL`
+  * so an un-compacted state table still returns the newest watermark.
+  */
+final class ChSyncState(url: String, user: String, password: String,
+    table: String = "graft_sync_state") extends SyncState {
+  require(table.matches("[A-Za-z_][A-Za-z0-9_]*"),
+    s"state table must be a plain identifier, got '$table'")
+
+  private val schema = scala.collection.immutable.ListMap(
+    "source_name" -> (ChSql.ChString: ChSql.ChType),
+    "watermark" -> ChSql.ChString, "ver" -> ChSql.ChInt64)
+
+  private def withTransport[T](f: ClickHouseWriter.ChTransport => T): T = {
+    val t = if (url.startsWith("http://") || url.startsWith("https://"))
+      new ClickHouseWriter.HttpTransport(url, user, password)
+    else new ClickHouseWriter.JdbcTransport(url, user, password)
+    try f(t) finally t.close()
+  }
+
+  override def get(sourceName: String): Option[String] = withTransport { t =>
+    t.execute(ChSyncState.createSql(table))
+    t.queryPairs(ChSyncState.selectSql(table, sourceName))
+      .headOption.map(_._2)
+  }
+
+  override def put(sourceName: String, watermark: String): Unit =
+    withTransport { t =>
+      t.execute(ChSyncState.createSql(table))
+      t.insert(table, schema, Seq(Seq(sourceName, watermark,
+        ClickHouseWriter.nextIngestEpoch() << 31)))
+    }
+}
+
+object ChSyncState {
+  def createSql(table: String): String =
+    s"CREATE TABLE IF NOT EXISTS ${ChSql.quoteIdent(table)} " +
+      "(`source_name` String, `watermark` String, `ver` UInt64) " +
+      "ENGINE = ReplacingMergeTree(`ver`) ORDER BY (`source_name`)"
+
+  /** Two-column form so the transport's generic (name, value) TSV/
+    * resultSet reader applies; FINAL resolves replaced versions at
+    * read time without requiring a prior OPTIMIZE.
+    */
+  def selectSql(table: String, sourceName: String): String =
+    s"SELECT `source_name`, `watermark` FROM ${ChSql.quoteIdent(table)} FINAL " +
+      s"WHERE `source_name` = ${ChSql.stringLiteral(sourceName)}"
+}
+
 /** The state table's SQL text, exposed like [[PgSql]]'s statement
   * generators so the live suite can pin the exact DDL/upsert against
   * a real server via psql (pgjdbc is absent from this classpath —

@@ -129,6 +129,164 @@ class IncrementalSyncE2ESpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state.get("items_api").contains("2026-08-01T00:00:06"))
   }
 
+  test("bigquery target: watermark lives in the dataset via jobs.query; deltas only") {
+    val spark = graft.SparkTestSession.spark
+    // stub warehouse: answers the state CREATE/SELECT/MERGE and the
+    // data statements; remembers the MERGEd watermark like a real
+    // dataset would
+    @volatile var storedMark: Option[String] = None
+    val statements = new CopyOnWriteArrayList[String]()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    server.createContext("/bigquery/v2/projects/pi/queries", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val q = mapper.readTree(body).get("query").asText()
+      statements.add(q)
+      if (q.startsWith("SELECT `watermark` FROM `ds.graft_sync_state`")) {
+        val rows = storedMark
+          .map(w => s""","rows":[{"f":[{"v":"$w"}]}]""").getOrElse("")
+        graft.HttpStub.respond(ex, s"""{"jobComplete": true$rows}""")
+      } else {
+        if (q.startsWith("MERGE `ds.graft_sync_state`"))
+          storedMark = "'([^']*)' AS `watermark`".r
+            .findFirstMatchIn(q).map(_.group(1))
+        graft.HttpStub.respond(ex, """{"jobComplete": true}""")
+      }
+    })
+    val dir = Files.createTempDirectory("inc-sync-bq")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    Files.writeString(modules.resolve("items.sql"),
+      """{{ sink(name="bq") }}
+        |SELECT id, name, updated_at
+        |FROM {{ use_source("items_api") }}""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: items_api
+         |    url: $base/items
+         |    table_destination_name: items
+         |    data_path: /data
+         |    primary_key_in_dest: id
+         |    incremental:
+         |      cursor_field: updated_at
+         |targets:
+         |  - name: bq
+         |    type: bigquery
+         |    host: $base
+         |    project: pi
+         |    database: ds
+         |    auth:
+         |      username: unused
+         |      password: tok
+         |""".stripMargin)
+    val args = Main.Args(modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString)
+    def run(): Int = Main.run(args, spark, Map.empty[String, String].get)
+    def dataMergeIds(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      statements.asScala.toList.filter(_.startsWith("MERGE `ds.items`"))
+        .flatMap("SELECT (\\d+)[, ]".r.findAllMatchIn(_).map(_.group(1).toLong))
+    }
+
+    upstream = Seq(
+      (1L, "a", "2026-08-01T00:00:01"), (2L, "b", "2026-08-01T00:00:02"),
+      (3L, "c", "2026-08-01T00:00:03"), (4L, "d", "2026-08-01T00:00:04"))
+    sinceSeen.clear(); statements.clear()
+    assert(run() == 0)
+    assert(sinceSeen.size == 1 && sinceSeen.get(0).isEmpty)
+    assert(storedMark.contains("2026-08-01T00:00:04"))
+    assert(dataMergeIds().sorted == Seq(1L, 2L, 3L, 4L))
+
+    upstream = upstream.filterNot(_._1 == 2L) ++ Seq(
+      (2L, "b-renamed", "2026-08-01T00:00:05"),
+      (5L, "e", "2026-08-01T00:00:06"))
+    sinceSeen.clear(); statements.clear()
+    assert(run() == 0)
+    assert(sinceSeen.size == 1 &&
+      sinceSeen.get(0).contains("2026-08-01T00:00:04"))
+    // only the boundary row + the two changed rows were MERGEd
+    assert(dataMergeIds().sorted == Seq(2L, 4L, 5L))
+    assert(storedMark.contains("2026-08-01T00:00:06"))
+  }
+
+  test("clickhouse HTTP target: watermark in a versioned state table; deltas only") {
+    val spark = graft.SparkTestSession.spark
+    @volatile var storedMark: Option[String] = None
+    val bodies = new CopyOnWriteArrayList[String]()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    server.createContext("/ch", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      bodies.add(body)
+      if (body.startsWith(
+          "SELECT `source_name`, `watermark` FROM `graft_sync_state` FINAL"))
+        graft.HttpStub.respond(ex,
+          storedMark.map(w => s"items_api\t$w\n").getOrElse(""))
+      else {
+        if (body.startsWith("INSERT INTO `graft_sync_state`"))
+          storedMark = body.linesIterator.drop(1).filter(_.nonEmpty)
+            .toSeq.headOption
+            .map(l => mapper.readTree(l).get("watermark").asText())
+        graft.HttpStub.respond(ex, "")
+      }
+    })
+    val dir = Files.createTempDirectory("inc-sync-ch")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    Files.writeString(modules.resolve("items.sql"),
+      """{{ sink(name="ch") }}
+        |SELECT id, name, updated_at
+        |FROM {{ use_source("items_api") }}""".stripMargin)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""sources:
+         |  - name: items_api
+         |    url: $base/items
+         |    table_destination_name: items
+         |    data_path: /data
+         |    primary_key_in_dest: id
+         |    incremental:
+         |      cursor_field: updated_at
+         |targets:
+         |  - name: ch
+         |    type: clickhouse
+         |    host: $base/ch
+         |    database: db
+         |    auth:
+         |      username: u
+         |      password: p
+         |""".stripMargin)
+    val args = Main.Args(modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString)
+    def run(): Int = Main.run(args, spark, Map.empty[String, String].get)
+    def insertedIds(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      bodies.asScala.toList.filter(_.startsWith("INSERT INTO `items`"))
+        .flatMap(_.linesIterator.drop(1).filter(_.nonEmpty))
+        .map(l => mapper.readTree(l).get("id").asLong())
+    }
+
+    upstream = Seq(
+      (1L, "a", "2026-08-01T00:00:01"), (2L, "b", "2026-08-01T00:00:02"),
+      (3L, "c", "2026-08-01T00:00:03"), (4L, "d", "2026-08-01T00:00:04"))
+    sinceSeen.clear(); bodies.clear()
+    assert(run() == 0)
+    assert(sinceSeen.size == 1 && sinceSeen.get(0).isEmpty)
+    assert(storedMark.contains("2026-08-01T00:00:04"))
+    assert(insertedIds().sorted == Seq(1L, 2L, 3L, 4L))
+    import scala.jdk.CollectionConverters._
+    // keyed load: versioned engine + the post-load compaction ran
+    assert(bodies.asScala.exists(_.contains("ReplacingMergeTree(`__graft_ver`)")))
+    assert(bodies.asScala.exists(_.startsWith("OPTIMIZE TABLE `items` FINAL")))
+
+    upstream = upstream.filterNot(_._1 == 2L) ++ Seq(
+      (2L, "b-renamed", "2026-08-01T00:00:05"),
+      (5L, "e", "2026-08-01T00:00:06"))
+    sinceSeen.clear(); bodies.clear()
+    assert(run() == 0)
+    assert(sinceSeen.size == 1 &&
+      sinceSeen.get(0).contains("2026-08-01T00:00:04"))
+    assert(insertedIds().sorted == Seq(2L, 4L, 5L))
+    assert(storedMark.contains("2026-08-01T00:00:06"))
+  }
+
   test("config: incremental requires a merge key") {
     val e = intercept[IllegalArgumentException](
       graft.config.PipelineConfig.parse(

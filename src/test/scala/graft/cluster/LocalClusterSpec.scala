@@ -250,4 +250,41 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
       "\\((\\d+), 'v\\d+'\\)".r.findAllMatchIn(q).map(_.group(1).toLong))
     assert(ids.sorted == (0L until 40L).toList)
   }
+
+  test("ClickHouse HTTP writer inserts from executor JVMs; versions ordered per partition") {
+    val sp = spark; import sp.implicits._
+    // the writer's HTTP transport must work where it matters: each
+    // EXECUTOR process POSTs its own partition batches with the
+    // serialized auth + schema, and the version stamping must hold
+    // under real multi-JVM execution, not just local[n]
+    val bodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    server.createContext("/ch", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (ex.getRequestHeaders.getFirst("X-ClickHouse-Key") == "ch-pass") {
+        bodies.add(body)
+        graft.HttpStub.respond(ex, "")
+      } else graft.HttpStub.respond(ex, "auth", status = 403)
+    })
+    val df = spark.range(0, 40, 1, 4)
+      .select(col("id"), concat(lit("v"), col("id")).as("v"))
+    val stats = new graft.writer.ClickHouseWriter(s"$base/ch", "u", "ch-pass",
+      "tch", primaryKey = Seq("id"), batchSize = 7)
+      .write(df, graft.writer.WriteMode.Merge)
+    assert(stats.rowsWritten == 40)
+    import scala.jdk.CollectionConverters._
+    val qs = bodies.asScala.toList
+    assert(qs.count(_.startsWith("CREATE TABLE")) == 1)
+    assert(qs.count(_ == "OPTIMIZE TABLE `tch` FINAL") == 1)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val rows = qs.filter(_.startsWith("INSERT"))
+      .flatMap(_.linesIterator.drop(1).filter(_.nonEmpty))
+      .map(l => mapper.readTree(l))
+    // every row landed exactly once through the partitioned batches,
+    // each stamped with a version from THIS write's ingest epoch
+    assert(rows.map(_.get("id").asLong()).sorted == (0L until 40L).toList)
+    val vers = rows.map(_.get("__graft_ver").asLong())
+    assert(vers.distinct.size >= 4, "per-partition sequences must not all collide")
+    assert(vers.map(_ >> 31).distinct.size == 1,
+      "all rows of one write share one ingest epoch")
+  }
 }

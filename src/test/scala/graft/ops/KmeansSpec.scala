@@ -263,6 +263,38 @@ class KmeansSpec extends AnyFunSuite {
       s"semanticDedup pair join degenerated:\n$p")
   }
 
+  test("clusterTopics: ranks 1..topK per cluster, df-cap respected, consistent with the assignment") {
+    val e = graft.engine.Tables.table(spark, sf, "embeddings")
+    val d = graft.engine.Tables.table(spark, sf, "documents")
+    val topics = Kmeans.clusterTopics(e, d, topK = 3, k = K, iters = ITERS)
+    val rows = topics.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // ranks are dense 1..n (n <= topK) per cluster, df non-increasing
+    rows.groupBy(_._1).foreach { case (cl, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length),
+        s"cluster $cl ranks not dense: ${sorted.map(_._2).toSeq}")
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.reverse.toSeq,
+        s"cluster $cl df not non-increasing")
+    }
+    // the df-cap held: no reported term sits in more than half the docs
+    val nDocs = d.count()
+    val termDf = d.select(col("doc_id"),
+        explode(TextOps.ngramsOf(TextOps.words(col("text")), 2)).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (_, _, term, _) =>
+      assert(termDf(term) * 2 <= nDocs, s"ubiquitous term surfaced: $term")
+    }
+    // no in-cluster df can exceed the cluster's size
+    val sizes = Kmeans.kmeansAssign(e, k = K, iters = ITERS)
+      .groupBy("cluster").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { case (cl, _, _, df) => assert(df <= sizes(cl)) }
+  }
+
   test("paper's sequential keep-chain sibling: shipped rule is conservative, delta measured") {
     // the paper's greedy (Abbas et al. 2023) keeps a vector when it is
     // far from every already-KEPT member: on a chain A~B~C with A⊀C it
