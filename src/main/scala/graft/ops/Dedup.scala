@@ -218,6 +218,52 @@ object Dedup {
     }
   }
 
+  /** [[containmentPairs]] with the df-cap mitigation its scaladoc
+    * names — the scale form for a boilerplate-heavy corpus, where the
+    * exact inverted index's postings for ubiquitous grams (a licence
+    * header in half the corpus) explode quadratically in the gram
+    * join. Grams with corpus document frequency above `maxGramDf`
+    * are dropped from the CANDIDATE index only; every surviving
+    * candidate is then verified with an exact `array_intersect` over
+    * the full shingle arrays, so each reported pair carries its TRUE
+    * containment value. The knowing loss is candidate recall: a pair
+    * whose shared grams are ALL ubiquitous is never generated — at a
+    * 2/3 containment threshold such a pair is boilerplate-only
+    * similarity, which is usually exactly what a curation pipeline
+    * wants deduplicated by a boilerplate rule, not a containment one.
+    * Deterministic given the cap, so the output still carries a full
+    * DuckDB hash oracle (the cap is replayed, not approximated).
+    */
+  def containmentPairsCapped(docs: DataFrame, num: Int = 2, den: Int = 3,
+      leftMax: Long = 200, maxGramDf: Long = 1000): DataFrame = {
+    require(num > 0 && den > 0 && num <= den,
+      s"containment threshold must be a rational in (0, 1]: $num/$den")
+    require(maxGramDf > 0, s"maxGramDf must be positive, got $maxGramDf")
+    withShingles(docs) { sh =>
+      val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
+      val rare = tokens.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") <= maxGramDf)
+        .select(col("shingle"))
+      val indexed = tokens.join(rare, "shingle")
+      val cand = indexed.filter(col("doc_id") < leftMax)
+        .withColumnRenamed("doc_id", "doc_a")
+        .join(indexed.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val ga = sh.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+      val gb = sh.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+      cand.join(ga, "doc_a").join(gb, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ga"), col("gb"))).as("inter"),
+          least(size(col("ga")), size(col("gb"))).as("mn"))
+        .filter(col("inter") * den >= col("mn") * num)
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter").cast("double") / col("mn"), 4).as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }
+  }
+
   /** Exact trigram-Jaccard pairs via prefix filtering (the PPJoin
     * family's prefix filter): tokens get a global total order by
     * ascending document frequency (ties by token). For a pair with

@@ -145,6 +145,37 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("contain")) {
+      // containment-family skew demonstration: a boilerplate-heavy
+      // corpus (30 % of docs share an 80-word licence header) is the
+      // adversarial case for the EXACT inverted index — every header
+      // gram's postings list is 0.3·n long and the gram join goes
+      // quadratic in that block. The capped form drops those grams
+      // from the candidate index and exact-verifies the survivors.
+      val sp = spark
+      import sp.implicits._
+      val n = args.lift(2).map(_.toInt).getOrElse(20000)
+      val header = (1 to 80).map(i => s"lic$i").mkString(" ")
+      val skewed = sp.range(0, n.toLong, 1, 32).select(col("id").as("doc_id"),
+        when(col("id") % 10 < 3,
+          concat(lit(header + " "), col("id").cast("string")))
+          .otherwise(concat_ws(" ",
+            (1 to 40).map(j => md5(concat(col("id"), lit(j)))): _*))
+          .as("text"))
+        .cache()
+      println(s"CONTAIN corpus n=$n boilerplate=${skewed.filter(col("text").startsWith("lic")).count()}")
+      q("containment_exact") {
+        Dedup.clearShingleCache()
+        Dedup.containmentPairs(skewed, leftMax = 500).count()
+      }
+      q("containment_capped") {
+        Dedup.clearShingleCache()
+        Dedup.containmentPairsCapped(skewed, leftMax = 500,
+          maxGramDf = n / 100L).count()
+      }
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("r12new")) {
       // round-12: the within-doc in-row sort vs the r11 prefix probe
       // it replaced, on the long-doc shape that flagged the probe

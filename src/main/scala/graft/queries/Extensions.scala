@@ -39,6 +39,12 @@ object Extensions {
     "x_dedup_containment" -> ((s, d) =>
       Dedup.containmentPairs(t(s, d, "documents"))),
 
+    // the df-capped scale form: ubiquitous grams (df > 5 here) leave
+    // the candidate index, survivors are exact-verified on the full
+    // shingle arrays — deterministic given the cap, so fully oracled
+    "x_dedup_containment_capped" -> ((s, d) =>
+      Dedup.containmentPairsCapped(t(s, d, "documents"), maxGramDf = 5)),
+
     "x_dedup_ngram_prefix" -> ((s, d) =>
       Dedup.ngramJaccardPrefix(t(s, d, "documents"))),
 
@@ -1186,6 +1192,29 @@ object Extensions {
 
     // the text near-dup strategies provably agree on this corpus
     "x_dedup_ngram_jaccard" -> trigramCte,
+
+    // the capped form: candidates restricted to grams with df <= 5,
+    // then the TRUE containment verified on the full arrays — the cap
+    // replayed exactly, never approximated
+    "x_dedup_containment_capped" ->
+      raw"""WITH $shingleCte,
+        |tok AS (SELECT doc_id, unnest(g) AS shingle FROM d),
+        |rare AS (SELECT shingle FROM
+        |  (SELECT shingle, COUNT(*) AS gdf FROM tok GROUP BY 1)
+        |  WHERE gdf <= 5),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN rare USING (shingle) JOIN tok b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND a.doc_id < 200)
+        |SELECT c.doc_a, c.doc_b,
+        |  ROUND(CAST(len(list_intersect(da.g, db.g)) AS DOUBLE)
+        |        / least(len(da.g), len(db.g)), 4) AS containment
+        |FROM cand c
+        |JOIN d da ON da.doc_id = c.doc_a
+        |JOIN d db ON db.doc_id = c.doc_b
+        |WHERE len(list_intersect(da.g, db.g)) * 3
+        |      >= least(len(da.g), len(db.g)) * 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // max-containment (|∩|/min) with the integer 3|∩| >= 2·min cut —
     // same shingle substrate, least() instead of the union denominator

@@ -855,6 +855,39 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
   }
 
+  test("capped containment: ubiquitous grams leave the index, survivors keep TRUE values") {
+    val sp = spark; import sp.implicits._
+    // boilerplate: the same licence-header text on docs 1..6 (gram df
+    // 6 > cap 3); docs 1 and 2 are boilerplate-ONLY near-dups; docs
+    // 10/11 share rare content grams
+    val boiler = (1 to 8).map(i => s"lic$i").mkString(" ")
+    val content = (1 to 10).map(i => s"body$i").mkString(" ")
+    val docs = (
+      (1L to 6L).map(id => (id, boiler + s" tail$id only")) ++ Seq(
+        (10L, content),
+        (11L, content + " extra trailing words here"))).toDF("doc_id", "text")
+    try {
+      val exact = Dedup.containmentPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val capped = Dedup.containmentPairsCapped(docs, maxGramDf = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // the content pair survives the cap WITH its exact value
+      assert(capped.contains((10L, 11L)))
+      assert(capped((10L, 11L)) == exact((10L, 11L)))
+      assert(capped((10L, 11L)) == 1.0)
+      // boilerplate-only pairs are the KNOWING loss: exact finds them,
+      // the capped index never generates them
+      assert(exact.keys.exists(p => p._1 <= 6 && p._2 <= 6))
+      assert(!capped.keys.exists(p => p._1 <= 6 && p._2 <= 6))
+      // with a cap nothing exceeds, the two forms are identical
+      val wide = Dedup.containmentPairsCapped(docs, maxGramDf = 1000).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(wide == exact)
+      intercept[IllegalArgumentException](
+        Dedup.containmentPairsCapped(docs, maxGramDf = 0))
+    } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
+  }
+
   test("gram novelty: boilerplate scores 0 ppm, fresh text 1e6, trigram-less docs NULL") {
     val sp = spark; import sp.implicits._
     val template = "the same template text repeated verbatim again"

@@ -64,6 +64,23 @@ class BqSqlSpec extends AnyFunSuite {
     assert(quoteIdent("a`b") == "`a\\`b`")
   }
 
+  test("sync-state statements: dataset-resident watermark, escaped literals") {
+    assert(BqSyncState.createSql("ds.graft_sync_state") ==
+      "CREATE TABLE IF NOT EXISTS `ds.graft_sync_state` " +
+        "(`source_name` STRING, `watermark` STRING, `updated_at` TIMESTAMP)")
+    assert(BqSyncState.selectSql("ds.graft_sync_state", "it's api") ==
+      "SELECT `watermark` FROM `ds.graft_sync_state` " +
+        """WHERE `source_name` = 'it\'s api'""")
+    val up = BqSyncState.upsertSql("ds.graft_sync_state", "api", "2026-01-01")
+    assert(up.startsWith("MERGE `ds.graft_sync_state` AS t USING " +
+      "(SELECT 'api' AS `source_name`, '2026-01-01' AS `watermark`) AS s "))
+    assert(up.contains("WHEN MATCHED THEN UPDATE SET `watermark` = s.`watermark`"))
+    assert(up.contains("WHEN NOT MATCHED THEN INSERT"))
+    intercept[IllegalArgumentException](
+      new BqSyncState("http://x", "p", "ds",
+        BigQueryWriter.StaticToken("t"), table = "bad-name"))
+  }
+
   test("spark-schema mapping: nested to JSON, binary to BYTES") {
     import org.apache.spark.sql.types._
     assert(ofSpark(LongType) == BqInt64)

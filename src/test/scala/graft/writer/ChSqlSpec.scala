@@ -82,6 +82,20 @@ class ChSqlSpec extends AnyFunSuite {
       (1, 42L), (2, null), (3, null), (4, "7"), (5, 1L), (6, 2.5), (7, null)))
   }
 
+  test("sync-state statements: versioned state table, FINAL read, literal escaping") {
+    assert(ChSyncState.createSql("graft_sync_state") ==
+      "CREATE TABLE IF NOT EXISTS `graft_sync_state` " +
+        "(`source_name` String, `watermark` String, `ver` UInt64) " +
+        "ENGINE = ReplacingMergeTree(`ver`) ORDER BY (`source_name`)")
+    assert(ChSyncState.selectSql("graft_sync_state", "it's api") ==
+      "SELECT `source_name`, `watermark` FROM `graft_sync_state` FINAL " +
+        "WHERE `source_name` = 'it\\'s api'")
+    assert(stringLiteral("""a\'b""") == """'a\\\'b'""")
+    // a hostile state-table name is rejected before any SQL renders
+    intercept[IllegalArgumentException](
+      new ChSyncState("http://x/", "u", "p", "bad;table"))
+  }
+
   test("schema evolution: ADD Nullable, MODIFY widenings, absorb no-ops") {
     val existing = ListMap("id" -> ChInt64, "v" -> ChInt64, "s" -> ChString)
     val incoming = ListMap("id" -> ChInt64, "v" -> ChFloat64,
