@@ -275,9 +275,19 @@ object Dedup {
     * reach a prefix. τ is fixed at the family-wide 1/2 because the
     * exact verification ([[verifyPairs]]) applies the shared integer
     * 2·|∩| ≥ |∪| cut; the output therefore equals
-    * [[ngramJaccardBrute]] and shares its oracle. Same shuffle shape
-    * as the inverted index, roughly half the candidate postings — the
-    * exact-dedup plan for a 100× corpus.
+    * [[ngramJaccardBrute]] and shares its oracle.
+    *
+    * MEASURED STANDING (PROF round-13 addendum 2): at this τ the
+    * prefix spans HALF of each doc's tokens, so ubiquitous
+    * (boilerplate) grams still land in probe prefixes, and the
+    * per-candidate array verify costs more per pair than brute's
+    * grouped count — brute has won at every measured scale (2.05 vs
+    * 9.33 s at 30×) and skew (12.8 vs 104 s on a 30 %-boilerplate
+    * corpus). This operator stays as the PPJoin technique
+    * demonstration and the high-τ building block (where prefix ≈ the
+    * rare tokens); the τ = 1/2 scale path is [[ngramJaccardBrute]],
+    * with the df-cap treatment ([[containmentPairsCapped]]'s shape)
+    * as the boilerplate answer.
     */
   def ngramJaccardPrefix(docs: DataFrame, leftMax: Long = 200): DataFrame =
     withShingles(docs)(sh => verifyPairs(prefixCandidates(sh, leftMax), sh))

@@ -173,6 +173,20 @@ object Prof {
         Dedup.containmentPairsCapped(skewed, leftMax = 500,
           maxGramDf = n / 100L).count()
       }
+      // the Jaccard pair: the SAME skew is the missing justification
+      // measurement for the prefix filter — on the low-skew synthetic
+      // corpus the brute inverted index wins at every scale (round-5
+      // table), but brute's postings for the header grams go
+      // quadratic here while PPJoin prefixes hold only each doc's
+      // RAREST tokens, which boilerplate grams never are
+      q("jaccard_brute") {
+        Dedup.clearShingleCache()
+        Dedup.ngramJaccardBrute(skewed, leftMax = 500).count()
+      }
+      q("jaccard_prefix") {
+        Dedup.clearShingleCache()
+        Dedup.ngramJaccardPrefix(skewed, leftMax = 500).count()
+      }
       spark.stop()
       return
     }
