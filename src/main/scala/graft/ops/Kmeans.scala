@@ -490,10 +490,16 @@ object Kmeans {
     * k-means CTE.
     *
     * Shape: the assignment rides the memoized fit (k·d driver-side
-    * model state only); the term relation shuffles ONCE into
-    * (cluster, term) counts; the corpus-df side derives from that
-    * same aggregate (k-fold smaller than the corpus, AQE size-gates
-    * its join); n_docs is a 1-row scalar attach; the final window
+    * model state only); the term relation shuffles into (cluster,
+    * term) counts; the corpus-df side derives from the same logical
+    * aggregate. Catalyst collapses that derivation into a second
+    * independent pipeline, so the explode physically runs twice —
+    * MEASURED and kept: the window alternative (`sum(df) over
+    * (partition by term)` on cdf, one explode) re-shuffles AND SORTS
+    * the vocabulary relation instead, and loses at both 1× (1.89 vs
+    * 1.84 s) and 100× (11.1 vs 9.9 s) because ScaleGen-style corpora
+    * grow vocabulary with size — two cheap explode passes beat one
+    * vocab sort. n_docs is a 1-row scalar attach; the final window
     * sorts each cluster's vocabulary, never the corpus.
     */
   def clusterTopics(embeddings: DataFrame, docs: DataFrame, topK: Int = 5,
