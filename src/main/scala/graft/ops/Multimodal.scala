@@ -208,6 +208,63 @@ object Multimodal {
     }(enc)
   }
 
+  val ImageFeaturesType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", IntegerType),
+    StructField("mean_g", IntegerType),
+    StructField("mean_b", IntegerType)))
+
+  /** REAL image feature extraction — the decode → feature step of a
+    * multimodal training pipeline, via the JDK's imageio (PNG, JPEG,
+    * GIF, BMP): per-image dimensions plus integer per-channel pixel
+    * means (sum div count — deterministic, no float accumulation).
+    * Payloads the magic-byte sniff rules out never touch a codec
+    * (the [[MediaIoDecoder]] lesson); images that then fail to
+    * decode, non-images, and null payloads all map to a NULL struct —
+    * total, annotate-don't-filter. One mapPartitions pass like
+    * [[resizeImages]]; per-row cost is O(pixels) only where an image
+    * actually is, so a mostly-text corpus streams through at scan
+    * speed.
+    */
+  def imageFeatures(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("img_features", ImageFeaturesType))
+    val payloadIx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIx)
+        val feats: Row =
+          if (sniffModality(bytes) != 'i') null
+          else try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) null
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              Row(w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
+            }
+          } catch { case _: java.io.IOException => null }
+        Row.fromSeq(r.toSeq :+ feats)
+      }
+    }(enc)
+  }
+
   /** Deterministic frame sampling for (stub) video payloads: every
     * k-th frame index up to n_frames; zero-frame media sample an
     * EMPTY list (not frame 0 — there is no frame 0 to extract).

@@ -1074,6 +1074,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSeq == Seq("stub"))
   }
 
+  test("imageFeatures: exact channel means on controlled pixels; non-images NULL") {
+    import spark.implicits._
+    // pixels we control exactly: PNG is lossless, so the integer
+    // channel means are fully determined
+    def png(pixels: Seq[Seq[Int]]): Array[Byte] = {
+      val h = pixels.length; val w = pixels.head.length
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val redBlue = png(Seq(Seq(0xff0000, 0x0000ff))) // 2x1: red, blue
+    val gray = png(Seq(Seq(0x808080, 0x808080), Seq(0x808080, 0x808080)))
+    val df = Seq(
+      (1L, redBlue),
+      (2L, gray),
+      (3L, "not an image".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload").repartition(2)
+    val got = Multimodal.imageFeatures(df, "payload")
+      .select(col("id"), col("img_features")).collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))
+        .map(s => (s.getInt(0), s.getInt(1), s.getInt(2), s.getInt(3), s.getInt(4))))
+      .toMap
+    // (255+0)/2 = 127 (integer div), green 0, blue 127
+    assert(got(1L).contains((2, 1, 127, 0, 127)))
+    assert(got(2L).contains((2, 2, 0x80, 0x80, 0x80)))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+  }
+
   test("resizeImages downscales into the box; small and non-image payloads handled") {
     import spark.implicits._
     def imageBytes(w: Int, h: Int): Array[Byte] = {
