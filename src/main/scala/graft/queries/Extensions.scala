@@ -279,6 +279,43 @@ object Extensions {
     // norm-outlier count, label diversity, and the deterministic
     // md5-rank-1 exemplar — the per-topic health table a mixture
     // decision reads; one oracle for the whole composition
+    // curation pipeline v4 — the round-13 family composed into one
+    // per-doc verdict, first matching reason wins:
+    //   exact       NFC-folded 3-word-prefix key has an earlier doc
+    //   short       no trigrams to judge (annotate, don't vanish)
+    //   boilerplate trigram novelty below 25 % (hapax share in ppm)
+    //   contained   the larger id of a df-capped containment pair
+    // All-integer decisions → one full DuckDB hash oracle over the
+    // whole composition
+    "x_pipeline_curation_v4" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val ntext = TextOps.nfc(col("text"))
+      val key = concat_ws(" ",
+        (1 to 3).map(i => try_element_at(split(ntext, " "), lit(i))): _*)
+      val keyed = docs.select(col("doc_id"), key.as("k"))
+      val exactKeep = keyed.join(
+        keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep_id")), "k")
+        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_first"))
+      val novelty = CorpusStats.gramNovelty(docs)
+        .select(col("doc_id"), col("novelty_ppm"))
+      val contained = Dedup.containmentPairsCapped(docs, maxGramDf = 5)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_contained", lit(true))
+      docs.select(col("doc_id"))
+        .join(exactKeep, "doc_id")
+        .join(novelty, "doc_id")
+        .join(contained, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(!col("is_first"), "exact")
+            .when(col("novelty_ppm").isNull, "short")
+            .when(col("novelty_ppm") < 250000, "boilerplate")
+            .when(coalesce(col("is_contained"), lit(false)), "contained")
+            .as("reason"))
+        .select(col("doc_id"),
+          col("reason").isNull.cast("int").as("keep"), col("reason"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_pipeline_curation_v3" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val asg = Kmeans.kmeansAssign(e)
@@ -1654,6 +1691,54 @@ object Extensions {
     // composition replay: iteration chain -> final assignment joined
     // with the outlier flags (selfq over the same cv codes) and the
     // per-cluster md5-rank-1 exemplar
+    // the v4 composition replayed whole: NFC prefix keys, the
+    // owner-carrying df aggregate (novelty), the capped containment
+    // candidates + exact verify, and the first-match CASE verdict
+    "x_pipeline_curation_v4" ->
+      raw"""WITH $shingleCte,
+        |nk AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(nfc_normalize(text), ' ')[1:3], ' ') AS k
+        |  FROM documents),
+        |ek AS (
+        |  SELECT doc_id,
+        |    doc_id = MIN(doc_id) OVER (PARTITION BY k) AS is_first
+        |  FROM nk),
+        |tok AS (SELECT doc_id, unnest(g) AS shingle FROM d),
+        |own AS (SELECT shingle, COUNT(*) AS df, MIN(doc_id) AS owner
+        |        FROM tok GROUP BY 1),
+        |unq AS (SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique
+        |        FROM own WHERE df = 1 GROUP BY 1),
+        |nov AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN s.n_grams > 0
+        |      THEN (1000000 * COALESCE(u.n_unique, 0)) // s.n_grams END AS ppm
+        |  FROM (SELECT doc_id, len(g) AS n_grams FROM d) s
+        |  LEFT JOIN unq u USING (doc_id)),
+        |rare AS (SELECT shingle FROM own WHERE df <= 5),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM tok a JOIN rare USING (shingle) JOIN tok b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND a.doc_id < 200),
+        |cont AS (
+        |  SELECT DISTINCT c.doc_b AS doc_id
+        |  FROM cand c JOIN d da ON da.doc_id = c.doc_a
+        |  JOIN d db ON db.doc_id = c.doc_b
+        |  WHERE len(list_intersect(da.g, db.g)) * 3
+        |        >= least(len(da.g), len(db.g)) * 2),
+        |ver AS (
+        |  SELECT ek.doc_id,
+        |    CASE WHEN NOT ek.is_first THEN 'exact'
+        |         WHEN nov.ppm IS NULL THEN 'short'
+        |         WHEN nov.ppm < 250000 THEN 'boilerplate'
+        |         WHEN cont.doc_id IS NOT NULL THEN 'contained'
+        |    END AS reason
+        |  FROM ek JOIN nov USING (doc_id) LEFT JOIN cont USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+        |  reason
+        |FROM ver ORDER BY doc_id""".stripMargin,
+
     "x_pipeline_curation_v3" ->
       raw"""WITH ${kmeansCte(0, 3)},
         |so AS (SELECT vec_id,

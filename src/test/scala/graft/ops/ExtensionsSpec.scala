@@ -855,6 +855,40 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
   }
 
+  test("curation v4: all four verdict classes fire with first-match precedence") {
+    val sp = spark; import sp.implicits._
+    // the synthetic corpus can never produce 'contained' (a contained
+    // doc there always shares the 3-word prefix and drops as 'exact'
+    // first) or 'short' — this fixture exercises every class:
+    //   1 small template (its grams recur in 4)      -> boilerplate
+    //   2 byte-copy of 1                             -> exact
+    //   3 two words, no trigrams                     -> short
+    //   4 own prefix + the whole template + fresh    -> contained
+    //   5 fresh unrelated text                       -> keep
+    val template = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, template),
+      (2L, template),
+      (3L, "xx yy"),
+      (4L, (1 to 6).map(i => s"u$i").mkString(" ") + " " + template + " " +
+        (1 to 30).map(i => s"fresh$i").mkString(" ")),
+      (5L, (1 to 40).map(i => s"novel$i").mkString(" ")))
+      .map { case (id, text) => (id, text, "en", "src", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("curation-v4").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val got = Extensions.queries("x_pipeline_curation_v4")(spark, dir)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(1), Option(r.getString(2))))).toMap
+      assert(got(1L) == ((0, Some("boilerplate"))))
+      assert(got(2L) == ((0, Some("exact"))))
+      assert(got(3L) == ((0, Some("short"))))
+      assert(got(4L) == ((0, Some("contained"))))
+      assert(got(5L) == ((1, None)))
+    } finally { Dedup.clearPairCache(); Dedup.clearShingleCache() }
+  }
+
   test("capped containment: ubiquitous grams leave the index, survivors keep TRUE values") {
     val sp = spark; import sp.implicits._
     // boilerplate: the same licence-header text on docs 1..6 (gram df
