@@ -105,12 +105,9 @@ object Main {
             primaryKey)
         }
         else if (t.kind == "clickhouse") {
-          // a host carrying a scheme selects ClickHouse's native
-          // SQL-over-HTTP interface (port 8123) instead of JDBC — the
-          // transport split is inside the writer, keyed off the URL
-          val chUrl = if (t.host.contains("://"))
-            s"${t.host}/?database=${t.database}" else t.jdbcUrl
-          new graft.writer.ClickHouseWriter(chUrl,
+          // the transport split (native SQL-over-HTTP vs JDBC) is
+          // inside the writer, keyed off Target.chUrl's scheme
+          new graft.writer.ClickHouseWriter(t.chUrl,
             t.auth.resolvedUsername(getenv), t.auth.resolvedPassword(getenv),
             destTable, primaryKey, schemaEvolution = schemaEvolution)
         }
@@ -189,9 +186,7 @@ object Main {
                 graft.writer.BigQueryWriter.StaticToken(
                   t.auth.resolvedPassword(getenv)))
               case "clickhouse" =>
-                val chUrl = if (t.host.contains("://"))
-                  s"${t.host}/?database=${t.database}" else t.jdbcUrl
-                new graft.writer.ChSyncState(chUrl,
+                new graft.writer.ChSyncState(t.chUrl,
                   t.auth.resolvedUsername(getenv),
                   t.auth.resolvedPassword(getenv))
               case other => throw new IllegalArgumentException(

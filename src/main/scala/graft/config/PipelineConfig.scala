@@ -176,6 +176,15 @@ object PipelineConfig {
     /** BigQuery REST endpoint: a bare host assumes https. */
     def bqEndpoint: String =
       if (host.contains("://")) host else s"https://$host"
+
+    /** ClickHouse connection URL: a host carrying a scheme selects
+      * the native SQL-over-HTTP interface (port 8123), a bare host
+      * the JDBC transport — ONE derivation for the writer and the
+      * sync-state backend, so they can never land on different
+      * databases.
+      */
+    def chUrl: String =
+      if (host.contains("://")) s"$host/?database=$database" else jdbcUrl
   }
 
   final case class Config(sources: Seq[Source], targets: Seq[Target]) {

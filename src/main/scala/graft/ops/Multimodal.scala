@@ -70,24 +70,31 @@ object Multimodal {
       payloads.map(b => decodeImage(b).getOrElse(fallbackRow(b)))
   }
 
+  // the JDK image plugins throw UNCHECKED exceptions on corrupt
+  // payloads (ArrayIndexOutOfBounds on truncated GIFs, CMMException on
+  // broken JPEG color profiles) — a total decode seam must catch
+  // NonFatal, not just IOException, or one wild-corpus row kills the
+  // task deterministically across retries
   private def decodeImage(bytes: Array[Byte]): Option[Row] = {
     if (bytes == null) return None
-    val stream = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(bytes))
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(stream)
-      if (readers.hasNext) {
-        val reader = readers.next()
-        try {
-          reader.setInput(stream, false, true)
-          val nFrames =
-            try reader.getNumImages(true)
-            catch { case _: java.io.IOException => 1 }
-          Some(Row(reader.getFormatName.toLowerCase,
-            reader.getWidth(0), reader.getHeight(0), nFrames))
-        } finally reader.dispose()
-      } else None
-    } finally if (stream != null) stream.close()
+      val stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (readers.hasNext) {
+          val reader = readers.next()
+          try {
+            reader.setInput(stream, false, true)
+            val nFrames =
+              try reader.getNumImages(true)
+              catch { case _: java.io.IOException => 1 }
+            Some(Row(reader.getFormatName.toLowerCase,
+              reader.getWidth(0), reader.getHeight(0), nFrames))
+          } finally reader.dispose()
+        } else None
+      } finally if (stream != null) stream.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Real audio header parsing via the JDK's built-in
@@ -116,8 +123,11 @@ object Multimodal {
         math.round(fmt.getSampleRate), fmt.getChannels,
         aff.getFrameLength))
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // NonFatal, not just the two declared types: a malformed header
+      // with a valid RIFF magic can drive the SPI parsers into
+      // unchecked arithmetic/bounds errors (same totality argument as
+      // decodeImage)
+      case scala.util.control.NonFatal(_) => None
     }
   }
 
@@ -259,7 +269,9 @@ object Multimodal {
               val n = w.toLong * h
               Row(w, h, (sr / n).toInt, (sg / n).toInt, (sb / n).toInt)
             }
-          } catch { case _: java.io.IOException => null }
+            // NonFatal: JDK plugins throw unchecked on corrupt bodies
+            // behind a valid magic (see decodeImage)
+          } catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(r.toSeq :+ feats)
       }
     }(enc)
@@ -320,7 +332,9 @@ object Multimodal {
               javax.imageio.ImageIO.write(out, "png", buf)
               buf.toByteArray
             }
-          } catch { case _: java.io.IOException => null }
+            // NonFatal: JDK plugins throw unchecked on corrupt bodies
+            // behind a valid magic (see decodeImage)
+          } catch { case scala.util.control.NonFatal(_) => null }
         Row.fromSeq(r.toSeq :+ resized)
       }
     }(enc)

@@ -66,9 +66,11 @@ final class BigQueryWriter(
   }
 
   // idempotent like the Postgres 42P01 swallow — but on the PARSED
-  // job-error reason only: an HTTP-level 404 (misconfigured endpoint,
-  // wrong project path — whose body also says "Not found") must still
-  // propagate, so the swallow never matches message text
+  // error reason only (job errors in a 2xx body, or the real
+  // service's HTTP 404 + reason "notFound"): a 404 from a
+  // misconfigured endpoint or wrong project path has no parseable
+  // reason array and still propagates — the swallow never matches
+  // message text
   override def truncate(): Unit =
     BigQueryWriter.post(endpoint, project, auth,
       BqSql.truncateSql(tablePath), requestTimeoutSecs,
@@ -181,22 +183,31 @@ object BigQueryWriter {
   private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(30)).build()
 
-  /** Exact rendered-size contribution of a string literal under
+  /** Exact rendered UTF-8 size of a string literal under
     * [[BqSql.escapeString]]: control characters expand to `\\uXXXX`
-    * (6 chars — the old 2·len estimate let a control-char-heavy batch
-    * render past the cap's headroom), backslash/quote/\n\r\t to two.
-    * One scan, no allocation.
+    * (6 ASCII bytes — the old 2·len estimate let a control-char-heavy
+    * batch render past the cap's headroom), backslash/quote/\n\r\t to
+    * two, and — the part a char count misses — non-ASCII text costs
+    * 2–3 UTF-8 bytes per UTF-16 char (a CJK corpus renders 3× its
+    * char count; counting chars let such a batch blow the 1 MB query
+    * cap). Surrogate halves count 3 each (6/pair vs the true 4 —
+    * conservative is correct for a flush threshold). One scan, no
+    * allocation.
     */
   private[writer] def renderedStringBytes(s: String): Int = {
-    var extra = 0
+    var bytes = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '\\' || c == '\'' || c == '\n' || c == '\r' || c == '\t') extra += 1
-      else if (c < ' ') extra += 5
+      bytes +=
+        (if (c == '\\' || c == '\'' || c == '\n' || c == '\r' || c == '\t') 2
+         else if (c < ' ') 6
+         else if (c < 0x80) 1
+         else if (c < 0x800) 2
+         else 3)
       i += 1
     }
-    s.length + extra
+    bytes
   }
 
   /** Job-error reasons worth a backoff-retry: transient backend
@@ -240,17 +251,23 @@ object BigQueryWriter {
   /** POST one statement to `jobs.query`. Robustness contract:
     *   - 401 → one token refresh (OAuth only), the HTTP-source
     *     recovery shape;
-    *   - 429 / 5xx / retryable job errors (backendError,
-    *     rateLimitExceeded, the concurrent-DML "concurrent update"
-    *     abort) → exponential backoff, up to `maxAttempts` total;
+    *   - 429 / 5xx / transport IOExceptions / retryable job errors
+    *     (backendError, rateLimitExceeded, the concurrent-DML
+    *     "concurrent update" abort) → exponential backoff, up to
+    *     `maxAttempts` total; ambiguous faults (5xx, I/O) reuse the
+    *     requestId so the DML can't double-apply, definitive job
+    *     errors mint a fresh one so the retry re-RUNS instead of
+    *     replaying the dedup cache's stored failure;
     *   - the request carries `timeoutMs`, and a 200 with
     *     `jobComplete: false` (the server-side wait expired before
     *     the job finished) POLLS `jobs.getQueryResults` until the job
     *     completes or attempts run out — a slow DML that later fails
     *     is never silently counted as written;
-    *   - `swallowReasons`: job errors whose PARSED reasons all fall
-    *     in the set return silently (truncate's notFound) — never
-    *     matched against message text, so an HTTP 404 still throws.
+    *   - `swallowReasons`: PARSED error reasons that all fall in the
+    *     set return silently (truncate's notFound) — whether they
+    *     arrive as 2xx job errors or as the real service's HTTP 404 +
+    *     `error.errors[].reason` body; never matched against message
+    *     text, so a reason-less 404 (misconfigured endpoint) throws.
     * Returns the FINAL parsed response (post-poll when polling
     * happened) so SELECT callers ([[BqSyncState]]) can read
     * `rows[].f[].v`; DML callers ignore it. Package scope so the
@@ -259,23 +276,34 @@ object BigQueryWriter {
   private[writer] def post(endpoint: String, project: String, auth: Auth,
       sql: String, timeoutSecs: Long, maxAttempts: Int = 5,
       swallowReasons: Set[String] = Set.empty): com.fasterxml.jackson.databind.JsonNode = {
-    val body = mapper.createObjectNode()
-    body.put("query", sql)
-    body.put("useLegacySql", false)
-    // server-side wait: jobs.query defaults to ~10 s and then returns
-    // jobComplete=false; ask for the full request budget
-    body.put("timeoutMs", math.max(1000L, timeoutSecs * 1000L))
-    // one requestId per STATEMENT, reused across retry attempts:
-    // jobs.query deduplicates repeated requestIds, so a retry after an
-    // ambiguous 5xx (job may have run) cannot double-apply the DML —
-    // at-least-once send, exactly-once execution
-    body.put("requestId", java.util.UUID.randomUUID.toString)
-    val payload = mapper.writeValueAsString(body)
+    // requestId lifecycle: jobs.query deduplicates repeated
+    // requestIds — a retry after an AMBIGUOUS fault (5xx, IOException:
+    // the job may have run) must reuse the id so the DML cannot
+    // double-apply. But the dedup also replays "the error result of
+    // the original request if it has already failed", so a retry
+    // after a DEFINITIVE job error (rateLimitExceeded, the
+    // concurrent-update abort — the job ran and failed) must mint a
+    // FRESH id or every retry just reads back the cached failure.
+    var requestId = java.util.UUID.randomUUID.toString
+    def payload: String = {
+      val body = mapper.createObjectNode()
+      body.put("query", sql)
+      body.put("useLegacySql", false)
+      // server-side wait: jobs.query defaults to ~10 s and then returns
+      // jobComplete=false; ask for the full request budget
+      body.put("timeoutMs", math.max(1000L, timeoutSecs * 1000L))
+      body.put("requestId", requestId)
+      mapper.writeValueAsString(body)
+    }
 
     def send(token: String): HttpResponse[String] = {
       val req = HttpRequest.newBuilder()
         .uri(URI.create(s"$endpoint/bigquery/v2/projects/$project/queries"))
-        .timeout(Duration.ofSeconds(timeoutSecs))
+        // the client deadline must OUTLIVE the requested server-side
+        // wait: at equal budgets a slow DML races HttpTimeoutException
+        // against the server's jobComplete=false long-poll return and
+        // the client loses — the intended poll path never runs
+        .timeout(Duration.ofSeconds(timeoutSecs + 15))
         .header("Authorization", s"Bearer $token")
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(payload, StandardCharsets.UTF_8))
@@ -302,7 +330,7 @@ object BigQueryWriter {
         val req = HttpRequest.newBuilder()
           .uri(URI.create(s"$endpoint/bigquery/v2/projects/$project/queries/$jobId" +
             s"?timeoutMs=${math.max(1000L, timeoutSecs * 1000L)}$loc"))
-          .timeout(Duration.ofSeconds(timeoutSecs))
+          .timeout(Duration.ofSeconds(timeoutSecs + 15))
           .header("Authorization", s"Bearer $token")
           .GET().build()
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
@@ -325,41 +353,74 @@ object BigQueryWriter {
           s"bigquery job errors: ${errors.toString.take(500)}")
       }
 
+    // HTTP-level error bodies carry their own structured reasons
+    // (`error.errors[].reason`) — the REAL service reports a missing
+    // table as HTTP 404 + reason "notFound", not as a 2xx job error,
+    // so truncate's idempotence must consult swallowReasons here too.
+    // Still never matched against message text: a 404 from a
+    // misconfigured endpoint has no parseable reason and propagates.
+    def httpErrorReasons(body: String): Set[String] =
+      try {
+        val n = mapper.readTree(body)
+        if (n != null && n.has("error") && n.get("error").has("errors"))
+          reasonsOf(n.get("error").get("errors"))
+        else Set.empty
+      } catch { case _: java.io.IOException => Set.empty }
+
     var attempt = 0
     var refreshed401 = false
     var result: com.fasterxml.jackson.databind.JsonNode = null
     while (result == null) {
       attempt += 1
       val token = bearer(auth)
-      val resp = send(token)
-      val code = resp.statusCode()
-      if (code == 401 && !refreshed401 && auth.isInstanceOf[OAuth]) {
-        // expired/revoked grant: evict and retry once with a fresh
-        // token, the HTTP-source 401 recovery contract (doesn't spend
-        // a backoff attempt — it's a credential refresh, not a fault)
-        OAuth2.invalidate(auth.asInstanceOf[OAuth].spec)
-        refreshed401 = true
-        attempt -= 1
-      } else if (code == 429 || code / 100 == 5) {
-        if (attempt >= maxAttempts)
-          throw new graft.errors.GraftError.WriterError(
-            s"bigquery jobs.query HTTP $code after $attempt attempts: ${resp.body().take(500)}")
-        backoff(attempt - 1)
-      } else if (code / 100 != 2) {
-        throw new graft.errors.GraftError.WriterError(
-          s"bigquery jobs.query HTTP $code: ${resp.body().take(500)}")
-      } else {
-        val node = mapper.readTree(resp.body())
-        val errors = if (node.has("errors")) node.get("errors") else null
-        if (errors != null && errors.size() > 0 && isRetryableJobError(errors)
-            && attempt < maxAttempts) {
+      // transport faults (connection reset, client timeout) are as
+      // ambiguous as a 5xx — same backoff, same reused requestId
+      val respOpt =
+        try Some(send(token))
+        catch {
+          case e: java.io.IOException =>
+            if (attempt >= maxAttempts)
+              throw new graft.errors.GraftError.WriterError(
+                s"bigquery jobs.query I/O failure after $attempt attempts: ${e.getMessage}")
+            backoff(attempt - 1)
+            None
+        }
+      respOpt.foreach { resp =>
+        val code = resp.statusCode()
+        if (code == 401 && !refreshed401 && auth.isInstanceOf[OAuth]) {
+          // expired/revoked grant: evict and retry once with a fresh
+          // token, the HTTP-source 401 recovery contract (doesn't spend
+          // a backoff attempt — it's a credential refresh, not a fault)
+          OAuth2.invalidate(auth.asInstanceOf[OAuth].spec)
+          refreshed401 = true
+          attempt -= 1
+        } else if (code == 429 || code / 100 == 5) {
+          if (attempt >= maxAttempts)
+            throw new graft.errors.GraftError.WriterError(
+              s"bigquery jobs.query HTTP $code after $attempt attempts: ${resp.body().take(500)}")
           backoff(attempt - 1)
+        } else if (code / 100 != 2) {
+          val reasons = httpErrorReasons(resp.body())
+          if (reasons.nonEmpty && reasons.subsetOf(swallowReasons))
+            result = mapper.createObjectNode()
+          else throw new graft.errors.GraftError.WriterError(
+            s"bigquery jobs.query HTTP $code: ${resp.body().take(500)}")
         } else {
-          checkJobErrors(node)
-          result =
-            if (node.has("jobComplete") && !node.get("jobComplete").asBoolean(false))
-              pollIncomplete(token, node, maxAttempts - attempt)
-            else node
+          val node = mapper.readTree(resp.body())
+          val errors = if (node.has("errors")) node.get("errors") else null
+          if (errors != null && errors.size() > 0 && isRetryableJobError(errors)
+              && attempt < maxAttempts) {
+            // the job RAN and failed — a reused requestId would replay
+            // this cached failure forever (see requestId lifecycle)
+            requestId = java.util.UUID.randomUUID.toString
+            backoff(attempt - 1)
+          } else {
+            checkJobErrors(node)
+            result =
+              if (node.has("jobComplete") && !node.get("jobComplete").asBoolean(false))
+                pollIncomplete(token, node, maxAttempts - attempt)
+              else node
+          }
         }
       }
     }

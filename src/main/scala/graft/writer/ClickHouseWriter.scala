@@ -50,10 +50,14 @@ final class ClickHouseWriter(
     autoCreate: Boolean = true,
     schemaEvolution: Boolean = false) extends DataWriter with Serializable {
 
-  private def transport(): ClickHouseWriter.ChTransport =
-    if (url.startsWith("http://") || url.startsWith("https://"))
-      new ClickHouseWriter.HttpTransport(url, user, password)
-    else new ClickHouseWriter.JdbcTransport(url, user, password)
+  // driver-side transports are short-lived: close in finally, or every
+  // truncate/DDL/OPTIMIZE leaks a JDBC connection on a production
+  // classpath (the HTTP transport's close is a no-op, which is why
+  // stub-backed tests alone could never see the leak)
+  private def withTransport[A](f: ClickHouseWriter.ChTransport => A): A = {
+    val t = ClickHouseWriter.transportOf(url, user, password)
+    try f(t) finally t.close()
+  }
 
   /** Same normalization contract as the Postgres path: nested and
     * temporal columns become strings so every value is a scalar.
@@ -73,7 +77,8 @@ final class ClickHouseWriter(
     df.select(cols: _*)
   }
 
-  override def truncate(): Unit = transport().execute(ChSql.truncateSql(table))
+  override def truncate(): Unit =
+    withTransport(_.execute(ChSql.truncateSql(table)))
 
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     if (mode == WriteMode.Merge && primaryKey.isEmpty)
@@ -86,8 +91,7 @@ final class ClickHouseWriter(
     val insertSchema =
       if (keyed) chSchema.updated(ChSql.VerCol, ChSql.ChInt64) else chSchema
 
-    if (autoCreate) {
-      val t = transport()
+    if (autoCreate) withTransport { t =>
       t.execute(ChSql.createTableSql(table, chSchema, primaryKey))
       // schema evolution, the PostgresWriter contract in ClickHouse
       // dialect. ORDER BY (key) columns are excluded from the diff:
@@ -114,9 +118,7 @@ final class ClickHouseWriter(
 
     prepared.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        val t = if (u.startsWith("http://") || u.startsWith("https://"))
-          new ClickHouseWriter.HttpTransport(u, usr, pw)
-        else new ClickHouseWriter.JdbcTransport(u, usr, pw)
+        val t = ClickHouseWriter.transportOf(u, usr, pw)
         try {
           val buf = new scala.collection.mutable.ArrayBuffer[Seq[Any]](bs)
           var seq = 0L
@@ -145,7 +147,7 @@ final class ClickHouseWriter(
     // one driver-side compaction lands the replace semantics; runs
     // after every partition committed its inserts
     if (mode == WriteMode.Merge)
-      transport().execute(ChSql.optimizeSql(table))
+      withTransport(_.execute(ChSql.optimizeSql(table)))
     WriteStats(counter.value)
   }
 }
@@ -160,6 +162,17 @@ object ClickHouseWriter {
   private[writer] def nextIngestEpoch(): Long =
     lastEpoch.updateAndGet(last =>
       math.max(System.currentTimeMillis() / 1000L, last + 1))
+
+  /** THE URL-scheme → transport dispatch — every construction site
+    * (driver DDL, executor partition writes, the sync-state backend)
+    * goes through here, so a dispatch tweak (a new scheme, URL
+    * normalization) has exactly one home.
+    */
+  private[writer] def transportOf(url: String, user: String,
+      password: String): ChTransport =
+    if (url.startsWith("http://") || url.startsWith("https://"))
+      new HttpTransport(url, user, password)
+    else new JdbcTransport(url, user, password)
 
   /** The transport seam: DDL/commands, schema read-back, and batch
     * insert — everything the writer needs from a ClickHouse.
@@ -200,13 +213,20 @@ object ClickHouseWriter {
 
     override def execute(sql: String): Unit = { post(sql); () }
 
+    // TabSeparated values arrive ESCAPED (\t \n \r \\ \0 \b \f \'):
+    // split on the raw separators first (escaped ones can't collide —
+    // they're backslash sequences), then unescape each field, or a
+    // watermark containing a backslash round-trips corrupted through
+    // ChSyncState (stored raw via JSONEachRow, read back escaped) and
+    // the two transports disagree on the same row
     override def queryPairs(sql: String): Seq[(String, String)] =
       post(sql + " FORMAT TabSeparated").split('\n').toSeq
         .filter(_.nonEmpty)
         .map { line =>
           val tab = line.indexOf('\t')
           require(tab >= 0, s"clickhouse TSV row without a tab: $line")
-          (line.substring(0, tab), line.substring(tab + 1))
+          (ClickHouseWriter.unescapeTsv(line.substring(0, tab)),
+            ClickHouseWriter.unescapeTsv(line.substring(tab + 1)))
         }
 
     override def insert(table: String, schema: ListMap[String, ChSql.ChType],
@@ -217,6 +237,31 @@ object ClickHouseWriter {
     }
 
     override def close(): Unit = () // the client is JVM-shared
+  }
+
+  /** Decode ClickHouse TabSeparated escaping — the inverse of the
+    * server's output escapes. An unrecognized backslash sequence (or
+    * a trailing backslash) passes through verbatim rather than
+    * erroring: read-side leniency, the server never emits one.
+    */
+  private[writer] def unescapeTsv(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        i += 1
+        b.append(s.charAt(i) match {
+          case 't' => '\t'; case 'n' => '\n'; case 'r' => '\r'
+          case 'b' => '\b'; case 'f' => '\f'; case '0' => '\u0000'
+          case '\'' => '\''; case '\\' => '\\'
+          case other => b.append('\\'); other
+        })
+      } else b.append(c)
+      i += 1
+    }
+    b.toString
   }
 
   /** One pooled HTTP client per JVM — thread-safe, keep-alive. */

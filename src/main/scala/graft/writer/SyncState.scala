@@ -191,9 +191,7 @@ final class ChSyncState(url: String, user: String, password: String,
     "watermark" -> ChSql.ChString, "ver" -> ChSql.ChInt64)
 
   private def withTransport[T](f: ClickHouseWriter.ChTransport => T): T = {
-    val t = if (url.startsWith("http://") || url.startsWith("https://"))
-      new ClickHouseWriter.HttpTransport(url, user, password)
-    else new ClickHouseWriter.JdbcTransport(url, user, password)
+    val t = ClickHouseWriter.transportOf(url, user, password)
     try f(t) finally t.close()
   }
 

@@ -1123,11 +1123,20 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     val redBlue = png(Seq(Seq(0xff0000, 0x0000ff))) // 2x1: red, blue
     val gray = png(Seq(Seq(0x808080, 0x808080), Seq(0x808080, 0x808080)))
+    // CORRUPT payloads behind a VALID magic: the sniff routes them to
+    // the codec, which throws (often UNCHECKED — AIOOBE on truncated
+    // bodies, CMMException on bad profiles); the total contract says
+    // they land as NULL features, never a task failure
+    val truncatedPng = redBlue.take(20)
+    val jpegGarbage = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+      "garbage after a JPEG magic".getBytes("UTF-8")
     val df = Seq(
       (1L, redBlue),
       (2L, gray),
       (3L, "not an image".getBytes("UTF-8")),
-      (4L, null.asInstanceOf[Array[Byte]]))
+      (4L, null.asInstanceOf[Array[Byte]]),
+      (5L, truncatedPng),
+      (6L, jpegGarbage))
       .toDF("id", "payload").repartition(2)
     val got = Multimodal.imageFeatures(df, "payload")
       .select(col("id"), col("img_features")).collect()
@@ -1138,6 +1147,16 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got(1L).contains((2, 1, 127, 0, 127)))
     assert(got(2L).contains((2, 2, 0x80, 0x80, 0x80)))
     assert(got(3L).isEmpty && got(4L).isEmpty)
+    assert(got(5L).isEmpty && got(6L).isEmpty)
+
+    // the same corrupt payloads are total through the metadata chain
+    val meta = Multimodal.withMediaMeta(
+      Seq((5L, truncatedPng), (6L, jpegGarbage)).toDF("id", "payload"),
+      "payload", Multimodal.MediaIoDecoder)
+      .select(col("id"), col("media.format")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // fallback rows, not exceptions (format is the deterministic stub's)
+    assert(meta.size == 2)
   }
 
   test("resizeImages downscales into the box; small and non-image payloads handled") {

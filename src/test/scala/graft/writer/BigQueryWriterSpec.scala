@@ -182,10 +182,17 @@ class BigQueryWriterSpec extends AnyFunSuite {
       // three injected faults, then success: the row is counted ONCE
       assert(stats.rowsWritten == 1)
       assert(insertAttempts.get() == 4)
-      // every retry reused the SAME requestId — the server-side
-      // dedup key that makes an ambiguous-5xx retry exactly-once
+      // requestId lifecycle: the AMBIGUOUS 429/503 retries reuse the
+      // id (server-side dedup = exactly-once), but the concurrent-
+      // update retry saw a DEFINITIVE job failure — BigQuery's dedup
+      // would replay that cached failure for the same id, so the
+      // final attempt must carry a FRESH one
       import scala.jdk.CollectionConverters._
-      assert(requestIds.asScala.toSet.size == 1)
+      val ids = requestIds.asScala.toList
+      assert(ids.take(3).toSet.size == 1,
+        "5xx retries must reuse the requestId")
+      assert(ids(3) != ids.head,
+        "a job-error retry must mint a fresh requestId or it replays the dedup-cached failure")
       // backoff actually engaged, exponentially
       assert(slept.asScala.toList == List(200L, 400L, 800L))
     } finally BigQueryWriter.sleeper = prevSleeper
@@ -286,18 +293,30 @@ class BigQueryWriterSpec extends AnyFunSuite {
     }
   }
 
-  test("rendered-size estimate dominates the actual escaped literal length") {
-    // control-char-heavy strings expand 6x under \\uXXXX escaping; the
-    // estimate must never undercount (the 1 MB statement cap)
+  test("rendered-size estimate dominates the actual escaped literal UTF-8 length") {
+    // two ways to undercount, both must stay closed: control-char
+    // strings expand 6x under \\uXXXX escaping, and non-ASCII text
+    // costs up to 3 UTF-8 bytes per UTF-16 CHAR (a CJK batch counted
+    // by chars renders 3x past the 1 MB statement cap)
     val samples = Seq(
       "plain text", "it's \\ quoted", "tab\there\nand\rthere",
-      "\u0001\u0002\u0003 bells", "\u0000" * 100, "mixed 'q' \u0007 \\ end")
+      "\u0001\u0002\u0003 bells", "\u0000" * 100, "mixed 'q' \u0007 \\ end",
+      "\u6570\u636e\u7ba1\u9053\u4e2d\u6587\u8bed\u6599\u6b63\u6587" * 50,
+      "d\u00e9j\u00e0 vu \u2014 na\u00efve caf\u00e9",
+      "\u65e5\u672c\u8a9e '\u3068' \\ \u6539\u884c\n\u3067\u3059")
     samples.foreach { s =>
-      assert(BigQueryWriter.renderedStringBytes(s) >= BqSql.escapeString(s).length,
+      val actualUtf8 = BqSql.escapeString(s)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      assert(BigQueryWriter.renderedStringBytes(s) >= actualUtf8,
         s"undercounted: ${s.take(20)}")
-      assert(BigQueryWriter.renderedStringBytes(s) == BqSql.escapeString(s).length,
+      assert(BigQueryWriter.renderedStringBytes(s) == actualUtf8,
         s"estimate should be exact for: ${s.take(20)}")
     }
+    // astral plane (surrogate pairs): 4 true UTF-8 bytes, estimated
+    // 6 -- conservative over, never under
+    val emoji = "data \ud83d\ude00 rows"
+    assert(BigQueryWriter.renderedStringBytes(emoji) >= BqSql.escapeString(emoji)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
   }
 
   test("an HTTP-level 404 (wrong endpoint/project) propagates through truncate") {
@@ -335,5 +354,59 @@ class BigQueryWriterSpec extends AnyFunSuite {
           BigQueryWriter.StaticToken("tok"), "SELECT boom", 5)
       }
     }
+  }
+
+  test("truncate swallows the REAL service's missing-table shape: HTTP 404 + reason notFound") {
+    // real BigQuery reports a missing table as an HTTP 404 whose body
+    // carries error.errors[].reason == "notFound" — not as a 2xx job
+    // error (the stub-only shape the old swallow handled). Idempotent
+    // truncate must survive the real shape; a reason-LESS 404 (wrong
+    // endpoint) must still throw.
+    withServer { (server, base) =>
+      server.createContext("/bigquery/v2/projects/p1/queries", ex => {
+        val q = queryOf(readBody(ex))
+        if (q.startsWith("TRUNCATE"))
+          respond(ex,
+            """{"error": {"code": 404, "message": "Not found: Table p1:ds.gone", """ +
+              """"errors": [{"reason": "notFound", "message": "Not found: Table p1:ds.gone"}]}}""",
+            status = 404)
+        else respond(ex, """{"jobComplete": true}""")
+      })
+      val w = new BigQueryWriter(base, "p1", "ds", "gone",
+        BigQueryWriter.StaticToken("tok"))
+      w.truncate() // must not throw
+
+      // same 404 status with an unparseable / reason-less body → throws
+      server.createContext("/bigquery/v2/projects/p2/queries", ex => {
+        readBody(ex)
+        respond(ex, """<html>Not Found</html>""", status = 404)
+      })
+      intercept[graft.errors.GraftError.WriterError] {
+        new BigQueryWriter(base, "p2", "ds", "gone",
+          BigQueryWriter.StaticToken("tok")).truncate()
+      }
+    }
+  }
+
+  test("transport I/O faults retry with backoff, then surface as WriterError") {
+    // connection refused is an IOException, not an HTTP status — it
+    // must ride the same backoff loop as a 5xx (ambiguous fault), not
+    // escape post() raw on the first send
+    val prevSleeper = BigQueryWriter.sleeper
+    val slept = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    BigQueryWriter.sleeper = ms => { slept.add(ms); () }
+    try {
+      // grab a port with no listener: bind, read the port, release
+      val sock = new java.net.ServerSocket(0)
+      val deadPort = sock.getLocalPort
+      sock.close()
+      val err = intercept[graft.errors.GraftError.WriterError] {
+        BigQueryWriter.post(s"http://127.0.0.1:$deadPort", "p1",
+          BigQueryWriter.StaticToken("tok"), "SELECT 1", 5, maxAttempts = 3)
+      }
+      assert(err.getMessage.contains("I/O failure"))
+      import scala.jdk.CollectionConverters._
+      assert(slept.asScala.size == 2) // 3 attempts, 2 backoffs between
+    } finally BigQueryWriter.sleeper = prevSleeper
   }
 }

@@ -144,6 +144,33 @@ class ClickHouseHttpSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("TabSeparated read-back unescapes server escapes — a backslash watermark round-trips") {
+    // ClickHouse TSV output escapes \t \n \r \\ etc.; queryPairs must
+    // DECODE them or an opaque cursor watermark containing any of
+    // those bytes comes back corrupted (and the HTTP and JDBC
+    // transports disagree on the same stored row)
+    assert(ClickHouseWriter.unescapeTsv("""plain""") == "plain")
+    assert(ClickHouseWriter.unescapeTsv("""a\\b""") == """a\b""")
+    assert(ClickHouseWriter.unescapeTsv("""tab\there""") == "tab\there")
+    assert(ClickHouseWriter.unescapeTsv("""line\nbreak""") == "line\nbreak")
+    assert(ClickHouseWriter.unescapeTsv("""cr\rchar""") == "cr\rchar")
+    assert(ClickHouseWriter.unescapeTsv("""q\'uote""") == "q'uote")
+    // read-side leniency: unknown escape and trailing backslash pass through
+    assert(ClickHouseWriter.unescapeTsv("""odd\zseq""") == """odd\zseq""")
+    assert(ClickHouseWriter.unescapeTsv("""tail\""") == """tail\""")
+
+    // end-to-end: a stub emitting the ESCAPED form, the sync-state
+    // read path returning the decoded watermark
+    val stored = "cursor\\with\ttab"
+    val escaped = """cursor\\with\ttab"""
+    withServer(b =>
+      if (b.startsWith("SELECT `source_name`, `watermark`")) Some(s"src1\t$escaped\n")
+      else None) { (_, base) =>
+      val st = new ChSyncState(base, "u", "p")
+      assert(st.get("src1").contains(stored))
+    }
+  }
+
   test("JSONEachRow rendering follows the bind coercion lattice") {
     import scala.collection.immutable.ListMap
     import ChSql._

@@ -12,8 +12,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Property pins for the round-13 rendering seams:
   *
   *  - the BigQuery size estimate must EQUAL the escaped literal's
-  *    length for arbitrary strings (an under-count can breach the
-  *    1 MB statement cap; a systematic over-count shrinks batches);
+  *    UTF-8 byte length for arbitrary strings (an under-count can
+  *    breach the 1 MB statement cap — chars undercount CJK text 3x;
+  *    a systematic over-count shrinks batches);
   *  - the ClickHouse HTTP JSONEachRow rendering must traverse the
   *    coercion lattice exactly like the JDBC bind path — NULL
   *    together, same value otherwise — for arbitrary values, so the
@@ -35,9 +36,15 @@ class WriterRenderPropertySpec extends AnyFunSuite {
     2 -> Gen.choose(0.toChar, 31.toChar),
     1 -> Gen.oneOf('é', 'ß', '中', ' '))).map(_.mkString)
 
-  test("property: BigQuery rendered-size estimate equals the escaped length exactly") {
+  test("property: BigQuery rendered-size estimate equals the escaped UTF-8 length exactly") {
+    // the wire cap is on statement BYTES — a char count undercounts
+    // CJK text 3x; exact equality pinned for the whole BMP, and for
+    // astral chars (surrogate pairs) conservative over-count only
     check(Prop.forAll(trickyString) { s =>
-      BigQueryWriter.renderedStringBytes(s) == BqSql.escapeString(s).length
+      val est = BigQueryWriter.renderedStringBytes(s)
+      val actual = BqSql.escapeString(s)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      est == actual
     })
   }
 
