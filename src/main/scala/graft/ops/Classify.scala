@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Trained token-rate text classifier — the in-engine seam for the
+  * trained quality/language filters every large-scale curation
+  * pipeline runs (GPT-3's logistic quality classifier, CCNet's
+  * fastText language filter; the reference has no trainable surface
+  * at all, /root/reference/src/pipeline at large): supervised TRAIN
+  * on a deterministic md5 split, a model RELATION (never a
+  * driver-side object), distributed SCORING, and a held-out
+  * confusion EVAL — each stage a DataFrame, so the whole
+  * train-score-eval loop is one Catalyst plan.
+  *
+  * The model is deliberately on the integer lattice so every
+  * decision is bit-replayable by the DuckDB oracle: the weight of
+  * token t for class c is the DISCRIMINATIVE rate difference
+  * `w(t,c) = rate_ppm(t | c) − rate_ppm(t | corpus)` (both integer
+  * parts-per-million; the subtraction removes the shared-vocabulary
+  * bias that makes raw multinomial rate sums degenerate — stopwords
+  * cancel, class-indicative tokens keep their margin), and a doc's
+  * class score is `Σ_t tf(t, d) · w(t, c)` — a pure integer linear
+  * form, argmax with ties to the lexicographically smallest label.
+  * No logs, no floats, no smoothing epsilon: unseen tokens simply
+  * contribute nothing to every class, which is exactly NB's
+  * zero-information case without its zero-probability blowup.
+  *
+  * Scale shape: the model relation is vocabulary × k rows
+  * (broadcast-sized for any real vocabulary cut; AQE picks the
+  * broadcast join on its own), training is ONE shuffle of the train
+  * split's token relation, scoring ONE shuffle of the held-out token
+  * relation plus the model join, and the argmax window partitions by
+  * doc_id over k rows per doc — nothing corpus-sized crosses a
+  * single task, nothing is collected.
+  */
+object Classify {
+
+  /** The trained model relation: (label, tok, w) with `w` the ppm
+    * rate difference above. `trainCut` is the md5-bucket split point
+    * out of 10000 ([[Sampling.bucketOf]] — the same deterministic
+    * split substrate the leakage-safe split family uses).
+    */
+  def tokenClassifierModel(docs: DataFrame, labelCol: String = "lang",
+      trainCut: Int = 8000): DataFrame = {
+    require(trainCut > 0 && trainCut < 10000,
+      s"trainCut must split 0..9999, got $trainCut")
+    val train = docs.filter(Sampling.bucketOf(col("doc_id")) < trainCut)
+    val cnt = train.repartition(col("doc_id"))
+      .select(col(labelCol).as("label"), TextOps.words(col("text")).as("ws"))
+      .select(col("label"), explode(col("ws")).as("tok"))
+      .groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("label")).agg(sum(col("c")).as("n"))
+    val gcnt = cnt.groupBy(col("tok")).agg(sum(col("c")).as("gc"))
+    // corpus total: a 1-row scalar attach (the allowed cartesian)
+    val gtot = cnt.agg(sum(col("c")).as("gn"))
+    cnt.join(tot, "label").join(gcnt, "tok").crossJoin(gtot)
+      .select(col("label"), col("tok"),
+        expr("(1000000 * c) div n - (1000000 * gc) div gn").as("w"))
+  }
+
+  /** Held-out predictions: (doc_id, label, predicted, score). Total
+    * over the held-out split — a doc whose every token is outside
+    * the trained vocabulary has no scores at all and reports
+    * predicted = '?' with score 0 (annotate-don't-filter), rather
+    * than vanishing or crashing on an empty argmax.
+    */
+  def tokenClassifierPredict(docs: DataFrame, labelCol: String = "lang",
+      trainCut: Int = 8000): DataFrame = {
+    val model = tokenClassifierModel(docs, labelCol, trainCut)
+    val heldOut = docs.filter(Sampling.bucketOf(col("doc_id")) >= trainCut)
+    val tf = heldOut.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val scores = tf.join(model, "tok")
+      .groupBy(col("doc_id"), col("label"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+    val argmax = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("label").asc)
+    val pred = scores.withColumn("rn", row_number().over(argmax))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("label").as("predicted"), col("score"))
+    heldOut.select(col("doc_id"), col(labelCol).as("label"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("label"),
+        coalesce(col("predicted"), lit("?")).as("predicted"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Held-out confusion matrix: (label, predicted, n) — the eval
+    * table a filter-threshold decision reads. Cells that never occur
+    * are absent (sparse), rows total the held-out split.
+    */
+  def tokenClassifierConfusion(docs: DataFrame, labelCol: String = "lang",
+      trainCut: Int = 8000): DataFrame =
+    tokenClassifierPredict(docs, labelCol, trainCut)
+      .groupBy(col("label"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("predicted"))
+}

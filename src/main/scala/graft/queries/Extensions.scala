@@ -589,6 +589,23 @@ object Extensions {
     "x_text_novelty" -> ((s, d) =>
       CorpusStats.gramNovelty(t(s, d, "documents"))),
 
+    // trained token-rate classifier (the fastText/logistic quality-
+    // filter seam, on the integer lattice): train on the md5 split,
+    // score held-out docs, argmax with deterministic ties — the
+    // whole train-score loop is one plan, fully hash-oracled. The
+    // synthetic corpus shares one vocabulary across langs, so
+    // accuracy here is chance BY CONSTRUCTION (the fixture carries
+    // no signal); ClassifySpec proves the learner reaches 100 % on a
+    // separable corpus — the gate row pins determinism + oracle
+    // parity at scale, the spec pins learning power
+    "x_text_classify" -> ((s, d) =>
+      graft.ops.Classify.tokenClassifierPredict(t(s, d, "documents"))),
+
+    // its held-out confusion matrix — the eval table a filter
+    // threshold decision reads
+    "x_text_classify_confusion" -> ((s, d) =>
+      graft.ops.Classify.tokenClassifierConfusion(t(s, d, "documents"))),
+
     // global heavy hitters: top-20 trigrams by document frequency
     "x_corpus_top_trigrams" -> ((s, d) =>
       CorpusStats.topTrigrams(t(s, d, "documents"))),
@@ -974,6 +991,45 @@ object Extensions {
       |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
       |         || ' ' || string_split(text, ' ')[i+2])) AS g
       |  FROM documents)"""
+
+  /** The trained token-rate classifier's full train-score chain
+    * (shared by the prediction and confusion oracles): md5-bucket
+    * split at 8000/10000, per-(label, token) counts over the train
+    * split, discriminative ppm weights w = rate(t|c) − rate(t|corpus),
+    * held-out tf · w scores, ROW_NUMBER argmax with (score DESC,
+    * label) ties. All-integer throughout — SUM(BIGINT) goes HUGEINT
+    * in DuckDB, so every aggregated term is cast back before use.
+    */
+  private val classifyCte =
+    """WITH bkt AS (
+      |  SELECT doc_id, text, lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT
+      |      % 10000 AS INT) AS b
+      |  FROM documents),
+      |traintok AS (
+      |  SELECT lang AS label, unnest(string_split(text, ' ')) AS tok
+      |  FROM bkt WHERE b < 8000),
+      |cnt AS (SELECT label, tok, COUNT(*) AS c FROM traintok GROUP BY 1, 2),
+      |tot AS (SELECT label, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+      |gcnt AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS gc FROM cnt GROUP BY 1),
+      |gtot AS (SELECT CAST(SUM(c) AS BIGINT) AS gn FROM cnt),
+      |model AS (
+      |  SELECT cnt.label, cnt.tok,
+      |    (1000000 * cnt.c) // tot.n - (1000000 * gcnt.gc) // gtot.gn AS w
+      |  FROM cnt JOIN tot USING (label) JOIN gcnt USING (tok) CROSS JOIN gtot),
+      |ho AS (SELECT doc_id, lang, text FROM bkt WHERE b >= 8000),
+      |tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ho)
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT tf.doc_id, m.label, CAST(SUM(tf.tf * m.w) AS BIGINT) AS score
+      |  FROM tf JOIN model m USING (tok) GROUP BY 1, 2),
+      |pred AS (
+      |  SELECT doc_id, label AS predicted, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, label) AS rn
+      |  FROM sc)""".stripMargin
 
   private val pairClosureCte =
     """p AS (
@@ -2084,6 +2140,27 @@ object Extensions {
         |  CAST(SUM(CASE WHEN f.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
         |FROM t JOIN f USING (w)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // trained token-rate classifier: the whole train-score loop
+    // replayed as one CTE chain — md5 split, ppm rate-difference
+    // weights (// on positives = Spark div; the subtraction can go
+    // negative but both operands of each // are non-negative), argmax
+    // via ROW_NUMBER with the same (score DESC, label) tie order,
+    // out-of-vocabulary docs LEFT-join to '?' / 0
+    "x_text_classify" -> (classifyCte +
+      raw"""
+        |SELECT h.doc_id, h.lang AS label,
+        |  COALESCE(p.predicted, '?') AS predicted,
+        |  CAST(COALESCE(p.score, 0) AS BIGINT) AS score
+        |FROM ho h LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p USING (doc_id)
+        |ORDER BY h.doc_id""".stripMargin),
+
+    "x_text_classify_confusion" -> (classifyCte +
+      raw"""
+        |SELECT label, predicted, COUNT(*) AS n FROM (
+        |  SELECT h.lang AS label, COALESCE(p.predicted, '?') AS predicted
+        |  FROM ho h LEFT JOIN (SELECT * FROM pred WHERE rn = 1) p USING (doc_id))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // trigram hapax share per doc in integer ppm (// = DuckDB integer
     // division = Spark's div); trigram-less docs LEFT-join to 0/0/NULL
