@@ -348,6 +348,42 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document KEYWORDS: top-k tokens by the integer tf-over-df
+    * weight `tf · (1e6 div df)` — the datacard/topic-label signal at
+    * document granularity (tf·idf's job, on the integer lattice: the
+    * rare-token reciprocal replaces the log so every weight and
+    * every rank is bit-replayable; the ordering it induces is the
+    * same "frequent here, rare everywhere" cut). Ties break (weight
+    * DESC, token ASC); docs with fewer than k distinct tokens emit
+    * fewer rows rather than padding.
+    *
+    * Shape: ONE shuffle of the token relation into per-doc tf, a
+    * vocabulary-sized df aggregate off the same relation joined back
+    * (broadcast at any real vocabulary), and the top-k window
+    * compiles to WindowGroupLimit — per-partition rank pruning, so
+    * only ≤k rows per doc survive to the final exchange. Nothing
+    * corpus-sized in one task.
+    */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(df, "tok")
+      .select(col("doc_id"), col("tok"),
+        expr("tf * (1000000 div df)").as("weight"))
+    val rk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("tok").asc)
+    weighted
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("tok"), col("weight"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** [[topTrigrams]] via a Misra-Gries sketch — the scale path for a
     * corpus whose n-gram VOCABULARY is too large to shuffle: the
     * exact form's partial aggregation still emits one row per

@@ -198,4 +198,52 @@ object Sampling {
     saltedTopN(df, groupCol, idCol,
       Seq(col(scoreCol).desc_nulls_last, col(idCol).asc),
       n, salts, rankName = "rank_in_group")
+
+  /** Mixture PLANNER (DoReMi-lite): per stratum, actual token share
+    * vs a uniform target, and the deterministic downsampling rate
+    * that would land the target — the decision table a mixture
+    * rebalance reads before touching any data. All-integer ppm:
+    * `keep_rate_ppm = min(1e6, 1e6·target_ppm div actual_ppm)` —
+    * over-represented strata get a sub-1e6 keep rate, at-or-under-
+    * target strata keep everything (this planner only ever
+    * DOWN-samples; up-weighting duplicated epochs is a training-
+    * loader concern, not a corpus one). One groupBy of a projected
+    * (stratum, token-count) relation plus a 1-row scalar attach —
+    * the plan table is strata-sized, broadcastable anywhere.
+    */
+  def mixturePlan(docs: DataFrame, stratumCol: String = "source"): DataFrame = {
+    val per = docs
+      .select(col(stratumCol).as("stratum"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy(col("stratum")).agg(sum(col("n")).as("toks"))
+    val tot = per.agg(sum(col("toks")).as("all_toks"),
+      count(lit(1)).as("k"))
+    per.crossJoin(tot)
+      .select(col("stratum"), col("toks"),
+        expr("(1000000 * toks) div all_toks").as("actual_ppm"),
+        expr("1000000 div k").as("target_ppm"))
+      .withColumn("keep_rate_ppm",
+        when(col("actual_ppm") <= col("target_ppm"), lit(1000000L))
+          .otherwise(expr("(1000000 * target_ppm) div actual_ppm")))
+      .orderBy(col("stratum"))
+  }
+
+  /** Apply [[mixturePlan]] as a per-doc ANNOTATION: keep = 1 iff the
+    * doc's md5 bucket (0..9999, scaled ×100 to ppm) falls under its
+    * stratum's keep rate — the same deterministic-survival idiom as
+    * [[weightedSample]], so the plan is replayable by any engine with
+    * md5 and the downsample composes with every other annotate-don't-
+    * filter stage.
+    */
+  def mixtureApply(docs: DataFrame, idCol: String = "doc_id",
+      stratumCol: String = "source"): DataFrame = {
+    val plan = mixturePlan(docs, stratumCol)
+      .select(col("stratum").as(stratumCol), col("keep_rate_ppm"))
+    docs.select(col(idCol), col(stratumCol))
+      .join(plan, stratumCol)
+      .select(col(idCol), col(stratumCol), col("keep_rate_ppm"),
+        (bucket(col(idCol)).cast("long") * 100L < col("keep_rate_ppm"))
+          .cast("int").as("keep"))
+      .orderBy(col(idCol))
+  }
 }

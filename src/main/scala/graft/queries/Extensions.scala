@@ -589,6 +589,13 @@ object Extensions {
     "x_text_novelty" -> ((s, d) =>
       CorpusStats.gramNovelty(t(s, d, "documents"))),
 
+    // per-doc keyword extraction: top-3 tokens by the integer
+    // tf-over-df weight (tf·idf's cut on the lattice — the rare-token
+    // reciprocal replaces the log); WindowGroupLimit prunes to ≤3
+    // rows per doc before the final exchange
+    "x_text_keywords" -> ((s, d) =>
+      CorpusStats.docKeywords(t(s, d, "documents"))),
+
     // trained token-rate classifier (the fastText/logistic quality-
     // filter seam, on the integer lattice): train on the md5 split,
     // score held-out docs, argmax with deterministic ties — the
@@ -718,6 +725,19 @@ object Extensions {
     // corpus-derived integer bucket cuts, md5-deterministic keeps
     "x_mixture_rebalance" -> ((s, d) =>
       Sampling.rebalanceSummary(t(s, d, "documents"), "lang", "doc_id")),
+
+    // DoReMi-lite mixture PLANNER: per source its actual token share
+    // vs a uniform target and the integer downsampling rate landing
+    // the target — the strata-sized decision table a mixture
+    // rebalance reads first; one groupBy + a 1-row scalar attach
+    "x_mix_plan" -> ((s, d) =>
+      Sampling.mixturePlan(t(s, d, "documents"))),
+
+    // the plan APPLIED as a per-doc annotation: keep = md5 bucket
+    // under the stratum's keep rate — deterministic survival, so the
+    // whole plan→apply loop is hash-oracled end to end
+    "x_mix_apply" -> ((s, d) =>
+      Sampling.mixtureApply(t(s, d, "documents"))),
 
     // stratified sample: 5 deterministic pseudo-random docs per lang
     "x_sample_stratified" -> ((s, d) =>
@@ -2141,6 +2161,23 @@ object Extensions {
         |FROM t JOIN f USING (w)
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
+    // per-doc keywords: tf·(1e6 // df) weights, ROW_NUMBER ties
+    // (weight DESC, tok), rk cast to INT to match Spark row_number
+    "x_text_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfr AS (SELECT tok, COUNT(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY 1),
+        |w AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    CAST(tf.tf * (1000000 // dfr.df) AS BIGINT) AS weight,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * (1000000 // dfr.df) DESC, tf.tok) AS rk
+        |  FROM tf JOIN dfr USING (tok))
+        |SELECT doc_id, CAST(rk AS INT) AS rk, tok, weight
+        |FROM w WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
     // trained token-rate classifier: the whole train-score loop
     // replayed as one CTE chain — md5 split, ppm rate-difference
     // weights (// on positives = Spark div; the subtraction can go
@@ -2684,6 +2721,46 @@ object Extensions {
         |FROM b JOIN cuts USING (stratum)
         |GROUP BY b.stratum, cuts.n_docs, cuts.cut
         |ORDER BY stratum""".stripMargin,
+
+    // mixture planner: all-integer ppm shares and keep rates;
+    // SUM(BIGINT)→HUGEINT cast back before the // arithmetic
+    "x_mix_plan" ->
+      """WITH per AS (
+        |  SELECT source AS stratum,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS all_toks,
+        |  COUNT(*) AS k FROM per),
+        |p AS (
+        |  SELECT stratum, toks,
+        |    (1000000 * toks) // all_toks AS actual_ppm,
+        |    1000000 // k AS target_ppm
+        |  FROM per CROSS JOIN tot)
+        |SELECT stratum, toks, actual_ppm, target_ppm,
+        |  CASE WHEN actual_ppm <= target_ppm THEN 1000000
+        |       ELSE (1000000 * target_ppm) // actual_ppm END AS keep_rate_ppm
+        |FROM p ORDER BY stratum""".stripMargin,
+
+    // the plan applied through the shared md5-bucket survival idiom
+    "x_mix_apply" ->
+      """WITH per AS (
+        |  SELECT source AS stratum,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS all_toks,
+        |  COUNT(*) AS k FROM per),
+        |plan AS (
+        |  SELECT stratum AS source,
+        |    CASE WHEN (1000000 * toks) // all_toks <= 1000000 // k THEN 1000000
+        |         ELSE (1000000 * (1000000 // k)) // ((1000000 * toks) // all_toks)
+        |    END AS keep_rate_ppm
+        |  FROM per CROSS JOIN tot)
+        |SELECT d.doc_id, d.source, plan.keep_rate_ppm,
+        |  CAST(CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::INT
+        |         % 10000 AS BIGINT) * 100 < plan.keep_rate_ppm
+        |       THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM documents d JOIN plan USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // same md5-bucket scheme as x_split_assign, with the cut chosen
     // per source — DuckDB recomputes the survivor set exactly

@@ -95,4 +95,61 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(s30.size / 500.0 - 0.3) < 0.06, s"got ${s30.size}/500")
     assert(ids(0.0).isEmpty && ids(1.0).size == 500)
   }
+
+  test("mixturePlan: over-represented strata get sub-1e6 keep rates, under stay whole") {
+    val sp = spark; import sp.implicits._
+    // three strata: tokens 60 / 30 / 10 out of 100; uniform target is
+    // 333333 ppm, so only the 60%-stratum must downsample:
+    // keep = 1e6 * 333333 // 600000 = 555555
+    val docs = (
+      (1L to 6L).map(i => (i, Seq.fill(10)("t").mkString(" "), "big")) ++
+      (7L to 9L).map(i => (i, Seq.fill(10)("t").mkString(" "), "mid")) ++
+      Seq((10L, Seq.fill(10)("t").mkString(" "), "small"))
+    ).toDF("doc_id", "text", "source")
+    val plan = Sampling.mixturePlan(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(plan("big") == ((60L, 600000L, 333333L, 555555L)))
+    assert(plan("mid") == ((30L, 300000L, 333333L, 1000000L)))
+    assert(plan("small") == ((10L, 100000L, 333333L, 1000000L)))
+  }
+
+  test("mixtureApply: keeps are exactly the md5 buckets under the stratum rate") {
+    val sp = spark; import sp.implicits._
+    val docs = (
+      (1L to 6L).map(i => (i, Seq.fill(10)("t").mkString(" "), "big")) ++
+      (7L to 9L).map(i => (i, Seq.fill(10)("t").mkString(" "), "mid")) ++
+      Seq((10L, Seq.fill(10)("t").mkString(" "), "small"))
+    ).toDF("doc_id", "text", "source")
+    val buckets = docs
+      .select(col("doc_id"), Sampling.bucketOf(col("doc_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Sampling.mixtureApply(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    assert(got.size == 10, "every doc annotated, none dropped")
+    got.foreach { case (id, (rate, keep)) =>
+      val expected = if (buckets(id).toLong * 100L < rate) 1 else 0
+      assert(keep == expected, s"doc $id bucket ${buckets(id)} rate $rate")
+    }
+    // the under-target strata keep everything by construction
+    assert((7L to 10L).forall(got(_)._2 == 1))
+  }
+
+  test("docKeywords: tf-over-df ordering, deterministic ties, short docs emit fewer rows") {
+    val sp = spark; import sp.implicits._
+    // doc 1: 'rare' appears twice and only here (df=1, w=2e6);
+    // 'common' everywhere (df=3, w=333333); tie between 'aa' and 'ab'
+    // (both tf=1, df=1 -> w=1e6) breaks alphabetically
+    val docs = Seq(
+      (1L, "rare rare common aa ab"),
+      (2L, "common x"),
+      (3L, "common y")).toDF("doc_id", "text")
+    val got = CorpusStats.docKeywords(docs, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(got.filter(_._1 == 1L).toSeq == Seq(
+      (1L, 1, "rare", 2000000L), (1L, 2, "aa", 1000000L), (1L, 3, "ab", 1000000L)))
+    // doc 2 has only 2 distinct tokens -> 2 rows, no padding
+    assert(got.count(_._1 == 2L) == 2)
+    assert(got.filter(_._1 == 2L).map(_._3).toSet == Set("common", "x"))
+  }
 }
