@@ -186,17 +186,14 @@ object CorpusStats {
     * the model, so the ppm division never sees a missing cw1.
     */
   def bigramLmCross(docs: DataFrame, trainSource: String = "src0"): DataFrame = {
-    val ws = col("ws")
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    def tfOf(d: DataFrame) = d.repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
-    val train = tfOf(docs.filter(col("source") === trainSource))
-    val scoreTf = tfOf(docs.filter(col("source") =!= trainSource))
+    // both slices derive from the ONE memoized persisted bigram-tf
+    // substrate (a source tag joined on): the per-slice tfOf form
+    // tokenized and exploded the corpus once per slice, and the LM
+    // family's three consumers shared nothing
+    val tagged = corpusBigramTf(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val train = tagged.filter(col("source") === trainSource).drop("source")
+    val scoreTf = tagged.filter(col("source") =!= trainSource).drop("source")
     val cbg = train.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
     val cw1 = train.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("tf")).as("cw1"))
@@ -212,19 +209,46 @@ object CorpusStats {
       .orderBy(col("doc_id"))
   }
 
+  /** The memoized PERSISTED per-(doc, bigram) tf relation — the
+    * bigram analogue of [[Dedup.corpusShingles]], and for the same
+    * measured reason: [[bigramLm]]'s plan reads the tf relation
+    * THREE times (tf itself, the cbg and cw1 model aggregates), and
+    * un-persisted each branch re-ran the whole tokenize + explode +
+    * groupBy over the corpus (three parquet scans in the physical
+    * plan, zero exchange reuse). Persisted, the corpus is exploded
+    * once and the model aggregates read cached partitions. Bounded
+    * cache, evict-all unpersists on overflow.
+    */
+  private val bigramTfCache =
+    new BoundedMemo[(Int, Int), DataFrame](capacity = 4,
+      onOverflow = _.unpersist())
+
+  /** Unpersist and drop all memoized bigram-tf relations. */
+  def clearBigramTfCache(): Unit = bigramTfCache.clear()
+
+  private def bigramTfKey(docs: DataFrame): (Int, Int) =
+    (docs.queryExecution.analyzed.semanticHash(),
+      java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]]))
+
+  private[ops] def corpusBigramTf(docs: DataFrame): DataFrame =
+    bigramTfCache.getOrElseUpdate(bigramTfKey(docs)) {
+      // project the split once, THEN build bigrams over the column —
+      // the inline form re-tokenizes inside every element_at of the
+      // lambda (see TextOps.ngramsOf), measured 4.5× slower at sf0.1
+      val ws = col("ws")
+      val bigrams = when(size(ws) >= 2,
+        transform(sequence(lit(1), size(ws) - 1),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>"))
+      docs.repartition(col("doc_id"))
+        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        .select(col("doc_id"), explode(bigrams).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+        .persist()
+    }
+
   def bigramLm(docs: DataFrame): DataFrame = {
-    // project the split once, THEN build bigrams over the column —
-    // the inline form re-tokenizes inside every element_at of the
-    // lambda (see TextOps.ngramsOf), measured 4.5× slower at sf0.1
-    val ws = col("ws")
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val tf = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("tf"))
+    val tf = corpusBigramTf(docs)
     val cbg = tf.groupBy(col("bg")).agg(sum(col("tf")).as("cbg"))
     val cw1 = tf.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("tf")).as("cw1"))
