@@ -414,15 +414,18 @@ object Dedup {
     * sources, how many verified near-dup document pairs cross (or
     * stay inside) it — the curation report that surfaces mirror
     * sites, content farms, and scrape overlap BEFORE dedup decides
-    * who wins. Rides the prefix-filter pair relation (and therefore
-    * the memoized verified-pair substrate — computing the matrix
-    * after a dedup run re-verifies nothing), then two joins against
-    * the 2-column (doc_id, source) projection, AQE-size-gated like
-    * every model-table join here; the aggregate is source²-sized.
-    * All-integer output.
+    * who wins. Rides the BRUTE inverted-index pair relation — the
+    * measured τ = 1/2 scale path (PROF round-13 addendum 2: brute
+    * beats the prefix filter at every scale AND under boilerplate
+    * skew; the pair sets are spec-pinned equal, so this is a free
+    * plan swap) and the memoized verified-pair substrate (computing
+    * the matrix after a dedup run re-verifies nothing) — then two
+    * joins against the 2-column (doc_id, source) projection,
+    * AQE-size-gated like every model-table join here; the aggregate
+    * is source²-sized. All-integer output.
     */
   def sourceDupMatrix(docs: DataFrame): DataFrame = {
-    val pairs = ngramJaccardPrefix(docs).select(col("doc_a"), col("doc_b"))
+    val pairs = ngramJaccardBrute(docs).select(col("doc_a"), col("doc_b"))
     val src = docs.select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
