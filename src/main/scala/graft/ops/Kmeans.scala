@@ -508,10 +508,17 @@ object Kmeans {
     val codes = codesDf(embeddings)
     val asg = withCluster(codes, centroidsFor(codes, k, iters))
       .select(col("vec_id"), col("cluster"))
-    val terms = docs.join(asg, docs("doc_id") === asg("vec_id"))
-      .select(col("cluster"), col("doc_id"), TextOps.words(col("text")).as("ws"))
-      .select(col("cluster"), col("doc_id"),
-        explode(TextOps.ngramsOf(col("ws"), 2)).as("term"))
+    // the distinct per-doc bigram set IS the bigram-tf substrate's
+    // key set (tf keys are distinct by construction), so topics
+    // rides the LM family's memoized PERSISTED relation instead of
+    // re-tokenizing the corpus — and the cdf/tot double-derivation
+    // this operator deliberately kept (the window variant measured
+    // slower) now reads cached partitions twice instead of exploding
+    // the corpus twice
+    val terms = CorpusStats.corpusBigramTf(docs)
+      .select(col("doc_id"), col("bg").as("term"))
+      .join(asg, col("doc_id") === col("vec_id"))
+      .select(col("cluster"), col("doc_id"), col("term"))
     val cdf = terms.groupBy(col("cluster"), col("term"))
       .agg(count(lit(1)).as("df"))
     val tot = cdf.groupBy(col("term")).agg(sum(col("df")).as("corpus_df"))
