@@ -153,7 +153,7 @@ object HttpJsonSource {
           refreshed = true
           attempt -= 1
           spec.oauth.foreach(OAuth2.invalidate)
-        case Right(r) if r.statusCode() < 500 =>
+        case Right(r) if r.statusCode() < 500 && r.statusCode() != 429 =>
           if (r.statusCode() >= 400) {
             val peek = errorPeek(r.body())
             throw new RuntimeException(
@@ -164,6 +164,10 @@ object HttpJsonSource {
             spec.url, r.statusCode().toString, attempt.toString)
           return r
         case other =>
+          // retryable: 5xx, transport I/O, and 429 — rate limiting is
+          // the one 4xx a 32-thread executor fan-out RELIABLY
+          // produces against a real API, and failing the whole
+          // partition on it turns a polite server into a hard error
           other.foreach(r => discard(r.body()))
           if (attempt >= spec.retry.maxAttempts) other match {
             case Right(r) => throw new RuntimeException(
@@ -171,7 +175,17 @@ object HttpJsonSource {
             case Left(e) => throw new RuntimeException(
               s"request to ${req.uri()} failed after $attempt attempts", e)
           }
-          Thread.sleep(delayMs)
+          // a 429/503 Retry-After (delta-seconds form) OVERRIDES the
+          // computed backoff when longer — the server told us when it
+          // will take the request, sleeping less just burns attempts;
+          // capped at 300 s so a hostile header can't hang a task
+          val retryAfterMs = other.toOption
+            .flatMap(r => Option(r.headers()
+              .firstValue("Retry-After").orElse(null)))
+            .flatMap(_.trim.toLongOption)
+            .map(s => math.min(s, 300L) * 1000)
+            .getOrElse(0L)
+          Thread.sleep(math.max(delayMs, retryAfterMs))
           delayMs = math.min(delayMs * 2, spec.retry.maxDelaySecs * 1000)
       }
     }

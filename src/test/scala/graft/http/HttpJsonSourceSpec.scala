@@ -20,6 +20,7 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
   private var server: HttpServer = _
   private var base: String = _
   private val flakyHits = new AtomicInteger(0)
+  private val rateHits = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val retry = Retry(maxAttempts = 3, maxDelaySecs = 1, minDelaySecs = 0)
 
@@ -70,6 +71,12 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
       out.close()
       ex.close()
+    })
+    server.createContext("/ratelimited", (ex: HttpExchange) => {
+      if (rateHits.incrementAndGet() < 2) {
+        ex.getResponseHeaders.set("Retry-After", "1")
+        respond(ex, """{"error":"slow down"}""", status = 429)
+      } else respond(ex, """{"id":7}""")
     })
     server.createContext("/flaky", (ex: HttpExchange) => {
       if (flakyHits.incrementAndGet() < 3) respond(ex, "boom", status = 500)
@@ -171,6 +178,22 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       fetchPage(buildClient(spec("/flaky")), spec("/flaky", dataPath = None), Seq.empty)
     }
     assert(e.getMessage.contains("after 3 attempts"))
+  }
+
+  test("429 retries with backoff, honoring a Retry-After delta") {
+    // rate limiting is the one 4xx a parallel page fan-out reliably
+    // produces; failing the partition on it turns a polite server
+    // into a hard error. The server's Retry-After (delta-seconds)
+    // overrides a shorter computed backoff.
+    rateHits.set(0)
+    val t0 = System.nanoTime()
+    val rows = fetchPage(buildClient(spec("/ratelimited")),
+      spec("/ratelimited", dataPath = None), Seq.empty)
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(rows == Seq("""{"id":7}"""))
+    assert(rateHits.get() == 2)
+    // minDelaySecs = 0, so any wait >= ~1 s came from Retry-After: 1
+    assert(elapsedMs >= 900L, s"Retry-After not honored: ${elapsedMs}ms")
   }
 
   test("4xx fails fast without retry") {
