@@ -84,4 +84,23 @@ class ClassifySpec extends AnyFunSuite {
     // out-of-vocabulary → '?' with score 0 (total, annotated)
     assert(got(hoIds(1)) == (("A", "?", 0L)))
   }
+
+  test("plan shape: broadcast model join, WindowGroupLimit argmax, scalar-attach only cross join") {
+    val docs = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val df = Classify.tokenClassifierPredict(docs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the argmax compiles to rank-limit pushdown: at most one row per
+    // doc survives each side of the window exchange
+    assert(plan.contains("WindowGroupLimit"),
+      s"argmax did not compile to WindowGroupLimit:\n$plan")
+    // the vocab-x-k model join broadcasts under the default budget
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model join did not broadcast:\n$plan")
+    // the only nested-loop join is the 1-row corpus-total attach
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
 }
