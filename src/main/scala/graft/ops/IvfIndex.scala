@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index — build ONCE, query MANY.
+  *
+  * Every in-session IVF operator ([[Similarity.knnIvf]] and friends)
+  * re-derives the coarse quantizer and the corpus cell assignment per
+  * session; the memo hides that inside one JVM, but at 100 TB the
+  * operational pattern is different: the index is built by one job,
+  * LANDS ON STORAGE, and is then queried by many later jobs that must
+  * not pay the fit or the full-corpus assignment pass again. This
+  * module is that seam, Spark-native:
+  *
+  *  - `centroids/` — the quantizer as a relation (cell, cvec), nCells
+  *    rows. The only state a query job needs to plan its probes.
+  *  - `vectors/` — (vec_id, v, norm) PARTITIONED BY `cell` (Hive-style
+  *    directory partitioning). Partitioning by cell is the scale
+  *    design: a probe of `nProbe` of `nCells` cells becomes a join on
+  *    the PARTITION column, which Spark turns into dynamic partition
+  *    pruning — the scan READS only the probed cells' files
+  *    (nProbe/nCells of the bytes), instead of scanning the corpus and
+  *    filtering. At √n cells that is the difference between an
+  *    O(corpus) read per query batch and an O(corpus/√n·nProbe) one.
+  *    `IvfIndexSpec` pins the pruning in the executed plan.
+  *
+  * Norms are precomputed at build time and stored (a double
+  * round-trips parquet exactly), so the query side pays one dot per
+  * scored pair — the [[Similarity.cosineWithNorms]] contract — and
+  * the scored values are bit-identical to the in-session path: at the
+  * recall-exhaustive probe counts the driver gate pins, the persisted
+  * path hash-matches the brute-force DuckDB oracle end to end.
+  *
+  * Incremental growth: [[append]] assigns NEW vectors against the
+  * STORED centroids (no refit — the production contract: an index's
+  * geometry is frozen at build; re-tuning is a rebuild) and appends
+  * their cell partitions. Assignment uses the same broadcast-centroid
+  * distance ranking as every probe derivation, so an appended index
+  * stays exhaustive-probe-correct by construction — the driver gate
+  * queries an even-half-built, odd-half-appended index at
+  * nProbe == nCells and still hash-matches the full brute oracle.
+  */
+object IvfIndex {
+
+  private def centroidsPath(dir: String) = s"$dir/centroids"
+  private def vectorsPath(dir: String) = s"$dir/vectors"
+
+  /** Build the index at `dir` (overwrite): fits (or reuses — the
+    * quantizer memo is keyed on the training lineage, not the caller)
+    * the coarse quantizer, assigns every vector, writes centroids and
+    * the cell-partitioned vector relation.
+    */
+  def save(embeddings: DataFrame, dir: String, nCells: Int = 16,
+      trainMod: Int = 4): Unit = {
+    val spark = embeddings.sparkSession
+    val (assigned, model) =
+      Similarity.assignedWithModel(embeddings, nCells, trainMod)
+    Similarity.centroidsDf(spark, model)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(dir))
+    assigned
+      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(dir))
+  }
+
+  /** Assign `embeddings` to the index's STORED centroids (nearest by
+    * the same codegen'd distance the probe ranking uses) and append
+    * them to the vector relation. No refit, no touch of existing
+    * partitions beyond the append.
+    */
+  def append(embeddings: DataFrame, dir: String): Unit = {
+    val spark = embeddings.sparkSession
+    val cents = spark.read.parquet(centroidsPath(dir))
+    val e = Similarity.withNorm(embeddings)
+    val asg = Similarity.nearestCellsFrom(e, cents, nProbe = 1)
+      .select(col("vec_id"), col("cell"))
+    e.join(asg, "vec_id")
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(vectorsPath(dir))
+  }
+
+  /** Top-k cosine neighbors from the persisted index for an explicit
+    * query relation (query_id, qv: array<float|double>). The probe
+    * set derives from the stored centroids (broadcast, nCells rows);
+    * the candidate fetch is a broadcast join of the (Q·nProbe)-row
+    * query×probe relation against the cell-partitioned scan — the
+    * partition-column join dynamic pruning feeds on. Same cosine
+    * arithmetic, tie order and rounding as [[Similarity.knnIvf]].
+    */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4): DataFrame = {
+    val vectors = spark.read.parquet(vectorsPath(dir))
+    val cents = spark.read.parquet(centroidsPath(dir))
+    val qn = queries
+      .select(col("query_id"), col("qv"))
+      .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
+    val probes = Similarity.nearestCellsFrom(
+        qn.select(col("query_id").as("vec_id"), col("qv").as("v")),
+        cents, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = qn.join(probes, "query_id")
+    val scored = vectors
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosineWithNorms(col("qv"), col("v"), col("qn"), col("norm"))
+          .as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Self-query convenience mirroring [[Similarity.knnIvf]]'s gate
+    * contract: the first `nQueries` indexed vectors query the index.
+    * The query fetch is a (vec_id < nQueries) scan of the vector
+    * relation itself — column-pruned to (vec_id, v), tiny even though
+    * it crosses partitions; production callers with external queries
+    * use [[query]] directly.
+    */
+  def querySelf(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Long = 5, nProbe: Int = 4): DataFrame =
+    query(spark, dir,
+      spark.read.parquet(vectorsPath(dir))
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")),
+      k, nProbe)
+}

@@ -147,6 +147,21 @@ object Similarity {
     (model.transform(e).select(col("vec_id"), col("cell")), model)
   }
 
+  /** The full assigned corpus relation (vec_id, v, norm, cell) plus
+    * the fitted quantizer — the build-side service for [[IvfIndex]].
+    * Same canonical training lineage and `model.transform` assignment
+    * as [[knnIvf]], so an index persisted from this relation answers
+    * queries bit-identically to the in-session IVF path.
+    */
+  private[ops] def assignedWithModel(embeddings: DataFrame, nCells: Int,
+      trainMod: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    val e = withNorm(embeddings).withColumn("fv",
+      array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val model = quantizerFor(e, nCells, trainMod)
+    (model.transform(e).select(col("vec_id"), col("v"), col("norm"), col("cell")),
+      model)
+  }
+
   /** [[nearestCells]] for sibling operators: (vec_id, cell, rk) probe
     * rows for `vecs` = (vec_id, v).
     */
@@ -154,21 +169,29 @@ object Similarity {
       model: org.apache.spark.ml.clustering.KMeansModel,
       nProbe: Int): DataFrame = nearestCells(vecs, model, nProbe)
 
+  /** The fitted quantizer's centroid table as a relation:
+    * (cell, cvec array<double>) — nCells rows. The k·d model state is
+    * the one sanctioned driver-side object in the IVF family; turning
+    * it into a DataFrame here is what lets [[IvfIndex]] persist it and
+    * re-derive probe sets WITHOUT the in-session model.
+    */
+  private[ops] def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, ix) => (ix, c.toArray.toSeq) }
+      .toDF("cell", "cvec")
+  }
+
   /** `nProbe` nearest coarse cells per vector, fully distributed: the
     * centroid table (nCells rows) broadcasts, every vector scores all
     * centroids, a per-vector window keeps the closest `nProbe` —
-    * no driver collect anywhere (shared by [[knnIvf]] and
-    * [[embeddingNearDupAnn]]). Returns (vec_id, cell, rk).
+    * no driver collect anywhere (shared by [[knnIvf]],
+    * [[embeddingNearDupAnn]] and the persisted-index query path).
+    * Returns (vec_id, cell, rk).
     */
-  private def nearestCells(vecs: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+  private[ops] def nearestCellsFrom(vecs: DataFrame, centroids: DataFrame,
       nProbe: Int): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val centroids = broadcast(
-      model.clusterCenters.toSeq.zipWithIndex
-        .map { case (c, ix) => (ix, c.toArray.toSeq) }
-        .toDF("cell", "cvec"))
     // codegen'd squared distance — bit-identical fold to the HOF form,
     // so centroid rankings (and the recall-oracle contracts built on
     // them) are unchanged while the per-(vector, centroid) inner loop
@@ -177,12 +200,17 @@ object Similarity {
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cell"))
     vecs.select(col("vec_id"), col("v"))
-      .crossJoin(centroids)
+      .crossJoin(broadcast(centroids.select(col("cell"), col("cvec"))))
       .withColumn("d2", d2)
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") <= nProbe)
       .select(col("vec_id"), col("cell"), col("rk"))
   }
+
+  private def nearestCells(vecs: DataFrame,
+      model: org.apache.spark.ml.clustering.KMeansModel,
+      nProbe: Int): DataFrame =
+    nearestCellsFrom(vecs, centroidsDf(vecs.sparkSession, model), nProbe)
 
   def knnIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
       nCells: Int = 16, nProbe: Int = 4, trainMod: Int = 4): DataFrame = {

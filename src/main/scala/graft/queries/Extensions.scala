@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, Integrity, Kmeans, Multimodal, Pq, Profile, Quantize, Sampling, Search, Similarity, TextOps}
+import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, Integrity, IvfIndex, Kmeans, Multimodal, Pq, Profile, Quantize, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -22,6 +22,14 @@ object Extensions {
 
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     Tables.table(s, d, name)
+
+  /** Scratch location for the persisted-index gate rows: JVM temp dir
+    * (the same class of runtime scratch as shuffle spill), keyed by
+    * the fixture dir so sf0.001/0.01/0.1 runs never share an index.
+    */
+  private def ivfIndexDir(d: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${tag}_" +
+      java.lang.Integer.toHexString(d.hashCode)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -448,6 +456,35 @@ object Extensions {
     // quantizer/recall drift turns this red instead of passing silently
     "x_knn_ivf_recall" -> ((s, d) =>
       Similarity.knnIvf(t(s, d, "embeddings"), nProbe = 12)),
+
+    // persisted IVF index, build-once-query-many: the index lands in
+    // the JVM temp dir (runtime scratch, like shuffle spill; the
+    // write is overwrite-idempotent per call), vectors PARTITIONED BY
+    // cell so the probe join prunes partitions at the scan; queried
+    // at the same recall-exhaustive nProbe=12 as x_knn_ivf_recall, so
+    // the whole build→persist→read→query loop shares the full brute
+    // oracle
+    "x_knn_ivf_index" -> ((s, d) => {
+      val dir = ivfIndexDir(d, "full")
+      IvfIndex.save(t(s, d, "embeddings"), dir, nCells = 16)
+      IvfIndex.querySelf(s, dir, nProbe = 12)
+    }),
+
+    // incremental growth: the even half BUILDS (training the
+    // quantizer on itself), the odd half APPENDS against the stored
+    // centroids — no refit, the production contract. Queried at
+    // nProbe == nCells every cell is probed and every indexed vector
+    // scored, so equality with the brute oracle holds whatever the
+    // centroids — the gate pins the append machinery itself
+    // (stored-centroid assignment, partition append, no vector lost
+    // or duplicated)
+    "x_knn_ivf_index_append_check" -> ((s, d) => {
+      val dir = ivfIndexDir(d, "half")
+      val e = t(s, d, "embeddings")
+      IvfIndex.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
+      IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
+      IvfIndex.querySelf(s, dir, nProbe = 16)
+    }),
 
     // kNN majority-vote label propagation from the first-250 seed set
     // — exact (broadcast seed, brute scoring), full DuckDB oracle
@@ -1991,6 +2028,17 @@ object Extensions {
     // IVF at nProbe=12 provably returns brute top-k on this corpus —
     // shared SQL pins both the IVF machinery and recall drift
     "x_knn_ivf_recall" -> knnBruteSql,
+
+    // the persisted index is built from the SAME quantizer/assignment
+    // as the in-session IVF path and queried at the same
+    // recall-exhaustive nProbe=12, so build→persist→read→query shares
+    // the brute oracle end to end
+    "x_knn_ivf_index" -> knnBruteSql,
+
+    // nProbe == nCells scores every indexed vector — exact by
+    // construction, pinning the build+append machinery (stored-
+    // centroid assignment, partition append, no lost/dup vectors)
+    "x_knn_ivf_index_append_check" -> knnBruteSql,
 
     // full algorithm replication: deterministic hyperplane literals →
     // DuckDB recomputes bucketing, multi-probe and top-k bit-exactly

@@ -1,0 +1,80 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted IVF index's three contracts:
+  *
+  *  1. PARITY — build→persist→read→query returns exactly what the
+  *     in-session [[Similarity.knnIvf]] returns at the same
+  *     parameters (same quantizer lineage, same assignment, same
+  *     cosine arithmetic), which is what lets the driver gate share
+  *     the brute oracle at the recall-exhaustive probe count.
+  *  2. PRUNING — the query's scan of the cell-partitioned vector
+  *     relation carries a dynamic partition pruning filter: probing
+  *     nProbe of nCells cells READS nProbe of nCells partitions,
+  *     the whole point of partitioning the index by cell.
+  *  3. APPEND — growing the index against the stored centroids loses
+  *     and duplicates nothing: at nProbe == nCells the grown index
+  *     answers exactly like brute force over the full corpus.
+  */
+class IvfIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def emb(sf: String) =
+    graft.engine.Tables.table(spark, s"/root/testdata/$sf", "embeddings")
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_ivf_spec_$tag").toString
+
+  test("persisted index query equals the in-session IVF path bit-for-bit") {
+    val dir = tmpDir("parity")
+    val e = emb("sf0.001")
+    IvfIndex.save(e, dir, nCells = 16)
+    val got = IvfIndex.querySelf(spark, dir, nProbe = 12).collect().toSeq
+    val want = Similarity.knnIvf(e, nProbe = 12).collect().toSeq
+    assert(want.nonEmpty, "fixture must produce neighbors")
+    assert(got == want,
+      s"persisted-index query must equal knnIvf (got ${got.size} rows, " +
+        s"want ${want.size})")
+  }
+
+  test("save is overwrite-idempotent: a rebuilt index answers identically") {
+    val dir = tmpDir("idem")
+    val e = emb("sf0.001")
+    IvfIndex.save(e, dir, nCells = 16)
+    val first = IvfIndex.querySelf(spark, dir, nProbe = 12).collect().toSeq
+    IvfIndex.save(e, dir, nCells = 16)
+    val second = IvfIndex.querySelf(spark, dir, nProbe = 12).collect().toSeq
+    assert(first == second)
+  }
+
+  test("probe join prunes index partitions dynamically at the scan") {
+    val dir = tmpDir("prune")
+    IvfIndex.save(emb("sf0.001"), dir, nCells = 16)
+    val q = IvfIndex.querySelf(spark, dir, nProbe = 4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "the cell-partitioned vector scan must carry a dynamic partition " +
+        s"pruning filter; got plan:\n$plan")
+  }
+
+  test("append against stored centroids: exhaustive probe equals brute over the union") {
+    val dir = tmpDir("append")
+    val e = emb("sf0.001")
+    IvfIndex.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
+    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
+    // no vector lost or duplicated by the append
+    val idx = spark.read.parquet(s"$dir/vectors")
+    assert(idx.count() == e.count())
+    assert(idx.select(col("vec_id")).distinct().count() == e.count())
+    val got = IvfIndex.querySelf(spark, dir, nProbe = 16).collect().toSeq
+    val want = Similarity.knnBrute(e).collect().toSeq
+    assert(got == want,
+      s"exhaustive probe over the appended index must equal brute " +
+        s"(got ${got.size} rows, want ${want.size})")
+  }
+}
