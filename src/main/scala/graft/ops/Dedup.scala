@@ -21,9 +21,11 @@ import graft.functions.Sketches
 object Dedup {
 
   /** Jaccard threshold τ = 0.5, compared in integer arithmetic
-    * (2·|∩| ≥ |∪|) so the cut is bit-exact across engines.
+    * (2·|∩| ≥ |∪|) so the cut is bit-exact across engines. Shared
+    * with [[DedupStore]] so the persisted-store path can never drift
+    * from the in-session cut.
     */
-  private def dupPair(inter: org.apache.spark.sql.Column,
+  private[ops] def dupPair(inter: org.apache.spark.sql.Column,
       uni: org.apache.spark.sql.Column) = inter * 2 >= uni
 
   /** Exact dedup by content key (hash-groupBy): one survivor per key.

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted dedup gram store — shingle the kept corpus ONCE, dedup
+  * every future batch against storage.
+  *
+  * [[Dedup.dedupAgainstCorpus]] is the right SHAPE for daily-ingest
+  * dedup but the wrong LIFECYCLE at scale: it re-reads and re-shingles
+  * the full historical corpus every run (the in-session memo only
+  * helps within one JVM), and at 100 TB the tokenize+explode of the
+  * kept side — not the join — is the dominant cost of every batch.
+  * This store is the production lifecycle, Spark-native:
+  *
+  *  - `grams/`  — the exploded (corpus_id, shingle) relation, the
+  *    inverted-index side of candidate generation, precomputed and
+  *    columnar: a batch run SCANS it (two pruned columns) instead of
+  *    re-deriving it from text.
+  *  - `sizes/`  — (corpus_id, nb), the per-doc distinct-shingle count
+  *    the Jaccard union term needs, so the store never re-aggregates
+  *    its own grams.
+  *
+  * After a batch is vetted, [[append]] adds the kept documents'
+  * grams+sizes in place — the store grows with the corpus, no rebuild.
+  * The candidate join, the integer 2·|∩| ≥ |∪| cut ([[Dedup.dupPair]],
+  * shared, not copied) and the output contract are bit-identical to
+  * the in-session operator, so the driver gate row replays the SAME
+  * DuckDB oracle as `x_dedup_incremental` through the persisted path.
+  */
+object DedupStore {
+
+  private def gramsPath(dir: String) = s"$dir/grams"
+  private def sizesPath(dir: String) = s"$dir/sizes"
+
+  /** Build the store at `dir` (overwrite): one shingle pass over the
+    * kept corpus, grams and sizes landed as parquet.
+    */
+  def save(corpus: DataFrame, dir: String): Unit =
+    write(corpus, dir, "overwrite")
+
+  /** Add newly-kept documents to an existing store — one shingle pass
+    * over the NEW documents only; existing files are untouched.
+    */
+  def append(docs: DataFrame, dir: String): Unit =
+    write(docs, dir, "append")
+
+  private def write(docs: DataFrame, dir: String, mode: String): Unit = {
+    val sh = Dedup.corpusShingles(docs)
+    sh.select(col("doc_id").as("corpus_id"), explode(col("g")).as("shingle"))
+      .write.mode(mode).parquet(gramsPath(dir))
+    sh.select(col("doc_id").as("corpus_id"),
+        size(col("g")).as("nb"))
+      .write.mode(mode).parquet(sizesPath(dir))
+  }
+
+  /** Flag incoming documents with a verified trigram-Jaccard
+    * near-duplicate already in the STORE: same inverted-index
+    * candidate generation, integer cut and output columns as
+    * [[Dedup.dedupAgainstCorpus]] — only the historical side reads
+    * precomputed grams instead of re-shingling text. The incoming
+    * side (today's batch) still shingles in-session; it's the small
+    * side by construction.
+    */
+  def dedupAgainst(spark: SparkSession, incoming: DataFrame,
+      dir: String): DataFrame = {
+    val inc = Dedup.corpusShingles(incoming)
+    val incTok = inc.select(col("doc_id").as("inc_id"),
+      explode(col("g")).as("shingle"))
+    val corpTok = spark.read.parquet(gramsPath(dir))
+    val sizes = spark.read.parquet(sizesPath(dir))
+    incTok.join(corpTok, Seq("shingle"))
+      .groupBy(col("inc_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(inc.select(col("doc_id").as("inc_id"), size(col("g")).as("na")),
+        "inc_id")
+      .join(sizes, "corpus_id")
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(Dedup.dupPair(col("inter"), col("uni")))
+      .select(col("inc_id"), col("corpus_id"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy(col("inc_id"), col("corpus_id"))
+  }
+}

@@ -60,7 +60,13 @@ object IvfIndex {
     Similarity.centroidsDf(spark, model)
       .coalesce(1)
       .write.mode("overwrite").parquet(centroidsPath(dir))
+    // repartition ON the partition column first: partitionBy splits
+    // every writing task by cell, so T upstream tasks × C cells would
+    // land T·C small files; clustering cells into tasks bounds the
+    // index at ~C files per build — the file-count discipline a
+    // √n-cell index needs at corpus scale
     assigned
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(dir))
   }
 
@@ -77,6 +83,7 @@ object IvfIndex {
       .select(col("vec_id"), col("cell"))
     e.join(asg, "vec_id")
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(vectorsPath(dir))
   }
 

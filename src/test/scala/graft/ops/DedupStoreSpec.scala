@@ -1,0 +1,57 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted dedup gram store's contracts:
+  *
+  *  1. PARITY — a batch deduped against the store returns exactly
+  *    what [[Dedup.dedupAgainstCorpus]] returns for the same split
+  *    (shared candidate join + integer cut), which is what lets the
+  *    driver gate row replay the in-session operator's oracle.
+  *  2. APPEND — a store grown in two installments answers identically
+  *    to one built whole: the growth path loses and duplicates no
+  *    grams.
+  */
+class DedupStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def docs =
+    graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_dedup_store_$tag").toString
+
+  test("store dedup equals the in-session operator bit-for-bit") {
+    val dir = tmpDir("parity")
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val kept = docs.filter(col("doc_id") % 10 =!= 0)
+    DedupStore.save(kept, dir)
+    val got = DedupStore.dedupAgainst(spark, incoming, dir).collect().toSeq
+    val want = Dedup.dedupAgainstCorpus(incoming, kept).collect().toSeq
+    assert(want.nonEmpty, "fixture must contain incremental near-dups")
+    assert(got == want,
+      s"store dedup must equal dedupAgainstCorpus (got ${got.size} rows, " +
+        s"want ${want.size})")
+  }
+
+  test("a store grown by append answers like one built whole") {
+    val whole = tmpDir("whole")
+    val grown = tmpDir("grown")
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val kept = docs.filter(col("doc_id") % 10 =!= 0)
+    DedupStore.save(kept, whole)
+    DedupStore.save(kept.filter(col("doc_id") % 2 === 0), grown)
+    DedupStore.append(kept.filter(col("doc_id") % 2 =!= 0), grown)
+    val a = DedupStore.dedupAgainst(spark, incoming, whole).collect().toSeq
+    val b = DedupStore.dedupAgainst(spark, incoming, grown).collect().toSeq
+    assert(a == b)
+    // and the grown store holds each kept doc's grams exactly once
+    val sizes = spark.read.parquet(s"$grown/sizes")
+    assert(sizes.count() == kept.count())
+    assert(sizes.select(col("corpus_id")).distinct().count() == kept.count())
+  }
+}
