@@ -63,8 +63,17 @@ object DedupStore {
     * side by construction.
     */
   def dedupAgainst(spark: SparkSession, incoming: DataFrame,
+      dir: String): DataFrame =
+    dedupShingled(spark, Dedup.corpusShingles(incoming), dir)
+
+  /** [[dedupAgainst]] from an already-shingled (doc_id, g) relation —
+    * the entry the STREAMING form uses: a micro-batch must not pass
+    * through the plan-hash-keyed shingle memo (every batch has a
+    * distinct plan; a stream would thrash the bounded cache and
+    * unpersist relations the batch session still reads).
+    */
+  private[graft] def dedupShingled(spark: SparkSession, inc: DataFrame,
       dir: String): DataFrame = {
-    val inc = Dedup.corpusShingles(incoming)
     val incTok = inc.select(col("doc_id").as("inc_id"),
       explode(col("g")).as("shingle"))
     val corpTok = spark.read.parquet(gramsPath(dir))

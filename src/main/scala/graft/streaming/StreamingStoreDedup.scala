@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.{Dedup, DedupStore}
+
+/** Live-ingest dedup against the PERSISTED gram store — the streaming
+  * counterpart of [[graft.ops.DedupStore.dedupAgainst]]: documents
+  * arriving on a stream are flagged when they near-duplicate anything
+  * already kept in the store.
+  *
+  * Shape: `foreachBatch` running the EXACT batch operator per
+  * micro-batch, not a streaming-DSL translation, for two reasons:
+  *
+  *  - the dedup decision needs a per-(incoming, corpus) COUNT of
+  *    shared shingles after the store join; as a streaming aggregation
+  *    that is stateful (watermarks, update mode, a state store holding
+  *    keys that can never recur — every doc arrives exactly once), while
+  *    inside `foreachBatch` each micro-batch is a plain batch relation
+  *    and the aggregation completes within it;
+  *  - reusing [[DedupStore.dedupShingled]] makes stream == batch a
+  *    property BY CONSTRUCTION (the spec still pins it), and a doc's
+  *    rows depend only on itself and the static store, so the union
+  *    over micro-batches equals the batch run over the union in any
+  *    arrival order.
+  *
+  * Unlike the one-collected-row broadcast streamers (decontaminate,
+  * classify) there is NO size cliff here: the store side is a normal
+  * parquet relation joined per batch under AQE, so it can be
+  * arbitrarily large — this is the streaming form that scales with
+  * the corpus, which is exactly why it rides the persisted store.
+  *
+  * Delivery: results append as parquet under `outDir`. With the
+  * default ephemeral checkpoint a restart may re-emit a processed
+  * batch (at-least-once); pass `checkpoint` for exactly-once resume.
+  * Each micro-batch bypasses the plan-hash-keyed shingle memo (it
+  * would thrash the bounded cache — see [[DedupStore.dedupShingled]]).
+  */
+object StreamingStoreDedup {
+
+  def streamingDedupAgainstStore(spark: SparkSession, dir: String,
+      schema: StructType, storeDir: String, outDir: String,
+      maxFilesPerTrigger: Int = 0,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    val src = (if (maxFilesPerTrigger > 0)
+        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+      else reader).parquet(dir)
+    val writer = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        DedupStore.dedupShingled(spark, Dedup.shingled(batch), storeDir)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+}
