@@ -179,6 +179,29 @@ class LocalClusterSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Similarity.clearQuantizerCache()
   }
 
+  test("persisted IVF index builds and answers queries across executor JVMs") {
+    val sp = spark; import sp.implicits._
+    val emb = (0 until 8).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(d => base * (1.0f + 0.001f * i * d)))
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cluster_ivf").toString
+    try {
+      // executors write the cell-partitioned index; a separate query
+      // plan reads it back with the dynamic-pruning probe join — the
+      // whole build→persist→read→query loop under real serialization
+      graft.ops.IvfIndex.save(emb, dir, nCells = 2, trainMod = 1)
+      val got = graft.ops.IvfIndex
+        .querySelf(sp, dir, k = 3, nQueries = 4, nProbe = 2)
+        .collect().toSeq
+      val want = graft.ops.Similarity.knnBrute(emb, k = 3, nQueries = 4)
+        .collect().toSeq
+      assert(got == want, s"exhaustive-probe index query must equal brute " +
+        s"(got ${got.size} rows, want ${want.size})")
+    } finally graft.ops.Similarity.clearQuantizerCache()
+  }
+
   test("stateful streaming (mapGroupsWithState) runs across executor JVMs") {
     // the state store, the GroupState update closure, and the tuple
     // encoders all serialize to separate executor processes here —
