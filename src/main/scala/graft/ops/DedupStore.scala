@@ -32,12 +32,20 @@ object DedupStore {
 
   private def gramsPath(dir: String) = s"$dir/grams"
   private def sizesPath(dir: String) = s"$dir/sizes"
+  private def deletesPath(dir: String) = s"$dir/deletes"
 
   /** Build the store at `dir` (overwrite): one shingle pass over the
-    * kept corpus, grams and sizes landed as parquet.
+    * kept corpus, grams and sizes landed as parquet. A rebuild also
+    * resets the tombstone relation — the fresh store contains only
+    * what `corpus` holds.
     */
-  def save(corpus: DataFrame, dir: String): Unit =
+  def save(corpus: DataFrame, dir: String): Unit = {
+    val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
+    path.getFileSystem(
+        corpus.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(path, true)
     write(corpus, dir, "overwrite")
+  }
 
   /** Add newly-kept documents to an existing store — one shingle pass
     * over the NEW documents only; existing files are untouched.
@@ -52,6 +60,28 @@ object DedupStore {
     sh.select(col("doc_id").as("corpus_id"),
         size(col("g")).as("nb"))
       .write.mode(mode).parquet(sizesPath(dir))
+  }
+
+  /** Retract documents from the store WITHOUT rewriting it: parquet
+    * is immutable and the gram relation is the store's bulk, so a
+    * takedown (GDPR erasure, license retraction, a batch later found
+    * contaminated) appends ids to a TOMBSTONE relation instead, and
+    * [[dedupAgainst]] anti-joins it on the doc-count-sized `sizes`
+    * side — never on the exploded grams. Tombstoned docs stop
+    * matching immediately; their dead grams are reclaimed whenever
+    * the store is next rebuilt ([[save]] resets the tombstones).
+    */
+  def delete(docIds: DataFrame, dir: String): Unit =
+    docIds.select(col(docIds.columns.head).cast("long").as("corpus_id"))
+      .distinct()
+      .write.mode("append").parquet(deletesPath(dir))
+
+  private def deletesIfAny(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(dir)))
+    else None
   }
 
   /** Flag incoming documents with a verified trigram-Jaccard
@@ -76,7 +106,13 @@ object DedupStore {
       dir: String): DataFrame = {
     val incTok = inc.select(col("doc_id").as("inc_id"),
       explode(col("g")).as("shingle"))
-    val corpTok = spark.read.parquet(gramsPath(dir))
+    // tombstones prune at the GRAM relation (broadcast anti join on a
+    // takedown-sized id set) so retracted docs never even generate
+    // candidates; when no tombstone exists the path is untouched
+    val deletes = deletesIfAny(spark, dir)
+    val corpTok0 = spark.read.parquet(gramsPath(dir))
+    val corpTok = deletes.fold(corpTok0)(del =>
+      corpTok0.join(del, Seq("corpus_id"), "left_anti"))
     val sizes = spark.read.parquet(sizesPath(dir))
     incTok.join(corpTok, Seq("shingle"))
       .groupBy(col("inc_id"), col("corpus_id"))

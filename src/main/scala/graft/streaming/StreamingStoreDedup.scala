@@ -50,9 +50,13 @@ object StreamingStoreDedup {
       else reader).parquet(dir)
     val writer = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        DedupStore.dedupShingled(spark, Dedup.shingled(batch), storeDir)
+        // persist the batch's shingles for the join's two traversals
+        // (gram explode + per-doc sizes), then release — the bounded
+        // plan-hash memo is deliberately bypassed here (see scaladoc)
+        val sh = Dedup.shingled(batch).persist()
+        try DedupStore.dedupShingled(spark, sh, storeDir)
           .write.mode("append").parquet(outDir)
-        ()
+        finally { sh.unpersist(); () }
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()

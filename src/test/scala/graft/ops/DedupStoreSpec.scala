@@ -54,4 +54,37 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(sizes.count() == kept.count())
     assert(sizes.select(col("corpus_id")).distinct().count() == kept.count())
   }
+
+  test("tombstoned docs stop matching; a rebuild resets the tombstones") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("tombstone")
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val kept = docs.filter(col("doc_id") % 10 =!= 0)
+    DedupStore.save(kept, dir)
+    val before = DedupStore.dedupAgainst(spark, incoming, dir)
+      .select(col("inc_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(before.nonEmpty, "fixture must contain incremental near-dups")
+    // retract ONE matched corpus doc: exactly its pairs vanish, every
+    // other pair survives untouched
+    val victim = before.head._2
+    DedupStore.delete(Seq(victim).toDF("doc_id"), dir)
+    val afterOne = DedupStore.dedupAgainst(spark, incoming, dir)
+      .select(col("inc_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(afterOne == before.filterNot(_._2 == victim))
+    // retract the rest (a second tombstone APPEND): nothing matches
+    DedupStore.delete(before.map(_._2).distinct.toDF("doc_id"), dir)
+    val after = DedupStore.dedupAgainst(spark, incoming, dir)
+      .select(col("inc_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(after.isEmpty,
+      s"retracted docs must stop matching, still got ${after.size} pairs")
+    // a rebuild resets the tombstones: matches come back
+    DedupStore.save(kept, dir)
+    val rebuilt = DedupStore.dedupAgainst(spark, incoming, dir)
+      .select(col("inc_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(rebuilt == before)
+  }
 }
