@@ -46,6 +46,7 @@ object IvfIndex {
 
   private def centroidsPath(dir: String) = s"$dir/centroids"
   private def vectorsPath(dir: String) = s"$dir/vectors"
+  private def deletesPath(dir: String) = s"$dir/deletes"
 
   /** Build the index at `dir` (overwrite): fits (or reuses — the
     * quantizer memo is keyed on the training lineage, not the caller)
@@ -55,6 +56,11 @@ object IvfIndex {
   def save(embeddings: DataFrame, dir: String, nCells: Int = 16,
       trainMod: Int = 4): Unit = {
     val spark = embeddings.sparkSession
+    // a rebuild resets the tombstones — the fresh index contains only
+    // what `embeddings` holds (same lifecycle as [[DedupStore.save]])
+    val delPath = new org.apache.hadoop.fs.Path(deletesPath(dir))
+    delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(delPath, true)
     val (assigned, model) =
       Similarity.assignedWithModel(embeddings, nCells, trainMod)
     Similarity.centroidsDf(spark, model)
@@ -87,6 +93,27 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(vectorsPath(dir))
   }
 
+  /** Retract vectors from the index WITHOUT rewriting it: ids land in
+    * a tombstone relation and [[query]] anti-joins them out of the
+    * candidate stream (broadcast anti on a takedown-sized set), so a
+    * retracted vector stops appearing as a neighbor immediately; its
+    * dead rows are reclaimed at the next [[save]], which resets the
+    * tombstones — the same retraction lifecycle as
+    * [[DedupStore.delete]].
+    */
+  def delete(vecIds: DataFrame, dir: String): Unit =
+    vecIds.select(col(vecIds.columns.head).cast("long").as("vec_id"))
+      .distinct()
+      .write.mode("append").parquet(deletesPath(dir))
+
+  private def deletesIfAny(spark: SparkSession,
+      dir: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(dir)))
+    else None
+  }
+
   /** Top-k cosine neighbors from the persisted index for an explicit
     * query relation (query_id, qv: array<float|double>). The probe
     * set derives from the stored centroids (broadcast, nCells rows);
@@ -97,7 +124,9 @@ object IvfIndex {
     */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, nProbe: Int = 4): DataFrame = {
-    val vectors = spark.read.parquet(vectorsPath(dir))
+    val vectors0 = spark.read.parquet(vectorsPath(dir))
+    val vectors = deletesIfAny(spark, dir).fold(vectors0)(del =>
+      vectors0.join(del, Seq("vec_id"), "left_anti"))
     val cents = spark.read.parquet(centroidsPath(dir))
     val qn = queries
       .select(col("query_id"), col("qv"))

@@ -62,6 +62,36 @@ class IvfIndexSpec extends AnyFunSuite {
         s"pruning filter; got plan:\n$plan")
   }
 
+  test("tombstoned vectors stop appearing as neighbors; rebuild resets") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("tombstone")
+    val e = emb("sf0.001")
+    IvfIndex.save(e, dir, nCells = 16)
+    val before = IvfIndex.querySelf(spark, dir, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(before.nonEmpty)
+    // retract the single most popular neighbor: it must vanish from
+    // every top-k, and the displaced ranks must refill — equal to an
+    // index that never contained it (exhaustive probe = brute over
+    // the remainder, minus its own queries)
+    // victim from outside the self-query id range: retracting a doc
+    // that is itself a gate query would also remove the query row,
+    // which is querySelf's caller contract, not the index's
+    val victim = before.filter(_._2 >= 5).groupBy(_._2).maxBy(_._2.size)._1
+    IvfIndex.delete(Seq(victim).toDF("vec_id"), dir)
+    val after = IvfIndex.querySelf(spark, dir, nProbe = 16)
+      .collect().toSeq
+    val want = Similarity.knnBrute(e.filter(col("vec_id") =!= victim))
+      .collect().toSeq
+    assert(after == want)
+    IvfIndex.save(e, dir, nCells = 16)
+    val rebuilt = IvfIndex.querySelf(spark, dir, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(rebuilt == before)
+  }
+
   test("append against stored centroids: exhaustive probe equals brute over the union") {
     val dir = tmpDir("append")
     val e = emb("sf0.001")
