@@ -54,12 +54,22 @@ object DedupStore {
     write(docs, dir, "append")
 
   private def write(docs: DataFrame, dir: String, mode: String): Unit = {
-    val sh = Dedup.corpusShingles(docs)
-    sh.select(col("doc_id").as("corpus_id"), explode(col("g")).as("shingle"))
-      .write.mode(mode).parquet(gramsPath(dir))
-    sh.select(col("doc_id").as("corpus_id"),
-        size(col("g")).as("nb"))
-      .write.mode(mode).parquet(sizesPath(dir))
+    // a LOCAL persist, not the bounded plan-hash memo: a store build
+    // runs once per corpus (per JVM at most, behind the gate's
+    // build-once guard), so memoizing its shingle relation would only
+    // burn memo slots — and the memo's evict-ALL-on-overflow disposal
+    // means two build-side keys can flush every relation the rest of
+    // the session still reads (the r3 churn class, measured as a
+    // suite-wide 1.3× inflation when the build entries shared the
+    // memo)
+    val sh = Dedup.shingled(docs).persist()
+    try {
+      sh.select(col("doc_id").as("corpus_id"), explode(col("g")).as("shingle"))
+        .write.mode(mode).parquet(gramsPath(dir))
+      sh.select(col("doc_id").as("corpus_id"),
+          size(col("g")).as("nb"))
+        .write.mode(mode).parquet(sizesPath(dir))
+    } finally { sh.unpersist(); () }
   }
 
   /** Retract documents from the store WITHOUT rewriting it: parquet
