@@ -34,26 +34,41 @@ object DedupStore {
   private def sizesPath(dir: String) = s"$dir/sizes"
   private def deletesPath(dir: String) = s"$dir/deletes"
 
-  /** Build the store at `dir` (overwrite): one shingle pass over the
-    * kept corpus, grams and sizes landed as parquet. A rebuild also
-    * resets the tombstone relation — the fresh store contains only
-    * what `corpus` holds.
+  /** Build the store at `dir` (overwrite, as ingest partition "0"):
+    * one shingle pass over the kept corpus, grams and sizes landed as
+    * parquet. A rebuild also resets the tombstone relation — AFTER
+    * the new data lands, so a failed rebuild fails SAFE (old store,
+    * tombstones still applied) instead of resurrecting retracted
+    * documents against the old files.
     */
   def save(corpus: DataFrame, dir: String): Unit = {
+    write(corpus, dir, "0", full = true)
     val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
     path.getFileSystem(
         corpus.sparkSession.sparkContext.hadoopConfiguration)
       .delete(path, true)
-    write(corpus, dir, "overwrite")
   }
 
-  /** Add newly-kept documents to an existing store — one shingle pass
-    * over the NEW documents only; existing files are untouched.
+  /** Add newly-kept documents to an existing store as ingest
+    * partition `ingestId` — one shingle pass over the NEW documents
+    * only; other ingests' files are untouched.
+    *
+    * `ingestId` names the batch (a date, a run id) and makes the
+    * append IDEMPOTENT: the write is a dynamic partition overwrite of
+    * exactly this ingest's subtree, so re-running a failed or
+    * ambiguous append with the same id replaces its own partial
+    * output instead of double-counting grams (doubled grams would
+    * double every |∩| and flag non-duplicates). The recovery story
+    * for any append failure is therefore: run the same append again.
     */
-  def append(docs: DataFrame, dir: String): Unit =
-    write(docs, dir, "append")
+  def append(docs: DataFrame, dir: String, ingestId: String): Unit = {
+    require(ingestId.nonEmpty && ingestId != "0",
+      "ingestId must be a non-empty batch name other than the reserved \"0\"")
+    write(docs, dir, ingestId, full = false)
+  }
 
-  private def write(docs: DataFrame, dir: String, mode: String): Unit = {
+  private def write(docs: DataFrame, dir: String, ingestId: String,
+      full: Boolean): Unit = {
     // a LOCAL persist, not the bounded plan-hash memo: a store build
     // runs once per corpus (per JVM at most, behind the gate's
     // build-once guard), so memoizing its shingle relation would only
@@ -64,11 +79,19 @@ object DedupStore {
     // memo)
     val sh = Dedup.shingled(docs).persist()
     try {
-      sh.select(col("doc_id").as("corpus_id"), explode(col("g")).as("shingle"))
-        .write.mode(mode).parquet(gramsPath(dir))
-      sh.select(col("doc_id").as("corpus_id"),
-          size(col("g")).as("nb"))
-        .write.mode(mode).parquet(sizesPath(dir))
+      // full rebuild truncates everything; an append dynamically
+      // overwrites only its own ingest partition (idempotent retry)
+      def writer(df: DataFrame) = {
+        val w = df.withColumn("ingest", lit(ingestId))
+          .write.mode("overwrite").partitionBy("ingest")
+        if (full) w else w.option("partitionOverwriteMode", "dynamic")
+      }
+      writer(sh.select(col("doc_id").as("corpus_id"),
+          explode(col("g")).as("shingle")))
+        .parquet(gramsPath(dir))
+      writer(sh.select(col("doc_id").as("corpus_id"),
+          size(col("g")).as("nb")))
+        .parquet(sizesPath(dir))
     } finally { sh.unpersist(); () }
   }
 

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index — build ONCE, query MANY.
@@ -56,11 +55,6 @@ object IvfIndex {
   def save(embeddings: DataFrame, dir: String, nCells: Int = 16,
       trainMod: Int = 4): Unit = {
     val spark = embeddings.sparkSession
-    // a rebuild resets the tombstones — the fresh index contains only
-    // what `embeddings` holds (same lifecycle as [[DedupStore.save]])
-    val delPath = new org.apache.hadoop.fs.Path(deletesPath(dir))
-    delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(delPath, true)
     val (assigned, model) =
       Similarity.assignedWithModel(embeddings, nCells, trainMod)
     Similarity.centroidsDf(spark, model)
@@ -74,12 +68,29 @@ object IvfIndex {
     assigned
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(dir))
+    // reset tombstones only AFTER the rebuilt data lands: a failed
+    // rebuild must fail SAFE (old index + still-applied tombstones),
+    // never resurrect retracted vectors against the old files
+    val delPath = new org.apache.hadoop.fs.Path(deletesPath(dir))
+    delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(delPath, true)
   }
 
   /** Assign `embeddings` to the index's STORED centroids (nearest by
     * the same codegen'd distance the probe ranking uses) and append
     * them to the vector relation. No refit, no touch of existing
     * partitions beyond the append.
+    *
+    * CAVEAT (assignment-rule parity): [[save]] assigns via the fitted
+    * model's own transform (MLlib's ||a||²+||b||²−2a·b form), this
+    * path via the `dist2_d` fold — mathematically the same argmin,
+    * but on a vector nearly equidistant between two centroids the
+    * floating-point rounding can differ and flip the cell. That
+    * affects only PARTIAL-probe recall for that borderline vector
+    * (a probe may look in the other cell), never the scored values or
+    * the exhaustive-probe result — which is why the append gate and
+    * spec pin nProbe == nCells, where the equality with brute force
+    * is assignment-independent.
     */
   def append(embeddings: DataFrame, dir: String): Unit = {
     val spark = embeddings.sparkSession
@@ -119,14 +130,24 @@ object IvfIndex {
     * set derives from the stored centroids (broadcast, nCells rows);
     * the candidate fetch is a broadcast join of the (Q·nProbe)-row
     * query×probe relation against the cell-partitioned scan — the
-    * partition-column join dynamic pruning feeds on. Same cosine
-    * arithmetic, tie order and rounding as [[Similarity.knnIvf]].
+    * partition-column join dynamic pruning feeds on. Tombstones prune
+    * the CANDIDATE stream after the cell join (a broadcast anti on a
+    * takedown-sized set), deliberately not the scan itself: an anti
+    * join between the scan and the cell join would sit inside the
+    * pruning rule's scan-side pattern and silently revert every
+    * tombstoned query to a full index read. Same cosine arithmetic,
+    * tie order and rounding as [[Similarity.knnIvf]] (the shared
+    * [[Similarity.topKByCosine]] tail).
+    *
+    * `excludeSelf` drops candidates whose vec_id equals the query_id —
+    * for self-queries ([[querySelf]]) where the two share an id
+    * namespace. External query relations keep the default `false`:
+    * their ids are a DIFFERENT namespace, and excluding id-colliding
+    * candidates would silently drop true neighbors.
     */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 5, nProbe: Int = 4): DataFrame = {
-    val vectors0 = spark.read.parquet(vectorsPath(dir))
-    val vectors = deletesIfAny(spark, dir).fold(vectors0)(del =>
-      vectors0.join(del, Seq("vec_id"), "left_anti"))
+      k: Int = 5, nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
+    val vectors = spark.read.parquet(vectorsPath(dir))
     val cents = spark.read.parquet(centroidsPath(dir))
     val qn = queries
       .select(col("query_id"), col("qv"))
@@ -136,33 +157,36 @@ object IvfIndex {
         cents, nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val q = qn.join(probes, "query_id")
-    val scored = vectors
-      .join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+    val candidates0 = vectors.join(broadcast(q), Seq("cell"))
+    val candidates1 = deletesIfAny(spark, dir).fold(candidates0)(del =>
+      candidates0.join(del, Seq("vec_id"), "left_anti"))
+    val candidates =
+      if (excludeSelf) candidates1.filter(col("query_id") =!= col("vec_id"))
+      else candidates1
+    Similarity.topKByCosine(
+      candidates.select(col("query_id"), col("vec_id").as("neighbor_id"),
         Similarity.cosineWithNorms(col("qv"), col("v"), col("qn"), col("norm"))
-          .as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+          .as("cos")),
+      k)
   }
 
   /** Self-query convenience mirroring [[Similarity.knnIvf]]'s gate
-    * contract: the first `nQueries` indexed vectors query the index.
-    * The query fetch is a (vec_id < nQueries) scan of the vector
-    * relation itself — column-pruned to (vec_id, v), tiny even though
-    * it crosses partitions; production callers with external queries
-    * use [[query]] directly.
+    * contract: the first `nQueries` NON-RETRACTED indexed vectors
+    * query the index (a tombstoned vector must not keep issuing
+    * queries computed from its erased embedding). The query fetch is
+    * a (vec_id < nQueries) scan of the vector relation itself —
+    * column-pruned to (vec_id, v), tiny even though it crosses
+    * partitions; production callers with external queries use
+    * [[query]] directly.
     */
   def querySelf(spark: SparkSession, dir: String, k: Int = 5,
-      nQueries: Long = 5, nProbe: Int = 4): DataFrame =
+      nQueries: Long = 5, nProbe: Int = 4): DataFrame = {
+    val own = spark.read.parquet(vectorsPath(dir))
+      .filter(col("vec_id") < nQueries)
+    val live = deletesIfAny(spark, dir).fold(own)(del =>
+      own.join(del, Seq("vec_id"), "left_anti"))
     query(spark, dir,
-      spark.read.parquet(vectorsPath(dir))
-        .filter(col("vec_id") < nQueries)
-        .select(col("vec_id").as("query_id"), col("v").as("qv")),
-      k, nProbe)
+      live.select(col("vec_id").as("query_id"), col("v").as("qv")),
+      k, nProbe, excludeSelf = true)
+  }
 }

@@ -59,6 +59,16 @@ object Similarity {
       .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
+    topKByCosine(scored, k)
+  }
+
+  /** The shared top-k tail of every cosine kNN family: per-query
+    * rank by (cos DESC, neighbor_id), keep `k`, round to 4 — ONE
+    * definition so the brute, IVF and persisted-index paths cannot
+    * drift in tie order or rounding (their oracle contracts all
+    * assume this exact tail). Input: (query_id, neighbor_id, cos).
+    */
+  private[ops] def topKByCosine(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -238,13 +248,7 @@ object Similarity {
         cosineWithNorms(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
     // no dedup needed: each vector lives in exactly one cell, and each
     // (query, cell) probe row is unique
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    topKByCosine(scored, k)
   }
 
   /** The two scale levers composed: IVF cell blocking bounds how many

@@ -37,14 +37,27 @@ object Extensions {
     * exercises the full loop.
     */
   private val builtStores =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
 
-  private def buildStoreOnce(dir: String)(build: => Unit): Unit =
-    if (builtStores.add(dir)) build
+  // computeIfAbsent, not add-then-build: a build that THROWS leaves no
+  // mapping (the next run retries instead of querying a half-written
+  // store forever), and a concurrent second caller blocks until the
+  // first build finishes instead of racing it mid-write
+  private def buildStoreOnce(dir: String)(build: => Unit): Unit = {
+    builtStores.computeIfAbsent(dir, _ => { build; true })
+    ()
+  }
 
-  private def storeDir(d: String, tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_store_${tag}_" +
-      java.lang.Integer.toHexString(d.hashCode)
+  private def storeDir(d: String, tag: String): String = {
+    // md5 of the fixture path, not String.hashCode: 32-bit collisions
+    // across fixture dirs would silently share one mutable store.
+    // (Same-fixture concurrency across JVMs is out of scope — the
+    // driver runs Verify and Bench serially.)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"${System.getProperty("java.io.tmpdir")}/graft_store_${tag}_$md"
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -839,7 +852,7 @@ object Extensions {
       buildStoreOnce(dir) {
         val kept = docs.filter(col("doc_id") % 10 =!= 0)
         DedupStore.save(kept.filter(col("doc_id") % 2 === 0), dir)
-        DedupStore.append(kept.filter(col("doc_id") % 2 =!= 0), dir)
+        DedupStore.append(kept.filter(col("doc_id") % 2 =!= 0), dir, "day1")
       }
       DedupStore.dedupAgainst(s, docs.filter(col("doc_id") % 10 === 0), dir)
     }),

@@ -32,11 +32,19 @@ import graft.ops.{Dedup, DedupStore}
   * arbitrarily large — this is the streaming form that scales with
   * the corpus, which is exactly why it rides the persisted store.
   *
-  * Delivery: results append as parquet under `outDir`. With the
-  * default ephemeral checkpoint a restart may re-emit a processed
-  * batch (at-least-once); pass `checkpoint` for exactly-once resume.
-  * Each micro-batch bypasses the plan-hash-keyed shingle memo (it
-  * would thrash the bounded cache — see [[DedupStore.dedupShingled]]).
+  * Delivery: each micro-batch OVERWRITES its own
+  * `outDir/graft_batch=<batchId>` partition — foreachBatch is
+  * at-least-once (Spark can replay a batch whose writes landed but
+  * whose offset commit didn't), and a blind append would duplicate
+  * the replayed batch's rows; keyed overwrite makes the replay
+  * idempotent, so with a durable `checkpoint` the LANDED result is
+  * exactly-once (batch ids are stable across restarts from the same
+  * checkpoint; with the default ephemeral checkpoint a restart
+  * renumbers batches and the usual at-least-once caveat applies).
+  * Read results with `spark.read.parquet(outDir)` and ignore/drop the
+  * `graft_batch` partition column. Each micro-batch bypasses the
+  * plan-hash-keyed shingle memo (it would thrash the bounded cache —
+  * see [[DedupStore.dedupShingled]]).
   */
 object StreamingStoreDedup {
 
@@ -49,16 +57,26 @@ object StreamingStoreDedup {
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader).parquet(dir)
     val writer = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // persist the batch's shingles for the join's two traversals
-        // (gram explode + per-doc sizes), then release — the bounded
-        // plan-hash memo is deliberately bypassed here (see scaladoc)
-        val sh = Dedup.shingled(batch).persist()
-        try DedupStore.dedupShingled(spark, sh, storeDir)
-          .write.mode("append").parquet(outDir)
-        finally { sh.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(spark, batch, batchId, storeDir, outDir)
       }
     checkpoint.foreach(c => writer.option("checkpointLocation", c))
     writer.start()
+  }
+
+  /** One micro-batch's work — factored out so the replay-idempotence
+    * contract is directly testable: running the same (batch, id)
+    * twice must land one copy.
+    */
+  private[streaming] def writeBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, storeDir: String, outDir: String): Unit = {
+    // persist the batch's shingles for the join's two traversals
+    // (gram explode + per-doc sizes), then release — the bounded
+    // plan-hash memo is deliberately bypassed here (see scaladoc)
+    val sh = Dedup.shingled(batch).persist()
+    try DedupStore.dedupShingled(spark, sh, storeDir)
+      .write.mode("overwrite")
+      .parquet(s"$outDir/graft_batch=$batchId")
+    finally { sh.unpersist(); () }
   }
 }

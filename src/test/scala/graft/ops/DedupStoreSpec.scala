@@ -45,10 +45,16 @@ class DedupStoreSpec extends AnyFunSuite {
     val kept = docs.filter(col("doc_id") % 10 =!= 0)
     DedupStore.save(kept, whole)
     DedupStore.save(kept.filter(col("doc_id") % 2 === 0), grown)
-    DedupStore.append(kept.filter(col("doc_id") % 2 =!= 0), grown)
+    DedupStore.append(kept.filter(col("doc_id") % 2 =!= 0), grown, "day1")
     val a = DedupStore.dedupAgainst(spark, incoming, whole).collect().toSeq
     val b = DedupStore.dedupAgainst(spark, incoming, grown).collect().toSeq
     assert(a == b)
+    // retrying the SAME append (the recovery contract for a failed or
+    // ambiguous append) overwrites its own ingest partition instead of
+    // double-counting grams — the store answers identically
+    DedupStore.append(kept.filter(col("doc_id") % 2 =!= 0), grown, "day1")
+    val c = DedupStore.dedupAgainst(spark, incoming, grown).collect().toSeq
+    assert(c == a, "a retried append must be idempotent")
     // and the grown store holds each kept doc's grams exactly once
     val sizes = spark.read.parquet(s"$grown/sizes")
     assert(sizes.count() == kept.count())

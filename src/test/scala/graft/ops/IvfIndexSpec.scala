@@ -62,6 +62,35 @@ class IvfIndexSpec extends AnyFunSuite {
         s"pruning filter; got plan:\n$plan")
   }
 
+  test("external query ids are a separate namespace: no self-exclusion") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("extq")
+    val e = emb("sf0.001")
+    IvfIndex.save(e, dir, nCells = 16)
+    // an external query that IS vector 0's embedding, under the
+    // colliding external id 0: vector 0 itself must come back as the
+    // top neighbor (cosine 1.0), not be silently excluded
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val top = IvfIndex.query(spark, dir, q0, k = 1, nProbe = 16)
+      .select(col("neighbor_id")).as[Long].collect().toSeq
+    assert(top == Seq(0L),
+      s"external id 0 must still see indexed vector 0 as its neighbor, got $top")
+  }
+
+  test("pruning survives tombstones: the anti join stays off the scan side") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("prunedel")
+    val e = emb("sf0.001")
+    IvfIndex.save(e, dir, nCells = 16)
+    IvfIndex.delete(Seq(9999999L).toDF("vec_id"), dir)
+    val q = IvfIndex.querySelf(spark, dir, nProbe = 4)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      "a tombstoned index must still dynamic-prune the vector scan; " +
+        s"got plan:\n$plan")
+  }
+
   test("tombstoned vectors stop appearing as neighbors; rebuild resets") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("tombstone")
