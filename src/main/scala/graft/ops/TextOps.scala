@@ -209,4 +209,28 @@ object TextOps {
       "r_stopwords" -> (nStop >= 2))
     gates :+ ("keep" -> gates.map(_._2).reduce(_ && _))
   }
+
+  /** Blocklist term filter (C4's badwords stage, generalized to a
+    * caller-supplied term list): per document, the token-frequency
+    * count of blocklisted terms, the distinct terms hit, and the
+    * annotate-don't-filter keep flag (no hits). Pure in-row codegen
+    * columns over the words array — the blocklist travels as array
+    * literals, so at any corpus scale this is scan-bound with zero
+    * joins; a blocklist too large for a literal (tens of thousands of
+    * terms) belongs in the broadcast-join form the classifier model
+    * table already demonstrates.
+    */
+  def blocklistColumns(text: Column,
+      terms: Seq[String]): Seq[(String, Column)] = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val ws = words(text)
+    val blocked = array(terms.map(lit): _*)
+    Seq(
+      "n_hits" -> size(filter(ws, w => array_contains(blocked, w)))
+        .cast("bigint"),
+      "n_terms_hit" -> size(array_intersect(array_distinct(ws), blocked))
+        .cast("bigint"),
+      "keep" -> size(filter(ws, w => array_contains(blocked, w)))
+        .equalTo(0).cast("int"))
+  }
 }

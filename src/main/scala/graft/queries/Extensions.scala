@@ -28,6 +28,11 @@ object Extensions {
   // runtime scratch as shuffle spill — keyed by the fixture dir so
   // sf0.001/0.01/0.1 runs never share a store.)
 
+  /** Gate blocklist: two terms the synthetic vocabulary contains and
+    * one it never can, shared verbatim by the DuckDB oracle.
+    */
+  private val BlocklistTerms = Seq("spark", "dup", "quarantine")
+
   /** Build-once guard for the persisted-store gate rows (IVF index,
     * dedup gram store): the features' contract is build ONCE, query
     * MANY, so repeated in-JVM runs of the same gate row (the bench's
@@ -601,6 +606,17 @@ object Extensions {
     "x_text_repetition" -> ((s, d) => {
       val cols = TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }
       t(s, d, "documents").select(col("doc_id") +: cols: _*).orderBy(col("doc_id"))
+    }),
+
+    // blocklist term filter (C4's badwords stage): tf hits, distinct
+    // terms hit, annotate-don't-filter keep — one never-occurring term
+    // in the list exercises the zero path on every doc
+    "x_text_blocklist" -> ((s, d) => {
+      val cols = TextOps
+        .blocklistColumns(col("text"), BlocklistTerms)
+        .map { case (n, c) => c.as(n) }
+      t(s, d, "documents").select(col("doc_id") +: cols: _*)
+        .orderBy(col("doc_id"))
     }),
 
     "x_fingerprint" -> ((s, d) =>
@@ -2187,6 +2203,21 @@ object Extensions {
         |    x -> len(list_filter(string_split(text, ' '), y -> y = x)))) AS INT)
         |    AS top_word_count
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same term literals as the Spark side (BlocklistTerms); tf hits
+    // via list_filter, distinct hits via list_intersect on the
+    // deduped token list
+    "x_text_blocklist" -> {
+      val inList = BlocklistTerms.map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    w -> w IN ($inList))) AS BIGINT) AS n_hits,
+        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+        |    [$inList])) AS BIGINT) AS n_terms_hit,
+        |  CAST(CASE WHEN len(list_filter(string_split(text, ' '),
+        |    w -> w IN ($inList))) = 0 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "x_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,

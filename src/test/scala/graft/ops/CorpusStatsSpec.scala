@@ -55,6 +55,28 @@ class CorpusStatsSpec extends AnyFunSuite {
       .forall(k => !rs(k).getAs[Boolean]("keep")))
   }
 
+  test("blocklistColumns counts tf hits, distinct hits, and keeps clean docs") {
+    val docs = Seq(
+      ("clean", "the cat sat on the mat"),
+      ("onehit", "the bad cat sat"),
+      ("multi", "bad cat bad dog worse mat"),
+      ("empty", ""))
+      .toDF("id", "text")
+    val cols = TextOps.blocklistColumns(col("text"), Seq("bad", "worse", "never"))
+      .map { case (n, c) => c.as(n) }
+    val rs = docs.select(col("id") +: cols: _*).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rs("clean").getAs[Long]("n_hits") == 0
+      && rs("clean").getAs[Int]("keep") == 1)
+    assert(rs("onehit").getAs[Long]("n_hits") == 1
+      && rs("onehit").getAs[Long]("n_terms_hit") == 1
+      && rs("onehit").getAs[Int]("keep") == 0)
+    assert(rs("multi").getAs[Long]("n_hits") == 3
+      && rs("multi").getAs[Long]("n_terms_hit") == 2
+      && rs("multi").getAs[Int]("keep") == 0)
+    assert(rs("empty").getAs[Int]("keep") == 1)
+  }
+
   test("unigramRarity matches hand-computed corpus frequencies") {
     // corpus freqs: the=3, cat=2, dog=1, sat=1
     val docs = Seq((1L, "the cat sat"), (2L, "the the cat dog")).toDF("doc_id", "text")
