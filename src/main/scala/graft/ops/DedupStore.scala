@@ -117,6 +117,39 @@ object DedupStore {
     else None
   }
 
+  /** Rewrite the store from its own contents: grams and sizes minus
+    * the tombstoned docs land as a fresh single ingest, then the
+    * tombstones reset — dead rows reclaimed and the per-append file
+    * growth re-bounded WITHOUT touching document text (no
+    * re-shingling; the store is its own source). Run it on the
+    * maintenance cadence a 100 TB store needs after a season of daily
+    * appends and takedowns. Same fail-safe ordering as [[save]]: the
+    * tombstones reset only after the compacted data lands.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val del = deletesIfAny(spark, dir)
+    def live(df: DataFrame): DataFrame =
+      del.fold(df)(d => df.join(d, Seq("corpus_id"), "left_anti"))
+    // materialize THROUGH a staging dir: the rewrite reads the very
+    // files it replaces, and an overwrite that failed mid-job would
+    // otherwise destroy its own input
+    val stage = s"$dir/_compact_stage"
+    live(spark.read.parquet(gramsPath(dir)).drop("ingest"))
+      .write.mode("overwrite").parquet(s"$stage/grams")
+    live(spark.read.parquet(sizesPath(dir)).drop("ingest"))
+      .write.mode("overwrite").parquet(s"$stage/sizes")
+    def land(rel: String, to: String): Unit =
+      spark.read.parquet(s"$stage/$rel")
+        .withColumn("ingest", lit("0"))
+        .write.mode("overwrite").partitionBy("ingest").parquet(to)
+    land("grams", gramsPath(dir))
+    land("sizes", sizesPath(dir))
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(dir)), true)
+  }
+
   /** Flag incoming documents with a verified trigram-Jaccard
     * near-duplicate already in the STORE: same inverted-index
     * candidate generation, integer cut and output columns as

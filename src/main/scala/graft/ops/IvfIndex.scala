@@ -125,6 +125,31 @@ object IvfIndex {
     else None
   }
 
+  /** Rewrite the vector relation from its own contents: tombstoned
+    * vectors drop out, every cell's rows re-cluster into ~one file
+    * (appends add files per ingest; a season of daily appends
+    * fragments the very scans the partitioning is for), centroids
+    * and assignments UNCHANGED — no refit, no embedding re-read.
+    * Fail-safe ordering as everywhere: stage, land, then reset the
+    * tombstones.
+    */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val del = deletesIfAny(spark, dir)
+    val live = del.fold(spark.read.parquet(vectorsPath(dir)))(d =>
+      spark.read.parquet(vectorsPath(dir)).join(d, Seq("vec_id"), "left_anti"))
+    // through a staging dir: the rewrite reads the files it replaces
+    val stage = s"$dir/_compact_stage"
+    live.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    spark.read.parquet(stage)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(dir))
+    val fs = new org.apache.hadoop.fs.Path(stage)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(dir)), true)
+  }
+
   /** Top-k cosine neighbors from the persisted index for an explicit
     * query relation (query_id, qv: array<float|double>). The probe
     * set derives from the stored centroids (broadcast, nCells rows);

@@ -61,6 +61,35 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(sizes.select(col("corpus_id")).distinct().count() == kept.count())
   }
 
+  test("compaction applies tombstones, resets them, and answers identically") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("compact")
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val kept = docs.filter(col("doc_id") % 10 =!= 0)
+    DedupStore.save(kept.filter(col("doc_id") % 2 === 0), dir)
+    DedupStore.append(kept.filter(col("doc_id") % 2 =!= 0), dir, "day1")
+    val matches = DedupStore.dedupAgainst(spark, incoming, dir)
+      .select(col("inc_id"), col("corpus_id")).as[(Long, Long)]
+      .collect().toSeq
+    assert(matches.nonEmpty)
+    val victim = matches.head._2
+    DedupStore.delete(Seq(victim).toDF("doc_id"), dir)
+    val before = DedupStore.dedupAgainst(spark, incoming, dir).collect().toSeq
+    DedupStore.compact(spark, dir)
+    // answers unchanged, tombstones physically applied and reset
+    val after = DedupStore.dedupAgainst(spark, incoming, dir).collect().toSeq
+    assert(after == before)
+    assert(!new java.io.File(s"$dir/deletes").exists())
+    val sizes = spark.read.parquet(s"$dir/sizes")
+    assert(sizes.filter(col("corpus_id") === victim).count() == 0,
+      "compaction must physically drop tombstoned docs")
+    // partition inference types an all-"0" ingest column as int —
+    // compare through a cast
+    assert(sizes.select(col("ingest").cast("string")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("0"),
+      "compaction must collapse all ingests into one")
+  }
+
   test("tombstoned docs stop matching; a rebuild resets the tombstones") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("tombstone")

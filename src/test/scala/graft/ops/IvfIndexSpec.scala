@@ -121,6 +121,27 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(rebuilt == before)
   }
 
+  test("compaction drops tombstoned vectors physically and answers identically") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("compactivf")
+    val e = emb("sf0.001")
+    IvfIndex.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
+    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
+    val pairs = IvfIndex.querySelf(spark, dir, nProbe = 16)
+      .select(col("neighbor_id")).as[Long].collect().toSeq
+    val victim = pairs.filter(_ >= 5).head
+    IvfIndex.delete(Seq(victim).toDF("vec_id"), dir)
+    val before = IvfIndex.querySelf(spark, dir, nProbe = 16).collect().toSeq
+    IvfIndex.compact(spark, dir)
+    val after = IvfIndex.querySelf(spark, dir, nProbe = 16).collect().toSeq
+    assert(after == before)
+    assert(!new java.io.File(s"$dir/deletes").exists())
+    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(vecs.filter(col("vec_id") === victim).count() == 0,
+      "compaction must physically drop tombstoned vectors")
+    assert(vecs.count() == e.count() - 1)
+  }
+
   test("append against stored centroids: exhaustive probe equals brute over the union") {
     val dir = tmpDir("append")
     val e = emb("sf0.001")
