@@ -11,15 +11,19 @@ import org.apache.spark.sql.functions._
   * the full historical corpus every run (the in-session memo only
   * helps within one JVM), and at 100 TB the tokenize+explode of the
   * kept side — not the join — is the dominant cost of every batch.
-  * This store is the production lifecycle, Spark-native:
+  * This store is the production lifecycle, Spark-native. Under a
+  * [[StoreVersioning versioned root]] (rebuilds and compactions
+  * commit by pointer swap, never by overwriting live data):
   *
   *  - `grams/`  — the exploded (corpus_id, shingle) relation, the
   *    inverted-index side of candidate generation, precomputed and
   *    columnar: a batch run SCANS it (two pruned columns) instead of
-  *    re-deriving it from text.
+  *    re-deriving it from text. Partitioned by ingest id, so appends
+  *    are idempotent (see [[append]]).
   *  - `sizes/`  — (corpus_id, nb), the per-doc distinct-shingle count
   *    the Jaccard union term needs, so the store never re-aggregates
   *    its own grams.
+  *  - `deletes/` — the tombstone relation ([[delete]]).
   *
   * After a batch is vetted, [[append]] adds the kept documents'
   * grams+sizes in place — the store grows with the corpus, no rebuild.
@@ -30,26 +34,26 @@ import org.apache.spark.sql.functions._
   */
 object DedupStore {
 
-  private def gramsPath(dir: String) = s"$dir/grams"
-  private def sizesPath(dir: String) = s"$dir/sizes"
-  private def deletesPath(dir: String) = s"$dir/deletes"
+  private def gramsPath(root: String) = s"$root/grams"
+  private def sizesPath(root: String) = s"$root/sizes"
+  private def deletesPath(root: String) = s"$root/deletes"
 
-  /** Build the store at `dir` (overwrite, as ingest partition "0"):
-    * one shingle pass over the kept corpus, grams and sizes landed as
-    * parquet. A rebuild also resets the tombstone relation — AFTER
-    * the new data lands, so a failed rebuild fails SAFE (old store,
-    * tombstones still applied) instead of resurrecting retracted
-    * documents against the old files.
+  /** Build the store at `dir`: one shingle pass over the kept corpus,
+    * grams and sizes landed in a FRESH version root, committed by
+    * pointer swap. A crashed rebuild leaves the old version — data
+    * AND its still-applied tombstones — untouched behind CURRENT;
+    * the recovery is to run save again. A successful commit prunes
+    * superseded versions (which is also what resets tombstones: the
+    * fresh version contains only what `corpus` holds).
     */
   def save(corpus: DataFrame, dir: String): Unit = {
-    write(corpus, dir, "0", full = true)
-    val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
-    path.getFileSystem(
-        corpus.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(path, true)
+    val spark = corpus.sparkSession
+    val v = StoreVersioning.nextVersion(spark, dir)
+    write(corpus, s"$dir/$v", "0", full = true)
+    StoreVersioning.commit(spark, dir, v)
   }
 
-  /** Add newly-kept documents to an existing store as ingest
+  /** Add newly-kept documents to the committed store as ingest
     * partition `ingestId` — one shingle pass over the NEW documents
     * only; other ingests' files are untouched.
     *
@@ -64,10 +68,11 @@ object DedupStore {
   def append(docs: DataFrame, dir: String, ingestId: String): Unit = {
     require(ingestId.nonEmpty && ingestId != "0",
       "ingestId must be a non-empty batch name other than the reserved \"0\"")
-    write(docs, dir, ingestId, full = false)
+    val root = StoreVersioning.requireRoot(docs.sparkSession, dir)
+    write(docs, root, ingestId, full = false)
   }
 
-  private def write(docs: DataFrame, dir: String, ingestId: String,
+  private def write(docs: DataFrame, root: String, ingestId: String,
       full: Boolean): Unit = {
     // a LOCAL persist, not the bounded plan-hash memo: a store build
     // runs once per corpus (per JVM at most, behind the gate's
@@ -79,8 +84,11 @@ object DedupStore {
     // memo)
     val sh = Dedup.shingled(docs).persist()
     try {
-      // full rebuild truncates everything; an append dynamically
-      // overwrites only its own ingest partition (idempotent retry)
+      // a full build writes into a fresh version root (no live data
+      // at the target, so the session's partitionOverwriteMode is
+      // irrelevant); an append dynamically overwrites only its own
+      // ingest partition (idempotent retry) — pinned explicitly so a
+      // cluster-wide static default can't widen it to the whole table
       def writer(df: DataFrame) = {
         val w = df.withColumn("ingest", lit(ingestId))
           .write.mode("overwrite").partitionBy("ingest")
@@ -88,10 +96,10 @@ object DedupStore {
       }
       writer(sh.select(col("doc_id").as("corpus_id"),
           explode(col("g")).as("shingle")))
-        .parquet(gramsPath(dir))
+        .parquet(gramsPath(root))
       writer(sh.select(col("doc_id").as("corpus_id"),
           size(col("g")).as("nb")))
-        .parquet(sizesPath(dir))
+        .parquet(sizesPath(root))
     } finally { sh.unpersist(); () }
   }
 
@@ -99,55 +107,51 @@ object DedupStore {
     * is immutable and the gram relation is the store's bulk, so a
     * takedown (GDPR erasure, license retraction, a batch later found
     * contaminated) appends ids to a TOMBSTONE relation instead, and
-    * [[dedupAgainst]] anti-joins it on the doc-count-sized `sizes`
-    * side — never on the exploded grams. Tombstoned docs stop
-    * matching immediately; their dead grams are reclaimed whenever
-    * the store is next rebuilt ([[save]] resets the tombstones).
+    * [[dedupAgainst]] anti-joins it out of the gram relation.
+    * Tombstoned docs stop matching immediately; their dead grams are
+    * physically reclaimed by the next [[compact]] or [[save]].
     */
-  def delete(docIds: DataFrame, dir: String): Unit =
+  def delete(docIds: DataFrame, dir: String): Unit = {
+    val root = StoreVersioning.requireRoot(docIds.sparkSession, dir)
     docIds.select(col(docIds.columns.head).cast("long").as("corpus_id"))
       .distinct()
-      .write.mode("append").parquet(deletesPath(dir))
+      .write.mode("append").parquet(deletesPath(root))
+  }
 
   private def deletesIfAny(spark: SparkSession,
-      dir: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
+      root: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(deletesPath(root))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(dir)))
+    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(root)))
     else None
   }
 
-  /** Rewrite the store from its own contents: grams and sizes minus
-    * the tombstoned docs land as a fresh single ingest, then the
-    * tombstones reset — dead rows reclaimed and the per-append file
-    * growth re-bounded WITHOUT touching document text (no
-    * re-shingling; the store is its own source). Run it on the
-    * maintenance cadence a 100 TB store needs after a season of daily
-    * appends and takedowns. Same fail-safe ordering as [[save]]: the
-    * tombstones reset only after the compacted data lands.
+  /** Rewrite the store from its own contents into a FRESH version:
+    * grams and sizes minus the tombstoned docs, collapsed to one
+    * ingest — dead rows reclaimed and the per-append file growth
+    * re-bounded WITHOUT touching document text (no re-shingling; the
+    * store is its own source). Run it on the maintenance cadence a
+    * 100 TB store needs after a season of daily appends and
+    * takedowns. The new version reads from the OLD committed root and
+    * lands beside it, so a crashed compaction destroys nothing
+    * (CURRENT still points at the intact old version) and the
+    * recovery is to run compact again.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val del = deletesIfAny(spark, dir)
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val v = StoreVersioning.nextVersion(spark, dir)
+    val newRoot = s"$dir/$v"
+    val del = deletesIfAny(spark, root)
     def live(df: DataFrame): DataFrame =
       del.fold(df)(d => df.join(d, Seq("corpus_id"), "left_anti"))
-    // materialize THROUGH a staging dir: the rewrite reads the very
-    // files it replaces, and an overwrite that failed mid-job would
-    // otherwise destroy its own input
-    val stage = s"$dir/_compact_stage"
-    live(spark.read.parquet(gramsPath(dir)).drop("ingest"))
-      .write.mode("overwrite").parquet(s"$stage/grams")
-    live(spark.read.parquet(sizesPath(dir)).drop("ingest"))
-      .write.mode("overwrite").parquet(s"$stage/sizes")
-    def land(rel: String, to: String): Unit =
-      spark.read.parquet(s"$stage/$rel")
-        .withColumn("ingest", lit("0"))
+    def land(df: DataFrame, to: String): Unit =
+      df.withColumn("ingest", lit("0"))
         .write.mode("overwrite").partitionBy("ingest").parquet(to)
-    land("grams", gramsPath(dir))
-    land("sizes", sizesPath(dir))
-    val fs = new org.apache.hadoop.fs.Path(stage)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(dir)), true)
+    land(live(spark.read.parquet(gramsPath(root)).drop("ingest")),
+      gramsPath(newRoot))
+    land(live(spark.read.parquet(sizesPath(root)).drop("ingest")),
+      sizesPath(newRoot))
+    StoreVersioning.commit(spark, dir, v)
   }
 
   /** Flag incoming documents with a verified trigram-Jaccard
@@ -170,16 +174,17 @@ object DedupStore {
     */
   private[graft] def dedupShingled(spark: SparkSession, inc: DataFrame,
       dir: String): DataFrame = {
+    val root = StoreVersioning.requireRoot(spark, dir)
     val incTok = inc.select(col("doc_id").as("inc_id"),
       explode(col("g")).as("shingle"))
     // tombstones prune at the GRAM relation (broadcast anti join on a
     // takedown-sized id set) so retracted docs never even generate
     // candidates; when no tombstone exists the path is untouched
-    val deletes = deletesIfAny(spark, dir)
-    val corpTok0 = spark.read.parquet(gramsPath(dir))
+    val deletes = deletesIfAny(spark, root)
+    val corpTok0 = spark.read.parquet(gramsPath(root))
     val corpTok = deletes.fold(corpTok0)(del =>
       corpTok0.join(del, Seq("corpus_id"), "left_anti"))
-    val sizes = spark.read.parquet(sizesPath(dir))
+    val sizes = spark.read.parquet(sizesPath(root))
     incTok.join(corpTok, Seq("shingle"))
       .groupBy(col("inc_id"), col("corpus_id"))
       .agg(count(lit(1)).as("inter"))

@@ -11,7 +11,12 @@ import org.apache.spark.sql.functions._
   * operational pattern is different: the index is built by one job,
   * LANDS ON STORAGE, and is then queried by many later jobs that must
   * not pay the fit or the full-corpus assignment pass again. This
-  * module is that seam, Spark-native:
+  * module is that seam, Spark-native. Under a
+  * [[StoreVersioning versioned root]] — rebuilds and compactions
+  * write a fresh `v<n>/` and commit by pointer swap, so a crashed
+  * rebuild leaves the old index (and its still-applied tombstones)
+  * fully intact behind CURRENT, never a gutted or mixed-generation
+  * store:
   *
   *  - `centroids/` — the quantizer as a relation (cell, cvec), nCells
   *    rows. The only state a query job needs to plan its probes.
@@ -24,6 +29,7 @@ import org.apache.spark.sql.functions._
   *    filtering. At √n cells that is the difference between an
   *    O(corpus) read per query batch and an O(corpus/√n·nProbe) one.
   *    `IvfIndexSpec` pins the pruning in the executed plan.
+  *  - `deletes/` — the tombstone relation ([[delete]]).
   *
   * Norms are precomputed at build time and stored (a double
   * round-trips parquet exactly), so the query side pays one dot per
@@ -43,23 +49,27 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  private def centroidsPath(dir: String) = s"$dir/centroids"
-  private def vectorsPath(dir: String) = s"$dir/vectors"
-  private def deletesPath(dir: String) = s"$dir/deletes"
+  private def centroidsPath(root: String) = s"$root/centroids"
+  private def vectorsPath(root: String) = s"$root/vectors"
+  private def deletesPath(root: String) = s"$root/deletes"
 
-  /** Build the index at `dir` (overwrite): fits (or reuses — the
-    * quantizer memo is keyed on the training lineage, not the caller)
-    * the coarse quantizer, assigns every vector, writes centroids and
-    * the cell-partitioned vector relation.
+  /** Build the index at `dir`: fits (or reuses — the quantizer memo
+    * is keyed on the training lineage, not the caller) the coarse
+    * quantizer, assigns every vector, writes centroids and the
+    * cell-partitioned vector relation into a fresh version root, and
+    * commits by pointer swap (which also prunes superseded versions —
+    * the fresh index starts with no tombstones).
     */
   def save(embeddings: DataFrame, dir: String, nCells: Int = 16,
       trainMod: Int = 4): Unit = {
     val spark = embeddings.sparkSession
+    val v = StoreVersioning.nextVersion(spark, dir)
+    val root = s"$dir/$v"
     val (assigned, model) =
       Similarity.assignedWithModel(embeddings, nCells, trainMod)
     Similarity.centroidsDf(spark, model)
       .coalesce(1)
-      .write.mode("overwrite").parquet(centroidsPath(dir))
+      .write.mode("overwrite").parquet(centroidsPath(root))
     // repartition ON the partition column first: partitionBy splits
     // every writing task by cell, so T upstream tasks × C cells would
     // land T·C small files; clustering cells into tasks bounds the
@@ -67,19 +77,14 @@ object IvfIndex {
     // √n-cell index needs at corpus scale
     assigned
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(dir))
-    // reset tombstones only AFTER the rebuilt data lands: a failed
-    // rebuild must fail SAFE (old index + still-applied tombstones),
-    // never resurrect retracted vectors against the old files
-    val delPath = new org.apache.hadoop.fs.Path(deletesPath(dir))
-    delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(delPath, true)
+      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(root))
+    StoreVersioning.commit(spark, dir, v)
   }
 
   /** Assign `embeddings` to the index's STORED centroids (nearest by
     * the same codegen'd distance the probe ranking uses) and append
-    * them to the vector relation. No refit, no touch of existing
-    * partitions beyond the append.
+    * them to the committed vector relation. No refit, no touch of
+    * existing partitions beyond the append.
     *
     * CAVEAT (assignment-rule parity): [[save]] assigns via the fitted
     * model's own transform (MLlib's ||a||²+||b||²−2a·b form), this
@@ -94,60 +99,62 @@ object IvfIndex {
     */
   def append(embeddings: DataFrame, dir: String): Unit = {
     val spark = embeddings.sparkSession
-    val cents = spark.read.parquet(centroidsPath(dir))
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val cents = spark.read.parquet(centroidsPath(root))
     val e = Similarity.withNorm(embeddings)
     val asg = Similarity.nearestCellsFrom(e, cents, nProbe = 1)
       .select(col("vec_id"), col("cell"))
     e.join(asg, "vec_id")
       .select(col("vec_id"), col("v"), col("norm"), col("cell"))
       .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(vectorsPath(dir))
+      .write.mode("append").partitionBy("cell").parquet(vectorsPath(root))
   }
 
   /** Retract vectors from the index WITHOUT rewriting it: ids land in
     * a tombstone relation and [[query]] anti-joins them out of the
     * candidate stream (broadcast anti on a takedown-sized set), so a
     * retracted vector stops appearing as a neighbor immediately; its
-    * dead rows are reclaimed at the next [[save]], which resets the
-    * tombstones — the same retraction lifecycle as
-    * [[DedupStore.delete]].
+    * dead rows are physically reclaimed by the next [[compact]] or
+    * [[save]] — the same retraction lifecycle as [[DedupStore.delete]].
     */
-  def delete(vecIds: DataFrame, dir: String): Unit =
+  def delete(vecIds: DataFrame, dir: String): Unit = {
+    val root = StoreVersioning.requireRoot(vecIds.sparkSession, dir)
     vecIds.select(col(vecIds.columns.head).cast("long").as("vec_id"))
       .distinct()
-      .write.mode("append").parquet(deletesPath(dir))
+      .write.mode("append").parquet(deletesPath(root))
+  }
 
   private def deletesIfAny(spark: SparkSession,
-      dir: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(deletesPath(dir))
+      root: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(deletesPath(root))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(dir)))
+    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(root)))
     else None
   }
 
-  /** Rewrite the vector relation from its own contents: tombstoned
-    * vectors drop out, every cell's rows re-cluster into ~one file
-    * (appends add files per ingest; a season of daily appends
-    * fragments the very scans the partitioning is for), centroids
-    * and assignments UNCHANGED — no refit, no embedding re-read.
-    * Fail-safe ordering as everywhere: stage, land, then reset the
-    * tombstones.
+  /** Rewrite the vector relation from its own contents into a fresh
+    * version: tombstoned vectors drop out, every cell's rows
+    * re-cluster into ~one file (appends add files per ingest; a
+    * season of daily appends fragments the very scans the
+    * partitioning is for), centroids carried over unchanged — no
+    * refit, no embedding re-read. The new version reads from the OLD
+    * committed root and lands beside it, so a crashed compaction
+    * destroys nothing and the recovery is to run compact again.
     */
   def compact(spark: SparkSession, dir: String): Unit = {
-    val del = deletesIfAny(spark, dir)
-    val live = del.fold(spark.read.parquet(vectorsPath(dir)))(d =>
-      spark.read.parquet(vectorsPath(dir)).join(d, Seq("vec_id"), "left_anti"))
-    // through a staging dir: the rewrite reads the files it replaces
-    val stage = s"$dir/_compact_stage"
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val v = StoreVersioning.nextVersion(spark, dir)
+    val newRoot = s"$dir/$v"
+    val live = deletesIfAny(spark, root)
+      .fold(spark.read.parquet(vectorsPath(root)))(d =>
+        spark.read.parquet(vectorsPath(root))
+          .join(d, Seq("vec_id"), "left_anti"))
+    spark.read.parquet(centroidsPath(root))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(newRoot))
     live.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(stage)
-    spark.read.parquet(stage)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(dir))
-    val fs = new org.apache.hadoop.fs.Path(stage)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
-    fs.delete(new org.apache.hadoop.fs.Path(deletesPath(dir)), true)
+      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(newRoot))
+    StoreVersioning.commit(spark, dir, v)
   }
 
   /** Top-k cosine neighbors from the persisted index for an explicit
@@ -172,8 +179,9 @@ object IvfIndex {
     */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
-    val vectors = spark.read.parquet(vectorsPath(dir))
-    val cents = spark.read.parquet(centroidsPath(dir))
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val vectors = spark.read.parquet(vectorsPath(root))
+    val cents = spark.read.parquet(centroidsPath(root))
     val qn = queries
       .select(col("query_id"), col("qv"))
       .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
@@ -183,7 +191,7 @@ object IvfIndex {
       .select(col("vec_id").as("query_id"), col("cell"))
     val q = qn.join(probes, "query_id")
     val candidates0 = vectors.join(broadcast(q), Seq("cell"))
-    val candidates1 = deletesIfAny(spark, dir).fold(candidates0)(del =>
+    val candidates1 = deletesIfAny(spark, root).fold(candidates0)(del =>
       candidates0.join(del, Seq("vec_id"), "left_anti"))
     val candidates =
       if (excludeSelf) candidates1.filter(col("query_id") =!= col("vec_id"))
@@ -196,19 +204,21 @@ object IvfIndex {
   }
 
   /** Self-query convenience mirroring [[Similarity.knnIvf]]'s gate
-    * contract: the first `nQueries` NON-RETRACTED indexed vectors
+    * contract: of the ids below `nQueries`, the non-retracted ones
     * query the index (a tombstoned vector must not keep issuing
-    * queries computed from its erased embedding). The query fetch is
-    * a (vec_id < nQueries) scan of the vector relation itself —
-    * column-pruned to (vec_id, v), tiny even though it crosses
-    * partitions; production callers with external queries use
-    * [[query]] directly.
+    * queries computed from its erased embedding — so a retraction in
+    * that id range means FEWER than nQueries query groups, not a
+    * substitute query). The query fetch is a (vec_id < nQueries) scan
+    * of the vector relation itself — column-pruned to (vec_id, v),
+    * tiny even though it crosses partitions; production callers with
+    * external queries use [[query]] directly.
     */
   def querySelf(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Long = 5, nProbe: Int = 4): DataFrame = {
-    val own = spark.read.parquet(vectorsPath(dir))
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val own = spark.read.parquet(vectorsPath(root))
       .filter(col("vec_id") < nQueries)
-    val live = deletesIfAny(spark, dir).fold(own)(del =>
+    val live = deletesIfAny(spark, root).fold(own)(del =>
       own.join(del, Seq("vec_id"), "left_anti"))
     query(spark, dir,
       live.select(col("vec_id").as("query_id"), col("v").as("qv")),

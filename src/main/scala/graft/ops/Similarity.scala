@@ -622,13 +622,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosineWithNorms(col("qv"), col("v"), col("qn"), col("norm")).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 4).as("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    topKByCosine(scored, k)
   }
 
   /** Semantic decontamination — the vector-space analog of

@@ -225,12 +225,13 @@ object TextOps {
     require(terms.nonEmpty, "blocklist must not be empty")
     val ws = words(text)
     val blocked = array(terms.map(lit): _*)
+    // one hit-count tree shared by n_hits and keep (HOF filters don't
+    // whole-stage-codegen, so a duplicated tree is evaluated twice)
+    val hits = size(filter(ws, w => array_contains(blocked, w)))
     Seq(
-      "n_hits" -> size(filter(ws, w => array_contains(blocked, w)))
-        .cast("bigint"),
+      "n_hits" -> hits.cast("bigint"),
       "n_terms_hit" -> size(array_intersect(array_distinct(ws), blocked))
         .cast("bigint"),
-      "keep" -> size(filter(ws, w => array_contains(blocked, w)))
-        .equalTo(0).cast("int"))
+      "keep" -> hits.equalTo(0).cast("int"))
   }
 }

@@ -42,7 +42,9 @@ import graft.ops.{Dedup, DedupStore}
   * checkpoint; with the default ephemeral checkpoint a restart
   * renumbers batches and the usual at-least-once caveat applies).
   * Read results with `spark.read.parquet(outDir)` and ignore/drop the
-  * `graft_batch` partition column. Each micro-batch bypasses the
+  * `graft_batch` partition column; `outDir` must be fresh or
+  * previously written by this sink (mixing layouts breaks partition
+  * discovery). Each micro-batch bypasses the
   * plan-hash-keyed shingle memo (it would thrash the bounded cache —
   * see [[DedupStore.dedupShingled]]).
   */

@@ -56,7 +56,8 @@ class DedupStoreSpec extends AnyFunSuite {
     val c = DedupStore.dedupAgainst(spark, incoming, grown).collect().toSeq
     assert(c == a, "a retried append must be idempotent")
     // and the grown store holds each kept doc's grams exactly once
-    val sizes = spark.read.parquet(s"$grown/sizes")
+    val sizes = spark.read.parquet(
+      s"${StoreVersioning.requireRoot(spark, grown)}/sizes")
     assert(sizes.count() == kept.count())
     assert(sizes.select(col("corpus_id")).distinct().count() == kept.count())
   }
@@ -75,12 +76,18 @@ class DedupStoreSpec extends AnyFunSuite {
     val victim = matches.head._2
     DedupStore.delete(Seq(victim).toDF("doc_id"), dir)
     val before = DedupStore.dedupAgainst(spark, incoming, dir).collect().toSeq
+    val rootBefore = StoreVersioning.requireRoot(spark, dir)
     DedupStore.compact(spark, dir)
-    // answers unchanged, tombstones physically applied and reset
+    // answers unchanged; the commit moved to a FRESH version (the old
+    // root with its tombstones is pruned — nothing overwrote in place)
+    val rootAfter = StoreVersioning.requireRoot(spark, dir)
+    assert(rootAfter != rootBefore)
+    assert(!new java.io.File(rootBefore).exists(),
+      "the superseded version must be pruned at commit")
     val after = DedupStore.dedupAgainst(spark, incoming, dir).collect().toSeq
     assert(after == before)
-    assert(!new java.io.File(s"$dir/deletes").exists())
-    val sizes = spark.read.parquet(s"$dir/sizes")
+    assert(!new java.io.File(s"$rootAfter/deletes").exists())
+    val sizes = spark.read.parquet(s"$rootAfter/sizes")
     assert(sizes.filter(col("corpus_id") === victim).count() == 0,
       "compaction must physically drop tombstoned docs")
     // partition inference types an all-"0" ingest column as int —
@@ -88,6 +95,27 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(sizes.select(col("ingest").cast("string")).distinct().collect()
       .map(_.getString(0)).toSeq == Seq("0"),
       "compaction must collapse all ingests into one")
+  }
+
+  test("a crashed rebuild is invisible: an orphan version never wins") {
+    val dir = tmpDir("orphan")
+    val incoming = docs.filter(col("doc_id") % 10 === 0)
+    val kept = docs.filter(col("doc_id") % 10 =!= 0)
+    DedupStore.save(kept, dir)
+    val before = DedupStore.dedupAgainst(spark, incoming, dir).collect().toSeq
+    // simulate a rebuild that died before its pointer swap: a higher
+    // version dir exists but CURRENT still names the committed one
+    val root = StoreVersioning.requireRoot(spark, dir)
+    new java.io.File(s"$dir/v99").mkdirs()
+    assert(DedupStore.dedupAgainst(spark, incoming, dir)
+      .collect().toSeq == before,
+      "readers must resolve through CURRENT, not directory listing")
+    // the next successful save supersedes the orphan and prunes it
+    DedupStore.save(kept, dir)
+    assert(!new java.io.File(s"$dir/v99").exists())
+    assert(!new java.io.File(root).exists())
+    assert(DedupStore.dedupAgainst(spark, incoming, dir)
+      .collect().toSeq == before)
   }
 
   test("tombstoned docs stop matching; a rebuild resets the tombstones") {

@@ -132,11 +132,16 @@ class IvfIndexSpec extends AnyFunSuite {
     val victim = pairs.filter(_ >= 5).head
     IvfIndex.delete(Seq(victim).toDF("vec_id"), dir)
     val before = IvfIndex.querySelf(spark, dir, nProbe = 16).collect().toSeq
+    val rootBefore = StoreVersioning.requireRoot(spark, dir)
     IvfIndex.compact(spark, dir)
+    val rootAfter = StoreVersioning.requireRoot(spark, dir)
+    assert(rootAfter != rootBefore)
+    assert(!new java.io.File(rootBefore).exists(),
+      "the superseded version must be pruned at commit")
     val after = IvfIndex.querySelf(spark, dir, nProbe = 16).collect().toSeq
     assert(after == before)
-    assert(!new java.io.File(s"$dir/deletes").exists())
-    val vecs = spark.read.parquet(s"$dir/vectors")
+    assert(!new java.io.File(s"$rootAfter/deletes").exists())
+    val vecs = spark.read.parquet(s"$rootAfter/vectors")
     assert(vecs.filter(col("vec_id") === victim).count() == 0,
       "compaction must physically drop tombstoned vectors")
     assert(vecs.count() == e.count() - 1)
@@ -148,7 +153,8 @@ class IvfIndexSpec extends AnyFunSuite {
     IvfIndex.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
     IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
     // no vector lost or duplicated by the append
-    val idx = spark.read.parquet(s"$dir/vectors")
+    val idx = spark.read.parquet(
+      s"${StoreVersioning.requireRoot(spark, dir)}/vectors")
     assert(idx.count() == e.count())
     assert(idx.select(col("vec_id")).distinct().count() == e.count())
     val got = IvfIndex.querySelf(spark, dir, nProbe = 16).collect().toSeq
