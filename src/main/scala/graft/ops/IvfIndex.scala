@@ -178,8 +178,18 @@ object IvfIndex {
     * candidates would silently drop true neighbors.
     */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 5, nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame = {
-    val root = StoreVersioning.requireRoot(spark, dir)
+      k: Int = 5, nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame =
+    queryFrom(spark, StoreVersioning.requireRoot(spark, dir), queries,
+      k, nProbe, excludeSelf)
+
+  /** [[query]] against an already-resolved version root — the root is
+    * resolved ONCE per logical query so a commit racing the planning
+    * can never mix generations (queries from one version, candidates
+    * from another).
+    */
+  private def queryFrom(spark: SparkSession, root: String,
+      queries: DataFrame, k: Int, nProbe: Int,
+      excludeSelf: Boolean): DataFrame = {
     val vectors = spark.read.parquet(vectorsPath(root))
     val cents = spark.read.parquet(centroidsPath(root))
     val qn = queries
@@ -215,12 +225,13 @@ object IvfIndex {
     */
   def querySelf(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Long = 5, nProbe: Int = 4): DataFrame = {
+    // resolve the root ONCE for query vectors and candidates alike
     val root = StoreVersioning.requireRoot(spark, dir)
     val own = spark.read.parquet(vectorsPath(root))
       .filter(col("vec_id") < nQueries)
     val live = deletesIfAny(spark, root).fold(own)(del =>
       own.join(del, Seq("vec_id"), "left_anti"))
-    query(spark, dir,
+    queryFrom(spark, root,
       live.select(col("vec_id").as("query_id"), col("v").as("qv")),
       k, nProbe, excludeSelf = true)
   }

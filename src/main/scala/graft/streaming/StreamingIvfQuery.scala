@@ -37,19 +37,10 @@ object StreamingIvfQuery {
   def streamingKnn(spark: SparkSession, dir: String, schema: StructType,
       indexDir: String, outDir: String, k: Int = 5, nProbe: Int = 4,
       maxFilesPerTrigger: Int = 0,
-      checkpoint: Option[String] = None): StreamingQuery = {
-    val reader = spark.readStream.schema(schema)
-    val src = (if (maxFilesPerTrigger > 0)
-        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-      else reader).parquet(dir)
-    val writer = src.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        IvfIndex.query(spark, indexDir, batch, k, nProbe)
-          .write.mode("overwrite")
-          .parquet(s"$outDir/graft_batch=$batchId")
-        ()
-      }
-    checkpoint.foreach(c => writer.option("checkpointLocation", c))
-    writer.start()
-  }
+      checkpoint: Option[String] = None): StreamingQuery =
+    BatchedParquetSink.start(spark, dir, schema, maxFilesPerTrigger,
+      checkpoint) { (batch, batchId) =>
+      BatchedParquetSink.landBatch(
+        IvfIndex.query(spark, indexDir, batch, k, nProbe), outDir, batchId)
+    }
 }

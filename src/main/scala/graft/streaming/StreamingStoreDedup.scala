@@ -53,18 +53,11 @@ object StreamingStoreDedup {
   def streamingDedupAgainstStore(spark: SparkSession, dir: String,
       schema: StructType, storeDir: String, outDir: String,
       maxFilesPerTrigger: Int = 0,
-      checkpoint: Option[String] = None): StreamingQuery = {
-    val reader = spark.readStream.schema(schema)
-    val src = (if (maxFilesPerTrigger > 0)
-        reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-      else reader).parquet(dir)
-    val writer = src.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatch(spark, batch, batchId, storeDir, outDir)
-      }
-    checkpoint.foreach(c => writer.option("checkpointLocation", c))
-    writer.start()
-  }
+      checkpoint: Option[String] = None): StreamingQuery =
+    BatchedParquetSink.start(spark, dir, schema, maxFilesPerTrigger,
+      checkpoint) { (batch, batchId) =>
+      writeBatch(spark, batch, batchId, storeDir, outDir)
+    }
 
   /** One micro-batch's work — factored out so the replay-idempotence
     * contract is directly testable: running the same (batch, id)
@@ -76,9 +69,8 @@ object StreamingStoreDedup {
     // (gram explode + per-doc sizes), then release — the bounded
     // plan-hash memo is deliberately bypassed here (see scaladoc)
     val sh = Dedup.shingled(batch).persist()
-    try DedupStore.dedupShingled(spark, sh, storeDir)
-      .write.mode("overwrite")
-      .parquet(s"$outDir/graft_batch=$batchId")
+    try BatchedParquetSink.landBatch(
+      DedupStore.dedupShingled(spark, sh, storeDir), outDir, batchId)
     finally { sh.unpersist(); () }
   }
 }

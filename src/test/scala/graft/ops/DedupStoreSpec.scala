@@ -78,12 +78,16 @@ class DedupStoreSpec extends AnyFunSuite {
     val before = DedupStore.dedupAgainst(spark, incoming, dir).collect().toSeq
     val rootBefore = StoreVersioning.requireRoot(spark, dir)
     DedupStore.compact(spark, dir)
-    // answers unchanged; the commit moved to a FRESH version (the old
-    // root with its tombstones is pruned — nothing overwrote in place)
+    // answers unchanged; the commit moved to a FRESH version, and the
+    // superseded one is RETAINED for one commit cycle (in-flight
+    // reader grace) before the next commit prunes it
     val rootAfter = StoreVersioning.requireRoot(spark, dir)
     assert(rootAfter != rootBefore)
+    assert(new java.io.File(rootBefore).exists(),
+      "the superseded version must survive one commit for readers")
+    DedupStore.compact(spark, dir)
     assert(!new java.io.File(rootBefore).exists(),
-      "the superseded version must be pruned at commit")
+      "the second commit must prune the twice-superseded version")
     val after = DedupStore.dedupAgainst(spark, incoming, dir).collect().toSeq
     assert(after == before)
     assert(!new java.io.File(s"$rootAfter/deletes").exists())
@@ -110,10 +114,13 @@ class DedupStoreSpec extends AnyFunSuite {
     assert(DedupStore.dedupAgainst(spark, incoming, dir)
       .collect().toSeq == before,
       "readers must resolve through CURRENT, not directory listing")
-    // the next successful save supersedes the orphan and prunes it
+    // the next successful save supersedes the orphan and prunes it;
+    // the previously-committed root survives its one grace commit
     DedupStore.save(kept, dir)
-    assert(!new java.io.File(s"$dir/v99").exists())
-    assert(!new java.io.File(root).exists())
+    assert(!new java.io.File(s"$dir/v99").exists(),
+      "marker-less orphans must be pruned at the next commit")
+    assert(new java.io.File(root).exists(),
+      "the superseded committed version must survive one commit")
     assert(DedupStore.dedupAgainst(spark, incoming, dir)
       .collect().toSeq == before)
   }

@@ -136,8 +136,11 @@ class IvfIndexSpec extends AnyFunSuite {
     IvfIndex.compact(spark, dir)
     val rootAfter = StoreVersioning.requireRoot(spark, dir)
     assert(rootAfter != rootBefore)
+    assert(new java.io.File(rootBefore).exists(),
+      "the superseded version must survive one commit for readers")
+    IvfIndex.compact(spark, dir)
     assert(!new java.io.File(rootBefore).exists(),
-      "the superseded version must be pruned at commit")
+      "the second commit must prune the twice-superseded version")
     val after = IvfIndex.querySelf(spark, dir, nProbe = 16).collect().toSeq
     assert(after == before)
     assert(!new java.io.File(s"$rootAfter/deletes").exists())
