@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * kept side — not the join — is the dominant cost of every batch.
   * This store is the production lifecycle, Spark-native. Under a
   * [[StoreVersioning versioned root]] (rebuilds and compactions
-  * commit by pointer swap, never by overwriting live data):
+  * commit by marker creation, never by overwriting live data):
   *
   *  - `grams/`  — the exploded (corpus_id, shingle) relation, the
   *    inverted-index side of candidate generation, precomputed and
@@ -40,8 +40,8 @@ object DedupStore {
 
   /** Build the store at `dir`: one shingle pass over the kept corpus,
     * grams and sizes landed in a FRESH version root, committed by
-    * pointer swap. A crashed rebuild leaves the old version — data
-    * AND its still-applied tombstones — untouched behind CURRENT;
+    * marker creation. A crashed rebuild leaves the old version — data
+    * AND its still-applied tombstones — untouched and still committed;
     * the recovery is to run save again. A successful commit prunes
     * superseded versions (which is also what resets tombstones: the
     * fresh version contains only what `corpus` holds).
@@ -134,7 +134,7 @@ object DedupStore {
     * 100 TB store needs after a season of daily appends and
     * takedowns. The new version reads from the OLD committed root and
     * lands beside it, so a crashed compaction destroys nothing
-    * (CURRENT still points at the intact old version) and the
+    * (the old version stays the committed one) and the
     * recovery is to run compact again.
     */
   def compact(spark: SparkSession, dir: String): Unit = {

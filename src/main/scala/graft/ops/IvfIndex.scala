@@ -13,9 +13,9 @@ import org.apache.spark.sql.functions._
   * not pay the fit or the full-corpus assignment pass again. This
   * module is that seam, Spark-native. Under a
   * [[StoreVersioning versioned root]] — rebuilds and compactions
-  * write a fresh `v<n>/` and commit by pointer swap, so a crashed
+  * write a fresh `v<n>/` and commit by marker creation, so a crashed
   * rebuild leaves the old index (and its still-applied tombstones)
-  * fully intact behind CURRENT, never a gutted or mixed-generation
+  * fully intact behind the committed marker, never a gutted or mixed-generation
   * store:
   *
   *  - `centroids/` — the quantizer as a relation (cell, cvec), nCells
@@ -57,7 +57,7 @@ object IvfIndex {
     * is keyed on the training lineage, not the caller) the coarse
     * quantizer, assigns every vector, writes centroids and the
     * cell-partitioned vector relation into a fresh version root, and
-    * commits by pointer swap (which also prunes superseded versions —
+    * commits by marker creation (which also prunes superseded versions —
     * the fresh index starts with no tombstones).
     */
   def save(embeddings: DataFrame, dir: String, nCells: Int = 16,

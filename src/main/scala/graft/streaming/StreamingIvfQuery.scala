@@ -19,9 +19,9 @@ import graft.ops.IvfIndex
   * construction (spec-pinned anyway), and there is no broadcast-row
   * size cliff — the index side is the cell-partitioned parquet
   * relation, dynamic-pruned per batch exactly like the batch path.
-  * Each batch resolves the index's CURRENT pointer, so a compaction
+  * Each batch resolves the committed index version, so a compaction
   * or rebuild committed mid-stream is picked up at the next
-  * micro-batch (the pointer swap is the commit point).
+  * micro-batch (the marker creation is the commit point).
   *
   * Delivery: batch-keyed partition overwrite under `outDir` —
   * replayed batches land exactly one copy; read results with
