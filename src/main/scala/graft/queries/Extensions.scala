@@ -503,6 +503,23 @@ object Extensions {
       IvfIndex.querySelf(s, dir, nProbe = 12)
     }),
 
+    // EXTERNAL queries against the same persisted index: query ids
+    // are their own namespace (vec_id 100..104 relabeled 0..4 — a
+    // deliberate collision with indexed ids), so the indexed vector
+    // with the colliding id must still be a candidate and each query
+    // finds ITSELF at rank 1 — the semantics an unconditional
+    // self-exclusion filter silently broke; nProbe == nCells makes
+    // the equality with the brute oracle hold by construction
+    "x_knn_ivf_index_external_check" -> ((s, d) => {
+      val dir = storeDir(d, "ivf_full")
+      buildStoreOnce(dir)(IvfIndex.save(t(s, d, "embeddings"), dir, nCells = 16))
+      val q = t(s, d, "embeddings")
+        .filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select((col("vec_id") - 100).as("query_id"),
+          col("embedding").as("qv"))
+      IvfIndex.query(s, dir, q, k = 5, nProbe = 16)
+    }),
+
     // incremental growth: the even half BUILDS (training the
     // quantizer on itself), the odd half APPENDS against the stored
     // centroids — no refit, the production contract. Queried at
@@ -2119,6 +2136,22 @@ object Extensions {
     // construction, pinning the build+append machinery (stored-
     // centroid assignment, partition append, no lost/dup vectors)
     "x_knn_ivf_index_append_check" -> knnBruteSql,
+
+    // external-namespace queries: no self-exclusion, so each query
+    // (an indexed vector under a relabeled id) finds itself at rank 1
+    // with cosine 1.0; exhaustive probe makes the replication exact
+    "x_knn_ivf_index_external_check" ->
+      """WITH s AS (
+        |  SELECT q.vec_id - 100 AS query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                           CAST(e.embedding AS DOUBLE[])) AS c
+        |  FROM embeddings q JOIN embeddings e
+        |    ON q.vec_id >= 100 AND q.vec_id < 105),
+        |r AS (SELECT query_id, neighbor_id, c,
+        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
+        |  FROM s)
+        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, ROUND(c, 4) AS cosine
+        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // full algorithm replication: deterministic hyperplane literals →
     // DuckDB recomputes bucketing, multi-probe and top-k bit-exactly
