@@ -118,6 +118,24 @@ object DedupStore {
       .write.mode("append").parquet(deletesPath(root))
   }
 
+  /** Read a store relation, tolerating the EMPTY-store footprint: a
+    * corpus in which no document reaches the trigram width writes
+    * ZERO rows into a partitioned relation, which parquet lands as a
+    * bare `_SUCCESS` with no footer to infer a schema from — the
+    * read-back must behave as "matches nothing" (exactly what the
+    * in-session operator returns on such a corpus), not throw.
+    */
+  private def readRel(spark: SparkSession, path: String,
+      ddl: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+
   private def deletesIfAny(spark: SparkSession,
       root: String): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(deletesPath(root))
@@ -147,9 +165,11 @@ object DedupStore {
     def land(df: DataFrame, to: String): Unit =
       df.withColumn("ingest", lit("0"))
         .write.mode("overwrite").partitionBy("ingest").parquet(to)
-    land(live(spark.read.parquet(gramsPath(root)).drop("ingest")),
+    land(live(readRel(spark, gramsPath(root),
+        "corpus_id BIGINT, shingle STRING, ingest STRING").drop("ingest")),
       gramsPath(newRoot))
-    land(live(spark.read.parquet(sizesPath(root)).drop("ingest")),
+    land(live(readRel(spark, sizesPath(root),
+        "corpus_id BIGINT, nb INT, ingest STRING").drop("ingest")),
       sizesPath(newRoot))
     StoreVersioning.commit(spark, dir, v)
   }
@@ -181,10 +201,12 @@ object DedupStore {
     // takedown-sized id set) so retracted docs never even generate
     // candidates; when no tombstone exists the path is untouched
     val deletes = deletesIfAny(spark, root)
-    val corpTok0 = spark.read.parquet(gramsPath(root))
+    val corpTok0 = readRel(spark, gramsPath(root),
+      "corpus_id BIGINT, shingle STRING, ingest STRING")
     val corpTok = deletes.fold(corpTok0)(del =>
       corpTok0.join(del, Seq("corpus_id"), "left_anti"))
-    val sizes = spark.read.parquet(sizesPath(root))
+    val sizes = readRel(spark, sizesPath(root),
+      "corpus_id BIGINT, nb INT, ingest STRING")
     incTok.join(corpTok, Seq("shingle"))
       .groupBy(col("inc_id"), col("corpus_id"))
       .agg(count(lit(1)).as("inter"))

@@ -1357,18 +1357,29 @@ object Extensions {
       |  dq AS dot_q, ROUND(qc, 4) AS qcosine
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
 
-  private val knnBruteSql =
-    """WITH s AS (
-      |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+  /** One builder for every brute-kNN-shaped oracle (tie order,
+    * rounding, k — the DuckDB mirror of `Similarity.topKByCosine`),
+    * so the self-query and external-query variants cannot drift
+    * convention by convention.
+    */
+  private def knnOracleSql(queryIdExpr: String, queryPred: String,
+      excludeSelf: Boolean): String = {
+    val self = if (excludeSelf) " AND e.vec_id <> q.vec_id" else ""
+    s"""WITH s AS (
+      |  SELECT $queryIdExpr AS query_id, e.vec_id AS neighbor_id,
       |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
       |                           CAST(e.embedding AS DOUBLE[])) AS c
       |  FROM embeddings q JOIN embeddings e
-      |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+      |    ON $queryPred$self),
       |r AS (SELECT query_id, neighbor_id, c,
       |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
       |  FROM s)
       |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, ROUND(c, 4) AS cosine
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val knnBruteSql =
+    knnOracleSql("q.vec_id", "q.vec_id < 5", excludeSelf = true)
 
   /** DuckDB replication of the FULL random-hyperplane LSH algorithm
     * (`Similarity.knnLsh`, 4 planes × 64 dims, 1-bit multi-probe):
@@ -2141,17 +2152,8 @@ object Extensions {
     // (an indexed vector under a relabeled id) finds itself at rank 1
     // with cosine 1.0; exhaustive probe makes the replication exact
     "x_knn_ivf_index_external_check" ->
-      """WITH s AS (
-        |  SELECT q.vec_id - 100 AS query_id, e.vec_id AS neighbor_id,
-        |    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-        |                           CAST(e.embedding AS DOUBLE[])) AS c
-        |  FROM embeddings q JOIN embeddings e
-        |    ON q.vec_id >= 100 AND q.vec_id < 105),
-        |r AS (SELECT query_id, neighbor_id, c,
-        |  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rnk
-        |  FROM s)
-        |SELECT query_id, CAST(rnk AS INT) AS rank, neighbor_id, ROUND(c, 4) AS cosine
-        |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin,
+      knnOracleSql("q.vec_id - 100", "q.vec_id >= 100 AND q.vec_id < 105",
+        excludeSelf = false),
 
     // full algorithm replication: deterministic hyperplane literals →
     // DuckDB recomputes bucketing, multi-probe and top-k bit-exactly

@@ -125,6 +125,23 @@ class DedupStoreSpec extends AnyFunSuite {
       .collect().toSeq == before)
   }
 
+  test("an all-short corpus builds an empty store that matches nothing") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("empty")
+    // every kept doc is under the trigram width: the store's grams
+    // and sizes relations have ZERO rows (parquet lands only a
+    // _SUCCESS for an empty partitioned write) — the batch dedup must
+    // return empty like the in-session operator, not throw on an
+    // uninferrable schema
+    val kept = Seq((1L, "a b"), (2L, "c"), (3L, "")).toDF("doc_id", "text")
+    val incoming = Seq((0L, "a b c d e")).toDF("doc_id", "text")
+    DedupStore.save(kept, dir)
+    val got = DedupStore.dedupAgainst(spark, incoming, dir).collect()
+    val want = Dedup.dedupAgainstCorpus(incoming, kept).collect()
+    Dedup.clearShingleCache()
+    assert(got.isEmpty && want.isEmpty)
+  }
+
   test("tombstoned docs stop matching; a rebuild resets the tombstones") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("tombstone")
