@@ -48,9 +48,11 @@ object DedupStore {
     */
   def save(corpus: DataFrame, dir: String): Unit = {
     val spark = corpus.sparkSession
-    val v = StoreVersioning.nextVersion(spark, dir)
-    write(corpus, s"$dir/$v", "0", full = true)
-    StoreVersioning.commit(spark, dir, v)
+    StoreVersioning.withMaintainerLock(spark, dir, "DedupStore.save") {
+      val v = StoreVersioning.nextVersion(spark, dir)
+      write(corpus, s"$dir/$v", "0", full = true)
+      StoreVersioning.commit(spark, dir, v)
+    }
   }
 
   /** Add newly-kept documents to the committed store as ingest
@@ -68,8 +70,11 @@ object DedupStore {
   def append(docs: DataFrame, dir: String, ingestId: String): Unit = {
     require(ingestId.nonEmpty && ingestId != "0",
       "ingestId must be a non-empty batch name other than the reserved \"0\"")
-    val root = StoreVersioning.requireRoot(docs.sparkSession, dir)
-    write(docs, root, ingestId, full = false)
+    StoreVersioning.withMaintainerLock(docs.sparkSession, dir,
+        "DedupStore.append") {
+      val root = StoreVersioning.requireRoot(docs.sparkSession, dir)
+      write(docs, root, ingestId, full = false)
+    }
   }
 
   private def write(docs: DataFrame, root: String, ingestId: String,
@@ -111,12 +116,13 @@ object DedupStore {
     * Tombstoned docs stop matching immediately; their dead grams are
     * physically reclaimed by the next [[compact]] or [[save]].
     */
-  def delete(docIds: DataFrame, dir: String): Unit = {
-    val root = StoreVersioning.requireRoot(docIds.sparkSession, dir)
-    docIds.select(col(docIds.columns.head).cast("long").as("corpus_id"))
-      .distinct()
-      .write.mode("append").parquet(deletesPath(root))
-  }
+  def delete(docIds: DataFrame, dir: String): Unit =
+    StoreVersioning.withMaintainerLock(docIds.sparkSession, dir,
+        "DedupStore.delete") {
+      val root = StoreVersioning.requireRoot(docIds.sparkSession, dir)
+      val ids = StoreVersioning.requireLongIds(docIds, "corpus_id")
+      ids.write.mode("append").parquet(deletesPath(root))
+    }
 
   /** Read a store relation, tolerating the EMPTY-store footprint: a
     * corpus in which no document reaches the trigram width writes
@@ -155,7 +161,8 @@ object DedupStore {
     * (the old version stays the committed one) and the
     * recovery is to run compact again.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+      StoreVersioning.withMaintainerLock(spark, dir, "DedupStore.compact") {
     val root = StoreVersioning.requireRoot(spark, dir)
     val v = StoreVersioning.nextVersion(spark, dir)
     val newRoot = s"$dir/$v"

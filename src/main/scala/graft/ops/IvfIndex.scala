@@ -63,22 +63,30 @@ object IvfIndex {
   def save(embeddings: DataFrame, dir: String, nCells: Int = 16,
       trainMod: Int = 4): Unit = {
     val spark = embeddings.sparkSession
-    val v = StoreVersioning.nextVersion(spark, dir)
-    val root = s"$dir/$v"
-    val (assigned, model) =
-      Similarity.assignedWithModel(embeddings, nCells, trainMod)
-    Similarity.centroidsDf(spark, model)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(centroidsPath(root))
-    // repartition ON the partition column first: partitionBy splits
-    // every writing task by cell, so T upstream tasks × C cells would
-    // land T·C small files; clustering cells into tasks bounds the
-    // index at ~C files per build — the file-count discipline a
-    // √n-cell index needs at corpus scale
-    assigned
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(root))
-    StoreVersioning.commit(spark, dir, v)
+    StoreVersioning.withMaintainerLock(spark, dir, "IvfIndex.save") {
+      val v = StoreVersioning.nextVersion(spark, dir)
+      val root = s"$dir/$v"
+      val (assigned, model) =
+        Similarity.assignedWithModel(embeddings, nCells, trainMod)
+      Similarity.centroidsDf(spark, model)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(centroidsPath(root))
+      // repartition ON the partition column first: partitionBy splits
+      // every writing task by cell, so T upstream tasks × C cells would
+      // land T·C small files; clustering cells into tasks bounds the
+      // index at ~C files per build — the file-count discipline a
+      // √n-cell index needs at corpus scale. `ingest` leads the
+      // partition spec so an append ([[append]]) owns a whole
+      // `ingest=<id>/` subtree it can dynamically overwrite on retry;
+      // `cell` stays a partition column, so the probe join's dynamic
+      // pruning is untouched (it prunes on ANY partition column).
+      assigned
+        .withColumn("ingest", lit("0"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("ingest", "cell")
+        .parquet(vectorsPath(root))
+      StoreVersioning.commit(spark, dir, v)
+    }
   }
 
   /** Assign `embeddings` to the index's STORED centroids (nearest by
@@ -96,18 +104,34 @@ object IvfIndex {
     * the exhaustive-probe result — which is why the append gate and
     * spec pin nProbe == nCells, where the equality with brute force
     * is assignment-independent.
+    *
+    * `ingestId` names the batch (a date, a run id) and makes the
+    * append IDEMPOTENT — the [[DedupStore.append]] contract: the
+    * write is a dynamic partition overwrite of exactly this ingest's
+    * `ingest=<id>/` subtree, so a retried/replayed append replaces
+    * its own partial output instead of double-inserting vectors
+    * (a duplicated vector would occupy two top-k ranks in every query
+    * it neighbors). The recovery story for any append failure is:
+    * run the same append again.
     */
-  def append(embeddings: DataFrame, dir: String): Unit = {
+  def append(embeddings: DataFrame, dir: String, ingestId: String): Unit = {
+    require(ingestId.nonEmpty && ingestId != "0",
+      "ingestId must be a non-empty batch name other than the reserved \"0\"")
     val spark = embeddings.sparkSession
-    val root = StoreVersioning.requireRoot(spark, dir)
-    val cents = spark.read.parquet(centroidsPath(root))
-    val e = Similarity.withNorm(embeddings)
-    val asg = Similarity.nearestCellsFrom(e, cents, nProbe = 1)
-      .select(col("vec_id"), col("cell"))
-    e.join(asg, "vec_id")
-      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(vectorsPath(root))
+    StoreVersioning.withMaintainerLock(spark, dir, "IvfIndex.append") {
+      val root = StoreVersioning.requireRoot(spark, dir)
+      val cents = spark.read.parquet(centroidsPath(root))
+      val e = Similarity.withNorm(embeddings)
+      val asg = Similarity.nearestCellsFrom(e, cents, nProbe = 1)
+        .select(col("vec_id"), col("cell"))
+      e.join(asg, "vec_id")
+        .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+        .withColumn("ingest", lit(ingestId))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("ingest", "cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(vectorsPath(root))
+    }
   }
 
   /** Retract vectors from the index WITHOUT rewriting it: ids land in
@@ -117,12 +141,13 @@ object IvfIndex {
     * dead rows are physically reclaimed by the next [[compact]] or
     * [[save]] — the same retraction lifecycle as [[DedupStore.delete]].
     */
-  def delete(vecIds: DataFrame, dir: String): Unit = {
-    val root = StoreVersioning.requireRoot(vecIds.sparkSession, dir)
-    vecIds.select(col(vecIds.columns.head).cast("long").as("vec_id"))
-      .distinct()
-      .write.mode("append").parquet(deletesPath(root))
-  }
+  def delete(vecIds: DataFrame, dir: String): Unit =
+    StoreVersioning.withMaintainerLock(vecIds.sparkSession, dir,
+        "IvfIndex.delete") {
+      val root = StoreVersioning.requireRoot(vecIds.sparkSession, dir)
+      val ids = StoreVersioning.requireLongIds(vecIds, "vec_id")
+      ids.write.mode("append").parquet(deletesPath(root))
+    }
 
   private def deletesIfAny(spark: SparkSession,
       root: String): Option[DataFrame] = {
@@ -141,21 +166,25 @@ object IvfIndex {
     * committed root and lands beside it, so a crashed compaction
     * destroys nothing and the recovery is to run compact again.
     */
-  def compact(spark: SparkSession, dir: String): Unit = {
-    val root = StoreVersioning.requireRoot(spark, dir)
-    val v = StoreVersioning.nextVersion(spark, dir)
-    val newRoot = s"$dir/$v"
-    val live = deletesIfAny(spark, root)
-      .fold(spark.read.parquet(vectorsPath(root)))(d =>
-        spark.read.parquet(vectorsPath(root))
-          .join(d, Seq("vec_id"), "left_anti"))
-    spark.read.parquet(centroidsPath(root))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(centroidsPath(newRoot))
-    live.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(vectorsPath(newRoot))
-    StoreVersioning.commit(spark, dir, v)
-  }
+  def compact(spark: SparkSession, dir: String): Unit =
+    StoreVersioning.withMaintainerLock(spark, dir, "IvfIndex.compact") {
+      val root = StoreVersioning.requireRoot(spark, dir)
+      val v = StoreVersioning.nextVersion(spark, dir)
+      val newRoot = s"$dir/$v"
+      val live = deletesIfAny(spark, root)
+        .fold(spark.read.parquet(vectorsPath(root)))(d =>
+          spark.read.parquet(vectorsPath(root))
+            .join(d, Seq("vec_id"), "left_anti"))
+      spark.read.parquet(centroidsPath(root))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(centroidsPath(newRoot))
+      // a season of appends collapses back to the single "0" ingest
+      live.drop("ingest").withColumn("ingest", lit("0"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("ingest", "cell")
+        .parquet(vectorsPath(newRoot))
+      StoreVersioning.commit(spark, dir, v)
+    }
 
   /** Top-k cosine neighbors from the persisted index for an explicit
     * query relation (query_id, qv: array<float|double>). The probe
@@ -176,11 +205,31 @@ object IvfIndex {
     * namespace. External query relations keep the default `false`:
     * their ids are a DIFFERENT namespace, and excluding id-colliding
     * candidates would silently drop true neighbors.
+    *
+    * The broadcast of the query×probe relation is SIZE-GATED
+    * ([[MaxBroadcastProbeRows]]): a typical query batch broadcasts
+    * (Q·nProbe rows — the regime where dynamic partition pruning
+    * rides the reused broadcast), but a caller probing with millions
+    * of queries exceeds the gate, the hint is dropped, and AQE plans
+    * a partitioned join instead of OOMing the driver with an
+    * unconditional broadcast. Correctness is identical in both
+    * regimes (spec-pinned); above the gate the scan may read more
+    * partitions than nProbe/nCells — the price of a query relation
+    * that IS itself corpus-sized.
     */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int = 5, nProbe: Int = 4, excludeSelf: Boolean = false): DataFrame =
+      k: Int = 5, nProbe: Int = 4, excludeSelf: Boolean = false,
+      maxBroadcastProbeRows: Long = MaxBroadcastProbeRows): DataFrame =
     queryFrom(spark, StoreVersioning.requireRoot(spark, dir), queries,
-      k, nProbe, excludeSelf)
+      k, nProbe, excludeSelf, maxBroadcastProbeRows)
+
+  /** Probe-row ceiling under which [[query]] broadcasts the
+    * query×probe relation: 256k rows ≈ 100 MB at 64-dim float vectors
+    * (qv + qn + probe cell per row) — inside Spark's broadcast
+    * comfort zone with margin. Past it the hint is dropped and AQE
+    * chooses the join strategy from measured sizes.
+    */
+  val MaxBroadcastProbeRows: Long = 256L * 1024
 
   /** [[query]] against an already-resolved version root — the root is
     * resolved ONCE per logical query so a commit racing the planning
@@ -188,8 +237,8 @@ object IvfIndex {
     * from another).
     */
   private def queryFrom(spark: SparkSession, root: String,
-      queries: DataFrame, k: Int, nProbe: Int,
-      excludeSelf: Boolean): DataFrame = {
+      queries: DataFrame, k: Int, nProbe: Int, excludeSelf: Boolean,
+      maxBroadcastProbeRows: Long = MaxBroadcastProbeRows): DataFrame = {
     val vectors = spark.read.parquet(vectorsPath(root))
     val cents = spark.read.parquet(centroidsPath(root))
     val qn = queries
@@ -200,7 +249,14 @@ object IvfIndex {
         cents, nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
     val q = qn.join(probes, "query_id")
-    val candidates0 = vectors.join(broadcast(q), Seq("cell"))
+    // size-gate the broadcast hint: one count of the CALLER's query
+    // relation (cheap next to the query itself) decides the regime —
+    // forcing the hint on a corpus-sized query batch is a driver OOM,
+    // not a plan choice
+    val qHinted =
+      if (queries.count() * nProbe <= maxBroadcastProbeRows) broadcast(q)
+      else q
+    val candidates0 = vectors.join(qHinted, Seq("cell"))
     val candidates1 = deletesIfAny(spark, root).fold(candidates0)(del =>
       candidates0.join(del, Seq("vec_id"), "left_anti"))
     val candidates =

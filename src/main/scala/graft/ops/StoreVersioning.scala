@@ -1,7 +1,8 @@
 package graft.ops
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Versioned roots for the persisted stores ([[IvfIndex]],
   * [[DedupStore]]): every rebuild or compaction writes a FRESH
@@ -33,11 +34,79 @@ import org.apache.spark.sql.SparkSession
   * Concurrency contract: ONE maintainer at a time (save/append/
   * delete/compact are serial maintenance operations); readers may
   * freely race a commit. Tombstones filed while a compaction is in
-  * flight are superseded by its commit (single-writer rule).
+  * flight are superseded by its commit (single-writer rule). The
+  * contract is ENFORCED, not just documented: every maintenance
+  * operation runs under [[withMaintainerLock]] — a marker-file lease
+  * at the store root — so a second concurrent maintainer fails
+  * loudly instead of racing [[nextVersion]]'s read-modify-write
+  * (two saves allocating the same `v<n>` would interleave their
+  * files inside one version directory and commit a chimera).
   */
 private[ops] object StoreVersioning {
 
   private val Marker = "_COMMITTED"
+  private val Lock = "_MAINTAINER_LOCK"
+
+  /** Lease horizon: a lock file OLDER than this is treated as the
+    * debris of a crashed maintainer and stolen (one retry). A LIVE
+    * maintenance op must finish inside the lease — size it above the
+    * longest save/compact the deployment runs (the default covers any
+    * fixture-scale build by orders of magnitude); a lease that
+    * expires under a still-running maintainer reverts to the
+    * documented single-maintainer honor contract, exactly like any
+    * lease-based lock.
+    */
+  private[ops] val LeaseMs: Long = 30L * 60 * 1000
+
+  /** Run `body` holding the store's maintainer lease: one atomic
+    * lock-file creation at the store root, released on every exit
+    * path. A concurrent second maintainer gets a LOUD error naming
+    * the lock (never a silent race on version allocation); a lock
+    * older than [[LeaseMs]] is stolen once (crash debris must not
+    * brick the store — the versioned-root design already makes any
+    * crashed maintenance recoverable by rerunning it).
+    */
+  def withMaintainerLock[T](spark: SparkSession, dir: String,
+      op: String)(body: => T): T = {
+    val fs = fsFor(spark, dir)
+    val base = new Path(dir)
+    if (!fs.exists(base)) fs.mkdirs(base)
+    val lock = new Path(base, Lock)
+    def acquire(): Boolean =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    val got = acquire() || {
+      val stale = try {
+        System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime > LeaseMs
+      } catch { case _: java.io.FileNotFoundException => true }
+      // steal only an expired lease, and only via one fresh attempt —
+      // two stealers still serialize on the createNewFile below
+      stale && { fs.delete(lock, false); acquire() }
+    }
+    if (!got) sys.error(
+      s"$op: another maintainer holds $lock (single-maintainer " +
+        "contract); if that maintainer crashed, the lease self-expires " +
+        s"after ${LeaseMs / 60000} min — or remove the lock file manually")
+    try body finally { fs.delete(lock, false); () }
+  }
+
+  /** A takedown id relation, first column cast to long — LOUDLY: under
+    * non-ANSI SQL an uncastable id casts to NULL, and a NULL tombstone
+    * anti-joins to nothing, silently turning a retraction (GDPR
+    * erasure, license takedown) into a no-op. A malformed request must
+    * error, not not-retract.
+    */
+  def requireLongIds(ids: DataFrame, as: String): DataFrame = {
+    val cast = ids.select(col(ids.columns.head).cast("long").as(as))
+      .distinct()
+    val bad = cast.filter(col(as).isNull).count()
+    require(bad == 0,
+      s"takedown request contains $bad id(s) that are null or not " +
+        s"castable to long — refusing to file tombstones that would " +
+        "silently retract nothing")
+    cast.filter(col(as).isNotNull)
+  }
 
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -533,7 +533,7 @@ object Extensions {
       val e = t(s, d, "embeddings")
       buildStoreOnce(dir) {
         IvfIndex.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
-        IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
+        IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
       }
       IvfIndex.querySelf(s, dir, nProbe = 16)
     }),

@@ -16,9 +16,15 @@ import graft.ops.IvfIndex
   * micro-batch (the top-k window over a streaming relation would be
   * a stateful sort Spark refuses in append mode; inside foreachBatch
   * it is the ordinary batch window), stream == batch holds by
-  * construction (spec-pinned anyway), and there is no broadcast-row
-  * size cliff — the index side is the cell-partitioned parquet
-  * relation, dynamic-pruned per batch exactly like the batch path.
+  * construction (spec-pinned anyway), and the index side never
+  * broadcasts — it is the cell-partitioned parquet relation,
+  * dynamic-pruned per batch exactly like the batch path. The QUERY
+  * side's broadcast is bounded by micro-batch size × nProbe and
+  * size-gated besides ([[graft.ops.IvfIndex.MaxBroadcastProbeRows]]):
+  * a normal micro-batch rides the broadcast + pruning fast path, and
+  * a pathologically large one (tune `maxFilesPerTrigger` down first)
+  * degrades to an AQE-planned partitioned join instead of a driver
+  * OOM.
   * Each batch resolves the committed index version, so a compaction
   * or rebuild committed mid-stream is picked up at the next
   * micro-batch (the marker creation is the commit point).

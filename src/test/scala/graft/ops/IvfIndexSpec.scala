@@ -126,7 +126,7 @@ class IvfIndexSpec extends AnyFunSuite {
     val dir = tmpDir("compactivf")
     val e = emb("sf0.001")
     IvfIndex.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
-    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
+    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
     val pairs = IvfIndex.querySelf(spark, dir, nProbe = 16)
       .select(col("neighbor_id")).as[Long].collect().toSeq
     val victim = pairs.filter(_ >= 5).head
@@ -154,7 +154,7 @@ class IvfIndexSpec extends AnyFunSuite {
     val dir = tmpDir("append")
     val e = emb("sf0.001")
     IvfIndex.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
-    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir)
+    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
     // no vector lost or duplicated by the append
     val idx = spark.read.parquet(
       s"${StoreVersioning.requireRoot(spark, dir)}/vectors")
@@ -165,5 +165,33 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(got == want,
       s"exhaustive probe over the appended index must equal brute " +
         s"(got ${got.size} rows, want ${want.size})")
+    // retrying the SAME append (the recovery contract for a failed or
+    // replayed append) overwrites its own ingest partitions instead of
+    // double-inserting vectors — a duplicated vector would occupy two
+    // top-k ranks in every query it neighbors
+    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
+    val idx2 = spark.read.parquet(
+      s"${StoreVersioning.requireRoot(spark, dir)}/vectors")
+    assert(idx2.count() == e.count(), "a retried append must be idempotent")
+    assert(IvfIndex.querySelf(spark, dir, nProbe = 16).collect().toSeq == want)
+  }
+
+  test("query above the broadcast gate degrades to a partitioned join, same rows") {
+    val dir = tmpDir("bcgate")
+    val e = emb("sf0.001")
+    IvfIndex.save(e, dir, nCells = 16)
+    val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val broadcastRegime =
+      IvfIndex.query(spark, dir, q, k = 5, nProbe = 16).collect().toSeq
+    // force the shuffle regime: a gate of 1 probe row puts ANY real
+    // query batch past it, the hint drops, AQE plans from sizes — the
+    // rows must be bit-identical (only the physical join strategy and
+    // the pruning opportunity change)
+    val shuffleRegime = IvfIndex.query(spark, dir, q, k = 5, nProbe = 16,
+      maxBroadcastProbeRows = 1L).collect().toSeq
+    assert(broadcastRegime.nonEmpty)
+    assert(shuffleRegime == broadcastRegime,
+      "the size-gated regimes must agree row-for-row")
   }
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.util.concurrent.CountDownLatch
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persisted stores' maintenance hardening (round 14):
+  *
+  *  1. LOCK — save/append/delete/compact hold a maintainer lease; a
+  *     second CONCURRENT maintainer fails loudly instead of racing
+  *     `nextVersion`'s read-modify-write into a mixed-version commit.
+  *  2. LEASE — a crashed maintainer's lock self-expires: debris must
+  *     not brick the store (recovery for any crashed maintenance is
+  *     still "run it again").
+  *  3. LOUD TOMBSTONES — a takedown id that casts to NULL errors
+  *     instead of filing a tombstone that anti-joins to nothing
+  *     (a GDPR erasure must never silently become a no-op).
+  */
+class StoreMaintenanceSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_store_maint_$tag").toString
+
+  test("two racing maintainers: exactly one fails loudly, naming the lock") {
+    val dir = tmpDir("race")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val held = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val first = Future {
+      StoreVersioning.withMaintainerLock(spark, dir, "spec.first") {
+        held.countDown()
+        release.await()
+      }
+    }
+    held.await() // the first maintainer provably holds the lease
+    val second = intercept[RuntimeException] {
+      StoreVersioning.withMaintainerLock(spark, dir, "spec.second") {
+        fail("the second maintainer must never enter the critical section")
+      }
+    }
+    assert(second.getMessage.contains("another maintainer"))
+    assert(second.getMessage.contains("spec.second"))
+    release.countDown()
+    Await.result(first, 30.seconds)
+    // the lease is released on exit: the next maintainer proceeds
+    StoreVersioning.withMaintainerLock(spark, dir, "spec.third") { () }
+  }
+
+  test("a failing maintenance body still releases the lease") {
+    val dir = tmpDir("throwing")
+    intercept[IllegalStateException] {
+      StoreVersioning.withMaintainerLock(spark, dir, "spec.boom") {
+        throw new IllegalStateException("maintenance died")
+      }
+    }
+    StoreVersioning.withMaintainerLock(spark, dir, "spec.after") { () }
+  }
+
+  test("a crashed maintainer's expired lease is stolen, a fresh one is not") {
+    val dir = tmpDir("lease")
+    new java.io.File(dir).mkdirs()
+    val lock = new java.io.File(dir, "_MAINTAINER_LOCK")
+    assert(lock.createNewFile())
+    // fresh debris (a live maintainer, as far as anyone can tell):
+    // refused loudly
+    intercept[RuntimeException] {
+      StoreVersioning.withMaintainerLock(spark, dir, "spec.fresh") { () }
+    }
+    // expired debris (a crashed maintainer): stolen, op proceeds
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - StoreVersioning.LeaseMs - 60000))
+    var ran = false
+    StoreVersioning.withMaintainerLock(spark, dir, "spec.stale") { ran = true }
+    assert(ran)
+    assert(!lock.exists(), "the stolen-then-released lease must be gone")
+  }
+
+  test("a takedown with uncastable ids fails loudly in both stores") {
+    val sp = spark; import sp.implicits._
+    // shared helper: non-castable and null ids both refuse
+    intercept[IllegalArgumentException] {
+      StoreVersioning.requireLongIds(
+        Seq("7", "not-an-id").toDF("doc_id"), "corpus_id")
+    }
+    intercept[IllegalArgumentException] {
+      StoreVersioning.requireLongIds(
+        Seq(Some(7L), None).toDF("doc_id"), "corpus_id")
+    }
+    // castable ids pass through, deduped
+    val ok = StoreVersioning.requireLongIds(
+      Seq("7", "7", "9").toDF("doc_id"), "corpus_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ok == Seq(7L, 9L))
+    // end-to-end: the store's delete refuses before any tombstone lands
+    val dir = tmpDir("loud")
+    val kept = Seq((1L, "a b c d e f g"), (2L, "h i j k l m n"))
+      .toDF("doc_id", "text")
+    DedupStore.save(kept, dir)
+    intercept[IllegalArgumentException] {
+      DedupStore.delete(Seq("doc-1").toDF("doc_id"), dir)
+    }
+    Dedup.clearShingleCache()
+    val root = StoreVersioning.requireRoot(spark, dir)
+    assert(!new java.io.File(s"$root/deletes").exists(),
+      "a refused takedown must file NO tombstones")
+  }
+}
