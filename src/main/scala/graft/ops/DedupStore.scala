@@ -181,6 +181,36 @@ object DedupStore {
     StoreVersioning.commit(spark, dir, v)
   }
 
+  /** Maintenance introspection — the one-row relation an operator (or
+    * a scheduled maintenance job) reads to decide WHEN to compact,
+    * instead of compacting blind on a cron: `n_gram_files` against
+    * `n_ingests` is the fragmentation signal (every append lands
+    * fresh files), `n_tombstoned / n_docs` the dead-row ratio
+    * (tombstones cost an anti-join on every batch until a compaction
+    * reclaims them). Pure introspection: aggregate scalars only (the
+    * allowed k-row driver class), no corpus collect, store untouched.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val grams = readRel(spark, gramsPath(root),
+      "corpus_id BIGINT, shingle STRING, ingest STRING")
+    val sizes = readRel(spark, sizesPath(root),
+      "corpus_id BIGINT, nb INT, ingest STRING")
+    val del = deletesIfAny(spark, root)
+    val nDocs = sizes.count()
+    val nTomb = del.fold(0L)(_.select(col("corpus_id")).distinct().count())
+    val nLive = del.fold(nDocs)(d =>
+      sizes.join(d, Seq("corpus_id"), "left_anti").count())
+    Seq((StoreVersioning.versionOf(root),
+        // partition-value inference types an all-numeric ingest as int
+        sizes.select(col("ingest").cast("string")).distinct().count(),
+        StoreVersioning.dataFileCount(spark, gramsPath(root)),
+        grams.count(), nDocs, nTomb, nLive))
+      .toDF("version", "n_ingests", "n_gram_files", "n_grams",
+        "n_docs", "n_tombstoned", "n_live_docs")
+  }
+
   /** Flag incoming documents with a verified trigram-Jaccard
     * near-duplicate already in the STORE: same inverted-index
     * candidate generation, integer cut and output columns as

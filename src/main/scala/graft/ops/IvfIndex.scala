@@ -186,6 +186,33 @@ object IvfIndex {
       StoreVersioning.commit(spark, dir, v)
     }
 
+  /** Maintenance introspection — the [[DedupStore.stats]] contract
+    * for the index: `n_vector_files` against `n_cells × n_ingests`
+    * is the fragmentation signal (each append lands ~a file per cell
+    * it touches; the probe join's pruning reads whole cells, so
+    * files-per-cell is exactly the scan's open cost), `n_tombstoned /
+    * n_vectors` the dead-row ratio each query pays an anti-join for
+    * until a compaction reclaims it.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val vectors = spark.read.parquet(vectorsPath(root))
+    val del = deletesIfAny(spark, root)
+    val nVec = vectors.count()
+    val nTomb = del.fold(0L)(_.select(col("vec_id")).distinct().count())
+    val nLive = del.fold(nVec)(d =>
+      vectors.join(d, Seq("vec_id"), "left_anti").count())
+    Seq((StoreVersioning.versionOf(root),
+        vectors.select(col("ingest").cast("string")).distinct().count(),
+        StoreVersioning.dataFileCount(spark, vectorsPath(root)),
+        nVec,
+        spark.read.parquet(centroidsPath(root)).count(),
+        nTomb, nLive))
+      .toDF("version", "n_ingests", "n_vector_files", "n_vectors",
+        "n_cells", "n_tombstoned", "n_live_vectors")
+  }
+
   /** Top-k cosine neighbors from the persisted index for an explicit
     * query relation (query_id, qv: array<float|double>). The probe
     * set derives from the stored centroids (broadcast, nCells rows);

@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,17 +10,18 @@ import org.apache.spark.sql.functions._
   * holds per vector).
   *
   * The 64-dim vector splits into `m` = 16 subspaces of 4 dims; each
-  * subspace trains its own k = 32 centroid codebook (KMeans on the
+  * subspace trains its own k = 32 centroid codebook (deterministic Lloyd on the
   * deterministic hash-mod sample, fixed seed, memoized per corpus
   * like `Similarity.quantizerFor`), and a vector encodes as 16
   * 5-bit-range codes — 16 small ints (10 B packed) instead of 256 B
   * of floats, a 16-25× resident-index reduction. The default
   * geometry is the measured covering point for these corpora
-  * (`Prof <dir> pq` sweeps m/k/trainMod: the worst true-neighbor PQ
-  * rank is 38/48/180 at sf0.001/0.01/0.1, against a 400-candidate
-  * depth — coarser 8×16 codebooks leave true neighbors beyond rank
-  * 900 on the near-random synthetic embeddings, whose top cosines
-  * sit at ~0.3 where quantization error dominates). trainMod=1
+  * (`Prof <dir> pq` sweeps m/k/trainMod; under the round-14
+  * deterministic Lloyd fit the worst true-neighbor PQ rank is 111 at
+  * sf0.1 against a 400-candidate depth — coarser 8×16 codebooks leave
+  * true neighbors beyond rank 900 on the near-random synthetic
+  * embeddings, whose top cosines sit at ~0.3 where quantization error
+  * dominates). trainMod=1
   * trains on the full fixture corpus; at 100 TB the modulus is
   * raised exactly like the IVF quantizer's. Query scoring is ADC
   * (asymmetric
@@ -64,11 +63,47 @@ object Pq {
 
   def clearCodebookCache(): Unit = codebooks.clear()
 
-  /** Train (or reuse) the m per-subspace KMeans codebooks on the
-    * deterministic hash-mod sample. Fits run on the canonical
-    * (vec_id, embedding) projection; each fit's k·subDim centroids
-    * are driver-side model state (exactly like `clusterCenters` in
-    * the IVF path), never a corpus collect.
+  /** Lloyd iterations of the codebook fit — fixed, like every
+    * deterministic iteration count in [[Kmeans]]: a convergence test
+    * would make the job count data-dependent for no measured recall
+    * gain on these corpora (the Prof pq sweep re-validates the
+    * covering ranks whenever this moves).
+    */
+  private[ops] val FitIters = 10
+
+  /** Train (or reuse) the m per-subspace codebooks on the
+    * deterministic hash-mod sample — a DETERMINISTIC,
+    * PARTITION-INDEPENDENT Lloyd loop over ALL m subspaces at once:
+    *
+    *  - Seeds: the k lowest-vec_id vectors' subvectors per subspace
+    *    (Forgy init on the id order — ids are uncorrelated with
+    *    embedding geometry, so this is a deterministic random sample).
+    *  - Assignment: the SAME codegen'd `pq_encode` argmin the corpus
+    *    encode uses (ties to the lower code), all m subspaces of a
+    *    vector in one expression.
+    *  - Update: per-(subspace, code, dim) mean via ONE groupBy —
+    *    empty codes keep their centroid. [[FitIters]] iterations.
+    *
+    * This replaced m=16 concurrent MLlib KMeans fits in round 14 for
+    * two measured reasons. COST: the MLlib path was ~430 whole Spark
+    * jobs (per-fit kmeans|| init passes + Lloyd steps), pure
+    * scheduling overhead at any sample size a driver schedules —
+    * the r13 driver's 132 s cold fit; this loop is 1 seed job +
+    * FitIters aggregate jobs for the whole codebook (measured 21 s →
+    * ~3 s at sf0.1). STABILITY: kmeans||'s init samples PER PARTITION,
+    * so the codebook — and with it the SDC covering margin — moved
+    * with the data layout (a 1-partition re-layout pushed the sf0.001
+    * worst exact−SDC gap 0.30 → 0.37, past the 0.35 margin); seeds by
+    * id order make the codebook a function of the DATA alone.
+    * (Cheapening the fit itself was also measured recall-unsafe:
+    * maxIter=10 under MLlib moved sf0.1's gap 0.32 → 0.38, trainMod=4
+    * moved sf0.01 to 0.37 — codebook quality is the binding
+    * constraint on these near-random fixtures, so the cost cut had to
+    * be mechanical, not statistical.)
+    *
+    * Each iteration's k·m·subDim centroids are driver-side model
+    * state (exactly like `clusterCenters` in the IVF path), never a
+    * corpus collect.
     */
   private def codebookFor(e: DataFrame, m: Int, k: Int,
       trainMod: Int): Codebook = {
@@ -78,45 +113,70 @@ object Pq {
       java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
       m, k, trainMod)
     codebooks.getOrElseUpdate(key) {
-      // the subspace geometry comes from the DATA, not a constant: a
-      // corpus of any dimension trains a codebook whose flat length
-      // agrees with its vectors, and an empty corpus, a MIXED-
-      // dimension corpus, or an m that doesn't divide the observed
-      // dim all fail HERE with a real error instead of pq_encode's
-      // geometry check silently nulling every code downstream. One
-      // tiny aggregate job, paid only on a memo miss (the KMeans fits
-      // below each run whole Spark jobs) — a single-row probe would
-      // miss heterogeneous dimensions entirely.
-      val dims = sample.agg(min(size(col("v"))).as("lo"),
-        max(size(col("v"))).as("hi")).head
-      require(!dims.isNullAt(0),
-        "pq: cannot train a codebook on an empty embeddings sample")
-      val (dimLo, dim) = (dims.getInt(0), dims.getInt(1))
-      require(dimLo == dim,
-        s"pq: corpus has mixed embedding dimensions ($dimLo..$dim)")
-      require(dim > 0 && dim % m == 0,
-        s"pq: corpus dimension $dim is not divisible into m=$m subspaces")
-      val subDim = dim / m
-      // the m fits are independent Spark jobs over tiny per-subspace
-      // projections — submit them concurrently (Spark's scheduler
-      // interleaves jobs safely) instead of paying m serial
-      // fit latencies; each fit is deterministic (fixed seed per
-      // subspace), so concurrency cannot change the codebook
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val fits = (0 until m).map { s => Future {
-        val sub = sample.select(array_to_vector(
-          transform(slice(col("v"), s * subDim + 1, subDim),
-            x => x.cast("double"))).as("fv"))
-        new KMeans().setK(k).setSeed(42L + s)
-          .setFeaturesCol("fv").setPredictionCol("code")
-          .fit(sub)
-          .clusterCenters.map(_.toArray)
-      }}
-      Codebook(m, k, subDim,
-        fits.map(Await.result(_, Duration.Inf)).toArray)
+      val persisted = sample.persist()
+      try {
+        // the subspace geometry comes from the DATA, not a constant: a
+        // corpus of any dimension trains a codebook whose flat length
+        // agrees with its vectors, and an empty corpus, a MIXED-
+        // dimension corpus, or an m that doesn't divide the observed
+        // dim all fail HERE with a real error instead of pq_encode's
+        // geometry check silently nulling every code downstream. One
+        // tiny aggregate job, paid only on a memo miss — a single-row
+        // probe would miss heterogeneous dimensions entirely.
+        val dims = persisted.agg(min(size(col("v"))).as("lo"),
+          max(size(col("v"))).as("hi")).head
+        require(!dims.isNullAt(0),
+          "pq: cannot train a codebook on an empty embeddings sample")
+        val (dimLo, dim) = (dims.getInt(0), dims.getInt(1))
+        require(dimLo == dim,
+          s"pq: corpus has mixed embedding dimensions ($dimLo..$dim)")
+        require(dim > 0 && dim % m == 0,
+          s"pq: corpus dimension $dim is not divisible into m=$m subspaces")
+        val subDim = dim / m
+        Codebook(m, k, subDim, codebookFit(persisted, m, k, subDim))
+      } finally { persisted.unpersist(); () }
     }
+  }
+
+  /** The deterministic Lloyd loop of [[codebookFor]] over a persisted
+    * (vec_id, v) sample.
+    */
+  private def codebookFit(sample: DataFrame, m: Int, k: Int,
+      subDim: Int): Array[Array[Array[Double]]] = {
+    val seeds = sample
+      .select(col("vec_id"),
+        transform(col("v"), x => x.cast("double")).as("vd"))
+      .orderBy(col("vec_id")).limit(k)
+      .collect()
+    require(seeds.length >= k,
+      s"pq: need at least k=$k vectors to train a codebook, " +
+        s"got ${seeds.length}")
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, c) =>
+      seeds(c).getSeq[Double](1).slice(s * subDim, (s + 1) * subDim).toArray
+    }
+    for (_ <- 1 to FitIters) {
+      val flat = typedLit(
+        (for (s <- 0 until m; c <- 0 until k; j <- 0 until subDim)
+          yield cb(s)(c)(j)).toIndexedSeq)
+      val means = sample
+        .withColumn("codes", call_function("pq_encode", col("v"), flat, lit(m)))
+        .select(explode(transform(sequence(lit(0), lit(m - 1)), s =>
+          struct(s.cast("int").as("s"),
+            element_at(col("codes"), s + 1).as("code"),
+            transform(slice(col("v"), s * subDim + 1, lit(subDim)),
+              x => x.cast("double")).as("sub")))).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.sub")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mu"))
+        .collect()
+      val next = Array.tabulate(m, k, subDim)((s, c, j) => cb(s)(c)(j))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = next
+    }
+    cb
   }
 
   /** The codebook as a nested plan literal: [m][k][subDim] doubles.
@@ -436,7 +496,8 @@ object Pq {
     * bit-for-bit and shares its full DuckDB oracle.
     *
     * The default margin is the measured covering point for these
-    * corpora: worst gap 0.30 / 0.28 / 0.32 at sf0.001/0.01/0.1
+    * corpora: worst gap 0.27 / 0.31 / 0.34 at sf0.001/0.01/0.1
+    * under the round-14 deterministic codebook fit (`Prof pqgap`)
     * (near-random synthetic embeddings are PQ's adversarial case —
     * both sides quantized, so SDC noise is ~2× ADC's, and the dup
     * threshold 0.4 sits barely above the ~0.3 noise-cloud top, so

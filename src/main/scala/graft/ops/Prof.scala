@@ -369,6 +369,20 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("pqgap")) {
+      // covering-margin re-validation after any codebook-changing
+      // knob (trainMod default, maxIter cap): the default 0.35 margin
+      // must dominate the worst one-sided exact−SDC gap at the
+      // OPERATOR's default trainMod
+      for (tm <- Seq(1, 2, 4)) {
+        Pq.clearCodebookCache()
+        val gap = Pq.sdcTruePairGap(emb, trainMod = tm)
+        println(f"PROF pqgap trainMod=$tm worst_gap=$gap%.4f")
+      }
+      Pq.clearCodebookCache()
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("pq")) {
       // covering-margin probe for the PQ prefilter: the worst PQ rank
       // any TRUE brute top-5 neighbor lands at, per geometry — the

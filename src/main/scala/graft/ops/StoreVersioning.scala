@@ -111,6 +111,33 @@ private[ops] object StoreVersioning {
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Data-file count under `path` (recursive) — the fragmentation
+    * signal a compaction decision reads: each append lands fresh
+    * files, so files-per-partition growing past ~1 means the store's
+    * scans are paying open/footer overhead a [[IvfIndex.compact]]/
+    * [[DedupStore.compact]] would re-bound. Driver-side listing, the
+    * same class of metadata walk every parquet read performs.
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = fsFor(spark, path)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /** The committed version NUMBER (the `<n>` of the root's `v<n>`). */
+  def versionOf(root: String): Long =
+    root.split('/').last.drop(1).toLong
+
   private def committedVersions(fs: FileSystem, dir: String): Seq[Long] = {
     val base = new Path(dir)
     if (!fs.exists(base)) Seq.empty

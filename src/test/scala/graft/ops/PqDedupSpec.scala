@@ -23,6 +23,10 @@ class PqDedupSpec extends AnyFunSuite {
       // corpus generator or codebook geometry changes enough to push
       // the gap past the 0.35 default margin, the exactness contract
       // below is at risk and this test names it first.
+      // at the operator's default trainMod=1: sampled fits and capped
+      // iterations were both MEASURED past the margin on these
+      // corpora (Prof pqgap, round 14) — this bound is what keeps
+      // those knobs honest
       val gap1 = Pq.sdcTruePairGap(emb("sf0.001"))
       assert(gap1 < 0.33, f"sf0.001 worst exact-SDC gap $gap1%.4f leaves " +
         "< 0.02 headroom under the default 0.35 margin")

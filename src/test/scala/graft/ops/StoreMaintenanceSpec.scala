@@ -111,4 +111,62 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/deletes").exists(),
       "a refused takedown must file NO tombstones")
   }
+
+  test("dedup-store stats track the build/append/delete/compact lifecycle") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("dstats")
+    def docRange(lo: Long, hi: Long) =
+      sp.range(lo, hi).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 to 8).map(i =>
+          concat(lit(s"w$i"), (col("id") * 31 + i) % 97)): _*).as("text"))
+    DedupStore.save(docRange(0, 40), dir)
+    def stat(name: String): Long =
+      DedupStore.stats(spark, dir).select(col(name)).head.getLong(0)
+    assert(stat("n_ingests") == 1)
+    assert(stat("n_docs") == 40 && stat("n_live_docs") == 40)
+    assert(stat("n_tombstoned") == 0)
+    assert(stat("n_grams") > 0)
+    val filesAfterBuild = stat("n_gram_files")
+    DedupStore.append(docRange(40, 60), dir, "day1")
+    assert(stat("n_ingests") == 2)
+    assert(stat("n_docs") == 60)
+    assert(stat("n_gram_files") > filesAfterBuild,
+      "an append must land new files — the fragmentation the stats expose")
+    DedupStore.delete(Seq(5L, 45L).toDF("doc_id"), dir)
+    assert(stat("n_tombstoned") == 2)
+    assert(stat("n_live_docs") == 58)
+    val v = stat("version")
+    DedupStore.compact(spark, dir)
+    Dedup.clearShingleCache()
+    assert(stat("version") > v, "compaction commits a fresh version")
+    assert(stat("n_ingests") == 1 && stat("n_tombstoned") == 0)
+    assert(stat("n_docs") == 58 && stat("n_live_docs") == 58)
+  }
+
+  test("ivf-index stats track the lifecycle and per-cell fragmentation") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("istats")
+    val e = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    IvfIndex.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 4)
+    def stat(name: String): Long =
+      IvfIndex.stats(spark, dir).select(col(name)).head.getLong(0)
+    assert(stat("n_cells") == 4 && stat("n_ingests") == 1)
+    val nEven = e.filter(col("vec_id") % 2 === 0).count()
+    assert(stat("n_vectors") == nEven && stat("n_live_vectors") == nEven)
+    val filesAfterBuild = stat("n_vector_files")
+    assert(filesAfterBuild >= 4, "one file per cell at minimum")
+    IvfIndex.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
+    assert(stat("n_ingests") == 2)
+    assert(stat("n_vectors") == e.count())
+    assert(stat("n_vector_files") > filesAfterBuild)
+    IvfIndex.delete(Seq(100L, 101L).toDF("vec_id"), dir)
+    assert(stat("n_tombstoned") == 2)
+    assert(stat("n_live_vectors") == e.count() - 2)
+    IvfIndex.compact(spark, dir)
+    assert(stat("n_ingests") == 1 && stat("n_tombstoned") == 0)
+    assert(stat("n_vectors") == e.count() - 2)
+    assert(stat("n_vector_files") <= filesAfterBuild,
+      "compaction must re-bound the file count to ~one per cell")
+  }
 }
