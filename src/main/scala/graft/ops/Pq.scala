@@ -17,11 +17,11 @@ import org.apache.spark.sql.functions._
   * of floats, a 16-25× resident-index reduction. The default
   * geometry is the measured covering point for these corpora
   * (`Prof <dir> pq` sweeps m/k/trainMod; under the round-14
-  * deterministic Lloyd fit the worst true-neighbor PQ rank is 111 at
-  * sf0.1 against a 400-candidate depth — coarser 8×16 codebooks leave
-  * true neighbors beyond rank 900 on the near-random synthetic
-  * embeddings, whose top cosines sit at ~0.3 where quantization error
-  * dominates). trainMod=1
+  * deterministic Lloyd fit the worst true-neighbor PQ rank is
+  * 29/45/111 at sf0.001/0.01/0.1 against a 400-candidate depth —
+  * coarser 8×16 codebooks leave true neighbors far deeper on the
+  * near-random synthetic embeddings, whose top cosines sit at ~0.3
+  * where quantization error dominates). trainMod=1
   * trains on the full fixture corpus; at 100 TB the modulus is
   * raised exactly like the IVF quantizer's. Query scoring is ADC
   * (asymmetric
@@ -124,7 +124,7 @@ object Pq {
         // tiny aggregate job, paid only on a memo miss — a single-row
         // probe would miss heterogeneous dimensions entirely.
         val dims = persisted.agg(min(size(col("v"))).as("lo"),
-          max(size(col("v"))).as("hi")).head
+          max(size(col("v"))).as("hi")).head()
         require(!dims.isNullAt(0),
           "pq: cannot train a codebook on an empty embeddings sample")
         val (dimLo, dim) = (dims.getInt(0), dims.getInt(1))
@@ -137,6 +137,15 @@ object Pq {
       } finally { persisted.unpersist(); () }
     }
   }
+
+  /** [[codebookFor]] from a raw embeddings relation — the
+    * [[PqStore]] build entry (same canonical projection, same memo,
+    * so a store build right after an in-session query reuses the fit).
+    */
+  private[ops] def codebookForStore(embeddings: DataFrame, m: Int,
+      kCodes: Int, trainMod: Int): Codebook =
+    codebookFor(Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v")), m, kCodes, trainMod)
 
   /** The deterministic Lloyd loop of [[codebookFor]] over a persisted
     * (vec_id, v) sample.
@@ -313,7 +322,7 @@ object Pq {
     * <q[s], cb(s)(c)> — m·k partial dots computed once per QUERY,
     * not per pair.
     */
-  private def withQtab(q: DataFrame, b: Codebook): DataFrame = {
+  private[ops] def withQtab(q: DataFrame, b: Codebook): DataFrame = {
     val cbc = cbCol(b)
     q.withColumn("qtab", flatten(
       transform(sequence(lit(0), lit(b.m - 1)), s =>
@@ -339,12 +348,21 @@ object Pq {
     * stage-1 ranking window of both the full-scan and the
     * cell-blocked path.
     */
-  private def pqRank(candidates: DataFrame, qSide: DataFrame,
-      b: Codebook, joinCols: Seq[String]): DataFrame = {
-    val joined = if (joinCols.isEmpty)
-      candidates.join(broadcast(qSide), col("query_id") =!= col("vec_id"))
-    else candidates.join(broadcast(qSide), joinCols)
-      .filter(col("query_id") =!= col("vec_id"))
+  private[ops] def pqRank(candidates: DataFrame, qSide: DataFrame,
+      b: Codebook, joinCols: Seq[String],
+      excludeSelf: Boolean = true): DataFrame = {
+    // excludeSelf=false is the EXTERNAL-query regime ([[PqStore.query]]):
+    // query ids are their own namespace, so an id-colliding candidate
+    // is a true neighbor, not the query itself (the IvfIndex.query
+    // contract)
+    val joined = if (joinCols.isEmpty) {
+      if (excludeSelf)
+        candidates.join(broadcast(qSide), col("query_id") =!= col("vec_id"))
+      else candidates.crossJoin(broadcast(qSide))
+    } else {
+      val j = candidates.join(broadcast(qSide), joinCols)
+      if (excludeSelf) j.filter(col("query_id") =!= col("vec_id")) else j
+    }
     val scored = joined.select(col("query_id"),
       col("vec_id").as("neighbor_id"),
       (adcOf(b) / col("qn") / col("pq_norm")).as("pq_cos"))
@@ -358,7 +376,7 @@ object Pq {
     * and ordering over that bounded set. One body for both PQ paths,
     * so the check query can never drift from the production shape.
     */
-  private def exactRerank(enc: DataFrame, q: DataFrame, cand: DataFrame,
+  private[ops] def exactRerank(enc: DataFrame, q: DataFrame, cand: DataFrame,
       k: Int): DataFrame = {
     val rescored = enc.select(col("vec_id").as("neighbor_id"),
         col("v"), col("norm"))
@@ -446,7 +464,7 @@ object Pq {
     */
   private[ops] val maxRerankCandidates = 4L * 1000 * 1000
 
-  private def requireRerankBound(nQueries: Long, depth: Int): Unit =
+  private[ops] def requireRerankBound(nQueries: Long, depth: Int): Unit =
     require(nQueries * depth <= maxRerankCandidates,
       s"pq rerank would broadcast $nQueries queries x $depth candidates " +
         s"(> $maxRerankCandidates): past this scale the exactness-gate " +
@@ -595,7 +613,7 @@ object Pq {
       .select(exact.as("cos"), (exact - sdcCos).as("gap"))
       .filter(col("cos") >= nearMin)
       .agg(max(col("gap")).as("worst"))
-      .head
+      .head()
     // no pair reaches nearMin → max over the empty set is SQL null:
     // no qualifying pair can be lost, so the covering margin needed
     // is 0 (a bare getDouble would NPE on exactly those corpora)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, DedupStore, Integrity, IvfIndex, Kmeans, Multimodal, Pq, Profile, Quantize, Sampling, Search, Similarity, TextOps}
+import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, DedupStore, Integrity, IvfIndex, Kmeans, Multimodal, Pq, PqStore, Profile, Quantize, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -288,6 +288,53 @@ object Extensions {
     // instead of a recall sibling
     "x_knn_pq_rerank" -> ((s, d) =>
       Pq.knnPqRerank(t(s, d, "embeddings"))),
+
+    // persisted PQ store, build-once-query-many (kills the codebook
+    // cold fit for every later job/JVM — the r13 verdict's top item):
+    // codebook + packed codes + vectors land under a versioned root;
+    // the query reads them back and runs the SAME prefilter/rerank
+    // stages, so the whole build→persist→read→query loop shares the
+    // full brute oracle at the same covering depth as x_knn_pq_rerank
+    "x_knn_pq_store" -> ((s, d) => {
+      val dir = storeDir(d, "pq_full")
+      buildStoreOnce(dir)(PqStore.save(t(s, d, "embeddings"), dir))
+      PqStore.querySelf(s, dir)
+    }),
+
+    // incremental growth: the even half BUILDS (codebook trained on
+    // it), the odd half APPENDS through the STORED codebook — no
+    // refit, the production contract. Queried at EXHAUSTIVE candidate
+    // depth (>= store size) the ADC prefilter passes every pair, so
+    // equality with brute holds whatever the codebook — the gate pins
+    // the append machinery itself (stored-codebook encode, ingest
+    // partition append, no vector lost or duplicated), the
+    // x_knn_ivf_index_append_check convention
+    "x_knn_pq_store_append_check" -> ((s, d) => {
+      val dir = storeDir(d, "pq_half")
+      val e = t(s, d, "embeddings")
+      buildStoreOnce(dir) {
+        PqStore.save(e.filter(col("vec_id") % 2 === 0), dir)
+        PqStore.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
+      }
+      PqStore.querySelf(s, dir, candidates = e.count().toInt)
+    }),
+
+    // EXTERNAL queries against the persisted PQ store: query ids are
+    // their own namespace (vec_id 100..104 relabeled 0..4 — a
+    // deliberate collision with stored ids), so the stored vector
+    // with the colliding id must still be a candidate and each query
+    // finds ITSELF at rank 1; exhaustive depth makes the equality
+    // hold by construction (the x_knn_ivf_index_external_check
+    // convention)
+    "x_knn_pq_store_external_check" -> ((s, d) => {
+      val dir = storeDir(d, "pq_full")
+      val e = t(s, d, "embeddings")
+      buildStoreOnce(dir)(PqStore.save(e, dir))
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select((col("vec_id") - 100).as("query_id"),
+          col("embedding").as("qv"))
+      PqStore.query(s, dir, q, k = 5, candidates = e.count().toInt)
+    }),
 
     // IVF × PQ composed (the canonical FAISS-style layout) at
     // nProbe == nCells: probing every cell makes the candidate stream
@@ -2152,6 +2199,15 @@ object Extensions {
     // (an indexed vector under a relabeled id) finds itself at rank 1
     // with cosine 1.0; exhaustive probe makes the replication exact
     "x_knn_ivf_index_external_check" ->
+      knnOracleSql("q.vec_id - 100", "q.vec_id >= 100 AND q.vec_id < 105",
+        excludeSelf = false),
+
+    // the persisted PQ store queries through the stored codebook +
+    // codes at the covering depth (main row) / exhaustive depth
+    // (append row) — both equal brute, sharing its oracle
+    "x_knn_pq_store" -> knnBruteSql,
+    "x_knn_pq_store_append_check" -> knnBruteSql,
+    "x_knn_pq_store_external_check" ->
       knnOracleSql("q.vec_id - 100", "q.vec_id >= 100 AND q.vec_id < 105",
         excludeSelf = false),
 
