@@ -100,4 +100,35 @@ object Classify {
       .groupBy(col("label"), col("predicted"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("predicted"))
+
+  /** Per-doc score of the doc's OWN declared label under the trained
+    * model — the GPT-3-style quality-filter statistic (train a
+    * classifier on a split, score the WHOLE corpus, threshold the
+    * score): (doc_id, score) with score = Σ_t tf(t, d) · w(t, label_d)
+    * on the same integer lattice as [[tokenClassifierPredict]]. Total
+    * over docs — a doc whose tokens are all outside the trained
+    * vocabulary scores 0 (zero information, not zero quality); a
+    * NEGATIVE score means the doc's tokens anti-correlate with its
+    * declared label (it reads less like its label than like the
+    * corpus average) — the precedence class
+    * `x_pipeline_curation_v5` quarantines. Scoring the train split
+    * too is deliberate: the curation verdict must be total, and the
+    * model is a corpus statistic, not a held-out-only artifact.
+    */
+  def ownLabelScore(docs: DataFrame, labelCol: String = "lang",
+      trainCut: Int = 8000): DataFrame = {
+    val model = tokenClassifierModel(docs, labelCol, trainCut)
+    val tf = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), col(labelCol).as("label"),
+        TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), col("label"), explode(col("ws")).as("tok"))
+      .groupBy(col("doc_id"), col("label"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val scores = tf.join(model, Seq("tok", "label"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+    docs.select(col("doc_id"))
+      .join(scores, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("score"), lit(0L)).as("score"))
+  }
 }

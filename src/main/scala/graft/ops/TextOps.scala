@@ -234,4 +234,31 @@ object TextOps {
         .cast("bigint"),
       "keep" -> hits.equalTo(0).cast("int"))
   }
+
+  /** [[blocklistColumns]] with the blocklist as a RELATION — the form
+    * for term lists too large to travel as plan literals (tens of
+    * thousands of badwords): the token relation joins the term table
+    * and re-aggregates per doc. No broadcast hint — the term side is
+    * small by construction and AQE broadcasts it from measured sizes
+    * (the classifier model-table shape), so a pathological list
+    * degrades to a partitioned join instead of a driver OOM.
+    * Zero-hit docs ride a left join back in (total over `docs`), and
+    * the columns, types and values equal the literal form exactly —
+    * spec-pinned, and the gate row shares the literal form's oracle.
+    */
+  def blocklistJoin(docs: DataFrame, terms: DataFrame): DataFrame = {
+    // duplicate terms in the relation must not double-count tf hits
+    val t = terms.select(col(terms.columns.head).as("w")).distinct()
+    val tok = docs.select(col("doc_id"),
+      explode(words(col("text"))).as("w"))
+    val hits = tok.join(t, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("h"), countDistinct(col("w")).as("th"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        coalesce(col("th"), lit(0L)).as("n_terms_hit"),
+        coalesce(col("h"), lit(0L)).equalTo(0).cast("int").as("keep"))
+  }
 }

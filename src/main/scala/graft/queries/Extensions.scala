@@ -404,6 +404,50 @@ object Extensions {
         .orderBy(col("doc_id"))
     }),
 
+    // curation pipeline v5 — v4's verdict composed with the TRAINED
+    // classifier (the GPT-3-style quality-filter loop end to end:
+    // train on the md5 split, score the WHOLE corpus, threshold):
+    // one new precedence class after `contained` —
+    //   lowscore  the doc's own-label score is negative (its tokens
+    //             anti-correlate with its declared label)
+    // Integer model, integer score, first-match CASE → the whole
+    // composition still carries one full DuckDB hash oracle
+    "x_pipeline_curation_v5" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val ntext = TextOps.nfc(col("text"))
+      val key = concat_ws(" ",
+        (1 to 3).map(i => try_element_at(split(ntext, " "), lit(i))): _*)
+      val keyed = docs.select(col("doc_id"), key.as("k"))
+      val exactKeep = keyed.join(
+        keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep_id")), "k")
+        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_first"))
+      val txt = docs.select(col("doc_id"), col("text"))
+      val novelty = CorpusStats.gramNovelty(txt)
+        .select(col("doc_id"), col("novelty_ppm"))
+      val contained = Dedup.containmentPairsCapped(txt, maxGramDf = 5)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .withColumn("is_contained", lit(true))
+      val scores = graft.ops.Classify.ownLabelScore(docs)
+      docs.select(col("doc_id"))
+        .join(exactKeep, "doc_id")
+        .join(novelty, "doc_id")
+        .join(contained, Seq("doc_id"), "left")
+        .join(scores, "doc_id")
+        .select(col("doc_id"),
+          when(!col("is_first"), "exact")
+            .when(col("novelty_ppm").isNull, "short")
+            .when(col("novelty_ppm") < 250000, "boilerplate")
+            .when(coalesce(col("is_contained"), lit(false)), "contained")
+            .when(col("score") < 0, "lowscore")
+            .as("reason"),
+          col("score"))
+        .select(col("doc_id"),
+          col("reason").isNull.cast("int").as("keep"), col("reason"),
+          col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x_pipeline_curation_v3" -> ((s, d) => {
       val e = t(s, d, "embeddings")
       val asg = Kmeans.kmeansAssign(e)
@@ -680,6 +724,17 @@ object Extensions {
         .blocklistColumns(col("text"), BlocklistTerms)
         .map { case (n, c) => c.as(n) }
       t(s, d, "documents").select(col("doc_id") +: cols: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the blocklist as a RELATION (the oversized-list form: token
+    // join + per-doc re-aggregate, AQE-broadcast term side) — same
+    // terms, same output contract, same oracle as the literal form
+    "x_text_blocklist_rel" -> ((s, d) => {
+      val sp = s; import sp.implicits._
+      TextOps.blocklistJoin(
+          t(s, d, "documents").select(col("doc_id"), col("text")),
+          BlocklistTerms.toDF("term"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1428,6 +1483,23 @@ object Extensions {
   private val knnBruteSql =
     knnOracleSql("q.vec_id", "q.vec_id < 5", excludeSelf = true)
 
+  /** Blocklist oracle — same term literals as the Spark side
+    * (BlocklistTerms); tf hits via list_filter, distinct hits via
+    * list_intersect on the deduped token list. Shared by the literal
+    * and relation forms (identical declared function).
+    */
+  private val blocklistSql: String = {
+    val inList = BlocklistTerms.map(t => s"'$t'").mkString(", ")
+    s"""SELECT doc_id,
+      |  CAST(len(list_filter(string_split(text, ' '),
+      |    w -> w IN ($inList))) AS BIGINT) AS n_hits,
+      |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+      |    [$inList])) AS BIGINT) AS n_terms_hit,
+      |  CAST(CASE WHEN len(list_filter(string_split(text, ' '),
+      |    w -> w IN ($inList))) = 0 THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replication of the FULL random-hyperplane LSH algorithm
     * (`Similarity.knnLsh`, 4 planes × 64 dims, 1-bit multi-probe):
     * the planes are deterministic pure-function values, embedded here
@@ -2007,6 +2079,68 @@ object Extensions {
         |  reason
         |FROM ver ORDER BY doc_id""".stripMargin,
 
+    // v5 = the v4 composition + the trained-classifier own-label
+    // score (model CTEs shared verbatim with x_text_classify) as the
+    // final precedence class; `vtok` renames v4's `tok` CTE clear of
+    // the classifier's column names
+    "x_pipeline_curation_v5" ->
+      raw"""WITH $shingleCte,
+        |${classifyCte.stripPrefix("WITH ")},
+        |nk AS (
+        |  SELECT doc_id,
+        |    array_to_string(string_split(nfc_normalize(text), ' ')[1:3], ' ') AS k
+        |  FROM documents),
+        |ek AS (
+        |  SELECT doc_id,
+        |    doc_id = MIN(doc_id) OVER (PARTITION BY k) AS is_first
+        |  FROM nk),
+        |vtok AS (SELECT doc_id, unnest(g) AS shingle FROM d),
+        |vown AS (SELECT shingle, COUNT(*) AS df, MIN(doc_id) AS owner
+        |        FROM vtok GROUP BY 1),
+        |unq AS (SELECT owner AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_unique
+        |        FROM vown WHERE df = 1 GROUP BY 1),
+        |nov AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN s.n_grams > 0
+        |      THEN (1000000 * COALESCE(u.n_unique, 0)) // s.n_grams END AS ppm
+        |  FROM (SELECT doc_id, len(g) AS n_grams FROM d) s
+        |  LEFT JOIN unq u USING (doc_id)),
+        |rare AS (SELECT shingle FROM vown WHERE df <= 5),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM vtok a JOIN rare USING (shingle) JOIN vtok b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id AND a.doc_id < 200),
+        |cont AS (
+        |  SELECT DISTINCT c.doc_b AS doc_id
+        |  FROM cand c JOIN d da ON da.doc_id = c.doc_a
+        |  JOIN d db ON db.doc_id = c.doc_b
+        |  WHERE len(list_intersect(da.g, db.g)) * 3
+        |        >= least(len(da.g), len(db.g)) * 2),
+        |dtf AS (
+        |  SELECT doc_id, lang, tok, COUNT(*) AS tfc
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |osc AS (
+        |  SELECT dt.doc_id, CAST(SUM(dt.tfc * m.w) AS BIGINT) AS score
+        |  FROM dtf dt JOIN model m ON m.tok = dt.tok AND m.label = dt.lang
+        |  GROUP BY 1),
+        |ver AS (
+        |  SELECT ek.doc_id,
+        |    CASE WHEN NOT ek.is_first THEN 'exact'
+        |         WHEN nov.ppm IS NULL THEN 'short'
+        |         WHEN nov.ppm < 250000 THEN 'boilerplate'
+        |         WHEN cont.doc_id IS NOT NULL THEN 'contained'
+        |         WHEN COALESCE(osc.score, 0) < 0 THEN 'lowscore'
+        |    END AS reason,
+        |    CAST(COALESCE(osc.score, 0) AS BIGINT) AS score
+        |  FROM ek JOIN nov USING (doc_id) LEFT JOIN cont USING (doc_id)
+        |  LEFT JOIN osc USING (doc_id))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN reason IS NULL THEN 1 ELSE 0 END AS INT) AS keep,
+        |  reason, score
+        |FROM ver ORDER BY doc_id""".stripMargin,
+
     "x_pipeline_curation_v3" ->
       raw"""WITH ${kmeansCte(0, 3)},
         |so AS (SELECT vec_id,
@@ -2298,17 +2432,11 @@ object Extensions {
     // same term literals as the Spark side (BlocklistTerms); tf hits
     // via list_filter, distinct hits via list_intersect on the
     // deduped token list
-    "x_text_blocklist" -> {
-      val inList = BlocklistTerms.map(t => s"'$t'").mkString(", ")
-      s"""SELECT doc_id,
-        |  CAST(len(list_filter(string_split(text, ' '),
-        |    w -> w IN ($inList))) AS BIGINT) AS n_hits,
-        |  CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
-        |    [$inList])) AS BIGINT) AS n_terms_hit,
-        |  CAST(CASE WHEN len(list_filter(string_split(text, ' '),
-        |    w -> w IN ($inList))) = 0 THEN 1 ELSE 0 END AS INT) AS keep
-        |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "x_text_blocklist" -> blocklistSql,
+
+    // the relation form computes the SAME function of (documents,
+    // terms) — one oracle text serves both gate rows
+    "x_text_blocklist_rel" -> blocklistSql,
 
     "x_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp,

@@ -55,6 +55,22 @@ class ClassifySpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(conf.forall { case (l, p, _) => l == p })
     assert(conf.map(_._3).sum == got.length)
+
+    // own-label scores (the curation-v5 gate statistic): on the
+    // separable corpus every doc's tokens CORRELATE with its declared
+    // label, so no doc scores negative — and a deliberately mislabeled
+    // doc does (its tokens are the OTHER class's)
+    val scores = Classify.ownLabelScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores.size == 400 && scores.values.forall(_ >= 0),
+      s"in-label docs must not score negative: ${scores.filter(_._2 < 0)}")
+    val mislabeled = docs.withColumn("lang",
+      when(col("doc_id") === 0, "B").otherwise(col("lang")))
+    val flipped = Classify.ownLabelScore(mislabeled).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flipped(0L) < 0,
+      s"a doc carrying the other class's tokens must score negative " +
+        s"under its declared label, got ${flipped(0L)}")
   }
 
   test("argmax ties break to the smallest label; OOV docs annotate '?', never vanish") {

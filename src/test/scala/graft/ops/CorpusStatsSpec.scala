@@ -77,6 +77,39 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(rs("empty").getAs[Int]("keep") == 1)
   }
 
+  test("blocklistJoin (relation form) equals blocklistColumns exactly") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the bad cat sat"),
+      (3L, "bad cat bad dog worse mat"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val terms = Seq("bad", "worse", "never")
+    val litCols = TextOps.blocklistColumns(col("text"), terms)
+      .map { case (n, c) => c.as(n) }
+    val want = docs.select(col("doc_id") +: litCols: _*)
+      .orderBy(col("doc_id")).collect().toSeq
+    // duplicate rows in the term relation must not double-count tf
+    val got = TextOps.blocklistJoin(docs, (terms ++ terms).toDF("term"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(got == want,
+      s"relation form must equal literal form row-for-row:\n$got\n$want")
+    // and on the real fixture corpus
+    val fixture = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val fixTerms = Seq("spark", "dup", "quarantine")
+    val wantF = fixture.select(col("doc_id") +:
+        TextOps.blocklistColumns(col("text"), fixTerms)
+          .map { case (n, c) => c.as(n) }: _*)
+      .orderBy(col("doc_id")).collect().toSeq
+    val gotF = TextOps.blocklistJoin(fixture, fixTerms.toDF("term"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(wantF.exists(_.getAs[Long]("n_hits") > 0),
+      "fixture must contain blocklisted terms")
+    assert(gotF == wantF)
+  }
+
   test("unigramRarity matches hand-computed corpus frequencies") {
     // corpus freqs: the=3, cat=2, dog=1, sat=1
     val docs = Seq((1L, "the cat sat"), (2L, "the the cat dog")).toDF("doc_id", "text")
