@@ -132,13 +132,33 @@ object Bench {
         name -> (() => action(fn(spark, sfDir)))
       }, reps)
 
+  /** Suite cold total: each leg's FIRST pass summed — what a fresh
+    * JVM pays once (fits, file listing, codegen), the number host-
+    * noise attribution compares against `totalWarm` without a manual
+    * tail parse.
+    */
+  def totalCold(results: Seq[QResult]): Double =
+    results.flatMap(_.passes.headOption).sum
+
+  /** Suite warm total: each leg's best post-first pass summed (the
+    * steady-state cost; a leg with a single pass contributes that
+    * pass).
+    */
+  def totalWarm(results: Seq[QResult]): Double =
+    results.map(r => r.passes.drop(1) match {
+      case rest if rest.nonEmpty => rest.min
+      case _                     => r.passes.headOption.getOrElse(0.0)
+    }).sum
+
   /** The one JSON line. Field layout is upward-compatible with prior
     * rounds (`metric/value/unit/queries/sf/pipeline_*`); adds
-    * `"action"`, `"errors"`, `"status"`, and (round 13) `"passes"` —
+    * `"action"`, `"errors"`, `"status"`, (round 13) `"passes"` —
     * the raw per-pass time vector per query, run order, so the
     * published median can always be audited for cold-fit or
     * cross-query cache-churn contamination (the r12
-    * `x_dedup_embedding_pq` 15 s-median / 3 s-warm incident).
+    * `x_dedup_embedding_pq` 15 s-median / 3 s-warm incident) — and
+    * (round 14) `"total_cold"`/`"total_warm"`, the parsed split of
+    * that attribution.
     */
   def renderJson(results: Seq[QResult], sfDir: String, actionName: String,
       pipelineRows: Long, pipelineSec: Double): String = {
@@ -155,7 +175,7 @@ object Bench {
     val status = if (results.exists(_.err.isDefined)) "error" else "ok"
     val rowsPerSec =
       if (pipelineSec > 0) (pipelineRows / pipelineSec).round else 0L
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","action":"$actionName","status":"$status","queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_rows_per_sec":$rowsPerSec}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","action":"$actionName","status":"$status","total_cold":${totalCold(ok)}%.3f,"total_warm":${totalWarm(ok)}%.3f,"queries":$qs,"passes":$passes,"errors":$errs,"sf":"$sfDir","pipeline_rows":$pipelineRows,"pipeline_rows_per_sec":$rowsPerSec}"""
   }
 
   /** A compact (≤200-byte) summary of the same run, printed LAST.
@@ -172,7 +192,7 @@ object Bench {
     val ok = results.filter(_.secs.isDefined)
     val total = ok.flatMap(_.secs).sum
     val status = if (results.exists(_.err.isDefined)) "error" else "ok"
-    f"""{"metric":"total","value":$total%.3f,"unit":"sec","status":"$status","n_queries":${results.size},"n_errors":${results.size - ok.size},"pipeline_rows_per_sec":$pipelineRowsPerSec}"""
+    f"""{"metric":"total","value":$total%.3f,"unit":"sec","status":"$status","total_warm":${totalWarm(ok)}%.3f,"n_queries":${results.size},"n_errors":${results.size - ok.size},"pipeline_rows_per_sec":$pipelineRowsPerSec}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -111,6 +111,27 @@ class BenchSpec extends AnyFunSuite {
       .getAs[scala.collection.Seq[Double]]("q_x").toSeq == Seq(15.2, 3.0, 14.9))
   }
 
+  test("cold/warm totals split pass-1 from best-of-rest, parsed in both lines") {
+    // q_x: cold fit 15.2 s, warm 3.0 s; q_y: flat 1.0 s — attribution
+    // of a cold-heavy suite must need no manual tail parse
+    val rs = Seq(
+      Bench.QResult("q_x", Some(3.0), None, Vector(15.2, 3.0, 14.9)),
+      Bench.QResult("q_y", Some(1.0), None, Vector(1.0, 1.0, 1.0)))
+    assert(math.abs(Bench.totalCold(rs) - 16.2) < 1e-9)
+    assert(math.abs(Bench.totalWarm(rs) - 4.0) < 1e-9)
+    import spark.implicits._
+    val full = spark.read.option("mode", "FAILFAST")
+      .json(Seq(Bench.renderJson(rs, "sfX", "count", 0L, 0.0)).toDS).collect()(0)
+    assert(full.getAs[Double]("total_cold") == 16.2)
+    assert(full.getAs[Double]("total_warm") == 4.0)
+    val summary = spark.read.option("mode", "FAILFAST")
+      .json(Seq(Bench.renderSummary(rs, 0L)).toDS).collect()(0)
+    assert(summary.getAs[Double]("total_warm") == 4.0)
+    // a single-pass leg (errored later passes) contributes its only pass
+    val one = Seq(Bench.QResult("q_z", Some(2.0), None, Vector(2.0)))
+    assert(Bench.totalWarm(one) == 2.0 && Bench.totalCold(one) == 2.0)
+  }
+
   test("a query erroring in a later pass is still reported as an error") {
     var calls = 0
     def flaky(s: org.apache.spark.sql.SparkSession, @annotation.unused d: String): DataFrame = {
