@@ -1,0 +1,272 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF×PQ index — BOTH scale levers composed in one
+  * storage artifact, the canonical production layout for ANN over a
+  * corpus too large to scan per query (the [[Pq.knnPqIvf]]
+  * composition, persisted):
+  *
+  *  - the coarse quantizer's cells bound WHICH FILES a query reads:
+  *    vectors are PARTITIONED BY cell, so the probe join rides
+  *    dynamic partition pruning and the stage-1 scan touches
+  *    nProbe/nCells of the index files ([[IvfIndex]]'s lever);
+  *  - PQ bounds the BYTES PER ROW that scan moves: stage 1 reads
+  *    only (vec_id, pcodes, pq_norm) — m packed bytes instead of the
+  *    256-byte vector ([[PqStore]]'s lever; the plan spec pins the
+  *    pruned ReadSchema);
+  *  - the exact rerank restores full precision on the Q·depth
+  *    survivors, fetching full vectors through a SECOND pruned scan —
+  *    the candidate list carries its cells, so the fetch join is on
+  *    (cell, vec_id) and dynamic pruning bounds it to the probed
+  *    partitions too, never a full-corpus read.
+  *
+  * Layout under a [[StoreVersioning versioned root]] (maintainer
+  * lease, marker commit, tombstones, compaction — the store-family
+  * contract):
+  *
+  *  - `centroids/` — the coarse quantizer relation (cell, cvec).
+  *  - `codebook/`  — the PQ codebook relation (s, c, cvec).
+  *  - `vectors/`   — (vec_id, v, norm, pcodes, pq_norm) partitioned
+  *    by (ingest, cell): ingest-keyed for idempotent append retry,
+  *    cell for the pruning above.
+  *  - `deletes/`   — the tombstone relation.
+  *
+  * Exactness contract: at nProbe == nCells every cell is probed and
+  * every (query, vector) pair ADC-scored exactly once; at candidate
+  * depth >= store size the prefilter passes every pair; the rerank's
+  * cosine, tie order and rounding are [[Similarity.topKByCosine]] —
+  * the shared tail of brute/IVF/the other stores — so the gate rows
+  * equal [[Similarity.knnBrute]] bit-for-bit and carry its full
+  * DuckDB oracle, whatever the two quantizers learned. Production
+  * probe counts and depths are the recall knobs, exactly like the
+  * in-session [[Pq.knnPqIvf]].
+  */
+object IvfPqStore {
+
+  private def centroidsPath(root: String) = s"$root/centroids"
+  private def codebookPath(root: String) = s"$root/codebook"
+  private def vectorsPath(root: String) = s"$root/vectors"
+  private def deletesPath(root: String) = s"$root/deletes"
+
+  /** Build the index at `dir`: coarse-assign every vector (memoized
+    * quantizer — the lineage every IVF family shares), PQ-encode it
+    * (memoized codebook), land both model relations plus the
+    * cell-partitioned encoded corpus, commit by marker.
+    */
+  def save(embeddings: DataFrame, dir: String, nCells: Int = 16,
+      cellTrainMod: Int = 4, m: Int = 16, kCodes: Int = 32,
+      trainMod: Int = 1): Unit = {
+    val spark = embeddings.sparkSession
+    StoreVersioning.withMaintainerLock(spark, dir, "IvfPqStore.save") {
+      val v = StoreVersioning.nextVersion(spark, dir)
+      val root = s"$dir/$v"
+      val (assigned, model) =
+        Similarity.assignedWithModel(embeddings, nCells, cellTrainMod)
+      val b = Pq.codebookForStore(embeddings, m, kCodes, trainMod)
+      Similarity.centroidsDf(spark, model)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(centroidsPath(root))
+      PqStore.writeCodebook(spark, b, root)
+      writeVectors(
+        Pq.encoded(embeddings, b)
+          .join(assigned.select(col("vec_id"), col("cell")), "vec_id"),
+        root, "0", full = true)
+      StoreVersioning.commit(spark, dir, v)
+    }
+  }
+
+  private def writeVectors(encWithCell: DataFrame, root: String,
+      ingestId: String, full: Boolean): Unit = {
+    // cluster cells into tasks before partitionBy — ~nCells files per
+    // build, not tasks×cells (the IvfIndex file-count discipline)
+    val w = encWithCell
+      .select(col("vec_id"), col("v"), col("norm"), col("pcodes"),
+        col("pq_norm"), col("cell"))
+      .withColumn("ingest", lit(ingestId))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("ingest", "cell")
+    (if (full) w else w.option("partitionOverwriteMode", "dynamic"))
+      .parquet(vectorsPath(root))
+  }
+
+  /** Grow the index: assign NEW vectors to the STORED centroids and
+    * encode them with the STORED codebook (no refit of either —
+    * geometry is frozen at build), landed as an idempotent
+    * ingest-keyed partition overwrite.
+    */
+  def append(embeddings: DataFrame, dir: String, ingestId: String): Unit = {
+    require(ingestId.nonEmpty && ingestId != "0",
+      "ingestId must be a non-empty batch name other than the reserved \"0\"")
+    val spark = embeddings.sparkSession
+    StoreVersioning.withMaintainerLock(spark, dir, "IvfPqStore.append") {
+      val root = StoreVersioning.requireRoot(spark, dir)
+      val cents = spark.read.parquet(centroidsPath(root))
+      val b = PqStore.codebookOf(spark, root)
+      val enc = Pq.encoded(embeddings, b)
+      val asg = Similarity.nearestCellsFrom(
+          enc.select(col("vec_id"), col("v")), cents, nProbe = 1)
+        .select(col("vec_id"), col("cell"))
+      writeVectors(enc.join(asg, "vec_id"), root, ingestId, full = false)
+    }
+  }
+
+  /** Tombstone retraction — the store-family contract, loud on
+    * malformed ids.
+    */
+  def delete(vecIds: DataFrame, dir: String): Unit =
+    StoreVersioning.withMaintainerLock(vecIds.sparkSession, dir,
+        "IvfPqStore.delete") {
+      val root = StoreVersioning.requireRoot(vecIds.sparkSession, dir)
+      val ids = StoreVersioning.requireLongIds(vecIds, "vec_id")
+      ids.write.mode("append").parquet(deletesPath(root))
+    }
+
+  private def deletesIfAny(spark: SparkSession,
+      root: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(deletesPath(root))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(root)))
+    else None
+  }
+
+  /** Rewrite live rows into a fresh version: tombstones reclaimed,
+    * ingests collapsed, cells re-clustered to ~one file each, both
+    * model relations carried over unchanged.
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+    StoreVersioning.withMaintainerLock(spark, dir, "IvfPqStore.compact") {
+      val root = StoreVersioning.requireRoot(spark, dir)
+      val v = StoreVersioning.nextVersion(spark, dir)
+      val newRoot = s"$dir/$v"
+      spark.read.parquet(centroidsPath(root))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(centroidsPath(newRoot))
+      spark.read.parquet(codebookPath(root))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(codebookPath(newRoot))
+      val live = deletesIfAny(spark, root)
+        .fold(spark.read.parquet(vectorsPath(root)))(d =>
+          spark.read.parquet(vectorsPath(root))
+            .join(d, Seq("vec_id"), "left_anti"))
+      writeVectors(live.drop("ingest"), newRoot, "0", full = true)
+      StoreVersioning.commit(spark, dir, v)
+    }
+
+  /** Maintenance introspection — the store-family stats contract. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val vectors = spark.read.parquet(vectorsPath(root))
+    val del = deletesIfAny(spark, root)
+    val nVec = vectors.count()
+    val nTomb = del.fold(0L)(_.select(col("vec_id")).distinct().count())
+    val nLive = del.fold(nVec)(d =>
+      vectors.join(d, Seq("vec_id"), "left_anti").count())
+    Seq((StoreVersioning.versionOf(root),
+        vectors.select(col("ingest").cast("string")).distinct().count(),
+        StoreVersioning.dataFileCount(spark, vectorsPath(root)),
+        nVec,
+        spark.read.parquet(centroidsPath(root)).count(),
+        nTomb, nLive))
+      .toDF("version", "n_ingests", "n_vector_files", "n_vectors",
+        "n_cells", "n_tombstoned", "n_live_vectors")
+  }
+
+  /** Top-k cosine neighbors for an explicit (query_id, qv) relation.
+    * External ids are their own namespace (no self-exclusion). The
+    * query×probe relation's broadcast is size-gated exactly like
+    * [[IvfIndex.query]] ([[IvfIndex.MaxBroadcastProbeRows]]).
+    */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5, nProbe: Int = 4, candidates: Int = 0,
+      maxBroadcastProbeRows: Long = IvfIndex.MaxBroadcastProbeRows): DataFrame =
+    queryFrom(spark, StoreVersioning.requireRoot(spark, dir),
+      queries.select(col("query_id"), col("qv"))
+        .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv")))),
+      k, nProbe, candidates, excludeSelf = false, maxBroadcastProbeRows)
+
+  /** Self-query convenience (the gate contract): live stored vectors
+    * with vec_id < nQueries query the index, self-pairs excluded.
+    */
+  def querySelf(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Long = 5, nProbe: Int = 4, candidates: Int = 0): DataFrame = {
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val own = spark.read.parquet(vectorsPath(root))
+      .filter(col("vec_id") < nQueries)
+    val live = deletesIfAny(spark, root).fold(own)(del =>
+      own.join(del, Seq("vec_id"), "left_anti"))
+    queryFrom(spark, root,
+      live.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn")),
+      k, nProbe, candidates, excludeSelf = true,
+      IvfIndex.MaxBroadcastProbeRows)
+  }
+
+  /** Shared tail; the root is resolved ONCE per logical query so a
+    * racing commit can never mix generations.
+    */
+  private def queryFrom(spark: SparkSession, root: String, q0: DataFrame,
+      k: Int, nProbe: Int, candidates: Int, excludeSelf: Boolean,
+      maxBroadcastProbeRows: Long): DataFrame = {
+    val vectors = spark.read.parquet(vectorsPath(root))
+    val cents = spark.read.parquet(centroidsPath(root))
+    val b = PqStore.codebookOf(spark, root)
+    val depth =
+      if (candidates > 0) candidates
+      else Pq.autoCandidates(vectors.count())
+    Pq.requireRerankBound(q0.count(), depth)
+    // probe sets from the stored centroids (broadcast, nCells rows)
+    val probes = Similarity.nearestCellsFrom(
+        q0.select(col("query_id").as("vec_id"), col("qv").as("v")),
+        cents, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = Pq.withQtab(q0, b)
+      .select(col("query_id"), col("qtab"), col("qn"))
+      .join(probes, "query_id")
+    val qHinted =
+      if (q0.count() * nProbe <= maxBroadcastProbeRows) broadcast(q) else q
+    // stage 1: the cell-pruned, byte-minimal scan — (vec_id, pcodes,
+    // pq_norm) joined on the PARTITION column (dynamic pruning reads
+    // nProbe/nCells of the files), ADC-scored per pair
+    val ranked0 = vectors
+      .select(col("vec_id"), col("cell"), col("pcodes"), col("pq_norm"))
+      .join(qHinted, Seq("cell"))
+    val ranked1 = deletesIfAny(spark, root).fold(ranked0)(del =>
+      // tombstones prune the CANDIDATE stream after the cell join —
+      // an anti join under the join would sit inside the pruning
+      // rule's scan-side pattern and revert to a full index read
+      // (the IvfIndex lesson, spec-pinned there)
+      ranked0.join(del, Seq("vec_id"), "left_anti"))
+    val ranked2 =
+      if (excludeSelf) ranked1.filter(col("query_id") =!= col("vec_id"))
+      else ranked1
+    val adc = call_function("adc_dot_packed",
+      col("pcodes"), col("qtab"), lit(b.k))
+    val scored = ranked2.select(col("query_id"), col("cell"),
+      col("vec_id").as("neighbor_id"),
+      (adc / col("qn") / col("pq_norm")).as("pq_cos"))
+    val byPq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("pq_cos").desc, col("neighbor_id"))
+    val cand = scored.withColumn("crk", row_number().over(byPq))
+      .filter(col("crk") <= depth)
+      .select(col("query_id"), col("neighbor_id"), col("cell"))
+    // stage 2: exact rerank — the survivor fetch joins on
+    // (cell, vec_id), so dynamic pruning bounds THIS scan to the
+    // probed partitions too (a bare id join would read every cell's
+    // full vectors back)
+    val fetched = vectors
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("v"),
+        col("norm"))
+      .join(broadcast(cand), Seq("cell", "neighbor_id"))
+      .join(broadcast(q0.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+    Similarity.topKByCosine(
+      fetched.select(col("query_id"), col("neighbor_id"),
+        Similarity.cosineWithNorms(col("qv"), col("v"), col("qn"),
+          col("norm")).as("cos")),
+      k)
+  }
+}

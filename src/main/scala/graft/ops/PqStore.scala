@@ -71,7 +71,7 @@ object PqStore {
     }
   }
 
-  private def writeCodebook(spark: SparkSession, b: Pq.Codebook,
+  private[ops] def writeCodebook(spark: SparkSession, b: Pq.Codebook,
       root: String): Unit = {
     import spark.implicits._
     (for (s <- 0 until b.m; c <- 0 until b.k) yield (s, c, b.cb(s)(c).toSeq))
@@ -94,7 +94,7 @@ object PqStore {
   /** The stored codebook as driver-side model state (m·k rows — the
     * `clusterCenters` class of collect, never a corpus).
     */
-  private def codebookOf(spark: SparkSession, root: String): Pq.Codebook = {
+  private[ops] def codebookOf(spark: SparkSession, root: String): Pq.Codebook = {
     val rows = spark.read.parquet(codebookPath(root))
       .select(col("s"), col("c"), col("cvec")).collect()
     require(rows.nonEmpty, s"empty codebook at ${codebookPath(root)}")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, DedupStore, Integrity, IvfIndex, Kmeans, Multimodal, Pq, PqStore, Profile, Quantize, Sampling, Search, Similarity, TextOps}
+import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, DedupStore, Integrity, IvfIndex, IvfPqStore, Kmeans, Multimodal, Pq, PqStore, Profile, Quantize, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -317,6 +317,33 @@ object Extensions {
         PqStore.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
       }
       PqStore.querySelf(s, dir, candidates = e.count().toInt)
+    }),
+
+    // the COMPOSED persisted index (IVF cells bound which FILES a
+    // query reads via dynamic partition pruning; PQ bounds the BYTES
+    // per scanned row to m packed bytes — both levers in one storage
+    // artifact, the canonical production ANN layout). Queried at
+    // nProbe == nCells + exhaustive depth the result equals brute by
+    // construction, so the whole build→persist→query loop carries the
+    // full brute oracle; the plan spec pins both levers firing
+    "x_knn_ivfpq_store" -> ((s, d) => {
+      val dir = storeDir(d, "ivfpq_full")
+      val e = t(s, d, "embeddings")
+      buildStoreOnce(dir)(IvfPqStore.save(e, dir, nCells = 16))
+      IvfPqStore.querySelf(s, dir, nProbe = 16, candidates = e.count().toInt)
+    }),
+
+    // growth path of the composition: stored-centroid assignment +
+    // stored-codebook encode, idempotent ingest partitions — exact vs
+    // brute at exhaustive settings whatever either quantizer learned
+    "x_knn_ivfpq_store_append_check" -> ((s, d) => {
+      val dir = storeDir(d, "ivfpq_half")
+      val e = t(s, d, "embeddings")
+      buildStoreOnce(dir) {
+        IvfPqStore.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
+        IvfPqStore.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
+      }
+      IvfPqStore.querySelf(s, dir, nProbe = 16, candidates = e.count().toInt)
     }),
 
     // EXTERNAL queries against the persisted PQ store: query ids are
@@ -2341,6 +2368,10 @@ object Extensions {
     // (append row) — both equal brute, sharing its oracle
     "x_knn_pq_store" -> knnBruteSql,
     "x_knn_pq_store_append_check" -> knnBruteSql,
+    // the IVF×PQ composition at nProbe == nCells + exhaustive depth
+    // is brute by construction — full oracle for the composed store
+    "x_knn_ivfpq_store" -> knnBruteSql,
+    "x_knn_ivfpq_store_append_check" -> knnBruteSql,
     "x_knn_pq_store_external_check" ->
       knnOracleSql("q.vec_id - 100", "q.vec_id >= 100 AND q.vec_id < 105",
         excludeSelf = false),

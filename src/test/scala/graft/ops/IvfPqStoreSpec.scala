@@ -1,0 +1,133 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed IVF×PQ store's contracts: exhaustive-settings
+  * equality with brute force (the machinery pin), BOTH pruning levers
+  * visible in the executed plan (dynamic partition pruning on the
+  * cell join; the ADC scan reading packed codes, not vectors), and
+  * the store-family lifecycle (idempotent appends, tombstones,
+  * compaction).
+  */
+class IvfPqStoreSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.SparkTestSession.spark
+
+  private def emb(sf: String) =
+    graft.engine.Tables.table(spark, s"/root/testdata/$sf", "embeddings")
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft_ivfpq_$tag").toString
+
+  test("exhaustive probes + exhaustive depth equal brute force") {
+    val dir = tmpDir("brute")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      val got = IvfPqStore.querySelf(spark, dir, nProbe = 16,
+        candidates = e.count().toInt).collect().toSeq
+      val want = Similarity.knnBrute(e).collect().toSeq
+      assert(want.nonEmpty)
+      assert(got == want,
+        s"nProbe == nCells + depth == n must equal brute " +
+          s"(got ${got.size} rows, want ${want.size})")
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("plan: both levers fire — dynamic pruning AND a codes-only ADC scan") {
+    val dir = tmpDir("plan")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      val q = IvfPqStore.querySelf(spark, dir, nProbe = 4)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("dynamicpruning"),
+        s"the cell join must dynamic-prune the partitioned scan:\n$plan")
+      val reads = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      val codeScans = reads.filter(_.contains("pcodes"))
+      assert(codeScans.nonEmpty && codeScans.exists(!_.contains("v:array")),
+        s"stage 1 must scan packed codes without the vectors:\n$reads")
+      assert(reads.exists(r => r.contains("v:array") && !r.contains("pcodes")),
+        s"the rerank fetch must read vectors without the codes:\n$reads")
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("external query ids are a separate namespace: no self-exclusion") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("extq")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val top = IvfPqStore.query(spark, dir, q0, k = 1, nProbe = 16,
+          candidates = e.count().toInt)
+        .select(col("neighbor_id")).as[Long].collect().toSeq
+      assert(top == Seq(0L),
+        s"external id 0 must still see stored vector 0, got $top")
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("append assigns to stored centroids, encodes with the stored codebook; retry idempotent") {
+    val dir = tmpDir("append")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e.filter(col("vec_id") % 2 === 0), dir, nCells = 16)
+      IvfPqStore.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
+      val idx = spark.read.parquet(
+        s"${StoreVersioning.requireRoot(spark, dir)}/vectors")
+      assert(idx.count() == e.count())
+      assert(idx.select(col("vec_id")).distinct().count() == e.count())
+      val want = Similarity.knnBrute(e).collect().toSeq
+      val got = IvfPqStore.querySelf(spark, dir, nProbe = 16,
+        candidates = e.count().toInt).collect().toSeq
+      assert(got == want)
+      IvfPqStore.append(e.filter(col("vec_id") % 2 === 1), dir, "odd")
+      assert(spark.read.parquet(
+        s"${StoreVersioning.requireRoot(spark, dir)}/vectors")
+        .count() == e.count(), "a retried append must be idempotent")
+      assert(IvfPqStore.querySelf(spark, dir, nProbe = 16,
+        candidates = e.count().toInt).collect().toSeq == want)
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("tombstones retract immediately; compaction reclaims and answers identically") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("tomb")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      val depth = e.count().toInt
+      val base = IvfPqStore.querySelf(spark, dir, nProbe = 16,
+        candidates = depth).collect().toSeq
+      val victim = base.map(_.getLong(2)).filter(_ >= 5)
+        .groupBy(identity).maxBy(_._2.size)._1
+      IvfPqStore.delete(Seq(victim).toDF("vec_id"), dir)
+      val after = IvfPqStore.querySelf(spark, dir, nProbe = 16,
+        candidates = depth).collect().toSeq
+      assert(after == Similarity.knnBrute(
+        e.filter(col("vec_id") =!= victim)).collect().toSeq)
+      // pruning survives the tombstone anti join
+      val q = IvfPqStore.querySelf(spark, dir, nProbe = 4)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"tombstones must not revert the scan to a full read:\n$plan")
+      def stat(name: String): Long =
+        IvfPqStore.stats(spark, dir).select(col(name)).head.getLong(0)
+      assert(stat("n_tombstoned") == 1 && stat("n_cells") == 16)
+      IvfPqStore.compact(spark, dir)
+      assert(stat("n_tombstoned") == 0 && stat("n_vectors") == e.count() - 1)
+      assert(IvfPqStore.querySelf(spark, dir, nProbe = 16,
+        candidates = depth).collect().toSeq == after)
+      assert(spark.read.parquet(
+        s"${StoreVersioning.requireRoot(spark, dir)}/vectors")
+        .filter(col("vec_id") === victim).count() == 0)
+    } finally Pq.clearCodebookCache()
+  }
+}

@@ -134,6 +134,29 @@ class PqStoreSpec extends AnyFunSuite {
     } finally Pq.clearCodebookCache()
   }
 
+  test("plan: the ADC prefilter scan prunes the 256-byte vectors out") {
+    val dir = tmpDir("prune")
+    val e = emb("sf0.001")
+    try {
+      PqStore.save(e, dir)
+      val q = PqStore.querySelf(spark, dir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the store parquet is scanned twice with DIFFERENT pruned
+      // schemas: stage 1 (the per-pair ADC ranking over the whole
+      // store) must read only the 10-byte packed codes + norm — the
+      // entire point of PQ's resident-size lever — while only the
+      // Q·depth rerank branch touches the full vectors
+      val reads = "ReadSchema: struct<([^>]*)>".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      val codeScans = reads.filter(_.contains("pcodes"))
+      assert(codeScans.nonEmpty, s"expected a packed-codes scan:\n$plan")
+      assert(codeScans.exists(!_.contains("v:array")),
+        s"the ADC scan must not read the full vectors:\n$reads")
+    } finally Pq.clearCodebookCache()
+  }
+
   test("compaction drops tombstoned vectors physically and answers identically") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("compact")
