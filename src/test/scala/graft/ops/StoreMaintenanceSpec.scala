@@ -143,6 +143,35 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(stat("n_docs") == 58 && stat("n_live_docs") == 58)
   }
 
+  test("auto-maintenance compacts exactly when the stats say so") {
+    val sp = spark; import sp.implicits._
+    // the pure decision
+    assert(!StoreMaintenance.shouldCompact(100, 10, 3, 0.1, 16))
+    assert(StoreMaintenance.shouldCompact(100, 11, 3, 0.1, 16))
+    assert(StoreMaintenance.shouldCompact(100, 0, 17, 0.1, 16))
+    assert(!StoreMaintenance.shouldCompact(0, 0, 1, 0.1, 16),
+      "an empty store never compacts on ratio")
+    // end to end on a real store: healthy → no-op; tombstone-heavy →
+    // compacts and the stats come back clean
+    val dir = tmpDir("auto")
+    val e = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    IvfIndex.save(e, dir, nCells = 4)
+    def stat(name: String): Long =
+      IvfIndex.stats(spark, dir).select(col(name)).head.getLong(0)
+    val v0 = stat("version")
+    assert(!StoreMaintenance.maintainIvf(spark, dir))
+    assert(stat("version") == v0, "a healthy store must not be rewritten")
+    // retract >10% of the corpus
+    val n = e.count()
+    IvfIndex.delete(sp.range(0, n / 5).select(col("id").as("vec_id")), dir)
+    assert(StoreMaintenance.maintainIvf(spark, dir))
+    assert(stat("version") > v0)
+    assert(stat("n_tombstoned") == 0 && stat("n_vectors") == n - n / 5)
+    assert(!StoreMaintenance.maintainIvf(spark, dir),
+      "a freshly compacted store must decide no-op")
+  }
+
   test("ivf-index stats track the lifecycle and per-cell fragmentation") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("istats")
