@@ -216,7 +216,9 @@ object IvfPqStore {
     val depth =
       if (candidates > 0) candidates
       else Pq.autoCandidates(vectors.count())
-    Pq.requireRerankBound(q0.count(), depth)
+    // one count job serves the bound check AND the broadcast gate
+    val nQ = q0.count()
+    Pq.requireRerankBound(nQ, depth)
     // probe sets from the stored centroids (broadcast, nCells rows)
     val probes = Similarity.nearestCellsFrom(
         q0.select(col("query_id").as("vec_id"), col("qv").as("v")),
@@ -226,7 +228,7 @@ object IvfPqStore {
       .select(col("query_id"), col("qtab"), col("qn"))
       .join(probes, "query_id")
     val qHinted =
-      if (q0.count() * nProbe <= maxBroadcastProbeRows) broadcast(q) else q
+      if (nQ * nProbe <= maxBroadcastProbeRows) broadcast(q) else q
     // stage 1: the cell-pruned, byte-minimal scan — (vec_id, pcodes,
     // pq_norm) joined on the PARTITION column (dynamic pruning reads
     // nProbe/nCells of the files), ADC-scored per pair
@@ -246,7 +248,7 @@ object IvfPqStore {
       col("pcodes"), col("qtab"), lit(b.k))
     val scored = ranked2.select(col("query_id"), col("cell"),
       col("vec_id").as("neighbor_id"),
-      (adc / col("qn") / col("pq_norm")).as("pq_cos"))
+      Pq.approxCos(adc, col("qn"), col("pq_norm")).as("pq_cos"))
     val byPq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("pq_cos").desc, col("neighbor_id"))

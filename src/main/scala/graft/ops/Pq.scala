@@ -343,6 +343,19 @@ object Pq {
   private def adcOf(b: Codebook): Column =
     call_function("adc_dot_packed", col("pcodes"), col("qtab"), lit(b.k))
 
+  /** Approximate-cosine division, total over DEGENERATE rows: a
+    * zero-norm PQ reconstruction (a code vector whose centroids
+    * cancel — never on real embeddings, but possible on adversarial/
+    * corrupt rows) must not abort the whole query with an ANSI
+    * division error. NULL means "no ranking signal": the descending
+    * ranking window puts nulls last, so the degenerate candidate
+    * simply ranks at the bottom and the EXACT stages (which divide by
+    * true vector norms) decide its fate — the property spec pins this
+    * on generated corpora that hit the case.
+    */
+  private[ops] def approxCos(dot: Column, na: Column, nb: Column): Column =
+    when(na =!= 0.0d && nb =!= 0.0d, dot / na / nb)
+
   /** Rank a (vec_id, pcodes, pq_norm[, …]) candidate stream against the
     * broadcast query tables by approximate PQ cosine — the shared
     * stage-1 ranking window of both the full-scan and the
@@ -365,7 +378,7 @@ object Pq {
     }
     val scored = joined.select(col("query_id"),
       col("vec_id").as("neighbor_id"),
-      (adcOf(b) / col("qn") / col("pq_norm")).as("pq_cos"))
+      approxCos(adcOf(b), col("qn"), col("pq_norm")).as("pq_cos"))
     val byPq = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_cos").desc, col("neighbor_id"))
     scored.withColumn("crk", row_number().over(byPq))
@@ -546,11 +559,19 @@ object Pq {
     val right = cells.join(codesRel, "vec_id")
       .select(col("vec_id").as("p_id"), col("cell"),
         col("pcodes").as("pb"), col("pq_norm").as("pqb"))
-    val sdcCos = call_function("sdc_dot", col("pa"), col("pb"),
-      sdcTabCol(b), lit(b.k)) / col("pqa") / col("pqb")
+    val sdcRaw = call_function("sdc_dot", col("pa"), col("pb"),
+      sdcTabCol(b), lit(b.k))
+    // keep-on-degenerate: a zero-norm reconstruction has no SDC
+    // signal, and for DEDUP the recall-safe reading of "no signal" is
+    // "let the exact verify decide" (the covering-margin premise is
+    // about quantization error, not about rows PQ cannot represent at
+    // all); `when` guarantees the division never evaluates on the
+    // zero rows (SQL OR does not short-circuit under ANSI)
+    val sdcPass = when(col("pqa") === 0.0d || col("pqb") === 0.0d, lit(true))
+      .otherwise(sdcRaw / col("pqa") / col("pqb") >= minCosine - margin)
     val survivors = Similarity.cellJoin(left, right, boundA)
       .filter(col("vec_id") =!= col("p_id"))
-      .filter(sdcCos >= minCosine - margin)
+      .filter(sdcPass)
       .select(least(col("vec_id"), col("p_id")).as("vec_a"),
         greatest(col("vec_id"), col("p_id")).as("vec_b"))
       .distinct()
