@@ -346,6 +346,19 @@ object Extensions {
       IvfPqStore.querySelf(s, dir, nProbe = 16, candidates = e.count().toInt)
     }),
 
+    // external-namespace queries against the composition, exhaustive
+    // settings: each relabeled query finds its stored twin at rank 1
+    "x_knn_ivfpq_store_external_check" -> ((s, d) => {
+      val dir = storeDir(d, "ivfpq_full")
+      val e = t(s, d, "embeddings")
+      buildStoreOnce(dir)(IvfPqStore.save(e, dir, nCells = 16))
+      val q = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+        .select((col("vec_id") - 100).as("query_id"),
+          col("embedding").as("qv"))
+      IvfPqStore.query(s, dir, q, k = 5, nProbe = 16,
+        candidates = e.count().toInt)
+    }),
+
     // EXTERNAL queries against the persisted PQ store: query ids are
     // their own namespace (vec_id 100..104 relabeled 0..4 — a
     // deliberate collision with stored ids), so the stored vector
@@ -2372,6 +2385,9 @@ object Extensions {
     // is brute by construction — full oracle for the composed store
     "x_knn_ivfpq_store" -> knnBruteSql,
     "x_knn_ivfpq_store_append_check" -> knnBruteSql,
+    "x_knn_ivfpq_store_external_check" ->
+      knnOracleSql("q.vec_id - 100", "q.vec_id >= 100 AND q.vec_id < 105",
+        excludeSelf = false),
     "x_knn_pq_store_external_check" ->
       knnOracleSql("q.vec_id - 100", "q.vec_id >= 100 AND q.vec_id < 105",
         excludeSelf = false),
