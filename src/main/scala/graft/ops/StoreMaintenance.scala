@@ -32,7 +32,7 @@ object StoreMaintenance {
     (nRows > 0 && nTombstoned.toDouble / nRows > maxTombstoneRatio) ||
       nIngests > maxIngests
 
-  private def decideAndRun(spark: SparkSession,
+  private def decideAndRun(
       stats: org.apache.spark.sql.DataFrame, rowsCol: String,
       maxTombstoneRatio: Double, maxIngests: Long)(
       compact: => Unit): Boolean = {
@@ -46,21 +46,21 @@ object StoreMaintenance {
 
   def maintainIvf(spark: SparkSession, dir: String,
       maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
-    decideAndRun(spark, IvfIndex.stats(spark, dir), "n_vectors",
+    decideAndRun(IvfIndex.stats(spark, dir), "n_vectors",
       maxTombstoneRatio, maxIngests)(IvfIndex.compact(spark, dir))
 
   def maintainPq(spark: SparkSession, dir: String,
       maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
-    decideAndRun(spark, PqStore.stats(spark, dir), "n_vectors",
+    decideAndRun(PqStore.stats(spark, dir), "n_vectors",
       maxTombstoneRatio, maxIngests)(PqStore.compact(spark, dir))
 
   def maintainIvfPq(spark: SparkSession, dir: String,
       maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
-    decideAndRun(spark, IvfPqStore.stats(spark, dir), "n_vectors",
+    decideAndRun(IvfPqStore.stats(spark, dir), "n_vectors",
       maxTombstoneRatio, maxIngests)(IvfPqStore.compact(spark, dir))
 
   def maintainDedup(spark: SparkSession, dir: String,
       maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
-    decideAndRun(spark, DedupStore.stats(spark, dir), "n_docs",
+    decideAndRun(DedupStore.stats(spark, dir), "n_docs",
       maxTombstoneRatio, maxIngests)(DedupStore.compact(spark, dir))
 }
