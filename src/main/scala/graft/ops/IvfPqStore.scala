@@ -204,6 +204,80 @@ object IvfPqStore {
       IvfIndex.MaxBroadcastProbeRows)
   }
 
+  /** Flag incoming embeddings whose cosine against ANY stored vector
+    * clears `minCosine` — incremental embedding dedup /
+    * decontamination of today's batch against the HISTORICAL corpus
+    * without re-reading it (the [[DedupStore.dedupAgainst]] lifecycle
+    * in embedding space, through the composed index): the probe join
+    * bounds which cells are read (dynamic partition pruning), the ADC
+    * margin prefilter bounds which pairs fetch full vectors (10-byte
+    * codes in the pair stream, the [[Pq.embeddingNearDupPq]] layout
+    * with the query side exact), and the exact verify restores full
+    * precision. Output (query_id, corpus_id, cosine), total-ordered,
+    * one row per qualifying pair.
+    *
+    * Exactness: at nProbe == nCells and a pass-all margin (≥ 1 +
+    * minCosine) every (incoming, stored) pair reaches the exact
+    * verify and the result provably equals the brute pair set — the
+    * gate configuration. At production settings margin is the recall
+    * knob exactly as in [[Pq.embeddingNearDupPq]]; ADC's one-sided
+    * error is strictly smaller than SDC's (one side is exact), so
+    * the measured SDC covering margins dominate here. The survivor
+    * fetch carries NO broadcast hint — a weak prune (this pass-all
+    * gate, an adversarial corpus) stays a partitioned join instead of
+    * OOMing the driver; AQE broadcasts when the prune is real.
+    */
+  def dedupAgainst(spark: SparkSession, dir: String, incoming: DataFrame,
+      minCosine: Double = 0.3, nProbe: Int = 4, margin: Double = 0.35,
+      maxBroadcastProbeRows: Long = IvfIndex.MaxBroadcastProbeRows)
+      : DataFrame = {
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val vectors = spark.read.parquet(vectorsPath(root))
+    val cents = spark.read.parquet(centroidsPath(root))
+    val b = PqStore.codebookOf(spark, root)
+    val q0 = incoming.select(col("query_id"), col("qv"))
+      .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
+    val probes = Similarity.nearestCellsFrom(
+        q0.select(col("query_id").as("vec_id"), col("qv").as("v")),
+        cents, nProbe)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val q = Pq.withQtab(q0, b)
+      .select(col("query_id"), col("qtab"), col("qn"))
+      .join(probes, "query_id")
+    val qHinted =
+      if (q0.count() * nProbe <= maxBroadcastProbeRows) broadcast(q) else q
+    val cand0 = vectors
+      .select(col("vec_id"), col("cell"), col("pcodes"), col("pq_norm"))
+      .join(qHinted, Seq("cell"))
+    val cand1 = deletesIfAny(spark, root).fold(cand0)(del =>
+      cand0.join(del, Seq("vec_id"), "left_anti"))
+    val adc = call_function("adc_dot_packed",
+      col("pcodes"), col("qtab"), lit(b.k))
+    // keep-on-degenerate, like the SDC filter: a zero-norm
+    // reconstruction has no prefilter signal — the exact verify
+    // decides (`when` so the division never evaluates on zero rows)
+    val pass = when(col("pq_norm") === 0.0d || col("qn") === 0.0d, lit(true))
+      .otherwise(adc / col("qn") / col("pq_norm") >= minCosine - margin)
+    // a stored vector lives in ONE cell and probe rows are unique per
+    // (query, cell), so (query_id, corpus_id) pairs are already
+    // distinct — no dedup shuffle needed
+    val survivors = cand1.filter(pass)
+      .select(col("query_id"), col("vec_id").as("corpus_id"), col("cell"))
+    val fetched = vectors
+      .select(col("vec_id").as("corpus_id"), col("cell"), col("v"),
+        col("norm"))
+      .join(survivors, Seq("cell", "corpus_id"))
+      .join(broadcast(q0.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+    fetched.select(col("query_id"), col("corpus_id"),
+        Similarity.cosineWithNorms(col("qv"), col("v"), col("qn"),
+          col("norm")).as("cos"))
+      .filter(col("cos") >= minCosine)
+      .select(col("query_id"), col("corpus_id"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("corpus_id"))
+  }
+
   /** Shared tail; the root is resolved ONCE per logical query so a
     * racing commit can never mix generations.
     */

@@ -346,6 +346,23 @@ object Extensions {
       IvfPqStore.querySelf(s, dir, nProbe = 16, candidates = e.count().toInt)
     }),
 
+    // incremental embedding dedup/decontamination THROUGH the
+    // persisted composition: today's batch (the first 5 vectors, an
+    // external id namespace) flags every stored vector whose cosine
+    // clears 0.3 — without re-reading the corpus. Gate runs at
+    // nProbe == nCells + a pass-all margin, so the pair set provably
+    // equals the exact brute pairs and carries a full oracle;
+    // production probes/margins are the recall knobs
+    "x_dedup_embedding_store" -> ((s, d) => {
+      val dir = storeDir(d, "ivfpq_full")
+      val e = t(s, d, "embeddings")
+      buildStoreOnce(dir)(IvfPqStore.save(e, dir, nCells = 16))
+      val incoming = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      IvfPqStore.dedupAgainst(s, dir, incoming,
+        minCosine = 0.3, nProbe = 16, margin = 2.0)
+    }),
+
     // external-namespace queries against the composition, exhaustive
     // settings: each relabeled query finds its stored twin at rank 1
     "x_knn_ivfpq_store_external_check" -> ((s, d) => {
@@ -2388,6 +2405,20 @@ object Extensions {
     "x_knn_ivfpq_store_external_check" ->
       knnOracleSql("q.vec_id - 100", "q.vec_id >= 100 AND q.vec_id < 105",
         excludeSelf = false),
+
+    // pass-all margin + all-cells probes => the exact pair set:
+    // replayed as a plain threshold join over the same parquet
+    "x_dedup_embedding_store" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+        |  FROM embeddings WHERE vec_id < 5),
+        |j AS (SELECT q.query_id, c.vec_id AS corpus_id,
+        |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) AS cos
+        |  FROM q JOIN embeddings c ON
+        |    list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+        |                           CAST(c.embedding AS DOUBLE[])) >= 0.3)
+        |SELECT query_id, corpus_id, ROUND(cos, 4) AS cosine
+        |FROM j ORDER BY query_id, corpus_id""".stripMargin,
     "x_knn_pq_store_external_check" ->
       knnOracleSql("q.vec_id - 100", "q.vec_id >= 100 AND q.vec_id < 105",
         excludeSelf = false),

@@ -97,6 +97,43 @@ class IvfPqStoreSpec extends AnyFunSuite {
     } finally Pq.clearCodebookCache()
   }
 
+  test("incremental dedup against the store equals the exact pair set") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("dedup")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      val incoming = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val got = IvfPqStore.dedupAgainst(spark, dir, incoming,
+        minCosine = 0.3, nProbe = 16, margin = 2.0).collect().toSeq
+      // exact baseline: plain threshold join, same rounding/order
+      val q = Similarity.withNorm(e.filter(col("vec_id") < 8))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qn"))
+      val c = Similarity.withNorm(e)
+        .select(col("vec_id").as("corpus_id"), col("v"), col("norm"))
+      val cosEx = Similarity.cosineWithNorms(col("qv"), col("v"),
+        col("qn"), col("norm"))
+      val want = c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("corpus_id"), cosEx.as("cos"))
+        .filter(col("cos") >= 0.3)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 4).as("cosine"))
+        .orderBy(col("query_id"), col("corpus_id")).collect().toSeq
+      assert(want.nonEmpty, "fixture must contain qualifying pairs")
+      assert(got == want,
+        s"store dedup must equal the exact pairs (got ${got.size}, " +
+          s"want ${want.size})")
+      // a retracted corpus vector stops matching immediately
+      val victim = got.map(_.getLong(1)).filter(_ >= 8).head
+      IvfPqStore.delete(Seq(victim).toDF("vec_id"), dir)
+      val after = IvfPqStore.dedupAgainst(spark, dir, incoming,
+        minCosine = 0.3, nProbe = 16, margin = 2.0).collect().toSeq
+      assert(after == want.filterNot(_.getLong(1) == victim))
+    } finally Pq.clearCodebookCache()
+  }
+
   test("tombstones retract immediately; compaction reclaims and answers identically") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("tomb")
