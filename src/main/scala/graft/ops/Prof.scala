@@ -369,6 +369,29 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("storededup")) {
+      // the persisted composed index in its PRODUCTION regime (the
+      // gate rows run exhaustive settings for oracle equality; this
+      // mode measures what a real caller pays): build once, then
+      // incremental embedding dedup of a 1%-of-corpus batch at
+      // production probes/margin vs the exhaustive configuration
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_prof_ivfpq").toString
+      val n = emb.count()
+      q("ivfpq_store_build") { IvfPqStore.save(emb, dir, nCells = 16); 0L }
+      val incoming = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      q("store_dedup_production")(IvfPqStore.dedupAgainst(
+        spark, dir, incoming, minCosine = 0.3, nProbe = 4).count())
+      q("store_dedup_production_warm")(IvfPqStore.dedupAgainst(
+        spark, dir, incoming, minCosine = 0.3, nProbe = 4).count())
+      q("store_dedup_exhaustive")(IvfPqStore.dedupAgainst(
+        spark, dir, incoming, minCosine = 0.3, nProbe = 16,
+        margin = 2.0).count())
+      println(s"PROF storededup n=$n batch=${n / 100}")
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("pqgap")) {
       // covering-margin re-validation after any codebook-changing
       // knob (trainMod default, maxIter cap): the default 0.35 margin
