@@ -38,6 +38,15 @@ object DedupStore {
   private def sizesPath(root: String) = s"$root/sizes"
   private def deletesPath(root: String) = s"$root/deletes"
 
+  /** Physical-layout version of the gram/size relations (v1:
+    * ingest-keyed since the store's introduction) — `_META` + layout
+    * gate, the [[IvfIndex]] convention.
+    */
+  private val Layout = 1L
+
+  private def requireLayout(spark: SparkSession, root: String): Unit =
+    StoreVersioning.requireLayout(spark, root, "DedupStore", "grams", Layout)
+
   /** Build the store at `dir`: one shingle pass over the kept corpus,
     * grams and sizes landed in a FRESH version root, committed by
     * marker creation. A crashed rebuild leaves the old version — data
@@ -51,6 +60,10 @@ object DedupStore {
     StoreVersioning.withMaintainerLock(spark, dir, "DedupStore.save") {
       val v = StoreVersioning.nextVersion(spark, dir)
       write(corpus, s"$dir/$v", "0", full = true)
+      StoreVersioning.writeMeta(spark, s"$dir/$v", Seq(
+        "store" -> "DedupStore",
+        "layout" -> Layout.toString,
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(corpus)))
       StoreVersioning.commit(spark, dir, v)
     }
   }
@@ -73,6 +86,7 @@ object DedupStore {
     StoreVersioning.withMaintainerLock(docs.sparkSession, dir,
         "DedupStore.append") {
       val root = StoreVersioning.requireRoot(docs.sparkSession, dir)
+      requireLayout(docs.sparkSession, root)
       write(docs, root, ingestId, full = false)
     }
   }
@@ -164,6 +178,7 @@ object DedupStore {
   def compact(spark: SparkSession, dir: String): Unit =
       StoreVersioning.withMaintainerLock(spark, dir, "DedupStore.compact") {
     val root = StoreVersioning.requireRoot(spark, dir)
+    requireLayout(spark, root)
     val v = StoreVersioning.nextVersion(spark, dir)
     val newRoot = s"$dir/$v"
     val del = deletesIfAny(spark, root)
@@ -178,6 +193,9 @@ object DedupStore {
     land(live(readRel(spark, sizesPath(root),
         "corpus_id BIGINT, nb INT, ingest STRING").drop("ingest")),
       sizesPath(newRoot))
+    // lineage carries over verbatim (the store is its own source)
+    StoreVersioning.writeMeta(spark, newRoot,
+      StoreVersioning.metaOf(spark, root).toSeq.sortBy(_._1))
     StoreVersioning.commit(spark, dir, v)
   }
 
@@ -193,6 +211,8 @@ object DedupStore {
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = StoreVersioning.requireRoot(spark, dir)
+    requireLayout(spark, root)
+    val meta = StoreVersioning.metaOf(spark, root)
     val grams = readRel(spark, gramsPath(root),
       "corpus_id BIGINT, shingle STRING, ingest STRING")
     val sizes = readRel(spark, sizesPath(root),
@@ -206,9 +226,12 @@ object DedupStore {
         // partition-value inference types an all-numeric ingest as int
         sizes.select(col("ingest").cast("string")).distinct().count(),
         StoreVersioning.dataFileCount(spark, gramsPath(root)),
-        grams.count(), nDocs, nTomb, nLive))
+        grams.count(), nDocs, nTomb, nLive,
+        meta.getOrElse("layout", "unknown"),
+        meta.getOrElse("train_fingerprint", "unknown")))
       .toDF("version", "n_ingests", "n_gram_files", "n_grams",
-        "n_docs", "n_tombstoned", "n_live_docs")
+        "n_docs", "n_tombstoned", "n_live_docs",
+        "layout", "train_fingerprint")
   }
 
   /** Flag incoming documents with a verified trigram-Jaccard

@@ -53,6 +53,17 @@ object IvfIndex {
   private def vectorsPath(root: String) = s"$root/vectors"
   private def deletesPath(root: String) = s"$root/deletes"
 
+  /** Physical-layout version of the vectors relation: v1 (round 13)
+    * partitioned by `cell` alone; v2 (round 14) by `(ingest, cell)`
+    * for idempotent appends. Recorded in each committed root's
+    * `_META` and enforced by [[StoreVersioning.requireLayout]] before
+    * any maintenance that assumes the layout.
+    */
+  private val Layout = 2L
+
+  private def requireLayout(spark: SparkSession, root: String): Unit =
+    StoreVersioning.requireLayout(spark, root, "IvfIndex", "vectors", Layout)
+
   /** Build the index at `dir`: fits (or reuses — the quantizer memo
     * is keyed on the training lineage, not the caller) the coarse
     * quantizer, assigns every vector, writes centroids and the
@@ -85,6 +96,11 @@ object IvfIndex {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("ingest", "cell")
         .parquet(vectorsPath(root))
+      StoreVersioning.writeMeta(spark, root, Seq(
+        "store" -> "IvfIndex",
+        "layout" -> Layout.toString,
+        "n_cells" -> nCells.toString,
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings)))
       StoreVersioning.commit(spark, dir, v)
     }
   }
@@ -94,16 +110,14 @@ object IvfIndex {
     * them to the committed vector relation. No refit, no touch of
     * existing partitions beyond the append.
     *
-    * CAVEAT (assignment-rule parity): [[save]] assigns via the fitted
-    * model's own transform (MLlib's ||a||²+||b||²−2a·b form), this
-    * path via the `dist2_d` fold — mathematically the same argmin,
-    * but on a vector nearly equidistant between two centroids the
-    * floating-point rounding can differ and flip the cell. That
-    * affects only PARTIAL-probe recall for that borderline vector
-    * (a probe may look in the other cell), never the scored values or
-    * the exhaustive-probe result — which is why the append gate and
-    * spec pin nProbe == nCells, where the equality with brute force
-    * is assignment-independent.
+    * Assignment-rule parity: [[save]] assigns via the codegen'd
+    * `pq_encode` argmin ([[Similarity.cellOf]]), this path via the
+    * `dist2_d` fold ranking — both accumulate (xᵢ−yᵢ)² in the same
+    * sequential order and break ties to the lower cell, so build and
+    * append place a vector identically (the round-15 quantizer rework
+    * closed the old MLlib-vs-fold rounding caveat). The append gate
+    * and spec still pin nProbe == nCells, where equality with brute
+    * force is assignment-independent by construction.
     *
     * `ingestId` names the batch (a date, a run id) and makes the
     * append IDEMPOTENT — the [[DedupStore.append]] contract: the
@@ -120,6 +134,7 @@ object IvfIndex {
     val spark = embeddings.sparkSession
     StoreVersioning.withMaintainerLock(spark, dir, "IvfIndex.append") {
       val root = StoreVersioning.requireRoot(spark, dir)
+      requireLayout(spark, root)
       val cents = spark.read.parquet(centroidsPath(root))
       val e = Similarity.withNorm(embeddings)
       val asg = Similarity.nearestCellsFrom(e, cents, nProbe = 1)
@@ -169,6 +184,7 @@ object IvfIndex {
   def compact(spark: SparkSession, dir: String): Unit =
     StoreVersioning.withMaintainerLock(spark, dir, "IvfIndex.compact") {
       val root = StoreVersioning.requireRoot(spark, dir)
+      requireLayout(spark, root)
       val v = StoreVersioning.nextVersion(spark, dir)
       val newRoot = s"$dir/$v"
       val live = deletesIfAny(spark, root)
@@ -183,6 +199,9 @@ object IvfIndex {
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("ingest", "cell")
         .parquet(vectorsPath(newRoot))
+      // geometry is frozen at build: lineage carries over verbatim
+      StoreVersioning.writeMeta(spark, newRoot,
+        StoreVersioning.metaOf(spark, root).toSeq.sortBy(_._1))
       StoreVersioning.commit(spark, dir, v)
     }
 
@@ -197,8 +216,10 @@ object IvfIndex {
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = StoreVersioning.requireRoot(spark, dir)
+    requireLayout(spark, root)
     val vectors = spark.read.parquet(vectorsPath(root))
     val del = deletesIfAny(spark, root)
+    val meta = StoreVersioning.metaOf(spark, root)
     val nVec = vectors.count()
     val nTomb = del.fold(0L)(_.select(col("vec_id")).distinct().count())
     val nLive = del.fold(nVec)(d =>
@@ -208,9 +229,12 @@ object IvfIndex {
         StoreVersioning.dataFileCount(spark, vectorsPath(root)),
         nVec,
         spark.read.parquet(centroidsPath(root)).count(),
-        nTomb, nLive))
+        nTomb, nLive,
+        meta.getOrElse("layout", "unknown"),
+        meta.getOrElse("train_fingerprint", "unknown")))
       .toDF("version", "n_ingests", "n_vector_files", "n_vectors",
-        "n_cells", "n_tombstoned", "n_live_vectors")
+        "n_cells", "n_tombstoned", "n_live_vectors",
+        "layout", "train_fingerprint")
   }
 
   /** Top-k cosine neighbors from the persisted index for an explicit

@@ -50,6 +50,16 @@ object IvfPqStore {
   private def vectorsPath(root: String) = s"$root/vectors"
   private def deletesPath(root: String) = s"$root/deletes"
 
+  /** Physical-layout version of the vectors relation (v1:
+    * (ingest, cell)-partitioned since the store's introduction) —
+    * `_META` + layout gate, the [[IvfIndex]] convention.
+    */
+  private val Layout = 1L
+
+  private def requireLayout(spark: SparkSession, root: String): Unit =
+    StoreVersioning.requireLayout(spark, root, "IvfPqStore", "vectors",
+      Layout)
+
   /** Build the index at `dir`: coarse-assign every vector (memoized
     * quantizer — the lineage every IVF family shares), PQ-encode it
     * (memoized codebook), land both model relations plus the
@@ -73,6 +83,14 @@ object IvfPqStore {
         Pq.encoded(embeddings, b)
           .join(assigned.select(col("vec_id"), col("cell")), "vec_id"),
         root, "0", full = true)
+      StoreVersioning.writeMeta(spark, root, Seq(
+        "store" -> "IvfPqStore",
+        "layout" -> Layout.toString,
+        "n_cells" -> nCells.toString,
+        "m" -> b.m.toString,
+        "k_codes" -> b.k.toString,
+        "sub_dim" -> b.subDim.toString,
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings)))
       StoreVersioning.commit(spark, dir, v)
     }
   }
@@ -102,6 +120,7 @@ object IvfPqStore {
     val spark = embeddings.sparkSession
     StoreVersioning.withMaintainerLock(spark, dir, "IvfPqStore.append") {
       val root = StoreVersioning.requireRoot(spark, dir)
+      requireLayout(spark, root)
       val cents = spark.read.parquet(centroidsPath(root))
       val b = PqStore.codebookOf(spark, root)
       val enc = Pq.encoded(embeddings, b)
@@ -138,6 +157,7 @@ object IvfPqStore {
   def compact(spark: SparkSession, dir: String): Unit =
     StoreVersioning.withMaintainerLock(spark, dir, "IvfPqStore.compact") {
       val root = StoreVersioning.requireRoot(spark, dir)
+      requireLayout(spark, root)
       val v = StoreVersioning.nextVersion(spark, dir)
       val newRoot = s"$dir/$v"
       spark.read.parquet(centroidsPath(root))
@@ -151,15 +171,27 @@ object IvfPqStore {
           spark.read.parquet(vectorsPath(root))
             .join(d, Seq("vec_id"), "left_anti"))
       writeVectors(live.drop("ingest"), newRoot, "0", full = true)
+      // geometry is frozen at build: lineage carries over verbatim
+      StoreVersioning.writeMeta(spark, newRoot,
+        StoreVersioning.metaOf(spark, root).toSeq.sortBy(_._1))
       StoreVersioning.commit(spark, dir, v)
     }
 
-  /** Maintenance introspection — the store-family stats contract. */
+  /** Maintenance introspection — the store-family stats contract,
+    * plus the frozen model lineage from the root's `_META` (layout,
+    * both quantizers' geometry, the training corpus fingerprint): a
+    * maintenance job that sees today's corpus fingerprint diverge
+    * from `train_fingerprint` knows the geometry is stale and should
+    * recommend REBUILD (re-fit) where fragmentation alone would only
+    * warrant a compact.
+    */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = StoreVersioning.requireRoot(spark, dir)
+    requireLayout(spark, root)
     val vectors = spark.read.parquet(vectorsPath(root))
     val del = deletesIfAny(spark, root)
+    val meta = StoreVersioning.metaOf(spark, root)
     val nVec = vectors.count()
     val nTomb = del.fold(0L)(_.select(col("vec_id")).distinct().count())
     val nLive = del.fold(nVec)(d =>
@@ -169,19 +201,27 @@ object IvfPqStore {
         StoreVersioning.dataFileCount(spark, vectorsPath(root)),
         nVec,
         spark.read.parquet(centroidsPath(root)).count(),
-        nTomb, nLive))
+        nTomb, nLive,
+        meta.getOrElse("layout", "unknown"),
+        meta.getOrElse("m", "unknown"),
+        meta.getOrElse("k_codes", "unknown"),
+        meta.getOrElse("train_fingerprint", "unknown")))
       .toDF("version", "n_ingests", "n_vector_files", "n_vectors",
-        "n_cells", "n_tombstoned", "n_live_vectors")
+        "n_cells", "n_tombstoned", "n_live_vectors",
+        "layout", "m", "k_codes", "train_fingerprint")
   }
 
   /** Top-k cosine neighbors for an explicit (query_id, qv) relation.
     * External ids are their own namespace (no self-exclusion). The
     * query×probe relation's broadcast is size-gated exactly like
-    * [[IvfIndex.query]] ([[IvfIndex.MaxBroadcastProbeRows]]).
+    * [[IvfIndex.query]], but at the QTAB ceiling
+    * ([[Pq.MaxBroadcastQtabRows]]): these probe rows each carry the
+    * m·k ADC table, ~10× the bare-vector row the IVF constant was
+    * sized for.
     */
   def query(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int = 5, nProbe: Int = 4, candidates: Int = 0,
-      maxBroadcastProbeRows: Long = IvfIndex.MaxBroadcastProbeRows): DataFrame =
+      maxBroadcastProbeRows: Long = Pq.MaxBroadcastQtabRows): DataFrame =
     queryFrom(spark, StoreVersioning.requireRoot(spark, dir),
       queries.select(col("query_id"), col("qv"))
         .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv")))),
@@ -201,7 +241,7 @@ object IvfPqStore {
       live.select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn")),
       k, nProbe, candidates, excludeSelf = true,
-      IvfIndex.MaxBroadcastProbeRows)
+      Pq.MaxBroadcastQtabRows)
   }
 
   /** Flag incoming embeddings whose cosine against ANY stored vector
@@ -222,14 +262,22 @@ object IvfPqStore {
     * gate configuration. At production settings margin is the recall
     * knob exactly as in [[Pq.embeddingNearDupPq]]; ADC's one-sided
     * error is strictly smaller than SDC's (one side is exact), so
-    * the measured SDC covering margins dominate here. The survivor
-    * fetch carries NO broadcast hint — a weak prune (this pass-all
-    * gate, an adversarial corpus) stays a partitioned join instead of
-    * OOMing the driver; AQE broadcasts when the prune is real.
+    * the measured SDC covering margins dominate here. Every broadcast
+    * on this path is size-gated on ONE count of the incoming batch —
+    * the probe join at the QTAB ceiling ([[Pq.MaxBroadcastQtabRows]],
+    * these rows carry the m·k ADC table), the exact-verify query fetch
+    * at the bare-vector ceiling ([[IvfIndex.MaxBroadcastProbeRows]]) —
+    * and the survivor fetch carries NO hint at all: a weak prune (this
+    * pass-all gate, an adversarial corpus) stays a partitioned join
+    * instead of OOMing the driver; AQE broadcasts when the prune is
+    * real. A corpus-sized incoming batch therefore never forces a
+    * driver-sized broadcast anywhere — it degrades to partitioned
+    * shuffles, same rows (the gate spec pins both regimes equal).
     */
   def dedupAgainst(spark: SparkSession, dir: String, incoming: DataFrame,
       minCosine: Double = 0.3, nProbe: Int = 4, margin: Double = 0.35,
-      maxBroadcastProbeRows: Long = IvfIndex.MaxBroadcastProbeRows)
+      maxBroadcastProbeRows: Long = Pq.MaxBroadcastQtabRows,
+      maxBroadcastQueryRows: Long = IvfIndex.MaxBroadcastProbeRows)
       : DataFrame = {
     val root = StoreVersioning.requireRoot(spark, dir)
     val vectors = spark.read.parquet(vectorsPath(root))
@@ -237,6 +285,8 @@ object IvfPqStore {
     val b = PqStore.codebookOf(spark, root)
     val q0 = incoming.select(col("query_id"), col("qv"))
       .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
+    // one count job serves BOTH broadcast gates on this path
+    val nQ = q0.count()
     val probes = Similarity.nearestCellsFrom(
         q0.select(col("query_id").as("vec_id"), col("qv").as("v")),
         cents, nProbe)
@@ -245,7 +295,7 @@ object IvfPqStore {
       .select(col("query_id"), col("qtab"), col("qn"))
       .join(probes, "query_id")
     val qHinted =
-      if (q0.count() * nProbe <= maxBroadcastProbeRows) broadcast(q) else q
+      if (nQ * nProbe <= maxBroadcastProbeRows) broadcast(q) else q
     val cand0 = vectors
       .select(col("vec_id"), col("cell"), col("pcodes"), col("pq_norm"))
       .join(qHinted, Seq("cell"))
@@ -263,12 +313,18 @@ object IvfPqStore {
     // distinct — no dedup shuffle needed
     val survivors = cand1.filter(pass)
       .select(col("query_id"), col("vec_id").as("corpus_id"), col("cell"))
+    // exact-verify fetch: the query side is the full incoming relation
+    // (bare vectors, no qtab), so its hint rides the bare-vector
+    // ceiling — gated on the SAME count as the probe join above; an
+    // incoming batch big enough to trip the gate partitions instead
+    val qFetch = q0.select(col("query_id"), col("qv"), col("qn"))
+    val qFetchHinted =
+      if (nQ <= maxBroadcastQueryRows) broadcast(qFetch) else qFetch
     val fetched = vectors
       .select(col("vec_id").as("corpus_id"), col("cell"), col("v"),
         col("norm"))
       .join(survivors, Seq("cell", "corpus_id"))
-      .join(broadcast(q0.select(col("query_id"), col("qv"), col("qn"))),
-        Seq("query_id"))
+      .join(qFetchHinted, Seq("query_id"))
     fetched.select(col("query_id"), col("corpus_id"),
         Similarity.cosineWithNorms(col("qv"), col("v"), col("qn"),
           col("norm")).as("cos"))
@@ -318,27 +374,24 @@ object IvfPqStore {
     val ranked2 =
       if (excludeSelf) ranked1.filter(col("query_id") =!= col("vec_id"))
       else ranked1
-    val adc = call_function("adc_dot_packed",
-      col("pcodes"), col("qtab"), lit(b.k))
-    val scored = ranked2.select(col("query_id"), col("cell"),
-      col("vec_id").as("neighbor_id"),
-      Pq.approxCos(adc, col("qn"), col("pq_norm")).as("pq_cos"))
-    val byPq = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("pq_cos").desc, col("neighbor_id"))
-    val cand = scored.withColumn("crk", row_number().over(byPq))
-      .filter(col("crk") <= depth)
-      .select(col("query_id"), col("neighbor_id"), col("cell"))
+    // the ONE shared ADC-score → rank → depth-cut stage body
+    // (Pq.adcCandidates — also Pq.pqRank's tail, PqStore's stage 1),
+    // carrying `cell` so the rerank fetch below stays partition-pruned
+    val cand = Pq.adcCandidates(ranked2, b, depth, carry = Seq("cell"))
     // stage 2: exact rerank — the survivor fetch joins on
     // (cell, vec_id), so dynamic pruning bounds THIS scan to the
     // probed partitions too (a bare id join would read every cell's
-    // full vectors back)
+    // full vectors back). cand is ≤ nQ·depth rows by construction
+    // (requireRerankBound's 4M cap), so its hint is bounded by
+    // contract; the query fetch is gated on nQ like dedupAgainst's.
+    val qFetch = q0.select(col("query_id"), col("qv"), col("qn"))
+    val qFetchHinted =
+      if (nQ <= IvfIndex.MaxBroadcastProbeRows) broadcast(qFetch) else qFetch
     val fetched = vectors
       .select(col("vec_id").as("neighbor_id"), col("cell"), col("v"),
         col("norm"))
       .join(broadcast(cand), Seq("cell", "neighbor_id"))
-      .join(broadcast(q0.select(col("query_id"), col("qv"), col("qn"))),
-        Seq("query_id"))
+      .join(qFetchHinted, Seq("query_id"))
     Similarity.topKByCosine(
       fetched.select(col("query_id"), col("neighbor_id"),
         Similarity.cosineWithNorms(col("qv"), col("v"), col("qn"),

@@ -71,6 +71,13 @@ object Pq {
     */
   private[ops] val FitIters = 10
 
+  /** Fixed-point scale of the Lloyd update's exact mean (2³⁰): big
+    * enough that the quantization error (≤ 2⁻³¹ per term) vanishes
+    * against centroid geometry, small enough that a decimal(38,0)
+    * sum can never overflow on any corpus that fits on storage.
+    */
+  private val FitScale = 1L << 30
+
   /** Train (or reuse) the m per-subspace codebooks on the
     * deterministic hash-mod sample — a DETERMINISTIC,
     * PARTITION-INDEPENDENT Lloyd loop over ALL m subspaces at once:
@@ -83,6 +90,15 @@ object Pq {
     *    vector in one expression.
     *  - Update: per-(subspace, code, dim) mean via ONE groupBy —
     *    empty codes keep their centroid. [[FitIters]] iterations.
+    *    The mean is EXACTLY layout-independent: each component is
+    *    fixed-point-quantized (×2³⁰, one deterministic per-value
+    *    rounding) and summed as decimal(38,0) — an exact, commutative
+    *    integer sum that no partition re-layout can move by an ulp —
+    *    then divided once on the way out. A plain double avg() sums
+    *    in partition order, and an ulp drift there can flip an argmin
+    *    tie downstream: the same (much smaller) failure class the
+    *    kmeans|| replacement was motivated by. Cost: ~1e-9 per-mean
+    *    quantization error, irrelevant at centroid scale.
     *
     * This replaced m=16 concurrent MLlib KMeans fits in round 14 for
     * two measured reasons. COST: the MLlib path was ~430 whole Spark
@@ -148,22 +164,47 @@ object Pq {
       .select(col("vec_id"), col("embedding").as("v")), m, kCodes, trainMod)
 
   /** The deterministic Lloyd loop of [[codebookFor]] over a persisted
-    * (vec_id, v) sample.
+    * (vec_id, v) sample. Shared with [[Similarity.quantizerFor]]: the
+    * float IVF coarse quantizer is exactly this fit at m = 1,
+    * k = nCells, subDim = dim — one Lloyd implementation for both
+    * quantizers, so the cost/stability properties measured here
+    * (data-keyed seeds, O(10–25) scheduler jobs) hold for the whole
+    * family.
+    *
+    * Seeding is Forgy on the k lowest-vec_id sample vectors — one
+    * job, and with m subspaces per vector the k seeds are effectively
+    * m·k independent draws, so the measured SDC covering margins hold
+    * (`Prof pqgap`). (The m = 1 coarse quantizer is MORE
+    * init-sensitive — its whole geometry rides one k-centroid
+    * solution — so [[Similarity.quantizerFor]] seeds [[lloydIters]]
+    * with a driver-side multi-restart kmeans++ instead.)
     */
-  private def codebookFit(sample: DataFrame, m: Int, k: Int,
+  private[ops] def codebookFit(sample: DataFrame, m: Int, k: Int,
       subDim: Int): Array[Array[Array[Double]]] = {
-    val seeds = sample
-      .select(col("vec_id"),
-        transform(col("v"), x => x.cast("double")).as("vd"))
-      .orderBy(col("vec_id")).limit(k)
-      .collect()
-    require(seeds.length >= k,
+    val vd = transform(col("v"), x => x.cast("double"))
+    val seedRows = sample.select(col("vec_id"), vd.as("vd"))
+      .orderBy(col("vec_id")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(seedRows.length >= k,
       s"pq: need at least k=$k vectors to train a codebook, " +
-        s"got ${seeds.length}")
-    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, c) =>
-      seeds(c).getSeq[Double](1).slice(s * subDim, (s + 1) * subDim).toArray
+        s"got ${seedRows.length}")
+    val cb0: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (s, c) =>
+      seedRows(c).slice(s * subDim, (s + 1) * subDim)
     }
-    for (_ <- 1 to FitIters) {
+    lloydIters(sample, m, k, subDim, cb0, FitIters)
+  }
+
+  /** The distributed fixed-point Lloyd loop of [[codebookFit]] from an
+    * explicit initial codebook — shared with the coarse-quantizer fit
+    * ([[Similarity.quantizerFor]] at m = 1), which seeds it
+    * differently but polishes through this SAME body, so the
+    * layout-independence and job-count properties are measured once.
+    */
+  private[ops] def lloydIters(sample: DataFrame, m: Int, k: Int,
+      subDim: Int, cb0: Array[Array[Array[Double]]],
+      iters: Int): Array[Array[Array[Double]]] = {
+    var cb = cb0
+    for (_ <- 1 to iters) {
       val flat = typedLit(
         (for (s <- 0 until m; c <- 0 until k; j <- 0 until subDim)
           yield cb(s)(c)(j)).toIndexedSeq)
@@ -177,7 +218,11 @@ object Pq {
         .select(col("e.s").as("s"), col("e.code").as("code"),
           posexplode(col("e.sub")))
         .groupBy(col("s"), col("code"), col("pos"))
-        .agg(avg(col("col")).as("mu"))
+        // exact fixed-point mean (see the scaladoc): decimal(38,0)
+        // sums are order-independent; overflow would need n·|x| >
+        // ~1e29 — unreachable. ONE double rounding at the end.
+        .agg((sum((col("col") * FitScale).cast("decimal(38,0)"))
+          .cast("double") / count(lit(1)) / FitScale).as("mu"))
         .collect()
       val next = Array.tabulate(m, k, subDim)((s, c, j) => cb(s)(c)(j))
       means.foreach { r =>
@@ -356,10 +401,45 @@ object Pq {
   private[ops] def approxCos(dot: Column, na: Column, nb: Column): Column =
     when(na =!= 0.0d && nb =!= 0.0d, dot / na / nb)
 
+  /** The ONE ADC-score → per-query-rank stage body shared by every PQ
+    * retrieval path — in-session ([[knnPqRerank]]/[[knnPqIvf]] via
+    * [[pqRank]]) and persisted ([[PqStore]] via [[pqRank]],
+    * [[IvfPqStore]] via [[adcCandidates]]) — so the oracle contracts
+    * (ADC fold order, null-on-degenerate, the (pq_cos desc,
+    * neighbor_id) tie order) cannot drift copy by copy. Input: an
+    * already-joined (candidate × query) stream carrying (query_id,
+    * vec_id, pcodes, pq_norm, qtab, qn[, carry…]); output (query_id,
+    * neighbor_id, pq_cos, crk[, carry…]).
+    */
+  private[ops] def adcRank(joined: DataFrame, b: Codebook,
+      carry: Seq[String] = Seq.empty): DataFrame = {
+    val scored = joined.select(
+      col("query_id") +: col("vec_id").as("neighbor_id") +:
+        approxCos(adcOf(b), col("qn"), col("pq_norm")).as("pq_cos") +:
+        carry.map(col): _*)
+    val byPq = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_cos").desc, col("neighbor_id"))
+    scored.withColumn("crk", row_number().over(byPq))
+  }
+
+  /** [[adcRank]] cut at `depth` — the stage-1 candidate list
+    * (query_id, neighbor_id[, carry…]) every exact rerank fetches
+    * from. `carry` rides partition columns through ([[IvfPqStore]]
+    * carries `cell` so its rerank fetch stays partition-pruned).
+    */
+  private[ops] def adcCandidates(joined: DataFrame, b: Codebook,
+      depth: Int, carry: Seq[String] = Seq.empty): DataFrame =
+    adcRank(joined, b, carry)
+      .filter(col("crk") <= depth)
+      .select(col("query_id") +: col("neighbor_id") +: carry.map(col): _*)
+
   /** Rank a (vec_id, pcodes, pq_norm[, …]) candidate stream against the
-    * broadcast query tables by approximate PQ cosine — the shared
-    * stage-1 ranking window of both the full-scan and the
-    * cell-blocked path.
+    * broadcast query tables by approximate PQ cosine — the join
+    * prologue over [[adcRank]] for the paths whose query side is
+    * bounded by contract ([[requireRerankBound]]'s 4M cap bounds
+    * every caller), so the hint is safe here; a path whose query side
+    * can be corpus-sized gates its own hint and calls [[adcRank]]/
+    * [[adcCandidates]] directly ([[IvfPqStore.dedupAgainst]]).
     */
   private[ops] def pqRank(candidates: DataFrame, qSide: DataFrame,
       b: Codebook, joinCols: Seq[String],
@@ -376,12 +456,7 @@ object Pq {
       val j = candidates.join(broadcast(qSide), joinCols)
       if (excludeSelf) j.filter(col("query_id") =!= col("vec_id")) else j
     }
-    val scored = joined.select(col("query_id"),
-      col("vec_id").as("neighbor_id"),
-      approxCos(adcOf(b), col("qn"), col("pq_norm")).as("pq_cos"))
-    val byPq = Window.partitionBy(col("query_id"))
-      .orderBy(col("pq_cos").desc, col("neighbor_id"))
-    scored.withColumn("crk", row_number().over(byPq))
+    adcRank(joined, b)
   }
 
   /** Stage 2 — exact rerank: fetch full vectors for the Q·candidates
@@ -477,6 +552,18 @@ object Pq {
     */
   private[ops] val maxRerankCandidates = 4L * 1000 * 1000
 
+  /** Probe-row ceiling for broadcasting QTAB-carrying query relations
+    * ([[IvfPqStore]]'s probe joins): each row carries the m·k ADC
+    * table — 512 doubles ≈ 4 KB at the default 16×32 geometry — on
+    * top of the query vector, ~10× the bare-vector row
+    * [[IvfIndex.MaxBroadcastProbeRows]] (256k rows ≈ 100 MB at 64-dim
+    * float rows) was sized for; sharing that constant put the gate
+    * boundary near 1 GB of driver-assembled broadcast. 24k rows keeps
+    * the qtab-carrying relation inside the same ~100 MB comfort
+    * budget.
+    */
+  val MaxBroadcastQtabRows: Long = 24L * 1024
+
   private[ops] def requireRerankBound(nQueries: Long, depth: Int): Unit =
     require(nQueries * depth <= maxRerankCandidates,
       s"pq rerank would broadcast $nQueries queries x $depth candidates " +
@@ -544,11 +631,32 @@ object Pq {
   def embeddingNearDupPq(embeddings: DataFrame, minCosine: Double = 0.4,
       nCells: Int = 16, nProbe: Int = 16, m: Int = 16, kCodes: Int = 32,
       trainMod: Int = 1, cellTrainMod: Int = 4, margin: Double = 0.35,
-      boundA: Long = 500): DataFrame = {
+      boundA: Long = 500, certifyMargin: Boolean = true): DataFrame = {
     val base = Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
     val b = codebookFor(base, m, kCodes, trainMod)
     val enc = encoded(embeddings, b)
+    // Margin self-certification (the topTrigramsSketch convention —
+    // an approximate operator carries its own exactness evidence):
+    // the configured margin is a measured property of THIS corpus ×
+    // THIS codebook, and on a weak-structure corpus (PROF addendum:
+    // 0.392 observed vs the 0.35 default at ScaleGen 10×) a stale
+    // margin silently loses true pairs. One bounded sampled job
+    // estimates the worst exact−SDC gap on qualifying pairs; an
+    // observed exceedance is PROOF of violation (one-sided — the
+    // sample can only under-estimate), so raise loudly instead of
+    // under-recalling in silence. certifyMargin=false opts into the
+    // recall knob deliberately.
+    if (certifyMargin) {
+      val gap = sdcSampledGap(enc, b, nearMin = minCosine)
+      require(gap <= margin,
+        f"embeddingNearDupPq cannot certify the SDC covering margin: " +
+          f"sampled worst exact-SDC gap $gap%.3f exceeds margin " +
+          f"$margin%.3f on pairs at/above the $minCosine%.2f threshold " +
+          "- true near-duplicates WOULD be lost. Raise `margin`, use " +
+          "finer PQ geometry (m/kCodes), or pass certifyMargin=false " +
+          "to accept the measured recall loss deliberately")
+    }
     val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
     val codesRel = enc.select(col("vec_id"), col("pcodes"), col("pq_norm"))
     val probes = Similarity.probeSets(
@@ -638,6 +746,55 @@ object Pq {
     // no pair reaches nearMin → max over the empty set is SQL null:
     // no qualifying pair can be lost, so the covering margin needed
     // is 0 (a bare getDouble would NPE on exactly those corpora)
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
+  /** BOUNDED sampled estimate of [[sdcTruePairGap]] — the margin
+    * self-certification probe [[embeddingNearDupPq]] runs per call:
+    * the worst one-sided `exact − SDC` underestimate over the
+    * (aSample × bSample) pair grid of the two lowest-xxhash64 row
+    * samples (deterministic, layout-independent, ≤ ~1M scored pairs
+    * whatever the corpus size — never the O(boundA·n) full
+    * statistic). One-sided by construction: a sampled exceedance
+    * PROVES the configured margin loses true pairs; a pass is
+    * evidence, not proof (the full `Prof pqgap` sweep remains the
+    * measurement of record). Degenerate (zero-norm) reconstructions
+    * are excluded — the operator routes those pairs to the exact
+    * verify unconditionally, so no margin protects or loses them.
+    */
+  /** [[sdcSampledGap]] from a raw embeddings relation — the `Prof
+    * pqgap` hook, so the sweep records the sampled estimate next to
+    * the full statistic it bounds.
+    */
+  private[graft] def sdcSampledGapOf(embeddings: DataFrame,
+      m: Int = 16, kCodes: Int = 32, trainMod: Int = 1,
+      nearMin: Double = 0.35): Double = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val b = codebookFor(base, m, kCodes, trainMod)
+    sdcSampledGap(encoded(embeddings, b), b, nearMin)
+  }
+
+  private[graft] def sdcSampledGap(enc: DataFrame, b: Codebook,
+      nearMin: Double, aSample: Int = 256, bSample: Int = 4096): Double = {
+    def sampled(n: Int, pre: String) = enc
+      .select(col("vec_id").as(s"${pre}_id"), col("v").as(s"v$pre"),
+        col("norm").as(s"n$pre"), col("pcodes").as(s"p$pre"),
+        col("pq_norm").as(s"pq$pre"))
+      .orderBy(xxhash64(col(s"${pre}_id")), col(s"${pre}_id"))
+      .limit(n)
+    val a = sampled(aSample, "a")
+    val bb = sampled(bSample, "b")
+    val sdcCos = call_function("sdc_dot", col("pa"), col("pb"),
+      sdcTabCol(b), lit(b.k)) / col("pqa") / col("pqb")
+    val exact = Similarity.cosineWithNorms(col("va"), col("vb"),
+      col("na"), col("nb"))
+    val row = a.join(bb, col("a_id") < col("b_id"))
+      .filter(col("pqa") =!= 0.0d && col("pqb") =!= 0.0d)
+      .select(exact.as("cos"), (exact - sdcCos).as("gap"))
+      .filter(col("cos") >= nearMin)
+      .agg(max(col("gap")).as("worst"))
+      .head()
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
   }
 

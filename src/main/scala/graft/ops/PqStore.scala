@@ -53,6 +53,23 @@ object PqStore {
   private def vectorsPath(root: String) = s"$root/vectors"
   private def deletesPath(root: String) = s"$root/deletes"
 
+  /** Physical-layout version of the vectors relation (v1: ingest-keyed
+    * since the store's introduction) — `_META` + layout gate, the
+    * [[IvfIndex]] convention.
+    */
+  private val Layout = 1L
+
+  private def requireLayout(spark: SparkSession, root: String): Unit =
+    StoreVersioning.requireLayout(spark, root, "PqStore", "vectors", Layout)
+
+  private def metaOf(b: Pq.Codebook, embeddings: DataFrame) = Seq(
+    "store" -> "PqStore",
+    "layout" -> Layout.toString,
+    "m" -> b.m.toString,
+    "k_codes" -> b.k.toString,
+    "sub_dim" -> b.subDim.toString,
+    "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings))
+
   /** Build the store at `dir`: fit (or reuse — the codebook memo is
     * keyed on the training lineage) the m per-subspace codebooks,
     * encode every vector, land codebook + encoded relation in a fresh
@@ -67,6 +84,7 @@ object PqStore {
       val b = Pq.codebookForStore(embeddings, m, kCodes, trainMod)
       writeCodebook(spark, b, root)
       writeVectors(Pq.encoded(embeddings, b), root, "0", full = true)
+      StoreVersioning.writeMeta(spark, root, metaOf(b, embeddings))
       StoreVersioning.commit(spark, dir, v)
     }
   }
@@ -123,6 +141,7 @@ object PqStore {
     val spark = embeddings.sparkSession
     StoreVersioning.withMaintainerLock(spark, dir, "PqStore.append") {
       val root = StoreVersioning.requireRoot(spark, dir)
+      requireLayout(spark, root)
       val b = codebookOf(spark, root)
       writeVectors(Pq.encoded(embeddings, b), root, ingestId, full = false)
     }
@@ -158,6 +177,7 @@ object PqStore {
   def compact(spark: SparkSession, dir: String): Unit =
     StoreVersioning.withMaintainerLock(spark, dir, "PqStore.compact") {
       val root = StoreVersioning.requireRoot(spark, dir)
+      requireLayout(spark, root)
       val v = StoreVersioning.nextVersion(spark, dir)
       val newRoot = s"$dir/$v"
       spark.read.parquet(codebookPath(root))
@@ -170,6 +190,9 @@ object PqStore {
       live.drop("ingest").withColumn("ingest", lit("0"))
         .write.mode("overwrite").partitionBy("ingest")
         .parquet(vectorsPath(newRoot))
+      // geometry is frozen at build: lineage carries over verbatim
+      StoreVersioning.writeMeta(spark, newRoot,
+        StoreVersioning.metaOf(spark, root).toSeq.sortBy(_._1))
       StoreVersioning.commit(spark, dir, v)
     }
 
@@ -180,8 +203,10 @@ object PqStore {
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val root = StoreVersioning.requireRoot(spark, dir)
+    requireLayout(spark, root)
     val vectors = spark.read.parquet(vectorsPath(root))
     val del = deletesIfAny(spark, root)
+    val meta = StoreVersioning.metaOf(spark, root)
     val nVec = vectors.count()
     val nTomb = del.fold(0L)(_.select(col("vec_id")).distinct().count())
     val nLive = del.fold(nVec)(d =>
@@ -189,9 +214,14 @@ object PqStore {
     Seq((StoreVersioning.versionOf(root),
         vectors.select(col("ingest").cast("string")).distinct().count(),
         StoreVersioning.dataFileCount(spark, vectorsPath(root)),
-        nVec, nTomb, nLive))
+        nVec, nTomb, nLive,
+        meta.getOrElse("layout", "unknown"),
+        meta.getOrElse("m", "unknown"),
+        meta.getOrElse("k_codes", "unknown"),
+        meta.getOrElse("train_fingerprint", "unknown")))
       .toDF("version", "n_ingests", "n_vector_files", "n_vectors",
-        "n_tombstoned", "n_live_vectors")
+        "n_tombstoned", "n_live_vectors",
+        "layout", "m", "k_codes", "train_fingerprint")
   }
 
   /** The live encoded relation at `root`: tombstones anti-joined off

@@ -400,7 +400,9 @@ object Prof {
       for (tm <- Seq(1, 2, 4)) {
         Pq.clearCodebookCache()
         val gap = Pq.sdcTruePairGap(emb, trainMod = tm)
-        println(f"PROF pqgap trainMod=$tm worst_gap=$gap%.4f")
+        val sampled = Pq.sdcSampledGapOf(emb, trainMod = tm)
+        println(f"PROF pqgap trainMod=$tm worst_gap=$gap%.4f " +
+          f"sampled_gap=$sampled%.4f")
       }
       Pq.clearCodebookCache()
       spark.stop()

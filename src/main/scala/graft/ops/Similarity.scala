@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -78,12 +76,59 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The fitted coarse quantizer: the nCells × dim centroid table —
+    * the k·d driver-side model state every IVF family plans from
+    * (probe enumeration broadcasts it, cell assignment embeds it as a
+    * plan literal). Replaces the round-1..14 MLlib `KMeansModel` (see
+    * [[quantizerFor]] for why).
+    */
+  final case class Coarse(centroids: Array[Array[Double]]) {
+    private[ops] lazy val flat: IndexedSeq[Double] =
+      centroids.flatten.toIndexedSeq
+  }
+
+  /** The vector projected to the unit sphere — THE canonical
+    * expression every IVF-geometry site shares (quantizer training,
+    * corpus assignment, probe ranking), so the three see bit-identical
+    * doubles. SPHERICAL cells are the point: the retrieval metric of
+    * this whole family is cosine, and on unit vectors ‖û−ĉ‖² =
+    * 2−2·cos(u,c) — Euclidean-nearest cells ARE the cosine-nearest
+    * regions. Training/assigning on RAW vectors (rounds 1–14, via
+    * MLlib and its replacement alike) lets a vector's NORM pull it
+    * into a cell far from its cosine neighborhood — a no-op on the
+    * pre-normalized fixture corpora (RecallCheck measured identical
+    * covering either way), but real insurance for any production
+    * corpus whose embeddings are NOT unit-norm, where Euclidean cells
+    * over raw vectors cluster by magnitude and partial-probe recall
+    * for a cosine metric degrades arbitrarily. A zero vector stays
+    * raw (no cosine neighborhood to align with; assignment still
+    * total).
+    */
+  private[ops] def unitOf(v: Column): Column = {
+    val n = sqrt(dot(v, v))
+    when(n === 0.0d, transform(v, x => x.cast("double")))
+      .otherwise(transform(v, x => x.cast("double") / n))
+  }
+
+  /** Cell assignment as ONE codegen'd per-row argmin: `pq_encode` at
+    * m = 1 over the flat centroid literal — no shuffle, no window, no
+    * ml-vector conversion; input on the unit sphere ([[unitOf]]).
+    * Bit-compatible with the probe ranking ([[nearestCellsFrom]]'s
+    * `dist2_d` over the same [[unitOf]]): both accumulate (xᵢ−yᵢ)² in
+    * the same sequential order and break distance ties to the LOWER
+    * cell (strict `<` first-min ≡ the window's (d2, cell) order), so
+    * a vector's assigned cell is exactly its rk=1 probe cell.
+    */
+  private[ops] def cellOf(v: Column, q: Coarse): Column =
+    element_at(call_function("pq_encode",
+      unitOf(v), typedLit(q.flat), lit(1)), 1)
+
   /** Memoized coarse quantizers, keyed by the semantic hash of the
     * training plan + cell count: repeated queries over the same corpus
-    * (the bench loop, a notebook session) train KMeans once and reuse
-    * the centroids instead of refitting per call. Deterministic — the
-    * training sample and seed are fixed, so a cache hit returns the
-    * exact model a refit would.
+    * (the bench loop, a notebook session) fit once and reuse the
+    * centroids instead of refitting per call. Deterministic — the
+    * training sample and seeds are fixed functions of the data, so a
+    * cache hit returns the exact centroids a refit would.
     *
     * The key combines the PLAN's semantic hash with a fingerprint of
     * the scanned file listing, so re-pointing the same path at a new
@@ -95,7 +140,115 @@ object Similarity {
     * long sessions over many corpora can't grow it without bound.
     */
   private val quantizers =
-    new BoundedMemo[(Int, Int, Int), org.apache.spark.ml.clustering.KMeansModel](capacity = 32)
+    new BoundedMemo[(Int, Int, Int), Coarse](capacity = 32)
+
+  /** Distributed polish iterations of the coarse fit (the shared
+    * [[Pq.lloydIters]] body over the FULL hash-mod training sample,
+    * from the driver-side init below).
+    */
+  private val CoarsePolishIters = 10
+
+  /** Driver-side init sub-sample bound: the 4096 lowest-xxhash64
+    * sample vectors — deterministic (hash order, vec_id tiebreak),
+    * layout-independent, and bounded model-fit state (4096 × 64
+    * doubles ≈ 2 MB — the `clusterCenters` class of driver data, the
+    * same move MLlib's own kmeans|| makes for its final weighted
+    * init), never a corpus collect.
+    */
+  private val CoarseInitSample = 4096
+
+  private val CoarseInitRestarts = 8
+  private val CoarseInitLloydCap = 100
+
+  /** Deterministic multi-restart kmeans++ + full Lloyd on a
+    * driver-resident point set — the INIT of the coarse fit. Why
+    * driver-side: at m = 1 the whole quantizer geometry rides one
+    * k-centroid solution, and solution quality is what the
+    * partial-probe covering gates measure; a single distributed
+    * Forgy/maximin start converged to visibly worse optima
+    * (RecallCheck, round-15 PROF addendum: covering-curve misses at
+    * every probe depth roughly doubled vs best-of-8), while
+    * restarts-with-best-SSE lands a kmeans||-class optimum — and on a
+    * 4096-point sub-sample the whole search is milliseconds of driver
+    * CPU and ZERO extra Spark jobs. Fixed RNG seed + deterministic
+    * input order = one exact answer per corpus, whatever the layout.
+    */
+  private def kppBestOf(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val dim = pts.head.length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0d; var j = 0
+      while (j < dim) { val d = a(j) - b(j); acc += d * d; j += 1 }
+      acc
+    }
+    val rnd = new scala.util.Random(42)
+    var bestSse = Double.MaxValue
+    var best: Array[Array[Double]] = null
+    for (_ <- 1 to CoarseInitRestarts) {
+      // kmeans++ seeding: first uniform, then ∝ min-distance²
+      val cents = Array.ofDim[Array[Double]](k)
+      cents(0) = pts(rnd.nextInt(pts.length))
+      val minD = pts.map(p => d2(p, cents(0)))
+      var c = 1
+      while (c < k) {
+        var target = rnd.nextDouble() * minD.sum
+        var pick = 0
+        while (pick < pts.length - 1 && target > minD(pick)) {
+          target -= minD(pick); pick += 1
+        }
+        cents(c) = pts(pick)
+        var j = 0
+        while (j < pts.length) {
+          val d = d2(pts(j), cents(c)); if (d < minD(j)) minD(j) = d
+          j += 1
+        }
+        c += 1
+      }
+      // Lloyd to a fixed point (strict-< argmin, ties to lower cell —
+      // the pq_encode convention, so the polish continues seamlessly)
+      var cur: Array[Array[Double]] = cents.map(_.clone())
+      val assign = Array.ofDim[Int](pts.length)
+      var moved = true; var it = 0
+      while (moved && it < CoarseInitLloydCap) {
+        var i = 0
+        while (i < pts.length) {
+          var bc = 0; var bd = Double.MaxValue; var cc = 0
+          while (cc < k) {
+            val d = d2(pts(i), cur(cc)); if (d < bd) { bd = d; bc = cc }
+            cc += 1
+          }
+          assign(i) = bc; i += 1
+        }
+        val sums = Array.fill(k, dim)(0.0d)
+        val counts = Array.fill(k)(0L)
+        i = 0
+        while (i < pts.length) {
+          val a = assign(i); counts(a) += 1
+          var j = 0
+          while (j < dim) { sums(a)(j) += pts(i)(j); j += 1 }
+          i += 1
+        }
+        moved = false
+        var cc = 0
+        while (cc < k) {
+          if (counts(cc) > 0) {
+            var j = 0
+            while (j < dim) {
+              val mu = sums(cc)(j) / counts(cc)
+              if (mu != cur(cc)(j)) { cur(cc)(j) = mu; moved = true }
+              j += 1
+            }
+          }
+          cc += 1
+        }
+        it += 1
+      }
+      var sse = 0.0d
+      var i = 0
+      while (i < pts.length) { sse += d2(pts(i), cur(assign(i))); i += 1 }
+      if (sse < bestSse) { bestSse = sse; best = cur }
+    }
+    best
+  }
 
   /** Drop all memoized quantizers (e.g. after overwriting a corpus
     * path in the same JVM — see the staleness caveat above).
@@ -112,30 +265,77 @@ object Similarity {
     * budget. Cell assignment is one partitioned pass; only the tiny
     * centroid table and the Q query vectors move.
     */
-  /** Fit (or reuse) the coarse quantizer for a corpus: trains on the
-    * deterministic hash-mod sample, memoized per (corpus, nCells).
+  /** Fit (or reuse) the coarse quantizer for a corpus, fully
+    * DETERMINISTIC and layout-independent: driver-side multi-restart
+    * kmeans++ on the bounded hash-ordered sub-sample ([[kppBestOf]]),
+    * polished by the shared distributed fixed-point Lloyd
+    * ([[Pq.lloydIters]] at m = 1, assignment via the same codegen'd
+    * argmin the corpus encode uses, exact fixed-point means) over the
+    * full hash-mod SPHERICAL sample ([[unitOf]]), memoized per
+    * (corpus, nCells).
+    *
+    * This replaced the MLlib `KMeans` fit in round 15 for the same
+    * two measured reasons the PQ codebook dropped it in round 14
+    * (`Pq.codebookFit`'s scaladoc): COST — kmeans||'s init passes +
+    * per-fit Lloyd steps were ~dozens of scheduler jobs and the
+    * single largest cold event left in the driver bench (23–28 s
+    * pass-1 on the embedding-ANN legs, ~51 s of the artifact's
+    * cold-over-warm excess); this fit is 2 driver collects (dims
+    * probe + init sub-sample) + CoarsePolishIters aggregate jobs.
+    * STABILITY — kmeans|| samples its init PER PARTITION, so the
+    * centroids (and the covering measurement behind
+    * `x_knn_ivf_recall`) moved with the data layout; the hash-ordered
+    * sub-sample + fixed-seed restarts make them a function of the
+    * DATA alone. Covering re-measured by the `RecallCheck` sweep at
+    * all three fixture SFs and the gate probes re-pinned to the
+    * measurement (nProbe=14 — the covering count is a property of the
+    * fitted optimum, re-pinned whenever the fit changes); see
+    * PROF_SF1.md round-15 addendum.
+    *
+    * Canonicalize the training lineage to the two columns the fit
+    * reads BEFORE hashing: after optimizer pruning, the (vec_id, v)
+    * projection over a given corpus is the same plan whichever family
+    * asked — the classify path's `label`, the ANN path's `norm` prune
+    * away — so one corpus trains ONE quantizer per cell count instead
+    * of one per family.
     */
   private def quantizerFor(e: DataFrame, nCells: Int,
-      trainMod: Int): org.apache.spark.ml.clustering.KMeansModel = {
-    // Canonicalize the training lineage to the two columns KMeans
-    // reads BEFORE hashing: after optimizer pruning, the (vec_id, fv)
-    // projection over a given corpus is the same plan whichever
-    // family asked — the classify path's `label`, the ANN path's
-    // `norm` prune away — so one corpus trains ONE quantizer per cell
-    // count instead of one per family. The fit is the dominant cold
-    // constant of every IVF query (~2 s at sf0.1: knn_classify_ivf
-    // cold 3.15 s vs warm 1.14 s, `Prof classify`), and the model is
-    // unchanged: same sample rows, same partitioning and order, and
-    // KMeans reads only `fv`.
-    val trainSample = e.select(col("vec_id"), col("fv"))
+      trainMod: Int): Coarse = {
+    val trainSample = e.select(col("vec_id"), col("v"))
       .filter(pmod(xxhash64(col("vec_id")), lit(trainMod)) === 0)
     val key = (trainSample.queryExecution.optimizedPlan.semanticHash(),
       java.util.Arrays.hashCode(e.inputFiles.asInstanceOf[Array[AnyRef]]),
       nCells)
-    quantizers.getOrElseUpdate(key)(
-      new KMeans().setK(nCells).setSeed(42)
-        .setFeaturesCol("fv").setPredictionCol("cell")
-        .fit(trainSample))
+    quantizers.getOrElseUpdate(key) {
+      // spherical training: the quantizer lives in the SAME unit-
+      // sphere geometry assignment and probing use (see unitOf)
+      val persisted = trainSample
+        .select(col("vec_id"), unitOf(col("v")).as("v")).persist()
+      try {
+        // loud geometry check, the codebookFor convention: an empty or
+        // mixed-dimension corpus fails HERE with a real error instead
+        // of pq_encode nulling every cell assignment downstream
+        val dims = persisted.agg(min(size(col("v"))).as("lo"),
+          max(size(col("v"))).as("hi")).head()
+        require(!dims.isNullAt(0),
+          "ivf: cannot train a coarse quantizer on an empty embeddings sample")
+        val (dimLo, dim) = (dims.getInt(0), dims.getInt(1))
+        require(dimLo == dim,
+          s"ivf: corpus has mixed embedding dimensions ($dimLo..$dim)")
+        // init: driver-side multi-restart kmeans++ on the bounded
+        // hash-ordered sub-sample (one collect job); polish: the
+        // shared distributed fixed-point Lloyd over the FULL sample
+        val sub = persisted
+          .select(transform(col("v"), x => x.cast("double")).as("vd"),
+            xxhash64(col("vec_id")).as("h"), col("vec_id"))
+          .orderBy(col("h"), col("vec_id")).limit(CoarseInitSample)
+          .collect()
+          .map(_.getSeq[Double](0).toArray)
+        val init = kppBestOf(sub, nCells)
+        Coarse(Pq.lloydIters(persisted, 1, nCells, dim,
+          Array(init), CoarsePolishIters)(0))
+      } finally { persisted.unpersist(); () }
+    }
   }
 
   /** Current quantizer-memo population — profiling/spec hook for the
@@ -150,11 +350,10 @@ object Similarity {
     * the memoized fit instead of training its own.
     */
   private[ops] def cellsFor(embeddings: DataFrame, nCells: Int,
-      trainMod: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    val e = withNorm(embeddings).withColumn("fv",
-      array_to_vector(transform(col("v"), x => x.cast("double"))))
+      trainMod: Int): (DataFrame, Coarse) = {
+    val e = withNorm(embeddings)
     val model = quantizerFor(e, nCells, trainMod)
-    (model.transform(e).select(col("vec_id"), col("cell")), model)
+    (e.select(col("vec_id"), cellOf(col("v"), model).as("cell")), model)
   }
 
   /** The full assigned corpus relation (vec_id, v, norm, cell) plus
@@ -164,19 +363,17 @@ object Similarity {
     * queries bit-identically to the in-session IVF path.
     */
   private[ops] def assignedWithModel(embeddings: DataFrame, nCells: Int,
-      trainMod: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
-    val e = withNorm(embeddings).withColumn("fv",
-      array_to_vector(transform(col("v"), x => x.cast("double"))))
+      trainMod: Int): (DataFrame, Coarse) = {
+    val e = withNorm(embeddings)
     val model = quantizerFor(e, nCells, trainMod)
-    (model.transform(e).select(col("vec_id"), col("v"), col("norm"), col("cell")),
-      model)
+    (e.select(col("vec_id"), col("v"), col("norm"),
+      cellOf(col("v"), model).as("cell")), model)
   }
 
   /** [[nearestCells]] for sibling operators: (vec_id, cell, rk) probe
     * rows for `vecs` = (vec_id, v).
     */
-  private[ops] def probeSets(vecs: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+  private[ops] def probeSets(vecs: DataFrame, model: Coarse,
       nProbe: Int): DataFrame = nearestCells(vecs, model, nProbe)
 
   /** The fitted quantizer's centroid table as a relation:
@@ -186,10 +383,10 @@ object Similarity {
     * re-derive probe sets WITHOUT the in-session model.
     */
   private[ops] def centroidsDf(spark: org.apache.spark.sql.SparkSession,
-      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+      model: Coarse): DataFrame = {
     import spark.implicits._
-    model.clusterCenters.toSeq.zipWithIndex
-      .map { case (c, ix) => (ix, c.toArray.toSeq) }
+    model.centroids.toSeq.zipWithIndex
+      .map { case (c, ix) => (ix, c.toSeq) }
       .toDF("cell", "cvec")
   }
 
@@ -206,7 +403,7 @@ object Similarity {
     // so centroid rankings (and the recall-oracle contracts built on
     // them) are unchanged while the per-(vector, centroid) inner loop
     // fuses into the surrounding codegen stage
-    val d2 = call_function("dist2_d", col("v"), col("cvec"))
+    val d2 = call_function("dist2_d", unitOf(col("v")), col("cvec"))
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cell"))
     vecs.select(col("vec_id"), col("v"))
@@ -217,18 +414,16 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("rk"))
   }
 
-  private def nearestCells(vecs: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+  private def nearestCells(vecs: DataFrame, model: Coarse,
       nProbe: Int): DataFrame =
     nearestCellsFrom(vecs, centroidsDf(vecs.sparkSession, model), nProbe)
 
   def knnIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
       nCells: Int = 16, nProbe: Int = 4, trainMod: Int = 4): DataFrame = {
-    val e = withNorm(embeddings).withColumn("fv",
-      array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val e = withNorm(embeddings)
     val model = quantizerFor(e, nCells, trainMod)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+    val assigned = e.select(col("vec_id"), col("v"), col("norm"),
+      cellOf(col("v"), model).as("cell"))
 
     // nProbe nearest centroids per query vector — the same distributed
     // broadcast-centroids + per-vector window as the full-corpus ANN
@@ -273,10 +468,9 @@ object Similarity {
   def knnQuantizedIvf(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
       nCells: Int = 16, nProbe: Int = 4, trainMod: Int = 4): DataFrame = {
     val e = Spread(embeddings).select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("fv",
-        array_to_vector(transform(col("v"), x => x.cast("double"))))
     val model = quantizerFor(e, nCells, trainMod)
-    val packed = model.transform(e)
+    val packed = e
+      .withColumn("cell", cellOf(col("v"), model))
       .withColumn("pack", Quantize.packedOf(col("v"), Quantize.scaleOf(col("v"))))
       .select(col("vec_id"), col("cell"), col("pack"))
       .withColumn("selfq", Quantize.i8dot(col("pack"), col("pack")))
@@ -343,8 +537,7 @@ object Similarity {
     * inputs. At high nProbe (the exhaustive recall setting) this cuts
     * the candidate join output by ~corpus/boundA.
     */
-  private[graft] def annCandidates(e: DataFrame,
-      model: org.apache.spark.ml.clustering.KMeansModel,
+  private[graft] def annCandidates(e: DataFrame, model: Coarse,
       nProbe: Int, boundA: Long): DataFrame = {
     val probes = nearestCells(e, model, nProbe)
     val primary = probes.filter(col("rk") === 1)
@@ -390,10 +583,9 @@ object Similarity {
     * metadata-only count); explicit values pin the oracle paths.
     */
   private def preparedForAnn(embeddings: DataFrame, nCells: Int,
-      trainMod: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+      trainMod: Int): (DataFrame, Coarse) = {
     val cells = if (nCells > 0) nCells else autoCells(embeddings.count())
-    val e = withNorm(embeddings).withColumn("fv",
-      array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val e = withNorm(embeddings)
     (e, quantizerFor(e, cells, trainMod))
   }
 
@@ -542,12 +734,12 @@ object Similarity {
   def knnClassifyIvf(embeddings: DataFrame, k: Int = 5,
       labeledMax: Long = 250, nCells: Int = 16, nProbe: Int = 4,
       trainMod: Int = 4): DataFrame = {
-    val e = labeledCorpus(embeddings).withColumn("fv",
-      array_to_vector(transform(col("v"), x => x.cast("double"))))
+    val e = labeledCorpus(embeddings)
     val model = quantizerFor(e, nCells, trainMod)
-    val labeled = model.transform(e.filter(col("vec_id") < labeledMax))
+    val labeled = e.filter(col("vec_id") < labeledMax)
       .select(col("vec_id").as("n_id"), col("v").as("nv"),
-        col("norm").as("nn"), col("label"), col("cell"))
+        col("norm").as("nn"), col("label"),
+        cellOf(col("v"), model).as("cell"))
     val unlabeled = e.filter(col("vec_id") >= labeledMax)
       .select(col("vec_id"), col("v"), col("norm"))
     val probed = unlabeled

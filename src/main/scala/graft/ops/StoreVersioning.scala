@@ -46,6 +46,7 @@ private[ops] object StoreVersioning {
 
   private val Marker = "_COMMITTED"
   private val Lock = "_MAINTAINER_LOCK"
+  private val MetaFile = "_META"
 
   /** Lease horizon: a lock file OLDER than this is treated as the
     * debris of a crashed maintainer and stolen (one retry). A LIVE
@@ -72,17 +73,45 @@ private[ops] object StoreVersioning {
     val base = new Path(dir)
     if (!fs.exists(base)) fs.mkdirs(base)
     val lock = new Path(base, Lock)
+    // Acquisition must be ONE atomic create-if-absent. On HDFS-like
+    // filesystems FileSystem.createNewFile IS that (create with
+    // overwrite=false is atomic at the namenode); on the LOCAL
+    // filesystem it is exists-then-create — two racers can both pass
+    // the exists check (measured: the concurrent-stealers spec put 3
+    // maintainers inside the critical section) — so file:// dispatches
+    // to java.io.File#createNewFile, which is POSIX O_CREAT|O_EXCL.
     def acquire(): Boolean =
-      try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
+      try {
+        if (fs.getScheme == "file")
+          new java.io.File(lock.toUri.getPath).createNewFile()
+        else fs.createNewFile(lock)
+      } catch { case _: java.io.IOException => false }
     val got = acquire() || {
       val stale = try {
         System.currentTimeMillis() -
           fs.getFileStatus(lock).getModificationTime > LeaseMs
       } catch { case _: java.io.FileNotFoundException => true }
-      // steal only an expired lease, and only via one fresh attempt —
-      // two stealers still serialize on the createNewFile below
-      stale && { fs.delete(lock, false); acquire() }
+      // Steal only an expired lease, and ONLY through an atomic rename
+      // of the stale lock to a unique grave name: the rename succeeds
+      // for at most one racer (the source is gone for the rest), so
+      // concurrent stealers can never each "clear the debris" — the
+      // old delete-then-create steal had exactly that hole (stealer B
+      // unconditionally deletes the lock stealer A just re-created,
+      // and both proceed). Whatever the rename outcome, acquisition
+      // itself stays the ONE atomic createNewFile: a loser whose
+      // rename failed because the holder released (or a rival stole)
+      // in the meantime may still acquire a now-free lock; one whose
+      // rename failed because the stale lock is somehow still present
+      // fails createNewFile and errors loudly below.
+      stale && {
+        val grave = new Path(base,
+          s".$Lock.stolen.${java.util.UUID.randomUUID().toString}")
+        val renamed =
+          try fs.rename(lock, grave)
+          catch { case _: java.io.IOException => false }
+        if (renamed) { fs.delete(grave, false); () }
+        acquire()
+      }
     }
     if (!got) sys.error(
       s"$op: another maintainer holds $lock (single-maintainer " +
@@ -110,6 +139,88 @@ private[ops] object StoreVersioning {
 
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Write the version root's `_META` sidecar — the store's layout
+    * version plus its frozen model lineage (quantizer/codebook
+    * geometry and the training corpus fingerprint), one `k=v` per
+    * line. Written by save() BEFORE the commit marker and carried
+    * verbatim by compact() (geometry is frozen at build), so every
+    * committed root self-describes: [[requireLayout]] turns a
+    * partition-layout change into a loud "rebuild required" instead
+    * of a partition-discovery error or a silently mixed layout, and
+    * [[metaOf]] lets a maintenance job compare the store's training
+    * lineage against today's corpus and recommend rebuild vs compact
+    * (a store whose geometry was trained on last year's distribution
+    * compacts fine but retrieves worse — only lineage makes that
+    * visible).
+    */
+  def writeMeta(spark: SparkSession, root: String,
+      entries: Seq[(String, String)]): Unit = {
+    val fs = fsFor(spark, root)
+    val out = fs.create(new Path(s"$root/$MetaFile"), true)
+    try out.write(entries.map { case (k, v) => s"$k=$v" }
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The version root's `_META` map — empty for a legacy root
+    * committed before the sidecar existed.
+    */
+  def metaOf(spark: SparkSession, root: String): Map[String, String] = {
+    val p = new Path(s"$root/$MetaFile")
+    val fs = fsFor(spark, root)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .linesIterator.filter(_.contains("="))
+        .map { l =>
+          val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+        }.toMap
+    }
+  }
+
+  /** A compact fingerprint of a training corpus' scanned file listing
+    * — the same lineage signal the in-JVM model memos key on, persisted
+    * so a later maintenance job can detect that a store's frozen
+    * geometry no longer matches the corpus it serves.
+    */
+  def trainFingerprint(df: DataFrame): String =
+    f"${java.util.Arrays.hashCode(df.inputFiles.asInstanceOf[Array[AnyRef]])}%08x"
+
+  /** Enforce the store's physical layout contract on a committed
+    * root before any operation that ASSUMES it (append's dynamic
+    * partition overwrite, stats' ingest column, compact's rewrite):
+    * a mismatched layout version — or a legacy pre-`_META` root whose
+    * `dataDir` lacks the `ingest=` partition directories the current
+    * layout writes — fails with "rebuild required" instead of
+    * mixing two partition layouts under one parquet root (partition
+    * discovery errors at best, a silently corrupted store at worst;
+    * for an artifact whose whole point is persistence, the loud
+    * refusal IS the migration path).
+    */
+  def requireLayout(spark: SparkSession, root: String, store: String,
+      dataDir: String, expected: Long): Unit =
+    metaOf(spark, root).get("layout") match {
+      case Some(v) => require(v.toLong == expected,
+        s"$store at $root has physical layout v$v but this build " +
+          s"reads/writes layout v$expected — rebuild required: save() " +
+          "a fresh version (queries against the committed root remain " +
+          "valid; only maintenance is refused)")
+      case None =>
+        val fs = fsFor(spark, root)
+        val d = new Path(s"$root/$dataDir")
+        val hasIngest = fs.exists(d) &&
+          fs.listStatus(d).exists(_.getPath.getName.startsWith("ingest="))
+        require(hasIngest,
+          s"$store at $root was committed by an older build without " +
+            "the ingest-keyed partition layout — rebuild required: " +
+            "save() a fresh version (append/stats/compact against the " +
+            "mixed layout would corrupt the store or fail partition " +
+            "discovery)")
+    }
 
   /** Data-file count under `path` (recursive) — the fragmentation
     * signal a compaction decision reads: each append lands fresh

@@ -630,25 +630,28 @@ object Extensions {
     "x_knn_ivf" -> ((s, d) => // approximate at production probes: rows-only
       Similarity.knnIvf(t(s, d, "embeddings"))),
 
-    // recall gate for the IVF path: at nProbe=12/16 the probed cells
-    // provably cover every true neighbor on these corpora (verified at
-    // sf0.001/0.01/0.1 by graft.ops.RecallCheck), so the output equals
-    // brute top-k EXACTLY and hash-matches the brute oracle — any
+    // recall gate for the IVF path: at nProbe=14 the probed cells
+    // provably cover every true neighbor on the sf0.01/0.1 corpora
+    // (re-measured by graft.ops.RecallCheck for the round-15
+    // deterministic kmeans++/Lloyd quantizer — the covering probe
+    // count is a property of the fitted optimum and is re-pinned
+    // whenever the fit changes), so the output equals brute top-k
+    // EXACTLY and hash-matches the brute oracle — any
     // quantizer/recall drift turns this red instead of passing silently
     "x_knn_ivf_recall" -> ((s, d) =>
-      Similarity.knnIvf(t(s, d, "embeddings"), nProbe = 12)),
+      Similarity.knnIvf(t(s, d, "embeddings"), nProbe = 14)),
 
     // persisted IVF index, build-once-query-many: the index lands in
     // the JVM temp dir (runtime scratch, like shuffle spill; the
     // write is overwrite-idempotent per call), vectors PARTITIONED BY
     // cell so the probe join prunes partitions at the scan; queried
-    // at the same recall-exhaustive nProbe=12 as x_knn_ivf_recall, so
+    // at the same recall-exhaustive nProbe=14 as x_knn_ivf_recall, so
     // the whole build→persist→read→query loop shares the full brute
     // oracle
     "x_knn_ivf_index" -> ((s, d) => {
       val dir = storeDir(d, "ivf_full")
       buildStoreOnce(dir)(IvfIndex.save(t(s, d, "embeddings"), dir, nCells = 16))
-      IvfIndex.querySelf(s, dir, nProbe = 12)
+      IvfIndex.querySelf(s, dir, nProbe = 14)
     }),
 
     // EXTERNAL queries against the same persisted index: query ids
@@ -705,13 +708,14 @@ object Extensions {
         nCells = 16, nProbe = 16)),
 
     // same contract for the full-corpus ANN dedup path: at the PINNED
-    // quantizer size, nProbe=12/16 is exhaustive-by-measurement on
-    // these corpora, so the (bounded region of the) ANN output equals
-    // the exact baseline bit-for-bit (nCells is explicit because the
-    // production default sizes cells ~√n, which would shift recall)
+    // quantizer size, nProbe=14 is exhaustive-by-measurement on ALL
+    // THREE fixture corpora (RecallCheck, round-15 fit), so the
+    // (bounded region of the) ANN output equals the exact baseline
+    // bit-for-bit (nCells is explicit because the production default
+    // sizes cells ~√n, which would shift recall)
     "x_dedup_embedding_ann_recall" -> ((s, d) =>
       Similarity.embeddingNearDupAnn(t(s, d, "embeddings"),
-        nCells = 16, nProbe = 12, boundA = 500)),
+        nCells = 16, nProbe = 14, boundA = 500)),
 
     // ---- text analysis ------------------------------------------------------
     "x_text_tokens" -> ((s, d) =>
@@ -1922,7 +1926,7 @@ object Extensions {
     "x_dedup_embedding" -> embeddingPairsSql,
 
     // the recall-pinning ANN gate shares the exact baseline's SQL: at
-    // nProbe=12 the ANN candidates provably cover every true pair on
+    // nProbe=14 the ANN candidates provably cover every true pair on
     // this corpus, so the outputs are identical (RecallCheck-verified)
     "x_dedup_embedding_ann_recall" -> embeddingPairsSql,
 
@@ -2371,13 +2375,13 @@ object Extensions {
     // construction, so the IVF machinery shares the classify oracle
     "x_knn_classify_ivf_check" -> knnClassifySql,
 
-    // IVF at nProbe=12 provably returns brute top-k on this corpus —
+    // IVF at nProbe=14 provably returns brute top-k on this corpus —
     // shared SQL pins both the IVF machinery and recall drift
     "x_knn_ivf_recall" -> knnBruteSql,
 
     // the persisted index is built from the SAME quantizer/assignment
     // as the in-session IVF path and queried at the same
-    // recall-exhaustive nProbe=12, so build→persist→read→query shares
+    // recall-exhaustive nProbe=14, so build→persist→read→query shares
     // the brute oracle end to end
     "x_knn_ivf_index" -> knnBruteSql,
 

@@ -167,4 +167,54 @@ class IvfPqStoreSpec extends AnyFunSuite {
         .filter(col("vec_id") === victim).count() == 0)
     } finally Pq.clearCodebookCache()
   }
+
+  test("dedupAgainst size-gated regimes agree row-for-row (probe AND rerank broadcasts)") {
+    val dir = tmpDir("regimes")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      val incoming = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val hinted = IvfPqStore.dedupAgainst(spark, dir, incoming,
+        minCosine = 0.3, nProbe = 16, margin = 2.0).collect().toSeq
+      // force the partitioned regime on BOTH gates: a 1-row ceiling
+      // puts any real batch past the probe-join hint AND the
+      // exact-verify query-fetch hint — the "pathological corpus-sized
+      // incoming batch" path the gates exist for. Rows must be
+      // bit-identical (only physical join strategies change); the
+      // margin=2.0 pass-all setting makes this the worst case (every
+      // pair reaches the exact verify).
+      val partitioned = IvfPqStore.dedupAgainst(spark, dir, incoming,
+        minCosine = 0.3, nProbe = 16, margin = 2.0,
+        maxBroadcastProbeRows = 1L, maxBroadcastQueryRows = 1L)
+        .collect().toSeq
+      assert(hinted.nonEmpty)
+      assert(partitioned == hinted,
+        "the size-gated regimes must agree row-for-row")
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("stats expose the frozen model lineage from _META") {
+    val dir = tmpDir("lineage")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16, m = 16, kCodes = 32)
+      val s = IvfPqStore.stats(spark, dir).head()
+      def str(name: String): String =
+        s.getString(s.fieldIndex(name))
+      assert(str("layout") == "1")
+      assert(str("m") == "16" && str("k_codes") == "32")
+      // the fingerprint is the training corpus' file-listing hash: a
+      // maintenance job compares it against today's corpus to tell a
+      // stale-geometry store (rebuild) from a fragmented one (compact)
+      assert(str("train_fingerprint") ==
+        StoreVersioning.trainFingerprint(e))
+      // compaction carries the lineage verbatim — geometry is frozen
+      IvfPqStore.compact(spark, dir)
+      val s2 = IvfPqStore.stats(spark, dir).head()
+      assert(s2.getString(s2.fieldIndex("train_fingerprint")) ==
+        StoreVersioning.trainFingerprint(e))
+      assert(s2.getString(s2.fieldIndex("layout")) == "1")
+    } finally Pq.clearCodebookCache()
+  }
 }

@@ -76,4 +76,33 @@ class PqDedupSpec extends AnyFunSuite {
       Similarity.clearQuantizerCache()
     }
   }
+
+  test("margin self-certification raises when the configured margin provably loses pairs") {
+    val e = graft.engine.Tables.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    try {
+      // adversarial geometry: 2 codes per 32-dim subspace cannot
+      // represent these near-random unit vectors, so SDC is noise and
+      // the sampled exact−SDC gap on qualifying pairs dwarfs any small
+      // margin — the silent-recall-loss configuration the check exists
+      // to refuse (the topTrigramsSketch self-certification convention)
+      val err = intercept[IllegalArgumentException] {
+        Pq.embeddingNearDupPq(e, minCosine = 0.3, m = 2, kCodes = 2,
+          margin = 0.05).collect()
+      }
+      assert(err.getMessage.contains("cannot certify"),
+        s"wrong refusal: ${err.getMessage}")
+      // the same degraded geometry still runs when the caller opts
+      // out explicitly — the knob stays a knob, just never a silent one
+      Pq.embeddingNearDupPq(e, minCosine = 0.3, m = 2, kCodes = 2,
+        margin = 0.05, certifyMargin = false).collect()
+      // and the fixture corpus at the DEFAULT production knobs
+      // certifies clean — not raising here IS the assertion (the
+      // measured gap sits under the 0.35 margin)
+      Pq.embeddingNearDupPq(e).collect()
+    } finally {
+      Pq.clearCodebookCache()
+      Similarity.clearQuantizerCache()
+    }
+  }
 }

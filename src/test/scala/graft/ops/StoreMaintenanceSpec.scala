@@ -198,4 +198,87 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     assert(stat("n_vector_files") <= filesAfterBuild,
       "compaction must re-bound the file count to ~one per cell")
   }
+
+  test("concurrent stealers of an expired lease: at most one maintainer inside") {
+    val dir = tmpDir("stealrace")
+    new java.io.File(dir).mkdirs()
+    val lock = new java.io.File(dir, "_MAINTAINER_LOCK")
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - StoreVersioning.LeaseMs - 60000))
+    // N maintainers all observe the SAME expired lease and race the
+    // steal. The old delete-then-create steal let stealer B delete the
+    // lock stealer A had just re-created — two maintainers inside at
+    // once (the two-saves-one-version chimera). The rename-based steal
+    // clears the debris at most once, so createNewFile stays the one
+    // serialization point: occupancy may never exceed 1.
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val go = new CountDownLatch(1)
+    val attempts = (1 to 8).map { i =>
+      Future {
+        go.await()
+        try {
+          StoreVersioning.withMaintainerLock(spark, dir, s"spec.steal$i") {
+            val now = inside.incrementAndGet()
+            maxInside.getAndUpdate(m => math.max(m, now))
+            Thread.sleep(50)
+            inside.decrementAndGet()
+          }
+          true
+        } catch { case e: RuntimeException
+            if e.getMessage.contains("another maintainer") => false }
+      }
+    }
+    go.countDown()
+    val outcomes = Await.result(Future.sequence(attempts), 60.seconds)
+    assert(outcomes.contains(true),
+      "an expired lease must be stealable by someone")
+    assert(maxInside.get() == 1,
+      s"mutual exclusion violated: ${maxInside.get()} maintainers " +
+        "were inside the critical section at once")
+    StoreVersioning.withMaintainerLock(spark, dir, "spec.after") { () }
+  }
+
+  test("a legacy pre-ingest IvfIndex root refuses maintenance with 'rebuild required'") {
+    val sp = spark; import sp.implicits._
+    // construct a round-13-era store by hand: vectors partitioned by
+    // cell ONLY, no _META sidecar, committed marker present — the
+    // exact artifact a layout change would otherwise corrupt (append's
+    // dynamic overwrite would mix (ingest, cell) dirs under cell= ones
+    // and partition discovery would fail or lie)
+    val dir = tmpDir("legacy")
+    val root = s"$dir/v1"
+    val e = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    val assigned = Similarity.withNorm(e)
+      .withColumn("cell", (col("vec_id") % 4).cast("int"))
+    assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .write.partitionBy("cell").parquet(s"$root/vectors")
+    Similarity.withNorm(e).filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cell"),
+        transform(col("v"), x => x.cast("double")).as("cvec"))
+      .write.parquet(s"$root/centroids")
+    new java.io.File(root, "_COMMITTED").createNewFile()
+    def mustRefuse(body: => Any): Unit = {
+      val err = intercept[IllegalArgumentException](body)
+      assert(err.getMessage.contains("rebuild required"),
+        s"wrong refusal: ${err.getMessage}")
+    }
+    mustRefuse(IvfIndex.append(e.limit(5), dir, "day1"))
+    mustRefuse(IvfIndex.stats(spark, dir))
+    mustRefuse(IvfIndex.compact(spark, dir))
+    // queries against the committed legacy root remain valid — only
+    // maintenance is refused (the migration path is save())
+    val q = e.limit(2).select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    assert(IvfIndex.query(spark, dir, q, k = 1, nProbe = 4).count() > 0)
+    // and save() IS the migration: a fresh version commits layout v2
+    // beside the legacy one and maintenance works again
+    IvfIndex.save(e, dir, nCells = 4)
+    IvfIndex.append(e.limit(0), dir, "day1")
+    val s = IvfIndex.stats(spark, dir).head()
+    assert(s.getString(s.fieldIndex("layout")) == "2")
+  }
 }
