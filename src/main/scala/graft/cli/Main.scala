@@ -261,6 +261,36 @@ object Main {
           log.error(s"module $module failed [${classified.category}]: ${e.getMessage}", e)
       }
     }
+    // declarative analytics stages (dedup/curation/store lifecycle) —
+    // run AFTER the HTTP→SQL modules in YAML order, through the same
+    // writer stack and failure accounting, so one `apitap -m … -y …`
+    // invocation carries a whole curation pipeline: ingest modules
+    // land raw tables, stages clean/score/index them, every result
+    // (including the stores' maintenance audit rows) lands on a
+    // declared sink with MERGE idempotence when a primary key is set
+    cfg.stages.foreach { stage =>
+      val st0 = System.nanoTime()
+      try {
+        log.info("stage name={} kind={}", stage.name, stage.kind)
+        val out = StageRunner.run(spark, stage)
+        val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
+          stage.primaryKey.toSeq, args, getenv)
+        val mode = if (stage.primaryKey.isDefined) WriteMode.Merge
+          else args.writeMode
+        val stats = writer.write(out, mode)
+        ok += 1
+        log.info("stage {} loaded {} rows into {} in {}ms", stage.name,
+          stats.rowsWritten.toString, stage.destTable,
+          ((System.nanoTime() - st0) / 1e6).round.toString)
+      } catch {
+        case e: Exception =>
+          failed += 1
+          val classified = graft.errors.GraftError.from(e)
+          log.error(
+            s"stage ${stage.name} failed [${classified.category}]: ${e.getMessage}", e)
+      }
+    }
+
     log.info("pipeline done: {} ok, {} failed in {}ms", ok.toString,
       failed.toString, ((System.nanoTime() - t0) / 1e6).round.toString)
     failed

@@ -187,7 +187,44 @@ object PipelineConfig {
       if (host.contains("://")) s"$host/?database=$database" else jdbcUrl
   }
 
-  final case class Config(sources: Seq[Source], targets: Seq[Target]) {
+  /** A declarative ANALYTICS stage (`stages:` in pipelines.yaml) —
+    * the round-15 extension of the reference's module pipeline
+    * (/root/reference/src/cmd/mod.rs:73-201) to the library's
+    * dedup/curation/store operators, so the pipelines a data operator
+    * actually runs (corpus clean → sink, dedup-store build/append,
+    * index maintain, curation verdict → warehouse) are driven from
+    * the SAME YAML + CLI + writer stack as the HTTP→SQL modules —
+    * same targets, same MERGE idempotence, same failure accounting.
+    *
+    * Two kinds:
+    *  - `kind: query` — run a registered analytics operator
+    *    ([[graft.queries.Extensions.queries]]) against `input_dir`
+    *    (a directory of the engine's parquet tables) and land the
+    *    result on the sink. EVERY registry operator is orchestratable
+    *    with zero per-operator glue.
+    *  - `kind: store` — drive a persisted store's lifecycle (`store:`
+    *    dedup | ivf | pq | ivfpq; `action:` build | append | compact |
+    *    maintain | stats) at `dir:`, landing the store's STATS
+    *    relation on the sink as the run's audit row (the
+    *    maintenance-loop contract: decisions read stats, pipelines
+    *    record them).
+    */
+  final case class Stage(
+      name: String,
+      kind: String,
+      inputDir: String,
+      sink: Option[String],
+      destTable: String,
+      primaryKey: Option[String],
+      query: Option[String],
+      store: Option[String],
+      action: Option[String],
+      table: Option[String],
+      dir: Option[String],
+      ingestId: Option[String])
+
+  final case class Config(sources: Seq[Source], targets: Seq[Target],
+      stages: Seq[Stage] = Seq.empty) {
     private val sourceIx = sources.map(s => s.name -> s).toMap
     private val targetIx = targets.map(t => t.name -> t).toMap
     def source(name: String): Source = sourceIx.getOrElse(name,
@@ -204,9 +241,51 @@ object PipelineConfig {
       "top-level config must be a mapping")
     val sources = seqOfMaps(root.get("sources")).map(parseSource)
     val targets = seqOfMaps(root.get("targets")).map(parseTarget)
+    val stages = seqOfMaps(root.get("stages")).map(parseStage)
     rejectDuplicates("source", sources.map(_.name))
     rejectDuplicates("target", targets.map(_.name))
-    Config(sources, targets)
+    rejectDuplicates("stage", stages.map(_.name))
+    Config(sources, targets, stages)
+  }
+
+  private def parseStage(m: Map[String, Any]): Stage = {
+    val s = Stage(
+      name = str(m, "name"),
+      kind = str(m, "kind"),
+      inputDir = str(m, "input_dir"),
+      sink = optStr(m, "sink"),
+      destTable = optStr(m, "dest_table").getOrElse(str(m, "name")),
+      primaryKey = optStr(m, "primary_key"),
+      query = optStr(m, "query"),
+      store = optStr(m, "store"),
+      action = optStr(m, "action"),
+      table = optStr(m, "table"),
+      dir = optStr(m, "dir"),
+      ingestId = optStr(m, "ingest_id"))
+    s.kind match {
+      case "query" =>
+        if (s.query.isEmpty) throw new IllegalArgumentException(
+          s"stage '${s.name}': kind 'query' requires 'query' " +
+            "(a registered operator name)")
+      case "store" =>
+        if (s.store.isEmpty || s.action.isEmpty || s.dir.isEmpty)
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': kind 'store' requires 'store', " +
+              "'action' and 'dir'")
+        if (!Set("dedup", "ivf", "pq", "ivfpq")(s.store.get))
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': unknown store '${s.store.get}'")
+        if (!Set("build", "append", "compact", "maintain", "stats")(s.action.get))
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': unknown action '${s.action.get}'")
+        if (s.action.contains("append") && s.ingestId.isEmpty)
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': action 'append' requires 'ingest_id' " +
+              "(idempotent-retry key)")
+      case other => throw new IllegalArgumentException(
+        s"stage '${s.name}': unknown kind '$other' (query | store)")
+    }
+    s
   }
 
   private def rejectDuplicates(what: String, names: Seq[String]): Unit =

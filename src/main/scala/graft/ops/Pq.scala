@@ -648,7 +648,7 @@ object Pq {
     // under-recalling in silence. certifyMargin=false opts into the
     // recall knob deliberately.
     if (certifyMargin) {
-      val gap = sdcSampledGap(enc, b, nearMin = minCosine)
+      val gap = sdcSampledGap(enc, b, nearMin = minCosine, boundA = boundA)
       require(gap <= margin,
         f"embeddingNearDupPq cannot certify the SDC covering margin: " +
           f"sampled worst exact-SDC gap $gap%.3f exceeds margin " +
@@ -768,23 +768,36 @@ object Pq {
     */
   private[graft] def sdcSampledGapOf(embeddings: DataFrame,
       m: Int = 16, kCodes: Int = 32, trainMod: Int = 1,
-      nearMin: Double = 0.35): Double = {
+      nearMin: Double = 0.35, boundA: Long = 500): Double = {
     val base = Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
     val b = codebookFor(base, m, kCodes, trainMod)
-    sdcSampledGap(encoded(embeddings, b), b, nearMin)
+    // boundA defaults to the full statistic's region so `Prof pqgap`
+    // prints an apples-to-apples (sampled <= full) pair
+    sdcSampledGap(encoded(embeddings, b), b, nearMin, boundA)
   }
 
   private[graft] def sdcSampledGap(enc: DataFrame, b: Codebook,
-      nearMin: Double, aSample: Int = 256, bSample: Int = 4096): Double = {
-    def sampled(n: Int, pre: String) = enc
-      .select(col("vec_id").as(s"${pre}_id"), col("v").as(s"v$pre"),
-        col("norm").as(s"n$pre"), col("pcodes").as(s"p$pre"),
-        col("pq_norm").as(s"pq$pre"))
-      .orderBy(xxhash64(col(s"${pre}_id")), col(s"${pre}_id"))
-      .limit(n)
-    val a = sampled(aSample, "a")
-    val bb = sampled(bSample, "b")
+      nearMin: Double, boundA: Long = 0,
+      aSample: Int = 256, bSample: Int = 4096): Double = {
+    // `boundA > 0` restricts the a-side sample to the operator's own
+    // bounded pair region (vec_id < boundA): the certification must
+    // measure the pair population the operator actually SCORES — a
+    // gap on a pair the cell join can never generate neither loses
+    // recall nor should refuse a run (measured: the unrestricted
+    // probe at sf0.1 reported 0.41 where the operator's own worst
+    // pair sat at 0.34)
+    def sampled(n: Int, pre: String, bound: Long) = {
+      val base = if (bound > 0) enc.filter(col("vec_id") < bound) else enc
+      base
+        .select(col("vec_id").as(s"${pre}_id"), col("v").as(s"v$pre"),
+          col("norm").as(s"n$pre"), col("pcodes").as(s"p$pre"),
+          col("pq_norm").as(s"pq$pre"))
+        .orderBy(xxhash64(col(s"${pre}_id")), col(s"${pre}_id"))
+        .limit(n)
+    }
+    val a = sampled(aSample, "a", boundA)
+    val bb = sampled(bSample, "b", 0)
     val sdcCos = call_function("sdc_dot", col("pa"), col("pb"),
       sdcTabCol(b), lit(b.k)) / col("pqa") / col("pqb")
     val exact = Similarity.cosineWithNorms(col("va"), col("vb"),
