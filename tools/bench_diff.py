@@ -2,7 +2,7 @@
 """Regression net for the per-round bench artifacts.
 
 Usage:
-    python3 tools/bench_diff.py PREV CURRENT [--flag RATIO]
+    python3 tools/bench_diff.py PREV CURRENT [--flag=RATIO]
 
 PREV / CURRENT are bench artifacts in either shape:
   - a local `bench_out.json` (the full graft.Bench JSON line:
@@ -70,9 +70,8 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     flag = 1.5
     for a in sys.argv[1:]:
-        if a.startswith("--flag"):
-            flag = float(a.split("=", 1)[1] if "=" in a
-                         else sys.argv[sys.argv.index(a) + 1])
+        if a.startswith("--flag="):
+            flag = float(a.split("=", 1)[1])
     if len(args) != 2:
         sys.exit(__doc__)
     prev, ptot = load_passes(args[0])
