@@ -56,6 +56,20 @@ object StageRunner {
     def documents: DataFrame =
       graft.engine.Tables.table(spark, stage.inputDir,
         stage.table.getOrElse("documents"))
+    // `dedup` is the one action whose OUTPUT is the operator relation
+    // (flagged near-duplicates of the incoming batch against the
+    // persisted history), not the stats audit row — the incremental
+    // step of a declarative curation pipeline: yesterday's store,
+    // today's batch, flags to the sink
+    if (action == "dedup") return store match {
+      case "dedup" => DedupStore.dedupAgainst(spark, documents, dir)
+      case "ivfpq" => IvfPqStore.dedupAgainst(spark, dir,
+        embeddings.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")))
+      case other => throw new IllegalArgumentException(
+        s"stage '${stage.name}': action 'dedup' supports the dedup and " +
+          s"ivfpq stores, not '$other'")
+    }
     var compacted = false
     (store, action) match {
       case ("dedup", "build") => DedupStore.save(documents, dir)

@@ -207,7 +207,10 @@ object PipelineConfig {
     *    maintain | stats) at `dir:`, landing the store's STATS
     *    relation on the sink as the run's audit row (the
     *    maintenance-loop contract: decisions read stats, pipelines
-    *    record them).
+    *    record them). `action: dedup` (dedup/ivfpq stores) instead
+    *    lands the OPERATOR relation — the incoming batch's flagged
+    *    near-duplicates against the persisted history — the
+    *    incremental step of a declarative curation pipeline.
     */
   final case class Stage(
       name: String,
@@ -275,9 +278,14 @@ object PipelineConfig {
         if (!Set("dedup", "ivf", "pq", "ivfpq")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown store '${s.store.get}'")
-        if (!Set("build", "append", "compact", "maintain", "stats")(s.action.get))
+        if (!Set("build", "append", "compact", "maintain", "stats",
+            "dedup")(s.action.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown action '${s.action.get}'")
+        if (s.action.contains("dedup") && !Set("dedup", "ivfpq")(s.store.get))
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': action 'dedup' supports the dedup and " +
+              "ivfpq stores")
         if (s.action.contains("append") && s.ingestId.isEmpty)
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'append' requires 'ingest_id' " +

@@ -403,12 +403,18 @@ object Similarity {
     // so centroid rankings (and the recall-oracle contracts built on
     // them) are unchanged while the per-(vector, centroid) inner loop
     // fuses into the surrounding codegen stage
-    val d2 = call_function("dist2_d", unitOf(col("v")), col("cvec"))
     val byDist = Window.partitionBy(col("vec_id"))
       .orderBy(col("d2"), col("cell"))
-    vecs.select(col("vec_id"), col("v"))
+    // normalize BEFORE the centroid cross join: unitOf is a HOF
+    // normalize (fold + per-element divide) and the join multiplies
+    // every stream row by nCells — projecting it under the join
+    // evaluates it once per VECTOR instead of once per
+    // (vector × centroid) pair (measured: inside the join it put the
+    // 100×-corpus probe derivation at ~200 s vs ~16 s — nCells≈450
+    // redundant normalizations per row on the ANN hot path)
+    vecs.select(col("vec_id"), unitOf(col("v")).as("uv"))
       .crossJoin(broadcast(centroids.select(col("cell"), col("cvec"))))
-      .withColumn("d2", d2)
+      .withColumn("d2", call_function("dist2_d", col("uv"), col("cvec")))
       .withColumn("rk", row_number().over(byDist))
       .filter(col("rk") <= nProbe)
       .select(col("vec_id"), col("cell"), col("rk"))

@@ -149,6 +149,45 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Pq.clearCodebookCache()
   }
 
+  test("dedup action stage flags the batch against the persisted store") {
+    val dir = Files.createTempDirectory("stage_dedup")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("gram_store").toString
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""stages:
+         |  - name: build_grams
+         |    kind: store
+         |    store: dedup
+         |    action: build
+         |    input_dir: $sf
+         |    dir: $storeDir
+         |    dest_table: dedup_audit
+         |  - name: flag_batch
+         |    kind: store
+         |    store: dedup
+         |    action: dedup
+         |    input_dir: $sf
+         |    dir: $storeDir
+         |    dest_table: batch_flags
+         |""".stripMargin)
+    val args = Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse))
+    try {
+      assert(Main.run(args, spark) == 0)
+      // the landed flags ARE the library operator's output (here the
+      // "batch" is the corpus itself — the machinery pin, same as the
+      // store specs; a real pipeline points input_dir at today's data)
+      val got = spark.read.parquet(s"$warehouse/batch_flags")
+      val docs = graft.engine.Tables.table(spark, sf, "documents")
+      val want = graft.ops.DedupStore.dedupAgainst(spark, docs, storeDir)
+      assert(got.count() > 0)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    } finally graft.ops.Dedup.clearShingleCache()
+  }
+
   test("stage config validation is loud") {
     import graft.config.PipelineConfig
     intercept[IllegalArgumentException] {
