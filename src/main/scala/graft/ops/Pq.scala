@@ -571,12 +571,26 @@ object Pq {
     */
   val MaxBroadcastQtabRows: Long = 24L * 1024
 
-  private[ops] def requireRerankBound(nQueries: Long, depth: Int): Unit =
+  private[ops] def requireRerankBound(nQueries: Long, depth: Int): Unit = {
     require(nQueries * depth <= maxRerankCandidates,
       s"pq rerank would broadcast $nQueries queries x $depth candidates " +
         s"(> $maxRerankCandidates): past this scale the exactness-gate " +
         "configuration is the wrong tool — use knnPqIvf with production " +
         "nProbe/candidates, or cap `candidates` explicitly")
+    // the candidate cap alone bounds ROWS, not BYTES: the broadcast
+    // query side carries the m·k ADC table (~4 KB/row at the default
+    // geometry), so 4M shallow-depth queries would still assemble a
+    // ~16 GB broadcast under the row cap. Cap the query side at the
+    // qtab-width ceiling — loud, with the same remedy story (batch
+    // the queries; a query relation past ~24k rows is itself a
+    // corpus and wants the partitioned IVF paths, which size-gate
+    // instead of hinting).
+    require(nQueries <= MaxBroadcastQtabRows,
+      s"pq rerank would broadcast $nQueries qtab-carrying query rows " +
+        s"(> $MaxBroadcastQtabRows, ~100 MB at the default geometry): " +
+        "batch the queries, or use the size-gated IVF store paths for " +
+        "corpus-sized query relations")
+  }
 
   def knnPqRerank(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
       m: Int = 16, kCodes: Int = 32, candidates: Int = 0,

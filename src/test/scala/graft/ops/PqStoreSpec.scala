@@ -186,4 +186,29 @@ class PqStoreSpec extends AnyFunSuite {
         "compaction must physically drop tombstoned vectors")
     } finally Pq.clearCodebookCache()
   }
+
+  test("a qtab-carrying query batch past the broadcast ceiling is refused loudly") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("qcap")
+    val e = emb("sf0.001")
+    try {
+      PqStore.save(e, dir)
+      // the 4M CANDIDATE cap alone would admit this batch at shallow
+      // depth; each query row also carries the ~4 KB ADC table, so
+      // the broadcast would be ~100 MB × (nQ / 24k) — the loud
+      // qtab-width cap must refuse it before any work runs
+      val q = sp.range(0, Pq.MaxBroadcastQtabRows + 1)
+        .select(col("id").as("query_id"),
+          transform(sequence(lit(1), lit(64)),
+            i => (i % lit(7)).cast("float")).as("qv"))
+      val err = intercept[IllegalArgumentException] {
+        PqStore.query(spark, dir, q, k = 1, candidates = 1).collect()
+      }
+      assert(err.getMessage.contains("qtab-carrying"),
+        s"wrong refusal: ${err.getMessage}")
+      // a batch AT the ceiling with the same depth passes the bound
+      // checks (it may broadcast ~100 MB — by design the comfort cap)
+      Pq.requireRerankBound(Pq.MaxBroadcastQtabRows, 1)
+    } finally Pq.clearCodebookCache()
+  }
 }
