@@ -274,15 +274,48 @@ object IvfPqStore {
     * driver-sized broadcast anywhere — it degrades to partitioned
     * shuffles, same rows (the gate spec pins both regimes equal).
     */
+  /** Memoized store-geometry margin certifications, keyed per
+    * (version root, threshold) — the gap is a property of the store's
+    * frozen quantization alone, so a streaming micro-batch loop pays
+    * the bounded probe once per store generation.
+    */
+  private val marginCerts =
+    new BoundedMemo[(String, Double), Double](capacity = 64)
+
   def dedupAgainst(spark: SparkSession, dir: String, incoming: DataFrame,
       minCosine: Double = 0.3, nProbe: Int = 4, margin: Double = 0.35,
       maxBroadcastProbeRows: Long = Pq.MaxBroadcastQtabRows,
-      maxBroadcastQueryRows: Long = IvfIndex.MaxBroadcastProbeRows)
+      maxBroadcastQueryRows: Long = IvfIndex.MaxBroadcastProbeRows,
+      certifyMargin: Boolean = true)
       : DataFrame = {
     val root = StoreVersioning.requireRoot(spark, dir)
     val vectors = spark.read.parquet(vectorsPath(root))
     val cents = spark.read.parquet(centroidsPath(root))
     val b = PqStore.codebookOf(spark, root)
+    // Margin self-certification (the embeddingNearDupPq convention,
+    // store-side): the worst sampled one-sided exact−ADC gap of the
+    // STORE's own quantization must sit inside the configured margin,
+    // or true near-duplicates would silently fail the prefilter. ADC
+    // error is one-sided-smaller than SDC (the query side is exact),
+    // so a store that certifies here is strictly safer than the
+    // measured SDC margins; a store whose geometry went stale (built
+    // on last year's distribution, appends frozen) is exactly what
+    // this catches — rebuild, raise the margin, or opt out.
+    if (certifyMargin) {
+      val gap = marginCerts.getOrElseUpdate((root, minCosine))(
+        Pq.adcSampledGap(
+          vectors.select(col("vec_id"), col("v"), col("norm"),
+            col("pcodes"), col("pq_norm")),
+          b, nearMin = minCosine))
+      require(gap <= margin,
+        f"IvfPqStore.dedupAgainst cannot certify the ADC covering " +
+          f"margin at $root: sampled worst exact-ADC gap $gap%.3f " +
+          f"exceeds margin $margin%.3f on pairs at/above the " +
+          f"$minCosine%.2f threshold - true near-duplicates WOULD be " +
+          "lost. Rebuild the store with finer PQ geometry, raise " +
+          "`margin`, or pass certifyMargin=false to accept the " +
+          "measured recall loss deliberately")
+    }
     val q0 = incoming.select(col("query_id"), col("qv"))
       .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
     // one count job serves BOTH broadcast gates on this path

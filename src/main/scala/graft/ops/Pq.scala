@@ -792,6 +792,48 @@ object Pq {
     * are excluded — the operator routes those pairs to the exact
     * verify unconditionally, so no margin protects or loses them.
     */
+  /** ADC analogue of [[sdcSampledGap]] for the persisted dedup path
+    * ([[IvfPqStore.dedupAgainst]]): the worst one-sided
+    * `exact − ADC` underestimate over a bounded sampled pair grid
+    * where the QUERY side is exact (full vectors) and the corpus side
+    * is the stored reconstruction — the asymmetric-distance error the
+    * store path's margin must cover. Sampling both sides from the
+    * STORED vectors makes the estimate a property of the STORE's
+    * geometry alone (memoizable per version root; a streaming
+    * micro-batch loop pays it once), which is the right object for
+    * self-certification: "this store's quantization error exceeds
+    * your margin" is exactly the stale-geometry signal the `_META`
+    * lineage exists to surface. Degenerate reconstructions excluded —
+    * the operator routes those pairs to the exact verify
+    * unconditionally.
+    */
+  private[ops] def adcSampledGap(stored: DataFrame, b: Codebook,
+      nearMin: Double, qSample: Int = 256, cSample: Int = 4096): Double = {
+    val qs = withQtab(
+        stored.select(col("vec_id").as("query_id"), col("v").as("qv"),
+            col("norm").as("qn"))
+          .orderBy(xxhash64(col("query_id")), col("query_id"))
+          .limit(qSample),
+        b)
+      .select(col("query_id"), col("qv"), col("qn"), col("qtab"))
+    val cs = stored
+      .select(col("vec_id"), col("v"), col("norm"), col("pcodes"),
+        col("pq_norm"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(cSample)
+    val adcCos = call_function("adc_dot_packed",
+      col("pcodes"), col("qtab"), lit(b.k)) / col("qn") / col("pq_norm")
+    val exact = Similarity.cosineWithNorms(col("qv"), col("v"),
+      col("qn"), col("norm"))
+    val row = qs.crossJoin(cs)
+      .filter(col("query_id") =!= col("vec_id"))
+      .filter(col("pq_norm") =!= 0.0d && col("qn") =!= 0.0d)
+      .select(exact.as("cos"), (exact - adcCos).as("gap"))
+      .filter(col("cos") >= nearMin)
+      .agg(max(col("gap")).as("worst"))
+      .head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
   /** [[sdcSampledGap]] from a raw embeddings relation — the `Prof
     * pqgap` hook, so the sweep records the sampled estimate next to
     * the full statistic it bounds.

@@ -194,6 +194,38 @@ class IvfPqStoreSpec extends AnyFunSuite {
     } finally Pq.clearCodebookCache()
   }
 
+  test("dedupAgainst certifies the store's ADC margin; degraded geometry refuses") {
+    val sp = spark; import sp.implicits._
+    val e = emb("sf0.001")
+    val incoming = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // adversarial store geometry: 2 codes per 32-dim subspace cannot
+    // represent these vectors, so the stored reconstructions are noise
+    // and a small margin provably loses pairs — the run must refuse
+    // loudly instead of under-recalling in silence
+    val badDir = tmpDir("badgeom")
+    try {
+      IvfPqStore.save(e, badDir, nCells = 4, m = 2, kCodes = 2)
+      val err = intercept[IllegalArgumentException] {
+        IvfPqStore.dedupAgainst(spark, badDir, incoming,
+          minCosine = 0.3, margin = 0.05).collect()
+      }
+      assert(err.getMessage.contains("cannot certify"),
+        s"wrong refusal: ${err.getMessage}")
+      // explicit opt-out keeps the knob a knob — just never silent
+      IvfPqStore.dedupAgainst(spark, badDir, incoming,
+        minCosine = 0.3, margin = 0.05, certifyMargin = false).collect()
+    } finally Pq.clearCodebookCache()
+    // the default-geometry store at the default margin certifies
+    // clean — not raising IS the assertion (ADC error is one-sided
+    // smaller than the measured SDC margins)
+    val okDir = tmpDir("okgeom")
+    try {
+      IvfPqStore.save(e, okDir, nCells = 16)
+      IvfPqStore.dedupAgainst(spark, okDir, incoming).collect()
+    } finally Pq.clearCodebookCache()
+  }
+
   test("stats expose the frozen model lineage from _META") {
     val dir = tmpDir("lineage")
     val e = emb("sf0.001")
