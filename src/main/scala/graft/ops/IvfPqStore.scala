@@ -282,6 +282,23 @@ object IvfPqStore {
   private val marginCerts =
     new BoundedMemo[(String, Double), Double](capacity = 64)
 
+  /** The store's sampled worst one-sided exact−ADC gap at `minCosine`
+    * — the memoized certification statistic, exposed for
+    * [[StoreMaintenance.recommendIvfPq]] (advisory: compare it to the
+    * deployment's dedup margin BEFORE the nightly run refuses).
+    */
+  private[ops] def sampledDedupGap(spark: SparkSession, dir: String,
+      minCosine: Double): Double = {
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val vectors = spark.read.parquet(vectorsPath(root))
+    val b = PqStore.codebookOf(spark, root)
+    marginCerts.getOrElseUpdate((root, minCosine))(
+      Pq.adcSampledGap(
+        vectors.select(col("vec_id"), col("v"), col("norm"),
+          col("pcodes"), col("pq_norm")),
+        b, nearMin = minCosine))
+  }
+
   def dedupAgainst(spark: SparkSession, dir: String, incoming: DataFrame,
       minCosine: Double = 0.3, nProbe: Int = 4, margin: Double = 0.35,
       maxBroadcastProbeRows: Long = Pq.MaxBroadcastQtabRows,

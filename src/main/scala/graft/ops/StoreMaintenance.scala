@@ -63,4 +63,57 @@ object StoreMaintenance {
       maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
     decideAndRun(DedupStore.stats(spark, dir), "n_docs",
       maxTombstoneRatio, maxIngests)(DedupStore.compact(spark, dir))
+
+  /** The DECISION the `_META` lineage and the margin probe exist for:
+    * one advisory row telling an operator (or a scheduled pipeline)
+    * whether the composed IVF×PQ store needs nothing, a COMPACT
+    * (fragmentation/dead rows — cheap, no re-fit), or a REBUILD
+    * (frozen geometry no longer fits the corpus — compaction cannot
+    * help). Rebuild triggers, strongest first:
+    *
+    *  - the store's sampled ADC covering gap exceeds `margin`: the
+    *    quantization error provably loses near-duplicate pairs at the
+    *    configured dedup margin ([[IvfPqStore.dedupAgainst]] would
+    *    refuse — this surfaces it BEFORE the nightly run does);
+    *  - `corpus` (today's training relation, when provided) has a
+    *    different file-listing fingerprint than the one the store was
+    *    built from: appends froze geometry at build, so a corpus that
+    *    has moved on retrieves against last season's centroids —
+    *    legal, but measurably worse, and only lineage makes it
+    *    visible.
+    *
+    * Advisory only — it runs NO maintenance (pair it with
+    * [[maintainIvfPq]] or a rebuild job); bounded work (stats
+    * aggregates + the memoized ≤1M-pair gap probe).
+    */
+  def recommendIvfPq(spark: SparkSession, dir: String,
+      corpus: Option[org.apache.spark.sql.DataFrame] = None,
+      margin: Double = 0.35, minCosine: Double = 0.3,
+      maxTombstoneRatio: Double = 0.1,
+      maxIngests: Long = 16): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val s = IvfPqStore.stats(spark, dir).head()
+    val storedFp = s.getString(s.fieldIndex("train_fingerprint"))
+    val gap = IvfPqStore.sampledDedupGap(spark, dir, minCosine)
+    val drift = corpus.exists(c =>
+      StoreVersioning.trainFingerprint(c) != storedFp)
+    val fragmented = shouldCompact(
+      s.getAs[Long]("n_vectors"), s.getAs[Long]("n_tombstoned"),
+      s.getAs[Long]("n_ingests"), maxTombstoneRatio, maxIngests)
+    val (what, why) =
+      if (gap > margin)
+        ("rebuild", f"sampled ADC covering gap $gap%.3f exceeds the " +
+          f"$margin%.3f margin - quantization would lose true pairs")
+      else if (drift)
+        ("rebuild", "training-corpus fingerprint drifted from the " +
+          s"store's lineage ($storedFp) - geometry is stale")
+      else if (fragmented)
+        ("compact", "tombstone ratio or ingest count past threshold")
+      else ("ok", "stats and geometry inside contract")
+    Seq((what, why, gap, storedFp, drift,
+        s.getAs[Long]("n_tombstoned"), s.getAs[Long]("n_ingests")))
+      .toDF("recommendation", "reason", "sampled_adc_gap",
+        "train_fingerprint", "fingerprint_drift",
+        "n_tombstoned", "n_ingests")
+  }
 }

@@ -199,6 +199,48 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       "compaction must re-bound the file count to ~one per cell")
   }
 
+  test("recommendIvfPq walks ok -> compact -> rebuild across the lifecycle") {
+    val sp = spark; import sp.implicits._
+    val e = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    def rec(dir: String,
+        corpus: Option[org.apache.spark.sql.DataFrame] = None,
+        margin: Double = 0.35) = {
+      val r = StoreMaintenance.recommendIvfPq(spark, dir, corpus, margin)
+        .head()
+      (r.getString(0), r.getString(1))
+    }
+    // healthy fresh store, geometry inside the margin → ok
+    val dir = tmpDir("rec")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      assert(rec(dir)._1 == "ok", rec(dir))
+      // same store, same corpus lineage → still ok (no false drift)
+      assert(rec(dir, corpus = Some(e))._1 == "ok")
+      // a corpus with a DIFFERENT file listing → rebuild on drift
+      val moved = java.nio.file.Files
+        .createTempDirectory("graft_rec_corpus").toString
+      e.write.mode("overwrite").parquet(s"$moved/embeddings.parquet")
+      val newCorpus = spark.read
+        .parquet(s"$moved/embeddings.parquet")
+      val (what, why) = rec(dir, corpus = Some(newCorpus))
+      assert(what == "rebuild" && why.contains("drift"), (what, why))
+      // >10% tombstones → compact (geometry is fine, rows are dead)
+      val n = e.count()
+      IvfPqStore.delete(sp.range(0, n / 5).select(col("id").as("vec_id")),
+        dir)
+      assert(rec(dir)._1 == "compact", rec(dir))
+    } finally Pq.clearCodebookCache()
+    // degraded geometry → rebuild on the sampled gap, compaction
+    // explicitly NOT recommended (it cannot fix a bad codebook)
+    val badDir = tmpDir("recbad")
+    try {
+      IvfPqStore.save(e, badDir, nCells = 4, m = 2, kCodes = 2)
+      val (what, why) = rec(badDir, margin = 0.05)
+      assert(what == "rebuild" && why.contains("gap"), (what, why))
+    } finally Pq.clearCodebookCache()
+  }
+
   test("concurrent stealers of an expired lease: at most one maintainer inside") {
     val dir = tmpDir("stealrace")
     new java.io.File(dir).mkdirs()
