@@ -61,6 +61,17 @@ object StageRunner {
     // persisted history), not the stats audit row — the incremental
     // step of a declarative curation pipeline: yesterday's store,
     // today's batch, flags to the sink
+    // `recommend` lands the maintenance ADVISORY row (rebuild vs
+    // compact vs ok, from stats + lineage + the sampled margin gap) —
+    // a scheduled pipeline run leaves the decision trail in the
+    // warehouse next to the stats audit rows
+    if (action == "recommend") return store match {
+      case "ivfpq" => StoreMaintenance.recommendIvfPq(spark, dir,
+        corpus = Some(embeddings))
+      case other => throw new IllegalArgumentException(
+        s"stage '${stage.name}': action 'recommend' supports the ivfpq " +
+          s"store, not '$other'")
+    }
     if (action == "dedup") return store match {
       case "dedup" => DedupStore.dedupAgainst(spark, documents, dir)
       case "ivfpq" => IvfPqStore.dedupAgainst(spark, dir,

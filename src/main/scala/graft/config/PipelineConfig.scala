@@ -279,13 +279,16 @@ object PipelineConfig {
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown store '${s.store.get}'")
         if (!Set("build", "append", "compact", "maintain", "stats",
-            "dedup")(s.action.get))
+            "dedup", "recommend")(s.action.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown action '${s.action.get}'")
         if (s.action.contains("dedup") && !Set("dedup", "ivfpq")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'dedup' supports the dedup and " +
               "ivfpq stores")
+        if (s.action.contains("recommend") && s.store.get != "ivfpq")
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': action 'recommend' supports the ivfpq store")
         if (s.action.contains("append") && s.ingestId.isEmpty)
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'append' requires 'ingest_id' " +

@@ -119,6 +119,13 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
          |    input_dir: $sf
          |    dir: $storeDir
          |    dest_table: index_audit
+         |  - name: advise_index
+         |    kind: store
+         |    store: ivfpq
+         |    action: recommend
+         |    input_dir: $sf
+         |    dir: $storeDir
+         |    dest_table: index_advice
          |""".stripMargin)
     val args = Main.Args(
       modulesDir = modules.toString,
@@ -146,6 +153,13 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         "a fresh store must not be compacted by maintain")
       assert(audit.columns.contains("train_fingerprint"),
         "audit rows must carry the store lineage")
+      // the advisory stage lands the rebuild-vs-compact decision row:
+      // a healthy fresh store built FROM this corpus reads ok (the
+      // recommend stage feeds the same input_dir corpus in for the
+      // lineage-drift check — no false drift)
+      val advice = spark.read.parquet(s"$warehouse/index_advice").head()
+      assert(advice.getString(advice.fieldIndex("recommendation")) == "ok",
+        advice.toString)
     } finally graft.ops.Pq.clearCodebookCache()
   }
 
