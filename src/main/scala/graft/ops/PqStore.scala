@@ -224,6 +224,29 @@ object PqStore {
         "layout", "m", "k_codes", "train_fingerprint")
   }
 
+  /** Memoized per (version root, threshold), the [[IvfPqStore]]
+    * convention.
+    */
+  private val sampledGaps =
+    new BoundedMemo[(String, Double), Double](capacity = 64)
+
+  /** The store's sampled worst one-sided exact−ADC gap at `minCosine`
+    * — the [[StoreMaintenance.recommendPq]] statistic: the same
+    * frozen-codebook quantization exposure as the composed store,
+    * measured over the stored vectors' own reconstructions.
+    */
+  private[ops] def sampledGap(spark: SparkSession, dir: String,
+      minCosine: Double): Double = {
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val vectors = spark.read.parquet(vectorsPath(root))
+    val b = codebookOf(spark, root)
+    sampledGaps.getOrElseUpdate((root, minCosine))(
+      Pq.adcSampledGap(
+        vectors.select(col("vec_id"), col("v"), col("norm"),
+          col("pcodes"), col("pq_norm")),
+        b, nearMin = minCosine))
+  }
+
   /** The live encoded relation at `root`: tombstones anti-joined off
     * the scan (a broadcast anti on a takedown-sized set — there is no
     * partition pruning to protect here, unlike [[IvfIndex]]).

@@ -90,18 +90,64 @@ object StoreMaintenance {
       corpus: Option[org.apache.spark.sql.DataFrame] = None,
       margin: Double = 0.35, minCosine: Double = 0.3,
       maxTombstoneRatio: Double = 0.1,
-      maxIngests: Long = 16): org.apache.spark.sql.DataFrame = {
+      maxIngests: Long = 16): org.apache.spark.sql.DataFrame =
+    recommendFrom(spark, IvfPqStore.stats(spark, dir), "n_vectors",
+      Some(IvfPqStore.sampledDedupGap(spark, dir, minCosine)),
+      corpus, margin, maxTombstoneRatio, maxIngests)
+
+  /** [[recommendIvfPq]] for the plain PQ store — same quantization
+    * exposure (stored codes, frozen codebook), same gap probe.
+    */
+  def recommendPq(spark: SparkSession, dir: String,
+      corpus: Option[org.apache.spark.sql.DataFrame] = None,
+      margin: Double = 0.35, minCosine: Double = 0.3,
+      maxTombstoneRatio: Double = 0.1,
+      maxIngests: Long = 16): org.apache.spark.sql.DataFrame =
+    recommendFrom(spark, PqStore.stats(spark, dir), "n_vectors",
+      Some(PqStore.sampledGap(spark, dir, minCosine)),
+      corpus, margin, maxTombstoneRatio, maxIngests)
+
+  /** [[recommendIvfPq]] for the float IVF index: no quantization on
+    * the stored vectors (exact cosine at query time), so only lineage
+    * drift (stale cells cost partial-probe recall, not correctness)
+    * and fragmentation can fire.
+    */
+  def recommendIvf(spark: SparkSession, dir: String,
+      corpus: Option[org.apache.spark.sql.DataFrame] = None,
+      maxTombstoneRatio: Double = 0.1,
+      maxIngests: Long = 16): org.apache.spark.sql.DataFrame =
+    recommendFrom(spark, IvfIndex.stats(spark, dir), "n_vectors",
+      None, corpus, 0.0, maxTombstoneRatio, maxIngests)
+
+  /** [[recommendIvfPq]] for the dedup gram store: exact trigram
+    * machinery (no quantization, no geometry) — drift means the store
+    * no longer covers the corpus it is supposed to dedup against
+    * (append the delta or rebuild), fragmentation means compact.
+    */
+  def recommendDedup(spark: SparkSession, dir: String,
+      corpus: Option[org.apache.spark.sql.DataFrame] = None,
+      maxTombstoneRatio: Double = 0.1,
+      maxIngests: Long = 16): org.apache.spark.sql.DataFrame =
+    recommendFrom(spark, DedupStore.stats(spark, dir), "n_docs",
+      None, corpus, 0.0, maxTombstoneRatio, maxIngests)
+
+  private def recommendFrom(spark: SparkSession,
+      stats: org.apache.spark.sql.DataFrame, rowsCol: String,
+      sampledGap: Option[Double],
+      corpus: Option[org.apache.spark.sql.DataFrame],
+      margin: Double, maxTombstoneRatio: Double,
+      maxIngests: Long): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val s = IvfPqStore.stats(spark, dir).head()
+    val s = stats.head()
     val storedFp = s.getString(s.fieldIndex("train_fingerprint"))
-    val gap = IvfPqStore.sampledDedupGap(spark, dir, minCosine)
+    val gap = sampledGap.getOrElse(0.0)
     val drift = corpus.exists(c =>
       StoreVersioning.trainFingerprint(c) != storedFp)
     val fragmented = shouldCompact(
-      s.getAs[Long]("n_vectors"), s.getAs[Long]("n_tombstoned"),
+      s.getAs[Long](rowsCol), s.getAs[Long]("n_tombstoned"),
       s.getAs[Long]("n_ingests"), maxTombstoneRatio, maxIngests)
     val (what, why) =
-      if (gap > margin)
+      if (sampledGap.isDefined && gap > margin)
         ("rebuild", f"sampled ADC covering gap $gap%.3f exceeds the " +
           f"$margin%.3f margin - quantization would lose true pairs")
       else if (drift)

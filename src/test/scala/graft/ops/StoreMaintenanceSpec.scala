@@ -239,6 +239,34 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       val (what, why) = rec(badDir, margin = 0.05)
       assert(what == "rebuild" && why.contains("gap"), (what, why))
     } finally Pq.clearCodebookCache()
+    // the family siblings share the contract: PQ carries the gap
+    // probe (same frozen-codebook exposure), IVF and dedup only
+    // lineage drift + fragmentation
+    val pqDir = tmpDir("recpq")
+    try {
+      PqStore.save(e, pqDir)
+      val r = StoreMaintenance.recommendPq(spark, pqDir,
+        corpus = Some(e)).head()
+      assert(r.getString(0) == "ok", r.toString)
+      // degraded PQ geometry fires the gap trigger here too
+      val badPq = tmpDir("recpqbad")
+      PqStore.save(e, badPq, m = 2, kCodes = 2)
+      val rb = StoreMaintenance.recommendPq(spark, badPq,
+        margin = 0.05).head()
+      assert(rb.getString(0) == "rebuild" &&
+        rb.getString(1).contains("gap"), rb.toString)
+    } finally Pq.clearCodebookCache()
+    val ivfDir = tmpDir("recivf")
+    IvfIndex.save(e, ivfDir, nCells = 4)
+    assert(StoreMaintenance.recommendIvf(spark, ivfDir,
+      corpus = Some(e)).head().getString(0) == "ok")
+    val docs = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "documents")
+    val dedupDir = tmpDir("recdedup")
+    DedupStore.save(docs, dedupDir)
+    Dedup.clearShingleCache()
+    assert(StoreMaintenance.recommendDedup(spark, dedupDir,
+      corpus = Some(docs)).head().getString(0) == "ok")
   }
 
   test("concurrent stealers of an expired lease: at most one maintainer inside") {
