@@ -160,6 +160,21 @@ object Similarity {
   private val CoarseInitRestarts = 8
   private val CoarseInitLloydCap = 100
 
+  /** Cell count past which the init switches from multi-restart
+    * kmeans++ to hash-spread Forgy seeds. The kpp search is
+    * O(restarts · iters · pts · k · dim) of DRIVER CPU — decisive
+    * and cheap at small k, where one k-sample's clumps genuinely
+    * change which optimum Lloyd reaches (the covering measurements
+    * behind the recall gates), but O(k²)-growing and decreasingly
+    * useful at large k: per-cell mass shrinks, init luck averages
+    * out across thousands of cells, and the distributed polish over
+    * the full training sample does the real shaping. At the √n auto
+    * cell counts a 100 TB corpus implies (k in the thousands), the
+    * kpp search would be minutes of driver CPU for no measurable
+    * covering gain — the 1000× seam this dispatch closes.
+    */
+  private val KppMaxCells = 64
+
   /** Deterministic multi-restart kmeans++ + full Lloyd on a
     * driver-resident point set — the INIT of the coarse fit. Why
     * driver-side: at m = 1 the whole quantizer geometry rides one
@@ -322,16 +337,32 @@ object Similarity {
         val (dimLo, dim) = (dims.getInt(0), dims.getInt(1))
         require(dimLo == dim,
           s"ivf: corpus has mixed embedding dimensions ($dimLo..$dim)")
-        // init: driver-side multi-restart kmeans++ on the bounded
-        // hash-ordered sub-sample (one collect job); polish: the
-        // shared distributed fixed-point Lloyd over the FULL sample
-        val sub = persisted
-          .select(transform(col("v"), x => x.cast("double")).as("vd"),
-            xxhash64(col("vec_id")).as("h"), col("vec_id"))
-          .orderBy(col("h"), col("vec_id")).limit(CoarseInitSample)
-          .collect()
-          .map(_.getSeq[Double](0).toArray)
-        val init = kppBestOf(sub, nCells)
+        // init: driver-side (one bounded collect job); polish: the
+        // shared distributed fixed-point Lloyd over the FULL sample.
+        // Small k → multi-restart kmeans++ on the hash-ordered
+        // sub-sample (init luck is decisive there — see KppMaxCells);
+        // large k → the k lowest-hash sample vectors as spread Forgy
+        // seeds (a uniform random k-draw, deterministic), so the
+        // driver cost stays O(k·dim) however many cells √n implies
+        val init =
+          if (nCells <= KppMaxCells) {
+            val sub = persisted
+              .select(transform(col("v"), x => x.cast("double")).as("vd"),
+                xxhash64(col("vec_id")).as("h"), col("vec_id"))
+              .orderBy(col("h"), col("vec_id")).limit(CoarseInitSample)
+              .collect()
+              .map(_.getSeq[Double](0).toArray)
+            kppBestOf(sub, nCells)
+          } else {
+            val seeds = persisted
+              .select(transform(col("v"), x => x.cast("double")).as("vd"),
+                xxhash64(col("vec_id")).as("h"), col("vec_id"))
+              .orderBy(col("h"), col("vec_id")).limit(nCells)
+              .collect()
+              .map(_.getSeq[Double](0).toArray)
+            require(seeds.nonEmpty, "ivf: empty training sample")
+            Array.tabulate(nCells)(i => seeds(i % seeds.length))
+          }
         Coarse(Pq.lloydIters(persisted, 1, nCells, dim,
           Array(init), CoarsePolishIters)(0))
       } finally { persisted.unpersist(); () }
