@@ -61,8 +61,20 @@ object IvfIndex {
     */
   private val Layout = 2L
 
-  private def requireLayout(spark: SparkSession, root: String): Unit =
+  private def requireLayout(spark: SparkSession, root: String): Unit = {
     StoreVersioning.requireLayout(spark, root, "IvfIndex", "vectors", Layout)
+    // geometry rides with layout on maintenance paths: an append into
+    // a raw-space root would place new vectors by the spherical rule
+    requireGeometry(spark, root)
+  }
+
+  /** The geometry gate alone — enforced on QUERY paths too (unlike
+    * layout, which leaves committed roots query-valid): ranking
+    * unit-normalized queries against raw-space centroids silently
+    * degrades partial-probe recall ([[StoreVersioning.requireGeometry]]).
+    */
+  private def requireGeometry(spark: SparkSession, root: String): Unit =
+    StoreVersioning.requireGeometry(spark, root, "IvfIndex")
 
   /** Build the index at `dir`: fits (or reuses — the quantizer memo
     * is keyed on the training lineage, not the caller) the coarse
@@ -99,6 +111,7 @@ object IvfIndex {
       StoreVersioning.writeMeta(spark, root, Seq(
         "store" -> "IvfIndex",
         "layout" -> Layout.toString,
+        "geometry" -> StoreVersioning.UnitSphereGeometry,
         "n_cells" -> nCells.toString,
         "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings)))
       StoreVersioning.commit(spark, dir, v)
@@ -290,6 +303,7 @@ object IvfIndex {
   private def queryFrom(spark: SparkSession, root: String,
       queries: DataFrame, k: Int, nProbe: Int, excludeSelf: Boolean,
       maxBroadcastProbeRows: Long = MaxBroadcastProbeRows): DataFrame = {
+    requireGeometry(spark, root)
     val vectors = spark.read.parquet(vectorsPath(root))
     val cents = spark.read.parquet(centroidsPath(root))
     val qn = queries

@@ -56,9 +56,19 @@ object IvfPqStore {
     */
   private val Layout = 1L
 
-  private def requireLayout(spark: SparkSession, root: String): Unit =
+  private def requireLayout(spark: SparkSession, root: String): Unit = {
     StoreVersioning.requireLayout(spark, root, "IvfPqStore", "vectors",
       Layout)
+    requireGeometry(spark, root)
+  }
+
+  /** The geometry gate alone — enforced on QUERY/dedup paths too
+    * (unlike layout): coarse probing is spherical, so a raw-space root
+    * would silently lose partial-probe recall
+    * ([[StoreVersioning.requireGeometry]]).
+    */
+  private def requireGeometry(spark: SparkSession, root: String): Unit =
+    StoreVersioning.requireGeometry(spark, root, "IvfPqStore")
 
   /** Build the index at `dir`: coarse-assign every vector (memoized
     * quantizer — the lineage every IVF family shares), PQ-encode it
@@ -86,6 +96,7 @@ object IvfPqStore {
       StoreVersioning.writeMeta(spark, root, Seq(
         "store" -> "IvfPqStore",
         "layout" -> Layout.toString,
+        "geometry" -> StoreVersioning.UnitSphereGeometry,
         "n_cells" -> nCells.toString,
         "m" -> b.m.toString,
         "k_codes" -> b.k.toString,
@@ -275,12 +286,18 @@ object IvfPqStore {
     * shuffles, same rows (the gate spec pins both regimes equal).
     */
   /** Memoized store-geometry margin certifications, keyed per
-    * (version root, threshold) — the gap is a property of the store's
-    * frozen quantization alone, so a streaming micro-batch loop pays
-    * the bounded probe once per store generation.
+    * (version root, vectors file listing, threshold): the QUANTIZER is
+    * frozen per root, but the sampled gap is measured over the STORED
+    * vectors, and append() grows those under the SAME root — so the
+    * file-listing fingerprint rides in the key and any append (new
+    * files) forces a fresh certification probe at the next dedup call,
+    * instead of a long-lived streaming session certifying forever
+    * against the pre-append sample and missing exactly the
+    * drifted-append exposure the certification exists to catch. A
+    * compact commits a NEW root, so the root key already covers it.
     */
   private val marginCerts =
-    new BoundedMemo[(String, Double), Double](capacity = 64)
+    new BoundedMemo[(String, String, Double), Double](capacity = 64)
 
   /** The store's sampled worst one-sided exact−ADC gap at `minCosine`
     * — the memoized certification statistic, exposed for
@@ -292,7 +309,8 @@ object IvfPqStore {
     val root = StoreVersioning.requireRoot(spark, dir)
     val vectors = spark.read.parquet(vectorsPath(root))
     val b = PqStore.codebookOf(spark, root)
-    marginCerts.getOrElseUpdate((root, minCosine))(
+    val fp = StoreVersioning.trainFingerprint(vectors)
+    marginCerts.getOrElseUpdate((root, fp, minCosine))(
       Pq.adcSampledGap(
         vectors.select(col("vec_id"), col("v"), col("norm"),
           col("pcodes"), col("pq_norm")),
@@ -306,6 +324,7 @@ object IvfPqStore {
       certifyMargin: Boolean = true)
       : DataFrame = {
     val root = StoreVersioning.requireRoot(spark, dir)
+    requireGeometry(spark, root)
     val vectors = spark.read.parquet(vectorsPath(root))
     val cents = spark.read.parquet(centroidsPath(root))
     val b = PqStore.codebookOf(spark, root)
@@ -319,7 +338,8 @@ object IvfPqStore {
     // on last year's distribution, appends frozen) is exactly what
     // this catches — rebuild, raise the margin, or opt out.
     if (certifyMargin) {
-      val gap = marginCerts.getOrElseUpdate((root, minCosine))(
+      val fp = StoreVersioning.trainFingerprint(vectors)
+      val gap = marginCerts.getOrElseUpdate((root, fp, minCosine))(
         Pq.adcSampledGap(
           vectors.select(col("vec_id"), col("v"), col("norm"),
             col("pcodes"), col("pq_norm")),
@@ -390,6 +410,7 @@ object IvfPqStore {
   private def queryFrom(spark: SparkSession, root: String, q0: DataFrame,
       k: Int, nProbe: Int, candidates: Int, excludeSelf: Boolean,
       maxBroadcastProbeRows: Long): DataFrame = {
+    requireGeometry(spark, root)
     val vectors = spark.read.parquet(vectorsPath(root))
     val cents = spark.read.parquet(centroidsPath(root))
     val b = PqStore.codebookOf(spark, root)

@@ -571,26 +571,32 @@ object Pq {
     */
   val MaxBroadcastQtabRows: Long = 24L * 1024
 
-  private[ops] def requireRerankBound(nQueries: Long, depth: Int): Unit = {
+  private[ops] def requireRerankBound(nQueries: Long, depth: Int): Unit =
     require(nQueries * depth <= maxRerankCandidates,
       s"pq rerank would broadcast $nQueries queries x $depth candidates " +
         s"(> $maxRerankCandidates): past this scale the exactness-gate " +
         "configuration is the wrong tool — use knnPqIvf with production " +
         "nProbe/candidates, or cap `candidates` explicitly")
-    // the candidate cap alone bounds ROWS, not BYTES: the broadcast
-    // query side carries the m·k ADC table (~4 KB/row at the default
-    // geometry), so 4M shallow-depth queries would still assemble a
-    // ~16 GB broadcast under the row cap. Cap the query side at the
-    // qtab-width ceiling — loud, with the same remedy story (batch
-    // the queries; a query relation past ~24k rows is itself a
-    // corpus and wants the partitioned IVF paths, which size-gate
-    // instead of hinting).
+
+  /** The qtab-width broadcast cap, enforced ONLY on paths whose query
+    * side is UNCONDITIONALLY hinted ([[pqRank]]'s callers): the
+    * candidate cap alone bounds ROWS, not BYTES — the broadcast query
+    * side carries the m·k ADC table (~4 KB/row at the default
+    * geometry), so 4M shallow-depth queries would still assemble a
+    * ~16 GB broadcast under the row cap. Loud, with the remedy story
+    * (batch the queries; a query relation past ~24k rows is itself a
+    * corpus and wants the IVF store paths). Deliberately NOT folded
+    * into [[requireRerankBound]]: [[IvfPqStore.queryFrom]] size-gates
+    * its own qtab hint and degrades to a partitioned join past the
+    * ceiling, so batches between ~24k and 4M/depth rows execute safely
+    * there and must not throw.
+    */
+  private[ops] def requireQtabBroadcastBound(nQueries: Long): Unit =
     require(nQueries <= MaxBroadcastQtabRows,
       s"pq rerank would broadcast $nQueries qtab-carrying query rows " +
         s"(> $MaxBroadcastQtabRows, ~100 MB at the default geometry): " +
         "batch the queries, or use the size-gated IVF store paths for " +
         "corpus-sized query relations")
-  }
 
   def knnPqRerank(embeddings: DataFrame, k: Int = 5, nQueries: Long = 5,
       m: Int = 16, kCodes: Int = 32, candidates: Int = 0,
@@ -600,6 +606,7 @@ object Pq {
     val depth = if (candidates > 0) candidates
       else autoCandidates(countFor(base))
     requireRerankBound(nQueries, depth)
+    requireQtabBroadcastBound(nQueries)
     val b = codebookFor(base, m, kCodes, trainMod)
     val enc = encoded(embeddings, b)
     val cand = prefilterRanksOf(enc, b, nQueries)
@@ -911,6 +918,7 @@ object Pq {
     val depth = if (candidates > 0) candidates
       else autoCandidates(countFor(base))
     requireRerankBound(nQueries, depth)
+    requireQtabBroadcastBound(nQueries)
     val b = codebookFor(base, m, kCodes, trainMod)
     val enc = encoded(embeddings, b)
     val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)

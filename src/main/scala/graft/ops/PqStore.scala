@@ -224,11 +224,13 @@ object PqStore {
         "layout", "m", "k_codes", "train_fingerprint")
   }
 
-  /** Memoized per (version root, threshold), the [[IvfPqStore]]
-    * convention.
+  /** Memoized per (version root, vectors file listing, threshold), the
+    * [[IvfPqStore]] convention: the listing fingerprint invalidates
+    * the memo on append() — the gap is measured over the stored
+    * vectors, which grow under the same root.
     */
   private val sampledGaps =
-    new BoundedMemo[(String, Double), Double](capacity = 64)
+    new BoundedMemo[(String, String, Double), Double](capacity = 64)
 
   /** The store's sampled worst one-sided exact−ADC gap at `minCosine`
     * — the [[StoreMaintenance.recommendPq]] statistic: the same
@@ -240,7 +242,8 @@ object PqStore {
     val root = StoreVersioning.requireRoot(spark, dir)
     val vectors = spark.read.parquet(vectorsPath(root))
     val b = codebookOf(spark, root)
-    sampledGaps.getOrElseUpdate((root, minCosine))(
+    sampledGaps.getOrElseUpdate(
+        (root, StoreVersioning.trainFingerprint(vectors), minCosine))(
       Pq.adcSampledGap(
         vectors.select(col("vec_id"), col("v"), col("norm"),
           col("pcodes"), col("pq_norm")),
@@ -302,7 +305,12 @@ object PqStore {
       // parquet-metadata count of the raw store (pre-tombstone): a
       // depth bound only needs the right scale, not exactness
       else Pq.autoCandidates(spark.read.parquet(vectorsPath(root)).count())
-    Pq.requireRerankBound(q.count(), depth)
+    val nQ = q.count()
+    Pq.requireRerankBound(nQ, depth)
+    // this path broadcasts the qtab query side unconditionally
+    // (Pq.pqRank), so the width cap applies — unlike IvfPqStore's
+    // size-gated hint
+    Pq.requireQtabBroadcastBound(nQ)
     val qt = Pq.withQtab(q, b).select(col("query_id"), col("qtab"), col("qn"))
     val cand = Pq.pqRank(
         enc.select(col("vec_id"), col("pcodes"), col("pq_norm")),

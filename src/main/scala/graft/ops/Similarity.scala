@@ -344,6 +344,16 @@ object Similarity {
         // large k → the k lowest-hash sample vectors as spread Forgy
         // seeds (a uniform random k-draw, deterministic), so the
         // driver cost stays O(k·dim) however many cells √n implies
+        // loud minimum-sample guard (the Pq.codebookFit convention): a
+        // sample smaller than nCells would seed DUPLICATE centroids,
+        // and under the strict-< argmin (ties to the lower cell) every
+        // duplicate cell is permanently starved — the store would
+        // silently commit fewer effective cells than requested, the
+        // exact silent-knob class the margin certification refuses
+        def requireCover(got: Int): Unit = require(got >= nCells,
+          s"ivf: the training sample has $got vector(s) but nCells=" +
+            s"$nCells — duplicate seeds would leave cells permanently " +
+            "empty. Lower trainMod (denser sample) or lower nCells")
         val init =
           if (nCells <= KppMaxCells) {
             val sub = persisted
@@ -352,6 +362,7 @@ object Similarity {
               .orderBy(col("h"), col("vec_id")).limit(CoarseInitSample)
               .collect()
               .map(_.getSeq[Double](0).toArray)
+            requireCover(sub.length)
             kppBestOf(sub, nCells)
           } else {
             val seeds = persisted
@@ -360,8 +371,8 @@ object Similarity {
               .orderBy(col("h"), col("vec_id")).limit(nCells)
               .collect()
               .map(_.getSeq[Double](0).toArray)
-            require(seeds.nonEmpty, "ivf: empty training sample")
-            Array.tabulate(nCells)(i => seeds(i % seeds.length))
+            requireCover(seeds.length)
+            seeds
           }
         Coarse(Pq.lloydIters(persisted, 1, nCells, dim,
           Array(init), CoarsePolishIters)(0))

@@ -190,6 +190,59 @@ private[ops] object StoreVersioning {
   def trainFingerprint(df: DataFrame): String =
     f"${java.util.Arrays.hashCode(df.inputFiles.asInstanceOf[Array[AnyRef]])}%08x"
 
+  /** The coarse-quantizer GEOMETRY convention the IVF-family stores
+    * record in `_META` and gate on: centroids fitted, vectors
+    * assigned, and queries ranked on the UNIT SPHERE
+    * ([[Similarity.unitOf]] — the round-15 spherical-quantizer
+    * convention). Unlike `layout` (which only covers the PHYSICAL
+    * partition scheme and whose mismatch leaves committed roots
+    * query-valid), a geometry mismatch poisons QUERIES too: ranking a
+    * unit-normalized query against raw-space centroids (or assigning
+    * an append by the spherical rule into a raw-placed corpus)
+    * silently degrades partial-probe recall on any non-unit-norm
+    * corpus — precisely the silent-knob class `_META` exists to
+    * refuse. So [[requireGeometry]] is enforced on EVERY centroid
+    * consumer: query, append, dedup, stats, compact.
+    */
+  val UnitSphereGeometry = "unit-sphere-1"
+
+  /** Refuse a root whose coarse-quantizer geometry does not match the
+    * running build's convention. Two refusal cases:
+    *
+    *  - NO `_META` at all: the root predates the sidecar — and the
+    *    sidecar landed in the SAME build as the spherical quantizer,
+    *    so a pre-`_META` IVF root is known to carry raw-space
+    *    centroids. The old `ingest=`-directory fallback (still the
+    *    layout rule for the geometry-free stores) would wave it
+    *    through into silent recall loss.
+    *  - `_META` present with a DIFFERENT `geometry`: a future
+    *    convention change gates here by string mismatch.
+    *
+    * A `_META` WITHOUT a `geometry` key is accepted as
+    * [[UnitSphereGeometry]]: the sidecar and the spherical fit shipped
+    * together, so every sidecar-carrying root was built spherical —
+    * the key only needs writing from now on so the NEXT geometry
+    * change has something to compare.
+    */
+  def requireGeometry(spark: SparkSession, root: String,
+      store: String): Unit = {
+    val meta = metaOf(spark, root)
+    require(meta.nonEmpty,
+      s"$store at $root was committed by an older build without a " +
+        "_META sidecar, which predates the unit-sphere coarse-quantizer " +
+        "convention: its centroids live in raw space, so queries would " +
+        "rank normalized vectors against them and appends would assign " +
+        "by a different rule than the stored placement — silent " +
+        "partial-probe recall loss — rebuild required: save() a fresh " +
+        "version from the corpus")
+    val g = meta.getOrElse("geometry", UnitSphereGeometry)
+    require(g == UnitSphereGeometry,
+      s"$store at $root records quantizer geometry '$g' but this build " +
+        s"implements '$UnitSphereGeometry' — queries and appends against " +
+        "a mismatched geometry silently lose recall — rebuild required: " +
+        "save() a fresh version from the corpus")
+  }
+
   /** Enforce the store's physical layout contract on a committed
     * root before any operation that ASSUMES it (append's dynamic
     * partition overwrite, stats' ingest column, compact's rewrite):

@@ -194,4 +194,29 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(shuffleRegime == broadcastRegime,
       "the size-gated regimes must agree row-for-row")
   }
+
+  test("a training sample smaller than nCells refuses the fit loudly") {
+    // round-16 guard: a sub-nCells sample would seed DUPLICATE
+    // centroids, and the strict-< argmin (ties to the lower cell)
+    // starves every duplicate cell permanently — the store would
+    // silently commit fewer effective cells than requested. The fit
+    // must refuse with the remedy named, in both init regimes.
+    val e = emb("sf0.001")
+    // kmeans++ regime (nCells <= 64): 8 corpus rows, trainMod=1 keeps
+    // all 8 in the sample — still short of 16 cells
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.save(e.filter(col("vec_id") < 8), tmpDir("tiny"),
+        nCells = 16, trainMod = 1)
+    }
+    assert(err.getMessage.contains("Lower trainMod") &&
+      err.getMessage.contains("nCells=16"),
+      s"wrong refusal: ${err.getMessage}")
+    // spread-Forgy regime (nCells > 64): the full 500-row fixture at
+    // trainMod=8 hash-samples ~60 rows < 100 cells
+    val err2 = intercept[IllegalArgumentException] {
+      IvfIndex.save(e, tmpDir("tiny2"), nCells = 100, trainMod = 8)
+    }
+    assert(err2.getMessage.contains("Lower trainMod"),
+      s"wrong refusal: ${err2.getMessage}")
+  }
 }

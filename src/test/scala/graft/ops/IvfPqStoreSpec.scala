@@ -226,6 +226,70 @@ class IvfPqStoreSpec extends AnyFunSuite {
     } finally Pq.clearCodebookCache()
   }
 
+  test("a query batch past the qtab ceiling runs partitioned instead of refusing") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("bigbatch")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      // past the 24k qtab-broadcast ceiling but under the 4M candidate
+      // cap at this depth: round 15's shared bound threw here
+      // unconditionally, though THIS path size-gates its own qtab hint
+      // and executes safely as a partitioned join — the regression the
+      // split bounds close (the hard width cap now binds only the
+      // unconditionally-hinted pqRank paths)
+      val nBig = Pq.MaxBroadcastQtabRows + 1
+      val big = sp.range(0, nBig).select(col("id").as("query_id"),
+        transform(sequence(lit(1), lit(64)),
+          // +1 keeps every vector nonzero whatever the multiplier
+          i => (((i * ((col("id") % 13) + 1)) % 7) + 1)
+            .cast("float")).as("qv"))
+      val got = IvfPqStore.query(spark, dir, big, k = 1, nProbe = 16,
+        candidates = 8)
+      assert(got.count() == nBig,
+        "every query must rank against the exhaustively-probed store")
+      // regime agreement: the same queries alone ride the broadcast
+      // hint and must produce the identical rows
+      val head = big.filter(col("query_id") < 50)
+      val want = IvfPqStore.query(spark, dir, head, k = 1, nProbe = 16,
+        candidates = 8).collect().toSeq
+      assert(want.nonEmpty)
+      assert(got.filter(col("query_id") < 50)
+        .orderBy(col("query_id"), col("rank")).collect().toSeq == want,
+        "the size-gated regimes must agree row-for-row")
+    } finally Pq.clearCodebookCache()
+  }
+
+  test("append invalidates the margin certification: a drifted append re-probes") {
+    val sp = spark; import sp.implicits._
+    val dir = tmpDir("certdrift")
+    val e = emb("sf0.001")
+    val incoming = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      // pass 1: the healthy store certifies clean at the default
+      // margin and MEMOIZES the sampled gap
+      IvfPqStore.dedupAgainst(spark, dir, incoming).collect()
+      // drifted append under the SAME root: one-hot-ish spikes far
+      // outside the training distribution — the frozen codebook's
+      // reconstructions of them are noise, so mutually-identical spike
+      // pairs (exact cosine 1.0) have a huge exact−ADC gap. A memo
+      // keyed on the root alone would keep certifying against the
+      // pre-append sample and silently lose exactly these pairs.
+      val spikes = sp.range(10000, 10300).select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => when(i === (col("id") % 64) + 1, 1000.0f)
+            .otherwise(0.001f)).as("embedding"))
+      IvfPqStore.append(spikes, dir, "drift1")
+      val err = intercept[IllegalArgumentException] {
+        IvfPqStore.dedupAgainst(spark, dir, incoming).collect()
+      }
+      assert(err.getMessage.contains("cannot certify"),
+        s"the post-append run must re-probe and refuse: ${err.getMessage}")
+    } finally Pq.clearCodebookCache()
+  }
+
   test("stats expose the frozen model lineage from _META") {
     val dir = tmpDir("lineage")
     val e = emb("sf0.001")

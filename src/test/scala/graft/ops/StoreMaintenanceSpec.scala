@@ -339,16 +339,51 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     mustRefuse(IvfIndex.append(e.limit(5), dir, "day1"))
     mustRefuse(IvfIndex.stats(spark, dir))
     mustRefuse(IvfIndex.compact(spark, dir))
-    // queries against the committed legacy root remain valid — only
-    // maintenance is refused (the migration path is save())
+    // QUERIES refuse too (round 16): a pre-_META root predates the
+    // unit-sphere quantizer, so ranking normalized queries against its
+    // raw-space centroids would silently lose partial-probe recall —
+    // the geometry gate turns that into the same loud rebuild story
     val q = e.limit(2).select(col("vec_id").as("query_id"),
       col("embedding").as("qv"))
-    assert(IvfIndex.query(spark, dir, q, k = 1, nProbe = 4).count() > 0)
+    mustRefuse(IvfIndex.query(spark, dir, q, k = 1, nProbe = 4).count())
     // and save() IS the migration: a fresh version commits layout v2
-    // beside the legacy one and maintenance works again
+    // (+ the geometry convention) beside the legacy one, and both
+    // maintenance and queries work again
     IvfIndex.save(e, dir, nCells = 4)
     IvfIndex.append(e.limit(0), dir, "day1")
     val s = IvfIndex.stats(spark, dir).head()
     assert(s.getString(s.fieldIndex("layout")) == "2")
+    assert(IvfIndex.query(spark, dir, q, k = 1, nProbe = 4).count() > 0)
+  }
+
+  test("a mismatched _META geometry refuses queries and maintenance (rebuild required)") {
+    // a committed root whose _META names a DIFFERENT quantizer
+    // convention: the forward-compat half of the geometry gate — a
+    // future convention change must refuse by string mismatch, never
+    // silently rank against centroids fitted under another rule
+    val e = graft.engine.Tables
+      .table(spark, "/root/testdata/sf0.001", "embeddings")
+    val dir = tmpDir("geom_drift")
+    IvfIndex.save(e, dir, nCells = 4)
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val meta = StoreVersioning.metaOf(spark, root)
+    assert(meta.get("geometry").contains(
+      StoreVersioning.UnitSphereGeometry), meta.toString)
+    StoreVersioning.writeMeta(spark, root,
+      (meta + ("geometry" -> "raw-space-0")).toSeq.sortBy(_._1))
+    def mustRefuse(body: => Any): Unit = {
+      val err = intercept[IllegalArgumentException](body)
+      assert(err.getMessage.contains("rebuild required") &&
+        err.getMessage.contains("raw-space-0"),
+        s"wrong refusal: ${err.getMessage}")
+    }
+    val q = e.limit(2).select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    mustRefuse(IvfIndex.query(spark, dir, q, k = 1, nProbe = 4).count())
+    mustRefuse(IvfIndex.stats(spark, dir))
+    mustRefuse(IvfIndex.append(e.limit(1), dir, "day1"))
+    // restore for hygiene (tmp dir, but keep the fixture consistent)
+    StoreVersioning.writeMeta(spark, root, meta.toSeq.sortBy(_._1))
+    assert(IvfIndex.query(spark, dir, q, k = 1, nProbe = 4).count() > 0)
   }
 }
