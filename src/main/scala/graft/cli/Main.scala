@@ -268,11 +268,26 @@ object Main {
     // land raw tables, stages clean/score/index them, every result
     // (including the stores' maintenance audit rows) lands on a
     // declared sink with MERGE idempotence when a primary key is set
+    // `input_stage:` chaining resolver: a prior stage's landed output
+    // is its file-warehouse relation — config validation already pins
+    // the reference to an earlier stage, so the read sees data this
+    // run landed (or a prior run's, for warm-started pipelines). JDBC
+    // sinks have no readable path without a driver jar; refuse loudly.
+    val stageByName = cfg.stages.map(s => s.name -> s).toMap
+    def priorOutput(name: String): org.apache.spark.sql.DataFrame = {
+      val prior = stageByName(name)
+      require(prior.sink.isEmpty,
+        s"input_stage '$name' chains from a JDBC-sunk stage — chain " +
+          "through the file warehouse (omit 'sink' on the upstream stage)")
+      val wh = args.warehouse.getOrElse(throw new IllegalArgumentException(
+        s"input_stage '$name' requires the file warehouse (--warehouse)"))
+      spark.read.parquet(s"$wh/${prior.destTable}")
+    }
     cfg.stages.foreach { stage =>
       val st0 = System.nanoTime()
       try {
         log.info("stage name={} kind={}", stage.name, stage.kind)
-        val out = StageRunner.run(spark, stage)
+        val out = StageRunner.run(spark, stage, priorOutput)
         val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
           stage.primaryKey.toSeq, args, getenv)
         val mode = if (stage.primaryKey.isDefined) WriteMode.Merge

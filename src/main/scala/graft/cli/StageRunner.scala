@@ -18,44 +18,130 @@ import graft.ops.{DedupStore, IvfIndex, IvfPqStore, PqStore, StoreMaintenance}
   *    against the stage's `input_dir` — the whole operator surface
   *    (dedup, curation, text quality, ANN, corpus stats, …) is
   *    YAML-orchestratable with no per-operator glue, and the result
-  *    relation is exactly the gate-verified one.
+  *    relation is exactly the gate-verified one. `columns:` /
+  *    `table:` / `table_as:` adapt a NON-fixture corpus into the
+  *    operator's expected shape (plan-level renames — pruning and
+  *    pushdown reach the real scan), and `input_stage:` chains the
+  *    stage onto a PRIOR stage's landed output.
   *  - `kind: store` drives the persisted-store lifecycle. Build /
-  *    append / compact / maintain run the maintenance op (under the
-  *    store's maintainer lease, loud on a second maintainer — the
-  *    library contract rides through unchanged), and the stage's
-  *    OUTPUT is the store's post-action stats relation tagged with
-  *    (stage, action, compacted): the run's audit row, so a season of
-  *    scheduled pipeline runs leaves a queryable maintenance history
-  *    in the warehouse instead of a log trail.
+  *    rebuild / append / compact / maintain run the maintenance op
+  *    (under the store's maintainer lease, loud on a second
+  *    maintainer — the library contract rides through unchanged), and
+  *    the stage's OUTPUT is the store's post-action stats relation
+  *    tagged with (stage, action, compacted): the run's audit row, so
+  *    a season of scheduled pipeline runs leaves a queryable
+  *    maintenance history in the warehouse instead of a log trail.
+  *    `action: recommend` lands the rebuild-vs-compact-vs-ok ADVISORY
+  *    row for ANY of the four stores, judged at the stage's own
+  *    `margin`/`min_cosine`/threshold knobs; `action: rebuild` ACTS
+  *    on it — a fresh save() from the stage's current corpus under
+  *    the maintainer lease, so a fingerprint-drifted store goes
+  *    recommend("rebuild") → rebuild → recommend("ok") from YAML
+  *    alone.
+  *  - `kind: stream` drives the streaming modules
+  *    ([[graft.streaming.StreamingIndexIngest]] /
+  *    [[graft.streaming.StreamingEmbeddingDedup]] /
+  *    [[graft.streaming.StreamingClassify]]) as an INCREMENTAL DRAIN:
+  *    start the stream over `source_dir`, process everything
+  *    available, stop. The REQUIRED durable `checkpoint:` is what
+  *    makes successive scheduled CLI runs exactly-once — a restart
+  *    resumes at the unprocessed files, and replayed micro-batches
+  *    land idempotently (ingest-keyed store appends, batch-keyed
+  *    output partitions). This is the reference's scheduled
+  *    incremental-pull premise, carried to the store/dedup surface.
   */
 object StageRunner {
 
-  def run(spark: SparkSession, stage: Stage): DataFrame = stage.kind match {
-    case "query" =>
-      val name = stage.query.get
-      val q = graft.queries.Extensions.queries.getOrElse(name,
+  /** `priorOutput` resolves an `input_stage:` name to that stage's
+    * landed relation (the orchestrator passes the warehouse read);
+    * the default refuses loudly for direct library callers.
+    */
+  def run(spark: SparkSession, stage: Stage,
+      priorOutput: String => DataFrame = noChain): DataFrame =
+    stage.kind match {
+      case "query" => runQuery(spark, stage, priorOutput)
+      case "store" => runStore(spark, stage, priorOutput)
+      case "stream" => runStream(spark, stage)
+      case other =>
+        // unreachable after config validation; loud anyway
         throw new IllegalArgumentException(
-          s"stage '${stage.name}': unknown operator '$name' — " +
-            "not in the Extensions registry"))
-      q(spark, stage.inputDir)
-    case "store" =>
-      runStore(spark, stage)
-    case other =>
-      // unreachable after config validation; loud anyway
-      throw new IllegalArgumentException(
-        s"stage '${stage.name}': unknown kind '$other'")
+          s"stage '${stage.name}': unknown kind '$other'")
+    }
+
+  private def noChain(name: String): DataFrame =
+    throw new IllegalArgumentException(
+      s"input_stage '$name' needs an orchestrator-provided resolver " +
+        "(run the stage through the CLI with a file warehouse)")
+
+  /** The stage's adapted input relation, when the stage declares one:
+    * a prior stage's landed output (`input_stage:`) or a named parquet
+    * table under `input_dir` (`table:`), with `columns:` renamed from
+    * the source schema into the operator's expected names — loudly on
+    * a missing source column (withColumnRenamed would silently no-op,
+    * and a typo'd mapping must not quietly run the operator on the
+    * wrong column).
+    */
+  private def adaptedInput(spark: SparkSession, stage: Stage,
+      priorOutput: String => DataFrame, default: String): Option[DataFrame] = {
+    val declared = stage.inputStage.isDefined || stage.table.isDefined ||
+      stage.columns.nonEmpty || stage.tableAs.isDefined
+    if (!declared) None
+    else {
+      val src = stage.inputStage.map(priorOutput).getOrElse(
+        graft.engine.Tables.table(spark, stage.inputDir,
+          stage.table.getOrElse(default)))
+      Some(stage.columns.foldLeft(src) { case (df, (expected, source)) =>
+        require(df.columns.contains(source),
+          s"stage '${stage.name}': columns maps '$expected' from " +
+            s"'$source', which is not in the input " +
+            s"(${df.columns.mkString(", ")})")
+        df.withColumnRenamed(source, expected)
+      })
+    }
   }
 
-  private def runStore(spark: SparkSession, stage: Stage): DataFrame = {
+  private def runQuery(spark: SparkSession, stage: Stage,
+      priorOutput: String => DataFrame): DataFrame = {
+    val name = stage.query.get
+    val q = graft.queries.Extensions.queries.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"stage '${stage.name}': unknown operator '$name' — " +
+          "not in the Extensions registry"))
+    adaptedInput(spark, stage, priorOutput, default = "documents") match {
+      case None => q(spark, stage.inputDir)
+      case Some(adapted) =>
+        // the operator reads its tables by NAME: overlay the adapted
+        // relation under the name it expects (default `documents`;
+        // `table_as: embeddings` for the vector operators). The plan
+        // is BUILT inside the scope, so the substitution sticks.
+        val as = stage.tableAs.getOrElse("documents")
+        graft.engine.Tables.withOverlay(Map(as -> adapted))(
+          q(spark, stage.inputDir))
+    }
+  }
+
+  private def runStore(spark: SparkSession, stage: Stage,
+      priorOutput: String => DataFrame): DataFrame = {
     val dir = stage.dir.get
     val store = stage.store.get
     val action = stage.action.get
     def embeddings: DataFrame =
-      graft.engine.Tables.table(spark, stage.inputDir,
-        stage.table.getOrElse("embeddings"))
+      adaptedInput(spark, stage, priorOutput, default = "embeddings")
+        .getOrElse(graft.engine.Tables.table(spark, stage.inputDir,
+          "embeddings"))
     def documents: DataFrame =
-      graft.engine.Tables.table(spark, stage.inputDir,
-        stage.table.getOrElse("documents"))
+      adaptedInput(spark, stage, priorOutput, default = "documents")
+        .getOrElse(graft.engine.Tables.table(spark, stage.inputDir,
+          "documents"))
+    def corpus: DataFrame = if (store == "dedup") documents else embeddings
+    // advisory/dedup knobs: the stage's own bar, else the library
+    // defaults — an advisory judged at a margin the deployment does
+    // not run is the "silent knob" class the round-15 certification
+    // work exists to kill
+    val margin = stage.margin.getOrElse(0.35)
+    val minCosine = stage.minCosine.getOrElse(0.3)
+    val maxTombstoneRatio = stage.maxTombstoneRatio.getOrElse(0.1)
+    val maxIngests = stage.maxIngests.getOrElse(16L)
     // `dedup` is the one action whose OUTPUT is the operator relation
     // (flagged near-duplicates of the incoming batch against the
     // persisted history), not the stats audit row — the incremental
@@ -64,53 +150,76 @@ object StageRunner {
     // `recommend` lands the maintenance ADVISORY row (rebuild vs
     // compact vs ok, from stats + lineage + the sampled margin gap) —
     // a scheduled pipeline run leaves the decision trail in the
-    // warehouse next to the stats audit rows
-    if (action == "recommend") return store match {
+    // warehouse next to the stats audit rows. The stage's corpus rides
+    // in for the lineage-drift check.
+    if (action == "recommend") return (store match {
       case "ivfpq" => StoreMaintenance.recommendIvfPq(spark, dir,
-        corpus = Some(embeddings))
-      case other => throw new IllegalArgumentException(
-        s"stage '${stage.name}': action 'recommend' supports the ivfpq " +
-          s"store, not '$other'")
-    }
+        corpus = Some(embeddings), margin = margin, minCosine = minCosine,
+        maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+      case "pq" => StoreMaintenance.recommendPq(spark, dir,
+        corpus = Some(embeddings), margin = margin, minCosine = minCosine,
+        maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+      case "ivf" => StoreMaintenance.recommendIvf(spark, dir,
+        corpus = Some(embeddings),
+        maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+      case "dedup" => StoreMaintenance.recommendDedup(spark, dir,
+        corpus = Some(documents),
+        maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+    }).withColumn("stage", lit(stage.name))
     if (action == "dedup") return store match {
       case "dedup" => DedupStore.dedupAgainst(spark, documents, dir)
       case "ivfpq" => IvfPqStore.dedupAgainst(spark, dir,
         embeddings.select(col("vec_id").as("query_id"),
-          col("embedding").as("qv")))
+          col("embedding").as("qv")),
+        minCosine = minCosine, margin = margin)
       case other => throw new IllegalArgumentException(
         s"stage '${stage.name}': action 'dedup' supports the dedup and " +
           s"ivfpq stores, not '$other'")
     }
     var compacted = false
     (store, action) match {
-      case ("dedup", "build") => DedupStore.save(documents, dir)
+      // `rebuild` IS save(): a fresh version root re-fit from the
+      // stage's CURRENT corpus, committed by marker under the
+      // maintainer lease — the ACT half of the recommend advisory
+      // (geometry re-fits, lineage re-fingerprints, tombstones and
+      // fragmentation reset with the fresh build)
+      case ("dedup", "build" | "rebuild") => DedupStore.save(documents, dir)
       case ("dedup", "append") =>
         DedupStore.append(documents, dir, stage.ingestId.get)
       case ("dedup", "compact") => DedupStore.compact(spark, dir)
       case ("dedup", "maintain") =>
-        compacted = StoreMaintenance.maintainDedup(spark, dir)
-      case ("ivf", "build") => IvfIndex.save(embeddings, dir)
+        compacted = StoreMaintenance.maintainDedup(spark, dir,
+          maxTombstoneRatio, maxIngests)
+      case ("ivf", "build" | "rebuild") => IvfIndex.save(embeddings, dir)
       case ("ivf", "append") =>
         IvfIndex.append(embeddings, dir, stage.ingestId.get)
       case ("ivf", "compact") => IvfIndex.compact(spark, dir)
       case ("ivf", "maintain") =>
-        compacted = StoreMaintenance.maintainIvf(spark, dir)
-      case ("pq", "build") => PqStore.save(embeddings, dir)
+        compacted = StoreMaintenance.maintainIvf(spark, dir,
+          maxTombstoneRatio, maxIngests)
+      case ("pq", "build" | "rebuild") => PqStore.save(embeddings, dir)
       case ("pq", "append") =>
         PqStore.append(embeddings, dir, stage.ingestId.get)
       case ("pq", "compact") => PqStore.compact(spark, dir)
       case ("pq", "maintain") =>
-        compacted = StoreMaintenance.maintainPq(spark, dir)
-      case ("ivfpq", "build") => IvfPqStore.save(embeddings, dir)
+        compacted = StoreMaintenance.maintainPq(spark, dir,
+          maxTombstoneRatio, maxIngests)
+      case ("ivfpq", "build" | "rebuild") => IvfPqStore.save(embeddings, dir)
       case ("ivfpq", "append") =>
         IvfPqStore.append(embeddings, dir, stage.ingestId.get)
       case ("ivfpq", "compact") => IvfPqStore.compact(spark, dir)
       case ("ivfpq", "maintain") =>
-        compacted = StoreMaintenance.maintainIvfPq(spark, dir)
+        compacted = StoreMaintenance.maintainIvfPq(spark, dir,
+          maxTombstoneRatio, maxIngests)
       case (_, "stats") => // introspection only, no maintenance op
       case other => throw new IllegalArgumentException(
         s"stage '${stage.name}': unsupported $other")
     }
+    statsAudit(spark, stage, store, dir, action, compacted)
+  }
+
+  private def statsAudit(spark: SparkSession, stage: Stage, store: String,
+      dir: String, action: String, compacted: Boolean): DataFrame = {
     val stats = store match {
       case "dedup" => DedupStore.stats(spark, dir)
       case "ivf" => IvfIndex.stats(spark, dir)
@@ -124,4 +233,61 @@ object StageRunner {
       .withColumn("compacted", lit(compacted))
       .select((Seq("stage", "action", "compacted") ++ statCols).map(col): _*)
   }
+
+  /** Drain-what's-available streaming: start, processAllAvailable,
+    * stop. With the stage's durable checkpoint this is the scheduled
+    * incremental regime — each CLI run picks up exactly the source
+    * files that arrived since the last one.
+    */
+  private def runStream(spark: SparkSession, stage: Stage): DataFrame = {
+    val sourceDir = stage.sourceDir.get
+    val checkpoint = stage.checkpoint.get
+    val throttle = stage.maxFilesPerTrigger.getOrElse(0)
+    // the file stream needs an explicit schema: one metadata-only
+    // batch read of the source dir provides it (schema inference off
+    // a dir the stage DECLARES, not a guess)
+    val schema = spark.read.parquet(sourceDir).schema
+    stage.stream.get match {
+      case "index_ingest" =>
+        val dir = stage.dir.get
+        val q = stage.store.get match {
+          case "ivf" => graft.streaming.StreamingIndexIngest.intoIvf(
+            spark, sourceDir, schema, dir, throttle, Some(checkpoint))
+          case "pq" => graft.streaming.StreamingIndexIngest.intoPq(
+            spark, sourceDir, schema, dir, throttle, Some(checkpoint))
+          case "ivfpq" => graft.streaming.StreamingIndexIngest.intoIvfPq(
+            spark, sourceDir, schema, dir, throttle, Some(checkpoint))
+        }
+        drain(q)
+        statsAudit(spark, stage, stage.store.get, dir, "stream_ingest",
+          compacted = false)
+      case "embedding_dedup" =>
+        val outDir = stage.outDir.get
+        val q = graft.streaming.StreamingEmbeddingDedup
+          .streamingDedupAgainstStore(spark, sourceDir, schema,
+            stage.dir.get, outDir,
+            minCosine = stage.minCosine.getOrElse(0.3),
+            margin = stage.margin.getOrElse(0.35),
+            maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
+        drain(q)
+        // the stage lands the accumulated flag relation (all batches)
+        spark.read.parquet(outDir)
+      case "classify" =>
+        val outDir = stage.outDir.get
+        // model trained on the stage's HISTORICAL corpus (input_dir
+        // documents, or the adapted input) — frozen for this drain;
+        // the next scheduled run retrains from the then-current corpus
+        val docs = graft.engine.Tables.table(spark, stage.inputDir,
+          stage.table.getOrElse("documents"))
+        val model = graft.ops.Classify.tokenClassifierModel(docs)
+        val q = graft.streaming.StreamingClassify.streamingPredictToDir(
+          spark, sourceDir, schema, model, outDir,
+          maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
+        drain(q)
+        spark.read.parquet(outDir)
+    }
+  }
+
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
 }

@@ -224,7 +224,51 @@ object PipelineConfig {
       action: Option[String],
       table: Option[String],
       dir: Option[String],
-      ingestId: Option[String])
+      ingestId: Option[String],
+      /** `input_stage:` — consume a PRIOR stage's landed output (the
+        * parquet warehouse relation) instead of a fixture table under
+        * `input_dir`: clean → dedup → mix pipelines compose in one
+        * YAML without hand-wiring paths. Resolved by the orchestrator
+        * to the named stage's warehouse directory; requires the file
+        * warehouse (a JDBC-landed stage has no readable path) and the
+        * named stage must be declared EARLIER in the file.
+        */
+      inputStage: Option[String] = None,
+      /** `table_as:` — which engine table name the stage's input
+        * relation impersonates for the operator (default `documents`;
+        * use `embeddings` for vector operators). The operator surface
+        * reads named tables; this is the adapter seam.
+        */
+      tableAs: Option[String] = None,
+      /** `columns: {doc_id: my_id, text: body}` — rename the stage's
+        * input columns (operator-expected name -> source column) so a
+        * `kind: query` operator runs on non-fixture schemas. Renames
+        * are plan-level `select`s: pruning and pushdown flow through
+        * to the source scan untouched.
+        */
+      columns: Seq[(String, String)] = Seq.empty,
+      /** Advisory/dedup knobs (`margin`, `min_cosine`,
+        * `max_tombstone_ratio`, `max_ingests`) — a deployment running
+        * dedup at a non-default margin must get its advisory judged
+        * against THAT bar, not the library default.
+        */
+      margin: Option[Double] = None,
+      minCosine: Option[Double] = None,
+      maxTombstoneRatio: Option[Double] = None,
+      maxIngests: Option[Long] = None,
+      /** `kind: stream` fields: the streaming module to drive
+        * (`stream:` index_ingest | embedding_dedup | classify), its
+        * parquet source (`source_dir:`), the durable checkpoint
+        * (`checkpoint:` — REQUIRED: it is what makes successive
+        * scheduled runs incremental and exactly-once), the landing
+        * directory for relation-producing streams (`out_dir:`), and
+        * the micro-batch throttle (`max_files_per_trigger:`).
+        */
+      stream: Option[String] = None,
+      sourceDir: Option[String] = None,
+      checkpoint: Option[String] = None,
+      outDir: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None)
 
   final case class Config(sources: Seq[Source], targets: Seq[Target],
       stages: Seq[Stage] = Seq.empty) {
@@ -248,6 +292,16 @@ object PipelineConfig {
     rejectDuplicates("source", sources.map(_.name))
     rejectDuplicates("target", targets.map(_.name))
     rejectDuplicates("stage", stages.map(_.name))
+    // a chained stage consumes a PRIOR stage's landed output — forward
+    // or dangling references are config errors, not runtime surprises
+    stages.zipWithIndex.foreach { case (st, i) =>
+      st.inputStage.foreach { ref =>
+        if (!stages.take(i).exists(_.name == ref))
+          throw new IllegalArgumentException(
+            s"stage '${st.name}': input_stage '$ref' must name a stage " +
+              "declared EARLIER in the file (stages run in YAML order)")
+      }
+    }
     Config(sources, targets, stages)
   }
 
@@ -264,7 +318,22 @@ object PipelineConfig {
       action = optStr(m, "action"),
       table = optStr(m, "table"),
       dir = optStr(m, "dir"),
-      ingestId = optStr(m, "ingest_id"))
+      ingestId = optStr(m, "ingest_id"),
+      inputStage = optStr(m, "input_stage"),
+      tableAs = optStr(m, "table_as"),
+      columns = m.get("columns").filter(_ != null).map(
+        asMap(_, "columns must be a mapping of expected -> source")
+          .map { case (k, v) => k -> v.toString }.toSeq.sortBy(_._1))
+        .getOrElse(Seq.empty),
+      margin = optStr(m, "margin").map(_.toDouble),
+      minCosine = optStr(m, "min_cosine").map(_.toDouble),
+      maxTombstoneRatio = optStr(m, "max_tombstone_ratio").map(_.toDouble),
+      maxIngests = optStr(m, "max_ingests").map(_.toLong),
+      stream = optStr(m, "stream"),
+      sourceDir = optStr(m, "source_dir"),
+      checkpoint = optStr(m, "checkpoint"),
+      outDir = optStr(m, "out_dir"),
+      maxFilesPerTrigger = optStr(m, "max_files_per_trigger").map(_.toInt))
     s.kind match {
       case "query" =>
         if (s.query.isEmpty) throw new IllegalArgumentException(
@@ -278,23 +347,49 @@ object PipelineConfig {
         if (!Set("dedup", "ivf", "pq", "ivfpq")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown store '${s.store.get}'")
-        if (!Set("build", "append", "compact", "maintain", "stats",
-            "dedup", "recommend")(s.action.get))
+        if (!Set("build", "rebuild", "append", "compact", "maintain",
+            "stats", "dedup", "recommend")(s.action.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown action '${s.action.get}'")
         if (s.action.contains("dedup") && !Set("dedup", "ivfpq")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'dedup' supports the dedup and " +
               "ivfpq stores")
-        if (s.action.contains("recommend") && s.store.get != "ivfpq")
-          throw new IllegalArgumentException(
-            s"stage '${s.name}': action 'recommend' supports the ivfpq store")
         if (s.action.contains("append") && s.ingestId.isEmpty)
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'append' requires 'ingest_id' " +
               "(idempotent-retry key)")
+      case "stream" =>
+        if (s.stream.isEmpty || s.sourceDir.isEmpty || s.checkpoint.isEmpty)
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': kind 'stream' requires 'stream', " +
+              "'source_dir' and 'checkpoint' (the checkpoint is what " +
+              "makes scheduled runs incremental and exactly-once)")
+        s.stream.get match {
+          case "index_ingest" =>
+            if (s.store.isEmpty || s.dir.isEmpty)
+              throw new IllegalArgumentException(
+                s"stage '${s.name}': stream 'index_ingest' requires " +
+                  "'store' (ivf | pq | ivfpq) and 'dir'")
+            if (!Set("ivf", "pq", "ivfpq")(s.store.get))
+              throw new IllegalArgumentException(
+                s"stage '${s.name}': stream 'index_ingest' grows the " +
+                  s"ANN stores (ivf | pq | ivfpq), not '${s.store.get}'")
+          case "embedding_dedup" =>
+            if (s.dir.isEmpty || s.outDir.isEmpty)
+              throw new IllegalArgumentException(
+                s"stage '${s.name}': stream 'embedding_dedup' requires " +
+                  "'dir' (the ivfpq store) and 'out_dir'")
+          case "classify" =>
+            if (s.outDir.isEmpty)
+              throw new IllegalArgumentException(
+                s"stage '${s.name}': stream 'classify' requires 'out_dir'")
+          case other => throw new IllegalArgumentException(
+            s"stage '${s.name}': unknown stream '$other' " +
+              "(index_ingest | embedding_dedup | classify)")
+        }
       case other => throw new IllegalArgumentException(
-        s"stage '${s.name}': unknown kind '$other' (query | store)")
+        s"stage '${s.name}': unknown kind '$other' (query | store | stream)")
     }
     s
   }

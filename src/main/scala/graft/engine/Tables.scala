@@ -17,7 +17,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Scoped table overlay — the adapter seam that lets the stage
+    * orchestrator point a registry operator at a NON-fixture relation
+    * (a renamed-column corpus, a prior stage's landed output) without
+    * copying data: inside [[withOverlay]], [[table]] resolves an
+    * overlaid name to the given DataFrame instead of reading
+    * `dir/<name>.parquet`. The overlay is a plan substitution, so
+    * column pruning and predicate pushdown flow through the renames to
+    * the real source scan. Dynamically scoped (and inherited by child
+    * threads): registry operators BUILD their plans inside the caller'
+    * s scope, and the returned DataFrame keeps the substituted plan
+    * after the scope closes.
+    */
+  private val overlay =
+    new scala.util.DynamicVariable[Map[String, DataFrame]](Map.empty)
+
+  def withOverlay[T](tables: Map[String, DataFrame])(body: => T): T =
+    overlay.withValue(overlay.value ++ tables)(body)
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    overlay.value.get(name) match {
+      case Some(df) => df
+      case None => read(spark, dir, name)
+    }
+
+  private def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // Normalize events.ts to TimestampType whatever the fixture stores:
     //  - TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong → a

@@ -111,4 +111,37 @@ object StreamingClassify {
       .format("memory").queryName(queryName)
       .start()
   }
+
+  /** [[streamingPredict]] landing parquet instead of a memory sink —
+    * the YAML-orchestratable form ([[graft.cli.StageRunner]]'s
+    * `stream: classify`): predictions land under `outDir` through the
+    * shared batch-keyed partition overwrite, so foreachBatch's
+    * at-least-once replay is idempotent, and the optional durable
+    * checkpoint makes successive drains incremental. Same model
+    * broadcast, same size guard, same prediction columns — one scoring
+    * body, two deliveries.
+    */
+  def streamingPredictToDir(spark: SparkSession, dir: String,
+      schema: StructType, model: DataFrame, outDir: String,
+      maxFilesPerTrigger: Int = 0, checkpoint: Option[String] = None,
+      maxModelRows: Long = 2000000L): StreamingQuery = {
+    val nRows = model.count()
+    require(nRows <= maxModelRows,
+      s"model has $nRows (label, token) rows > maxModelRows=$maxModelRows: " +
+        "the streaming scorer broadcasts the model as one row; score a " +
+        "vocabulary this size in batch " +
+        "(graft.ops.Classify.tokenClassifierPredict) where the model join " +
+        "is AQE-size-gated")
+    val modelStatic = broadcast(modelRow(model))
+    val cols = predictionCols(col("ws"), col("models"))
+    BatchedParquetSink.start(spark, dir, schema, maxFilesPerTrigger,
+      checkpoint) { (batch, batchId) =>
+      BatchedParquetSink.landBatch(
+        batch
+          .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+          .crossJoin(modelStatic)
+          .select(col("doc_id") +: cols: _*),
+        outDir, batchId)
+    }
+  }
 }

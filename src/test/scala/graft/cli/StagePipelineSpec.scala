@@ -202,6 +202,282 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Dedup.clearShingleCache()
   }
 
+  test("family advisory + rebuild from YAML: drift goes recommend(rebuild) -> rebuild -> ok") {
+    val sp = spark
+    val dir = Files.createTempDirectory("stage_family")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    // a byte-identical COPY of the corpus at a different path: the
+    // train fingerprint is the scanned file listing, so a pipeline
+    // whose corpus moved (new drop, new partition set) reads as
+    // lineage drift even when the rows happen to match
+    val corpusB = Files.createDirectories(dir.resolve("corpusB")).toString
+    Seq("documents", "embeddings").foreach { t =>
+      Files.copy(java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        java.nio.file.Paths.get(s"$corpusB/$t.parquet"))
+    }
+    val stores = Seq("dedup", "ivf", "pq", "ivfpq")
+    def storeDir(s: String) = dir.resolve(s"store_$s").toString
+    def stages(phase: String, action: String, input: String) =
+      stores.map { s =>
+        s"""  - name: ${phase}_$s
+           |    kind: store
+           |    store: $s
+           |    action: $action
+           |    input_dir: $input
+           |    dir: ${storeDir(s)}
+           |    dest_table: ${phase}_audit
+           |""".stripMargin
+      }.mkString
+    def runYaml(body: String): Unit = {
+      Files.writeString(dir.resolve("pipelines.yaml"), "stages:\n" + body)
+      assert(Main.run(Main.Args(
+        modulesDir = modules.toString,
+        configPath = dir.resolve("pipelines.yaml").toString,
+        warehouse = Some(warehouse)), sp) == 0)
+    }
+    try {
+      // build from corpus A, then ask for advice against corpus B:
+      // every family must read the drift and say REBUILD
+      runYaml(stages("build", "build", sf) +
+        stages("advise1", "recommend", corpusB))
+      val advice1 = sp.read.parquet(s"$warehouse/advise1_audit").collect()
+        .map(r => r.getAs[String]("stage") ->
+          (r.getAs[String]("recommendation"),
+            r.getAs[Boolean]("fingerprint_drift"))).toMap
+      assert(advice1.keySet == stores.map(s => s"advise1_$s").toSet)
+      stores.foreach { s =>
+        assert(advice1(s"advise1_$s") == ("rebuild", true),
+          s"$s advisory on a drifted corpus: ${advice1(s"advise1_$s")}")
+      }
+      // ACT on the advisory from YAML alone: rebuild re-fits geometry
+      // from the CURRENT corpus under the maintainer lease, and the
+      // follow-up advisory against the same corpus reads ok
+      runYaml(stages("rebuild", "rebuild", corpusB) +
+        stages("advise2", "recommend", corpusB))
+      val advice2 = sp.read.parquet(s"$warehouse/advise2_audit").collect()
+        .map(r => r.getAs[String]("stage") ->
+          r.getAs[String]("recommendation")).toMap
+      stores.foreach { s =>
+        assert(advice2(s"advise2_$s") == "ok",
+          s"$s advisory after rebuild: ${advice2(s"advise2_$s")}")
+      }
+      // the rebuild really is a fresh fit: version advanced and the
+      // lineage re-fingerprinted (the landed audit rows carry both)
+      def fp(table: String, stage: String): String = {
+        val r = sp.read.parquet(s"$warehouse/$table")
+          .filter(org.apache.spark.sql.functions.col("stage") === stage)
+          .head()
+        r.getString(r.fieldIndex("train_fingerprint"))
+      }
+      assert(fp("build_audit", "build_ivfpq") !=
+        fp("rebuild_audit", "rebuild_ivfpq"),
+        "rebuild must re-fingerprint the lineage to the current corpus")
+      val st = graft.ops.IvfPqStore.stats(sp, storeDir("ivfpq")).head()
+      assert(st.getLong(st.fieldIndex("version")) >= 2)
+    } finally {
+      graft.ops.Pq.clearCodebookCache()
+      graft.ops.Dedup.clearShingleCache()
+    }
+  }
+
+  test("advisory knobs ride the stage: a non-default margin flips the ivfpq verdict") {
+    val sp = spark
+    val dir = Files.createTempDirectory("stage_knobs")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("ivfpq").toString
+    def runStage(extra: String, dest: String): Unit = {
+      Files.writeString(dir.resolve("pipelines.yaml"),
+        s"""stages:
+           |  - name: $dest
+           |    kind: store
+           |    store: ivfpq
+           |    action: recommend
+           |    input_dir: $sf
+           |    dir: $storeDir
+           |    dest_table: $dest
+           |$extra""".stripMargin)
+      assert(Main.run(Main.Args(
+        modulesDir = modules.toString,
+        configPath = dir.resolve("pipelines.yaml").toString,
+        warehouse = Some(warehouse)), sp) == 0)
+    }
+    try {
+      graft.ops.IvfPqStore.save(
+        graft.engine.Tables.table(sp, sf, "embeddings"), storeDir)
+      // default margin: the healthy store reads ok
+      runStage("", "ok_row")
+      val ok = sp.read.parquet(s"$warehouse/ok_row").head()
+      assert(ok.getString(ok.fieldIndex("recommendation")) == "ok")
+      // a deployment running dedup at an impossibly tight margin must
+      // get the advisory judged at THAT bar: the same store reads
+      // rebuild (sampled gap exceeds the configured margin)
+      runStage("    margin: 0.0001\n", "tight_row")
+      val tight = sp.read.parquet(s"$warehouse/tight_row").head()
+      assert(tight.getString(tight.fieldIndex("recommendation")) == "rebuild",
+        tight.toString)
+      assert(tight.getDouble(tight.fieldIndex("sampled_adc_gap")) > 0.0001)
+    } finally graft.ops.Pq.clearCodebookCache()
+  }
+
+  test("stage chaining + column mapping: scrub -> exact-dedup composes through the warehouse") {
+    val sp = spark
+    val dir = Files.createTempDirectory("stage_chain")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    // stage 1 lands the span-scrubbed corpus; stage 2 consumes THAT
+    // relation (input_stage), renaming clean_text into the operator's
+    // expected `text` — scrub → exact-dedup, a natural curation chain
+    // with no hand-wired paths and no fixture shape
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""stages:
+         |  - name: scrub
+         |    kind: query
+         |    query: x_dedup_span_remove
+         |    input_dir: $sf
+         |    dest_table: scrubbed
+         |  - name: dedup_clean
+         |    kind: query
+         |    query: x_dedup_exact
+         |    input_dir: $sf
+         |    input_stage: scrub
+         |    table_as: documents
+         |    columns:
+         |      text: clean_text
+         |    dest_table: dedup_clean
+         |""".stripMargin)
+    assert(Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse)), sp) == 0)
+    val got = sp.read.parquet(s"$warehouse/dedup_clean")
+    // the composed result equals the library composition over the
+    // same two operators
+    val scrubbed = graft.queries.Extensions
+      .queries("x_dedup_span_remove")(sp, sf)
+      .withColumnRenamed("clean_text", "text")
+    val want = graft.engine.Tables.withOverlay(Map("documents" -> scrubbed))(
+      graft.queries.Extensions.queries("x_dedup_exact")(sp, sf))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "the YAML chain must equal the library composition")
+  }
+
+  test("columns adapter: a renamed-column corpus runs a registry operator unchanged") {
+    val sp = spark
+    val dir = Files.createTempDirectory("stage_cols")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    // a production-shaped corpus: same documents, different column
+    // names, landed under a non-fixture table name
+    graft.engine.Tables.table(sp, sf, "documents")
+      .withColumnRenamed("doc_id", "my_id")
+      .withColumnRenamed("text", "body")
+      .write.parquet(s"$dir/my_corpus.parquet")
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""stages:
+         |  - name: dedup_my_corpus
+         |    kind: query
+         |    query: x_dedup_exact
+         |    input_dir: $dir
+         |    table: my_corpus
+         |    table_as: documents
+         |    columns:
+         |      doc_id: my_id
+         |      text: body
+         |    dest_table: dedup_flags
+         |""".stripMargin)
+    assert(Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse)), sp) == 0)
+    val got = sp.read.parquet(s"$warehouse/dedup_flags")
+    val want = graft.queries.Extensions.queries("x_dedup_exact")(sp, sf)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "renamed columns must not change the operator result")
+    // a typo'd mapping refuses loudly instead of running on the wrong
+    // column (withColumnRenamed would silently no-op)
+    Files.writeString(dir.resolve("bad.yaml"),
+      s"""stages:
+         |  - name: typo
+         |    kind: query
+         |    query: x_dedup_exact
+         |    input_dir: $dir
+         |    table: my_corpus
+         |    table_as: documents
+         |    columns:
+         |      text: bodyy
+         |    dest_table: x
+         |""".stripMargin)
+    // Main catches per-stage failures into the exit code
+    assert(Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("bad.yaml").toString,
+      warehouse = Some(warehouse)), sp) != 0)
+  }
+
+  test("stream stage from YAML: checkpointed drain grows the store exactly-once") {
+    val sp = spark
+    val dir = Files.createTempDirectory("stage_stream")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("ivf_store").toString
+    val srcDir = Files.createDirectories(dir.resolve("incoming")).toString
+    val ckpt = dir.resolve("ckpt").toString
+    val e = graft.engine.Tables.table(sp, sf, "embeddings")
+    import org.apache.spark.sql.functions.col
+    def delta(lo: Long, hi: Long) = e
+      .filter(col("vec_id") >= lo - 10000 && col("vec_id") < hi - 10000)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    // the store exists before the stream (geometry is frozen at build)
+    graft.ops.IvfIndex.save(e, storeDir, nCells = 16)
+    val streamYaml =
+      s"""stages:
+         |  - name: grow_index
+         |    kind: stream
+         |    stream: index_ingest
+         |    store: ivf
+         |    input_dir: $sf
+         |    source_dir: $srcDir
+         |    checkpoint: $ckpt
+         |    dir: $storeDir
+         |    dest_table: stream_audit
+         |""".stripMargin
+    Files.writeString(dir.resolve("pipelines.yaml"), streamYaml)
+    val args = Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse))
+    def nVectors: Long = {
+      val s = graft.ops.IvfIndex.stats(sp, storeDir).head()
+      s.getLong(s.fieldIndex("n_vectors"))
+    }
+    // drop 1: 50 fresh vectors arrive; one scheduled run drains them
+    delta(10000, 10050).coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    assert(nVectors == e.count() + 50, "the drain must ingest drop 1")
+    // restart with NOTHING new: the durable checkpoint makes the
+    // second scheduled run a no-op — exactly-once across restarts
+    assert(Main.run(args, sp) == 0)
+    assert(nVectors == e.count() + 50, "a re-run must not double-ingest")
+    // drop 2 arrives; the next run ingests exactly the delta
+    delta(10050, 10080).coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    assert(nVectors == e.count() + 80, "the drain must ingest only drop 2")
+    // and the grown store answers exactly: exhaustive probes equal
+    // brute force over the union (the append-parity contract, reached
+    // through YAML + checkpointed streaming)
+    val all = e.select(col("vec_id"), col("embedding"))
+      .unionByName(delta(10000, 10080))
+    val got = graft.ops.IvfIndex.querySelf(sp, storeDir, nProbe = 16)
+      .collect().toSeq
+    assert(got == graft.ops.Similarity.knnBrute(all).collect().toSeq)
+    // the audit trail landed once per run
+    assert(sp.read.parquet(s"$warehouse/stream_audit").count() == 3)
+  }
+
   test("stage config validation is loud") {
     import graft.config.PipelineConfig
     intercept[IllegalArgumentException] {
