@@ -74,6 +74,42 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("pqcold")) {
+      // Attribution of the x_dedup_embedding_pq PASS-1 cold event (the
+      // one residual cold leg in the driver bench): split the first
+      // run's cost into its four components by selective memo drops —
+      // single-shot timings, deliberately NOT min-of-2 (a second run
+      // is warm by construction). Every component is a contract cost
+      // paid once per (corpus, geometry): the codebook fit and coarse
+      // fit are memoized on the training lineage, the certification on
+      // (corpus, codebook, threshold, bound).
+      def t1(name: String)(f: => Long): Double = {
+        val t0 = System.nanoTime; f
+        val s = (System.nanoTime - t0) / 1e9
+        println(f"PROF pqcold_$name $s%.2f s"); s
+      }
+      Pq.clearCodebookCache(); Similarity.clearQuantizerCache()
+      val cold = t1("full_cold")(Pq.embeddingNearDupPq(emb).count())
+      val warm = t1("full_warm")(Pq.embeddingNearDupPq(emb).count())
+      // coarse-quantizer refit alone (codebook + certs stay memoized)
+      Similarity.clearQuantizerCache()
+      val coarse = t1("coarse_refit")(
+        Pq.embeddingNearDupPq(emb).count()) - warm
+      // codebook refit + certification re-probe (clearing the codebook
+      // memo also drops the margin certs — they key on the codebook)
+      Pq.clearCodebookCache()
+      val cbAndCert = t1("codebook_and_cert_refit")(
+        Pq.embeddingNearDupPq(emb).count()) - warm
+      // codebook refit with certification opted out → isolates the fit
+      Pq.clearCodebookCache()
+      val cbOnly = t1("codebook_refit_nocert")(
+        Pq.embeddingNearDupPq(emb, certifyMargin = false).count()) - warm
+      println(f"PROF pqcold_attribution coarse_fit=$coarse%.2f " +
+        f"codebook_fit=$cbOnly%.2f certification=${cbAndCert - cbOnly}%.2f " +
+        f"warm_body=$warm%.2f full_cold=$cold%.2f")
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("r7new")) {
       // round-7 additions: bigram LM is O(total tokens) like the
       // unigram family (its model tables grow with bigram vocabulary —
