@@ -166,6 +166,32 @@ object StageRunner {
         corpus = Some(documents),
         maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
     }).withColumn("stage", lit(stage.name))
+    // `delete` files tombstones from a declared takedown relation (a
+    // GDPR erasure / license takedown batch, from YAML): retraction is
+    // immediate (queries anti-join the ids out), physical reclaim is
+    // the next compact/maintain — the library lifecycle, declared. The
+    // ids come from the stage's input (default table `takedowns`,
+    // adaptable via table/columns/input_stage); malformed ids refuse
+    // loudly through requireLongIds, never a silent non-retraction.
+    if (action == "delete") {
+      val idCol = if (store == "dedup") "doc_id" else "vec_id"
+      val rel = adaptedInput(spark, stage, priorOutput,
+        default = "takedowns").getOrElse(
+        graft.engine.Tables.table(spark, stage.inputDir, "takedowns"))
+      require(rel.columns.contains(idCol),
+        s"stage '${stage.name}': action 'delete' needs column '$idCol' " +
+          s"in the takedown relation (${rel.columns.mkString(", ")}) — " +
+          "map it via 'columns:'")
+      val ids = rel.select(col(idCol))
+      store match {
+        case "dedup" => DedupStore.delete(ids, dir)
+        case "ivf" => IvfIndex.delete(ids, dir)
+        case "pq" => PqStore.delete(ids, dir)
+        case "ivfpq" => IvfPqStore.delete(ids, dir)
+      }
+      return statsAudit(spark, stage, store, dir, "delete",
+        compacted = false)
+    }
     if (action == "dedup") return store match {
       case "dedup" => DedupStore.dedupAgainst(spark, documents, dir)
       case "ivfpq" => IvfPqStore.dedupAgainst(spark, dir,

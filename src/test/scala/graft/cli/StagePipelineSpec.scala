@@ -478,6 +478,163 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sp.read.parquet(s"$warehouse/stream_audit").count() == 3)
   }
 
+  test("takedown stage: YAML delete tombstones; maintain reclaims at the stage's threshold") {
+    val sp = spark
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stage_takedown")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("ivf_store").toString
+    val e = graft.engine.Tables.table(sp, sf, "embeddings")
+    graft.ops.IvfIndex.save(e, storeDir, nCells = 16)
+    // the takedown batch arrives as a production-shaped relation with
+    // its own id column name — the columns adapter maps it
+    val victims = Seq(7L, 11L, 42L)
+    sp.createDataFrame(victims.map(Tuple1(_))).toDF("erase_id")
+      .write.parquet(s"$dir/erasures.parquet")
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""stages:
+         |  - name: takedown
+         |    kind: store
+         |    store: ivf
+         |    action: delete
+         |    input_dir: $dir
+         |    table: erasures
+         |    columns:
+         |      vec_id: erase_id
+         |    dir: $storeDir
+         |    dest_table: takedown_audit
+         |  - name: reclaim
+         |    kind: store
+         |    store: ivf
+         |    action: maintain
+         |    input_dir: $sf
+         |    dir: $storeDir
+         |    max_tombstone_ratio: 0.0001
+         |    dest_table: takedown_audit
+         |""".stripMargin)
+    assert(Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse)), sp) == 0)
+    // retraction is effective: the erased ids never appear as neighbors
+    val got = graft.ops.IvfIndex.querySelf(sp, storeDir, nProbe = 16)
+      .collect().toSeq
+    assert(got == graft.ops.Similarity.knnBrute(
+      e.filter(!col("vec_id").isin(victims: _*))).collect().toSeq)
+    // the audit trail carries the lifecycle: delete filed 3 tombstones,
+    // the stage's own (non-default) threshold made maintain compact,
+    // and the fresh version physically reclaimed them
+    val audit = sp.read.parquet(s"$warehouse/takedown_audit").collect()
+      .map(r => r.getAs[String]("action") ->
+        (r.getAs[Long]("n_tombstoned"), r.getAs[Boolean]("compacted"))).toMap
+    assert(audit("delete") == ((3L, false)), audit.toString)
+    assert(audit("maintain") == ((0L, true)),
+      s"maintain at ratio 0.0001 must compact and reclaim: $audit")
+  }
+
+  test("embedding-dedup stream stage: flags land per batch, exactly-once across runs") {
+    val sp = spark
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stage_edstream")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("ivfpq_store").toString
+    val srcDir = Files.createDirectories(dir.resolve("incoming")).toString
+    val outDir = dir.resolve("flags").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val e = graft.engine.Tables.table(sp, sf, "embeddings")
+    try {
+      graft.ops.IvfPqStore.save(e, storeDir, nCells = 16)
+      def batchDf(lo: Long, hi: Long) = e
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Files.writeString(dir.resolve("pipelines.yaml"),
+        s"""stages:
+           |  - name: flag_incoming
+           |    kind: stream
+           |    stream: embedding_dedup
+           |    input_dir: $sf
+           |    source_dir: $srcDir
+           |    checkpoint: $ckpt
+           |    dir: $storeDir
+           |    out_dir: $outDir
+           |    min_cosine: 0.3
+           |    margin: 2.0
+           |    dest_table: incoming_flags
+           |""".stripMargin)
+      val args = Main.Args(
+        modulesDir = modules.toString,
+        configPath = dir.resolve("pipelines.yaml").toString,
+        warehouse = Some(warehouse))
+      batchDf(0, 8).coalesce(1).write.mode("append").parquet(srcDir)
+      assert(Main.run(args, sp) == 0)
+      // the landed flags equal the batch operator over the same batch
+      // (pass-all margin: the exact-parity configuration)
+      val want1 = graft.ops.IvfPqStore.dedupAgainst(sp, storeDir,
+        batchDf(0, 8), minCosine = 0.3, nProbe = 4, margin = 2.0)
+        .collect().toSeq
+      def landed = sp.read.parquet(outDir)
+        .select(col("query_id"), col("corpus_id"), col("cosine"))
+        .orderBy(col("query_id"), col("corpus_id"))
+      assert(want1.nonEmpty)
+      assert(landed.collect().toSeq == want1)
+      // a re-run with nothing new must not re-flag (exactly-once)
+      assert(Main.run(args, sp) == 0)
+      assert(landed.collect().toSeq == want1)
+      // drop 2: only the delta lands, in its own batch partition
+      batchDf(8, 12).coalesce(1).write.mode("append").parquet(srcDir)
+      assert(Main.run(args, sp) == 0)
+      val want2 = graft.ops.IvfPqStore.dedupAgainst(sp, storeDir,
+        batchDf(8, 12), minCosine = 0.3, nProbe = 4, margin = 2.0)
+        .collect().toSeq
+      assert(landed.collect().toSeq == (want1 ++ want2)
+        .sortBy(r => (r.getLong(0), r.getLong(1))))
+    } finally graft.ops.Pq.clearCodebookCache()
+  }
+
+  test("classify stream stage: predictions land exactly-once with the frozen model") {
+    val sp = spark
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stage_clstream")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val srcDir = Files.createDirectories(dir.resolve("incoming")).toString
+    val outDir = dir.resolve("preds").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val docs = graft.engine.Tables.table(sp, sf, "documents")
+    def batchDf(lo: Long, hi: Long) = docs
+      .filter(col("doc_id") >= lo && col("doc_id") < hi)
+      .select(col("doc_id"), col("text"))
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""stages:
+         |  - name: score_incoming
+         |    kind: stream
+         |    stream: classify
+         |    input_dir: $sf
+         |    source_dir: $srcDir
+         |    checkpoint: $ckpt
+         |    out_dir: $outDir
+         |    dest_table: incoming_preds
+         |""".stripMargin)
+    val args = Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse))
+    batchDf(0, 40).coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    val preds = sp.read.parquet(outDir)
+    assert(preds.count() == 40, "every streamed doc scores exactly once")
+    assert(preds.select(col("doc_id")).distinct().count() == 40)
+    assert(preds.columns.toSet.contains("predicted"))
+    // exactly-once across scheduled runs
+    assert(Main.run(args, sp) == 0)
+    assert(sp.read.parquet(outDir).count() == 40)
+    batchDf(40, 50).coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    assert(sp.read.parquet(outDir).count() == 50)
+  }
+
   test("stage config validation is loud") {
     import graft.config.PipelineConfig
     intercept[IllegalArgumentException] {
