@@ -274,8 +274,15 @@ object Main {
     // run landed (or a prior run's, for warm-started pipelines). JDBC
     // sinks have no readable path without a driver jar; refuse loudly.
     val stageByName = cfg.stages.map(s => s.name -> s).toMap
+    val failedStages = scala.collection.mutable.Set.empty[String]
     def priorOutput(name: String): org.apache.spark.sql.DataFrame = {
       val prior = stageByName(name)
+      // a failed upstream must poison its consumers: the warehouse may
+      // still hold a PRIOR run's landed output, and silently feeding
+      // stale upstream data downstream is worse than failing the chain
+      require(!failedStages.contains(name),
+        s"input_stage '$name' failed earlier in this run — refusing to " +
+          "chain from its stale warehouse output")
       require(prior.sink.isEmpty,
         s"input_stage '$name' chains from a JDBC-sunk stage — chain " +
           "through the file warehouse (omit 'sink' on the upstream stage)")
@@ -300,6 +307,7 @@ object Main {
       } catch {
         case e: Exception =>
           failed += 1
+          failedStages += stage.name
           val classified = graft.errors.GraftError.from(e)
           log.error(
             s"stage ${stage.name} failed [${classified.category}]: ${e.getMessage}", e)

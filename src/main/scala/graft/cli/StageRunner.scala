@@ -269,50 +269,85 @@ object StageRunner {
     val sourceDir = stage.sourceDir.get
     val checkpoint = stage.checkpoint.get
     val throttle = stage.maxFilesPerTrigger.getOrElse(0)
+    // a scheduled run may legitimately fire before the source has
+    // produced its first drop (the nightly pipeline racing the
+    // crawler): that's a NO-OP drain, not an error — schema inference
+    // on an empty dir would throw, so gate the drain on data existing
+    val srcReady = hasDataFiles(spark, sourceDir)
     // the file stream needs an explicit schema: one metadata-only
     // batch read of the source dir provides it (schema inference off
     // a dir the stage DECLARES, not a guess)
-    val schema = spark.read.parquet(sourceDir).schema
+    def schema = spark.read.parquet(sourceDir).schema
     stage.stream.get match {
       case "index_ingest" =>
         val dir = stage.dir.get
-        val q = stage.store.get match {
-          case "ivf" => graft.streaming.StreamingIndexIngest.intoIvf(
-            spark, sourceDir, schema, dir, throttle, Some(checkpoint))
-          case "pq" => graft.streaming.StreamingIndexIngest.intoPq(
-            spark, sourceDir, schema, dir, throttle, Some(checkpoint))
-          case "ivfpq" => graft.streaming.StreamingIndexIngest.intoIvfPq(
-            spark, sourceDir, schema, dir, throttle, Some(checkpoint))
+        if (srcReady) {
+          val q = stage.store.get match {
+            case "ivf" => graft.streaming.StreamingIndexIngest.intoIvf(
+              spark, sourceDir, schema, dir, throttle, Some(checkpoint))
+            case "pq" => graft.streaming.StreamingIndexIngest.intoPq(
+              spark, sourceDir, schema, dir, throttle, Some(checkpoint))
+            case "ivfpq" => graft.streaming.StreamingIndexIngest.intoIvfPq(
+              spark, sourceDir, schema, dir, throttle, Some(checkpoint))
+          }
+          drain(q)
         }
-        drain(q)
         statsAudit(spark, stage, stage.store.get, dir, "stream_ingest",
           compacted = false)
       case "embedding_dedup" =>
         val outDir = stage.outDir.get
-        val q = graft.streaming.StreamingEmbeddingDedup
-          .streamingDedupAgainstStore(spark, sourceDir, schema,
-            stage.dir.get, outDir,
-            minCosine = stage.minCosine.getOrElse(0.3),
-            margin = stage.margin.getOrElse(0.35),
-            maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
-        drain(q)
-        // the stage lands the accumulated flag relation (all batches)
-        spark.read.parquet(outDir)
+        if (srcReady) {
+          val q = graft.streaming.StreamingEmbeddingDedup
+            .streamingDedupAgainstStore(spark, sourceDir, schema,
+              stage.dir.get, outDir,
+              minCosine = stage.minCosine.getOrElse(0.3),
+              margin = stage.margin.getOrElse(0.35),
+              maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
+          drain(q)
+        }
+        // the stage lands the accumulated flag relation (all batches);
+        // empty-schema'd when nothing has ever landed
+        readOrEmpty(spark, outDir,
+          "query_id BIGINT, corpus_id BIGINT, cosine DOUBLE, graft_batch BIGINT")
       case "classify" =>
         val outDir = stage.outDir.get
-        // model trained on the stage's HISTORICAL corpus (input_dir
-        // documents, or the adapted input) — frozen for this drain;
-        // the next scheduled run retrains from the then-current corpus
-        val docs = graft.engine.Tables.table(spark, stage.inputDir,
-          stage.table.getOrElse("documents"))
-        val model = graft.ops.Classify.tokenClassifierModel(docs)
-        val q = graft.streaming.StreamingClassify.streamingPredictToDir(
-          spark, sourceDir, schema, model, outDir,
-          maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
-        drain(q)
-        spark.read.parquet(outDir)
+        if (srcReady) {
+          // model trained on the stage's HISTORICAL corpus (input_dir
+          // documents, or the adapted input) — frozen for this drain;
+          // the next scheduled run retrains from the then-current corpus
+          val docs = graft.engine.Tables.table(spark, stage.inputDir,
+            stage.table.getOrElse("documents"))
+          val model = graft.ops.Classify.tokenClassifierModel(docs)
+          val q = graft.streaming.StreamingClassify.streamingPredictToDir(
+            spark, sourceDir, schema, model, outDir,
+            maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
+          drain(q)
+        }
+        readOrEmpty(spark, outDir,
+          "doc_id BIGINT, predicted STRING, score BIGINT, graft_batch BIGINT")
     }
   }
+
+  private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listFiles(p, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) found = true
+      }
+      found
+    }
+  }
+
+  private def readOrEmpty(spark: SparkSession, dir: String,
+      ddl: String): DataFrame =
+    if (hasDataFiles(spark, dir)) spark.read.parquet(dir)
+    else spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
   private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
     try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }

@@ -196,21 +196,35 @@ object PipelineConfig {
     * the SAME YAML + CLI + writer stack as the HTTP→SQL modules —
     * same targets, same MERGE idempotence, same failure accounting.
     *
-    * Two kinds:
+    * Three kinds:
     *  - `kind: query` — run a registered analytics operator
     *    ([[graft.queries.Extensions.queries]]) against `input_dir`
     *    (a directory of the engine's parquet tables) and land the
     *    result on the sink. EVERY registry operator is orchestratable
-    *    with zero per-operator glue.
+    *    with zero per-operator glue; `table:`/`table_as:`/`columns:`
+    *    adapt non-fixture schemas and `input_stage:` chains onto a
+    *    prior stage's landed output.
     *  - `kind: store` — drive a persisted store's lifecycle (`store:`
-    *    dedup | ivf | pq | ivfpq; `action:` build | append | compact |
-    *    maintain | stats) at `dir:`, landing the store's STATS
-    *    relation on the sink as the run's audit row (the
-    *    maintenance-loop contract: decisions read stats, pipelines
-    *    record them). `action: dedup` (dedup/ivfpq stores) instead
+    *    dedup | ivf | pq | ivfpq; `action:` build | rebuild | append |
+    *    compact | maintain | stats | recommend | dedup | delete) at
+    *    `dir:`, landing the store's STATS relation on the sink as the
+    *    run's audit row (the maintenance-loop contract: decisions
+    *    read stats, pipelines record them). Exceptions to the
+    *    stats-audit output: `action: dedup` (dedup/ivfpq stores)
     *    lands the OPERATOR relation — the incoming batch's flagged
-    *    near-duplicates against the persisted history — the
-    *    incremental step of a declarative curation pipeline.
+    *    near-duplicates against the persisted history — and
+    *    `action: recommend` (all four stores) lands the
+    *    rebuild-vs-compact-vs-ok ADVISORY row, judged at the stage's
+    *    own `margin`/`min_cosine`/threshold knobs. `action: rebuild`
+    *    acts on that advisory (a fresh save() from the stage's
+    *    current corpus under the maintainer lease); `action: delete`
+    *    files tombstones from a declared takedown relation.
+    *  - `kind: stream` — drive a streaming module (`stream:`
+    *    index_ingest | embedding_dedup | classify) as a CHECKPOINTED
+    *    INCREMENTAL DRAIN of `source_dir`: each scheduled run
+    *    processes exactly the files that arrived since the last one,
+    *    replays land idempotently, and a not-yet-producing source is
+    *    a no-op, not an error.
     */
   final case class Stage(
       name: String,

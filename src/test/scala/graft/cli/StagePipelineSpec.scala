@@ -635,6 +635,91 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sp.read.parquet(outDir).count() == 50)
   }
 
+  test("a stream stage racing an empty source is a no-op, not an error") {
+    val sp = spark
+    val dir = Files.createTempDirectory("stage_empty_src")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("ivf_store").toString
+    val srcDir = Files.createDirectories(dir.resolve("incoming")).toString
+    graft.ops.IvfIndex.save(
+      graft.engine.Tables.table(sp, sf, "embeddings"), storeDir, nCells = 16)
+    // the nightly pipeline fires before the crawler's first drop: the
+    // ingest drain no-ops and still lands its audit row; the classify
+    // drain no-ops and lands an EMPTY typed relation
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""stages:
+         |  - name: grow_index
+         |    kind: stream
+         |    stream: index_ingest
+         |    store: ivf
+         |    input_dir: $sf
+         |    source_dir: $srcDir
+         |    checkpoint: ${dir.resolve("ck1")}
+         |    dir: $storeDir
+         |    dest_table: stream_audit
+         |  - name: score_incoming
+         |    kind: stream
+         |    stream: classify
+         |    input_dir: $sf
+         |    source_dir: ${Files.createDirectories(dir.resolve("in2"))}
+         |    checkpoint: ${dir.resolve("ck2")}
+         |    out_dir: ${dir.resolve("preds")}
+         |    dest_table: preds
+         |""".stripMargin)
+    assert(Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse)), sp) == 0,
+      "an empty source must not fail the pipeline")
+    val audit = sp.read.parquet(s"$warehouse/stream_audit").head()
+    assert(audit.getAs[String]("action") == "stream_ingest")
+    val preds = sp.read.parquet(s"$warehouse/preds")
+    assert(preds.count() == 0 && preds.columns.contains("predicted"))
+  }
+
+  test("a chained stage refuses a FAILED upstream instead of reading stale output") {
+    val sp = spark
+    val dir = Files.createTempDirectory("stage_poison")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val yaml =
+      s"""stages:
+         |  - name: scrub
+         |    kind: query
+         |    query: x_dedup_span_remove
+         |    input_dir: %INPUT%
+         |    dest_table: scrubbed
+         |  - name: dedup_clean
+         |    kind: query
+         |    query: x_dedup_exact
+         |    input_dir: $sf
+         |    input_stage: scrub
+         |    table_as: documents
+         |    columns:
+         |      text: clean_text
+         |    dest_table: dedup_clean
+         |""".stripMargin
+    // run 1: healthy — both stages land
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      yaml.replace("%INPUT%", sf))
+    val args = Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse))
+    assert(Main.run(args, sp) == 0)
+    val healthy = sp.read.parquet(s"$warehouse/dedup_clean").count()
+    assert(healthy > 0)
+    // run 2: the upstream stage fails (bogus input dir) — the chained
+    // stage must refuse to consume run 1's stale warehouse output, so
+    // BOTH stages count as failed and dedup_clean is NOT overwritten
+    // with data derived from stale upstream rows
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      yaml.replace("%INPUT%", s"$dir/nonexistent"))
+    assert(Main.run(args, sp) == 2,
+      "the failed upstream must poison its consumer")
+  }
+
   test("stage config validation is loud") {
     import graft.config.PipelineConfig
     intercept[IllegalArgumentException] {
