@@ -309,6 +309,20 @@ object StageRunner {
         // empty-schema'd when nothing has ever landed
         readOrEmpty(spark, outDir,
           "query_id BIGINT, corpus_id BIGINT, cosine DOUBLE, graft_batch BIGINT")
+      case "store_dedup" =>
+        // the TEXT-side analogue of embedding_dedup: incoming document
+        // batches flagged against the persisted gram store, per
+        // micro-batch, history never re-read
+        val outDir = stage.outDir.get
+        if (srcReady) {
+          val q = graft.streaming.StreamingStoreDedup
+            .streamingDedupAgainstStore(spark, sourceDir, schema,
+              stage.dir.get, outDir,
+              maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
+          drain(q)
+        }
+        readOrEmpty(spark, outDir,
+          "inc_id BIGINT, corpus_id BIGINT, jaccard DOUBLE, graft_batch BIGINT")
       case "classify" =>
         val outDir = stage.outDir.get
         if (srcReady) {

@@ -394,13 +394,18 @@ object PipelineConfig {
               throw new IllegalArgumentException(
                 s"stage '${s.name}': stream 'embedding_dedup' requires " +
                   "'dir' (the ivfpq store) and 'out_dir'")
+          case "store_dedup" =>
+            if (s.dir.isEmpty || s.outDir.isEmpty)
+              throw new IllegalArgumentException(
+                s"stage '${s.name}': stream 'store_dedup' requires " +
+                  "'dir' (the dedup gram store) and 'out_dir'")
           case "classify" =>
             if (s.outDir.isEmpty)
               throw new IllegalArgumentException(
                 s"stage '${s.name}': stream 'classify' requires 'out_dir'")
           case other => throw new IllegalArgumentException(
             s"stage '${s.name}': unknown stream '$other' " +
-              "(index_ingest | embedding_dedup | classify)")
+              "(index_ingest | embedding_dedup | store_dedup | classify)")
         }
       case other => throw new IllegalArgumentException(
         s"stage '${s.name}': unknown kind '$other' (query | store | stream)")

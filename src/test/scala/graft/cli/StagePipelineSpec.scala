@@ -593,6 +593,52 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Pq.clearCodebookCache()
   }
 
+  test("store-dedup stream stage: text flags land per batch against the gram store") {
+    val sp = spark
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stage_sdstream")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("gram_store").toString
+    val srcDir = Files.createDirectories(dir.resolve("incoming")).toString
+    val docs = graft.engine.Tables.table(sp, sf, "documents")
+    try {
+      graft.ops.DedupStore.save(docs, storeDir)
+      def batchDf(lo: Long, hi: Long) = docs
+        .filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"), col("text"))
+      Files.writeString(dir.resolve("pipelines.yaml"),
+        s"""stages:
+           |  - name: flag_text
+           |    kind: stream
+           |    stream: store_dedup
+           |    input_dir: $sf
+           |    source_dir: $srcDir
+           |    checkpoint: ${dir.resolve("ckpt")}
+           |    dir: $storeDir
+           |    out_dir: ${dir.resolve("flags")}
+           |    dest_table: text_flags
+           |""".stripMargin)
+      val args = Main.Args(
+        modulesDir = modules.toString,
+        configPath = dir.resolve("pipelines.yaml").toString,
+        warehouse = Some(warehouse))
+      batchDf(0, 40).coalesce(1).write.mode("append").parquet(srcDir)
+      assert(Main.run(args, sp) == 0)
+      // parity with the batch operator over the same incoming batch
+      val want = graft.ops.DedupStore.dedupAgainst(sp, batchDf(0, 40),
+        storeDir).collect().toSeq
+      def landed = sp.read.parquet(dir.resolve("flags").toString)
+        .select(col("inc_id"), col("corpus_id"), col("jaccard"))
+        .orderBy(col("inc_id"), col("corpus_id"))
+      assert(want.nonEmpty)
+      assert(landed.collect().toSeq == want)
+      // exactly-once across scheduled runs
+      assert(Main.run(args, sp) == 0)
+      assert(landed.collect().toSeq == want)
+    } finally graft.ops.Dedup.clearShingleCache()
+  }
+
   test("classify stream stage: predictions land exactly-once with the frozen model") {
     val sp = spark
     import org.apache.spark.sql.functions.col
