@@ -274,6 +274,7 @@ object Main {
     // run landed (or a prior run's, for warm-started pipelines). JDBC
     // sinks have no readable path without a driver jar; refuse loudly.
     val stageByName = cfg.stages.map(s => s.name -> s).toMap
+    val chainedUpstreams = cfg.stages.flatMap(_.inputStage).toSet
     val failedStages = scala.collection.mutable.Set.empty[String]
     def priorOutput(name: String): org.apache.spark.sql.DataFrame = {
       val prior = stageByName(name)
@@ -283,12 +284,12 @@ object Main {
       require(!failedStages.contains(name),
         s"input_stage '$name' failed earlier in this run — refusing to " +
           "chain from its stale warehouse output")
-      require(prior.sink.isEmpty,
-        s"input_stage '$name' chains from a JDBC-sunk stage — chain " +
-          "through the file warehouse (omit 'sink' on the upstream stage)")
+      // with --warehouse set EVERY stage lands in the file warehouse
+      // (makeWriter ignores sinks then), so a sinked upstream is still
+      // readable here; chaining without a warehouse has no path at all
       val wh = args.warehouse.getOrElse(throw new IllegalArgumentException(
         s"input_stage '$name' requires the file warehouse (--warehouse)"))
-      spark.read.parquet(s"$wh/${prior.destTable}")
+      spark.read.format(args.warehouseFormat).load(s"$wh/${prior.destTable}")
     }
     cfg.stages.foreach { stage =>
       val st0 = System.nanoTime()
@@ -297,6 +298,22 @@ object Main {
         val out = StageRunner.run(spark, stage, priorOutput)
         val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
           stage.primaryKey.toSeq, args, getenv)
+        // write-mode resolution (see Stage.writeMode): keyed stages
+        // MERGE; `replace` = truncate-then-append, which every writer
+        // supports and which keeps the destination a MIRROR of this
+        // run's relation — the default whenever appending would
+        // compound across runs (chained upstreams: a downstream read
+        // of an appending upstream sees N runs' duplicated rows;
+        // relation-producing streams: their output relation is already
+        // cumulative across batches, so re-appending it lands k copies
+        // of old batches). Audit-trail stages keep appending.
+        val relationStream = stage.kind == "stream" &&
+          !stage.stream.contains("index_ingest")
+        val replace = stage.primaryKey.isEmpty && (
+          stage.writeMode.contains("replace") ||
+            (stage.writeMode.isEmpty &&
+              (chainedUpstreams.contains(stage.name) || relationStream)))
+        if (replace) writer.truncate()
         val mode = if (stage.primaryKey.isDefined) WriteMode.Merge
           else args.writeMode
         val stats = writer.write(out, mode)

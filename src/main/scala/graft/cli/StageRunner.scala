@@ -61,7 +61,7 @@ object StageRunner {
     stage.kind match {
       case "query" => runQuery(spark, stage, priorOutput)
       case "store" => runStore(spark, stage, priorOutput)
-      case "stream" => runStream(spark, stage)
+      case "stream" => runStream(spark, stage, priorOutput)
       case other =>
         // unreachable after config validation; loud anyway
         throw new IllegalArgumentException(
@@ -87,14 +87,24 @@ object StageRunner {
       stage.columns.nonEmpty || stage.tableAs.isDefined
     if (!declared) None
     else {
+      // with no explicit `table:`, a declared `table_as:` names BOTH
+      // the overlay target and the source table — a stage adapting an
+      // embeddings-shaped corpus must not silently read documents
       val src = stage.inputStage.map(priorOutput).getOrElse(
         graft.engine.Tables.table(spark, stage.inputDir,
-          stage.table.getOrElse(default)))
+          stage.table.getOrElse(stage.tableAs.getOrElse(default))))
       Some(stage.columns.foldLeft(src) { case (df, (expected, source)) =>
         require(df.columns.contains(source),
           s"stage '${stage.name}': columns maps '$expected' from " +
             s"'$source', which is not in the input " +
             s"(${df.columns.mkString(", ")})")
+        // withColumnRenamed onto an already-present name would yield
+        // DUPLICATE columns and an ambiguous-reference error deep in
+        // the operator's plan — refuse here with the stage named
+        require(expected == source || !df.columns.contains(expected),
+          s"stage '${stage.name}': columns maps '$expected' from " +
+            s"'$source', but the input already has a '$expected' " +
+            "column — renaming would create duplicates")
         df.withColumnRenamed(source, expected)
       })
     }
@@ -134,14 +144,19 @@ object StageRunner {
         .getOrElse(graft.engine.Tables.table(spark, stage.inputDir,
           "documents"))
     def corpus: DataFrame = if (store == "dedup") documents else embeddings
-    // advisory/dedup knobs: the stage's own bar, else the library
-    // defaults — an advisory judged at a margin the deployment does
-    // not run is the "silent knob" class the round-15 certification
-    // work exists to kill
-    val margin = stage.margin.getOrElse(0.35)
-    val minCosine = stage.minCosine.getOrElse(0.3)
-    val maxTombstoneRatio = stage.maxTombstoneRatio.getOrElse(0.1)
-    val maxIngests = stage.maxIngests.getOrElse(16L)
+    // advisory/dedup knobs: the stage's own bar, else the ONE shared
+    // set of library defaults (StoreMaintenance.Default*) — an
+    // advisory judged at a margin the deployment does not run is the
+    // "silent knob" class the round-15 certification work exists to
+    // kill, and a default retune must reach YAML and library callers
+    // together
+    val margin = stage.margin.getOrElse(StoreMaintenance.DefaultMargin)
+    val minCosine =
+      stage.minCosine.getOrElse(StoreMaintenance.DefaultMinCosine)
+    val maxTombstoneRatio = stage.maxTombstoneRatio
+      .getOrElse(StoreMaintenance.DefaultMaxTombstoneRatio)
+    val maxIngests =
+      stage.maxIngests.getOrElse(StoreMaintenance.DefaultMaxIngests)
     // `dedup` is the one action whose OUTPUT is the operator relation
     // (flagged near-duplicates of the incoming batch against the
     // persisted history), not the stats audit row — the incremental
@@ -265,7 +280,8 @@ object StageRunner {
     * incremental regime — each CLI run picks up exactly the source
     * files that arrived since the last one.
     */
-  private def runStream(spark: SparkSession, stage: Stage): DataFrame = {
+  private def runStream(spark: SparkSession, stage: Stage,
+      priorOutput: String => DataFrame): DataFrame = {
     val sourceDir = stage.sourceDir.get
     val checkpoint = stage.checkpoint.get
     val throttle = stage.maxFilesPerTrigger.getOrElse(0)
@@ -326,11 +342,14 @@ object StageRunner {
       case "classify" =>
         val outDir = stage.outDir.get
         if (srcReady) {
-          // model trained on the stage's HISTORICAL corpus (input_dir
-          // documents, or the adapted input) — frozen for this drain;
-          // the next scheduled run retrains from the then-current corpus
-          val docs = graft.engine.Tables.table(spark, stage.inputDir,
-            stage.table.getOrElse("documents"))
+          // model trained on the stage's HISTORICAL corpus — the
+          // adapted input when declared (table/columns/input_stage,
+          // like every other stage kind), else input_dir documents —
+          // frozen for this drain; the next scheduled run retrains
+          // from the then-current corpus
+          val docs = adaptedInput(spark, stage, priorOutput,
+            default = "documents").getOrElse(
+            graft.engine.Tables.table(spark, stage.inputDir, "documents"))
           val model = graft.ops.Classify.tokenClassifierModel(docs)
           val q = graft.streaming.StreamingClassify.streamingPredictToDir(
             spark, sourceDir, schema, model, outDir,
@@ -343,14 +362,26 @@ object StageRunner {
   }
 
   private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
-      val it = fs.listFiles(p, true)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hidden/temporary filtering must apply to EVERY path component
+    // under the base, not just the leaf: a writer mid-commit holds its
+    // part files under _temporary/, and counting those as data would
+    // race the schema inference this gate exists to protect
+    def visible(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toUri.getPath != base.toUri.getPath) {
+        val n = cur.getName
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
+    fs.exists(base) && {
+      val it = fs.listFiles(base, true)
       var found = false
       while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        if (!n.startsWith("_") && !n.startsWith(".")) found = true
+        if (visible(it.next().getPath)) found = true
       }
       found
     }
@@ -358,7 +389,12 @@ object StageRunner {
 
   private def readOrEmpty(spark: SparkSession, dir: String,
       ddl: String): DataFrame =
-    if (hasDataFiles(spark, dir)) spark.read.parquet(dir)
+    if (hasDataFiles(spark, dir))
+      // partition-value inference types `graft_batch=<id>` as INT;
+      // the empty schema (and any warehouse landing) wants one stable
+      // type across runs — cast to the declared BIGINT
+      spark.read.parquet(dir).withColumn("graft_batch",
+        col("graft_batch").cast("long"))
     else spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(ddl))

@@ -282,7 +282,20 @@ object PipelineConfig {
       sourceDir: Option[String] = None,
       checkpoint: Option[String] = None,
       outDir: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None,
+      /** `write_mode: append | replace` — how the stage's output lands
+        * on its destination across RUNS. `append` accumulates (the
+        * audit-trail shape: one stats/advisory row per scheduled run);
+        * `replace` truncates first, so the destination mirrors this
+        * run's relation. Defaults: `replace` for stages another stage
+        * chains from (an appending upstream would feed N runs' worth
+        * of duplicated rows downstream) and for relation-producing
+        * stream stages (their output relation is already cumulative —
+        * re-appending it each run would land k copies of old batches);
+        * `append` otherwise. A `primary_key` overrides all of this
+        * with MERGE idempotence.
+        */
+      writeMode: Option[String] = None)
 
   final case class Config(sources: Seq[Source], targets: Seq[Target],
       stages: Seq[Stage] = Seq.empty) {
@@ -347,7 +360,14 @@ object PipelineConfig {
       sourceDir = optStr(m, "source_dir"),
       checkpoint = optStr(m, "checkpoint"),
       outDir = optStr(m, "out_dir"),
-      maxFilesPerTrigger = optStr(m, "max_files_per_trigger").map(_.toInt))
+      maxFilesPerTrigger = optStr(m, "max_files_per_trigger").map(_.toInt),
+      writeMode = optStr(m, "write_mode"))
+    s.writeMode.foreach { wm =>
+      if (!Set("append", "replace")(wm))
+        throw new IllegalArgumentException(
+          s"stage '${s.name}': write_mode must be append or replace, " +
+            s"got '$wm' (keyed MERGE comes from primary_key)")
+    }
     s.kind match {
       case "query" =>
         if (s.query.isEmpty) throw new IllegalArgumentException(

@@ -24,6 +24,16 @@ import org.apache.spark.sql.SparkSession
   */
 object StoreMaintenance {
 
+  /** The ONE place the maintenance/advisory default knobs live —
+    * referenced by every signature below AND by the YAML stage runner,
+    * so a retune can never leave the orchestrator judging advisories
+    * at a stale bar while library callers get the new default.
+    */
+  val DefaultMargin: Double = 0.35
+  val DefaultMinCosine: Double = 0.3
+  val DefaultMaxTombstoneRatio: Double = 0.1
+  val DefaultMaxIngests: Long = 16L
+
   /** The decision, exposed for spec/audit: compact when dead rows
     * exceed the ratio or ingests exceed the cap.
     */
@@ -45,22 +55,26 @@ object StoreMaintenance {
   }
 
   def maintainIvf(spark: SparkSession, dir: String,
-      maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): Boolean =
     decideAndRun(IvfIndex.stats(spark, dir), "n_vectors",
       maxTombstoneRatio, maxIngests)(IvfIndex.compact(spark, dir))
 
   def maintainPq(spark: SparkSession, dir: String,
-      maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): Boolean =
     decideAndRun(PqStore.stats(spark, dir), "n_vectors",
       maxTombstoneRatio, maxIngests)(PqStore.compact(spark, dir))
 
   def maintainIvfPq(spark: SparkSession, dir: String,
-      maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): Boolean =
     decideAndRun(IvfPqStore.stats(spark, dir), "n_vectors",
       maxTombstoneRatio, maxIngests)(IvfPqStore.compact(spark, dir))
 
   def maintainDedup(spark: SparkSession, dir: String,
-      maxTombstoneRatio: Double = 0.1, maxIngests: Long = 16): Boolean =
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): Boolean =
     decideAndRun(DedupStore.stats(spark, dir), "n_docs",
       maxTombstoneRatio, maxIngests)(DedupStore.compact(spark, dir))
 
@@ -88,9 +102,9 @@ object StoreMaintenance {
     */
   def recommendIvfPq(spark: SparkSession, dir: String,
       corpus: Option[org.apache.spark.sql.DataFrame] = None,
-      margin: Double = 0.35, minCosine: Double = 0.3,
-      maxTombstoneRatio: Double = 0.1,
-      maxIngests: Long = 16): org.apache.spark.sql.DataFrame =
+      margin: Double = DefaultMargin, minCosine: Double = DefaultMinCosine,
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
     recommendFrom(spark, IvfPqStore.stats(spark, dir), "n_vectors",
       Some(IvfPqStore.sampledDedupGap(spark, dir, minCosine)),
       corpus, margin, maxTombstoneRatio, maxIngests)
@@ -100,9 +114,9 @@ object StoreMaintenance {
     */
   def recommendPq(spark: SparkSession, dir: String,
       corpus: Option[org.apache.spark.sql.DataFrame] = None,
-      margin: Double = 0.35, minCosine: Double = 0.3,
-      maxTombstoneRatio: Double = 0.1,
-      maxIngests: Long = 16): org.apache.spark.sql.DataFrame =
+      margin: Double = DefaultMargin, minCosine: Double = DefaultMinCosine,
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
     recommendFrom(spark, PqStore.stats(spark, dir), "n_vectors",
       Some(PqStore.sampledGap(spark, dir, minCosine)),
       corpus, margin, maxTombstoneRatio, maxIngests)
@@ -114,8 +128,8 @@ object StoreMaintenance {
     */
   def recommendIvf(spark: SparkSession, dir: String,
       corpus: Option[org.apache.spark.sql.DataFrame] = None,
-      maxTombstoneRatio: Double = 0.1,
-      maxIngests: Long = 16): org.apache.spark.sql.DataFrame =
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
     recommendFrom(spark, IvfIndex.stats(spark, dir), "n_vectors",
       None, corpus, 0.0, maxTombstoneRatio, maxIngests)
 
@@ -126,8 +140,8 @@ object StoreMaintenance {
     */
   def recommendDedup(spark: SparkSession, dir: String,
       corpus: Option[org.apache.spark.sql.DataFrame] = None,
-      maxTombstoneRatio: Double = 0.1,
-      maxIngests: Long = 16): org.apache.spark.sql.DataFrame =
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
     recommendFrom(spark, DedupStore.stats(spark, dir), "n_docs",
       None, corpus, 0.0, maxTombstoneRatio, maxIngests)
 

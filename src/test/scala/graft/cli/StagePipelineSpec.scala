@@ -345,6 +345,7 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
          |    table_as: documents
          |    columns:
          |      text: clean_text
+         |    write_mode: replace
          |    dest_table: dedup_clean
          |""".stripMargin)
     assert(Main.run(Main.Args(
@@ -362,6 +363,18 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
       "the YAML chain must equal the library composition")
+    // a chained-from stage lands REPLACE by default: re-running the
+    // scheduled pipeline must not feed an accumulated double copy of
+    // the upstream relation downstream (every doc would read as an
+    // exact duplicate) — with the terminal stage's explicit
+    // write_mode: replace, the composed result stays identical
+    assert(Main.run(Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse)), sp) == 0)
+    val again = sp.read.parquet(s"$warehouse/dedup_clean")
+    assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty,
+      "a re-run must not compound the upstream relation")
   }
 
   test("columns adapter: a renamed-column corpus runs a registry operator unchanged") {
@@ -590,6 +603,13 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().toSeq
       assert(landed.collect().toSeq == (want1 ++ want2)
         .sortBy(r => (r.getLong(0), r.getLong(1))))
+      // the WAREHOUSE landing mirrors the cumulative flag relation:
+      // a relation-producing stream stage lands REPLACE by default, so
+      // three scheduled runs leave ONE copy of each flag row, not a
+      // re-appended copy of the accumulated relation per run
+      assert(sp.read.parquet(s"$warehouse/incoming_flags").count() ==
+        (want1.size + want2.size).toLong,
+        "the warehouse table must mirror the flags, not compound them")
     } finally graft.ops.Pq.clearCodebookCache()
   }
 
@@ -679,6 +699,8 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     batchDf(40, 50).coalesce(1).write.mode("append").parquet(srcDir)
     assert(Main.run(args, sp) == 0)
     assert(sp.read.parquet(outDir).count() == 50)
+    // warehouse mirror (replace default), one row per doc across runs
+    assert(sp.read.parquet(s"$warehouse/incoming_preds").count() == 50)
   }
 
   test("a stream stage racing an empty source is a no-op, not an error") {
@@ -780,6 +802,20 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       PipelineConfig.parse(
         "stages:\n  - name: s\n    kind: store\n    input_dir: /x\n" +
           "    store: ivfpq\n    action: append\n    dir: /s\n")
+    }
+    // write_mode is a two-value enum; a typo must not silently append
+    intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        "stages:\n  - name: s\n    kind: query\n    query: x_dedup_exact\n" +
+          "    input_dir: /x\n    write_mode: overwrite\n")
+    }
+    // input_stage must reference an EARLIER stage
+    intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        "stages:\n  - name: s\n    kind: query\n    query: x_dedup_exact\n" +
+          "    input_dir: /x\n    input_stage: later\n" +
+          "  - name: later\n    kind: query\n    query: x_dedup_exact\n" +
+          "    input_dir: /x\n")
     }
   }
 }
