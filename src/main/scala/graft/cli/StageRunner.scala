@@ -167,20 +167,40 @@ object StageRunner {
     // a scheduled pipeline run leaves the decision trail in the
     // warehouse next to the stats audit rows. The stage's corpus rides
     // in for the lineage-drift check.
-    if (action == "recommend") return (store match {
-      case "ivfpq" => StoreMaintenance.recommendIvfPq(spark, dir,
-        corpus = Some(embeddings), margin = margin, minCosine = minCosine,
-        maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
-      case "pq" => StoreMaintenance.recommendPq(spark, dir,
-        corpus = Some(embeddings), margin = margin, minCosine = minCosine,
-        maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
-      case "ivf" => StoreMaintenance.recommendIvf(spark, dir,
-        corpus = Some(embeddings),
-        maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
-      case "dedup" => StoreMaintenance.recommendDedup(spark, dir,
-        corpus = Some(documents),
-        maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
-    }).withColumn("stage", lit(stage.name))
+    // `auto` closes the whole loop in ONE scheduled stage: compute the
+    // advisory (at the stage's knobs, against the stage's corpus),
+    // then ACT on it — ok → nothing, compact → compact, rebuild → a
+    // fresh save() from the current corpus — and land the advisory row
+    // tagged with what was done. The nightly maintenance cron becomes
+    // one YAML stage whose audit trail shows both the decision and the
+    // action taken.
+    if (action == "auto") {
+      val advice = recommendFor(spark, store, dir,
+        embeddings, documents, margin, minCosine, maxTombstoneRatio,
+        maxIngests)
+      val head = advice.head()
+      val verdict = head.getString(head.fieldIndex("recommendation"))
+      verdict match {
+        case "rebuild" => store match {
+          case "dedup" => DedupStore.save(documents, dir)
+          case "ivf" => IvfIndex.save(embeddings, dir)
+          case "pq" => PqStore.save(embeddings, dir)
+          case "ivfpq" => IvfPqStore.save(embeddings, dir)
+        }
+        case "compact" => store match {
+          case "dedup" => DedupStore.compact(spark, dir)
+          case "ivf" => IvfIndex.compact(spark, dir)
+          case "pq" => PqStore.compact(spark, dir)
+          case "ivfpq" => IvfPqStore.compact(spark, dir)
+        }
+        case _ => // ok: nothing to do
+      }
+      return advice.withColumn("stage", lit(stage.name))
+        .withColumn("acted", lit(verdict != "ok"))
+    }
+    if (action == "recommend") return recommendFor(spark, store, dir,
+      embeddings, documents, margin, minCosine, maxTombstoneRatio,
+      maxIngests).withColumn("stage", lit(stage.name))
     // `delete` files tombstones from a declared takedown relation (a
     // GDPR erasure / license takedown batch, from YAML): retraction is
     // immediate (queries anti-join the ids out), physical reclaim is
@@ -257,6 +277,28 @@ object StageRunner {
         s"stage '${stage.name}': unsupported $other")
     }
     statsAudit(spark, stage, store, dir, action, compacted)
+  }
+
+  /** One advisory body for the `recommend` and `auto` actions: the
+    * stage's corpus rides in for the lineage-drift check, the stage's
+    * knobs set the bar.
+    */
+  private def recommendFor(spark: SparkSession, store: String, dir: String,
+      embeddings: => DataFrame, documents: => DataFrame,
+      margin: Double, minCosine: Double, maxTombstoneRatio: Double,
+      maxIngests: Long): DataFrame = store match {
+    case "ivfpq" => StoreMaintenance.recommendIvfPq(spark, dir,
+      corpus = Some(embeddings), margin = margin, minCosine = minCosine,
+      maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+    case "pq" => StoreMaintenance.recommendPq(spark, dir,
+      corpus = Some(embeddings), margin = margin, minCosine = minCosine,
+      maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+    case "ivf" => StoreMaintenance.recommendIvf(spark, dir,
+      corpus = Some(embeddings),
+      maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+    case "dedup" => StoreMaintenance.recommendDedup(spark, dir,
+      corpus = Some(documents),
+      maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
   }
 
   private def statsAudit(spark: SparkSession, stage: Stage, store: String,

@@ -382,7 +382,7 @@ object PipelineConfig {
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown store '${s.store.get}'")
         if (!Set("build", "rebuild", "append", "compact", "maintain",
-            "stats", "dedup", "recommend", "delete")(s.action.get))
+            "stats", "dedup", "recommend", "auto", "delete")(s.action.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown action '${s.action.get}'")
         if (s.action.contains("dedup") && !Set("dedup", "ivfpq")(s.store.get))

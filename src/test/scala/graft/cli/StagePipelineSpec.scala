@@ -788,6 +788,53 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the failed upstream must poison its consumer")
   }
 
+  test("auto action: one stage reads the advisory and acts, converging to ok") {
+    val sp = spark
+    val dir = Files.createTempDirectory("stage_auto")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("ivfpq").toString
+    val corpusB = Files.createDirectories(dir.resolve("corpusB")).toString
+    Files.copy(java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
+      java.nio.file.Paths.get(s"$corpusB/embeddings.parquet"))
+    try {
+      // built from corpus A; the nightly auto stage sees corpus B
+      graft.ops.IvfPqStore.save(
+        graft.engine.Tables.table(sp, sf, "embeddings"), storeDir)
+      Files.writeString(dir.resolve("pipelines.yaml"),
+        s"""stages:
+           |  - name: nightly_auto
+           |    kind: store
+           |    store: ivfpq
+           |    action: auto
+           |    input_dir: $corpusB
+           |    dir: $storeDir
+           |    dest_table: auto_audit
+           |""".stripMargin)
+      val args = Main.Args(
+        modulesDir = modules.toString,
+        configPath = dir.resolve("pipelines.yaml").toString,
+        warehouse = Some(warehouse))
+      // night 1: drift detected AND acted on — the store is rebuilt
+      // from the current corpus in the same stage
+      assert(Main.run(args, sp) == 0)
+      def audit = sp.read.parquet(s"$warehouse/auto_audit")
+        .orderBy(org.apache.spark.sql.functions.col("recommendation"))
+        .collect().map(r => (r.getAs[String]("recommendation"),
+          r.getAs[Boolean]("acted"))).toSeq
+      assert(audit == Seq(("rebuild", true)), audit.toString)
+      val st = graft.ops.IvfPqStore.stats(sp, storeDir).head()
+      assert(st.getLong(st.fieldIndex("version")) == 2,
+        "auto must have rebuilt the store")
+      // night 2: same corpus — the loop converges to ok, no action
+      assert(Main.run(args, sp) == 0)
+      assert(audit.contains(("ok", false)), audit.toString)
+      val st2 = graft.ops.IvfPqStore.stats(sp, storeDir).head()
+      assert(st2.getLong(st2.fieldIndex("version")) == 2,
+        "a healthy store must not be touched")
+    } finally graft.ops.Pq.clearCodebookCache()
+  }
+
   test("stage config validation is loud") {
     import graft.config.PipelineConfig
     intercept[IllegalArgumentException] {
