@@ -289,7 +289,16 @@ object Main {
       // readable here; chaining without a warehouse has no path at all
       val wh = args.warehouse.getOrElse(throw new IllegalArgumentException(
         s"input_stage '$name' requires the file warehouse (--warehouse)"))
-      spark.read.format(args.warehouseFormat).load(s"$wh/${prior.destTable}")
+      // chaining needs a SELF-DESCRIBING landed format: csv reads back
+      // header-as-data with _c0.._cn string columns and json re-infers
+      // (and can widen) types — either would silently feed the
+      // downstream operator a differently-shaped relation than the
+      // upstream computed
+      require(args.warehouseFormat == "parquet",
+        s"input_stage '$name' requires --warehouse-format parquet " +
+          s"(got '${args.warehouseFormat}'): chaining reads the landed " +
+          "relation back and only parquet preserves its schema")
+      spark.read.parquet(s"$wh/${prior.destTable}")
     }
     cfg.stages.foreach { stage =>
       val st0 = System.nanoTime()
@@ -299,24 +308,41 @@ object Main {
         val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
           stage.primaryKey.toSeq, args, getenv)
         // write-mode resolution (see Stage.writeMode): keyed stages
-        // MERGE; `replace` = truncate-then-append, which every writer
-        // supports and which keeps the destination a MIRROR of this
-        // run's relation — the default whenever appending would
-        // compound across runs (chained upstreams: a downstream read
-        // of an appending upstream sees N runs' duplicated rows;
-        // relation-producing streams: their output relation is already
-        // cumulative across batches, so re-appending it lands k copies
-        // of old batches). Audit-trail stages keep appending.
+        // MERGE; `replace` keeps the destination a MIRROR of this
+        // run's relation. It DEFAULTS on exactly where appending would
+        // compound — relation-producing streams (their output relation
+        // is already cumulative across batches, so re-appending lands
+        // k copies of old batches) and relation-OUTPUT stages another
+        // stage chains from (a downstream read of an appending
+        // upstream sees N runs' duplicated rows) — and only on the
+        // file warehouse, where it executes as ONE Spark overwrite job
+        // (no separate-truncate failure window). Audit/advisory TRAIL
+        // stages never flip implicitly: adding a downstream consumer
+        // must not start truncating an accumulated decision history
+        // (the consumer of a trail wants the trail). JDBC replace is
+        // explicit-only (`write_mode: replace`), executed as
+        // truncate-then-load — a failure between the two leaves the
+        // table empty until the next successful run, which is why it
+        // never defaults.
         val relationStream = stage.kind == "stream" &&
           !stage.stream.contains("index_ingest")
+        val relationOutput = stage.kind == "query" || relationStream ||
+          (stage.kind == "store" && stage.action.contains("dedup"))
+        val fileWh = args.warehouse.isDefined
         val replace = stage.primaryKey.isEmpty && (
           stage.writeMode.contains("replace") ||
-            (stage.writeMode.isEmpty &&
+            (stage.writeMode.isEmpty && fileWh && relationOutput &&
               (chainedUpstreams.contains(stage.name) || relationStream)))
-        if (replace) writer.truncate()
-        val mode = if (stage.primaryKey.isDefined) WriteMode.Merge
-          else args.writeMode
-        val stats = writer.write(out, mode)
+        val stats =
+          if (replace && fileWh)
+            // FileWriter maps Merge to a single overwrite save
+            writer.write(out, WriteMode.Merge)
+          else {
+            if (replace) writer.truncate()
+            val mode = if (stage.primaryKey.isDefined) WriteMode.Merge
+              else args.writeMode
+            writer.write(out, mode)
+          }
         ok += 1
         log.info("stage {} loaded {} rows into {} in {}ms", stage.name,
           stats.rowsWritten.toString, stage.destTable,

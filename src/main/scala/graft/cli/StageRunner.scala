@@ -143,7 +143,6 @@ object StageRunner {
       adaptedInput(spark, stage, priorOutput, default = "documents")
         .getOrElse(graft.engine.Tables.table(spark, stage.inputDir,
           "documents"))
-    def corpus: DataFrame = if (store == "dedup") documents else embeddings
     // advisory/dedup knobs: the stage's own bar, else the ONE shared
     // set of library defaults (StoreMaintenance.Default*) — an
     // advisory judged at a margin the deployment does not run is the
@@ -358,8 +357,10 @@ object StageRunner {
           val q = graft.streaming.StreamingEmbeddingDedup
             .streamingDedupAgainstStore(spark, sourceDir, schema,
               stage.dir.get, outDir,
-              minCosine = stage.minCosine.getOrElse(0.3),
-              margin = stage.margin.getOrElse(0.35),
+              minCosine = stage.minCosine
+                .getOrElse(StoreMaintenance.DefaultMinCosine),
+              margin = stage.margin
+                .getOrElse(StoreMaintenance.DefaultMargin),
               maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
           drain(q)
         }
@@ -404,20 +405,25 @@ object StageRunner {
   }
 
   private def hasDataFiles(spark: SparkSession, dir: String): Boolean = {
-    val base = new org.apache.hadoop.fs.Path(dir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify the base so the relative-component check below compares
+    // against the SAME absolute form fs.listFiles returns — a relative
+    // YAML path must not make the walk judge the launch directory's
+    // own ancestors (a '.'-prefixed checkout dir would hide everything)
+    val base = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val basePath = {
+      val p = base.toUri.getPath
+      if (p.endsWith("/")) p else p + "/"
+    }
     // hidden/temporary filtering must apply to EVERY path component
-    // under the base, not just the leaf: a writer mid-commit holds its
+    // UNDER the base, not just the leaf: a writer mid-commit holds its
     // part files under _temporary/, and counting those as data would
     // race the schema inference this gate exists to protect
     def visible(p: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = p
-      while (cur != null && cur.toUri.getPath != base.toUri.getPath) {
-        val n = cur.getName
-        if (n.startsWith("_") || n.startsWith(".")) return false
-        cur = cur.getParent
-      }
-      true
+      val rel = p.toUri.getPath.stripPrefix(basePath)
+      rel.split('/').forall(n =>
+        !n.startsWith("_") && !n.startsWith("."))
     }
     fs.exists(base) && {
       val it = fs.listFiles(base, true)
