@@ -304,9 +304,6 @@ object Main {
       val st0 = System.nanoTime()
       try {
         log.info("stage name={} kind={}", stage.name, stage.kind)
-        val out = StageRunner.run(spark, stage, priorOutput)
-        val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
-          stage.primaryKey.toSeq, args, getenv)
         // write-mode resolution (see Stage.writeMode): keyed stages
         // MERGE; `replace` keeps the destination a MIRROR of this
         // run's relation. It DEFAULTS on exactly where appending would
@@ -329,10 +326,27 @@ object Main {
         val relationOutput = stage.kind == "query" || relationStream ||
           (stage.kind == "store" && stage.action.contains("dedup"))
         val fileWh = args.warehouse.isDefined
+        // a relation stream's output is cumulative across batches, so
+        // on a JDBC sink (where replace cannot safely default — the
+        // truncate-then-load window) an unkeyed Append would re-land
+        // the whole accumulated relation every scheduled run: force an
+        // explicit choice instead of compounding duplicates silently
+        if (relationStream && !fileWh && stage.writeMode.isEmpty &&
+            stage.primaryKey.isEmpty)
+          throw new IllegalArgumentException(
+            s"stage '${stage.name}': a relation-producing stream landing " +
+              "on a JDBC sink needs an explicit 'write_mode' (replace = " +
+              "truncate-then-load each run; append = trail, duplicates " +
+              "across runs) or a 'primary_key' for MERGE idempotence")
         val replace = stage.primaryKey.isEmpty && (
           stage.writeMode.contains("replace") ||
             (stage.writeMode.isEmpty && fileWh && relationOutput &&
               (chainedUpstreams.contains(stage.name) || relationStream)))
+        // the guard above ran BEFORE the stage does any work: a
+        // config hole must not cost a full drain first
+        val out = StageRunner.run(spark, stage, priorOutput)
+        val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
+          stage.primaryKey.toSeq, args, getenv)
         val stats =
           if (replace && fileWh)
             // FileWriter maps Merge to a single overwrite save

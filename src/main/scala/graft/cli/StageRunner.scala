@@ -41,6 +41,7 @@ import graft.ops.{DedupStore, IvfIndex, IvfPqStore, PqStore, StoreMaintenance}
   *  - `kind: stream` drives the streaming modules
   *    ([[graft.streaming.StreamingIndexIngest]] /
   *    [[graft.streaming.StreamingEmbeddingDedup]] /
+  *    [[graft.streaming.StreamingStoreDedup]] /
   *    [[graft.streaming.StreamingClassify]]) as an INCREMENTAL DRAIN:
   *    start the stream over `source_dir`, process everything
   *    available, stop. The REQUIRED durable `checkpoint:` is what
@@ -447,6 +448,22 @@ object StageRunner {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
 
-  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
-    try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+  /** Drain everything available, then stop — without letting the
+    * shutdown mask the real failure or fail a drain that succeeded:
+    * if processAllAvailable threw, stop()/awaitTermination() errors
+    * are suppressed (the PRIMARY exception is the diagnosis); if the
+    * drain succeeded, a stop hiccup is swallowed too — every batch
+    * already landed idempotently, and poisoning downstream consumers
+    * over a teardown timeout would fail landed work.
+    */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    var primary: Throwable = null
+    try q.processAllAvailable()
+    catch { case scala.util.control.NonFatal(e) => primary = e }
+    finally {
+      try { q.stop(); q.awaitTermination() }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    if (primary != null) throw primary
+  }
 }

@@ -220,7 +220,7 @@ object PipelineConfig {
     *    current corpus under the maintainer lease); `action: delete`
     *    files tombstones from a declared takedown relation.
     *  - `kind: stream` — drive a streaming module (`stream:`
-    *    index_ingest | embedding_dedup | classify) as a CHECKPOINTED
+    *    index_ingest | embedding_dedup | store_dedup | classify) as a CHECKPOINTED
     *    INCREMENTAL DRAIN of `source_dir`: each scheduled run
     *    processes exactly the files that arrived since the last one,
     *    replays land idempotently, and a not-yet-producing source is
@@ -271,7 +271,7 @@ object PipelineConfig {
       maxTombstoneRatio: Option[Double] = None,
       maxIngests: Option[Long] = None,
       /** `kind: stream` fields: the streaming module to drive
-        * (`stream:` index_ingest | embedding_dedup | classify), its
+        * (`stream:` index_ingest | embedding_dedup | store_dedup | classify), its
         * parquet source (`source_dir:`), the durable checkpoint
         * (`checkpoint:` — REQUIRED: it is what makes successive
         * scheduled runs incremental and exactly-once), the landing
@@ -286,14 +286,20 @@ object PipelineConfig {
       /** `write_mode: append | replace` — how the stage's output lands
         * on its destination across RUNS. `append` accumulates (the
         * audit-trail shape: one stats/advisory row per scheduled run);
-        * `replace` truncates first, so the destination mirrors this
-        * run's relation. Defaults: `replace` for stages another stage
-        * chains from (an appending upstream would feed N runs' worth
-        * of duplicated rows downstream) and for relation-producing
-        * stream stages (their output relation is already cumulative —
-        * re-appending it each run would land k copies of old batches);
-        * `append` otherwise. A `primary_key` overrides all of this
-        * with MERGE idempotence.
+        * `replace` makes the destination mirror this run's relation.
+        * Defaults — ON THE FILE WAREHOUSE ONLY, where replace runs as
+        * one overwrite job with no truncate window: `replace` for
+        * relation-OUTPUT stages another stage chains from (an
+        * appending upstream would feed N runs' worth of duplicated
+        * rows downstream) and for relation-producing stream stages
+        * (their output relation is already cumulative — re-appending
+        * it each run would land k copies of old batches); `append`
+        * otherwise, and audit/advisory trails never flip implicitly.
+        * On a JDBC sink replace is truncate-then-load (an empty-table
+        * window on failure), so it never defaults there: a
+        * relation-producing stream on a JDBC sink must declare
+        * write_mode or a primary_key explicitly. A `primary_key`
+        * overrides all of this with MERGE idempotence.
         */
       writeMode: Option[String] = None)
 
@@ -368,6 +374,12 @@ object PipelineConfig {
           s"stage '${s.name}': write_mode must be append or replace, " +
             s"got '$wm' (keyed MERGE comes from primary_key)")
     }
+    // two input declarations would have a silent winner — refuse the
+    // ambiguity (the repo's loud-knob rule)
+    if (s.inputStage.isDefined && s.table.isDefined)
+      throw new IllegalArgumentException(
+        s"stage '${s.name}': 'input_stage' and 'table' both name the " +
+          "stage input — declare one")
     s.kind match {
       case "query" =>
         if (s.query.isEmpty) throw new IllegalArgumentException(
@@ -399,6 +411,17 @@ object PipelineConfig {
             s"stage '${s.name}': kind 'stream' requires 'stream', " +
               "'source_dir' and 'checkpoint' (the checkpoint is what " +
               "makes scheduled runs incremental and exactly-once)")
+        // stream input comes from source_dir; only `classify` reads an
+        // adaptable TRAINING corpus — an adapter on the other streams
+        // would parse fine and then be silently ignored (the exact
+        // silent-knob class the loud-config rule refuses)
+        if (!s.stream.contains("classify") &&
+            (s.table.isDefined || s.tableAs.isDefined ||
+              s.columns.nonEmpty || s.inputStage.isDefined))
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': table/table_as/columns/input_stage " +
+              s"have no effect on stream '${s.stream.get}' — its input " +
+              "is 'source_dir' (only 'classify' adapts a training corpus)")
         s.stream.get match {
           case "index_ingest" =>
             if (s.store.isEmpty || s.dir.isEmpty)

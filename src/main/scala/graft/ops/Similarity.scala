@@ -344,35 +344,44 @@ object Similarity {
         // large k → the k lowest-hash sample vectors as spread Forgy
         // seeds (a uniform random k-draw, deterministic), so the
         // driver cost stays O(k·dim) however many cells √n implies
-        // loud minimum-sample guard (the Pq.codebookFit convention): a
-        // sample smaller than nCells would seed DUPLICATE centroids,
-        // and under the strict-< argmin (ties to the lower cell) every
-        // duplicate cell is permanently starved — the store would
-        // silently commit fewer effective cells than requested, the
-        // exact silent-knob class the margin certification refuses
+        // loud minimum-sample guard (the Pq.codebookFit convention),
+        // on DISTINCT sample points: duplicate seeds — whether from a
+        // short sample or from duplicated corpus vectors (common after
+        // unitOf collapses colinear embeddings) — starve their cells
+        // permanently under the strict-< argmin (ties to the lower
+        // cell), so the store would silently commit fewer effective
+        // cells than requested, the exact silent-knob class the margin
+        // certification refuses. Dedup preserves hash order, so on a
+        // duplicate-free corpus (the fixtures, any real embedding set)
+        // the init — and therefore the pinned covering gates — is
+        // bit-identical to the pre-guard fit.
         def requireCover(got: Int): Unit = require(got >= nCells,
-          s"ivf: the training sample has $got vector(s) but nCells=" +
-            s"$nCells — duplicate seeds would leave cells permanently " +
-            "empty. Lower trainMod (denser sample) or lower nCells")
+          s"ivf: the training sample has $got distinct vector(s) but " +
+            s"nCells=$nCells — duplicate seeds would leave cells " +
+            "permanently empty. Lower trainMod (denser sample) or " +
+            "lower nCells")
+        def sample(limit: Int): Array[Array[Double]] = {
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Double]]
+          persisted
+            .select(transform(col("v"), x => x.cast("double")).as("vd"),
+              xxhash64(col("vec_id")).as("h"), col("vec_id"))
+            .orderBy(col("h"), col("vec_id")).limit(limit)
+            .collect()
+            .foreach(r => seen += r.getSeq[Double](0))
+          seen.iterator.map(_.toArray).toArray
+        }
         val init =
           if (nCells <= KppMaxCells) {
-            val sub = persisted
-              .select(transform(col("v"), x => x.cast("double")).as("vd"),
-                xxhash64(col("vec_id")).as("h"), col("vec_id"))
-              .orderBy(col("h"), col("vec_id")).limit(CoarseInitSample)
-              .collect()
-              .map(_.getSeq[Double](0).toArray)
+            val sub = sample(CoarseInitSample)
             requireCover(sub.length)
             kppBestOf(sub, nCells)
           } else {
-            val seeds = persisted
-              .select(transform(col("v"), x => x.cast("double")).as("vd"),
-                xxhash64(col("vec_id")).as("h"), col("vec_id"))
-              .orderBy(col("h"), col("vec_id")).limit(nCells)
-              .collect()
-              .map(_.getSeq[Double](0).toArray)
-            requireCover(seeds.length)
-            seeds
+            // collect a bounded margin beyond nCells (still O(k·dim)
+            // driver state) so duplicates can be dropped and replaced
+            // by the next distinct hash-ordered vectors
+            val distinct = sample(math.max(CoarseInitSample, 2 * nCells))
+            requireCover(distinct.length)
+            distinct.take(nCells)
           }
         Coarse(Pq.lloydIters(persisted, 1, nCells, dim,
           Array(init), CoarsePolishIters)(0))

@@ -81,14 +81,14 @@ object StreamingClassify {
       coalesce(best.getField("score"), lit(0L)).as("score"))
   }
 
-  /** Predictions over a parquet-file stream, append mode to a memory
-    * sink named `queryName`. `model` is the frozen trained relation
-    * ([[graft.ops.Classify.tokenClassifierModel]]'s (label, tok, w)).
+  /** The ONE guarded scoring body both deliveries share: enforce the
+    * model-size cliff, broadcast the single model row, and return the
+    * (doc_id, predicted, score) projection of a batch — so a parity
+    * fix (the zero-hit-label filter, the tie order) can never reach
+    * one sink and not the other.
     */
-  def streamingPredict(spark: SparkSession, dir: String, schema: StructType,
-      queryName: String, model: DataFrame,
-      maxFilesPerTrigger: Int = 0,
-      maxModelRows: Long = 2000000L): StreamingQuery = {
+  private def scorer(model: DataFrame,
+      maxModelRows: Long): DataFrame => DataFrame = {
     // one cheap batch count at query START guards the single-row
     // broadcast cliff documented above
     val nRows = model.count()
@@ -98,15 +98,28 @@ object StreamingClassify {
         "vocabulary this size in batch " +
         "(graft.ops.Classify.tokenClassifierPredict) where the model join " +
         "is AQE-size-gated")
+    val modelStatic = broadcast(modelRow(model))
+    val cols = predictionCols(col("ws"), col("models"))
+    batch => batch
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .crossJoin(modelStatic)
+      .select(col("doc_id") +: cols: _*)
+  }
+
+  /** Predictions over a parquet-file stream, append mode to a memory
+    * sink named `queryName`. `model` is the frozen trained relation
+    * ([[graft.ops.Classify.tokenClassifierModel]]'s (label, tok, w)).
+    */
+  def streamingPredict(spark: SparkSession, dir: String, schema: StructType,
+      queryName: String, model: DataFrame,
+      maxFilesPerTrigger: Int = 0,
+      maxModelRows: Long = 2000000L): StreamingQuery = {
+    val score = scorer(model, maxModelRows)
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader).parquet(dir)
-    val cols = predictionCols(col("ws"), col("models"))
-    src
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-      .crossJoin(broadcast(modelRow(model)))
-      .select(col("doc_id") +: cols: _*)
+    score(src)
       .writeStream.outputMode("append")
       .format("memory").queryName(queryName)
       .start()
@@ -119,29 +132,16 @@ object StreamingClassify {
     * at-least-once replay is idempotent, and the optional durable
     * checkpoint makes successive drains incremental. Same model
     * broadcast, same size guard, same prediction columns — one scoring
-    * body, two deliveries.
+    * body ([[scorer]]), two deliveries.
     */
   def streamingPredictToDir(spark: SparkSession, dir: String,
       schema: StructType, model: DataFrame, outDir: String,
       maxFilesPerTrigger: Int = 0, checkpoint: Option[String] = None,
       maxModelRows: Long = 2000000L): StreamingQuery = {
-    val nRows = model.count()
-    require(nRows <= maxModelRows,
-      s"model has $nRows (label, token) rows > maxModelRows=$maxModelRows: " +
-        "the streaming scorer broadcasts the model as one row; score a " +
-        "vocabulary this size in batch " +
-        "(graft.ops.Classify.tokenClassifierPredict) where the model join " +
-        "is AQE-size-gated")
-    val modelStatic = broadcast(modelRow(model))
-    val cols = predictionCols(col("ws"), col("models"))
+    val score = scorer(model, maxModelRows)
     BatchedParquetSink.start(spark, dir, schema, maxFilesPerTrigger,
       checkpoint) { (batch, batchId) =>
-      BatchedParquetSink.landBatch(
-        batch
-          .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-          .crossJoin(modelStatic)
-          .select(col("doc_id") +: cols: _*),
-        outDir, batchId)
+      BatchedParquetSink.landBatch(score(batch), outDir, batchId)
     }
   }
 }

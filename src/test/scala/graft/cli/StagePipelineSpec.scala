@@ -864,5 +864,22 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
           "  - name: later\n    kind: query\n    query: x_dedup_exact\n" +
           "    input_dir: /x\n")
     }
+    // two input declarations would have a silent winner
+    intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        "stages:\n  - name: a\n    kind: query\n    query: x_dedup_exact\n" +
+          "    input_dir: /x\n" +
+          "  - name: s\n    kind: query\n    query: x_dedup_exact\n" +
+          "    input_dir: /x\n    input_stage: a\n    table: t\n")
+    }
+    // adapters on streams whose input is source_dir parse-but-ignore:
+    // refused (only classify adapts a training corpus)
+    intercept[IllegalArgumentException] {
+      PipelineConfig.parse(
+        "stages:\n  - name: s\n    kind: stream\n    stream: index_ingest\n" +
+          "    store: ivf\n    dir: /s\n    input_dir: /x\n" +
+          "    source_dir: /in\n    checkpoint: /ck\n" +
+          "    columns:\n      vec_id: id\n")
+    }
   }
 }

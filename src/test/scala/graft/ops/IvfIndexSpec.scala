@@ -218,5 +218,22 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     assert(err2.getMessage.contains("Lower trainMod"),
       s"wrong refusal: ${err2.getMessage}")
+    // the guard counts DISTINCT sample points: a corpus of enough ROWS
+    // whose duplicated vectors collapse below nCells must refuse too —
+    // duplicate seeds starve their cells exactly like a short sample
+    val sp2 = spark
+    import sp2.implicits._
+    val dup = sp2.range(0, 40).select(col("id").as("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.sequence(
+          org.apache.spark.sql.functions.lit(1),
+          org.apache.spark.sql.functions.lit(64)),
+        i => (i % ((col("vec_id") % 4) + 2)).cast("float")).as("embedding"))
+    val err3 = intercept[IllegalArgumentException] {
+      // 40 rows but only 4 distinct vectors (id mod 4 shapes) < 16
+      IvfIndex.save(dup, tmpDir("dupseeds"), nCells = 16, trainMod = 1)
+    }
+    assert(err3.getMessage.contains("distinct"),
+      s"wrong refusal: ${err3.getMessage}")
   }
 }
