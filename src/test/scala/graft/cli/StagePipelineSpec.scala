@@ -835,6 +835,83 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally graft.ops.Pq.clearCodebookCache()
   }
 
+  test("production composition: stream ingest + auto maintenance in one YAML") {
+    val sp = spark
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("stage_prod")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse").toString
+    val storeDir = dir.resolve("ivf_store").toString
+    val srcDir = Files.createDirectories(dir.resolve("incoming")).toString
+    val e = graft.engine.Tables.table(sp, sf, "embeddings")
+    graft.ops.IvfIndex.save(e, storeDir, nCells = 16)
+    // the nightly pipeline: drain today's drop into the index, then
+    // let auto decide — the stream stage has STOPPED before auto runs,
+    // so the maintainer lease is free (the stop-maintain-restart
+    // contract, composed inside one scheduled YAML run)
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""stages:
+         |  - name: grow
+         |    kind: stream
+         |    stream: index_ingest
+         |    store: ivf
+         |    input_dir: $sf
+         |    source_dir: $srcDir
+         |    checkpoint: ${dir.resolve("ckpt")}
+         |    dir: $storeDir
+         |    dest_table: nightly_audit
+         |  - name: keep_healthy
+         |    kind: store
+         |    store: ivf
+         |    action: auto
+         |    input_dir: $sf
+         |    dir: $storeDir
+         |    max_ingests: 2
+         |    dest_table: nightly_advice
+         |""".stripMargin)
+    val args = Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse))
+    def delta(lo: Long, hi: Long) = e
+      .filter(col("vec_id") >= lo - 10000 && col("vec_id") < hi - 10000)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    def stats(name: String): Long = {
+      val s = graft.ops.IvfIndex.stats(sp, storeDir).head()
+      s.getLong(s.fieldIndex(name))
+    }
+    // night 1: one drop — ingests 2 ("0" + stream_0), under the cap,
+    // auto says ok and touches nothing
+    delta(10000, 10020).coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    assert(stats("n_ingests") == 2)
+    // night 2: the second drop pushes ingests to 3 > max_ingests=2 —
+    // the SAME yaml now compacts, collapsing ingests back to one
+    delta(10020, 10040).coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    assert(stats("n_ingests") == 1,
+      "auto must have compacted the fragmented store")
+    // night 3: the next drop lands into the compacted store — back
+    // under the cap, ok again
+    delta(10040, 10060).coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    assert(stats("n_ingests") == 2)
+    // nothing lost across the whole season: exhaustive probes equal
+    // brute over everything ingested
+    val all = e.select(col("vec_id"), col("embedding"))
+      .unionByName(delta(10000, 10060))
+    assert(graft.ops.IvfIndex.querySelf(sp, storeDir, nProbe = 16)
+      .collect().toSeq ==
+      graft.ops.Similarity.knnBrute(all).collect().toSeq)
+    // the advisory table tells the season's story: two healthy nights,
+    // one acted-on compact
+    val verdicts = sp.read.parquet(s"$warehouse/nightly_advice")
+      .collect().map(r => (r.getAs[String]("recommendation"),
+        r.getAs[Boolean]("acted"))).toSeq
+    assert(verdicts.count(_ == ("ok", false)) == 2 &&
+      verdicts.count(_ == ("compact", true)) == 1, verdicts.toString)
+  }
+
   test("stage config validation is loud") {
     import graft.config.PipelineConfig
     intercept[IllegalArgumentException] {
