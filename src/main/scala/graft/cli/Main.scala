@@ -144,6 +144,60 @@ object Main {
       getenv: String => Option[String] = graft.config.DotEnv.resolver(),
       syncStateOverride: Option[graft.writer.SyncState] = None): Int = {
     val cfg = PipelineConfig.loadFromPath(args.configPath)
+
+    // ---- startup validation: the YAML and the CLI args are BOTH known
+    // right here, so every config hole they jointly create fails before
+    // any module fetches or any stage computes — not after upstream
+    // stages have already done their work.
+    val chainedUpstreams = cfg.stages.flatMap(_.inputStage).toSet
+    def isRelationStream(s: PipelineConfig.Stage): Boolean =
+      s.kind == "stream" && !s.stream.contains("index_ingest")
+    def isRelationOutput(s: PipelineConfig.Stage): Boolean =
+      s.kind == "query" || isRelationStream(s) ||
+        (s.kind == "store" && s.action.contains("dedup"))
+    val fileWh = args.warehouse.isDefined
+    // a replace is SAFE (no empty-destination window on failure)
+    // exactly when the writer path is transactional/atomic: the file
+    // warehouse's single commit-protocol overwrite job, or the
+    // postgres staged swap (load staging, swap in one transaction).
+    // clickhouse/bigquery replace is still truncate-then-load, so it
+    // never defaults there. An unknown sink name resolves false here
+    // (no silent replace) and fails loudly when its stage runs.
+    def safeReplaceSink(s: PipelineConfig.Stage): Boolean = fileWh ||
+      s.sink.exists(n => cfg.targets.exists(t =>
+        t.name == n && t.kind == "postgres"))
+    def resolvesReplace(s: PipelineConfig.Stage): Boolean =
+      s.primaryKey.isEmpty && (
+        s.writeMode.contains("replace") ||
+          (s.writeMode.isEmpty && safeReplaceSink(s) && isRelationOutput(s) &&
+            (chainedUpstreams.contains(s.name) || isRelationStream(s))))
+    // chaining reads the upstream's landed relation back from the file
+    // warehouse — enforced at startup, not when the consumer finally
+    // runs (by then every upstream already did its work)
+    cfg.stages.flatMap(_.inputStage).headOption.foreach { ref =>
+      require(args.warehouse.isDefined,
+        s"config declares input_stage '$ref' but no --warehouse is set: " +
+          "chaining reads the upstream stage's landed relation from the " +
+          "file warehouse")
+      require(args.warehouseFormat == "parquet",
+        s"config declares input_stage '$ref' but --warehouse-format is " +
+          s"'${args.warehouseFormat}': chaining reads the landed " +
+          "relation back, and only parquet preserves its schema")
+    }
+    // duplicate dest_table across stages is benign while every collider
+    // appends (two maintenance stages sharing one audit-trail table);
+    // the moment ANY collider resolves to replace, each of its runs
+    // silently deletes whatever its siblings landed — refuse up front
+    cfg.stages.groupBy(_.destTable).foreach { case (t, group) =>
+      if (group.size > 1 && group.exists(resolvesReplace))
+        throw new IllegalArgumentException(
+          s"stages '${group.map(_.name).mkString("', '")}' all land on " +
+            s"dest_table '$t' and at least one resolves to write_mode " +
+            "replace, which would overwrite the others' rows on every " +
+            "run — give each stage its own dest_table, or declare " +
+            "write_mode append on all of them")
+    }
+
     val t0 = System.nanoTime()
     var ok, failed = 0
 
@@ -274,7 +328,6 @@ object Main {
     // run landed (or a prior run's, for warm-started pipelines). JDBC
     // sinks have no readable path without a driver jar; refuse loudly.
     val stageByName = cfg.stages.map(s => s.name -> s).toMap
-    val chainedUpstreams = cfg.stages.flatMap(_.inputStage).toSet
     val failedStages = scala.collection.mutable.Set.empty[String]
     def priorOutput(name: String): org.apache.spark.sql.DataFrame = {
       val prior = stageByName(name)
@@ -304,55 +357,35 @@ object Main {
       val st0 = System.nanoTime()
       try {
         log.info("stage name={} kind={}", stage.name, stage.kind)
-        // write-mode resolution (see Stage.writeMode): keyed stages
-        // MERGE; `replace` keeps the destination a MIRROR of this
-        // run's relation. It DEFAULTS on exactly where appending would
-        // compound — relation-producing streams (their output relation
-        // is already cumulative across batches, so re-appending lands
-        // k copies of old batches) and relation-OUTPUT stages another
-        // stage chains from (a downstream read of an appending
-        // upstream sees N runs' duplicated rows) — and only on the
-        // file warehouse, where it executes as ONE Spark overwrite job
-        // (no separate-truncate failure window). Audit/advisory TRAIL
-        // stages never flip implicitly: adding a downstream consumer
-        // must not start truncating an accumulated decision history
-        // (the consumer of a trail wants the trail). JDBC replace is
-        // explicit-only (`write_mode: replace`), executed as
-        // truncate-then-load — a failure between the two leaves the
-        // table empty until the next successful run, which is why it
-        // never defaults.
-        val relationStream = stage.kind == "stream" &&
-          !stage.stream.contains("index_ingest")
-        val relationOutput = stage.kind == "query" || relationStream ||
-          (stage.kind == "store" && stage.action.contains("dedup"))
-        val fileWh = args.warehouse.isDefined
-        // a relation stream's output is cumulative across batches, so
-        // on a JDBC sink (where replace cannot safely default — the
-        // truncate-then-load window) an unkeyed Append would re-land
-        // the whole accumulated relation every scheduled run: force an
-        // explicit choice instead of compounding duplicates silently
-        if (relationStream && !fileWh && stage.writeMode.isEmpty &&
-            stage.primaryKey.isEmpty)
+        // write-mode resolution (see Stage.writeMode and
+        // resolvesReplace above): keyed stages MERGE; `replace` keeps
+        // the destination a MIRROR of this run's relation, DEFAULTING
+        // exactly where appending would compound (relation-producing
+        // streams, chained relation outputs) and only onto sinks whose
+        // replace path has no empty-destination window — the file
+        // warehouse's single overwrite job or the postgres staged
+        // swap. Audit/advisory TRAIL stages never flip implicitly: the
+        // consumer of a trail wants the trail. clickhouse/bigquery
+        // replace is still truncate-then-load, so a relation stream
+        // landing there must make the choice explicit instead of
+        // compounding duplicates silently.
+        if (isRelationStream(stage) && !safeReplaceSink(stage) &&
+            stage.writeMode.isEmpty && stage.primaryKey.isEmpty)
           throw new IllegalArgumentException(
             s"stage '${stage.name}': a relation-producing stream landing " +
-              "on a JDBC sink needs an explicit 'write_mode' (replace = " +
-              "truncate-then-load each run; append = trail, duplicates " +
-              "across runs) or a 'primary_key' for MERGE idempotence")
-        val replace = stage.primaryKey.isEmpty && (
-          stage.writeMode.contains("replace") ||
-            (stage.writeMode.isEmpty && fileWh && relationOutput &&
-              (chainedUpstreams.contains(stage.name) || relationStream)))
+              "on a clickhouse/bigquery sink needs an explicit " +
+              "'write_mode' (replace = truncate-then-load each run; " +
+              "append = trail, duplicates across runs) or a " +
+              "'primary_key' for MERGE idempotence")
+        val replace = resolvesReplace(stage)
         // the guard above ran BEFORE the stage does any work: a
         // config hole must not cost a full drain first
         val out = StageRunner.run(spark, stage, priorOutput)
         val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
           stage.primaryKey.toSeq, args, getenv)
         val stats =
-          if (replace && fileWh)
-            // FileWriter maps Merge to a single overwrite save
-            writer.write(out, WriteMode.Merge)
+          if (replace) writer.replace(out)
           else {
-            if (replace) writer.truncate()
             val mode = if (stage.primaryKey.isDefined) WriteMode.Merge
               else args.writeMode
             writer.write(out, mode)

@@ -287,19 +287,21 @@ object PipelineConfig {
         * on its destination across RUNS. `append` accumulates (the
         * audit-trail shape: one stats/advisory row per scheduled run);
         * `replace` makes the destination mirror this run's relation.
-        * Defaults — ON THE FILE WAREHOUSE ONLY, where replace runs as
-        * one overwrite job with no truncate window: `replace` for
+        * Defaults — on sinks whose replace path has NO
+        * empty-destination window (the file warehouse's single
+        * overwrite job; the postgres staged swap, which loads a
+        * staging table and swaps in one transaction): `replace` for
         * relation-OUTPUT stages another stage chains from (an
         * appending upstream would feed N runs' worth of duplicated
         * rows downstream) and for relation-producing stream stages
         * (their output relation is already cumulative — re-appending
         * it each run would land k copies of old batches); `append`
         * otherwise, and audit/advisory trails never flip implicitly.
-        * On a JDBC sink replace is truncate-then-load (an empty-table
-        * window on failure), so it never defaults there: a
-        * relation-producing stream on a JDBC sink must declare
-        * write_mode or a primary_key explicitly. A `primary_key`
-        * overrides all of this with MERGE idempotence.
+        * On clickhouse/bigquery sinks replace is still
+        * truncate-then-load (an empty-table window on failure), so it
+        * never defaults there: a relation-producing stream on those
+        * sinks must declare write_mode or a primary_key explicitly. A
+        * `primary_key` overrides all of this with MERGE idempotence.
         */
       writeMode: Option[String] = None)
 

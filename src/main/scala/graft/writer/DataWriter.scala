@@ -26,6 +26,19 @@ trait DataWriter {
 
   /** Idempotent truncate of the destination, if supported. */
   def truncate(): Unit = ()
+
+  /** Replace the destination with exactly `df` — the mirror landing
+    * (stage `write_mode: replace`). The DEFAULT is truncate-then-load,
+    * which has an empty-destination window if the load fails after the
+    * truncate; writers with a transactional path override it
+    * ([[PostgresWriter]] stages + swaps in one transaction,
+    * [[FileWriter]] runs one atomic-commit overwrite job), and the
+    * orchestrator only DEFAULTS replace onto writers that do.
+    */
+  def replace(df: DataFrame): WriteStats = {
+    truncate()
+    write(df, WriteMode.Append)
+  }
 }
 
 /** File-format sink — the test/local warehouse target. Formats:
@@ -49,6 +62,13 @@ final class FileWriter(path: String, format: String = "parquet") extends DataWri
     val fs = p.getFileSystem(conf)
     if (fs.exists(p)) { fs.delete(p, true); () }
   }
+
+  /** ONE overwrite job — the commit protocol makes the old generation
+    * visible until the new one commits, so there is no separate
+    * truncate step to leave a window.
+    */
+  override def replace(df: DataFrame): WriteStats =
+    write(df, WriteMode.Merge)
 
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     val saveMode = mode match {

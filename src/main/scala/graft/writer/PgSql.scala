@@ -174,6 +174,50 @@ object PgSql {
     */
   def truncateSql(table: String): String = s"TRUNCATE TABLE ${quoteIdent(table)}"
 
+  // ---- staged-swap replace (closing the reference's truncate-then-
+  // ---- load window, /root/reference/src/pipeline/sink.rs:45-55) ----
+
+  /** The staging table a replace loads into before the swap. One
+    * deterministic name per destination: a crashed replace leaves its
+    * staging debris where the NEXT replace's reset drop finds it.
+    */
+  def stagingName(table: String): String = table + "__graft_stage"
+
+  /** CREATE the staging table: UNLOGGED (its contents are scratch — a
+    * server crash mid-load just means the replace reruns, and skipping
+    * WAL roughly halves the staging write), no PRIMARY KEY (replace
+    * lands the full relation as-is; uniqueness is the destination's
+    * contract, enforced when the swap's INSERT hits the dest PK).
+    */
+  def createStagingSql(table: String, schema: ListMap[String, PgType]): String = {
+    require(schema.nonEmpty, "cannot create a staging table with no columns")
+    val cols = schema.map { case (name, t) => s"${quoteIdent(name)} ${t.ddl}" }
+    s"CREATE UNLOGGED TABLE ${quoteIdent(stagingName(table))} (${cols.mkString(", ")})"
+  }
+
+  /** Idempotent staging reset — run before every replace load. */
+  def dropStagingSql(table: String): String =
+    s"DROP TABLE IF EXISTS ${quoteIdent(stagingName(table))}"
+
+  /** The swap statements — truncate the destination, move the staged
+    * rows in, drop the staging table — which the writer executes
+    * inside ONE transaction (live specs wrap them in BEGIN/COMMIT):
+    * a failure at ANY point rolls the whole swap back, so readers
+    * never observe the empty-table window of a bare truncate-then-load
+    * and a crashed swap leaves the OLD generation fully readable.
+    * INSERT..SELECT over a rename-swap deliberately: the destination
+    * keeps its identity (grants, views, FKs, the PK index the writer's
+    * own DDL created), which a rename would silently shed.
+    */
+  def swapSql(table: String, schema: ListMap[String, PgType]): Seq[String] = {
+    val cols = schema.keys.map(quoteIdent).mkString(", ")
+    Seq(
+      truncateSql(table),
+      s"INSERT INTO ${quoteIdent(table)} ($cols) " +
+        s"SELECT $cols FROM ${quoteIdent(stagingName(table))}",
+      dropStagingSql(table))
+  }
+
   // ---- schema evolution (reference README.md:125, planned there,
   // ---- implemented here) -------------------------------------------
 

@@ -68,6 +68,60 @@ final class PostgresWriter(
     } finally c.close()
   }
 
+  /** Staged-swap replace — the transactional upgrade over the
+    * reference's fire-and-forget truncate hook
+    * (/root/reference/src/pipeline/sink.rs:45-55) and over this
+    * writer's own former truncate-then-load, whose failure after the
+    * truncate left the destination EMPTY until the next successful
+    * run. Three phases:
+    *
+    *  1. driver DDL: reset + CREATE the UNLOGGED staging table, and
+    *     ensure the destination exists (same auto-create + evolution
+    *     as [[write]]) so the swap has a target on the very first run;
+    *  2. distributed load into STAGING — the standard per-partition
+    *     append machinery (COPY fast path included), pointed at the
+    *     staging name. A failure here leaves the destination
+    *     untouched;
+    *  3. ONE driver transaction: TRUNCATE dest + INSERT..SELECT from
+    *     staging + DROP staging ([[PgSql.swapSql]]). Any failure rolls
+    *     the whole swap back — the old generation stays fully
+    *     readable, and the recovery for any crashed replace is simply
+    *     to run it again (the next replace's reset drop clears the
+    *     debris).
+    */
+  override def replace(df: DataFrame): WriteStats = {
+    val pgSchema = PgSql.schemaOfSpark(normalized(df).schema)
+    val c = connect()
+    try {
+      val st = c.createStatement()
+      try {
+        st.execute(PgSql.dropStagingSql(table))
+        st.execute(PgSql.createStagingSql(table, pgSchema))
+        st.execute(PgSql.createTableSql(table, pgSchema, primaryKey))
+        if (schemaEvolution)
+          PgSql.evolveSql(table, PostgresWriter.readSchema(c, table), pgSchema)
+            .foreach(st.execute)
+      } finally st.close()
+    } finally c.close()
+
+    val stagingWriter = new PostgresWriter(url, user, password,
+      PgSql.stagingName(table), primaryKey = Seq.empty, batchSize,
+      autoCreate = false, useCopy = useCopy)
+    val stats = stagingWriter.write(df, WriteMode.Append)
+
+    val swap = connect()
+    try {
+      swap.setAutoCommit(false)
+      try {
+        val st = swap.createStatement()
+        try PgSql.swapSql(table, pgSchema).foreach(st.execute)
+        finally st.close()
+        swap.commit()
+      } catch { case t: Throwable => swap.rollback(); throw t }
+    } finally swap.close()
+    stats
+  }
+
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     val prepared = normalized(df)
     val pgSchema = PgSql.schemaOfSpark(prepared.schema)

@@ -162,4 +162,25 @@ class PgSqlSpec extends AnyFunSuite {
       """ALTER TABLE "we""ird" ALTER COLUMN "a b" TYPE DOUBLE PRECISION USING "a b"::double precision""",
       """ALTER TABLE "we""ird" ADD COLUMN IF NOT EXISTS "x""y" TEXT"""))
   }
+
+  test("staged-swap replace: staging DDL and the single-transaction swap statements") {
+    val s = ListMap("id" -> PgBigInt, "name" -> PgText)
+    assert(stagingName("users") == "users__graft_stage")
+    // staging is scratch: UNLOGGED, no PK — uniqueness is enforced when
+    // the swap's INSERT hits the destination's own key
+    assert(createStagingSql("users", s) ==
+      """CREATE UNLOGGED TABLE "users__graft_stage" ("id" BIGINT, "name" TEXT)""")
+    assert(dropStagingSql("users") ==
+      """DROP TABLE IF EXISTS "users__graft_stage"""")
+    // the swap names its columns explicitly: an evolved destination
+    // with extra user-managed columns must not break the SELECT *
+    // arity, and column order is the batch's, not the table's
+    assert(swapSql("users", s) == Seq(
+      """TRUNCATE TABLE "users"""",
+      """INSERT INTO "users" ("id", "name") SELECT "id", "name" FROM "users__graft_stage"""",
+      """DROP TABLE IF EXISTS "users__graft_stage""""))
+    // hostile identifiers stay quoted through every statement
+    assert(createStagingSql("""we"ird""", ListMap("a b" -> PgText)) ==
+      """CREATE UNLOGGED TABLE "we""ird__graft_stage" ("a b" TEXT)""")
+  }
 }
