@@ -265,6 +265,12 @@ object StageRunner {
       case ("pq", "maintain") =>
         compacted = StoreMaintenance.maintainPq(spark, dir,
           maxTombstoneRatio, maxIngests)
+      // the classifier model is a store too (build once, score many):
+      // `build`/`rebuild` train from the stage's (adaptable) corpus and
+      // commit a fresh version — the labels come from the corpus' `lang`
+      // column, so a differently-labeled corpus maps it via `columns:`
+      case ("classifier", "build" | "rebuild") =>
+        graft.ops.Classify.saveModel(documents, dir)
       case ("ivfpq", "build" | "rebuild") => IvfPqStore.save(embeddings, dir)
       case ("ivfpq", "append") =>
         IvfPqStore.append(embeddings, dir, stage.ingestId.get)
@@ -308,6 +314,7 @@ object StageRunner {
       case "ivf" => IvfIndex.stats(spark, dir)
       case "pq" => PqStore.stats(spark, dir)
       case "ivfpq" => IvfPqStore.stats(spark, dir)
+      case "classifier" => graft.ops.Classify.modelStats(spark, dir)
     }
     val statCols = stats.columns.toSeq
     stats
@@ -336,9 +343,22 @@ object StageRunner {
     // batch read of the source dir provides it (schema inference off
     // a dir the stage DECLARES, not a guess)
     def schema = spark.read.parquet(sourceDir).schema
+    // every stream that reads or grows a persisted store must find a
+    // COMMITTED version: the first scheduled run legitimately races
+    // both the crawler AND the initial build, and surfacing that as a
+    // requireRoot stack out of the post-drain audit read (or a wrapped
+    // streaming exception mid-drain) buries the fix — refuse up front
+    // with the action that unblocks it (r16 ADVICE)
+    def requireStore(dir: String, what: String): Unit =
+      require(StoreMaintenance.storeExists(spark, dir),
+        s"stage '${stage.name}': $what at '$dir' has no committed " +
+          "version yet — build it first with a 'kind: store' stage " +
+          "(action: build); stream stages only read or grow an " +
+          "existing store")
     stage.stream.get match {
       case "index_ingest" =>
         val dir = stage.dir.get
+        requireStore(dir, s"${stage.store.get} store")
         if (srcReady) {
           val q = stage.store.get match {
             case "ivf" => graft.streaming.StreamingIndexIngest.intoIvf(
@@ -354,6 +374,7 @@ object StageRunner {
           compacted = false)
       case "embedding_dedup" =>
         val outDir = stage.outDir.get
+        requireStore(stage.dir.get, "ivfpq store")
         if (srcReady) {
           val q = graft.streaming.StreamingEmbeddingDedup
             .streamingDedupAgainstStore(spark, sourceDir, schema,
@@ -374,6 +395,7 @@ object StageRunner {
         // batches flagged against the persisted gram store, per
         // micro-batch, history never re-read
         val outDir = stage.outDir.get
+        requireStore(stage.dir.get, "dedup gram store")
         if (srcReady) {
           val q = graft.streaming.StreamingStoreDedup
             .streamingDedupAgainstStore(spark, sourceDir, schema,
@@ -385,16 +407,27 @@ object StageRunner {
           "inc_id BIGINT, corpus_id BIGINT, jaccard DOUBLE, graft_batch BIGINT")
       case "classify" =>
         val outDir = stage.outDir.get
+        // with `model_dir:` the gate applies whether or not the source
+        // has data — a misconfigured model path must not lie dormant
+        // until the first real batch arrives
+        stage.modelDir.foreach(requireStore(_, "classifier model"))
         if (srcReady) {
-          // model trained on the stage's HISTORICAL corpus — the
-          // adapted input when declared (table/columns/input_stage,
-          // like every other stage kind), else input_dir documents —
-          // frozen for this drain; the next scheduled run retrains
-          // from the then-current corpus
-          val docs = adaptedInput(spark, stage, priorOutput,
-            default = "documents").getOrElse(
-            graft.engine.Tables.table(spark, stage.inputDir, "documents"))
-          val model = graft.ops.Classify.tokenClassifierModel(docs)
+          // the scoring model, frozen for this drain. `model_dir:`
+          // loads the COMMITTED persisted model (trained by its own
+          // `store: classifier` stage — each drain pays a model read,
+          // not an O(corpus) training job); without it the model is
+          // trained from the stage's HISTORICAL corpus — the adapted
+          // input when declared (table/columns/input_stage, like every
+          // other stage kind), else input_dir documents — and the next
+          // scheduled run retrains from the then-current corpus
+          val model = stage.modelDir match {
+            case Some(md) => graft.ops.Classify.loadModel(spark, md)
+            case None =>
+              val docs = adaptedInput(spark, stage, priorOutput,
+                default = "documents").getOrElse(
+                graft.engine.Tables.table(spark, stage.inputDir, "documents"))
+              graft.ops.Classify.tokenClassifierModel(docs)
+          }
           val q = graft.streaming.StreamingClassify.streamingPredictToDir(
             spark, sourceDir, schema, model, outDir,
             maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))

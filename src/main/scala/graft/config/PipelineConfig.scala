@@ -205,7 +205,8 @@ object PipelineConfig {
     *    adapt non-fixture schemas and `input_stage:` chains onto a
     *    prior stage's landed output.
     *  - `kind: store` — drive a persisted store's lifecycle (`store:`
-    *    dedup | ivf | pq | ivfpq; `action:` build | rebuild | append |
+    *    dedup | ivf | pq | ivfpq | classifier; `action:` build |
+    *    rebuild | append |
     *    compact | maintain | stats | recommend | dedup | delete) at
     *    `dir:`, landing the store's STATS relation on the sink as the
     *    run's audit row (the maintenance-loop contract: decisions
@@ -283,6 +284,14 @@ object PipelineConfig {
       checkpoint: Option[String] = None,
       outDir: Option[String] = None,
       maxFilesPerTrigger: Option[Int] = None,
+      /** `model_dir:` (stream `classify` only) — score each drain
+        * against the COMMITTED persisted model at this directory
+        * (built by a `store: classifier` stage) instead of retraining
+        * from the stage's corpus every scheduled run: the r16
+        * verdict's amortization (train once as its own stage, each
+        * drain pays a model read, not an O(corpus) training job).
+        */
+      modelDir: Option[String] = None,
       /** `write_mode: append | replace` — how the stage's output lands
         * on its destination across RUNS. `append` accumulates (the
         * audit-trail shape: one stats/advisory row per scheduled run);
@@ -369,6 +378,7 @@ object PipelineConfig {
       checkpoint = optStr(m, "checkpoint"),
       outDir = optStr(m, "out_dir"),
       maxFilesPerTrigger = optStr(m, "max_files_per_trigger").map(_.toInt),
+      modelDir = optStr(m, "model_dir"),
       writeMode = optStr(m, "write_mode"))
     s.writeMode.foreach { wm =>
       if (!Set("append", "replace")(wm))
@@ -392,13 +402,22 @@ object PipelineConfig {
           throw new IllegalArgumentException(
             s"stage '${s.name}': kind 'store' requires 'store', " +
               "'action' and 'dir'")
-        if (!Set("dedup", "ivf", "pq", "ivfpq")(s.store.get))
+        if (!Set("dedup", "ivf", "pq", "ivfpq", "classifier")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown store '${s.store.get}'")
         if (!Set("build", "rebuild", "append", "compact", "maintain",
             "stats", "dedup", "recommend", "auto", "delete")(s.action.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown action '${s.action.get}'")
+        // the classifier model store is build-once/score-many: it has
+        // no tombstones, ingests or geometry probe, so the maintenance
+        // and advisory actions have nothing to act on — a rebuild IS
+        // its whole lifecycle
+        if (s.store.contains("classifier") &&
+            !Set("build", "rebuild", "stats")(s.action.get))
+          throw new IllegalArgumentException(
+            s"stage '${s.name}': store 'classifier' supports actions " +
+              s"build | rebuild | stats, not '${s.action.get}'")
         if (s.action.contains("dedup") && !Set("dedup", "ivfpq")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'dedup' supports the dedup and " +
@@ -448,6 +467,18 @@ object PipelineConfig {
             if (s.outDir.isEmpty)
               throw new IllegalArgumentException(
                 s"stage '${s.name}': stream 'classify' requires 'out_dir'")
+            // the adapters adapt the TRAINING corpus; with a persisted
+            // model there is no training in the drain, so they would
+            // parse fine and be silently ignored — refuse the ambiguity
+            if (s.modelDir.isDefined &&
+                (s.table.isDefined || s.tableAs.isDefined ||
+                  s.columns.nonEmpty || s.inputStage.isDefined))
+              throw new IllegalArgumentException(
+                s"stage '${s.name}': model_dir scores against the " +
+                  "persisted model, so table/table_as/columns/" +
+                  "input_stage (training-corpus adapters) have no " +
+                  "effect — drop them, or drop model_dir to retrain " +
+                  "per drain")
           case other => throw new IllegalArgumentException(
             s"stage '${s.name}': unknown stream '$other' " +
               "(index_ingest | embedding_dedup | store_dedup | classify)")
@@ -455,6 +486,13 @@ object PipelineConfig {
       case other => throw new IllegalArgumentException(
         s"stage '${s.name}': unknown kind '$other' (query | store | stream)")
     }
+    // model_dir means ONE thing — score the classify stream against a
+    // persisted model; on any other stage it would parse and be
+    // silently ignored (the loud-knob rule)
+    if (s.modelDir.isDefined && !s.stream.contains("classify"))
+      throw new IllegalArgumentException(
+        s"stage '${s.name}': model_dir only applies to 'stream: " +
+          "classify' stages")
     s
   }
 

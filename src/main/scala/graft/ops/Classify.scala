@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -58,6 +58,73 @@ object Classify {
     cnt.join(tot, "label").join(gcnt, "tok").crossJoin(gtot)
       .select(col("label"), col("tok"),
         expr("(1000000 * c) div n - (1000000 * gc) div gn").as("w"))
+  }
+
+  /** Persist the trained model as a versioned artifact — the same
+    * committed-root convention as the four stores ([[StoreVersioning]]:
+    * fresh `v<n>/`, `_META` lineage sidecar, atomic `_COMMITTED`
+    * marker, maintainer lease), because the model IS a store: built
+    * once from a corpus, queried by many scheduled scoring runs. The
+    * amortization this exists for: a `stream: classify` drain that
+    * RETRAINS per run pays O(corpus) every schedule tick; a persisted
+    * model turns that into O(model-read) — train as its own stage,
+    * score forever (the r16 verdict's item 2).
+    *
+    * `_META` records the training lineage (corpus file-listing
+    * fingerprint, label column, split point), so an operator — or a
+    * future advisory — can see which corpus generation froze these
+    * weights.
+    */
+  def saveModel(docs: DataFrame, dir: String, labelCol: String = "lang",
+      trainCut: Int = 8000): Unit = {
+    val spark = docs.sparkSession
+    StoreVersioning.withMaintainerLock(spark, dir, "classifier saveModel") {
+      val v = StoreVersioning.nextVersion(spark, dir)
+      val root = s"$dir/$v"
+      tokenClassifierModel(docs, labelCol, trainCut)
+        .write.mode("overwrite").parquet(s"$root/model")
+      StoreVersioning.writeMeta(spark, root, Seq(
+        "store" -> "classifier",
+        "label_col" -> labelCol,
+        "train_cut" -> trainCut.toString,
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(docs)))
+      StoreVersioning.commit(spark, dir, v)
+    }
+  }
+
+  /** The committed model relation (label, tok, w) — refuses loudly
+    * when `dir` has no committed version or holds a DIFFERENT kind of
+    * store (a classify stage pointed at an ivf index must not scan
+    * centroid parquet as model weights).
+    */
+  def loadModel(spark: SparkSession, dir: String): DataFrame = {
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val kind = StoreVersioning.metaOf(spark, root).getOrElse("store", "classifier")
+    require(kind == "classifier",
+      s"$dir holds a committed '$kind' store, not a classifier model — " +
+        "point model_dir at a directory built by Classify.saveModel " +
+        "(store: classifier, action: build)")
+    spark.read.parquet(s"$root/model")
+  }
+
+  /** The model store's audit relation — one row of
+    * (n_weights, n_labels, label_col, train_cut, train_fingerprint,
+    * version), the classifier analog of the four stores' stats()
+    * (what a scheduled pipeline lands as the run's audit row).
+    */
+  def modelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = StoreVersioning.requireRoot(spark, dir)
+    val meta = StoreVersioning.metaOf(spark, root)
+    val m = spark.read.parquet(s"$root/model")
+      .agg(count(lit(1)).as("w"), countDistinct(col("label")).as("l")).head()
+    Seq((m.getLong(0), m.getLong(1),
+        meta.getOrElse("label_col", "?"),
+        meta.get("train_cut").map(_.toLong).getOrElse(-1L),
+        meta.getOrElse("train_fingerprint", "?"),
+        StoreVersioning.versionOf(root)))
+      .toDF("n_weights", "n_labels", "label_col", "train_cut",
+        "train_fingerprint", "version")
   }
 
   /** Held-out predictions: (doc_id, label, predicted, score). Total

@@ -34,6 +34,15 @@ object StoreMaintenance {
   val DefaultMaxTombstoneRatio: Double = 0.1
   val DefaultMaxIngests: Long = 16L
 
+  /** Whether `dir` holds a committed store/model version — the
+    * orchestrator's pre-drain gate: a scheduled stream stage racing
+    * the store's INITIAL build must refuse with a message naming the
+    * fix (build first), not surface a requireRoot stack out of the
+    * post-drain audit read (r16 ADVICE).
+    */
+  def storeExists(spark: SparkSession, dir: String): Boolean =
+    StoreVersioning.currentRoot(spark, dir).isDefined
+
   /** The decision, exposed for spec/audit: compact when dead rows
     * exceed the ratio or ingests exceed the cap.
     */
