@@ -117,6 +117,66 @@ object Main {
             useCopy = args.pgCopy, schemaEvolution = schemaEvolution)
     }
 
+  /** Delta landing for relation-producing stream stages on the file
+    * warehouse (replace semantics at append cost): the stream's output
+    * relation is CUMULATIVE and its `graft_batch` partitions are
+    * immutable once drained, so a mirror that already landed batches
+    * 0..k only needs the batches AFTER k — re-overwriting the whole
+    * history each scheduled run made the sink work O(total season) per
+    * drain. The high-water mark lives in a `_graft_landed_max` sidecar
+    * inside the mirror directory (an underscore file, invisible to
+    * parquet readers); a missing sidecar falls back to scanning the
+    * mirror's own graft_batch column, and a source whose max batch is
+    * BELOW the mark (checkpoint wiped, outDir rebuilt, batch ids
+    * restarted from 0) reconciles with a full replace — the mirror
+    * contract always wins over the optimization. Crash-safe without a
+    * transaction: a failed append commits nothing (the Spark commit
+    * protocol), leaving the sidecar at the old mark, so the rerun
+    * re-lands the same delta.
+    */
+  private[cli] def landStreamDelta(dest: String, writer: DataWriter,
+      out: org.apache.spark.sql.DataFrame): graft.writer.WriteStats = {
+    import org.apache.spark.sql.functions.{col, max}
+    val spark = out.sparkSession
+    val destPath = new org.apache.hadoop.fs.Path(dest)
+    val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val markPath = new org.apache.hadoop.fs.Path(s"$dest/_graft_landed_max")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def destHasData: Boolean = fs.exists(destPath) &&
+      fs.listStatus(destPath).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+    val landedMax: Option[Long] =
+      if (fs.exists(markPath)) {
+        val in = fs.open(markPath)
+        val s = try new String(in.readAllBytes(), utf8).trim finally in.close()
+        s.toLongOption
+      } else if (destHasData) {
+        // cast defensively: a mirror landed by an older build may have
+        // typed the column from partition-value inference (INT)
+        val r = spark.read.parquet(dest)
+          .agg(max(col("graft_batch").cast("long"))).head()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      } else None
+    val srcMaxRow = out.agg(max(col("graft_batch"))).head()
+    val srcMax = if (srcMaxRow.isNullAt(0)) None else Some(srcMaxRow.getLong(0))
+    val stats = (landedMax, srcMax) match {
+      case (Some(lo), Some(hi)) if hi >= lo =>
+        // only the new batch partitions move; partition pruning keeps
+        // the outDir read to exactly those files
+        writer.write(out.filter(col("graft_batch") > lo), WriteMode.Append)
+      case _ => writer.replace(out)
+    }
+    srcMax match {
+      case Some(hi) =>
+        val o = fs.create(markPath, true)
+        try o.write(hi.toString.getBytes(utf8)) finally o.close()
+      case None => if (fs.exists(markPath)) { fs.delete(markPath, false); () }
+    }
+    stats
+  }
+
   def main(argv: Array[String]): Unit = {
     val args = parseArgs(argv)
     Logging.configure(args.logJson, args.logLevel)
@@ -384,7 +444,12 @@ object Main {
         val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
           stage.primaryKey.toSeq, args, getenv)
         val stats =
-          if (replace) writer.replace(out)
+          if (replace && fileWh && isRelationStream(stage) &&
+              out.columns.contains("graft_batch"))
+            // mirror semantics at delta cost — see landStreamDelta
+            landStreamDelta(s"${args.warehouse.get}/${stage.destTable}",
+              writer, out)
+          else if (replace) writer.replace(out)
           else {
             val mode = if (stage.primaryKey.isDefined) WriteMode.Merge
               else args.writeMode
