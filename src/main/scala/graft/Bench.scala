@@ -223,6 +223,22 @@ object Bench {
           .write(out, graft.writer.WriteMode.Append).rowsWritten
       }
     }
+    // fixed-cost REFERENCE leg (the noise normalizer): a constant
+    // local-relation aggregate — independent of the corpus, of every
+    // graft operator, and of any code this repo changes round to
+    // round — so its cross-round ratio measures HOST noise alone.
+    // tools/bench_diff.py divides every common-leg ratio by this
+    // leg's ratio, making the documented ~10% uniform ambient-noise
+    // window on this VM read as 1.0x machine-decidably, instead of
+    // needing hand-run repeat attribution. Sized ~0.5 s: long enough
+    // to sample the noise mode, too short to distort totals.
+    def refFixed(): DataFrame = {
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      spark.range(0L, 20L * 1000 * 1000, 1L, 32)
+        .select((org.apache.spark.sql.functions.pmod(col("id"), org.apache.spark.sql.functions.lit(8192L))).as("b"),
+          xxhash64(col("id")).as("h"))
+        .groupBy(col("b")).agg(sum(col("h")).as("s"))
+    }
     // the pipeline leg runs INSIDE the interleaved pass loop — its 3
     // reps land minutes apart like every query's, so one late host
     // transient can no longer poison all of them (the round-9
@@ -230,9 +246,11 @@ object Bench {
     // through the same honesty contract (errors object, nonzero exit)
     val thunks = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> (() => action(fn(spark, sfDir)))
-    } :+ ("x_pipeline_100k_load" -> (() => pipelineOnce()))
+    } :+ ("x_pipeline_100k_load" -> (() => pipelineOnce())) :+
+      ("zz_ref_fixed" -> (() => action(refFixed())))
     val withPipeline = runThunks(thunks, reps = 3)
-    val pipelineResult = withPipeline.last
+    val pipelineResult =
+      withPipeline.find(_.name == "x_pipeline_100k_load").get
     // a leg that errored in any pass must not report a prior pass's
     // row count next to its error — zero the rows like the timing
     val loaded = if (pipelineResult.err.isDefined) 0L else pipelineRows

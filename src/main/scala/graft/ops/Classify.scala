@@ -87,7 +87,9 @@ object Classify {
         "store" -> "classifier",
         "label_col" -> labelCol,
         "train_cut" -> trainCut.toString,
-        "train_fingerprint" -> StoreVersioning.trainFingerprint(docs)))
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(docs),
+        "train_content_fingerprint" ->
+          StoreVersioning.contentFingerprint(docs)))
       StoreVersioning.commit(spark, dir, v)
     }
   }

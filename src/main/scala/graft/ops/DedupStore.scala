@@ -63,7 +63,8 @@ object DedupStore {
       StoreVersioning.writeMeta(spark, s"$dir/$v", Seq(
         "store" -> "DedupStore",
         "layout" -> Layout.toString,
-        "train_fingerprint" -> StoreVersioning.trainFingerprint(corpus)))
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(corpus),
+        "train_content_fingerprint" -> StoreVersioning.contentFingerprint(corpus)))
       StoreVersioning.commit(spark, dir, v)
     }
   }

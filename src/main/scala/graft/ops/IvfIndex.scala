@@ -113,7 +113,9 @@ object IvfIndex {
         "layout" -> Layout.toString,
         "geometry" -> StoreVersioning.UnitSphereGeometry,
         "n_cells" -> nCells.toString,
-        "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings)))
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings),
+        "train_content_fingerprint" ->
+          StoreVersioning.contentFingerprint(embeddings)))
       StoreVersioning.commit(spark, dir, v)
     }
   }

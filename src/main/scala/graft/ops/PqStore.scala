@@ -68,7 +68,8 @@ object PqStore {
     "m" -> b.m.toString,
     "k_codes" -> b.k.toString,
     "sub_dim" -> b.subDim.toString,
-    "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings))
+    "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings),
+    "train_content_fingerprint" -> StoreVersioning.contentFingerprint(embeddings))
 
   /** Build the store at `dir`: fit (or reuse — the codebook memo is
     * keyed on the training lineage) the m per-subspace codebooks,

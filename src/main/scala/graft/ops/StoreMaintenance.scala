@@ -114,7 +114,7 @@ object StoreMaintenance {
       margin: Double = DefaultMargin, minCosine: Double = DefaultMinCosine,
       maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
       maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
-    recommendFrom(spark, IvfPqStore.stats(spark, dir), "n_vectors",
+    recommendFrom(spark, dir, IvfPqStore.stats(spark, dir), "n_vectors",
       Some(IvfPqStore.sampledDedupGap(spark, dir, minCosine)),
       corpus, margin, maxTombstoneRatio, maxIngests)
 
@@ -126,7 +126,7 @@ object StoreMaintenance {
       margin: Double = DefaultMargin, minCosine: Double = DefaultMinCosine,
       maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
       maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
-    recommendFrom(spark, PqStore.stats(spark, dir), "n_vectors",
+    recommendFrom(spark, dir, PqStore.stats(spark, dir), "n_vectors",
       Some(PqStore.sampledGap(spark, dir, minCosine)),
       corpus, margin, maxTombstoneRatio, maxIngests)
 
@@ -139,7 +139,7 @@ object StoreMaintenance {
       corpus: Option[org.apache.spark.sql.DataFrame] = None,
       maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
       maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
-    recommendFrom(spark, IvfIndex.stats(spark, dir), "n_vectors",
+    recommendFrom(spark, dir, IvfIndex.stats(spark, dir), "n_vectors",
       None, corpus, 0.0, maxTombstoneRatio, maxIngests)
 
   /** [[recommendIvfPq]] for the dedup gram store: exact trigram
@@ -151,10 +151,10 @@ object StoreMaintenance {
       corpus: Option[org.apache.spark.sql.DataFrame] = None,
       maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
       maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
-    recommendFrom(spark, DedupStore.stats(spark, dir), "n_docs",
+    recommendFrom(spark, dir, DedupStore.stats(spark, dir), "n_docs",
       None, corpus, 0.0, maxTombstoneRatio, maxIngests)
 
-  private def recommendFrom(spark: SparkSession,
+  private def recommendFrom(spark: SparkSession, dir: String,
       stats: org.apache.spark.sql.DataFrame, rowsCol: String,
       sampledGap: Option[Double],
       corpus: Option[org.apache.spark.sql.DataFrame],
@@ -164,8 +164,20 @@ object StoreMaintenance {
     val s = stats.head()
     val storedFp = s.getString(s.fieldIndex("train_fingerprint"))
     val gap = sampledGap.getOrElse(0.0)
+    // two-level drift: the cheap file-listing fingerprint screens, and
+    // ONLY on a listing mismatch does the content fingerprint decide —
+    // a corpus that is a chained warehouse relation gets fresh part
+    // files every scheduled run, so listing alone would read every
+    // night as "drifted" and `action: auto` would rebuild perpetually
+    // over identical rows (r16 ADVICE). Legacy roots without the
+    // content key keep the listing-only behavior.
+    lazy val storedContentFp = StoreVersioning
+      .metaOf(spark, StoreVersioning.requireRoot(spark, dir))
+      .get("train_content_fingerprint")
     val drift = corpus.exists(c =>
-      StoreVersioning.trainFingerprint(c) != storedFp)
+      StoreVersioning.trainFingerprint(c) != storedFp &&
+        storedContentFp.forall(
+          StoreVersioning.contentFingerprint(c) != _))
     val fragmented = shouldCompact(
       s.getAs[Long](rowsCol), s.getAs[Long]("n_tombstoned"),
       s.getAs[Long]("n_ingests"), maxTombstoneRatio, maxIngests)

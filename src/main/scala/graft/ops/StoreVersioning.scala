@@ -190,6 +190,30 @@ private[ops] object StoreVersioning {
   def trainFingerprint(df: DataFrame): String =
     f"${java.util.Arrays.hashCode(df.inputFiles.asInstanceOf[Array[AnyRef]])}%08x"
 
+  /** An order- and layout-independent CONTENT fingerprint of a
+    * training corpus: row count plus the sum of per-row xxhash64 over
+    * every column (summed in decimal — a wrapped bigint sum would
+    * overflow-throw under ANSI, and bit_xor would let duplicate-heavy
+    * corpora collide pairwise). This is the drift check's SECOND
+    * signal: a corpus that is a chained warehouse relation gets
+    * rewritten with fresh part-file names every scheduled run, so the
+    * cheap listing fingerprint alone reads as drifted forever and
+    * `action: auto` would rebuild every night over identical rows
+    * (r16 ADVICE) — the content fingerprint is recomputed only when
+    * the listing already mismatched, and equality means the geometry
+    * is NOT stale. One extra distributed aggregate at save() time,
+    * over a corpus the save is scanning anyway.
+    */
+  def contentFingerprint(df: DataFrame): String = {
+    import org.apache.spark.sql.functions.{count, lit, sum, xxhash64}
+    val r = df.agg(
+      count(lit(1)),
+      sum(xxhash64(df.columns.map(col): _*).cast("decimal(20,0)"))).head()
+    val h = if (r.isNullAt(1)) "0"
+      else r.getDecimal(1).toBigInteger.toString(16)
+    s"${r.getLong(0)}-$h"
+  }
+
   /** The coarse-quantizer GEOMETRY convention the IVF-family stores
     * record in `_META` and gate on: centroids fitted, vectors
     * assigned, and queries ranked on the UNIT SPHERE

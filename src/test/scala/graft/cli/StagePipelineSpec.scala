@@ -207,14 +207,17 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = Files.createTempDirectory("stage_family")
     val modules = Files.createDirectories(dir.resolve("modules"))
     val warehouse = dir.resolve("warehouse").toString
-    // a byte-identical COPY of the corpus at a different path: the
-    // train fingerprint is the scanned file listing, so a pipeline
-    // whose corpus moved (new drop, new partition set) reads as
-    // lineage drift even when the rows happen to match
+    // a corpus whose CONTENT moved on, at a different path: rows were
+    // dropped since the stores were built, so listing AND content
+    // fingerprints both mismatch — real drift. (A byte-identical
+    // re-layout reads ok under the r17 two-level check: the content
+    // fingerprint overrules the listing signal.)
     val corpusB = Files.createDirectories(dir.resolve("corpusB")).toString
-    Seq("documents", "embeddings").foreach { t =>
-      Files.copy(java.nio.file.Paths.get(s"$sf/$t.parquet"),
-        java.nio.file.Paths.get(s"$corpusB/$t.parquet"))
+    Seq("documents" -> "doc_id", "embeddings" -> "vec_id").foreach {
+      case (t, key) =>
+        graft.engine.Tables.table(sp, sf, t)
+          .filter(org.apache.spark.sql.functions.col(key) % 5 =!= 0)
+          .write.parquet(s"$corpusB/$t.parquet")
     }
     val stores = Seq("dedup", "ivf", "pq", "ivfpq")
     def storeDir(s: String) = dir.resolve(s"store_$s").toString
@@ -795,10 +798,13 @@ class StagePipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val warehouse = dir.resolve("warehouse").toString
     val storeDir = dir.resolve("ivfpq").toString
     val corpusB = Files.createDirectories(dir.resolve("corpusB")).toString
-    Files.copy(java.nio.file.Paths.get(s"$sf/embeddings.parquet"),
-      java.nio.file.Paths.get(s"$corpusB/embeddings.parquet"))
+    graft.engine.Tables.table(sp, sf, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 5 =!= 0)
+      .write.parquet(s"$corpusB/embeddings.parquet")
     try {
-      // built from corpus A; the nightly auto stage sees corpus B
+      // built from corpus A; the nightly auto stage sees corpus B,
+      // whose CONTENT has moved on (rows dropped) — real drift, not
+      // just a re-layout
       graft.ops.IvfPqStore.save(
         graft.engine.Tables.table(sp, sf, "embeddings"), storeDir)
       Files.writeString(dir.resolve("pipelines.yaml"),

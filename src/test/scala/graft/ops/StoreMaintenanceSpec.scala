@@ -217,13 +217,23 @@ class StoreMaintenanceSpec extends AnyFunSuite {
       assert(rec(dir)._1 == "ok", rec(dir))
       // same store, same corpus lineage → still ok (no false drift)
       assert(rec(dir, corpus = Some(e))._1 == "ok")
-      // a corpus with a DIFFERENT file listing → rebuild on drift
+      // a RE-LAID-OUT corpus with identical rows (the chained-
+      // warehouse shape: fresh part files every scheduled run) is NOT
+      // drift — the listing fingerprint mismatches, the content
+      // fingerprint decides, and `action: auto` converges instead of
+      // rebuilding every night over the same rows (r16 ADVICE)
       val moved = java.nio.file.Files
         .createTempDirectory("graft_rec_corpus").toString
       e.write.mode("overwrite").parquet(s"$moved/embeddings.parquet")
       val newCorpus = spark.read
         .parquet(s"$moved/embeddings.parquet")
-      val (what, why) = rec(dir, corpus = Some(newCorpus))
+      assert(rec(dir, corpus = Some(newCorpus))._1 == "ok",
+        rec(dir, corpus = Some(newCorpus)))
+      // a corpus whose CONTENT moved on → rebuild on drift (rows
+      // dropped here; additions, edits and reorders hash differently
+      // the same way)
+      val shrunk = newCorpus.filter(col("vec_id") % 7 =!= 0)
+      val (what, why) = rec(dir, corpus = Some(shrunk))
       assert(what == "rebuild" && why.contains("drift"), (what, why))
       // >10% tombstones → compact (geometry is fine, rows are dead)
       val n = e.count()
