@@ -101,7 +101,9 @@ object IvfPqStore {
         "m" -> b.m.toString,
         "k_codes" -> b.k.toString,
         "sub_dim" -> b.subDim.toString,
-        "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings)))
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(embeddings),
+        "train_content_fingerprint" ->
+          StoreVersioning.contentFingerprint(embeddings)))
       StoreVersioning.commit(spark, dir, v)
     }
   }
@@ -275,10 +277,14 @@ object IvfPqStore {
     * error is strictly smaller than SDC's (one side is exact), so
     * the measured SDC covering margins dominate here. Every broadcast
     * on this path is size-gated on ONE count of the incoming batch —
-    * the probe join at the QTAB ceiling ([[Pq.MaxBroadcastQtabRows]],
-    * these rows carry the m·k ADC table), the exact-verify query fetch
-    * at the bare-vector ceiling ([[IvfIndex.MaxBroadcastProbeRows]]) —
-    * and the survivor fetch carries NO hint at all: a weak prune (this
+    * the bare (query, cell) probe pairs at the vector-row ceiling
+    * ([[IvfIndex.MaxBroadcastProbeRows]]), the per-QUERY qtab rows at
+    * the QTAB ceiling ([[Pq.MaxBroadcastQtabRows]] — these rows carry
+    * the m·k ADC table, so their ceiling is a byte budget; r17 splits
+    * them off the probe pairs so it binds nQ alone, not nQ×nProbe,
+    * and the exhaustive-probe regime keeps its broadcasts), the
+    * exact-verify query fetch at the bare-vector ceiling — and the
+    * survivor fetch carries NO hint at all: a weak prune (this
     * pass-all gate, an adversarial corpus) stays a partitioned join
     * instead of OOMing the driver; AQE broadcasts when the prune is
     * real. A corpus-sized incoming batch therefore never forces a
@@ -355,20 +361,36 @@ object IvfPqStore {
     }
     val q0 = incoming.select(col("query_id"), col("qv"))
       .withColumn("qn", sqrt(Similarity.dot(col("qv"), col("qv"))))
-    // one count job serves BOTH broadcast gates on this path
+    // one count job serves EVERY broadcast gate on this path
     val nQ = q0.count()
     val probes = Similarity.nearestCellsFrom(
         q0.select(col("query_id").as("vec_id"), col("qv").as("v")),
         cents, nProbe)
       .select(col("vec_id").as("query_id"), col("cell"))
-    val q = Pq.withQtab(q0, b)
+    // r17 (verdict 5): the probe payload is SPLIT — bare (query_id,
+    // cell) pairs meet the vectors on the partition column, and the
+    // ~m·k·8 B qtab attaches afterwards by query_id, ONE row per
+    // QUERY. The r15 shape duplicated each query's qtab onto every
+    // probe row before the cell join, so its broadcast ceiling had to
+    // bind the PRODUCT nQ×nProbe: the exhaustive regime (nProbe =
+    // nCells, the pass-all gate) fell off the broadcast cliff at 16×
+    // fewer queries and collapsed the cell join onto nCells shuffle
+    // keys (measured 52.2 s vs the r14-era 40.1 s at 100×). Split,
+    // the qtab ceiling binds nQ alone (same ~100 MB byte budget), the
+    // bare pair list rides the vector-row ceiling, and an over-ceiling
+    // batch still degrades to partitioned joins — the OOM-safety
+    // contract is unchanged.
+    val probesHinted =
+      if (nQ * nProbe <= IvfIndex.MaxBroadcastProbeRows) broadcast(probes)
+      else probes
+    val qtab = Pq.withQtab(q0, b)
       .select(col("query_id"), col("qtab"), col("qn"))
-      .join(probes, "query_id")
-    val qHinted =
-      if (nQ * nProbe <= maxBroadcastProbeRows) broadcast(q) else q
+    val qtabHinted =
+      if (nQ <= maxBroadcastProbeRows) broadcast(qtab) else qtab
     val cand0 = vectors
       .select(col("vec_id"), col("cell"), col("pcodes"), col("pq_norm"))
-      .join(qHinted, Seq("cell"))
+      .join(probesHinted, Seq("cell"))
+      .join(qtabHinted, Seq("query_id"))
     val cand1 = deletesIfAny(spark, root).fold(cand0)(del =>
       cand0.join(del, Seq("vec_id"), "left_anti"))
     val adc = call_function("adc_dot_packed",
