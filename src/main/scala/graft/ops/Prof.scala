@@ -405,6 +405,104 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("streams")) {
+      // The four `kind: stream` drain paths at scale (the one shipped
+      // surface without 10×/100× rows until round 17): drain
+      // throughput over a 4-drop source (maxFilesPerTrigger=1 → 4
+      // micro-batches; per-batch latency = wall/4), the single-drop
+      // INCREMENTAL drain a scheduled run actually pays, the empty
+      // NO-OP drain (checkpoint bookkeeping alone), and for classify
+      // the per-drain retrain cost that `model_dir:` removes against
+      // scoring with the persisted model. Stores are built from the
+      // corpus first — the production premise (streams grow/read an
+      // EXISTING store). One-shot timings (q's min-of-2 would rerun a
+      // drained checkpoint as a no-op and report THAT).
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_prof_streams").toString
+      def q1(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime; f
+        println(f"PROF $name ${(System.nanoTime - t0) / 1e9}%.2f s")
+      }
+      def drain(sq: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+        try sq.processAllAvailable()
+        finally { sq.stop(); sq.awaitTermination() }
+      def drop(df: org.apache.spark.sql.DataFrame, src: String): Unit =
+        df.coalesce(1).write.mode("append").parquet(src)
+      def schemaOf(src: String) = spark.read.parquet(src).schema
+
+      // ---- index_ingest (ivf): fresh ids appended into a built store
+      val ivfDir = s"$base/ivf_store"
+      q1("streams_ivf_build")(IvfIndex.save(emb, ivfDir, nCells = 16))
+      val ingSrc = s"$base/ing_src"
+      val fresh = emb.select((col("vec_id") + 10000000L).as("vec_id"),
+        col("embedding"))
+      for (i <- 0 until 4)
+        drop(fresh.filter(col("vec_id") % 100 === i), ingSrc)
+      def ingDrain(): Unit = drain(graft.streaming.StreamingIndexIngest
+        .intoIvf(spark, ingSrc, schemaOf(ingSrc), ivfDir, 1,
+          Some(s"$base/ing_ck")))
+      q1("streams_ivf_ingest_drain4")(ingDrain())
+      drop(fresh.filter(col("vec_id") % 100 === 4), ingSrc)
+      q1("streams_ivf_ingest_inc")(ingDrain())
+      q1("streams_ivf_ingest_noop")(ingDrain())
+
+      // ---- embedding_dedup: incoming batches flagged vs ivfpq store
+      val pqDir = s"$base/ivfpq_store"
+      q1("streams_ivfpq_build")(IvfPqStore.save(emb, pqDir, nCells = 16))
+      val edSrc = s"$base/ed_src"
+      val qrel = emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      for (i <- 0 until 4)
+        drop(qrel.filter(col("query_id") % 100 === i), edSrc)
+      def edDrain(): Unit = drain(graft.streaming.StreamingEmbeddingDedup
+        .streamingDedupAgainstStore(spark, edSrc, schemaOf(edSrc), pqDir,
+          s"$base/ed_out", maxFilesPerTrigger = 1,
+          checkpoint = Some(s"$base/ed_ck")))
+      q1("streams_embdedup_drain4")(edDrain())
+      drop(qrel.filter(col("query_id") % 100 === 4), edSrc)
+      q1("streams_embdedup_inc")(edDrain())
+      q1("streams_embdedup_noop")(edDrain())
+
+      // ---- store_dedup: incoming text batches vs the gram store
+      val gramDir = s"$base/gram_store"
+      q1("streams_gram_build")(DedupStore.save(docs, gramDir))
+      val sdSrc = s"$base/sd_src"
+      val drel = docs.select(col("doc_id"), col("text"))
+      for (i <- 0 until 4)
+        drop(drel.filter(col("doc_id") % 100 === i), sdSrc)
+      def sdDrain(): Unit = drain(graft.streaming.StreamingStoreDedup
+        .streamingDedupAgainstStore(spark, sdSrc, schemaOf(sdSrc), gramDir,
+          s"$base/sd_out", maxFilesPerTrigger = 1,
+          checkpoint = Some(s"$base/sd_ck")))
+      q1("streams_storededup_drain4")(sdDrain())
+      drop(drel.filter(col("doc_id") % 100 === 4), sdSrc)
+      q1("streams_storededup_inc")(sdDrain())
+      q1("streams_storededup_noop")(sdDrain())
+
+      // ---- classify: retrain-per-drain (the pre-r17 shape) vs the
+      // persisted model the model_dir drain loads
+      val mDir = s"$base/clf_model"
+      q1("streams_classify_retrain_cost")(
+        { Classify.tokenClassifierModel(docs).count(); () })
+      q1("streams_classify_save_model")(Classify.saveModel(docs, mDir))
+      val model = Classify.loadModel(spark, mDir)
+      val clSrc = s"$base/cl_src"
+      for (i <- 0 until 4)
+        drop(drel.filter(col("doc_id") % 100 === i), clSrc)
+      def clDrain(): Unit = drain(graft.streaming.StreamingClassify
+        .streamingPredictToDir(spark, clSrc, schemaOf(clSrc), model,
+          s"$base/cl_out", maxFilesPerTrigger = 1,
+          checkpoint = Some(s"$base/cl_ck")))
+      q1("streams_classify_drain4")(clDrain())
+      drop(drel.filter(col("doc_id") % 100 === 4), clSrc)
+      q1("streams_classify_inc")(clDrain())
+      q1("streams_classify_noop")(clDrain())
+
+      println(s"PROF streams nDocs=${docs.count()} nEmb=${emb.count()} " +
+        "drop=1pct batches=4+1")
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("storededup")) {
       // the persisted composed index in its PRODUCTION regime (the
       // gate rows run exhaustive settings for oracle equality; this

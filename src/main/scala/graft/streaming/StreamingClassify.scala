@@ -100,7 +100,16 @@ object StreamingClassify {
         "is AQE-size-gated")
     val modelStatic = broadcast(modelRow(model))
     val cols = predictionCols(col("ws"), col("models"))
+    // a micro-batch inherits the DROP FILE's partitioning — a nightly
+    // crawler landing one file per drop would put the whole batch's
+    // interpreted per-doc fold (words × k map probes) on ONE task
+    // (measured at the 100× PROF row: a 5k-doc single-file batch
+    // scored ~30× slower than its 32-way spread). The batch is
+    // bounded (a drop, not a corpus), so one tiny text shuffle buys
+    // full-cluster scoring parallelism; values are per-row
+    // deterministic, so the spread cannot change a prediction.
     batch => batch
+      .repartition(batch.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .crossJoin(modelStatic)
       .select(col("doc_id") +: cols: _*)
