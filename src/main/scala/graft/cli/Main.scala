@@ -117,24 +117,35 @@ object Main {
             useCopy = args.pgCopy, schemaEvolution = schemaEvolution)
     }
 
-  /** Delta landing for relation-producing stream stages on the file
-    * warehouse (replace semantics at append cost): the stream's output
-    * relation is CUMULATIVE and its `graft_batch` partitions are
-    * immutable once drained, so a mirror that already landed batches
-    * 0..k only needs the batches AFTER k — re-overwriting the whole
-    * history each scheduled run made the sink work O(total season) per
-    * drain. The high-water mark lives in a `_graft_landed_max` sidecar
-    * inside the mirror directory (an underscore file, invisible to
-    * parquet readers); a missing sidecar falls back to scanning the
-    * mirror's own graft_batch column, and a source whose max batch is
-    * BELOW the mark (checkpoint wiped, outDir rebuilt, batch ids
-    * restarted from 0) reconciles with a full replace — the mirror
-    * contract always wins over the optimization. Crash-safe without a
-    * transaction: a failed append commits nothing (the Spark commit
-    * protocol), leaving the sidecar at the old mark, so the rerun
-    * re-lands the same delta.
+  /** Delta landing for relation-producing stream stages on the
+    * parquet file warehouse (replace semantics at append cost): the
+    * stream's output relation is CUMULATIVE and its `graft_batch`
+    * partitions are immutable once drained, so a mirror that already
+    * landed batches 0..k only needs the batches AFTER k —
+    * re-overwriting the whole history each scheduled run made the
+    * sink work O(total season) per drain.
+    *
+    * Correctness over the optimization, structurally:
+    *
+    *  - The mirror is laid out in `graft_batch=<id>/` partition dirs
+    *    and every landing writes WHOLE partitions (the
+    *    BatchedParquetSink convention), so a replayed landing — a
+    *    crash after the data committed but before the sidecar moved —
+    *    rewrites identical partitions instead of appending
+    *    duplicates. There is no state in which a re-run compounds
+    *    rows.
+    *  - The `_graft_landed_max` sidecar (an underscore file,
+    *    invisible to parquet readers) carries the high-water mark AND
+    *    a GENERATION fingerprint: the file listing of the stream
+    *    relation's lowest batch partition, which is immutable under
+    *    appends and changes on ANY rebuild of the stream's outDir
+    *    (fresh part files). A rebuilt stream whose new batch ids
+    *    reach past the old mark therefore cannot silently leave
+    *    old-generation partitions in the mirror — the fingerprint
+    *    mismatch forces a full replace, as does a missing/legacy
+    *    sidecar or a max batch below the mark.
     */
-  private[cli] def landStreamDelta(dest: String, writer: DataWriter,
+  private[cli] def landStreamDelta(dest: String,
       out: org.apache.spark.sql.DataFrame): graft.writer.WriteStats = {
     import org.apache.spark.sql.functions.{col, max}
     val spark = out.sparkSession
@@ -142,37 +153,61 @@ object Main {
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markPath = new org.apache.hadoop.fs.Path(s"$dest/_graft_landed_max")
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    def destHasData: Boolean = fs.exists(destPath) &&
-      fs.listStatus(destPath).exists { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
+    val batchRe = "graft_batch=(\\d+)".r
+    def batchOf(p: String): Option[Long] =
+      batchRe.findFirstMatchIn(p).map(_.group(1).toLong)
+    val srcFiles = out.inputFiles
+    val genFp: Option[String] =
+      srcFiles.flatMap(batchOf).minOption.map { mb =>
+        val listing = srcFiles.filter(f => batchOf(f).contains(mb)).sorted
+        f"${java.util.Arrays.hashCode(listing.asInstanceOf[Array[AnyRef]])}%08x"
       }
-    val landedMax: Option[Long] =
-      if (fs.exists(markPath)) {
-        val in = fs.open(markPath)
-        val s = try new String(in.readAllBytes(), utf8).trim finally in.close()
-        s.toLongOption
-      } else if (destHasData) {
-        // cast defensively: a mirror landed by an older build may have
-        // typed the column from partition-value inference (INT)
-        val r = spark.read.parquet(dest)
-          .agg(max(col("graft_batch").cast("long"))).head()
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
-      } else None
     val srcMaxRow = out.agg(max(col("graft_batch"))).head()
     val srcMax = if (srcMaxRow.isNullAt(0)) None else Some(srcMaxRow.getLong(0))
+    // the mark is honored ONLY when the generation fingerprint still
+    // matches; anything else (missing sidecar, legacy single-token
+    // sidecar, rebuilt stream) reconciles with a full replace
+    val landedMax: Option[Long] =
+      if (!fs.exists(markPath)) None
+      else {
+        val in = fs.open(markPath)
+        val s = try new String(in.readAllBytes(), utf8).trim finally in.close()
+        s.split(' ') match {
+          case Array(hi, fp) if genFp.contains(fp) => hi.toLongOption
+          case _ => None
+        }
+      }
+    def landPartition(id: Long): Long = {
+      val obs = new org.apache.spark.sql.Observation(s"graft.delta.$id")
+      out.filter(col("graft_batch") === id).drop("graft_batch")
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(s"$dest/graft_batch=$id")
+      obs.get("rows").asInstanceOf[Long]
+    }
     val stats = (landedMax, srcMax) match {
       case (Some(lo), Some(hi)) if hi >= lo =>
-        // only the new batch partitions move; partition pruning keeps
-        // the outDir read to exactly those files
-        writer.write(out.filter(col("graft_batch") > lo), WriteMode.Append)
-      case _ => writer.replace(out)
+        // only the new batch partitions move (partition pruning keeps
+        // the outDir read to exactly those files), each as an
+        // idempotent whole-partition overwrite
+        val newIds = out.filter(col("graft_batch") > lo)
+          .select(col("graft_batch")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        graft.writer.WriteStats(newIds.map(landPartition).sum)
+      case _ =>
+        // full mirror (re)build, in the same batch-partitioned layout
+        // — ONE overwrite job, no truncate window
+        val obs = new org.apache.spark.sql.Observation("graft.delta.full")
+        out.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .write.mode("overwrite").partitionBy("graft_batch").parquet(dest)
+        graft.writer.WriteStats(obs.get("rows").asInstanceOf[Long])
     }
-    srcMax match {
-      case Some(hi) =>
+    (srcMax, genFp) match {
+      case (Some(hi), Some(fp)) =>
         val o = fs.create(markPath, true)
-        try o.write(hi.toString.getBytes(utf8)) finally o.close()
-      case None => if (fs.exists(markPath)) { fs.delete(markPath, false); () }
+        try o.write(s"$hi $fp".getBytes(utf8)) finally o.close()
+      case _ => if (fs.exists(markPath)) { fs.delete(markPath, false); () }
     }
     stats
   }
@@ -247,8 +282,14 @@ object Main {
     // duplicate dest_table across stages is benign while every collider
     // appends (two maintenance stages sharing one audit-trail table);
     // the moment ANY collider resolves to replace, each of its runs
-    // silently deletes whatever its siblings landed — refuse up front
-    cfg.stages.groupBy(_.destTable).foreach { case (t, group) =>
+    // silently deletes whatever its siblings landed — refuse up front.
+    // Collision is per PHYSICAL destination: with the file warehouse
+    // every stage lands there, otherwise two stages only collide when
+    // they share a sink target too (same table name on two different
+    // databases never touches the same rows)
+    def destKey(s: PipelineConfig.Stage): (String, String) =
+      ((if (fileWh) "warehouse" else s.sink.getOrElse("")), s.destTable)
+    cfg.stages.groupBy(destKey).foreach { case ((_, t), group) =>
       if (group.size > 1 && group.exists(resolvesReplace))
         throw new IllegalArgumentException(
           s"stages '${group.map(_.name).mkString("', '")}' all land on " +
@@ -444,11 +485,12 @@ object Main {
         val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
           stage.primaryKey.toSeq, args, getenv)
         val stats =
-          if (replace && fileWh && isRelationStream(stage) &&
-              out.columns.contains("graft_batch"))
+          if (replace && fileWh && args.warehouseFormat == "parquet" &&
+              isRelationStream(stage) && out.columns.contains("graft_batch"))
             // mirror semantics at delta cost — see landStreamDelta
-            landStreamDelta(s"${args.warehouse.get}/${stage.destTable}",
-              writer, out)
+            // (parquet-only: the landing writes batch partition dirs
+            // directly; a csv/json warehouse keeps the full replace)
+            landStreamDelta(s"${args.warehouse.get}/${stage.destTable}", out)
           else if (replace) writer.replace(out)
           else {
             val mode = if (stage.primaryKey.isDefined) WriteMode.Merge

@@ -380,8 +380,12 @@ object IvfPqStore {
     // bare pair list rides the vector-row ceiling, and an over-ceiling
     // batch still degrades to partitioned joins — the OOM-safety
     // contract is unchanged.
+    // bare pairs ride the caller's bare-row ceiling (the same knob
+    // that gates the exact-verify query fetch) so a spec or a small
+    // driver can force BOTH regimes — a hardcoded constant here would
+    // leave the partitioned cell join untestable
     val probesHinted =
-      if (nQ * nProbe <= IvfIndex.MaxBroadcastProbeRows) broadcast(probes)
+      if (nQ * nProbe <= maxBroadcastQueryRows) broadcast(probes)
       else probes
     val qtab = Pq.withQtab(q0, b)
       .select(col("query_id"), col("qtab"), col("qn"))

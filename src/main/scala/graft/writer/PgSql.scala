@@ -180,8 +180,28 @@ object PgSql {
   /** The staging table a replace loads into before the swap. One
     * deterministic name per destination: a crashed replace leaves its
     * staging debris where the NEXT replace's reset drop finds it.
+    * Postgres truncates identifiers at 63 BYTES silently, so a long
+    * destination name gets a content-hash infix instead of letting
+    * two long names that share a prefix collide on one truncated
+    * staging table (interleaved replaces would clobber each other's
+    * staged rows mid-load).
     */
-  def stagingName(table: String): String = table + "__graft_stage"
+  def stagingName(table: String): String = {
+    val suffix = "__graft_stage"
+    if ((table + suffix).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .length <= 63)
+      table + suffix
+    else {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(table.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(6).map("%02x".format(_)).mkString
+      var prefix = table
+      while ((prefix + "_" + h + suffix)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8).length > 63)
+        prefix = prefix.dropRight(1)
+      prefix + "_" + h + suffix
+    }
+  }
 
   /** CREATE the staging table: UNLOGGED (its contents are scratch — a
     * server crash mid-load just means the replace reruns, and skipping

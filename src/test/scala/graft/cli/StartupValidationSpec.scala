@@ -136,6 +136,40 @@ class StartupValidationSpec extends AnyFunSuite {
     assert(e.getMessage.contains("dest_table 'shared3'"), e.getMessage)
   }
 
+  test("same dest_table on DIFFERENT sinks is not a collision (distinct databases)") {
+    // two targets: the tables live in different databases and can
+    // never overwrite each other, so startup must NOT refuse; the run
+    // then fails at stage execution (no JDBC driver in the sandbox),
+    // proving validation let it through
+    val yaml =
+      s"""targets:
+         |  - name: pg_east
+         |    host: east
+         |    database: g
+         |    auth: {username: u, password: p}
+         |  - name: pg_west
+         |    host: west
+         |    database: g
+         |    auth: {username: u, password: p}
+         |stages:
+         |  - name: mirror_east
+         |    kind: query
+         |    query: x_dedup_exact
+         |    input_dir: $sf
+         |    sink: pg_east
+         |    dest_table: mirror
+         |    write_mode: replace
+         |  - name: mirror_west
+         |    kind: query
+         |    query: x_dedup_exact
+         |    input_dir: $sf
+         |    sink: pg_west
+         |    dest_table: mirror
+         |    write_mode: replace
+         |""".stripMargin
+    assert(run(yaml, None) == 2) // both stages ran and failed at JDBC
+  }
+
   test("input_stage without --warehouse fails at startup, before the upstream runs") {
     val yaml =
       s"""stages:

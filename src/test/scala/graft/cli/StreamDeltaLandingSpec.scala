@@ -1,6 +1,6 @@
 package graft.cli
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path}
 
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
@@ -9,19 +9,35 @@ import org.scalatest.funsuite.AnyFunSuite
   * item 3): the warehouse mirror of a cumulative stream relation must
   * stay EQUAL to that relation while each scheduled run's sink write
   * touches ONLY the batches that arrived since the last one — not a
-  * full rewrite of the season's history per drain.
+  * full rewrite of the season's history per drain. The landing is
+  * batch-partition-keyed (idempotent whole-partition overwrites, so a
+  * crash between the data commit and the sidecar write can only
+  * re-land identical partitions, never duplicate rows) and the
+  * sidecar carries a GENERATION fingerprint so a rebuilt stream whose
+  * new batch ids reach past the old mark still reconciles in full.
   */
 class StreamDeltaLandingSpec extends AnyFunSuite {
 
   private lazy val spark = graft.SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  private def fileSnapshot(dir: java.nio.file.Path): Map[String, Long] = {
-    val d = dir.toFile
-    if (!d.exists()) Map.empty
-    else d.listFiles().filter(f => !f.getName.startsWith("_") &&
-      !f.getName.startsWith(".") && f.isFile)
-      .map(f => f.getName -> f.lastModified()).toMap
+  /** Recursive data-file snapshot: relative path -> mtime. */
+  private def fileSnapshot(dir: Path): Map[String, Long] = {
+    if (!Files.exists(dir)) return Map.empty
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    def walk(p: Path): Unit = {
+      val n = p.getFileName.toString
+      if (n.startsWith("_") || n.startsWith(".")) return
+      if (Files.isDirectory(p)) Files.list(p).forEach(walk)
+      else out(dir.relativize(p).toString) = Files.getLastModifiedTime(p).toMillis
+    }
+    Files.list(dir).forEach(walk)
+    out.toMap
+  }
+
+  private def deleteRec(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).forEach(c => deleteRec(c))
+    Files.deleteIfExists(p); ()
   }
 
   test("run-2 lands only batch-2 rows; the mirror stays equal to the cumulative relation") {
@@ -36,6 +52,8 @@ class StreamDeltaLandingSpec extends AnyFunSuite {
     def batchDf(lo: Long, hi: Long) = docs
       .filter(col("doc_id") >= lo && col("doc_id") < hi)
       .select(col("doc_id"), col("text"))
+    // throttle 1: every drop file is its own micro-batch, so the
+    // rebuilt-generation scenario below re-reaches the old mark
     Files.writeString(dir.resolve("pipelines.yaml"),
       s"""stages:
          |  - name: score_incoming
@@ -45,24 +63,35 @@ class StreamDeltaLandingSpec extends AnyFunSuite {
          |    source_dir: $srcDir
          |    checkpoint: ${dir.resolve("ckpt")}
          |    out_dir: $outDir
+         |    max_files_per_trigger: 1
          |    dest_table: incoming_preds
          |""".stripMargin)
     val args = Main.Args(
       modulesDir = modules.toString,
       configPath = dir.resolve("pipelines.yaml").toString,
       warehouse = Some(warehouse.toString))
+    def mark: String =
+      Files.readString(mirror.resolve("_graft_landed_max")).trim
+    def mirrorDf = sp.read.parquet(mirror.toString)
+    def relationTriples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("predicted"), col("score"),
+        col("graft_batch").cast("long").as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
 
-    // run 1: first landing replaces (mirror created), sidecar at batch 0
+    // run 1: first landing builds the batch-partitioned mirror in full
     batchDf(0, 40).coalesce(1).write.mode("append").parquet(srcDir)
     assert(Main.run(args, sp) == 0)
-    def mirrorDf = sp.read.parquet(mirror.toString)
     assert(mirrorDf.count() == 40)
-    assert(Files.readString(mirror.resolve("_graft_landed_max")).trim == "0")
+    assert(mark.split(' ').head == "0" && mark.split(' ').length == 2,
+      s"sidecar must carry mark + generation fingerprint, got '$mark'")
     val run1Files = fileSnapshot(mirror)
-    assert(run1Files.nonEmpty)
+    assert(run1Files.nonEmpty &&
+      run1Files.keySet.forall(_.startsWith("graft_batch=0")))
 
     // run 2: only the new batch moves — every run-1 file is untouched
-    // (same name, same mtime), the new files carry exactly batch 1
+    // (same relative path, same mtime), the new files live under the
+    // new batch's own partition and carry exactly its rows
     batchDf(40, 50).coalesce(1).write.mode("append").parquet(srcDir)
     assert(Main.run(args, sp) == 0)
     assert(mirrorDf.count() == 50)
@@ -72,46 +101,42 @@ class StreamDeltaLandingSpec extends AnyFunSuite {
         s"run-1 file $name was rewritten by the run-2 landing")
     }
     val newFiles = (run2Files.keySet -- run1Files.keySet).toSeq
-    assert(newFiles.nonEmpty)
+    assert(newFiles.nonEmpty &&
+      newFiles.forall(_.startsWith("graft_batch=1")))
     val newRows = sp.read.parquet(
       newFiles.map(n => mirror.resolve(n).toString): _*)
     assert(newRows.count() == 10)
     assert(newRows.select(col("doc_id")).collect().map(_.getLong(0)).toSet
       == (40L until 50L).toSet)
-    assert(Files.readString(mirror.resolve("_graft_landed_max")).trim == "1")
+    assert(mark.split(' ').head == "1")
     // and the mirror still equals the cumulative stream relation
-    val cum = sp.read.parquet(outDir)
-      .select(col("doc_id"), col("predicted"), col("score")).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
-    assert(mirrorDf.select(col("doc_id"), col("predicted"), col("score"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
-      .toSet == cum)
+    assert(relationTriples(mirrorDf)
+      == relationTriples(sp.read.parquet(outDir)))
 
-    // idle run: nothing new arrived, the landed rows stay put
+    // idle run: nothing new arrived, every landed file stays put
     assert(Main.run(args, sp) == 0)
-    assert(mirrorDf.count() == 50)
-    fileSnapshot(mirror).foreach { case (name, _) =>
-      if (run2Files.contains(name))
-        assert(run2Files(name) == fileSnapshot(mirror)(name))
-    }
+    assert(fileSnapshot(mirror) == run2Files)
 
-    // reconcile: the checkpoint and outDir are wiped (a rebuilt
-    // stream), so batch ids restart at 0 BELOW the landed mark — the
-    // mirror must converge to the rebuilt relation via a full replace,
-    // never trust a stale watermark
-    def deleteRec(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(c => deleteRec(c))
-      Files.deleteIfExists(p); ()
-    }
+    // REBUILT GENERATION past the old mark: wipe checkpoint + outDir
+    // and re-drain — with throttle 1 the rebuilt batches are 0 and 1,
+    // so the max REACHES the stale mark and a mark-only check would
+    // have left the old generation's batch-0/1 partitions in place;
+    // the generation fingerprint forces the full reconcile
     deleteRec(dir.resolve("ckpt"))
     deleteRec(dir.resolve("preds"))
     assert(Main.run(args, sp) == 0)
-    assert(mirrorDf.count() == 50, "rebuilt relation mirrored in full")
-    val rebuiltMax = sp.read.parquet(outDir)
-      .agg(org.apache.spark.sql.functions.max(col("graft_batch").cast("long")))
-      .head().getLong(0)
-    assert(Files.readString(mirror.resolve("_graft_landed_max")).trim
-      == rebuiltMax.toString)
+    assert(mirrorDf.count() == 50)
+    assert(relationTriples(mirrorDf)
+      == relationTriples(sp.read.parquet(outDir)),
+      "rebuilt relation must be mirrored in full, not tail-patched")
+    val rebuilt = fileSnapshot(mirror)
+    run2Files.keySet.intersect(rebuilt.keySet).foreach { n =>
+      assert(rebuilt(n) != run2Files(n) || !run2Files.contains(n),
+        s"old-generation file $n survived the reconcile")
+    }
+    assert(mark.split(' ').head ==
+      sp.read.parquet(outDir)
+        .agg(org.apache.spark.sql.functions.max(col("graft_batch")
+          .cast("long"))).head().getLong(0).toString)
   }
 }

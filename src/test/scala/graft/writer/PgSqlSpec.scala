@@ -183,4 +183,23 @@ class PgSqlSpec extends AnyFunSuite {
     assert(createStagingSql("""we"ird""", ListMap("a b" -> PgText)) ==
       """CREATE UNLOGGED TABLE "we""ird__graft_stage" ("a b" TEXT)""")
   }
+
+  test("staging names stay under Postgres's 63-byte identifier limit without colliding") {
+    // PG silently truncates identifiers at 63 bytes, so two long
+    // destinations sharing a prefix would otherwise share ONE staging
+    // table and interleaved replaces would clobber each other
+    val longA = "a" * 70 + "_east"
+    val longB = "a" * 70 + "_west"
+    val sa = stagingName(longA)
+    val sb = stagingName(longB)
+    assert(sa.getBytes("UTF-8").length <= 63, sa)
+    assert(sb.getBytes("UTF-8").length <= 63, sb)
+    assert(sa != sb, "shared-prefix long names must not collide")
+    assert(sa.endsWith("__graft_stage"))
+    // deterministic: the crashed-replace reset drop must find the
+    // same name the crashed load used
+    assert(sa == stagingName(longA))
+    // short names keep the plain readable form
+    assert(stagingName("users") == "users__graft_stage")
+  }
 }

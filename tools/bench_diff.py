@@ -93,9 +93,15 @@ def main():
     # sides carry it; the reference leg itself is excluded from the
     # flag gate (its movement IS the noise being normalized out)
     REF = "zz_ref_fixed"
-    noise = None
+    noise = raw_noise = None
     if REF in prev and REF in cur and prev[REF][0] > 0:
-        noise = cur[REF][0] / prev[REF][0]
+        raw_noise = cur[REF][0] / prev[REF][0]
+        # clamp to the documented ambient-noise band: the reference leg
+        # is the SHORTEST leg in the suite, so a transient landing on
+        # its own reps must not rescale every other leg past the flag
+        # gate (a 1.6x ref ratio dividing a real 1.5x regression down
+        # to 0.94 would pass it silently)
+        noise = min(max(raw_noise, 0.8), 1.25)
 
     rows = []
     for n in common:
@@ -108,8 +114,9 @@ def main():
     flagged = [r for r in rows if r[0] > flag and r[2] != REF]
     print(f"common legs: {len(common)}   added: {len(added)}   "
           f"removed: {len(removed)}   flag threshold: {flag}x"
-          + (f"   noise factor ({REF}): {noise:.3f}x -> flags use "
-             "normalized ratios" if noise else ""))
+          + (f"   noise factor ({REF}): {raw_noise:.3f}x"
+             f" (clamped {noise:.3f}x) -> flags use normalized ratios"
+             if noise else ""))
     psum = sum(r[3] for r in rows)
     csum = sum(r[4] for r in rows)
     if psum:
