@@ -194,7 +194,7 @@ object Main {
           .select(col("graft_batch")).distinct()
           .collect().map(_.getLong(0)).sorted
         graft.writer.WriteStats(newIds.map(landPartition).sum)
-      case _ =>
+      case (_, Some(_)) =>
         // full mirror (re)build, in the same batch-partitioned layout
         // — ONE overwrite job, no truncate window
         val obs = new org.apache.spark.sql.Observation("graft.delta.full")
@@ -202,6 +202,15 @@ object Main {
             org.apache.spark.sql.functions.lit(1)).as("rows"))
           .write.mode("overwrite").partitionBy("graft_batch").parquet(dest)
         graft.writer.WriteStats(obs.get("rows").asInstanceOf[Long])
+      case (_, None) =>
+        // EMPTY relation (the no-op drain racing a not-yet-producing
+        // source): a partitioned write of zero rows lands no
+        // schema-carrying file at all and the mirror becomes
+        // unreadable — write the flat empty parquet instead, which
+        // keeps the full schema in its footer; the first real landing
+        // rebuilds the partitioned layout with a full overwrite
+        out.write.mode("overwrite").parquet(dest)
+        graft.writer.WriteStats(0L)
     }
     (srcMax, genFp) match {
       case (Some(hi), Some(fp)) =>
