@@ -262,14 +262,15 @@ object Main {
     val fileWh = args.warehouse.isDefined
     // a replace is SAFE (no empty-destination window on failure)
     // exactly when the writer path is transactional/atomic: the file
-    // warehouse's single commit-protocol overwrite job, or the
-    // postgres staged swap (load staging, swap in one transaction).
-    // clickhouse/bigquery replace is still truncate-then-load, so it
+    // warehouse's single commit-protocol overwrite job, the postgres
+    // staged swap (load staging, swap in one transaction), or the
+    // clickhouse staged swap (load staging, one atomic EXCHANGE
+    // TABLES). bigquery replace is still truncate-then-load, so it
     // never defaults there. An unknown sink name resolves false here
     // (no silent replace) and fails loudly when its stage runs.
     def safeReplaceSink(s: PipelineConfig.Stage): Boolean = fileWh ||
       s.sink.exists(n => cfg.targets.exists(t =>
-        t.name == n && t.kind == "postgres"))
+        t.name == n && Set("postgres", "clickhouse")(t.kind)))
     def resolvesReplace(s: PipelineConfig.Stage): Boolean =
       s.primaryKey.isEmpty && (
         s.writeMode.contains("replace") ||
@@ -473,17 +474,17 @@ object Main {
         // exactly where appending would compound (relation-producing
         // streams, chained relation outputs) and only onto sinks whose
         // replace path has no empty-destination window — the file
-        // warehouse's single overwrite job or the postgres staged
-        // swap. Audit/advisory TRAIL stages never flip implicitly: the
-        // consumer of a trail wants the trail. clickhouse/bigquery
-        // replace is still truncate-then-load, so a relation stream
-        // landing there must make the choice explicit instead of
-        // compounding duplicates silently.
+        // warehouse's single overwrite job or the postgres/clickhouse
+        // staged swaps. Audit/advisory TRAIL stages never flip
+        // implicitly: the consumer of a trail wants the trail.
+        // bigquery replace is still truncate-then-load, so a relation
+        // stream landing there must make the choice explicit instead
+        // of compounding duplicates silently.
         if (isRelationStream(stage) && !safeReplaceSink(stage) &&
             stage.writeMode.isEmpty && stage.primaryKey.isEmpty)
           throw new IllegalArgumentException(
             s"stage '${stage.name}': a relation-producing stream landing " +
-              "on a clickhouse/bigquery sink needs an explicit " +
+              "on a bigquery sink needs an explicit " +
               "'write_mode' (replace = truncate-then-load each run; " +
               "append = trail, duplicates across runs) or a " +
               "'primary_key' for MERGE idempotence")

@@ -298,19 +298,20 @@ object PipelineConfig {
         * `replace` makes the destination mirror this run's relation.
         * Defaults — on sinks whose replace path has NO
         * empty-destination window (the file warehouse's single
-        * overwrite job; the postgres staged swap, which loads a
-        * staging table and swaps in one transaction): `replace` for
+        * overwrite job; the postgres staged swap — staging table +
+        * one-transaction move; the clickhouse staged swap — staging
+        * table + one atomic EXCHANGE TABLES): `replace` for
         * relation-OUTPUT stages another stage chains from (an
         * appending upstream would feed N runs' worth of duplicated
         * rows downstream) and for relation-producing stream stages
         * (their output relation is already cumulative — re-appending
         * it each run would land k copies of old batches); `append`
         * otherwise, and audit/advisory trails never flip implicitly.
-        * On clickhouse/bigquery sinks replace is still
-        * truncate-then-load (an empty-table window on failure), so it
-        * never defaults there: a relation-producing stream on those
-        * sinks must declare write_mode or a primary_key explicitly. A
-        * `primary_key` overrides all of this with MERGE idempotence.
+        * On bigquery sinks replace is still truncate-then-load (an
+        * empty-table window on failure), so it never defaults there:
+        * a relation-producing stream on a bigquery sink must declare
+        * write_mode or a primary_key explicitly. A `primary_key`
+        * overrides all of this with MERGE idempotence.
         */
       writeMode: Option[String] = None)
 

@@ -205,6 +205,41 @@ object ChSql {
   def truncateSql(table: String): String =
     s"TRUNCATE TABLE IF EXISTS ${quoteIdent(table)}"
 
+  // ---- staged-swap replace (the PgSql convention in ClickHouse
+  // ---- dialect, with an even stronger swap primitive) -------------
+
+  /** One staging-name derivation across warehouses
+    * ([[PgSql.stagingName]] — deterministic, byte-bounded,
+    * collision-safe for long names), so a crashed replace's debris
+    * story is identical wherever the mirror lands.
+    */
+  def stagingName(table: String): String = PgSql.stagingName(table)
+
+  /** Idempotent staging reset — run before every replace load. */
+  def dropStagingSql(table: String): String =
+    s"DROP TABLE IF EXISTS ${quoteIdent(stagingName(table))}"
+
+  /** Staging DDL: the SAME structure as the destination (a keyed
+    * staging is a ReplacingMergeTree with the writer-managed version
+    * column, exactly like the table it will become), so the exchange
+    * leaves a destination every later write() recognizes.
+    */
+  def createStagingSql(table: String, schema: ListMap[String, ChType],
+      primaryKey: Seq[String] = Seq.empty): String =
+    createTableSql(stagingName(table), schema, primaryKey)
+
+  /** The swap: ONE atomic statement — both names repoint together, so
+    * there is no instant where the destination is empty, partial, or
+    * a mix of generations (stronger than the Postgres INSERT..SELECT,
+    * which holds a transaction open for the copy). Requires the
+    * Atomic database engine, ClickHouse's default since 20.5; an
+    * Ordinary-engine database errors LOUDLY here rather than
+    * silently degrading to truncate-then-load.
+    */
+  def exchangeSql(table: String): String =
+    s"EXCHANGE TABLES ${quoteIdent(table)} AND " +
+      s"${quoteIdent(stagingName(table))}"
+
   /** system.columns `type` name → ChType, unwrapping `Nullable(…)`;
     * `None` for types this writer never creates (user-managed columns
     * evolution must leave untouched) — the [[PgSql.ofPgTypeName]]

@@ -80,6 +80,39 @@ final class ClickHouseWriter(
   override def truncate(): Unit =
     withTransport(_.execute(ChSql.truncateSql(table)))
 
+  /** Staged-swap replace, ClickHouse dialect: load the staging table
+    * (distributed, the standard partition-batch path), then ONE
+    * atomic `EXCHANGE TABLES` — the destination flips from the old
+    * generation to the new in a single statement, with no
+    * empty-table window and no long-held copy transaction (the
+    * Postgres swap's INSERT..SELECT is the weaker primitive). A crash
+    * before the exchange leaves the destination untouched; a crash
+    * between the exchange and the staging drop leaves the NEW
+    * generation live and the OLD rows parked in staging, where the
+    * next replace's reset drop clears them — every crash point
+    * recovers by rerunning the replace.
+    */
+  override def replace(df: DataFrame): WriteStats = {
+    val chSchema = ChSql.schemaOfSpark(normalized(df).schema)
+    withTransport { t =>
+      t.execute(ChSql.dropStagingSql(table))
+      t.execute(ChSql.createStagingSql(table, chSchema, primaryKey))
+      // the destination must exist for the exchange (the first run)
+      t.execute(ChSql.createTableSql(table, chSchema, primaryKey))
+    }
+    // Append, not Merge: replace lands the relation AS-IS, and the
+    // swap makes it the destination wholesale — no OPTIMIZE needed
+    val stagingWriter = new ClickHouseWriter(url, user, password,
+      ChSql.stagingName(table), primaryKey, batchSize,
+      autoCreate = false)
+    val stats = stagingWriter.write(df, WriteMode.Append)
+    withTransport { t =>
+      t.execute(ChSql.exchangeSql(table))
+      t.execute(ChSql.dropStagingSql(table)) // now holds the OLD rows
+    }
+    stats
+  }
+
   override def write(df: DataFrame, mode: WriteMode): WriteStats = {
     if (mode == WriteMode.Merge && primaryKey.isEmpty)
       throw new IllegalArgumentException("merge mode requires a primary key")

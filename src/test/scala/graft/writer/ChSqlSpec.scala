@@ -120,4 +120,24 @@ class ChSqlSpec extends AnyFunSuite {
     assert(ofChTypeName("DateTime64(3)").isEmpty)
     assert(ofChTypeName("UUID").isEmpty)
   }
+
+  test("staged-swap replace: staging DDL mirrors the destination, EXCHANGE is one statement") {
+    val s = ListMap("id" -> ChInt64, "v" -> ChString)
+    // ONE staging-name derivation across warehouses (PgSql's)
+    assert(stagingName("users") == PgSql.stagingName("users"))
+    assert(dropStagingSql("users") ==
+      "DROP TABLE IF EXISTS `users__graft_stage`")
+    // keyed staging is the same ReplacingMergeTree + version column
+    // the destination carries, so the exchange leaves a recognizable
+    // destination behind
+    assert(createStagingSql("users", s, Seq("id")) ==
+      "CREATE TABLE IF NOT EXISTS `users__graft_stage` " +
+        "(`id` Int64, `v` Nullable(String), `__graft_ver` UInt64) " +
+        "ENGINE = ReplacingMergeTree(`__graft_ver`) ORDER BY (`id`)")
+    assert(exchangeSql("users") ==
+      "EXCHANGE TABLES `users` AND `users__graft_stage`")
+    // hostile identifiers stay backtick-quoted through the swap
+    assert(exchangeSql("we`ird") ==
+      "EXCHANGE TABLES `we``ird` AND `we``ird__graft_stage`")
+  }
 }

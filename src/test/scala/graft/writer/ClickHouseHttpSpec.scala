@@ -185,4 +185,38 @@ class ClickHouseHttpSpec extends AnyFunSuite {
       """{"i":null,"f":null,"s":"tab\there","b":true}""" + "\n" +
       """{"i":null,"f":null,"s":null,"b":null}""" + "\n")
   }
+
+  test("staged-swap replace over HTTP: stage, load, ONE atomic exchange, drop old") {
+    import spark.implicits._
+    val df = Seq((1L, "new-a"), (2L, "new-b")).toDF("id", "v").coalesce(1)
+    withServer() { (bodies, base) =>
+      val w = new ClickHouseWriter(base, "u", "p", "t", primaryKey = Seq("id"))
+      val stats = w.replace(df)
+      assert(stats.rowsWritten == 2)
+      val qs = bodies.asScala.toList
+      // phase 1: staging reset + staging DDL + ensure-dest — the
+      // destination is untouched until the exchange
+      assert(qs.take(3) == List(
+        "DROP TABLE IF EXISTS `t__graft_stage`",
+        "CREATE TABLE IF NOT EXISTS `t__graft_stage` " +
+          "(`id` Int64, `v` Nullable(String), `__graft_ver` UInt64) " +
+          "ENGINE = ReplacingMergeTree(`__graft_ver`) ORDER BY (`id`)",
+        "CREATE TABLE IF NOT EXISTS `t` " +
+          "(`id` Int64, `v` Nullable(String), `__graft_ver` UInt64) " +
+          "ENGINE = ReplacingMergeTree(`__graft_ver`) ORDER BY (`id`)"))
+      // phase 2: every insert targets STAGING, never the destination,
+      // and replace adds no OPTIMIZE (the swap ships the relation
+      // wholesale)
+      val inserts = qs.filter(_.startsWith("INSERT"))
+      assert(inserts.nonEmpty && inserts.forall(
+        _.startsWith("INSERT INTO `t__graft_stage` ")))
+      assert(!qs.exists(_.startsWith("OPTIMIZE")))
+      // phase 3: ONE atomic exchange, then the old generation drops
+      assert(qs.takeRight(2) == List(
+        "EXCHANGE TABLES `t` AND `t__graft_stage`",
+        "DROP TABLE IF EXISTS `t__graft_stage`"))
+      // no TRUNCATE anywhere: there is no empty-destination instant
+      assert(!qs.exists(_.startsWith("TRUNCATE")))
+    }
+  }
 }
