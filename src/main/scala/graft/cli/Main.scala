@@ -149,11 +149,12 @@ object Main {
       out: org.apache.spark.sql.DataFrame): graft.writer.WriteStats = {
     import org.apache.spark.sql.functions.{col, max}
     val spark = out.sparkSession
+    val batchCol = graft.streaming.BatchedParquetSink.BatchCol
     val destPath = new org.apache.hadoop.fs.Path(dest)
     val fs = destPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val markPath = new org.apache.hadoop.fs.Path(s"$dest/_graft_landed_max")
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
-    val batchRe = "graft_batch=(\\d+)".r
+    val batchRe = (batchCol + "=(\\d+)").r
     def batchOf(p: String): Option[Long] =
       batchRe.findFirstMatchIn(p).map(_.group(1).toLong)
     val srcFiles = out.inputFiles
@@ -177,31 +178,35 @@ object Main {
           case _ => None
         }
       }
-    def landPartition(id: Long): Long = {
-      val obs = new org.apache.spark.sql.Observation(s"graft.delta.$id")
-      out.filter(col("graft_batch") === id).drop("graft_batch")
-        .observe(obs, org.apache.spark.sql.functions.count(
+    def landPartitioned(df: org.apache.spark.sql.DataFrame,
+        mode: String, obsName: String): graft.writer.WriteStats = {
+      val obs = new org.apache.spark.sql.Observation(obsName)
+      df.observe(obs, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("rows"))
-        .write.mode("overwrite").parquet(s"$dest/graft_batch=$id")
-      obs.get("rows").asInstanceOf[Long]
+        .write.mode("overwrite")
+        // the mode is PINNED per write, never inherited from the
+        // session (the DedupStore convention): a cluster-wide
+        // `dynamic` default would turn the fingerprint-forced full
+        // reconcile into a partial one that leaves old-generation
+        // partitions alive, and a `static` default would turn the
+        // delta into a full truncate
+        .option("partitionOverwriteMode", mode)
+        .partitionBy(batchCol).parquet(dest)
+      graft.writer.WriteStats(obs.get("rows").asInstanceOf[Long])
     }
     val stats = (landedMax, srcMax) match {
       case (Some(lo), Some(hi)) if hi >= lo =>
         // only the new batch partitions move (partition pruning keeps
-        // the outDir read to exactly those files), each as an
-        // idempotent whole-partition overwrite
-        val newIds = out.filter(col("graft_batch") > lo)
-          .select(col("graft_batch")).distinct()
-          .collect().map(_.getLong(0)).sorted
-        graft.writer.WriteStats(newIds.map(landPartition).sum)
+        // the outDir read to exactly those files), as ONE dynamic
+        // partition-overwrite job — whole partitions rewrite, so a
+        // replayed landing is idempotent, and an N-batch catch-up
+        // after scheduler downtime is still a single job
+        landPartitioned(out.filter(col(batchCol) > lo), "dynamic",
+          "graft.delta.inc")
       case (_, Some(_)) =>
         // full mirror (re)build, in the same batch-partitioned layout
-        // — ONE overwrite job, no truncate window
-        val obs = new org.apache.spark.sql.Observation("graft.delta.full")
-        out.observe(obs, org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("rows"))
-          .write.mode("overwrite").partitionBy("graft_batch").parquet(dest)
-        graft.writer.WriteStats(obs.get("rows").asInstanceOf[Long])
+        // — ONE static overwrite job, no truncate window
+        landPartitioned(out, "static", "graft.delta.full")
       case (_, None) =>
         // EMPTY relation (the no-op drain racing a not-yet-producing
         // source): a partitioned write of zero rows lands no
@@ -294,11 +299,19 @@ object Main {
     // the moment ANY collider resolves to replace, each of its runs
     // silently deletes whatever its siblings landed — refuse up front.
     // Collision is per PHYSICAL destination: with the file warehouse
-    // every stage lands there, otherwise two stages only collide when
-    // they share a sink target too (same table name on two different
-    // databases never touches the same rows)
-    def destKey(s: PipelineConfig.Stage): (String, String) =
-      ((if (fileWh) "warehouse" else s.sink.getOrElse("")), s.destTable)
+    // every stage lands there; otherwise two stages collide exactly
+    // when their sinks resolve to the same (kind, host, port,
+    // database) — keying on the sink NAME alone would let two target
+    // entries for the same database (different credentials/roles)
+    // clobber each other right past the check
+    def destKey(s: PipelineConfig.Stage): (String, String) = {
+      val sink =
+        if (fileWh) "warehouse"
+        else s.sink.flatMap(n => cfg.targets.find(_.name == n))
+          .map(t => s"${t.kind}|${t.host}|${t.port}|${t.database}")
+          .getOrElse(s.sink.getOrElse(""))
+      (sink, s.destTable)
+    }
     cfg.stages.groupBy(destKey).foreach { case ((_, t), group) =>
       if (group.size > 1 && group.exists(resolvesReplace))
         throw new IllegalArgumentException(
@@ -462,7 +475,17 @@ object Main {
         s"input_stage '$name' requires --warehouse-format parquet " +
           s"(got '${args.warehouseFormat}'): chaining reads the landed " +
           "relation back and only parquet preserves its schema")
-      spark.read.parquet(s"$wh/${prior.destTable}")
+      val df = spark.read.parquet(s"$wh/${prior.destTable}")
+      // a relation-stream mirror is batch-partitioned, and partition-
+      // value inference types graft_batch as INT — normalize to the
+      // LONG the stream relation itself carries, so a chained consumer
+      // sees one stable type whichever landing shape produced the
+      // mirror (the StageRunner.readOrEmpty convention)
+      val batchCol = graft.streaming.BatchedParquetSink.BatchCol
+      if (df.columns.contains(batchCol))
+        df.withColumn(batchCol, org.apache.spark.sql.functions
+          .col(batchCol).cast("long"))
+      else df
     }
     cfg.stages.foreach { stage =>
       val st0 = System.nanoTime()

@@ -12,7 +12,13 @@ import org.apache.spark.sql.types.StructType
   * at-least-once replay idempotent — ONE copy of the delivery
   * semantics so the two sinks cannot drift.
   */
-private[streaming] object BatchedParquetSink {
+private[graft] object BatchedParquetSink {
+
+  /** THE batch-partition column/dir convention (`graft_batch=<id>`),
+    * shared with the orchestrator's mirror landing so the two layouts
+    * cannot drift.
+    */
+  val BatchCol = "graft_batch"
 
   /** Start a parquet-file stream driving `body` per micro-batch. */
   def start(spark: SparkSession, dir: String, schema: StructType,
@@ -32,7 +38,7 @@ private[streaming] object BatchedParquetSink {
     * earlier copy instead of appending a duplicate.
     */
   def landBatch(result: DataFrame, outDir: String, batchId: Long): Unit = {
-    result.write.mode("overwrite").parquet(s"$outDir/graft_batch=$batchId")
+    result.write.mode("overwrite").parquet(s"$outDir/$BatchCol=$batchId")
     ()
   }
 }

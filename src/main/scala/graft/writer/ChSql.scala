@@ -219,14 +219,16 @@ object ChSql {
   def dropStagingSql(table: String): String =
     s"DROP TABLE IF EXISTS ${quoteIdent(stagingName(table))}"
 
-  /** Staging DDL: the SAME structure as the destination (a keyed
-    * staging is a ReplacingMergeTree with the writer-managed version
-    * column, exactly like the table it will become), so the exchange
-    * leaves a destination every later write() recognizes.
+  /** Staging DDL: an empty STRUCTURAL CLONE of the destination
+    * (`CREATE TABLE .. AS ..` copies every column — including
+    * user-managed ones this writer's four-type surface cannot even
+    * spell — plus the engine, ORDER BY, TTL, and settings), so the
+    * exchange can never swap away destination structure the old
+    * truncate-then-load path preserved. Inserts name their columns,
+    * so a wider staging is transparent to the load.
     */
-  def createStagingSql(table: String, schema: ListMap[String, ChType],
-      primaryKey: Seq[String] = Seq.empty): String =
-    createTableSql(stagingName(table), schema, primaryKey)
+  def createStagingSql(table: String): String =
+    s"CREATE TABLE ${quoteIdent(stagingName(table))} AS ${quoteIdent(table)}"
 
   /** The swap: ONE atomic statement — both names repoint together, so
     * there is no instant where the destination is empty, partial, or

@@ -96,9 +96,23 @@ final class ClickHouseWriter(
     val chSchema = ChSql.schemaOfSpark(normalized(df).schema)
     withTransport { t =>
       t.execute(ChSql.dropStagingSql(table))
-      t.execute(ChSql.createStagingSql(table, chSchema, primaryKey))
-      // the destination must exist for the exchange (the first run)
+      // the destination must exist before the staging can clone its
+      // structure (and before the exchange, on the very first run)
       t.execute(ChSql.createTableSql(table, chSchema, primaryKey))
+      // staging = empty structural clone of the destination: columns
+      // this writer never created (user-managed DateTimes, an earlier
+      // wider relation's fields), the engine, TTLs and settings all
+      // survive the swap — the batch's own drift is then evolved onto
+      // the STAGING exactly as write() would evolve the destination
+      t.execute(ChSql.createStagingSql(table))
+      if (schemaEvolution) {
+        val staging = ChSql.stagingName(table)
+        val existing = ClickHouseWriter.readSchema(t, staging)
+          .filterNot { case (n, _) => primaryKey.contains(n) }
+        val incoming = chSchema
+          .filterNot { case (n, _) => primaryKey.contains(n) }
+        ChSql.evolveSql(staging, existing, incoming).foreach(t.execute)
+      }
     }
     // Append, not Merge: replace lands the relation AS-IS, and the
     // swap makes it the destination wholesale — no OPTIMIZE needed

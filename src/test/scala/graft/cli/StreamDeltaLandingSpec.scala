@@ -131,7 +131,7 @@ class StreamDeltaLandingSpec extends AnyFunSuite {
       "rebuilt relation must be mirrored in full, not tail-patched")
     val rebuilt = fileSnapshot(mirror)
     run2Files.keySet.intersect(rebuilt.keySet).foreach { n =>
-      assert(rebuilt(n) != run2Files(n) || !run2Files.contains(n),
+      assert(rebuilt(n) != run2Files(n),
         s"old-generation file $n survived the reconcile")
     }
     assert(mark.split(' ').head ==

@@ -121,19 +121,16 @@ class ChSqlSpec extends AnyFunSuite {
     assert(ofChTypeName("UUID").isEmpty)
   }
 
-  test("staged-swap replace: staging DDL mirrors the destination, EXCHANGE is one statement") {
-    val s = ListMap("id" -> ChInt64, "v" -> ChString)
+  test("staged-swap replace: staging clones the destination, EXCHANGE is one statement") {
     // ONE staging-name derivation across warehouses (PgSql's)
     assert(stagingName("users") == PgSql.stagingName("users"))
     assert(dropStagingSql("users") ==
       "DROP TABLE IF EXISTS `users__graft_stage`")
-    // keyed staging is the same ReplacingMergeTree + version column
-    // the destination carries, so the exchange leaves a recognizable
-    // destination behind
-    assert(createStagingSql("users", s, Seq("id")) ==
-      "CREATE TABLE IF NOT EXISTS `users__graft_stage` " +
-        "(`id` Int64, `v` Nullable(String), `__graft_ver` UInt64) " +
-        "ENGINE = ReplacingMergeTree(`__graft_ver`) ORDER BY (`id`)")
+    // staging is an empty STRUCTURAL CLONE of the destination — every
+    // column (user-managed types included), engine, ORDER BY, TTL and
+    // settings survive the swap
+    assert(createStagingSql("users") ==
+      "CREATE TABLE `users__graft_stage` AS `users`")
     assert(exchangeSql("users") ==
       "EXCHANGE TABLES `users` AND `users__graft_stage`")
     // hostile identifiers stay backtick-quoted through the swap

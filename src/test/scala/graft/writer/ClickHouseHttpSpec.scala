@@ -194,16 +194,16 @@ class ClickHouseHttpSpec extends AnyFunSuite {
       val stats = w.replace(df)
       assert(stats.rowsWritten == 2)
       val qs = bodies.asScala.toList
-      // phase 1: staging reset + staging DDL + ensure-dest — the
-      // destination is untouched until the exchange
+      // phase 1: staging reset, ensure-dest, then staging as an empty
+      // STRUCTURAL CLONE of the destination (user-managed columns,
+      // engine, TTL all survive the swap) — the destination's ROWS
+      // are untouched until the exchange
       assert(qs.take(3) == List(
         "DROP TABLE IF EXISTS `t__graft_stage`",
-        "CREATE TABLE IF NOT EXISTS `t__graft_stage` " +
-          "(`id` Int64, `v` Nullable(String), `__graft_ver` UInt64) " +
-          "ENGINE = ReplacingMergeTree(`__graft_ver`) ORDER BY (`id`)",
         "CREATE TABLE IF NOT EXISTS `t` " +
           "(`id` Int64, `v` Nullable(String), `__graft_ver` UInt64) " +
-          "ENGINE = ReplacingMergeTree(`__graft_ver`) ORDER BY (`id`)"))
+          "ENGINE = ReplacingMergeTree(`__graft_ver`) ORDER BY (`id`)",
+        "CREATE TABLE `t__graft_stage` AS `t`"))
       // phase 2: every insert targets STAGING, never the destination,
       // and replace adds no OPTIMIZE (the swap ships the relation
       // wholesale)
