@@ -58,6 +58,38 @@ class IvfPqStoreSpec extends AnyFunSuite {
     } finally Pq.clearCodebookCache()
   }
 
+  test("plan: the exhaustive-regime cell join broadcasts bare probe pairs (r17 split)") {
+    val dir = tmpDir("plansplit")
+    val e = emb("sf0.001")
+    try {
+      IvfPqStore.save(e, dir, nCells = 16)
+      val incoming = e.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv"))
+      // the 100x exhaustive proportions, scaled to the fixture: the
+      // qtab ceiling sits ABOVE nQ but BELOW nQ*nProbe — the r15
+      // shape (qtab duplicated per probe row, one ceiling on the
+      // product) fell off the broadcast cliff exactly here and ran
+      // the cell join PARTITIONED on the nCells-value key, a
+      // parallelism collapse to nCells shuffle partitions; the r17
+      // split must keep it broadcast
+      val q = IvfPqStore.dedupAgainst(spark, dir, incoming,
+        minCosine = 0.3, nProbe = 16, margin = 2.0,
+        maxBroadcastProbeRows = 1000)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // no shuffle join may key on the bare cell column (the survivor
+      // fetch legitimately sort-merges on (cell, corpus_id) — its key
+      // list is wider)
+      val cellOnlyShuffleJoin =
+        "(SortMergeJoin|ShuffledHashJoin) \\[cell#\\d+L?\\], \\[cell#\\d+".r
+      assert(cellOnlyShuffleJoin.findFirstIn(plan).isEmpty,
+        s"the cell join collapsed onto the nCells-key shuffle:\n$plan")
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"bare probes AND per-query qtab must both broadcast:\n$plan")
+    } finally Pq.clearCodebookCache()
+  }
+
   test("external query ids are a separate namespace: no self-exclusion") {
     val sp = spark; import sp.implicits._
     val dir = tmpDir("extq")
