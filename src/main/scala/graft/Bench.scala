@@ -239,6 +239,26 @@ object Bench {
           xxhash64(col("id")).as("h"))
         .groupBy(col("b")).agg(sum(col("h")).as("s"))
     }
+    // IO-shaped REFERENCE leg (round 18): the r17 close-out caught a
+    // host-noise mode the CPU-bound zz_ref_fixed cannot see —
+    // shuffle-heavy legs inflated ~1.1x across repeats while the
+    // range-based reference held 0.98x. This is the missing probe: a
+    // fixed FULL-COLUMN parquet scan (real bytes off the warehouse,
+    // no pruning) pushed through ONE wide shuffle of the whole
+    // relation, so its cross-round ratio tracks the disk/shuffle-IO
+    // noise mode specifically. Like zz_ref_fixed it goes nowhere near
+    // a graft operator: both sides of a round diff run the identical
+    // plan over the identical driver-generated parquet, so no repo
+    // change can move it — only the host can. bench_diff.py divides
+    // each leg by the reference whose profile it matches better
+    // (reporting both), closing the "CPU ref holds 1.0x while every
+    // IO leg inflates" blind spot.
+    def refScan(): DataFrame = {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .repartition(32, col("l_orderkey"))
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+    }
     // the pipeline leg runs INSIDE the interleaved pass loop — its 3
     // reps land minutes apart like every query's, so one late host
     // transient can no longer poison all of them (the round-9
@@ -247,7 +267,8 @@ object Bench {
     val thunks = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) => name -> (() => action(fn(spark, sfDir)))
     } :+ ("x_pipeline_100k_load" -> (() => pipelineOnce())) :+
-      ("zz_ref_fixed" -> (() => action(refFixed())))
+      ("zz_ref_fixed" -> (() => action(refFixed()))) :+
+      ("zz_ref_scan" -> (() => action(refScan())))
     val withPipeline = runThunks(thunks, reps = 3)
     val pipelineResult =
       withPipeline.find(_.name == "x_pipeline_100k_load").get

@@ -514,10 +514,10 @@ object Main {
         val replace = resolvesReplace(stage)
         // the guard above ran BEFORE the stage does any work: a
         // config hole must not cost a full drain first
-        val out = StageRunner.run(spark, stage, priorOutput)
-        val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
-          stage.primaryKey.toSeq, args, getenv)
-        val stats =
+        def runAndLand(): graft.writer.WriteStats = {
+          val out = StageRunner.run(spark, stage, priorOutput)
+          val writer = makeWriter(stage.sink.map(cfg.target), stage.destTable,
+            stage.primaryKey.toSeq, args, getenv)
           if (replace && fileWh && args.warehouseFormat == "parquet" &&
               isRelationStream(stage) && out.columns.contains("graft_batch"))
             // mirror semantics at delta cost — see landStreamDelta
@@ -530,6 +530,22 @@ object Main {
               else args.writeMode
             writer.write(out, mode)
           }
+        }
+        // a `kind: stream` stage is a single-writer seam end to end —
+        // the Structured-Streaming checkpoint, the delta-mirror
+        // landing, and the `_graft_landed_max` sidecar read-modify-
+        // write are all per-stage mutable state — so the WHOLE drain
+        // runs under the maintainer lease, keyed on the stage's
+        // durable checkpoint dir (parse-time required, and unique per
+        // stage: dest_table collisions are refused at startup). An
+        // overrunning scheduled tick therefore fails loudly naming
+        // the lock instead of double-draining one checkpoint or
+        // racing the sidecar; a crashed drain's lease self-expires.
+        val stats =
+          if (stage.kind == "stream")
+            graft.ops.StoreMaintenance.withLease(spark, stage.checkpoint.get,
+              s"stage '${stage.name}' stream drain")(runAndLand())
+          else runAndLand()
         ok += 1
         log.info("stage {} loaded {} rows into {} in {}ms", stage.name,
           stats.rowsWritten.toString, stage.destTable,

@@ -43,6 +43,19 @@ object StoreMaintenance {
   def storeExists(spark: SparkSession, dir: String): Boolean =
     StoreVersioning.currentRoot(spark, dir).isDefined
 
+  /** The maintainer lease, exposed for NON-store single-writer seams —
+    * concretely the orchestrator's `kind: stream` drains: a scheduled
+    * tick that overruns into the next one would otherwise hand two
+    * drivers one Structured-Streaming checkpoint and a read-modify-
+    * write race on the mirror's `_graft_landed_max` sidecar. Same
+    * semantics as every store maintenance op: one atomic lock-file
+    * creation at `dir`, loud refusal naming the lock when held,
+    * crash debris self-expires after the lease horizon.
+    */
+  def withLease[T](spark: SparkSession, dir: String, op: String)(
+      body: => T): T =
+    StoreVersioning.withMaintainerLock(spark, dir, op)(body)
+
   /** The decision, exposed for spec/audit: compact when dead rows
     * exceed the ratio or ingests exceed the cap.
     */

@@ -18,14 +18,21 @@ sets, the common-set median sums, and the cold/warm split when both
 sides carry it. Exit code 1 if any common leg is flagged (so a
 close-out script can fail loudly), else 0.
 
-Noise normalization (round 17): when BOTH artifacts carry the
-fixed-cost reference leg `zz_ref_fixed` (a constant local-relation
-aggregate graft.Bench runs through the same interleaved passes — its
-cross-round ratio measures host noise alone, since no repo change can
-touch it), every common-leg ratio is ALSO reported divided by the
-reference ratio, and the flag gate uses the NORMALIZED ratio. A
-uniform ambient-noise window (the documented ~10% VM mode) then reads
-as 1.0x machine-decidably instead of needing hand-run repeats.
+Noise normalization (round 17, completed round 18): graft.Bench runs
+TWO fixed-cost reference legs through the same interleaved passes —
+`zz_ref_fixed` (CPU-bound: constant local-relation aggregate) and
+`zz_ref_scan` (IO-bound: fixed full-column parquet scan + one wide
+shuffle). Neither touches a graft operator, so each leg's cross-round
+ratio measures one MODE of host noise and nothing else. The r17
+close-out showed why one reference is not enough: the CPU leg held
+0.98x while every shuffle-heavy leg inflated ~1.1x — a single
+CPU-shaped normalizer is blind to the IO mode. For every common leg
+both normalized ratios are reported, and the flag gate uses the
+reference that matches the leg's profile better — operationally the
+MORE FORGIVING of the two (a genuine code regression moves a leg past
+BOTH references' movement; host noise moves it past at most the
+mismatched one). Forgiveness is bounded: each noise factor is clamped
+to [0.8, 1.25], so the gate can never excuse more than 1.25x.
 """
 import json
 import re
@@ -89,41 +96,50 @@ def main():
     added = sorted(set(cur) - set(prev))
     removed = sorted(set(prev) - set(cur))
 
-    # host-noise factor from the fixed-cost reference leg, when both
-    # sides carry it; the reference leg itself is excluded from the
-    # flag gate (its movement IS the noise being normalized out)
-    REF = "zz_ref_fixed"
-    noise = raw_noise = None
-    if REF in prev and REF in cur and prev[REF][0] > 0:
-        raw_noise = cur[REF][0] / prev[REF][0]
-        # clamp to the documented ambient-noise band: the reference leg
-        # is the SHORTEST leg in the suite, so a transient landing on
-        # its own reps must not rescale every other leg past the flag
-        # gate (a 1.6x ref ratio dividing a real 1.5x regression down
-        # to 0.94 would pass it silently)
-        noise = min(max(raw_noise, 0.8), 1.25)
+    # host-noise factors from the fixed-cost reference legs, when both
+    # sides carry them; the reference legs themselves are excluded from
+    # the flag gate (their movement IS the noise being normalized out)
+    REFS = ("zz_ref_fixed", "zz_ref_scan")  # CPU-shaped, IO-shaped
+    noises = {}   # ref name -> (raw, clamped)
+    for ref in REFS:
+        if ref in prev and ref in cur and prev[ref][0] > 0:
+            raw = cur[ref][0] / prev[ref][0]
+            # clamp to the documented ambient-noise band: the reference
+            # legs are the SHORTEST in the suite, so a transient landing
+            # on their own reps must not rescale every other leg past
+            # the flag gate (a 1.6x ref ratio dividing a real 1.5x
+            # regression down to 0.94 would pass it silently)
+            noises[ref] = (raw, min(max(raw, 0.8), 1.25))
+    # the gate divides each leg by the reference matching its profile
+    # better — operationally the more forgiving factor (a real code
+    # regression outruns BOTH references' movement; host noise outruns
+    # at most the mismatched one); forgiveness is capped by the clamp
+    gate_noise = max((c for _, c in noises.values()), default=None)
 
     rows = []
     for n in common:
         pm, cm = prev[n][0], cur[n][0]
         ratio = cm / pm if pm > 0 else float("inf")
-        norm = ratio / noise if noise else ratio
-        rows.append((norm, ratio, n, pm, cm, cur[n][1]))
+        norms = {ref: ratio / c for ref, (_, c) in noises.items()}
+        gate = min(norms.values()) if norms else ratio
+        rows.append((gate, ratio, n, pm, cm, cur[n][1], norms))
     rows.sort(reverse=True)
 
-    flagged = [r for r in rows if r[0] > flag and r[2] != REF]
+    flagged = [r for r in rows if r[0] > flag and r[2] not in REFS]
+    noise_note = "   ".join(
+        f"noise({ref}): {raw:.3f}x (clamped {c:.3f}x)"
+        for ref, (raw, c) in noises.items())
     print(f"common legs: {len(common)}   added: {len(added)}   "
           f"removed: {len(removed)}   flag threshold: {flag}x"
-          + (f"   noise factor ({REF}): {raw_noise:.3f}x"
-             f" (clamped {noise:.3f}x) -> flags use normalized ratios"
-             if noise else ""))
+          + (f"   {noise_note} -> flags use best-matching normalized ratio"
+             if noises else ""))
     psum = sum(r[3] for r in rows)
     csum = sum(r[4] for r in rows)
     if psum:
         line = (f"common-set median sum: {psum:.1f}s -> {csum:.1f}s "
                 f"({csum / psum:.2f}x)")
-        if noise:
-            line += f"   normalized: {csum / psum / noise:.2f}x"
+        if gate_noise:
+            line += f"   normalized: {csum / psum / gate_noise:.2f}x"
         print(line)
     else:
         print("no common legs")
@@ -132,12 +148,14 @@ def main():
             bits = "  ".join(f"{k}={v}" for k, v in sorted(tot.items()))
             print(f"{side}: {bits}")
     print()
-    norm_hdr = f"{'norm':>7}  " if noise else ""
+    norm_hdr = "".join(f"{'n_' + ref[7:]:>7}  " for ref in REFS
+                       if ref in noises)
     print(f"{norm_hdr}{'ratio':>7}  {'prev_med':>9}  {'cur_med':>9}"
           "  leg (worst first)")
-    for norm, ratio, n, pm, cm, vec in rows[:25]:
-        mark = "  <-- FLAG" if (norm > flag and n != REF) else ""
-        norm_col = f"{norm:7.2f}  " if noise else ""
+    for gate, ratio, n, pm, cm, vec, norms in rows[:25]:
+        mark = "  <-- FLAG" if (gate > flag and n not in REFS) else ""
+        norm_col = "".join(f"{norms[ref]:7.2f}  " for ref in REFS
+                           if ref in norms)
         base = f"{norm_col}{ratio:7.2f}  {pm:9.3f}  {cm:9.3f}  {n}"
         print(base + (f"  passes={vec}{mark}" if mark else mark))
     if added:
