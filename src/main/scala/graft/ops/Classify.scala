@@ -139,7 +139,26 @@ object Classify {
       trainCut: Int = 8000): DataFrame = {
     val model = tokenClassifierModel(docs, labelCol, trainCut)
     val heldOut = docs.filter(Sampling.bucketOf(col("doc_id")) >= trainCut)
-    val tf = heldOut.repartition(col("doc_id"))
+    heldOut.select(col("doc_id"), col(labelCol).as("label"))
+      .join(predictWithModel(heldOut, model), Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("predicted"), col("score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Score `docs` (doc_id, text) against a GIVEN frozen model
+    * relation — the fully-distributed join scorer: tf ⋈ model on
+    * token, per-(doc, label) weighted sums, window argmax with ties
+    * to the smallest label, '?' / 0 for docs hitting no label's
+    * vocabulary. No driver state at ANY model size (the model is a
+    * relation, the joins are AQE-size-gated like any other), which
+    * makes this the degrade target for the streaming scorer's
+    * broadcast ceiling: over `maxModelRows`,
+    * [[graft.streaming.StreamingClassify]] runs THIS per micro-batch
+    * instead of refusing. Total over `docs`: exactly one output row
+    * per input doc_id.
+    */
+  def predictWithModel(docs: DataFrame, model: DataFrame): DataFrame = {
+    val tf = docs.repartition(col("doc_id"))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -151,12 +170,11 @@ object Classify {
     val pred = scores.withColumn("rn", row_number().over(argmax))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("label").as("predicted"), col("score"))
-    heldOut.select(col("doc_id"), col(labelCol).as("label"))
+    docs.select(col("doc_id"))
       .join(pred, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("label"),
+      .select(col("doc_id"),
         coalesce(col("predicted"), lit("?")).as("predicted"),
         coalesce(col("score"), lit(0L)).as("score"))
-      .orderBy(col("doc_id"))
   }
 
   /** Held-out confusion matrix: (label, predicted, n) — the eval

@@ -37,36 +37,50 @@ import graft.ops.TextOps
   * a LINEAR scan, so every (token, label) probe paid O(vocab) — a
   * 20k-doc drain at the 100× corpus took 42 s parallelized (and >10
   * minutes before the batch was even repartitioned). The SIZE BOUND
-  * is unchanged: vocab × k rows must fit the driver and one
-  * broadcast, so [[streamingPredict]] counts the model rows at query
-  * start and REFUSES past `maxModelRows` with a message naming the
-  * batch operator — an over-sized vocabulary reads as a config
-  * error, not an opaque OOM mid-stream.
+  * protects the driver-collect + broadcast: vocab × k rows must fit
+  * the driver, so the scorer counts the model rows at query start
+  * and past `maxModelRows` DEGRADES to the fully-distributed join
+  * scorer ([[graft.ops.Classify.predictWithModel]]) per micro-batch —
+  * same predictions (spec-pinned bit-equal), batch-join cost, no
+  * driver state at any vocabulary size — instead of refusing or
+  * hitting an opaque OOM mid-stream.
   */
 object StreamingClassify {
 
-  /** The ONE guarded scoring body both deliveries share: enforce the
-    * model-size cliff, collect + broadcast the per-label hash maps,
-    * and return the (doc_id, predicted, score) projection of a batch
-    * — so a parity fix (the zero-hit-label skip, the tie order) can
-    * never reach one sink and not the other.
+  /** The ONE guarded scoring body both deliveries share: pick the
+    * delivery the model size allows, and return the (doc_id,
+    * predicted, score) projection of a batch — so a parity fix (the
+    * zero-hit-label skip, the tie order) can never reach one sink and
+    * not the other.
+    *
+    * Over `maxModelRows` the scorer DEGRADES instead of refusing
+    * (r17 verdict): the broadcast fast path's driver-collect is what
+    * the ceiling protects, so past it each micro-batch runs the
+    * fully-distributed join scorer
+    * ([[graft.ops.Classify.predictWithModel]] — tf ⋈ model,
+    * size-gated like any batch join, no driver state at any vocab
+    * size). Same argmax semantics on both paths (inner-join zero-hit
+    * skip, smallest-label ties, '?' / 0 for full-OOV docs), pinned
+    * bit-equal by spec; the model relation is persisted for the
+    * query's lifetime so a drain doesn't re-derive it per micro-batch
+    * (with `model_dir:` that's one parquet read; for an inline
+    * corpus-trained model it's the difference between one training
+    * job and one per micro-batch).
     */
-  private def scorer(model: DataFrame,
+  private[graft] def scorer(model: DataFrame,
       maxModelRows: Long): DataFrame => DataFrame = {
     val spark = model.sparkSession
-    // one cheap batch count at query START guards the driver-collect
-    // + broadcast cliff documented above
-    val nRows = model.count()
-    require(nRows <= maxModelRows,
-      s"model has $nRows (label, token) rows > maxModelRows=$maxModelRows: " +
-        "the streaming scorer collects and broadcasts the model; score a " +
-        "vocabulary this size in batch " +
-        "(graft.ops.Classify.tokenClassifierPredict) where the model join " +
-        "is AQE-size-gated")
+    // materialize the model ONCE at query start: the count decides
+    // the delivery, and the same cached pass feeds whichever path
+    // wins (the fast path's collect, or every degrade micro-batch)
+    val frozen = model.persist()
+    val nRows = frozen.count()
+    if (nRows > maxModelRows)
+      return batch => graft.ops.Classify.predictWithModel(batch, frozen)
     // labels in ASCENDING order: the tie rule below ("strictly greater
     // displaces") then lands on the smallest label for free
     val labelMaps: Array[(String, java.util.HashMap[String, java.lang.Long])] =
-      model.select(col("label"), col("tok"), col("w")).collect()
+      frozen.select(col("label"), col("tok"), col("w")).collect()
         .groupBy(_.getString(0)).toArray.sortBy(_._1)
         .map { case (label, rows) =>
           val m = new java.util.HashMap[String, java.lang.Long](
@@ -74,6 +88,7 @@ object StreamingClassify {
           rows.foreach(r => m.put(r.getString(1), r.getLong(2)))
           (label, m)
         }
+    frozen.unpersist() // the broadcast maps replace the cached relation
     val bc = spark.sparkContext.broadcast(labelMaps)
     batch => {
       import spark.implicits._
@@ -131,9 +146,32 @@ object StreamingClassify {
     val src = (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader).parquet(dir)
-    score(src)
-      .writeStream.outputMode("append")
-      .format("memory").queryName(queryName)
+    // the scorer needs BATCH scope on both deliveries — the degrade
+    // path's join + window argmax is not an append-mode streaming
+    // plan — so the memory delivery goes through foreachBatch like
+    // the parquet one: scored rows accumulate driver-side (exactly
+    // where format("memory") would keep them) under `queryName` as a
+    // temp view, registered empty up front so a zero-batch drain
+    // still reads as an empty relation, not a missing table
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("predicted",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)))
+    val acc = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    def register(): Unit = acc.synchronized {
+      spark.createDataFrame(new java.util.ArrayList(acc), outSchema)
+        .createOrReplaceTempView(queryName)
+    }
+    register()
+    src.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = score(batch).collect()
+        acc.synchronized { acc.addAll(java.util.Arrays.asList(rows: _*)); () }
+        register()
+      }
       .start()
   }
 

@@ -62,7 +62,7 @@ class StreamingClassifySpec extends AnyFunSuite {
     assert(got(4L) == (("B", 3L)))
   }
 
-  test("ties break to the smallest label; an over-sized model is refused by name") {
+  test("ties break to the smallest label on both deliveries") {
     val sp = spark; import sp.implicits._
     val model = Seq(("B", "t", 5L), ("A", "t", 5L)).toDF("label", "tok", "w")
     val docs = Seq((1L, "t")).toDF("doc_id", "text")
@@ -76,12 +76,55 @@ class StreamingClassifySpec extends AnyFunSuite {
       .map(r => (r.getString(1), r.getLong(2)))
     assert(got.toSeq == Seq(("A", 5L)))
 
-    val err = intercept[IllegalArgumentException] {
-      graft.streaming.StreamingClassify.streamingPredict(
-        spark, dir, docs.schema, "classify_stream_refuse", model,
-        maxModelRows = 1)
-    }
-    assert(err.getMessage.contains("tokenClassifierPredict"),
-      "the refusal must name the batch operator")
+    // over the broadcast ceiling the scorer DEGRADES to the join
+    // delivery (r17 verdict: no refusal) — same tie, same row
+    val q2 = graft.streaming.StreamingClassify.streamingPredict(
+      spark, dir, docs.schema, "classify_stream_tie_degrade", model,
+      maxModelRows = 1)
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.table("classify_stream_tie_degrade").collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(got2.toSeq == Seq(("A", 5L)))
+  }
+
+  test("over-ceiling models degrade to the batch join scorer, bit-equal; " +
+      "under the ceiling the broadcast fast path is still taken") {
+    val docs = graft.engine.Tables.table(spark, sf, "documents")
+    val model = Classify.tokenClassifierModel(docs)
+    val heldOut = docs.filter(Sampling.bucketOf(col("doc_id")) >= 8000)
+      .select(col("doc_id"), col("text"))
+    val batch = Classify.predictWithModel(heldOut, model)
+
+    // a full streaming drain against an over-ceiling model: multiple
+    // micro-batches, each scored by the distributed join — no refusal,
+    // predictions bit-equal to the batch scorer
+    val dir = java.nio.file.Files
+      .createTempDirectory("doc-stream-classify-degrade").toString
+    heldOut.repartition(4).write.mode("overwrite").parquet(dir)
+    val q = graft.streaming.StreamingClassify.streamingPredict(
+      spark, dir, heldOut.schema, "classify_stream_big_vocab", model,
+      maxFilesPerTrigger = 1, maxModelRows = 10)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "fixture must actually exercise multiple micro-batches")
+    val streamed = spark.table("classify_stream_big_vocab")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+
+    // the delivery CHOICE is plan-pinned, not inferred from timing:
+    // the fast path scores through the typed mapPartitions over the
+    // broadcast hash maps (an object-serde plan), the degrade path
+    // through the relational join+window argmax — each plan carries
+    // its own signature node and NOT the other's
+    val fast = graft.streaming.StreamingClassify
+      .scorer(model, maxModelRows = Long.MaxValue)(heldOut)
+      .queryExecution.optimizedPlan.toString
+    assert(fast.contains("MapPartitions") && !fast.contains("Window"),
+      s"under the ceiling the broadcast mapPartitions path must score:\n$fast")
+    val degraded = graft.streaming.StreamingClassify
+      .scorer(model, maxModelRows = 10)(heldOut)
+      .queryExecution.optimizedPlan.toString
+    assert(degraded.contains("Window") && !degraded.contains("MapPartitions"),
+      s"over the ceiling the join scorer must score:\n$degraded")
   }
 }
