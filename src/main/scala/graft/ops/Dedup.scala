@@ -1064,4 +1064,67 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** All id pairs whose 64-bit fingerprints agree within Hamming
+    * `maxDist` — the EXACT banded form: the hash splits into `nBands`
+    * contiguous bands and candidates come from an equi-join on
+    * (band_ix, band_value), so with `maxDist < nBands` the pigeonhole
+    * principle guarantees every true pair shares at least one intact
+    * band — full recall by construction, not probabilistically (the
+    * [[simhashNearDup]] chunk-block shape, minus the multi-probe it
+    * needs for its wider radius). The verify is the exact popcount of
+    * the XOR, so output == the brute-force pair set, which is what
+    * lets the gate's oracle replay it as data.
+    *
+    * Scale: collision-driven — shuffle carries one (band, hash) row
+    * per band per id, pairs materialize only inside matching band
+    * buckets, never all-pairs. Exact-duplicate clusters (hamming 0)
+    * produce their quadratic pair set because that IS the requested
+    * output; pipelines that only need survivors should feed these
+    * pairs to [[clusterLabels]] rather than consuming the raw pairs.
+    * Null fingerprints (e.g. undecodable images upstream) are
+    * dropped, annotate-don't-fail.
+    */
+  def hammingNearDup(fps: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3, nBands: Int = 4): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxDist >= 0 && maxDist < nBands,
+      s"pigeonhole recall (output == brute force) requires maxDist < nBands, " +
+        s"got maxDist=$maxDist nBands=$nBands")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val base = fps
+      .select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+    val bandCols = array((0 until nBands).map { b =>
+      shiftrightunsigned(col("h"), b * bandBits).bitwiseAND(lit(mask))
+    }: _*)
+    val ex = base.select(col("id"), col("h"), posexplode(bandCols))
+      .withColumnsRenamed(Map("pos" -> "bix", "col" -> "bval"))
+    val a = ex.select(col("id").as("id_a"), col("h").as("ha"),
+      col("bix"), col("bval"))
+    val b = ex.select(col("id").as("id_b"), col("h").as("hb"),
+      col("bix"), col("bval"))
+    a.join(b, Seq("bix", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("bigint").as("hamming"))
+      .distinct()
+  }
+
+  /** Image near-duplicate pairs by perceptual hash: dHash every
+    * payload ([[Multimodal.imagePhash]] — imageio decode, 9×8 gray
+    * grid, adjacent-cell bits) and run the exact Hamming-banded pair
+    * join. The missing dedup modality next to the text and embedding
+    * families: re-encoded/lightly-retouched copies of an image land
+    * within a few bits while distinct images disagree on ~half, so
+    * `maxDist` defaults conservative. Non-image rows drop out at the
+    * null-hash filter, so a mixed corpus needs no pre-filtering.
+    */
+  def imagePhashNearDup(docs: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 3, nBands: Int = 4): DataFrame =
+    hammingNearDup(Multimodal.imagePhash(docs, payloadCol), idCol, "phash",
+      maxDist, nBands)
 }

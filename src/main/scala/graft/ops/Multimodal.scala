@@ -277,6 +277,150 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference-hash (dHash) of an image payload: decode
+    * via the JDK's imageio, integer area-average to a 9-wide × 8-tall
+    * grayscale grid, then one bit per adjacent-cell comparison —
+    * bit `i*8+j` is set iff `cell(i, j+1) > cell(i, j)` — packed into
+    * one BIGINT. All-integer arithmetic end to end (gray =
+    * (299r+587g+114b)/1000, block mean = sum div count), so the hash
+    * is bit-deterministic across JVMs and platforms — a hash VALUE,
+    * not a float score, which is what lets near-dup candidate joins
+    * and their oracles treat it as plain data. Non-images, null
+    * payloads and corrupt bodies map to a null hash
+    * (annotate-don't-filter; the pair join drops nulls). Robustness
+    * comes from the downscale: re-encodes, small crops/noise move few
+    * cell means, so true near-dups land within a few bits while
+    * distinct images disagree on ~half of them.
+    */
+  def imagePhash(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("phash", LongType))
+    val payloadIx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ phashOf(r.getAs[Array[Byte]](payloadIx))))
+    }(enc)
+  }
+
+  private[ops] val PhashW = 9
+  private[ops] val PhashH = 8
+
+  /** The dHash core, decode included — null for anything that is not
+    * a decodable image (the [[imageFeatures]] totality contract).
+    */
+  private[graft] def phashOf(bytes: Array[Byte]): java.lang.Long = {
+    if (sniffModality(bytes) != 'i') return null
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      java.lang.Long.valueOf(dHashOfCells(grayCells(img)))
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Integer area-average of `img` to the [[PhashW]]×[[PhashH]] gray
+    * grid, row-major (`cells(i*PhashW + j)` is row i, column j). Each
+    * target cell averages its source block `[j·w/9, (j+1)·w/9) ×
+    * [i·h/8, (i+1)·h/8)`; images narrower/shorter than the grid
+    * resample single pixels (blocks clamp to at least one source
+    * pixel), so the hash is total over every decodable image.
+    */
+  private[graft] def grayCells(img: java.awt.image.BufferedImage): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cells = new Array[Int](PhashW * PhashH)
+    var i = 0
+    while (i < PhashH) {
+      val y0 = i * h / PhashH
+      val y1 = math.min(h, math.max((i + 1) * h / PhashH, y0 + 1))
+      var j = 0
+      while (j < PhashW) {
+        val x0 = j * w / PhashW
+        val x1 = math.min(w, math.max((j + 1) * w / PhashW, x0 + 1))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        cells(i * PhashW + j) = (sum / ((x1 - x0).toLong * (y1 - y0))).toInt
+        j += 1
+      }
+      i += 1
+    }
+    cells
+  }
+
+  /** dHash bit-packing over a row-major 9×8 cell grid. */
+  private[graft] def dHashOfCells(cells: Array[Int]): Long = {
+    var hash = 0L
+    var i = 0
+    while (i < PhashH) {
+      var j = 0
+      while (j < PhashW - 1) {
+        if (cells(i * PhashW + j + 1) > cells(i * PhashW + j))
+          hash |= 1L << (i * (PhashW - 1) + j)
+        j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
+  /** Render a row-major 9×8 cell grid as a real grayscale PNG — the
+    * fixture substrate for phash gates and specs: TYPE_INT_RGB with
+    * r=g=b=cell (PNG is lossless and the gray formula is identity on
+    * equal channels), so `imagePhash(render(cells))` recovers exactly
+    * `dHashOfCells(cells)` THROUGH the full decode path. Cell values
+    * are clamped to 0..255.
+    */
+  /** A cell grid whose [[dHashOfCells]] is exactly `bits`: each row
+    * starts at mid-gray and steps ±1 per planted bit, so rendering it
+    * with [[grayCellsPng]] and hashing through the REAL decode path
+    * recovers the planted 64-bit value bit-for-bit. This is what lets
+    * a gate derive its expected hashes from replayable data while the
+    * Spark side still pays the full imageio decode.
+    */
+  def cellsForBits(bits: Long): Array[Int] = {
+    val cells = new Array[Int](PhashW * PhashH)
+    var i = 0
+    while (i < PhashH) {
+      cells(i * PhashW) = 128
+      var j = 0
+      while (j < PhashW - 1) {
+        val up = ((bits >>> (i * (PhashW - 1) + j)) & 1L) == 1L
+        cells(i * PhashW + j + 1) = cells(i * PhashW + j) + (if (up) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    cells
+  }
+
+  def grayCellsPng(cells: Array[Int]): Array[Byte] = {
+    require(cells.length == PhashW * PhashH,
+      s"expected ${PhashW * PhashH} cells, got ${cells.length}")
+    val img = new java.awt.image.BufferedImage(
+      PhashW, PhashH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < PhashH) {
+      var j = 0
+      while (j < PhashW) {
+        val v = math.min(255, math.max(0, cells(i * PhashW + j)))
+        img.setRGB(j, i, (v << 16) | (v << 8) | v)
+        j += 1
+      }
+      i += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
   /** Deterministic frame sampling for (stub) video payloads: every
     * k-th frame index up to n_frames; zero-frame media sample an
     * EMPTY list (not frame 0 — there is no frame 0 to extract).

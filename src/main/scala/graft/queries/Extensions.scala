@@ -95,6 +95,42 @@ object Extensions {
     "x_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDup(t(s, d, "documents"))),
 
+    // IMAGE near-dup by perceptual hash — the full production path
+    // (imageio PNG decode → 9×8 gray grid → dHash → Hamming-banded
+    // candidate equi-join → exact popcount verify) over a corpus of
+    // REAL rendered images. The corpus derives from `documents` by a
+    // DuckDB-replayable rule: each doc's distinct word bigrams map to
+    // bits 0..63 through an integer polynomial (near-dup docs differ
+    // in a few bigrams → a few bits; distinct docs disagree on ~half,
+    // measured bimodal at every SF), and the bits render as a real
+    // grayscale PNG whose decode+dHash recovers them exactly
+    // (Multimodal.cellsForBits/grayCellsPng — spec-pinned roundtrip).
+    // With maxDist < nBands the banding has pigeonhole-exact recall,
+    // so the oracle is the brute Hamming join over the same bits.
+    "x_dedup_image_phash" -> ((s, d) => {
+      import s.implicits._
+      val g = col("g")
+      def a(k: Int) = ascii(substring(g, k, 1)).cast("long")
+      val idx = (a(1) + a(2) * 31L + a(3) * 961L + a(4) * 29791L +
+        a(5) * 923521L + a(6) * 28629151L + a(7) * 887503681L +
+        length(g).cast("long") * 127L) % 64L
+      val bits = t(s, d, "documents")
+        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+        .select(col("doc_id"), explode(TextOps.ngramsOf(col("ws"), 2)).as("g"))
+        .select(col("doc_id"), idx.as("n")).distinct()
+        .groupBy(col("doc_id")).agg(collect_set(col("n")).as("ns"))
+      val rendered = bits.as[(Long, Seq[Long])].map { case (id, ns) =>
+        var h = 0L
+        ns.foreach(n => h |= 1L << n.toInt)
+        (id, graft.ops.Multimodal.grayCellsPng(
+          graft.ops.Multimodal.cellsForBits(h)))
+      }.toDF("doc_id", "payload")
+      Dedup.imagePhashNearDup(rendered, "doc_id", "payload")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
 
@@ -1669,6 +1705,39 @@ object Extensions {
     "x_dedup_ngram_prefix" -> trigramCte,
     "x_dedup_minhash_lsh" -> trigramCte,
     "x_dedup_simhash" -> trigramCte,
+
+    // image phash near-dup: the banding is pigeonhole-exact
+    // (maxDist 3 < 4 bands), so the oracle replays the planted bits
+    // (distinct word bigrams → integer polynomial → bit 0..63 — the
+    // exact rule the Spark side renders into its PNGs) and takes the
+    // BRUTE Hamming-<=3 pair set the banded join must equal
+    "x_dedup_image_phash" ->
+      raw"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(ws)-1), i ->
+        |    ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)])) AS g
+        |  FROM ws),
+        |ix AS (SELECT DISTINCT doc_id,
+        |  (CAST(ascii(substr(g,1,1)) AS BIGINT)
+        |   + CAST(ascii(substr(g,2,1)) AS BIGINT)*31
+        |   + CAST(ascii(substr(g,3,1)) AS BIGINT)*961
+        |   + CAST(ascii(substr(g,4,1)) AS BIGINT)*29791
+        |   + CAST(ascii(substr(g,5,1)) AS BIGINT)*923521
+        |   + CAST(ascii(substr(g,6,1)) AS BIGINT)*28629151
+        |   + CAST(ascii(substr(g,7,1)) AS BIGINT)*887503681
+        |   + CAST(len(g) AS BIGINT)*127) % 64 AS n
+        |  FROM bg),
+        |bits AS (SELECT doc_id, list_transform(range(64), n ->
+        |    CASE WHEN list_contains(list(ix.n), n) THEN 1 ELSE 0 END) AS b
+        |  FROM ix GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+        |  CAST(len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits bb ON a.doc_id < bb.doc_id
+        |WHERE len(list_filter(range(64), n ->
+        |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // connected components of the (verified-identical) pair graph via
     // a recursive transitive closure + min label
