@@ -125,26 +125,44 @@ object Main {
     * re-overwriting the whole history each scheduled run made the
     * sink work O(total season) per drain.
     *
+    * EXTERNAL-READ CONTRACT (r18): `graft_batch` is a stable BIGINT
+    * DATA column inside the mirror's parquet files — a cold reader
+    * (fresh session, plain `spark.read.parquet`, any warehouse
+    * consumer) sees exactly the type the stream relation carries and
+    * a chained stage consumes. The landing MECHANISM is the separate
+    * [[MirrorPartCol]] partition column (`graft_batch_part=<id>/`
+    * dirs, value equal to `graft_batch`): partition-value inference
+    * types it INT, but it exists only to give the delta landing
+    * whole-partition overwrite targets — external readers ignore it,
+    * chained reads drop it ([[run]]'s priorOutput). The previous
+    * layout partitioned by `graft_batch` itself, which let partition
+    * inference retype the RELATION's own column INT32 for external
+    * readers while chained consumers saw LONG.
+    *
     * Correctness over the optimization, structurally:
     *
-    *  - The mirror is laid out in `graft_batch=<id>/` partition dirs
-    *    and every landing writes WHOLE partitions (the
+    *  - The mirror is laid out in `graft_batch_part=<id>/` partition
+    *    dirs and every landing writes WHOLE partitions (the
     *    BatchedParquetSink convention), so a replayed landing — a
     *    crash after the data committed but before the sidecar moved —
     *    rewrites identical partitions instead of appending
     *    duplicates. There is no state in which a re-run compounds
     *    rows.
     *  - The `_graft_landed_max` sidecar (an underscore file,
-    *    invisible to parquet readers) carries the high-water mark AND
-    *    a GENERATION fingerprint: the file listing of the stream
-    *    relation's lowest batch partition, which is immutable under
-    *    appends and changes on ANY rebuild of the stream's outDir
-    *    (fresh part files). A rebuilt stream whose new batch ids
-    *    reach past the old mark therefore cannot silently leave
-    *    old-generation partitions in the mirror — the fingerprint
-    *    mismatch forces a full replace, as does a missing/legacy
-    *    sidecar or a max batch below the mark.
+    *    invisible to parquet readers) carries a layout version, the
+    *    high-water mark AND a GENERATION fingerprint: the file
+    *    listing of the stream relation's lowest batch partition,
+    *    which is immutable under appends and changes on ANY rebuild
+    *    of the stream's outDir (fresh part files). A rebuilt stream
+    *    whose new batch ids reach past the old mark therefore cannot
+    *    silently leave old-generation partitions in the mirror — the
+    *    fingerprint mismatch forces a full replace, as does a
+    *    missing sidecar, a max batch below the mark, or a
+    *    previous-version sidecar (so a legacy `graft_batch=`-laid
+    *    mirror migrates to this layout through one static overwrite,
+    *    never a mixed hybrid).
     */
+  private[cli] val MirrorPartCol = "graft_batch_part"
   private[cli] def landStreamDelta(dest: String,
       out: org.apache.spark.sql.DataFrame): graft.writer.WriteStats = {
     import org.apache.spark.sql.functions.{col, max}
@@ -173,15 +191,24 @@ object Main {
       else {
         val in = fs.open(markPath)
         val s = try new String(in.readAllBytes(), utf8).trim finally in.close()
+        // "2 <hi> <fp>" is this layout's sidecar; anything else
+        // (missing, corrupt, or the r17 two-token form whose mirror
+        // is partitioned by graft_batch itself) reconciles in full —
+        // the static overwrite is also what migrates a legacy layout
         s.split(' ') match {
-          case Array(hi, fp) if genFp.contains(fp) => hi.toLongOption
+          case Array("2", hi, fp) if genFp.contains(fp) => hi.toLongOption
           case _ => None
         }
       }
     def landPartitioned(df: org.apache.spark.sql.DataFrame,
         mode: String, obsName: String): graft.writer.WriteStats = {
       val obs = new org.apache.spark.sql.Observation(obsName)
-      df.observe(obs, org.apache.spark.sql.functions.count(
+      df
+        // graft_batch stays IN the files (the external-read
+        // contract); the duplicate under MirrorPartCol is what
+        // partitionBy consumes as the overwrite key
+        .withColumn(MirrorPartCol, col(batchCol))
+        .observe(obs, org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("rows"))
         .write.mode("overwrite")
         // the mode is PINNED per write, never inherited from the
@@ -191,7 +218,7 @@ object Main {
         // partitions alive, and a `static` default would turn the
         // delta into a full truncate
         .option("partitionOverwriteMode", mode)
-        .partitionBy(batchCol).parquet(dest)
+        .partitionBy(MirrorPartCol).parquet(dest)
       graft.writer.WriteStats(obs.get("rows").asInstanceOf[Long])
     }
     val stats = (landedMax, srcMax) match {
@@ -220,7 +247,7 @@ object Main {
     (srcMax, genFp) match {
       case (Some(hi), Some(fp)) =>
         val o = fs.create(markPath, true)
-        try o.write(s"$hi $fp".getBytes(utf8)) finally o.close()
+        try o.write(s"2 $hi $fp".getBytes(utf8)) finally o.close()
       case _ => if (fs.exists(markPath)) { fs.delete(markPath, false); () }
     }
     stats
@@ -476,16 +503,20 @@ object Main {
           s"(got '${args.warehouseFormat}'): chaining reads the landed " +
           "relation back and only parquet preserves its schema")
       val df = spark.read.parquet(s"$wh/${prior.destTable}")
-      // a relation-stream mirror is batch-partitioned, and partition-
-      // value inference types graft_batch as INT — normalize to the
-      // LONG the stream relation itself carries, so a chained consumer
-      // sees one stable type whichever landing shape produced the
-      // mirror (the StageRunner.readOrEmpty convention)
+      // a relation-stream mirror carries graft_batch as a stable
+      // BIGINT data column (the landStreamDelta external-read
+      // contract); the MirrorPartCol partition column is the landing
+      // mechanism only — drop it so chained consumers see exactly the
+      // relation the stream computed. The cast branch remains for a
+      // pre-r18 mirror (partitioned by graft_batch itself, inferred
+      // INT) read before its first migrating landing.
       val batchCol = graft.streaming.BatchedParquetSink.BatchCol
-      if (df.columns.contains(batchCol))
-        df.withColumn(batchCol, org.apache.spark.sql.functions
+      val noMech =
+        if (df.columns.contains(MirrorPartCol)) df.drop(MirrorPartCol) else df
+      if (noMech.columns.contains(batchCol))
+        noMech.withColumn(batchCol, org.apache.spark.sql.functions
           .col(batchCol).cast("long"))
-      else df
+      else noMech
     }
     cfg.stages.foreach { stage =>
       val st0 = System.nanoTime()

@@ -83,11 +83,20 @@ class StreamDeltaLandingSpec extends AnyFunSuite {
     batchDf(0, 40).coalesce(1).write.mode("append").parquet(srcDir)
     assert(Main.run(args, sp) == 0)
     assert(mirrorDf.count() == 40)
-    assert(mark.split(' ').head == "0" && mark.split(' ').length == 2,
-      s"sidecar must carry mark + generation fingerprint, got '$mark'")
+    assert(mark.split(' ').sameElements(
+        Array("2", "0", mark.split(' ').last)) && mark.split(' ').length == 3,
+      s"sidecar must carry layout version + mark + generation fingerprint, got '$mark'")
     val run1Files = fileSnapshot(mirror)
     assert(run1Files.nonEmpty &&
-      run1Files.keySet.forall(_.startsWith("graft_batch=0")))
+      run1Files.keySet.forall(_.startsWith("graft_batch_part=0")))
+    // EXTERNAL-READ CONTRACT: a cold reader sees graft_batch as the
+    // stable BIGINT data column the stream relation carries; the only
+    // extra is the documented landing-mechanism partition column
+    assert(mirrorDf.schema("graft_batch").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "cold readers must see graft_batch as BIGINT data, not an inferred INT")
+    assert(mirrorDf.columns.toSeq ==
+      Seq("doc_id", "predicted", "score", "graft_batch", "graft_batch_part"))
 
     // run 2: only the new batch moves — every run-1 file is untouched
     // (same relative path, same mtime), the new files live under the
@@ -102,13 +111,13 @@ class StreamDeltaLandingSpec extends AnyFunSuite {
     }
     val newFiles = (run2Files.keySet -- run1Files.keySet).toSeq
     assert(newFiles.nonEmpty &&
-      newFiles.forall(_.startsWith("graft_batch=1")))
+      newFiles.forall(_.startsWith("graft_batch_part=1")))
     val newRows = sp.read.parquet(
       newFiles.map(n => mirror.resolve(n).toString): _*)
     assert(newRows.count() == 10)
     assert(newRows.select(col("doc_id")).collect().map(_.getLong(0)).toSet
       == (40L until 50L).toSet)
-    assert(mark.split(' ').head == "1")
+    assert(mark.split(' ')(1) == "1")
     // and the mirror still equals the cumulative stream relation
     assert(relationTriples(mirrorDf)
       == relationTriples(sp.read.parquet(outDir)))
@@ -134,9 +143,69 @@ class StreamDeltaLandingSpec extends AnyFunSuite {
       assert(rebuilt(n) != run2Files(n),
         s"old-generation file $n survived the reconcile")
     }
-    assert(mark.split(' ').head ==
+    assert(mark.split(' ')(1) ==
       sp.read.parquet(outDir)
         .agg(org.apache.spark.sql.functions.max(col("graft_batch")
           .cast("long"))).head().getLong(0).toString)
+  }
+
+  test("a legacy graft_batch-partitioned mirror migrates through one full " +
+      "reconcile to the stable-BIGINT layout") {
+    val sp = spark
+    val dir = Files.createTempDirectory("delta_land_legacy")
+    val modules = Files.createDirectories(dir.resolve("modules"))
+    val warehouse = dir.resolve("warehouse")
+    val mirror = warehouse.resolve("incoming_preds")
+    val srcDir = Files.createDirectories(dir.resolve("incoming")).toString
+    val docs = graft.engine.Tables.table(sp, sf, "documents")
+    Files.writeString(dir.resolve("pipelines.yaml"),
+      s"""stages:
+         |  - name: score_incoming
+         |    kind: stream
+         |    stream: classify
+         |    input_dir: $sf
+         |    source_dir: $srcDir
+         |    checkpoint: ${dir.resolve("ckpt")}
+         |    out_dir: ${dir.resolve("preds")}
+         |    dest_table: incoming_preds
+         |""".stripMargin)
+    val args = Main.Args(
+      modulesDir = modules.toString,
+      configPath = dir.resolve("pipelines.yaml").toString,
+      warehouse = Some(warehouse.toString))
+    docs.filter(col("doc_id") < 30).select(col("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    val fp = Files.readString(mirror.resolve("_graft_landed_max"))
+      .trim.split(' ').last
+
+    // rewrite the mirror the way r17 laid it out: partitioned by
+    // graft_batch itself, two-token sidecar with the CURRENT (still
+    // valid) generation fingerprint — only the layout version differs
+    val rows = sp.read.parquet(mirror.toString)
+      .drop("graft_batch_part").cache()
+    rows.count()
+    deleteRec(mirror)
+    rows.write.partitionBy("graft_batch").parquet(mirror.toString)
+    rows.unpersist()
+    Files.writeString(mirror.resolve("_graft_landed_max"), s"0 $fp")
+    assert(fileSnapshot(mirror).keySet.forall(_.startsWith("graft_batch=")))
+
+    // the next drain must NOT tail-patch a hybrid (new-layout dirs
+    // next to legacy ones): the version bump forces one static full
+    // reconcile that leaves only the new layout, graft_batch BIGINT
+    docs.filter(col("doc_id") >= 30 && col("doc_id") < 40)
+      .select(col("doc_id"), col("text"))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    assert(Main.run(args, sp) == 0)
+    val after = fileSnapshot(mirror)
+    assert(after.keySet.forall(_.startsWith("graft_batch_part=")),
+      s"legacy partitions survived the migration: ${after.keySet}")
+    val df = sp.read.parquet(mirror.toString)
+    assert(df.count() == 40)
+    assert(df.schema("graft_batch").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(Files.readString(mirror.resolve("_graft_landed_max"))
+      .trim.startsWith("2 "))
   }
 }

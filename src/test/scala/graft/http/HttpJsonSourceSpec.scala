@@ -132,6 +132,27 @@ class HttpJsonSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(without.rows.count() == 7)
   }
 
+  test("HTTP/2 parity (reference README.md:128): the client negotiates h2 " +
+      "by default and degrades cleanly to a 1.1-only server") {
+    // the JDK client's default version IS HTTP_2 — the reference's
+    // last roadmap item costs nothing here, but pin it so a future
+    // builder edit (e.g. .version(HTTP_1_1) while debugging a proxy)
+    // can't silently drop the capability
+    val client = graft.http.HttpJsonSource.buildClient(spec("/ndjson"))
+    assert(client.version() == java.net.http.HttpClient.Version.HTTP_2,
+      "buildClient must prefer HTTP/2 (negotiation falls back per server)")
+    // the stub (com.sun HttpServer) speaks only 1.1 and ignores the
+    // h2c upgrade — the exchange must complete on the downgraded
+    // protocol, which is exactly the mixed-fleet production story
+    val req = java.net.http.HttpRequest.newBuilder(
+      java.net.URI.create(s"$base/ndjson")).GET().build()
+    val resp = client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    assert(resp.statusCode() == 200 &&
+      resp.version() == java.net.http.HttpClient.Version.HTTP_1_1,
+      s"downgrade to the server's protocol must be clean, got ${resp.version()}")
+  }
+
   test("NDJSON bodies framed line-by-line (fetcher.rs:61-66,95-133)") {
     val rows = fetchPage(buildClient(spec("/ndjson")),
       spec("/ndjson", dataPath = None), Seq.empty)
