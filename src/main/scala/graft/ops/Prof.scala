@@ -74,6 +74,53 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("probes")) {
+      // r18 verdict item 4: audit the Catalyst linear-probe trap the
+      // r17 classify scorer hit (HOF probes whose per-row cost scales
+      // with a table the row shouldn't pay for), at scale, site by
+      // site. Sites probed by INDEX (element_at(arr, i) is O(1) array
+      // access — Pq codebooks, Profile percentile arrays, TextOps
+      // ngram windows) are bounded by construction and not re-measured
+      // here; the value-search sites are.
+      //
+      // bpe_encode applies the merge table as an O(nm · len) scan per
+      // distinct word (functions/BpeEncode.scala) — nm=8 pinned in the
+      // gate; the big-table leg inflates nm to 676 nonsense merges
+      // (~0 applications) to expose the scan's slope for a
+      // production-sized table.
+      q("bpe_encode_pinned")(Bpe.bpeEncodeTokens(docs, Bpe.PinnedMerges).count())
+      val bigTable: Seq[(String, String)] = for {
+        l <- 'a' to 'z'; r <- 'a' to 'z'
+      } yield (l.toString, r.toString)
+      q("bpe_encode_676")(Bpe.bpeEncodeTokens(docs, bigTable).count())
+      // blocklist literal form: array_contains over a config-sized
+      // literal — O(|terms|) per token by design; the join form is
+      // the scale path for big lists. Same 64 terms both ways.
+      val terms = (docs.select(explode(TextOps.words(col("text"))).as("w"))
+        .groupBy("w").count().orderBy(col("count").desc, col("w"))
+        .limit(64).collect().map(_.getString(0))).toSeq
+      q("blocklist_literal_64") {
+        val cols = TextOps.blocklistColumns(col("text"), terms)
+        docs.select(cols.map { case (n, c) => c.as(n) }: _*)
+          .agg(sum(col("n_hits"))).collect().length.toLong
+      }
+      q("blocklist_join_64") {
+        import spark.implicits._
+        TextOps.blocklistJoin(docs, terms.toDF("w"))
+          .agg(sum(col("n_hits"))).collect().length.toLong
+      }
+      // langid is regex-only (no map/array probes) — timed for the
+      // addendum's completeness row
+      q("langid") {
+        docs.groupBy(TextOps.predictedLang(col("text")).as("lang"))
+          .count().collect().length.toLong
+      }
+      // the new image-phash near-dup at scale (decode + band join)
+      q("image_phash_neardup")(
+        graft.SparkEntry.queries("x_dedup_image_phash")(spark, dir).count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("pqcold")) {
       // Attribution of the x_dedup_embedding_pq PASS-1 cold event (the
       // one residual cold leg in the driver bench): split the first
