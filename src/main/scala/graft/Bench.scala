@@ -254,10 +254,17 @@ object Bench {
     // (reporting both), closing the "CPU ref holds 1.0x while every
     // IO leg inflates" blind spot.
     def refScan(): DataFrame = {
-      import org.apache.spark.sql.functions.{col, count, lit}
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .repartition(32, col("l_orderkey"))
-        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.functions.{col, sum, xxhash64}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      // the aggregate consumes a hash over EVERY column, computed
+      // ABOVE the repartition: column pruning therefore cannot shrink
+      // either the scan (all columns reach the hash) or the shuffle
+      // (the exchange sits directly over the scan, carrying full
+      // rows) — a count(1) here let Catalyst prune the probe down to
+      // one INT64 column and the leg stopped measuring real bytes
+      li.repartition(32, col("l_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(xxhash64(li.columns.map(col): _*)).as("s"))
     }
     // the pipeline leg runs INSIDE the interleaved pass loop — its 3
     // reps land minutes apart like every query's, so one late host

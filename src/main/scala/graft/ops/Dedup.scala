@@ -1092,6 +1092,20 @@ object Dedup {
     require(maxDist >= 0 && maxDist < nBands,
       s"pigeonhole recall (output == brute force) requires maxDist < nBands, " +
         s"got maxDist=$maxDist nBands=$nBands")
+    // the id must ALREADY be integral: a silent cast of e.g. string
+    // ids would null every one under non-ANSI SQL, and the id_a <
+    // id_b predicate would then quietly report "no near-duplicates"
+    // (the StoreVersioning.requireLongIds precedent — a malformed
+    // call must error, not not-find)
+    val idType = fps.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)(idType),
+      s"hammingNearDup id column '$idCol' must be an integral type, got " +
+        s"$idType — map your ids to longs first (a silent cast would " +
+        "null them out and report zero pairs)")
     val bandBits = 64 / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val base = fps

@@ -371,13 +371,6 @@ object Multimodal {
     hash
   }
 
-  /** Render a row-major 9×8 cell grid as a real grayscale PNG — the
-    * fixture substrate for phash gates and specs: TYPE_INT_RGB with
-    * r=g=b=cell (PNG is lossless and the gray formula is identity on
-    * equal channels), so `imagePhash(render(cells))` recovers exactly
-    * `dHashOfCells(cells)` THROUGH the full decode path. Cell values
-    * are clamped to 0..255.
-    */
   /** A cell grid whose [[dHashOfCells]] is exactly `bits`: each row
     * starts at mid-gray and steps ±1 per planted bit, so rendering it
     * with [[grayCellsPng]] and hashing through the REAL decode path
@@ -401,6 +394,13 @@ object Multimodal {
     cells
   }
 
+  /** Render a row-major 9×8 cell grid as a real grayscale PNG — the
+    * fixture substrate for phash gates and specs: TYPE_INT_RGB with
+    * r=g=b=cell (PNG is lossless and the gray formula is identity on
+    * equal channels), so `imagePhash(render(cells))` recovers exactly
+    * `dHashOfCells(cells)` THROUGH the full decode path. Cell values
+    * are clamped to 0..255.
+    */
   def grayCellsPng(cells: Array[Int]): Array[Byte] = {
     require(cells.length == PhashW * PhashH,
       s"expected ${PhashW * PhashH} cells, got ${cells.length}")

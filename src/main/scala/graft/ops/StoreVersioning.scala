@@ -59,6 +59,12 @@ private[ops] object StoreVersioning {
     */
   private[ops] val LeaseMs: Long = 30L * 60 * 1000
 
+  /** Heartbeat period for a LIVE lease holder (see the beat thread in
+    * [[withMaintainerLock]]) — a var only as a test seam: the spec
+    * shrinks it to observe a refresh without waiting LeaseMs/3.
+    */
+  @volatile private[ops] var HeartbeatMs: Long = LeaseMs / 3
+
   /** Run `body` holding the store's maintainer lease: one atomic
     * lock-file creation at the store root, released on every exit
     * path. A concurrent second maintainer gets a LOUD error naming
@@ -117,7 +123,31 @@ private[ops] object StoreVersioning {
       s"$op: another maintainer holds $lock (single-maintainer " +
         "contract); if that maintainer crashed, the lease self-expires " +
         s"after ${LeaseMs / 60000} min — or remove the lock file manually")
-    try body finally { fs.delete(lock, false); () }
+    // HEARTBEAT (r18): a LIVE holder refreshes the lock's mtime every
+    // LeaseMs/3 from a daemon thread, so the lease horizon bounds only
+    // how long CRASH DEBRIS blocks the seam — a legitimate operation
+    // longer than the horizon (a catch-up stream drain after scheduler
+    // downtime, a giant compaction) can no longer have its lock stolen
+    // under it by the next scheduled tick. A crash kills the thread
+    // with the JVM, the mtime ages, and expiry works as before.
+    val beat = new Thread(() => {
+      try {
+        while (!Thread.currentThread().isInterrupted) {
+          Thread.sleep(HeartbeatMs)
+          val now = System.currentTimeMillis()
+          fs.setTimes(lock, now, now)
+        }
+      } catch {
+        case _: InterruptedException => ()
+        case _: java.io.IOException => () // lost beat ≤ horizon risk, not a crash
+      }
+    }, s"graft-lease-heartbeat-$op")
+    beat.setDaemon(true)
+    beat.start()
+    try body finally {
+      beat.interrupt()
+      fs.delete(lock, false); ()
+    }
   }
 
   /** A takedown id relation, first column cast to long — LOUDLY: under

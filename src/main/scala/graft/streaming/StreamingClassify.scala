@@ -65,10 +65,17 @@ object StreamingClassify {
     * query's lifetime so a drain doesn't re-derive it per micro-batch
     * (with `model_dir:` that's one parquet read; for an inline
     * corpus-trained model it's the difference between one training
-    * job and one per micro-batch).
+    * job and one per micro-batch), and `retained` lets the owning
+    * delivery release that cache when its query terminates.
     */
+  private[graft] final case class ScorerHandle(
+      score: DataFrame => DataFrame,
+      /** the persisted model relation backing the degrade delivery —
+        * unpersisted by the delivery when its query stops */
+      retained: Option[DataFrame])
+
   private[graft] def scorer(model: DataFrame,
-      maxModelRows: Long): DataFrame => DataFrame = {
+      maxModelRows: Long): ScorerHandle = {
     val spark = model.sparkSession
     // materialize the model ONCE at query start: the count decides
     // the delivery, and the same cached pass feeds whichever path
@@ -76,7 +83,13 @@ object StreamingClassify {
     val frozen = model.persist()
     val nRows = frozen.count()
     if (nRows > maxModelRows)
-      return batch => graft.ops.Classify.predictWithModel(batch, frozen)
+      return ScorerHandle(
+        // doc_id normalizes to LONG exactly like the fast path's
+        // typed encoder does, so the landed schema cannot flip with
+        // model size (the declared BIGINT contract downstream)
+        batch => graft.ops.Classify.predictWithModel(
+          batch.withColumn("doc_id", col("doc_id").cast("long")), frozen),
+        retained = Some(frozen))
     // labels in ASCENDING order: the tie rule below ("strictly greater
     // displaces") then lands on the smallest label for free
     val labelMaps: Array[(String, java.util.HashMap[String, java.lang.Long])] =
@@ -90,7 +103,7 @@ object StreamingClassify {
         }
     frozen.unpersist() // the broadcast maps replace the cached relation
     val bc = spark.sparkContext.broadcast(labelMaps)
-    batch => {
+    val score: DataFrame => DataFrame = batch => {
       import spark.implicits._
       batch
         // a micro-batch inherits the DROP FILE's partitioning — a
@@ -131,6 +144,27 @@ object StreamingClassify {
         }
         .toDF("doc_id", "predicted", "score")
     }
+    ScorerHandle(score, retained = None)
+  }
+
+  /** Release the degrade delivery's cached model when its query
+    * terminates — the listener removes itself after firing, so a
+    * session running many drains never accumulates either caches or
+    * listeners.
+    */
+  private def unpersistOnStop(spark: SparkSession,
+      queryId: java.util.UUID, rel: DataFrame): Unit = {
+    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        if (e.id == queryId) {
+          rel.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(l)
   }
 
   /** Predictions over a parquet-file stream, append mode to a memory
@@ -141,7 +175,8 @@ object StreamingClassify {
       queryName: String, model: DataFrame,
       maxFilesPerTrigger: Int = 0,
       maxModelRows: Long = 2000000L): StreamingQuery = {
-    val score = scorer(model, maxModelRows)
+    val handle = scorer(model, maxModelRows)
+    val score = handle.score
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -166,13 +201,15 @@ object StreamingClassify {
         .createOrReplaceTempView(queryName)
     }
     register()
-    src.writeStream.outputMode("append")
+    val q = src.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = score(batch).collect()
         acc.synchronized { acc.addAll(java.util.Arrays.asList(rows: _*)); () }
         register()
       }
       .start()
+    handle.retained.foreach(unpersistOnStop(spark, q.id, _))
+    q
   }
 
   /** [[streamingPredict]] landing parquet instead of a memory sink —
@@ -188,10 +225,12 @@ object StreamingClassify {
       schema: StructType, model: DataFrame, outDir: String,
       maxFilesPerTrigger: Int = 0, checkpoint: Option[String] = None,
       maxModelRows: Long = 2000000L): StreamingQuery = {
-    val score = scorer(model, maxModelRows)
-    BatchedParquetSink.start(spark, dir, schema, maxFilesPerTrigger,
+    val handle = scorer(model, maxModelRows)
+    val q = BatchedParquetSink.start(spark, dir, schema, maxFilesPerTrigger,
       checkpoint) { (batch, batchId) =>
-      BatchedParquetSink.landBatch(score(batch), outDir, batchId)
+      BatchedParquetSink.landBatch(handle.score(batch), outDir, batchId)
     }
+    handle.retained.foreach(unpersistOnStop(spark, q.id, _))
+    q
   }
 }

@@ -21,24 +21,7 @@ class StreamDeltaLandingSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** Recursive data-file snapshot: relative path -> mtime. */
-  private def fileSnapshot(dir: Path): Map[String, Long] = {
-    if (!Files.exists(dir)) return Map.empty
-    val out = scala.collection.mutable.Map.empty[String, Long]
-    def walk(p: Path): Unit = {
-      val n = p.getFileName.toString
-      if (n.startsWith("_") || n.startsWith(".")) return
-      if (Files.isDirectory(p)) Files.list(p).forEach(walk)
-      else out(dir.relativize(p).toString) = Files.getLastModifiedTime(p).toMillis
-    }
-    Files.list(dir).forEach(walk)
-    out.toMap
-  }
-
-  private def deleteRec(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).forEach(c => deleteRec(c))
-    Files.deleteIfExists(p); ()
-  }
+  import MirrorFiles.{fileSnapshot, deleteRec}
 
   test("run-2 lands only batch-2 rows; the mirror stays equal to the cumulative relation") {
     val sp = spark

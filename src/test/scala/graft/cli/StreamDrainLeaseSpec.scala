@@ -22,19 +22,7 @@ class StreamDrainLeaseSpec extends AnyFunSuite {
   private lazy val spark = graft.SparkTestSession.spark
   private val sf = "/root/testdata/sf0.001"
 
-  /** Recursive data-file snapshot: relative path -> mtime. */
-  private def fileSnapshot(dir: Path): Map[String, Long] = {
-    if (!Files.exists(dir)) return Map.empty
-    val out = scala.collection.mutable.Map.empty[String, Long]
-    def walk(p: Path): Unit = {
-      val n = p.getFileName.toString
-      if (n.startsWith("_") || n.startsWith(".")) return
-      if (Files.isDirectory(p)) Files.list(p).forEach(walk)
-      else out(dir.relativize(p).toString) = Files.getLastModifiedTime(p).toMillis
-    }
-    Files.list(dir).forEach(walk)
-    out.toMap
-  }
+  import MirrorFiles.fileSnapshot
 
   test("two racing drains: exactly one proceeds, the loser names the lock, " +
       "the mirror survives byte-untouched") {

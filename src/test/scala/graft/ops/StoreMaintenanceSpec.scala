@@ -53,6 +53,46 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     StoreVersioning.withMaintainerLock(spark, dir, "spec.third") { () }
   }
 
+  test("a LIVE holder's heartbeat keeps the lease fresh past the horizon — " +
+      "no steal under a long-running operation") {
+    val dir = tmpDir("heartbeat")
+    val lock = new java.io.File(dir, "_MAINTAINER_LOCK")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val held = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val oldBeat = StoreVersioning.HeartbeatMs
+    StoreVersioning.HeartbeatMs = 50L
+    try {
+      val holder = Future {
+        StoreVersioning.withMaintainerLock(spark, dir, "spec.longrun") {
+          held.countDown()
+          release.await()
+        }
+      }
+      held.await()
+      // simulate the horizon passing UNDER the live holder: back-date
+      // the lock beyond LeaseMs — without the heartbeat this is
+      // exactly the state the next scheduled tick steals
+      val stale = System.currentTimeMillis() - 2L * 60 * 60 * 1000
+      assert(lock.setLastModified(stale))
+      Thread.sleep(300) // several heartbeat periods
+      assert(lock.lastModified() > stale + 60L * 60 * 1000,
+        "the live holder's heartbeat must refresh the lock mtime")
+      val rival = intercept[RuntimeException] {
+        StoreVersioning.withMaintainerLock(spark, dir, "spec.rival") {
+          fail("a rival must not steal a heartbeating lease")
+        }
+      }
+      assert(rival.getMessage.contains("another maintainer"))
+      release.countDown()
+      Await.result(holder, 30.seconds)
+      assert(!lock.exists())
+    } finally {
+      StoreVersioning.HeartbeatMs = oldBeat
+      release.countDown()
+    }
+  }
+
   test("a failing maintenance body still releases the lease") {
     val dir = tmpDir("throwing")
     intercept[IllegalStateException] {

@@ -116,15 +116,19 @@ class StreamingClassifySpec extends AnyFunSuite {
     // broadcast hash maps (an object-serde plan), the degrade path
     // through the relational join+window argmax — each plan carries
     // its own signature node and NOT the other's
-    val fast = graft.streaming.StreamingClassify
-      .scorer(model, maxModelRows = Long.MaxValue)(heldOut)
-      .queryExecution.optimizedPlan.toString
+    val fastH = graft.streaming.StreamingClassify
+      .scorer(model, maxModelRows = Long.MaxValue)
+    val fast = fastH.score(heldOut).queryExecution.optimizedPlan.toString
     assert(fast.contains("MapPartitions") && !fast.contains("Window"),
       s"under the ceiling the broadcast mapPartitions path must score:\n$fast")
-    val degraded = graft.streaming.StreamingClassify
-      .scorer(model, maxModelRows = 10)(heldOut)
-      .queryExecution.optimizedPlan.toString
+    assert(fastH.retained.isEmpty,
+      "the fast path must not retain a cached model (broadcast replaces it)")
+    val degH = graft.streaming.StreamingClassify.scorer(model, maxModelRows = 10)
+    val degraded = degH.score(heldOut).queryExecution.optimizedPlan.toString
     assert(degraded.contains("Window") && !degraded.contains("MapPartitions"),
       s"over the ceiling the join scorer must score:\n$degraded")
+    assert(degH.retained.isDefined,
+      "the degrade path must hand its cached model back for query-stop release")
+    degH.retained.foreach(_.unpersist())
   }
 }

@@ -27,12 +27,18 @@ ratio measures one MODE of host noise and nothing else. The r17
 close-out showed why one reference is not enough: the CPU leg held
 0.98x while every shuffle-heavy leg inflated ~1.1x — a single
 CPU-shaped normalizer is blind to the IO mode. For every common leg
-both normalized ratios are reported, and the flag gate uses the
-reference that matches the leg's profile better — operationally the
-MORE FORGIVING of the two (a genuine code regression moves a leg past
-BOTH references' movement; host noise moves it past at most the
-mismatched one). Forgiveness is bounded: each noise factor is clamped
-to [0.8, 1.25], so the gate can never excuse more than 1.25x.
+both normalized ratios are reported, and the flag gate divides by the
+GEOMETRIC MEAN of the clamped factors: per-leg profile labels don't
+exist, and the two one-sided alternatives are both worse — dividing
+by the max (most forgiving) lets noise on the MISMATCHED reference
+excuse a real regression in a leg that never felt that noise (up to
+the full 1.25x clamp), while dividing by the min false-flags genuine
+noise-mode legs. The geometric mean bounds mismatched-mode masking at
+sqrt(clamp) ≈ 1.12x, forgives uniform noise fully, and the per-ref
+columns are printed precisely so a flagged (or suspiciously calm) leg
+can be read against the reference that matches its profile by hand.
+Each factor is clamped to [0.8, 1.25] first, so the gate can never
+excuse more than 1.25x however the references move.
 """
 import json
 import re
@@ -110,18 +116,23 @@ def main():
             # the flag gate (a 1.6x ref ratio dividing a real 1.5x
             # regression down to 0.94 would pass it silently)
             noises[ref] = (raw, min(max(raw, 0.8), 1.25))
-    # the gate divides each leg by the reference matching its profile
-    # better — operationally the more forgiving factor (a real code
-    # regression outruns BOTH references' movement; host noise outruns
-    # at most the mismatched one); forgiveness is capped by the clamp
-    gate_noise = max((c for _, c in noises.values()), default=None)
+    # the gate divides by the geometric mean of the clamped factors
+    # (see module docstring: max-forgiveness masks real regressions
+    # behind the mismatched reference's noise, min false-flags genuine
+    # noise-mode legs; the mean bounds masking at sqrt(clamp))
+    gate_noise = None
+    if noises:
+        prod = 1.0
+        for _, c in noises.values():
+            prod *= c
+        gate_noise = prod ** (1.0 / len(noises))
 
     rows = []
     for n in common:
         pm, cm = prev[n][0], cur[n][0]
         ratio = cm / pm if pm > 0 else float("inf")
         norms = {ref: ratio / c for ref, (_, c) in noises.items()}
-        gate = min(norms.values()) if norms else ratio
+        gate = ratio / gate_noise if gate_noise else ratio
         rows.append((gate, ratio, n, pm, cm, cur[n][1], norms))
     rows.sort(reverse=True)
 
@@ -131,7 +142,8 @@ def main():
         for ref, (raw, c) in noises.items())
     print(f"common legs: {len(common)}   added: {len(added)}   "
           f"removed: {len(removed)}   flag threshold: {flag}x"
-          + (f"   {noise_note} -> flags use best-matching normalized ratio"
+          + (f"   {noise_note} -> flags use the geomean-normalized ratio "
+             f"(gate /= {gate_noise:.3f})"
              if noises else ""))
     psum = sum(r[3] for r in rows)
     csum = sum(r[4] for r in rows)
