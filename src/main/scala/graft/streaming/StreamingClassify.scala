@@ -84,11 +84,14 @@ object StreamingClassify {
     val nRows = frozen.count()
     if (nRows > maxModelRows)
       return ScorerHandle(
-        // doc_id normalizes to LONG exactly like the fast path's
-        // typed encoder does, so the landed schema cannot flip with
-        // model size (the declared BIGINT contract downstream)
+        // the explicit (doc_id, text) projection pins the output to
+        // exactly (doc_id, predicted, score) whatever extra columns a
+        // source drop carries (predictWithModel carries non-text
+        // columns through), and the LONG cast normalizes doc_id
+        // exactly like the fast path's typed encoder — the landed
+        // schema cannot flip with model size
         batch => graft.ops.Classify.predictWithModel(
-          batch.withColumn("doc_id", col("doc_id").cast("long")), frozen),
+          batch.select(col("doc_id").cast("long"), col("text")), frozen),
         retained = Some(frozen))
     // labels in ASCENDING order: the tie rule below ("strictly greater
     // displaces") then lands on the smallest label for free
@@ -165,6 +168,14 @@ object StreamingClassify {
         }
     }
     spark.streams.addListener(l)
+    // the query can terminate between start() and addListener — the
+    // terminated event then predates the subscription and would leak
+    // the cache; release directly in that window (unpersist is
+    // idempotent, so the listener ALSO firing is harmless)
+    if (spark.streams.get(queryId) == null) {
+      rel.unpersist()
+      spark.streams.removeListener(l)
+    }
   }
 
   /** Predictions over a parquet-file stream, append mode to a memory
