@@ -249,10 +249,12 @@ object Bench {
     // noise mode specifically. Like zz_ref_fixed it goes nowhere near
     // a graft operator: both sides of a round diff run the identical
     // plan over the identical driver-generated parquet, so no repo
-    // change can move it — only the host can. bench_diff.py divides
-    // each leg by the reference whose profile it matches better
-    // (reporting both), closing the "CPU ref holds 1.0x while every
-    // IO leg inflates" blind spot.
+    // change can move it — only the host can. bench_diff.py reports
+    // each leg normalized by BOTH references and gates on the
+    // geometric mean of the clamped factors (per-leg best-match
+    // would mask a real regression behind the mismatched reference's
+    // noise — see the bench_diff docstring), closing the "CPU ref
+    // holds 1.0x while every IO leg inflates" blind spot.
     def refScan(): DataFrame = {
       import org.apache.spark.sql.functions.{col, sum, xxhash64}
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")

@@ -176,7 +176,13 @@ object Classify {
     val pred = scores.withColumn("rn", row_number().over(argmax))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("label").as("predicted"), col("score"))
-    val carried = docs.columns.filter(_ != "text").map(col).toSeq
+    val carriedNames = docs.columns.filter(_ != "text").toSeq
+    require(!carriedNames.exists(Set("predicted", "score")),
+      "predictWithModel carries every non-text input column through to " +
+        "the output next to its own 'predicted'/'score' — rename or drop " +
+        s"the colliding input column(s): ${carriedNames
+          .filter(Set("predicted", "score")).mkString(", ")}")
+    val carried = carriedNames.map(col)
     docs.select(carried: _*)
       .join(pred, Seq("doc_id"), "left")
       .select(carried ++ Seq(

@@ -1109,7 +1109,16 @@ object Dedup {
     val bandBits = 64 / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val base = fps
-      .select(col(idCol).cast("long").as("id"), col(hashCol).as("h"))
+      .select(
+        // a NULL id passes the type guard but would void every one
+        // of its pairs at the id_a < id_b predicate — raise in-row
+        // (no extra pass; upstream may be an expensive decode) so a
+        // malformed relation errors instead of not-finding
+        when(col(idCol).isNotNull, col(idCol).cast("long"))
+          .otherwise(raise_error(lit(
+            s"hammingNearDup: null id in '$idCol' — a null id would " +
+              "silently drop every pair it participates in"))).as("id"),
+        col(hashCol).as("h"))
       .filter(col("h").isNotNull)
     val bandCols = array((0 until nBands).map { b =>
       shiftrightunsigned(col("h"), b * bandBits).bitwiseAND(lit(mask))

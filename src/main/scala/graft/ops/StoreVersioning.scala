@@ -135,11 +135,16 @@ private[ops] object StoreVersioning {
         while (!Thread.currentThread().isInterrupted) {
           Thread.sleep(HeartbeatMs)
           val now = System.currentTimeMillis()
-          fs.setTimes(lock, now, now)
+          // a transiently failing refresh (namenode failover, NFS
+          // blip) loses ONE beat, never the thread: the catch must
+          // stay inside the loop, or the first blip silently
+          // reopens the steal-under-live-holder hole for the rest
+          // of the operation
+          try fs.setTimes(lock, now, now)
+          catch { case _: java.io.IOException => () }
         }
       } catch {
         case _: InterruptedException => ()
-        case _: java.io.IOException => () // lost beat ≤ horizon risk, not a crash
       }
     }, s"graft-lease-heartbeat-$op")
     beat.setDaemon(true)

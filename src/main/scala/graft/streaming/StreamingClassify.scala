@@ -212,7 +212,12 @@ object StreamingClassify {
         .createOrReplaceTempView(queryName)
     }
     register()
+    // the query KEEPS its name even though the sink is foreachBatch
+    // now: a duplicate active name must still be refused by Spark
+    // (two concurrent drains would otherwise silently clobber each
+    // other's temp view), and progress monitoring stays addressable
     val q = src.writeStream.outputMode("append")
+      .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val rows = score(batch).collect()
         acc.synchronized { acc.addAll(java.util.Arrays.asList(rows: _*)); () }

@@ -129,6 +129,22 @@ class MultimodalPhashSpec extends AnyFunSuite {
       s"candidate stage must be an equi-join on (band, value):\n$plan")
   }
 
+  test("a null id raises in-row instead of silently voiding its pairs") {
+    val sp = spark; import sp.implicits._
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), java.lang.Long.valueOf(5L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L)))
+      .toDF("id", "h")
+    val e = intercept[Exception] {
+      Dedup.hammingNearDup(df, "id", "h").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("null id")),
+      s"expected the in-row null-id raise, got: $e")
+  }
+
   test("maxDist >= nBands is refused (the exactness guarantee would break)") {
     val sp = spark; import sp.implicits._
     val df = Seq((1L, 2L)).toDF("id", "h")
