@@ -150,33 +150,6 @@ object StreamingClassify {
     ScorerHandle(score, retained = None)
   }
 
-  /** Release the degrade delivery's cached model when its query
-    * terminates — the listener removes itself after firing, so a
-    * session running many drains never accumulates either caches or
-    * listeners.
-    */
-  private def unpersistOnStop(spark: SparkSession,
-      queryId: java.util.UUID, rel: DataFrame): Unit = {
-    val l = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        if (e.id == queryId) {
-          rel.unpersist()
-          spark.streams.removeListener(this)
-        }
-    }
-    spark.streams.addListener(l)
-    // the query can terminate between start() and addListener — the
-    // terminated event then predates the subscription and would leak
-    // the cache; release directly in that window (unpersist is
-    // idempotent, so the listener ALSO firing is harmless)
-    if (spark.streams.get(queryId) == null) {
-      rel.unpersist()
-      spark.streams.removeListener(l)
-    }
-  }
 
   /** Predictions over a parquet-file stream, append mode to a memory
     * sink named `queryName`. `model` is the frozen trained relation
@@ -224,7 +197,7 @@ object StreamingClassify {
         register()
       }
       .start()
-    handle.retained.foreach(unpersistOnStop(spark, q.id, _))
+    handle.retained.foreach(StreamRelease.unpersistOnStop(spark, q.id, _))
     q
   }
 
@@ -246,7 +219,7 @@ object StreamingClassify {
       checkpoint) { (batch, batchId) =>
       BatchedParquetSink.landBatch(handle.score(batch), outDir, batchId)
     }
-    handle.retained.foreach(unpersistOnStop(spark, q.id, _))
+    handle.retained.foreach(StreamRelease.unpersistOnStop(spark, q.id, _))
     q
   }
 }

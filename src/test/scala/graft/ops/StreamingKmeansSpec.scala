@@ -111,21 +111,49 @@ class StreamingKmeansSpec extends AnyFunSuite {
       "every pairwise-flagged doc must flag against the union set")
   }
 
-  test("streaming decontamination refuses a benchmark past the broadcast gram bound") {
+  test("streaming decontamination degrades past the broadcast gram bound: " +
+      "flags bit-equal, regimes plan-pinned") {
     val docs = graft.engine.Tables.table(spark, sf, "documents")
     val bench = docs.filter(col("doc_id") < 50)
+    val corpus = docs.filter(col("doc_id") >= 50)
     val dir = java.nio.file.Files
-      .createTempDirectory("docs-stream-decon-bound").toString
-    docs.filter(col("doc_id") >= 50).limit(5)
-      .write.mode("overwrite").parquet(dir)
-    val e = intercept[IllegalArgumentException] {
-      graft.streaming.StreamingDecontaminate.streamingFlags(
-        spark, dir, docs.schema, "decon_stream_bound", bench,
-        maxBenchmarkGrams = 10)
-    }
-    assert(e.getMessage.contains("maxBenchmarkGrams") &&
-      e.getMessage.contains("Dedup.decontaminate"),
-      s"bound error must name the limit and the batch fallback: ${e.getMessage}")
+      .createTempDirectory("docs-stream-decon-degrade").toString
+    corpus.repartition(3).write.mode("overwrite").parquet(dir)
+    // a benchmark far past the (tiny) ceiling: the drain must run —
+    // per-batch relation join, no refusal — and flag the same rows
+    val q = graft.streaming.StreamingDecontaminate.streamingFlags(
+      spark, dir, corpus.schema, "decon_stream_degrade", bench,
+      minShared = 5, maxFilesPerTrigger = 1, maxBenchmarkGrams = 10)
+    try q.processAllAvailable() finally q.stop()
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1)
+    val degraded = spark.table("decon_stream_degrade")
+    import graft.ops.TextOps
+    val batch = corpus
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), TextOps.ngramsOf(col("ws"), 3).as("g"))
+      .crossJoin(broadcast(
+        bench.select(TextOps.words(col("text")).as("ws"))
+          .select(explode(TextOps.ngramsOf(col("ws"), 3)).as("g"))
+          .distinct().agg(collect_set(col("g")).as("bg"))))
+      .select(col("doc_id"),
+        size(array_intersect(col("g"), col("bg"))).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+    assert(batch.count() > 0)
+    assert(degraded.exceptAll(batch).isEmpty && batch.exceptAll(degraded).isEmpty,
+      "over-ceiling flags must equal the broadcast regime's bit-for-bit")
+
+    // the regime CHOICE is plan-pinned: broadcast-intersect under the
+    // ceiling, relation join + aggregate over it
+    val fast = graft.streaming.StreamingDecontaminate
+      .scorer(bench, 5, Long.MaxValue)
+    assert(fast.score(corpus).queryExecution.optimizedPlan.toString
+      .contains("array_intersect"))
+    fast.retained.unpersist()
+    val deg = graft.streaming.StreamingDecontaminate.scorer(bench, 5, 10)
+    val plan = deg.score(corpus).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("array_intersect") && plan.contains("Aggregate"),
+      s"over the ceiling the relation-join scorer must score:\n$plan")
+    deg.retained.unpersist()
   }
 
   test("streaming semantic pairs equal the batch SemDeDup relation across micro-batches") {
