@@ -654,8 +654,20 @@ object Dedup {
       case _ => ()
     }
 
-  def dupClusters(docs: DataFrame, leftMax: Long = 200): DataFrame = {
-    val pairs = minhashLsh(docs, leftMax).select(col("doc_a"), col("doc_b"))
+  def dupClusters(docs: DataFrame, leftMax: Long = 200): DataFrame =
+    clusterLabelsOf(
+      minhashLsh(docs, leftMax).select(col("doc_a"), col("doc_b")))
+
+  /** Connected components over an ARBITRARY near-dup pair relation
+    * (doc_a, doc_b) — the propagation loop [[dupClusters]] runs over
+    * the text pairs, factored so every pair-producing modality
+    * (MinHash text pairs, image phash pairs, embedding pairs mapped
+    * to ids) collapses to survivors through the one audited
+    * implementation. Emits (doc_id, cluster_id) for every doc that
+    * appears in a pair; singletons are absent (they label themselves
+    * — the keep-best operator left-joins them back in).
+    */
+  def clusterLabelsOf(pairs: DataFrame): DataFrame = {
     val edges = PlanAudit.checkpointed(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // round 0 fused into the node extraction: every node starts at

@@ -33,6 +33,36 @@ object Extensions {
     */
   private val BlocklistTerms = Seq("spark", "dup", "quarantine")
 
+  /** The rendered-image corpus behind the `x_dedup_image_*` gates:
+    * each doc's distinct word bigrams map to bits 0..63 through an
+    * integer polynomial (the exact rule the DuckDB oracles replay —
+    * near-dup docs differ in a few bigrams → a few bits, distinct
+    * docs disagree on ~half; measured bimodal at every SF), and the
+    * bits render as a REAL grayscale PNG whose imageio decode + dHash
+    * recovers them bit-for-bit (Multimodal.cellsForBits/grayCellsPng,
+    * roundtrip spec-pinned) — so the gates pay the full production
+    * decode path while the oracle works from replayable data.
+    */
+  private def phashRenderedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val g = col("g")
+    def a(k: Int) = ascii(substring(g, k, 1)).cast("long")
+    val idx = (a(1) + a(2) * 31L + a(3) * 961L + a(4) * 29791L +
+      a(5) * 923521L + a(6) * 28629151L + a(7) * 887503681L +
+      length(g).cast("long") * 127L) % 64L
+    t(s, d, "documents")
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(TextOps.ngramsOf(col("ws"), 2)).as("g"))
+      .select(col("doc_id"), idx.as("n")).distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("n")).as("ns"))
+      .as[(Long, Seq[Long])].map { case (id, ns) =>
+        var h = 0L
+        ns.foreach(n => h |= 1L << n.toInt)
+        (id, graft.ops.Multimodal.grayCellsPng(
+          graft.ops.Multimodal.cellsForBits(h)))
+      }.toDF("doc_id", "payload")
+  }
+
   /** Build-once guard for the persisted-store gate rows (IVF index,
     * dedup gram store): the features' contract is build ONCE, query
     * MANY, so repeated in-JVM runs of the same gate row (the bench's
@@ -107,29 +137,21 @@ object Extensions {
     // (Multimodal.cellsForBits/grayCellsPng — spec-pinned roundtrip).
     // With maxDist < nBands the banding has pigeonhole-exact recall,
     // so the oracle is the brute Hamming join over the same bits.
-    "x_dedup_image_phash" -> ((s, d) => {
-      import s.implicits._
-      val g = col("g")
-      def a(k: Int) = ascii(substring(g, k, 1)).cast("long")
-      val idx = (a(1) + a(2) * 31L + a(3) * 961L + a(4) * 29791L +
-        a(5) * 923521L + a(6) * 28629151L + a(7) * 887503681L +
-        length(g).cast("long") * 127L) % 64L
-      val bits = t(s, d, "documents")
-        .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-        .select(col("doc_id"), explode(TextOps.ngramsOf(col("ws"), 2)).as("g"))
-        .select(col("doc_id"), idx.as("n")).distinct()
-        .groupBy(col("doc_id")).agg(collect_set(col("n")).as("ns"))
-      val rendered = bits.as[(Long, Seq[Long])].map { case (id, ns) =>
-        var h = 0L
-        ns.foreach(n => h |= 1L << n.toInt)
-        (id, graft.ops.Multimodal.grayCellsPng(
-          graft.ops.Multimodal.cellsForBits(h)))
-      }.toDF("doc_id", "payload")
-      Dedup.imagePhashNearDup(rendered, "doc_id", "payload")
+    "x_dedup_image_phash" -> ((s, d) =>
+      Dedup.imagePhashNearDup(phashRenderedDocs(s, d), "doc_id", "payload")
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("hamming"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // image-modality cluster collapse: the phash pairs feed the SAME
+    // min-label propagation the text pairs use (clusterLabelsOf), so
+    // a curation pipeline keeps one survivor per duplicate-image
+    // group instead of consuming raw pairs; oracle = recursive
+    // transitive closure over the brute Hamming pairs
+    "x_dedup_image_clusters" -> ((s, d) =>
+      Dedup.clusterLabelsOf(
+        Dedup.imagePhashNearDup(phashRenderedDocs(s, d), "doc_id", "payload")
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
 
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
@@ -1384,6 +1406,31 @@ object Extensions {
       |      ORDER BY score DESC, label) AS rn
       |  FROM sc)""".stripMargin
 
+  /** The phash gates' shared bit derivation (see phashRenderedDocs):
+    * word bigrams → integer polynomial → presence bits 0..63. NOT
+    * stripMargin'd here — each composed oracle strips exactly once
+    * (the shingleCte convention).
+    */
+  private val phashBitsCte =
+    """ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(len(ws)-1), i ->
+      |    ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)])) AS g
+      |  FROM ws),
+      |ix AS (SELECT DISTINCT doc_id,
+      |  (CAST(ascii(substr(g,1,1)) AS BIGINT)
+      |   + CAST(ascii(substr(g,2,1)) AS BIGINT)*31
+      |   + CAST(ascii(substr(g,3,1)) AS BIGINT)*961
+      |   + CAST(ascii(substr(g,4,1)) AS BIGINT)*29791
+      |   + CAST(ascii(substr(g,5,1)) AS BIGINT)*923521
+      |   + CAST(ascii(substr(g,6,1)) AS BIGINT)*28629151
+      |   + CAST(ascii(substr(g,7,1)) AS BIGINT)*887503681
+      |   + CAST(len(g) AS BIGINT)*127) % 64 AS n
+      |  FROM bg),
+      |bits AS (SELECT doc_id, list_transform(range(64), n ->
+      |    CASE WHEN list_contains(list(ix.n), n) THEN 1 ELSE 0 END) AS b
+      |  FROM ix GROUP BY doc_id)"""
+
   private val pairClosureCte =
     """p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -1712,24 +1759,7 @@ object Extensions {
     // exact rule the Spark side renders into its PNGs) and takes the
     // BRUTE Hamming-<=3 pair set the banded join must equal
     "x_dedup_image_phash" ->
-      raw"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |  FROM documents),
-        |bg AS (SELECT doc_id, unnest(list_transform(range(len(ws)-1), i ->
-        |    ws[CAST(i+1 AS INT)] || ' ' || ws[CAST(i+2 AS INT)])) AS g
-        |  FROM ws),
-        |ix AS (SELECT DISTINCT doc_id,
-        |  (CAST(ascii(substr(g,1,1)) AS BIGINT)
-        |   + CAST(ascii(substr(g,2,1)) AS BIGINT)*31
-        |   + CAST(ascii(substr(g,3,1)) AS BIGINT)*961
-        |   + CAST(ascii(substr(g,4,1)) AS BIGINT)*29791
-        |   + CAST(ascii(substr(g,5,1)) AS BIGINT)*923521
-        |   + CAST(ascii(substr(g,6,1)) AS BIGINT)*28629151
-        |   + CAST(ascii(substr(g,7,1)) AS BIGINT)*887503681
-        |   + CAST(len(g) AS BIGINT)*127) % 64 AS n
-        |  FROM bg),
-        |bits AS (SELECT doc_id, list_transform(range(64), n ->
-        |    CASE WHEN list_contains(list(ix.n), n) THEN 1 ELSE 0 END) AS b
-        |  FROM ix GROUP BY doc_id)
+      raw"""WITH $phashBitsCte
         |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
         |  CAST(len(list_filter(range(64), n ->
         |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
@@ -1738,6 +1768,24 @@ object Extensions {
         |WHERE len(list_filter(range(64), n ->
         |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // image clusters: recursive transitive closure + min label over
+    // the same brute Hamming pairs (the x_dedup_clusters shape)
+    "x_dedup_image_clusters" ->
+      raw"""WITH RECURSIVE $phashBitsCte,
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b
+        |  FROM bits a JOIN bits bb ON a.doc_id < bb.doc_id
+        |  WHERE len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     // connected components of the (verified-identical) pair graph via
     // a recursive transitive closure + min label
