@@ -115,9 +115,23 @@ object Prof {
         docs.groupBy(TextOps.predictedLang(col("text")).as("lang"))
           .count().collect().length.toLong
       }
-      // the new image-phash near-dup at scale (decode + band join)
+      // the new image-phash near-dup at scale (decode + band join),
+      // plus the cluster collapse over its pairs
       q("image_phash_neardup")(
         graft.SparkEntry.queries("x_dedup_image_phash")(spark, dir).count())
+      q("image_phash_clusters")(
+        graft.SparkEntry.queries("x_dedup_image_clusters")(spark, dir).count())
+      // streaming-decontaminate scoring body at scale (the
+      // foreachBatch join): the r18 probes run measured the previous
+      // single-row broadcast-intersect form rebuilding the benchmark
+      // hash set PER ROW — 15.1 s vs 1.2 s at 1× and unbounded at
+      // 10× — which is why the relation join is now the ONLY regime
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      q("decon_flags") {
+        val h = graft.streaming.StreamingDecontaminate.scorer(
+          bench, minShared = 5)
+        try h.score(docs).count() finally h.retained.unpersist()
+      }
       spark.stop()
       return
     }

@@ -160,24 +160,21 @@ object StreamingDedup {
   * A benchmark refresh is a new query start — the model-handoff
   * contract shared with the streaming cluster monitor.
   *
-  * SIZE BOUND: unlike the batch detector's un-hinted join (which AQE
-  * degrades to a partitioned equi-join when the benchmark side grows),
-  * the single-collected-row broadcast here has a hard cliff — the gram
-  * set must fit one row and the driver. Past `maxBenchmarkGrams` the
-  * scorer therefore DEGRADES (the [[StreamingClassify]] convention,
-  * r18): each micro-batch joins the doc grams against the persisted
-  * benchmark gram RELATION — AQE-size-gated like the batch detector,
-  * no driver state at any benchmark size — instead of refusing or
-  * hitting an opaque broadcast OOM mid-stream. Both deliveries share
-  * one scoring body; flags are pinned equal across the ceiling by
-  * spec. `minShared` must be ≥ 1 (at 0 the broadcast form would emit
-  * every doc while the join form has no zero-hit rows to emit).
+  * SCORING SHAPE (r18, measured): the flagger joins each micro-batch's
+  * doc grams against the PERSISTED benchmark gram relation — the
+  * AQE-size-gated join shape of the batch detector, which under the
+  * hood is a broadcast HASH join for any normal benchmark (the gram
+  * set builds into a hash table once per TASK) and degrades to a
+  * partitioned join for a pathological one. The previous form — one
+  * collected row of grams crossJoined and probed with
+  * `array_intersect` — rebuilt that hash set PER DOCUMENT ROW
+  * (O(|benchmark grams|) per doc): 15.1 s vs 1.2 s for the join at
+  * sf0.1, and unbounded minutes at 10× (Prof `probes` rows). It also
+  * carried a driver-collect ceiling the join simply doesn't have, so
+  * the ceiling and its refusal are gone with it. `minShared` must be
+  * ≥ 1 (0 would mean "flag every doc", not a flag).
   */
 object StreamingDecontaminate {
-
-  /** Benchmark trigram set as one static row (`bg`). */
-  private[streaming] def benchmarkSet(benchmark: org.apache.spark.sql.DataFrame) =
-    benchmarkGrams(benchmark).agg(collect_set(col("g")).as("bg"))
 
   /** The benchmark's distinct trigrams as a relation (`g`). */
   private[streaming] def benchmarkGrams(
@@ -192,55 +189,40 @@ object StreamingDecontaminate {
       /** the persisted gram relation — released at query stop */
       retained: org.apache.spark.sql.DataFrame)
 
-  /** One guarded scoring body for both regimes: the persisted
-    * distinct-gram relation feeds either the single-row broadcast
-    * intersect (under the ceiling — and the per-trigger re-evaluation
-    * of the static side now hits the cache instead of re-shingling
-    * the benchmark every micro-batch) or the per-batch relation join
-    * (over it). `ngramsOf` is distinct per doc, so the join's group
-    * count equals `size(array_intersect(...))` exactly.
+  /** The one scoring body: per batch, doc grams ⋈ the persisted
+    * benchmark gram relation, grouped per doc. `ngramsOf` is distinct
+    * per doc, so the group count is exactly the distinct-gram
+    * intersection size the flag semantics call for.
     */
   private[graft] def scorer(benchmark: org.apache.spark.sql.DataFrame,
-      minShared: Int, maxBenchmarkGrams: Long): FlagScorer = {
+      minShared: Int): FlagScorer = {
     require(minShared >= 1,
-      s"minShared must be >= 1 (got $minShared): zero-hit docs are not " +
-        "flag rows in either scoring regime")
+      s"minShared must be >= 1 (got $minShared): a zero threshold would " +
+        "flag every document, not detect contamination")
     val frozen = benchmarkGrams(benchmark).persist()
-    val nGrams = frozen.count()
-    if (nGrams > maxBenchmarkGrams)
-      return FlagScorer(batch =>
-        batch.select(col("doc_id").cast("long").as("doc_id"),
-            TextOps.words(col("text")).as("ws"))
-          .select(col("doc_id"), explode(TextOps.ngramsOf(col("ws"), 3)).as("g"))
-          .join(frozen, "g")
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).cast("int").as("n_shared"))
-          .filter(col("n_shared") >= minShared),
-        retained = frozen)
-    val bg = broadcast(frozen.agg(collect_set(col("g")).as("bg")))
+    frozen.count() // materialize once; every micro-batch reuses the cache
     FlagScorer(batch =>
       batch.select(col("doc_id").cast("long").as("doc_id"),
           TextOps.words(col("text")).as("ws"))
-        .select(col("doc_id"), TextOps.ngramsOf(col("ws"), 3).as("g"))
-        .crossJoin(bg)
-        .select(col("doc_id"),
-          size(array_intersect(col("g"), col("bg"))).as("n_shared"))
+        .select(col("doc_id"), explode(TextOps.ngramsOf(col("ws"), 3)).as("g"))
+        .join(frozen, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_shared"))
         .filter(col("n_shared") >= minShared),
       retained = frozen)
   }
 
   /** Flagged (doc_id, n_shared) rows over a parquet-file stream,
     * accumulated driver-side under `queryName` as a temp view (the
-    * [[StreamingClassify.streamingPredict]] convention: the degrade
-    * regime's join+aggregate is not an append-mode streaming plan, so
-    * both regimes score batch-scoped inside foreachBatch — exactly
-    * where a memory sink kept its rows anyway).
+    * [[StreamingClassify.streamingPredict]] convention: join +
+    * aggregate is not an append-mode streaming plan, so scoring is
+    * batch-scoped inside foreachBatch — exactly where a memory sink
+    * kept its rows anyway).
     */
   def streamingFlags(spark: SparkSession, dir: String, schema: StructType,
       queryName: String, benchmark: org.apache.spark.sql.DataFrame,
-      minShared: Int = 5, maxFilesPerTrigger: Int = 0,
-      maxBenchmarkGrams: Long = 2000000L): StreamingQuery = {
-    val handle = scorer(benchmark, minShared, maxBenchmarkGrams)
+      minShared: Int = 5, maxFilesPerTrigger: Int = 0): StreamingQuery = {
+    val handle = scorer(benchmark, minShared)
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)

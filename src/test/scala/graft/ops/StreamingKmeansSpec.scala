@@ -111,24 +111,18 @@ class StreamingKmeansSpec extends AnyFunSuite {
       "every pairwise-flagged doc must flag against the union set")
   }
 
-  test("streaming decontamination degrades past the broadcast gram bound: " +
-      "flags bit-equal, regimes plan-pinned") {
+  test("decontamination scorer is the relation join at ANY benchmark size — " +
+      "no per-row set rebuild, no ceiling, flags equal the intersect semantics") {
     val docs = graft.engine.Tables.table(spark, sf, "documents")
     val bench = docs.filter(col("doc_id") < 50)
     val corpus = docs.filter(col("doc_id") >= 50)
-    val dir = java.nio.file.Files
-      .createTempDirectory("docs-stream-decon-degrade").toString
-    corpus.repartition(3).write.mode("overwrite").parquet(dir)
-    // a benchmark far past the (tiny) ceiling: the drain must run —
-    // per-batch relation join, no refusal — and flag the same rows
-    val q = graft.streaming.StreamingDecontaminate.streamingFlags(
-      spark, dir, corpus.schema, "decon_stream_degrade", bench,
-      minShared = 5, maxFilesPerTrigger = 1, maxBenchmarkGrams = 10)
-    try q.processAllAvailable() finally q.stop()
-    assert(q.recentProgress.count(_.numInputRows > 0) > 1)
-    val degraded = spark.table("decon_stream_degrade")
     import graft.ops.TextOps
-    val batch = corpus
+    // semantic anchor: the flag relation must equal the literal
+    // distinct-gram-intersection definition (computed here with the
+    // single-row intersect form the implementation deliberately
+    // dropped — it rebuilt the benchmark hash set per document row,
+    // measured 12.6× slower at sf0.1 and unbounded at 10×)
+    val reference = corpus
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), TextOps.ngramsOf(col("ws"), 3).as("g"))
       .crossJoin(broadcast(
@@ -138,22 +132,22 @@ class StreamingKmeansSpec extends AnyFunSuite {
       .select(col("doc_id"),
         size(array_intersect(col("g"), col("bg"))).as("n_shared"))
       .filter(col("n_shared") >= 5)
-    assert(batch.count() > 0)
-    assert(degraded.exceptAll(batch).isEmpty && batch.exceptAll(degraded).isEmpty,
-      "over-ceiling flags must equal the broadcast regime's bit-for-bit")
-
-    // the regime CHOICE is plan-pinned: broadcast-intersect under the
-    // ceiling, relation join + aggregate over it
-    val fast = graft.streaming.StreamingDecontaminate
-      .scorer(bench, 5, Long.MaxValue)
-    assert(fast.score(corpus).queryExecution.optimizedPlan.toString
-      .contains("array_intersect"))
-    fast.retained.unpersist()
-    val deg = graft.streaming.StreamingDecontaminate.scorer(bench, 5, 10)
-    val plan = deg.score(corpus).queryExecution.optimizedPlan.toString
+    val h = graft.streaming.StreamingDecontaminate.scorer(bench, 5)
+    val got = h.score(corpus)
+    assert(reference.count() > 0)
+    assert(got.exceptAll(reference).isEmpty && reference.exceptAll(got).isEmpty,
+      "join-form flags must equal the distinct-gram intersection definition")
+    // and the shape is pinned: a join + aggregate, never the per-row
+    // array_intersect probe
+    val plan = got.queryExecution.optimizedPlan.toString
     assert(!plan.contains("array_intersect") && plan.contains("Aggregate"),
-      s"over the ceiling the relation-join scorer must score:\n$plan")
-    deg.retained.unpersist()
+      s"the scorer must be the relation join:\n$plan")
+    h.retained.unpersist()
+
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingDecontaminate.scorer(bench, 0)
+    }
+    assert(e.getMessage.contains("minShared"))
   }
 
   test("streaming semantic pairs equal the batch SemDeDup relation across micro-batches") {
