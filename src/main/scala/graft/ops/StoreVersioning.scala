@@ -139,9 +139,20 @@ private[ops] object StoreVersioning {
           // blip) loses ONE beat, never the thread: the catch must
           // stay inside the loop, or the first blip silently
           // reopens the steal-under-live-holder hole for the rest
-          // of the operation
+          // of the operation. An interrupt DELIVERED inside the FS
+          // call surfaces as InterruptedIOException /
+          // ClosedByInterruptException with the flag cleared — those
+          // must re-interrupt and exit, or the release interrupt is
+          // swallowed and a zombie beat keeps refreshing whatever
+          // lock lives at this path next (deadlocking its expiry)
           try fs.setTimes(lock, now, now)
-          catch { case _: java.io.IOException => () }
+          catch {
+            case _: java.io.InterruptedIOException =>
+              Thread.currentThread().interrupt()
+            case _: java.nio.channels.ClosedByInterruptException =>
+              Thread.currentThread().interrupt()
+            case _: java.io.IOException => ()
+          }
         }
       } catch {
         case _: InterruptedException => ()

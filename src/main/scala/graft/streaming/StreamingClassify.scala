@@ -160,18 +160,15 @@ object StreamingClassify {
       maxFilesPerTrigger: Int = 0,
       maxModelRows: Long = 2000000L): StreamingQuery = {
     val handle = scorer(model, maxModelRows)
-    val score = handle.score
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
         reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
       else reader).parquet(dir)
     // the scorer needs BATCH scope on both deliveries — the degrade
     // path's join + window argmax is not an append-mode streaming
-    // plan — so the memory delivery goes through foreachBatch like
-    // the parquet one: scored rows accumulate driver-side (exactly
-    // where format("memory") would keep them) under `queryName` as a
-    // temp view, registered empty up front so a zero-batch drain
-    // still reads as an empty relation, not a missing table
+    // plan — so the memory delivery goes through the shared
+    // accumulating foreachBatch sink (see [[AccumulatingMemorySink]]
+    // for the registration-ordering and start-failure contracts)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id",
         org.apache.spark.sql.types.LongType),
@@ -179,26 +176,8 @@ object StreamingClassify {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("score",
         org.apache.spark.sql.types.LongType)))
-    val acc = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    def register(): Unit = acc.synchronized {
-      spark.createDataFrame(new java.util.ArrayList(acc), outSchema)
-        .createOrReplaceTempView(queryName)
-    }
-    register()
-    // the query KEEPS its name even though the sink is foreachBatch
-    // now: a duplicate active name must still be refused by Spark
-    // (two concurrent drains would otherwise silently clobber each
-    // other's temp view), and progress monitoring stays addressable
-    val q = src.writeStream.outputMode("append")
-      .queryName(queryName)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = score(batch).collect()
-        acc.synchronized { acc.addAll(java.util.Arrays.asList(rows: _*)); () }
-        register()
-      }
-      .start()
-    handle.retained.foreach(StreamRelease.unpersistOnStop(spark, q.id, _))
-    q
+    AccumulatingMemorySink.start(spark, src, queryName, outSchema,
+      handle.retained)(handle.score)
   }
 
   /** [[streamingPredict]] landing parquet instead of a memory sink —
@@ -215,11 +194,18 @@ object StreamingClassify {
       maxFilesPerTrigger: Int = 0, checkpoint: Option[String] = None,
       maxModelRows: Long = 2000000L): StreamingQuery = {
     val handle = scorer(model, maxModelRows)
-    val q = BatchedParquetSink.start(spark, dir, schema, maxFilesPerTrigger,
-      checkpoint) { (batch, batchId) =>
-      BatchedParquetSink.landBatch(handle.score(batch), outDir, batchId)
-    }
-    handle.retained.foreach(StreamRelease.unpersistOnStop(spark, q.id, _))
+    val q =
+      try
+        BatchedParquetSink.start(spark, dir, schema, maxFilesPerTrigger,
+          checkpoint) { (batch, batchId) =>
+          BatchedParquetSink.landBatch(handle.score(batch), outDir, batchId)
+        }
+      catch {
+        case e: Throwable =>
+          handle.retained.foreach(_.unpersist())
+          throw e
+      }
+    handle.retained.foreach(StreamRelease.unpersistOnStop(q, _))
     q
   }
 }

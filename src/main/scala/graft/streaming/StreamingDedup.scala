@@ -232,21 +232,7 @@ object StreamingDecontaminate {
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_shared",
         org.apache.spark.sql.types.IntegerType)))
-    val acc = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    def register(): Unit = acc.synchronized {
-      spark.createDataFrame(new java.util.ArrayList(acc), outSchema)
-        .createOrReplaceTempView(queryName)
-    }
-    register()
-    val q = src.writeStream.outputMode("append")
-      .queryName(queryName)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        val rows = handle.score(batch).collect()
-        acc.synchronized { acc.addAll(java.util.Arrays.asList(rows: _*)); () }
-        register()
-      }
-      .start()
-    StreamRelease.unpersistOnStop(spark, q.id, handle.retained)
-    q
+    AccumulatingMemorySink.start(spark, src, queryName, outSchema,
+      Some(handle.retained))(handle.score)
   }
 }

@@ -133,16 +133,17 @@ class StreamingKmeansSpec extends AnyFunSuite {
         size(array_intersect(col("g"), col("bg"))).as("n_shared"))
       .filter(col("n_shared") >= 5)
     val h = graft.streaming.StreamingDecontaminate.scorer(bench, 5)
-    val got = h.score(corpus)
-    assert(reference.count() > 0)
-    assert(got.exceptAll(reference).isEmpty && reference.exceptAll(got).isEmpty,
-      "join-form flags must equal the distinct-gram intersection definition")
-    // and the shape is pinned: a join + aggregate, never the per-row
-    // array_intersect probe
-    val plan = got.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("array_intersect") && plan.contains("Aggregate"),
-      s"the scorer must be the relation join:\n$plan")
-    h.retained.unpersist()
+    try {
+      val got = h.score(corpus)
+      assert(reference.count() > 0)
+      assert(got.exceptAll(reference).isEmpty && reference.exceptAll(got).isEmpty,
+        "join-form flags must equal the distinct-gram intersection definition")
+      // and the shape is pinned: a join + aggregate, never the per-row
+      // array_intersect probe
+      val plan = got.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("array_intersect") && plan.contains("Aggregate"),
+        s"the scorer must be the relation join:\n$plan")
+    } finally h.retained.unpersist()
 
     val e = intercept[IllegalArgumentException] {
       graft.streaming.StreamingDecontaminate.scorer(bench, 0)
