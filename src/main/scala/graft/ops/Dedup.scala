@@ -1093,7 +1093,7 @@ object Dedup {
     * buckets, never all-pairs. Exact-duplicate clusters (hamming 0)
     * produce their quadratic pair set because that IS the requested
     * output; pipelines that only need survivors should feed these
-    * pairs to [[clusterLabels]] rather than consuming the raw pairs.
+    * pairs to [[clusterLabelsOf]] rather than consuming the raw pairs.
     * Null fingerprints (e.g. undecodable images upstream) are
     * dropped, annotate-don't-fail.
     */

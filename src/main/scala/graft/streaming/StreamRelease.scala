@@ -34,32 +34,72 @@ private[streaming] object StreamRelease {
   * ([[StreamingClassify.streamingPredict]],
   * [[StreamingDecontaminate.streamingFlags]]): scored rows accumulate
   * driver-side — exactly where `format("memory")` would keep them —
-  * under `queryName` as a temp view. The view registers only AFTER
-  * the query starts (Spark's duplicate-active-name refusal must not
-  * let the loser clobber a live drain's view with an empty one on
-  * its way to throwing; registration renders the SHARED accumulator,
-  * so the post-start initial render can never mask a batch that beat
-  * it), and a start-time failure releases `retained` instead of
-  * leaking the scorer's cache.
+  * under `queryName` as a temp view.
+  *
+  * The view is LAZY: it resolves to a [[AccRelation]] whose
+  * `buildScan` snapshots the shared accumulator at READ time, so a
+  * micro-batch's driver work is O(batch rows) — appending to the list
+  * — never a full re-render of everything retained so far (the
+  * previous per-batch `createDataFrame(copy(acc))` made a long drain
+  * O(total·batches), quadratic exactly where `format("memory")`
+  * appended incrementally). Registration still happens only AFTER the
+  * query starts (Spark's duplicate-active-name refusal must not let
+  * the loser clobber a live drain's view on its way to throwing;
+  * laziness means a batch that beats registration is visible the
+  * moment the view exists), and a start-time failure releases
+  * `retained` instead of leaking the scorer's cache.
+  *
+  * BOUNDED: this sink keeps every scored row on the driver for the
+  * query's lifetime — the test/interactive delivery contract — so a
+  * drain that crosses `maxRetainedRows` fails LOUDLY, pointing at the
+  * parquet delivery (`streamingPredictToDir` / [[BatchedParquetSink]],
+  * which keeps nothing on the driver) instead of creeping toward an
+  * opaque driver OOM. The repo invariant: every unbounded seam has a
+  * ceiling with a named escape hatch.
   */
 private[streaming] object AccumulatingMemorySink {
 
+  /** Default driver-retained-row ceiling: ~10⁶ small rows is
+    * comfortably interactive; anything past it is a production drain
+    * in the wrong delivery.
+    */
+  val DefaultMaxRetainedRows = 1000000L
+
+  private final class AccRelation(
+      override val sqlContext: org.apache.spark.sql.SQLContext,
+      override val schema: StructType,
+      acc: java.util.ArrayList[Row])
+      extends org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan {
+    override def buildScan(): org.apache.spark.rdd.RDD[Row] = {
+      val snap = acc.synchronized(acc.toArray(new Array[Row](acc.size())))
+      sqlContext.sparkContext.parallelize(snap.toSeq, 1)
+    }
+  }
+
   def start(spark: SparkSession, src: DataFrame, queryName: String,
-      outSchema: StructType, retained: Option[DataFrame])(
+      outSchema: StructType, retained: Option[DataFrame],
+      maxRetainedRows: Long = DefaultMaxRetainedRows)(
       score: DataFrame => DataFrame): StreamingQuery = {
     val acc = new java.util.ArrayList[Row]()
-    def register(): Unit = acc.synchronized {
-      spark.createDataFrame(new java.util.ArrayList(acc), outSchema)
-        .createOrReplaceTempView(queryName)
-    }
     val q =
       try
         src.writeStream.outputMode("append")
           .queryName(queryName)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val rows = score(batch).collect()
-            acc.synchronized { acc.addAll(java.util.Arrays.asList(rows: _*)); () }
-            register()
+            acc.synchronized {
+              val total = acc.size().toLong + rows.length
+              if (total > maxRetainedRows)
+                throw new IllegalStateException(
+                  s"memory delivery '$queryName' would retain $total rows " +
+                    s"on the driver (ceiling $maxRetainedRows): this sink " +
+                    "is the test/interactive delivery — route long or " +
+                    "unbounded drains through streamingPredictToDir (the " +
+                    "BatchedParquetSink parquet delivery), which keeps " +
+                    "nothing on the driver")
+              acc.addAll(java.util.Arrays.asList(rows: _*)); ()
+            }
           }
           .start()
       catch {
@@ -67,9 +107,9 @@ private[streaming] object AccumulatingMemorySink {
           retained.foreach(_.unpersist())
           throw e
       }
-    // a zero-batch drain still reads as an empty relation, not a
-    // missing table
-    register()
+    spark.baseRelationToDataFrame(
+        new AccRelation(spark.sqlContext, outSchema, acc))
+      .createOrReplaceTempView(queryName)
     retained.foreach(StreamRelease.unpersistOnStop(q, _))
     q
   }

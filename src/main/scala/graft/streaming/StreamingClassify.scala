@@ -79,31 +79,43 @@ object StreamingClassify {
     val spark = model.sparkSession
     // materialize the model ONCE at query start: the count decides
     // the delivery, and the same cached pass feeds whichever path
-    // wins (the fast path's collect, or every degrade micro-batch)
+    // wins (the fast path's collect, or every degrade micro-batch).
+    // The count/collect span is GUARDED: if either throws, the
+    // persisted relation is released before the rethrow — otherwise a
+    // scorer that never returns a handle leaks its cache into the
+    // session with nothing left holding a release for it (the
+    // callers' try/catch only covers sink start)
     val frozen = model.persist()
-    val nRows = frozen.count()
-    if (nRows > maxModelRows)
-      return ScorerHandle(
-        // the explicit (doc_id, text) projection pins the output to
-        // exactly (doc_id, predicted, score) whatever extra columns a
-        // source drop carries (predictWithModel carries non-text
-        // columns through), and the LONG cast normalizes doc_id
-        // exactly like the fast path's typed encoder — the landed
-        // schema cannot flip with model size
-        batch => graft.ops.Classify.predictWithModel(
-          batch.select(col("doc_id").cast("long"), col("text")), frozen),
-        retained = Some(frozen))
-    // labels in ASCENDING order: the tie rule below ("strictly greater
-    // displaces") then lands on the smallest label for free
     val labelMaps: Array[(String, java.util.HashMap[String, java.lang.Long])] =
-      frozen.select(col("label"), col("tok"), col("w")).collect()
-        .groupBy(_.getString(0)).toArray.sortBy(_._1)
-        .map { case (label, rows) =>
-          val m = new java.util.HashMap[String, java.lang.Long](
-            rows.length * 2)
-          rows.foreach(r => m.put(r.getString(1), r.getLong(2)))
-          (label, m)
-        }
+      try {
+        if (frozen.count() > maxModelRows)
+          return ScorerHandle(
+            // the explicit (doc_id, text) projection pins the output
+            // to exactly (doc_id, predicted, score) whatever extra
+            // columns a source drop carries (predictWithModel carries
+            // non-text columns through); doc_id normalizes to LONG
+            // through the STRICT projection — non-integral source
+            // types refuse and null ids raise in-row, exactly as
+            // loudly as the fast path's typed encoder fails, so
+            // malformed input can never flip from error to silent
+            // NULL-id garbage with the model size
+            batch => graft.ops.Classify.predictWithModel(
+              batch.select(StrictDocId.longDocId(batch), col("text")),
+              frozen),
+            retained = Some(frozen))
+        // labels in ASCENDING order: the tie rule below ("strictly
+        // greater displaces") then lands on the smallest label for free
+        frozen.select(col("label"), col("tok"), col("w")).collect()
+          .groupBy(_.getString(0)).toArray.sortBy(_._1)
+          .map { case (label, rows) =>
+            val m = new java.util.HashMap[String, java.lang.Long](
+              rows.length * 2)
+            rows.foreach(r => m.put(r.getString(1), r.getLong(2)))
+            (label, m)
+          }
+      } catch {
+        case e: Throwable => frozen.unpersist(); throw e
+      }
     frozen.unpersist() // the broadcast maps replace the cached relation
     val bc = spark.sparkContext.broadcast(labelMaps)
     val score: DataFrame => DataFrame = batch => {
@@ -158,7 +170,9 @@ object StreamingClassify {
   def streamingPredict(spark: SparkSession, dir: String, schema: StructType,
       queryName: String, model: DataFrame,
       maxFilesPerTrigger: Int = 0,
-      maxModelRows: Long = 2000000L): StreamingQuery = {
+      maxModelRows: Long = 2000000L,
+      maxRetainedRows: Long =
+        AccumulatingMemorySink.DefaultMaxRetainedRows): StreamingQuery = {
     val handle = scorer(model, maxModelRows)
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
@@ -177,7 +191,7 @@ object StreamingClassify {
       org.apache.spark.sql.types.StructField("score",
         org.apache.spark.sql.types.LongType)))
     AccumulatingMemorySink.start(spark, src, queryName, outSchema,
-      handle.retained)(handle.score)
+      handle.retained, maxRetainedRows)(handle.score)
   }
 
   /** [[streamingPredict]] landing parquet instead of a memory sink —

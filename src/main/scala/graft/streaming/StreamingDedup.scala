@@ -200,9 +200,18 @@ object StreamingDecontaminate {
       s"minShared must be >= 1 (got $minShared): a zero threshold would " +
         "flag every document, not detect contamination")
     val frozen = benchmarkGrams(benchmark).persist()
-    frozen.count() // materialize once; every micro-batch reuses the cache
+    // guarded materialization: a throw here would otherwise leak the
+    // persisted grams into the session cache with no handle returned
+    // for the query-stop release (callers' try/catch only covers sink
+    // start)
+    try frozen.count() // materialize once; every micro-batch reuses the cache
+    catch { case e: Throwable => frozen.unpersist(); throw e }
     FlagScorer(batch =>
-      batch.select(col("doc_id").cast("long").as("doc_id"),
+      // STRICT id projection: a bare cast("long") would null every
+      // string/non-integral id and the groupBy below would collapse
+      // all such docs into one doc_id=NULL flag row with a summed
+      // n_shared — refuse the type / raise on null instead
+      batch.select(StrictDocId.longDocId(batch),
           TextOps.words(col("text")).as("ws"))
         .select(col("doc_id"), explode(TextOps.ngramsOf(col("ws"), 3)).as("g"))
         .join(frozen, "g")
@@ -221,7 +230,9 @@ object StreamingDecontaminate {
     */
   def streamingFlags(spark: SparkSession, dir: String, schema: StructType,
       queryName: String, benchmark: org.apache.spark.sql.DataFrame,
-      minShared: Int = 5, maxFilesPerTrigger: Int = 0): StreamingQuery = {
+      minShared: Int = 5, maxFilesPerTrigger: Int = 0,
+      maxRetainedRows: Long =
+        AccumulatingMemorySink.DefaultMaxRetainedRows): StreamingQuery = {
     val handle = scorer(benchmark, minShared)
     val reader = spark.readStream.schema(schema)
     val src = (if (maxFilesPerTrigger > 0)
@@ -233,6 +244,6 @@ object StreamingDecontaminate {
       org.apache.spark.sql.types.StructField("n_shared",
         org.apache.spark.sql.types.IntegerType)))
     AccumulatingMemorySink.start(spark, src, queryName, outSchema,
-      Some(handle.retained))(handle.score)
+      Some(handle.retained), maxRetainedRows)(handle.score)
   }
 }
