@@ -494,15 +494,28 @@ object Dedup {
   private val pairCache =
     new BoundedMemo[(Int, Int, Long, Int, Int), DataFrame](capacity = 8)
 
-  /** Unpersist and drop all memoized pair sets. DESTRUCTIVE: the
-    * cached results are eagerly checkpointed (lineage truncated), so
-    * unpersisting kills any previously RETURNED DataFrame too — call
-    * only when no caller still holds one (staleness resets, test
-    * harness isolation). Capacity overflow deliberately does NOT take
-    * this path: it drops references only, and the context cleaner
-    * reclaims the checkpoint blocks once callers release theirs.
+  /** Memoized CLUSTER label sets ([[dupClusters]]), keyed like the
+    * pair sets plus the left bound: a dedup pipeline consumes the
+    * same cluster relation several times (keep-best, cluster-safe
+    * splits, the composed pipelines), and the result is a small
+    * eagerly-checkpointed relation — the [[pairCache]] contract.
     */
-  def clearPairCache(): Unit = pairCache.clear(dropCheckpoint)
+  private val clusterCache =
+    new BoundedMemo[(Int, Int, Long), DataFrame](capacity = 8)
+
+  /** Unpersist and drop all memoized pair AND cluster sets.
+    * DESTRUCTIVE: the cached results are eagerly checkpointed
+    * (lineage truncated), so unpersisting kills any previously
+    * RETURNED DataFrame too — call only when no caller still holds
+    * one (staleness resets, test harness isolation). Capacity
+    * overflow deliberately does NOT take this path: it drops
+    * references only, and the context cleaner reclaims the
+    * checkpoint blocks once callers release theirs.
+    */
+  def clearPairCache(): Unit = {
+    pairCache.clear(dropCheckpoint)
+    clusterCache.clear(dropCheckpoint)
+  }
 
   def minhashLsh(docs: DataFrame, leftMax: Long = 200,
       bands: Int = 32, rowsPerBand: Int = 2): DataFrame = {
@@ -654,9 +667,83 @@ object Dedup {
       case _ => ()
     }
 
-  def dupClusters(docs: DataFrame, leftMax: Long = 200): DataFrame =
-    clusterLabelsOf(
-      minhashLsh(docs, leftMax).select(col("doc_a"), col("doc_b")))
+  /** Near-dup clusters over the corpus — [[clusterLabelsOf]]'s
+    * min-label propagation, but with identical shingle SETS collapsed
+    * to one representative BEFORE the banded candidate stage.
+    *
+    * Why: identical documents have identical MinHash signatures, so
+    * every member of an n-copy group collides in every band and the
+    * bucket self-join emits the full O(n²) intra-group pair set — the
+    * viral-duplicate cliff (10M re-posts of one boilerplate page →
+    * 10¹³ candidate rows) even though the CLUSTER output is linear in
+    * n. The collapse groups docs by their sorted distinct-trigram set
+    * (md5 of the joined sorted array — the same 128-bit content-key
+    * class as the md5 split assignment), elects the min-id member as
+    * the group's representative, runs candidate generation + exact
+    * verification over representatives ONLY, propagates labels on the
+    * rep graph, then broadcast-expands members onto their rep's
+    * label. Identical sets are Jaccard-1 duplicates by definition, so
+    * the expansion is EXACT, not approximate:
+    *
+    *  - cross-group: every cross pair between two identical-set
+    *    groups has the rep pair's exact Jaccard, and a member pair is
+    *    emitted by the pairwise path iff min(id) < leftMax ⇔
+    *    min(rep_a, rep_b) < leftMax — the same condition that emits
+    *    the rep pair;
+    *  - intra-group: the pairwise path emits an intra pair iff the
+    *    group has ≥2 members AND its min id (= the rep) < leftMax —
+    *    exactly the expansion's inclusion filter for label-less reps;
+    *  - labels: every member id ≥ its rep, so the min label of a rep
+    *    component IS the min doc id of the member component.
+    *
+    * Output is therefore bit-equal to
+    * `clusterLabelsOf(minhashLsh(docs, leftMax))` (spec-pinned), and
+    * the DuckDB transitive-closure oracle is unchanged. Memoized and
+    * checkpointed like the pair sets — downstream consumers
+    * (keep-best, cluster-safe splits, the composed pipelines) reuse
+    * the materialized labels.
+    */
+  def dupClusters(docs: DataFrame, leftMax: Long = 200): DataFrame = {
+    val (ph, fh) = shingleKey(docs)
+    clusterCache.getOrElseUpdate((ph, fh, leftMax))(
+      PlanAudit.checkpointed(
+        dupClustersCollapsed(cachedShingles(docs), leftMax)))
+  }
+
+  /** Per-doc identical-set keys: (doc_id, k) where `k` is the 128-bit
+    * content key of the doc's sorted distinct-shingle set. Empty
+    * shingle sets are excluded — they generate no candidates on the
+    * pairwise path, so they must not group with each other here.
+    */
+  private[graft] def shingleSetKeyed(sh: DataFrame): DataFrame =
+    sh.filter(size(col("g")) >= 1)
+      .select(col("doc_id"),
+        md5(concat_ws("\u0000", array_sort(col("g")))).as("k"))
+
+  /** The collapsed cluster pipeline over a shingle relation — see
+    * [[dupClusters]] for the exactness argument. Pre-checkpoint, so
+    * plan specs can pin the shape (the candidate stage's input is the
+    * rep-filtered shingle relation, never raw members).
+    */
+  private[graft] def dupClustersCollapsed(sh: DataFrame,
+      leftMax: Long): DataFrame = {
+    val keyed = shingleSetKeyed(sh)
+    val groups = keyed.groupBy(col("k"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_members"))
+    val shReps = sh.join(groups.select(col("rep").as("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val repPairs = verifyPairs(minhashCandidates(shReps, leftMax, 32, 2),
+      shReps).select(col("doc_a"), col("doc_b"))
+    val repLabels = clusterLabelsOf(repPairs)
+    keyed.join(groups, Seq("k"))
+      .join(repLabels.select(col("doc_id").as("rep"), col("cluster_id")),
+        Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull ||
+        (col("n_members") >= 2 && col("rep") < leftMax))
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Connected components over an ARBITRARY near-dup pair relation
     * (doc_a, doc_b) — the propagation loop [[dupClusters]] runs over
@@ -1092,18 +1179,23 @@ object Dedup {
     * per band per id, pairs materialize only inside matching band
     * buckets, never all-pairs. Exact-duplicate clusters (hamming 0)
     * produce their quadratic pair set because that IS the requested
-    * output; pipelines that only need survivors should feed these
-    * pairs to [[clusterLabelsOf]] rather than consuming the raw pairs.
-    * Null fingerprints (e.g. undecodable images upstream) are
-    * dropped, annotate-don't-fail.
+    * output; pipelines that only need survivors should use
+    * [[hammingClusters]], which collapses identical hashes to one
+    * representative BEFORE banding and never materializes the
+    * intra-group pairs. Null fingerprints (e.g. undecodable images
+    * upstream) are dropped, annotate-don't-fail.
     */
   def hammingNearDup(fps: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int = 3, nBands: Int = 4): DataFrame = {
-    require(nBands > 0 && 64 % nBands == 0,
-      s"nBands must divide 64, got $nBands")
-    require(maxDist >= 0 && maxDist < nBands,
-      s"pigeonhole recall (output == brute force) requires maxDist < nBands, " +
-        s"got maxDist=$maxDist nBands=$nBands")
+      maxDist: Int = 3, nBands: Int = 4): DataFrame =
+    hammingBandPairs(hammingBase(fps, idCol, hashCol), maxDist, nBands)
+
+  /** The validated (id, h) projection [[hammingNearDup]] and
+    * [[hammingClusters]] share: integral-typed ids (strict — see the
+    * require), null ids raise in-row, null fingerprints drop
+    * (annotate-don't-fail for undecodable payloads upstream).
+    */
+  private[graft] def hammingBase(fps: DataFrame, idCol: String,
+      hashCol: String): DataFrame = {
     // the id must ALREADY be integral: a silent cast of e.g. string
     // ids would null every one under non-ANSI SQL, and the id_a <
     // id_b predicate would then quietly report "no near-duplicates"
@@ -1118,10 +1210,7 @@ object Dedup {
       s"hammingNearDup id column '$idCol' must be an integral type, got " +
         s"$idType — map your ids to longs first (a silent cast would " +
         "null them out and report zero pairs)")
-    val bandBits = 64 / nBands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val base = fps
-      .select(
+    fps.select(
         // a NULL id passes the type guard but would void every one
         // of its pairs at the id_a < id_b predicate — raise in-row
         // (no extra pass; upstream may be an expensive decode) so a
@@ -1132,6 +1221,22 @@ object Dedup {
               "silently drop every pair it participates in"))).as("id"),
         col(hashCol).as("h"))
       .filter(col("h").isNotNull)
+  }
+
+  /** The banded pair join over a validated (id, h) relation — the
+    * candidate + exact-popcount-verify stage of [[hammingNearDup]],
+    * factored so the cluster path can run it over hash-group
+    * REPRESENTATIVES instead of raw members.
+    */
+  private[graft] def hammingBandPairs(base: DataFrame, maxDist: Int,
+      nBands: Int): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxDist >= 0 && maxDist < nBands,
+      s"pigeonhole recall (output == brute force) requires maxDist < nBands, " +
+        s"got maxDist=$maxDist nBands=$nBands")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val bandCols = array((0 until nBands).map { b =>
       shiftrightunsigned(col("h"), b * bandBits).bitwiseAND(lit(mask))
     }: _*)
@@ -1149,6 +1254,54 @@ object Dedup {
       .distinct()
   }
 
+  /** One (rep, h, n_members) row per DISTINCT fingerprint: min-id
+    * representative + member count — the collapse [[hammingClusters]]
+    * bands instead of raw rows.
+    */
+  private[graft] def hammingGroups(base: DataFrame): DataFrame =
+    base.groupBy(col("h"))
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("n_members"))
+
+  /** Cluster labels over a 64-bit fingerprint relation — the
+    * [[clusterLabelsOf]] collapse of [[hammingNearDup]]'s pairs, but
+    * with identical fingerprints grouped to one REPRESENTATIVE before
+    * the banded candidate join.
+    *
+    * Why not `clusterLabelsOf(hammingNearDup(...))`: every member of
+    * an identical-hash group shares all `nBands` band values, so the
+    * band self-join emits the group's full O(n²) pair set — correct
+    * when pairs ARE the requested output ([[hammingNearDup]]'s
+    * contract), a scale cliff when only clusters are needed (10M
+    * re-encoded copies of one viral image → 10¹³ candidate rows for a
+    * cluster output linear in n). Here the band join sees one row per
+    * DISTINCT hash; members broadcast-expand onto their rep's label
+    * afterwards. Exactness: identical hashes are Hamming-0 duplicates
+    * (always ≤ maxDist), every cross pair between two hash groups has
+    * exactly the rep pair's distance, and member ids ≥ their group's
+    * min-id rep — so labels, membership, and the min-label convention
+    * all match the pairwise path bit-for-bit (spec-pinned), and the
+    * brute-force transitive-closure oracle is unchanged. Groups with
+    * ≥2 members but no rep pair are intra-group cliques: they emit
+    * with the rep as their label, exactly as the pairwise closure
+    * labels them.
+    */
+  def hammingClusters(fps: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int = 3, nBands: Int = 4): DataFrame = {
+    val base = hammingBase(fps, idCol, hashCol)
+    val groups = hammingGroups(base)
+    val repPairs = hammingBandPairs(
+      groups.select(col("rep").as("id"), col("h")), maxDist, nBands)
+    val repLabels = clusterLabelsOf(
+      repPairs.select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    base.join(groups, Seq("h"))
+      .join(repLabels.select(col("doc_id").as("rep"), col("cluster_id")),
+        Seq("rep"), "left")
+      .filter(col("cluster_id").isNotNull || col("n_members") >= 2)
+      .select(col("id").as("doc_id"),
+        coalesce(col("cluster_id"), col("rep")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Image near-duplicate pairs by perceptual hash: dHash every
     * payload ([[Multimodal.imagePhash]] — imageio decode, 9×8 gray
     * grid, adjacent-cell bits) and run the exact Hamming-banded pair
@@ -1162,4 +1315,25 @@ object Dedup {
       maxDist: Int = 3, nBands: Int = 4): DataFrame =
     hammingNearDup(Multimodal.imagePhash(docs, payloadCol), idCol, "phash",
       maxDist, nBands)
+
+  /** [[imagePhashNearDup]]'s cluster form: decode + dHash every
+    * payload, then [[hammingClusters]] — identical-phash groups (the
+    * re-encoded-copy mode that dominates scraped image corpora)
+    * collapse to one representative before the banded join, so a
+    * viral image's 10M copies cost one band row, not 10¹³ candidate
+    * pairs. Output: (doc_id, cluster_id) for every image in a
+    * duplicate group; non-image rows drop at the null-hash filter.
+    */
+  def imagePhashClusters(docs: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 3, nBands: Int = 4): DataFrame = {
+    // the decode dominates this path's cost and the cluster pipeline
+    // reads the fingerprint relation several times (group aggregate,
+    // both band-join sides, member expansion): persist so every image
+    // decodes ONCE, checkpoint the (small) cluster output eagerly,
+    // release the decode cache before returning
+    val fps = Multimodal.imagePhash(docs, payloadCol).persist()
+    try PlanAudit.checkpointed(
+      hammingClusters(fps, idCol, "phash", maxDist, nBands))
+    finally fps.unpersist(blocking = false)
+  }
 }

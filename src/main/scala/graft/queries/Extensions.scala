@@ -143,15 +143,15 @@ object Extensions {
           col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))),
 
-    // image-modality cluster collapse: the phash pairs feed the SAME
-    // min-label propagation the text pairs use (clusterLabelsOf), so
-    // a curation pipeline keeps one survivor per duplicate-image
-    // group instead of consuming raw pairs; oracle = recursive
-    // transitive closure over the brute Hamming pairs
+    // image-modality cluster collapse: the SAME min-label propagation
+    // the text pairs use, but identical phashes group to one
+    // representative BEFORE the banded candidate join (hammingClusters)
+    // — the viral-duplicate mode costs one band row per distinct hash,
+    // never an intra-group pair set; output bit-equal to the pairwise
+    // closure (spec-pinned), oracle = recursive transitive closure
+    // over the brute Hamming pairs, unchanged
     "x_dedup_image_clusters" -> ((s, d) =>
-      Dedup.clusterLabelsOf(
-        Dedup.imagePhashNearDup(phashRenderedDocs(s, d), "doc_id", "payload")
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))),
+      Dedup.imagePhashClusters(phashRenderedDocs(s, d), "doc_id", "payload")),
 
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
