@@ -1324,6 +1324,35 @@ object Dedup {
     * pairs. Output: (doc_id, cluster_id) for every image in a
     * duplicate group; non-image rows drop at the null-hash filter.
     */
+  /** AUDIO near-duplicate pairs by energy fingerprint: decode every
+    * payload ([[Multimodal.audioFingerprint]] — javax.sound decode,
+    * silence trim, 72-block integer energy grid, dHash-packed) and
+    * run the exact Hamming-banded pair join — the last dedup modality
+    * next to text, embeddings, and images, riding the SAME
+    * [[hammingNearDup]] substrate. Re-encoded (amplitude-scaled,
+    * resampled/stretched) and silence-padded copies land within a few
+    * bits while distinct clips disagree on ~half; non-audio rows drop
+    * out at the null-fingerprint filter, so a mixed corpus needs no
+    * pre-filtering.
+    */
+  def audioFpNearDup(docs: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 3, nBands: Int = 4): DataFrame =
+    hammingNearDup(Multimodal.audioFingerprint(docs, payloadCol), idCol,
+      "afp", maxDist, nBands)
+
+  /** [[audioFpNearDup]]'s cluster form — [[hammingClusters]] over the
+    * audio fingerprints, decode-once like [[imagePhashClusters]]:
+    * identical-fingerprint groups (re-uploads of one clip) collapse
+    * to a representative before the banded join.
+    */
+  def audioFpClusters(docs: DataFrame, idCol: String, payloadCol: String,
+      maxDist: Int = 3, nBands: Int = 4): DataFrame = {
+    val fps = Multimodal.audioFingerprint(docs, payloadCol).persist()
+    try PlanAudit.checkpointed(
+      hammingClusters(fps, idCol, "afp", maxDist, nBands))
+    finally fps.unpersist(blocking = false)
+  }
+
   def imagePhashClusters(docs: DataFrame, idCol: String, payloadCol: String,
       maxDist: Int = 3, nBands: Int = 4): DataFrame = {
     // the decode dominates this path's cost and the cluster pipeline

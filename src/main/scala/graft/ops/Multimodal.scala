@@ -421,6 +421,145 @@ object Multimodal {
     buf.toByteArray
   }
 
+  /** Energy fingerprint of an audio payload: decode via the JDK's
+    * `javax.sound.sampled` (WAV/AIFF/AU — PCM, any byte order, µ-law;
+    * the SPI converts to signed 16-bit), fold channels to one
+    * |amplitude| per frame, TRIM leading/trailing quiet (≤ peak/64 —
+    * so zero-padded re-encodes fingerprint identically), integer
+    * area-average the trimmed envelope to the same 9×8 = 72-block
+    * grid the image path uses, then pack one bit per adjacent-block
+    * comparison ([[dHashOfCells]] — the dHash convention, applied in
+    * the time domain). All-integer end to end (channel fold = sum div
+    * channels, block energy = sum div count), so the fingerprint is a
+    * bit-deterministic VALUE the near-dup joins and their oracles can
+    * treat as plain data — exactly the [[imagePhash]] contract, which
+    * is what lets [[graft.ops.Dedup.hammingNearDup]] and the cluster
+    * collapse serve both modalities unchanged.
+    *
+    * Robustness by construction: amplitude scaling is monotone on
+    * block energies (comparisons unchanged), time-stretch/resample
+    * moves block BOUNDARIES proportionally (the grid is fractional),
+    * and padding trims away — while distinct clips disagree on ~half
+    * the comparisons. Non-audio payloads, undecodable bodies, and
+    * pure silence map to a null fingerprint (annotate-don't-fail; the
+    * pair join drops nulls).
+    */
+  def audioFingerprint(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("afp", LongType))
+    val payloadIx = df.schema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+
+        audioFingerprintOf(r.getAs[Array[Byte]](payloadIx))))
+    }(enc)
+  }
+
+  /** The audio fingerprint core, decode included — null for anything
+    * that is not decodable audio with at least one non-silent frame.
+    */
+  private[graft] def audioFingerprintOf(bytes: Array[Byte]): java.lang.Long = {
+    if (sniffModality(bytes) != 'a') return null
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val src = in.getFormat
+        val pcm =
+          if (src.getEncoding ==
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              src.getSampleSizeInBits == 16 && !src.isBigEndian) in
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels,
+              src.getChannels * 2, src.getSampleRate, false), in)
+        val raw = pcm.readAllBytes()
+        val ch = math.max(1, src.getChannels)
+        val n = raw.length / (2 * ch)
+        if (n == 0) return null
+        // one |amplitude| per frame: mean over channels of |sample|
+        val amp = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          var s = 0L
+          var c = 0
+          while (c < ch) {
+            val o = (i * ch + c) * 2
+            s += math.abs(((raw(o) & 0xff) | (raw(o + 1) << 8)).toShort.toLong)
+            c += 1
+          }
+          amp(i) = s / ch
+          i += 1
+        }
+        var peak = 0L
+        i = 0
+        while (i < n) { if (amp(i) > peak) peak = amp(i); i += 1 }
+        if (peak == 0L) return null // pure silence: nothing to fingerprint
+        // trim quiet lead/tail so padding never shifts the grid
+        val floor = peak / 64
+        var lo = 0
+        while (lo < n && amp(lo) <= floor) lo += 1
+        var hi = n - 1
+        while (hi > lo && amp(hi) <= floor) hi -= 1
+        val len = hi - lo + 1
+        // integer area-average to 72 time blocks (the 9×8 grid
+        // row-major); short clips clamp blocks to ≥1 frame like
+        // grayCells does for small images
+        val nb = PhashW * PhashH
+        val cells = new Array[Int](nb)
+        var k = 0
+        while (k < nb) {
+          val t0 = lo + (k.toLong * len / nb).toInt
+          val t1 = math.min(lo + len,
+            math.max(lo + ((k + 1).toLong * len / nb).toInt, t0 + 1))
+          var sum = 0L
+          var t = t0
+          while (t < t1) { sum += amp(t); t += 1 }
+          cells(k) = (sum / (t1 - t0)).toInt
+          k += 1
+        }
+        java.lang.Long.valueOf(dHashOfCells(cells))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Render a 72-cell energy grid as a real 16-bit PCM mono WAV whose
+    * [[audioFingerprintOf]] is exactly `dHashOfCells(cells)` — the
+    * audio counterpart of [[grayCellsPng]]: each block holds
+    * `samplesPerBlock` alternating ±(cell·scale) samples, so the
+    * decoded block energy is cell·scale EXACTLY (integer mean of a
+    * constant) and the adjacent-block comparisons reproduce the
+    * planted bits through the full decode path. [[cellsForBits]]
+    * grids stay within 121..135, far above the peak/64 trim floor,
+    * so nothing trims. `samplesPerBlock` varies the clip length
+    * WITHOUT moving the fingerprint (blocks scale with the grid) —
+    * the time-stretch invariance fixture.
+    */
+  def energyCellsWav(cells: Array[Int], samplesPerBlock: Int = 4,
+      sampleRate: Int = 8000, scale: Int = 64): Array[Byte] = {
+    require(cells.length == PhashW * PhashH,
+      s"expected ${PhashW * PhashH} cells, got ${cells.length}")
+    require(samplesPerBlock >= 1 && scale >= 1)
+    val n = cells.length * samplesPerBlock
+    val data = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val v = math.min(32767, math.max(0, cells(t / samplesPerBlock) * scale))
+      val s = (if (t % 2 == 0) v else -v).toShort
+      data(2 * t) = (s & 0xff).toByte
+      data(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
   /** Deterministic frame sampling for (stub) video payloads: every
     * k-th frame index up to n_frames; zero-frame media sample an
     * EMPTY list (not frame 0 — there is no frame 0 to extract).

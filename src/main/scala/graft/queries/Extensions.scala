@@ -43,7 +43,16 @@ object Extensions {
     * roundtrip spec-pinned) — so the gates pay the full production
     * decode path while the oracle works from replayable data.
     */
-  private def phashRenderedDocs(s: SparkSession, d: String): DataFrame = {
+  /** The media gates' shared 64-bit derivation: each doc's distinct
+    * word bigrams map to bits 0..63 through an integer polynomial —
+    * near-dup docs differ in a few bigrams (a few bits), distinct
+    * docs disagree on ~half, and DuckDB replays the rule as data
+    * (phashBitsCte). Modality-independent: the IMAGE gates render the
+    * bits as real PNGs, the AUDIO gates as real PCM WAVs — each
+    * decode+fingerprint path recovers them exactly (spec-pinned
+    * roundtrips), so both modalities share one oracle shape.
+    */
+  private def fixtureBits(s: SparkSession, d: String) = {
     import s.implicits._
     val g = col("g")
     def a(k: Int) = ascii(substring(g, k, 1)).cast("long")
@@ -58,9 +67,24 @@ object Extensions {
       .as[(Long, Seq[Long])].map { case (id, ns) =>
         var h = 0L
         ns.foreach(n => h |= 1L << n.toInt)
-        (id, graft.ops.Multimodal.grayCellsPng(
-          graft.ops.Multimodal.cellsForBits(h)))
-      }.toDF("doc_id", "payload")
+        (id, h)
+      }
+  }
+
+  private def phashRenderedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fixtureBits(s, d).map { case (id, h) =>
+      (id, graft.ops.Multimodal.grayCellsPng(
+        graft.ops.Multimodal.cellsForBits(h)))
+    }.toDF("doc_id", "payload")
+  }
+
+  private def audioRenderedDocs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    fixtureBits(s, d).map { case (id, h) =>
+      (id, graft.ops.Multimodal.energyCellsWav(
+        graft.ops.Multimodal.cellsForBits(h)))
+    }.toDF("doc_id", "payload")
   }
 
   /** Build-once guard for the persisted-store gate rows (IVF index,
@@ -152,6 +176,27 @@ object Extensions {
     // over the brute Hamming pairs, unchanged
     "x_dedup_image_clusters" -> ((s, d) =>
       Dedup.imagePhashClusters(phashRenderedDocs(s, d), "doc_id", "payload")),
+
+    // AUDIO near-dup by energy fingerprint — the last dedup modality
+    // next to text/embedding/image: real WAV decode (javax.sound) →
+    // silence trim → 72-block integer energy grid → dHash bits → the
+    // same exact Hamming-banded join. The corpus renders the SAME
+    // bigram-polynomial bits the image gates use as real PCM WAVs
+    // whose decode+fingerprint recovers them exactly (energyCellsWav
+    // roundtrip, spec-pinned), so the oracle is the brute Hamming
+    // join over the replayed bits — identical shape to the image gate.
+    "x_dedup_audio_fp" -> ((s, d) =>
+      Dedup.audioFpNearDup(audioRenderedDocs(s, d), "doc_id", "payload")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+          col("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // audio cluster collapse: identical fingerprints group to one
+    // representative before banding (hammingClusters — the r19
+    // collapse); oracle = recursive transitive closure over the brute
+    // Hamming pairs
+    "x_dedup_audio_clusters" -> ((s, d) =>
+      Dedup.audioFpClusters(audioRenderedDocs(s, d), "doc_id", "payload")),
 
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
@@ -1406,10 +1451,12 @@ object Extensions {
       |      ORDER BY score DESC, label) AS rn
       |  FROM sc)""".stripMargin
 
-  /** The phash gates' shared bit derivation (see phashRenderedDocs):
-    * word bigrams → integer polynomial → presence bits 0..63. NOT
-    * stripMargin'd here — each composed oracle strips exactly once
-    * (the shingleCte convention).
+  /** The media gates' shared bit derivation (see fixtureBits): word
+    * bigrams → integer polynomial → presence bits 0..63 — replayed by
+    * the image (phash) AND audio (energy fingerprint) oracles, since
+    * both renderings recover the same bits. NOT stripMargin'd here —
+    * each composed oracle strips exactly once (the shingleCte
+    * convention).
     */
   private val phashBitsCte =
     """ws AS (SELECT doc_id, string_split(text, ' ') AS ws
@@ -1772,6 +1819,36 @@ object Extensions {
     // image clusters: recursive transitive closure + min label over
     // the same brute Hamming pairs (the x_dedup_clusters shape)
     "x_dedup_image_clusters" ->
+      raw"""WITH RECURSIVE $phashBitsCte,
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b
+        |  FROM bits a JOIN bits bb ON a.doc_id < bb.doc_id
+        |  WHERE len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3),
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |  UNION SELECT doc_b, doc_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // audio: the SAME bit derivation and brute Hamming oracles as the
+    // image gates — the fingerprint recovers identical bits through
+    // the WAV render/decode roundtrip, so the replay is shared
+    "x_dedup_audio_fp" ->
+      raw"""WITH $phashBitsCte
+        |SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b,
+        |  CAST(len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits bb ON a.doc_id < bb.doc_id
+        |WHERE len(list_filter(range(64), n ->
+        |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x_dedup_audio_clusters" ->
       raw"""WITH RECURSIVE $phashBitsCte,
         |p AS (
         |  SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b
