@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
 import graft.config.PipelineConfig.Stage
-import graft.ops.{DedupStore, IvfIndex, IvfPqStore, PqStore, StoreMaintenance}
+import graft.ops.{DedupStore, IvfIndex, IvfPqStore, PhashStore, PqStore,
+  StoreMaintenance}
 
 /** Executes one declarative analytics stage
   * ([[graft.config.PipelineConfig.Stage]]) and returns the DataFrame
@@ -183,12 +184,14 @@ object StageRunner {
       verdict match {
         case "rebuild" => store match {
           case "dedup" => DedupStore.save(documents, dir)
+          case "phash" => PhashStore.save(documents, dir)
           case "ivf" => IvfIndex.save(embeddings, dir)
           case "pq" => PqStore.save(embeddings, dir)
           case "ivfpq" => IvfPqStore.save(embeddings, dir)
         }
         case "compact" => store match {
           case "dedup" => DedupStore.compact(spark, dir)
+          case "phash" => PhashStore.compact(spark, dir)
           case "ivf" => IvfIndex.compact(spark, dir)
           case "pq" => PqStore.compact(spark, dir)
           case "ivfpq" => IvfPqStore.compact(spark, dir)
@@ -209,7 +212,8 @@ object StageRunner {
     // adaptable via table/columns/input_stage); malformed ids refuse
     // loudly through requireLongIds, never a silent non-retraction.
     if (action == "delete") {
-      val idCol = if (store == "dedup") "doc_id" else "vec_id"
+      val idCol =
+        if (store == "dedup" || store == "phash") "doc_id" else "vec_id"
       val rel = adaptedInput(spark, stage, priorOutput,
         default = "takedowns").getOrElse(
         graft.engine.Tables.table(spark, stage.inputDir, "takedowns"))
@@ -220,6 +224,7 @@ object StageRunner {
       val ids = rel.select(col(idCol))
       store match {
         case "dedup" => DedupStore.delete(ids, dir)
+        case "phash" => PhashStore.delete(ids, dir)
         case "ivf" => IvfIndex.delete(ids, dir)
         case "pq" => PqStore.delete(ids, dir)
         case "ivfpq" => IvfPqStore.delete(ids, dir)
@@ -229,13 +234,16 @@ object StageRunner {
     }
     if (action == "dedup") return store match {
       case "dedup" => DedupStore.dedupAgainst(spark, documents, dir)
+      // the incremental image step: decode TODAY'S batch only, flag it
+      // against the stored fingerprints — the corpus never re-decodes
+      case "phash" => PhashStore.dedupAgainst(spark, documents, dir)
       case "ivfpq" => IvfPqStore.dedupAgainst(spark, dir,
         embeddings.select(col("vec_id").as("query_id"),
           col("embedding").as("qv")),
         minCosine = minCosine, margin = margin)
       case other => throw new IllegalArgumentException(
-        s"stage '${stage.name}': action 'dedup' supports the dedup and " +
-          s"ivfpq stores, not '$other'")
+        s"stage '${stage.name}': action 'dedup' supports the dedup, " +
+          s"phash and ivfpq stores, not '$other'")
     }
     var compacted = false
     (store, action) match {
@@ -250,6 +258,15 @@ object StageRunner {
       case ("dedup", "compact") => DedupStore.compact(spark, dir)
       case ("dedup", "maintain") =>
         compacted = StoreMaintenance.maintainDedup(spark, dir,
+          maxTombstoneRatio, maxIngests)
+      // the image fingerprint store: same lifecycle verbs, decode paid
+      // once at build/append, never again
+      case ("phash", "build" | "rebuild") => PhashStore.save(documents, dir)
+      case ("phash", "append") =>
+        PhashStore.append(documents, dir, stage.ingestId.get)
+      case ("phash", "compact") => PhashStore.compact(spark, dir)
+      case ("phash", "maintain") =>
+        compacted = StoreMaintenance.maintainPhash(spark, dir,
           maxTombstoneRatio, maxIngests)
       case ("ivf", "build" | "rebuild") => IvfIndex.save(embeddings, dir)
       case ("ivf", "append") =>
@@ -305,12 +322,16 @@ object StageRunner {
     case "dedup" => StoreMaintenance.recommendDedup(spark, dir,
       corpus = Some(documents),
       maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+    case "phash" => StoreMaintenance.recommendPhash(spark, dir,
+      corpus = Some(documents),
+      maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
   }
 
   private def statsAudit(spark: SparkSession, stage: Stage, store: String,
       dir: String, action: String, compacted: Boolean): DataFrame = {
     val stats = store match {
       case "dedup" => DedupStore.stats(spark, dir)
+      case "phash" => PhashStore.stats(spark, dir)
       case "ivf" => IvfIndex.stats(spark, dir)
       case "pq" => PqStore.stats(spark, dir)
       case "ivfpq" => IvfPqStore.stats(spark, dir)
@@ -390,6 +411,22 @@ object StageRunner {
         // empty-schema'd when nothing has ever landed
         readOrEmpty(spark, outDir,
           "query_id BIGINT, corpus_id BIGINT, cosine DOUBLE, graft_batch BIGINT")
+      case "image_dedup" =>
+        // the IMAGE-side analogue of store_dedup: incoming image
+        // batches decoded once and flagged against the persisted
+        // fingerprint store, per micro-batch — the corpus never
+        // re-decodes
+        val outDir = stage.outDir.get
+        requireStore(stage.dir.get, "phash store")
+        if (srcReady) {
+          val q = graft.streaming.StreamingImageDedup
+            .streamingDedupAgainstStore(spark, sourceDir, schema,
+              stage.dir.get, outDir,
+              maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
+          drain(q)
+        }
+        readOrEmpty(spark, outDir,
+          "inc_id BIGINT, corpus_id BIGINT, hamming BIGINT, graft_batch BIGINT")
       case "store_dedup" =>
         // the TEXT-side analogue of embedding_dedup: incoming document
         // batches flagged against the persisted gram store, per

@@ -403,7 +403,8 @@ object PipelineConfig {
           throw new IllegalArgumentException(
             s"stage '${s.name}': kind 'store' requires 'store', " +
               "'action' and 'dir'")
-        if (!Set("dedup", "ivf", "pq", "ivfpq", "classifier")(s.store.get))
+        if (!Set("dedup", "phash", "ivf", "pq", "ivfpq",
+            "classifier")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown store '${s.store.get}'")
         if (!Set("build", "rebuild", "append", "compact", "maintain",
@@ -419,10 +420,11 @@ object PipelineConfig {
           throw new IllegalArgumentException(
             s"stage '${s.name}': store 'classifier' supports actions " +
               s"build | rebuild | stats, not '${s.action.get}'")
-        if (s.action.contains("dedup") && !Set("dedup", "ivfpq")(s.store.get))
+        if (s.action.contains("dedup") &&
+            !Set("dedup", "phash", "ivfpq")(s.store.get))
           throw new IllegalArgumentException(
-            s"stage '${s.name}': action 'dedup' supports the dedup and " +
-              "ivfpq stores")
+            s"stage '${s.name}': action 'dedup' supports the dedup, " +
+              "phash and ivfpq stores")
         if (s.action.contains("append") && s.ingestId.isEmpty)
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'append' requires 'ingest_id' " +
@@ -464,6 +466,11 @@ object PipelineConfig {
               throw new IllegalArgumentException(
                 s"stage '${s.name}': stream 'store_dedup' requires " +
                   "'dir' (the dedup gram store) and 'out_dir'")
+          case "image_dedup" =>
+            if (s.dir.isEmpty || s.outDir.isEmpty)
+              throw new IllegalArgumentException(
+                s"stage '${s.name}': stream 'image_dedup' requires " +
+                  "'dir' (the phash store) and 'out_dir'")
           case "classify" =>
             if (s.outDir.isEmpty)
               throw new IllegalArgumentException(
@@ -482,7 +489,8 @@ object PipelineConfig {
                   "per drain")
           case other => throw new IllegalArgumentException(
             s"stage '${s.name}': unknown stream '$other' " +
-              "(index_ingest | embedding_dedup | store_dedup | classify)")
+              "(index_ingest | embedding_dedup | store_dedup | " +
+              "image_dedup | classify)")
         }
       case other => throw new IllegalArgumentException(
         s"stage '${s.name}': unknown kind '$other' (query | store | stream)")

@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted image-fingerprint store — decode the kept corpus ONCE,
+  * dedup every future image batch against stored hashes.
+  *
+  * [[Dedup.imagePhashNearDup]] is the right SHAPE for image dedup but
+  * the wrong LIFECYCLE for scheduled ingest: every run would re-decode
+  * the full historical corpus, and at scale the imageio decode — not
+  * the banded join — dominates every batch. This store is the image
+  * counterpart of [[DedupStore]] (grams → fingerprints), under the
+  * same [[StoreVersioning versioned root]] (rebuilds and compactions
+  * commit by marker creation, never by overwriting live data):
+  *
+  *  - `fps/`     — the decoded (corpus_id, phash) relation: a batch
+  *    run band-joins TWO pruned BIGINT columns instead of re-decoding
+  *    payload bytes. Partitioned by ingest id, so appends are
+  *    idempotent (see [[append]]).
+  *  - `deletes/` — the tombstone relation ([[delete]]).
+  *
+  * After a batch is vetted, [[append]] adds the kept images'
+  * fingerprints in place — the store grows with the corpus, no
+  * re-decode, no rebuild. The banded candidate join, the exact
+  * popcount cut and the pigeonhole-exactness guarantee
+  * (`maxDist < nBands` ⇒ output == brute force) are the
+  * [[Dedup.hammingNearDup]] contract applied two-sided, so the gate
+  * rows replay the same brute-Hamming DuckDB oracle through the
+  * persisted path.
+  */
+object PhashStore {
+
+  private def fpsPath(root: String) = s"$root/fps"
+  private def deletesPath(root: String) = s"$root/deletes"
+
+  /** Physical-layout version of the fingerprint relation (v1:
+    * ingest-keyed since the store's introduction).
+    */
+  private val Layout = 1L
+
+  private def requireLayout(spark: SparkSession, root: String): Unit =
+    StoreVersioning.requireLayout(spark, root, "PhashStore", "fps", Layout)
+
+  /** The validated, decoded (corpus_id, phash) relation of a corpus:
+    * payloads prune to the two needed columns BEFORE the decode,
+    * non-image/undecodable rows drop at the null-hash filter, and ids
+    * ride the strict integral guard ([[Dedup.hammingBase]] — shared,
+    * not copied).
+    */
+  private def fingerprints(docs: DataFrame, idCol: String,
+      payloadCol: String): DataFrame =
+    Dedup.hammingBase(
+        Multimodal.imagePhash(docs.select(col(idCol), col(payloadCol)),
+          payloadCol),
+        idCol, "phash")
+      .select(col("id").as("corpus_id"), col("h").as("phash"))
+
+  /** Build the store at `dir`: one decode pass over the kept corpus,
+    * fingerprints landed in a FRESH version root, committed by marker
+    * creation. A crashed rebuild leaves the old version untouched and
+    * still committed; the recovery is to run save again.
+    */
+  def save(corpus: DataFrame, dir: String, idCol: String = "doc_id",
+      payloadCol: String = "payload"): Unit = {
+    val spark = corpus.sparkSession
+    StoreVersioning.withMaintainerLock(spark, dir, "PhashStore.save") {
+      val v = StoreVersioning.nextVersion(spark, dir)
+      write(corpus, s"$dir/$v", "0", full = true, idCol, payloadCol)
+      StoreVersioning.writeMeta(spark, s"$dir/$v", Seq(
+        "store" -> "PhashStore",
+        "layout" -> Layout.toString,
+        "train_fingerprint" -> StoreVersioning.trainFingerprint(corpus),
+        "train_content_fingerprint" ->
+          StoreVersioning.contentFingerprint(corpus)))
+      StoreVersioning.commit(spark, dir, v)
+    }
+  }
+
+  /** Add newly-kept images to the committed store as ingest partition
+    * `ingestId` — one decode pass over the NEW images only; other
+    * ingests' files are untouched. `ingestId` names the batch and
+    * makes the append IDEMPOTENT: the write is a dynamic partition
+    * overwrite of exactly this ingest's subtree, so re-running a
+    * failed append with the same id replaces its own partial output
+    * instead of double-storing fingerprints.
+    */
+  def append(docs: DataFrame, dir: String, ingestId: String,
+      idCol: String = "doc_id", payloadCol: String = "payload"): Unit = {
+    require(ingestId.nonEmpty && ingestId != "0",
+      "ingestId must be a non-empty batch name other than the reserved \"0\"")
+    StoreVersioning.withMaintainerLock(docs.sparkSession, dir,
+        "PhashStore.append") {
+      val root = StoreVersioning.requireRoot(docs.sparkSession, dir)
+      requireLayout(docs.sparkSession, root)
+      write(docs, root, ingestId, full = false, idCol, payloadCol)
+    }
+  }
+
+  private def write(docs: DataFrame, root: String, ingestId: String,
+      full: Boolean, idCol: String, payloadCol: String): Unit = {
+    val w = fingerprints(docs, idCol, payloadCol)
+      .withColumn("ingest", lit(ingestId))
+      .write.mode("overwrite").partitionBy("ingest")
+    (if (full) w else w.option("partitionOverwriteMode", "dynamic"))
+      .parquet(fpsPath(root))
+  }
+
+  /** Retract images from the store WITHOUT rewriting it: takedown ids
+    * land in a tombstone relation and [[dedupAgainst]] anti-joins them
+    * out of the fingerprint relation — retraction is immediate, dead
+    * rows are physically reclaimed by the next [[compact]] or
+    * [[save]].
+    */
+  def delete(docIds: DataFrame, dir: String): Unit =
+    StoreVersioning.withMaintainerLock(docIds.sparkSession, dir,
+        "PhashStore.delete") {
+      val root = StoreVersioning.requireRoot(docIds.sparkSession, dir)
+      val ids = StoreVersioning.requireLongIds(docIds, "corpus_id")
+      ids.write.mode("append").parquet(deletesPath(root))
+    }
+
+  /** Read a store relation, tolerating the EMPTY-store footprint: a
+    * corpus with no decodable image writes ZERO rows into a
+    * partitioned relation (bare `_SUCCESS`, no footer) — the
+    * read-back must behave as "matches nothing", not throw.
+    */
+  private def readRel(spark: SparkSession, path: String,
+      ddl: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+
+  private def deletesIfAny(spark: SparkSession,
+      root: String): Option[DataFrame] = {
+    val path = new org.apache.hadoop.fs.Path(deletesPath(root))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(root)))
+    else None
+  }
+
+  /** Rewrite the store from its own contents into a FRESH version:
+    * fingerprints minus the tombstoned images, collapsed to one
+    * ingest — dead rows reclaimed and per-append file growth
+    * re-bounded WITHOUT touching payload bytes (no re-decode; the
+    * store is its own source). A crashed compaction destroys nothing.
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+      StoreVersioning.withMaintainerLock(spark, dir, "PhashStore.compact") {
+    val root = StoreVersioning.requireRoot(spark, dir)
+    requireLayout(spark, root)
+    val v = StoreVersioning.nextVersion(spark, dir)
+    val newRoot = s"$dir/$v"
+    val del = deletesIfAny(spark, root)
+    val live0 = readRel(spark, fpsPath(root),
+      "corpus_id BIGINT, phash BIGINT, ingest STRING").drop("ingest")
+    val live = del.fold(live0)(d => live0.join(d, Seq("corpus_id"), "left_anti"))
+    live.withColumn("ingest", lit("0"))
+      .write.mode("overwrite").partitionBy("ingest").parquet(fpsPath(newRoot))
+    // lineage carries over verbatim (the store is its own source)
+    StoreVersioning.writeMeta(spark, newRoot,
+      StoreVersioning.metaOf(spark, root).toSeq.sortBy(_._1))
+    StoreVersioning.commit(spark, dir, v)
+  }
+
+  /** Maintenance introspection — same contract as
+    * [[DedupStore.stats]]: fragmentation and dead-row signals as one
+    * audit row; aggregate scalars only, store untouched.
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = StoreVersioning.requireRoot(spark, dir)
+    requireLayout(spark, root)
+    val meta = StoreVersioning.metaOf(spark, root)
+    val fps = readRel(spark, fpsPath(root),
+      "corpus_id BIGINT, phash BIGINT, ingest STRING")
+    val del = deletesIfAny(spark, root)
+    val nImages = fps.count()
+    val nTomb = del.fold(0L)(_.select(col("corpus_id")).distinct().count())
+    val nLive = del.fold(nImages)(d =>
+      fps.join(d, Seq("corpus_id"), "left_anti").count())
+    Seq((StoreVersioning.versionOf(root),
+        fps.select(col("ingest").cast("string")).distinct().count(),
+        StoreVersioning.dataFileCount(spark, fpsPath(root)),
+        nImages, nTomb, nLive,
+        meta.getOrElse("layout", "unknown"),
+        meta.getOrElse("train_fingerprint", "unknown")))
+      .toDF("version", "n_ingests", "n_fp_files",
+        "n_images", "n_tombstoned", "n_live_images",
+        "layout", "train_fingerprint")
+  }
+
+  /** Flag incoming images whose fingerprint is within Hamming
+    * `maxDist` of anything already kept in the STORE: decode the
+    * incoming batch ONLY, band both sides, equi-join on
+    * (band_ix, band_value), exact-popcount verify — the
+    * [[Dedup.hammingNearDup]] shape two-sided, with the same
+    * pigeonhole guarantee (`maxDist < nBands` ⇒ output == the brute
+    * cross join). Tombstones prune at the fingerprint relation so
+    * retracted images never generate candidates.
+    */
+  def dedupAgainst(spark: SparkSession, incoming: DataFrame, dir: String,
+      maxDist: Int = 3, nBands: Int = 4, idCol: String = "doc_id",
+      payloadCol: String = "payload"): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0,
+      s"nBands must divide 64, got $nBands")
+    require(maxDist >= 0 && maxDist < nBands,
+      s"pigeonhole recall (output == brute force) requires maxDist < nBands, " +
+        s"got maxDist=$maxDist nBands=$nBands")
+    val root = StoreVersioning.requireRoot(spark, dir)
+    requireLayout(spark, root)
+    val inc = fingerprints(incoming, idCol, payloadCol)
+      .select(col("corpus_id").as("inc_id"), col("phash").as("ih"))
+    val stored0 = readRel(spark, fpsPath(root),
+      "corpus_id BIGINT, phash BIGINT, ingest STRING")
+    val stored = deletesIfAny(spark, root).fold(stored0)(d =>
+      stored0.join(d, Seq("corpus_id"), "left_anti"))
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    def banded(df: DataFrame, hc: String) =
+      df.select(df.columns.toIndexedSeq.map(col) :+ posexplode(
+          array((0 until nBands).map { b =>
+            shiftrightunsigned(col(hc), b * bandBits).bitwiseAND(lit(mask))
+          }: _*)): _*)
+        .withColumnsRenamed(Map("pos" -> "bix", "col" -> "bval"))
+    banded(inc, "ih")
+      .join(banded(stored.select(col("corpus_id"), col("phash")), "phash"),
+        Seq("bix", "bval"))
+      .filter(bit_count(col("ih").bitwiseXOR(col("phash"))) <= maxDist)
+      .select(col("inc_id"), col("corpus_id"),
+        bit_count(col("ih").bitwiseXOR(col("phash")))
+          .cast("bigint").as("hamming"))
+      .distinct()
+      .orderBy(col("inc_id"), col("corpus_id"))
+  }
+}

@@ -94,6 +94,12 @@ object StoreMaintenance {
     decideAndRun(IvfPqStore.stats(spark, dir), "n_vectors",
       maxTombstoneRatio, maxIngests)(IvfPqStore.compact(spark, dir))
 
+  def maintainPhash(spark: SparkSession, dir: String,
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): Boolean =
+    decideAndRun(PhashStore.stats(spark, dir), "n_images",
+      maxTombstoneRatio, maxIngests)(PhashStore.compact(spark, dir))
+
   def maintainDedup(spark: SparkSession, dir: String,
       maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
       maxIngests: Long = DefaultMaxIngests): Boolean =
@@ -165,6 +171,18 @@ object StoreMaintenance {
       maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
       maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
     recommendFrom(spark, dir, DedupStore.stats(spark, dir), "n_docs",
+      None, corpus, 0.0, maxTombstoneRatio, maxIngests)
+
+  /** [[recommendDedup]] for the image fingerprint store: exact
+    * hash machinery (no learned geometry) — drift means the store no
+    * longer covers the image corpus it dedups against, fragmentation
+    * means compact.
+    */
+  def recommendPhash(spark: SparkSession, dir: String,
+      corpus: Option[org.apache.spark.sql.DataFrame] = None,
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
+    recommendFrom(spark, dir, PhashStore.stats(spark, dir), "n_images",
       None, corpus, 0.0, maxTombstoneRatio, maxIngests)
 
   private def recommendFrom(spark: SparkSession, dir: String,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, DedupStore, Integrity, IvfIndex, IvfPqStore, Kmeans, Multimodal, Pq, PqStore, Profile, Quantize, Sampling, Search, Similarity, TextOps}
+import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, DedupStore, Integrity, IvfIndex, IvfPqStore, Kmeans, Multimodal, PhashStore, Pq, PqStore, Profile, Quantize, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -190,6 +190,50 @@ object Extensions {
         .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
           col("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))),
+
+    // the persisted image-fingerprint store: the kept corpus decodes
+    // ONCE into (corpus_id, phash) storage (PhashStore — the DedupStore
+    // lifecycle applied to the image modality); the batch run
+    // band-joins two pruned BIGINT columns instead of re-decoding the
+    // history. Candidate join + exact popcount cut are the
+    // hammingNearDup contract two-sided (maxDist < nBands ⇒ output ==
+    // the brute cross join), so the gate replays the brute Hamming
+    // oracle through the persisted path
+    "x_dedup_image_store" -> ((s, d) => {
+      val docs = phashRenderedDocs(s, d)
+      val dir = storeDir(d, "phash_full")
+      buildStoreOnce(dir)(
+        PhashStore.save(docs.filter(col("doc_id") % 10 =!= 0), dir))
+      PhashStore.dedupAgainst(s, docs.filter(col("doc_id") % 10 === 0), dir)
+    }),
+
+    // growth path: half the kept corpus lands at save, the other half
+    // through an idempotent ingest-keyed append — same output, same
+    // oracle, so the append machinery is pinned hash-exact
+    "x_dedup_image_store_append_check" -> ((s, d) => {
+      val docs = phashRenderedDocs(s, d)
+      val dir = storeDir(d, "phash_half")
+      buildStoreOnce(dir) {
+        val kept = docs.filter(col("doc_id") % 10 =!= 0)
+        PhashStore.save(kept.filter(col("doc_id") % 2 === 0), dir)
+        PhashStore.append(kept.filter(col("doc_id") % 2 =!= 0), dir, "day1")
+      }
+      PhashStore.dedupAgainst(s, docs.filter(col("doc_id") % 10 === 0), dir)
+    }),
+
+    // external-id-namespace batch against the FULL stored corpus: the
+    // incoming ids live in a namespace the store has never seen (the
+    // pq_store_external_check convention), and incoming copies of
+    // stored images flag themselves at hamming 0
+    "x_dedup_image_store_external_check" -> ((s, d) => {
+      val docs = phashRenderedDocs(s, d)
+      val dir = storeDir(d, "phash_all")
+      buildStoreOnce(dir)(PhashStore.save(docs, dir))
+      PhashStore.dedupAgainst(s,
+        docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") * 1000 + 1).as("doc_id"), col("payload")),
+        dir)
+    }),
 
     // audio cluster collapse: identical fingerprints group to one
     // representative before banding (hammingClusters — the r19
@@ -1863,6 +1907,44 @@ object Extensions {
         |  SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the persisted fingerprint store: brute Hamming join between the
+    // incoming slice and the kept slice over the replayed bits — the
+    // same replay whether the store grew by save or save+append
+    "x_dedup_image_store" ->
+      raw"""WITH $phashBitsCte
+        |SELECT a.doc_id AS inc_id, bb.doc_id AS corpus_id,
+        |  CAST(len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits bb
+        |  ON a.doc_id % 10 = 0 AND bb.doc_id % 10 != 0
+        |WHERE len(list_filter(range(64), n ->
+        |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
+        |ORDER BY inc_id, corpus_id""".stripMargin,
+
+    "x_dedup_image_store_append_check" ->
+      raw"""WITH $phashBitsCte
+        |SELECT a.doc_id AS inc_id, bb.doc_id AS corpus_id,
+        |  CAST(len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits bb
+        |  ON a.doc_id % 10 = 0 AND bb.doc_id % 10 != 0
+        |WHERE len(list_filter(range(64), n ->
+        |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
+        |ORDER BY inc_id, corpus_id""".stripMargin,
+
+    "x_dedup_image_store_external_check" ->
+      raw"""WITH $phashBitsCte
+        |SELECT a.doc_id * 1000 + 1 AS inc_id, bb.doc_id AS corpus_id,
+        |  CAST(len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits bb ON a.doc_id % 10 = 7
+        |WHERE len(list_filter(range(64), n ->
+        |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
+        |ORDER BY inc_id, corpus_id""".stripMargin,
 
     // connected components of the (verified-identical) pair graph via
     // a recursive transitive closure + min label
