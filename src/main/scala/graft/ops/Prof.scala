@@ -135,6 +135,103 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("r19")) {
+      // round-19 additions at this dir's scale (run at 1x/10x/100x =
+      // sf0.1 / target/sf1 / target/sf10): the audio fingerprint
+      // family (render + javax.sound decode + banded join — decode-
+      // dominated like the image gates) and the persisted phash-store
+      // batch dedup (decode TODAY'S slice only; the history is two
+      // BIGINT columns)
+      q("audio_fp_neardup")(
+        graft.SparkEntry.queries("x_dedup_audio_fp")(spark, dir).count())
+      q("audio_fp_clusters")(
+        graft.SparkEntry.queries("x_dedup_audio_clusters")(spark, dir).count())
+      q("image_store_dedup")(
+        graft.SparkEntry.queries("x_dedup_image_store")(spark, dir).count())
+      q("image_phash_clusters_collapsed")(
+        graft.SparkEntry.queries("x_dedup_image_clusters")(spark, dir).count())
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("viral")) {
+      // r18 verdict item 1's evidence row: a PLANTED viral duplicate
+      // group (n identical 64-bit fingerprints re-posted over a 100k
+      // distinct background). The pairwise path emits the group's
+      // full C(n,2) pair set into the band join before the cluster
+      // collapse — quadratic in n; hammingClusters bands one
+      // representative per distinct hash, so its pair stage is flat
+      // in n. Counts are reported so the slopes are data, not claims.
+      val ViralHash = 0x0F0F0F0F0F0F0F0FL
+      def fpsDf(groupN: Long, bgN: Long) =
+        spark.range(groupN)
+          .select(col("id").as("doc_id"), lit(ViralHash).as("phash"))
+          .unionByName(spark.range(groupN, groupN + bgN)
+            .select(col("id").as("doc_id"), xxhash64(col("id")).as("phash")))
+      Seq(1000L, 10000L, 100000L).foreach { n =>
+        val df = fpsDf(n, 100000L)
+        val base = Dedup.hammingBase(df, "doc_id", "phash")
+        val repPairs = Dedup.hammingBandPairs(
+          Dedup.hammingGroups(base)
+            .select(col("rep").as("id"), col("h")), 3, 4).count()
+        println(s"PROF viral_rep_pair_rows_n$n $repPairs rows")
+        q(s"viral_clusters_collapsed_n$n")(
+          Dedup.hammingClusters(df, "doc_id", "phash").count())
+        // the legacy pairwise shape for contrast. Pair COUNTS through
+        // n=10k (5e7 rows); the legacy CLUSTER propagation only at
+        // n=1k — at n=10k feeding the 5e7-row pair set through
+        // clusterLabelsOf's checkpointed edges KILLED the 32-thread
+        // 128 GB JVM (exit 52, shuffle blocks evicted mid-propagation;
+        // measured 2026-08-16) — that crash IS the cliff this
+        // collapse removes, recorded as data, not re-run
+        if (n <= 10000L) {
+          val legacyPairs = Dedup.hammingNearDup(df, "doc_id", "phash").count()
+          println(s"PROF viral_legacy_pair_rows_n$n $legacyPairs rows")
+        }
+        if (n <= 1000L) {
+          q(s"viral_clusters_legacy_n$n")(
+            Dedup.clusterLabelsOf(
+              Dedup.hammingNearDup(df, "doc_id", "phash")
+                .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+              .count())
+        }
+      }
+      // the TEXT path's collapse: 10k identical documents over the
+      // fixture corpus as background — the candidate stage sees ONE
+      // representative for the clique (count printed), and the
+      // collapsed dupClusters wall includes the checkpointed label
+      // propagation
+      val viralText = spark.range(10000L)
+        .select(col("id").as("doc_id"),
+          lit((0 until 12).map(i => s"viral$i").mkString(" ")).as("text"))
+        .unionByName(docs.select(col("doc_id") + 1000000L, col("text"))
+          .toDF("doc_id", "text"))
+      val sh = Dedup.shingled(viralText)
+      val keyed = Dedup.shingleSetKeyed(sh)
+      val reps = keyed.groupBy(col("k")).agg(min(col("doc_id")).as("rep"))
+      val shReps = sh.join(reps.select(col("rep").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      println(s"PROF viral_text_rep_candidates " +
+        s"${Dedup.minhashCandidates(shReps, 200, 32, 2).count()} rows")
+      q("viral_text_clusters_collapsed")(Dedup.dupClusters(viralText).count())
+      spark.stop()
+      return
+    }
+    if (args.lift(1).contains("flagship")) {
+      // r18 verdict item 5: one decade FURTHER on the cheapest
+      // flagship paths — run at target/sf100 (ScaleGen x1000 from
+      // sf0.1: 5M docs / 2M embeddings) to confirm the 1x/10x/100x
+      // exponent fits hold a fourth decade. min-of-2 means the second
+      // pass is the warm store regime for the store leg (the cold
+      // build stays visible in run-1 logs).
+      q("dedup_exact_1000x")(
+        graft.SparkEntry.queries("x_dedup_exact")(spark, dir).count())
+      q("embedding_store_1000x")(
+        graft.SparkEntry.queries("x_dedup_embedding_store")(spark, dir).count())
+      q("image_clusters_1000x")(
+        graft.SparkEntry.queries("x_dedup_image_clusters")(spark, dir).count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("pqcold")) {
       // Attribution of the x_dedup_embedding_pq PASS-1 cold event (the
       // one residual cold leg in the driver bench): split the first
