@@ -711,14 +711,19 @@ object Dedup {
   }
 
   /** Per-doc identical-set keys: (doc_id, k) where `k` is the 128-bit
-    * content key of the doc's sorted distinct-shingle set. Empty
+    * content key of the doc's sorted distinct-shingle set. The JSON
+    * rendering of the sorted array is INJECTIVE on string arrays
+    * (every element is quoted and escaped, including any separator
+    * byte a gram could smuggle), so distinct sets can never collide
+    * on the key short of an md5 collision — a separator-joined concat
+    * would let crafted grams alias across element boundaries. Empty
     * shingle sets are excluded — they generate no candidates on the
     * pairwise path, so they must not group with each other here.
     */
   private[graft] def shingleSetKeyed(sh: DataFrame): DataFrame =
     sh.filter(size(col("g")) >= 1)
       .select(col("doc_id"),
-        md5(concat_ws("\u0000", array_sort(col("g")))).as("k"))
+        md5(to_json(array_sort(col("g")))).as("k"))
 
   /** The collapsed cluster pipeline over a shingle relation — see
     * [[dupClusters]] for the exactness argument. Pre-checkpoint, so
@@ -727,7 +732,11 @@ object Dedup {
     */
   private[graft] def dupClustersCollapsed(sh: DataFrame,
       leftMax: Long): DataFrame = {
-    val keyed = shingleSetKeyed(sh)
+    // distinct: a duplicated (doc_id, text) ROW must not inflate its
+    // group's member count (the pairwise path's signature aggregate
+    // collapses per doc_id, so a lone duplicated doc emits NOTHING
+    // there — n_members must count docs, not rows)
+    val keyed = shingleSetKeyed(sh).distinct()
     val groups = keyed.groupBy(col("k"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_members"))
     val shReps = sh.join(groups.select(col("rep").as("doc_id")),
@@ -1228,20 +1237,39 @@ object Dedup {
     * factored so the cluster path can run it over hash-group
     * REPRESENTATIVES instead of raw members.
     */
-  private[graft] def hammingBandPairs(base: DataFrame, maxDist: Int,
-      nBands: Int): DataFrame = {
+  /** The pigeonhole-exactness preconditions every Hamming-banded
+    * consumer shares — ONE copy, so the bound can never drift between
+    * the in-session joins and the persisted-store path.
+    */
+  private[graft] def requireBands(maxDist: Int, nBands: Int): Unit = {
     require(nBands > 0 && 64 % nBands == 0,
       s"nBands must divide 64, got $nBands")
     require(maxDist >= 0 && maxDist < nBands,
       s"pigeonhole recall (output == brute force) requires maxDist < nBands, " +
         s"got maxDist=$maxDist nBands=$nBands")
+  }
+
+  /** One (…, bix, bval) row per contiguous band of `hashCol` — the
+    * shared banding projection of [[hammingBandPairs]] and
+    * [[PhashStore.dedupAgainst]]: a change to the banding scheme
+    * lands once or the store path silently diverges from the
+    * in-session contract.
+    */
+  private[graft] def bandedProjection(df: DataFrame, hashCol: String,
+      nBands: Int): DataFrame = {
     val bandBits = 64 / nBands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val bandCols = array((0 until nBands).map { b =>
-      shiftrightunsigned(col("h"), b * bandBits).bitwiseAND(lit(mask))
-    }: _*)
-    val ex = base.select(col("id"), col("h"), posexplode(bandCols))
+    df.select(df.columns.toIndexedSeq.map(col) :+ posexplode(
+        array((0 until nBands).map { b =>
+          shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask))
+        }: _*)): _*)
       .withColumnsRenamed(Map("pos" -> "bix", "col" -> "bval"))
+  }
+
+  private[graft] def hammingBandPairs(base: DataFrame, maxDist: Int,
+      nBands: Int): DataFrame = {
+    requireBands(maxDist, nBands)
+    val ex = bandedProjection(base, "h", nBands)
     val a = ex.select(col("id").as("id_a"), col("h").as("ha"),
       col("bix"), col("bval"))
     val b = ex.select(col("id").as("id_b"), col("h").as("hb"),
@@ -1287,7 +1315,11 @@ object Dedup {
     */
   def hammingClusters(fps: DataFrame, idCol: String, hashCol: String,
       maxDist: Int = 3, nBands: Int = 4): DataFrame = {
-    val base = hammingBase(fps, idCol, hashCol)
+    // distinct: a duplicated (id, hash) ROW must neither inflate its
+    // group's member count (a lone duplicated image is NOT a
+    // 2-member cluster — the pairwise path's id_a < id_b emits no
+    // pair for it) nor double-emit the doc's label row
+    val base = hammingBase(fps, idCol, hashCol).distinct()
     val groups = hammingGroups(base)
     val repPairs = hammingBandPairs(
       groups.select(col("rep").as("id"), col("h")), maxDist, nBands)
@@ -1316,14 +1348,6 @@ object Dedup {
     hammingNearDup(Multimodal.imagePhash(docs, payloadCol), idCol, "phash",
       maxDist, nBands)
 
-  /** [[imagePhashNearDup]]'s cluster form: decode + dHash every
-    * payload, then [[hammingClusters]] — identical-phash groups (the
-    * re-encoded-copy mode that dominates scraped image corpora)
-    * collapse to one representative before the banded join, so a
-    * viral image's 10M copies cost one band row, not 10¹³ candidate
-    * pairs. Output: (doc_id, cluster_id) for every image in a
-    * duplicate group; non-image rows drop at the null-hash filter.
-    */
   /** AUDIO near-duplicate pairs by energy fingerprint: decode every
     * payload ([[Multimodal.audioFingerprint]] — javax.sound decode,
     * silence trim, 72-block integer energy grid, dHash-packed) and
@@ -1353,6 +1377,14 @@ object Dedup {
     finally fps.unpersist(blocking = false)
   }
 
+  /** [[imagePhashNearDup]]'s cluster form: decode + dHash every
+    * payload, then [[hammingClusters]] — identical-phash groups (the
+    * re-encoded-copy mode that dominates scraped image corpora)
+    * collapse to one representative before the banded join, so a
+    * viral image's 10M copies cost one band row, not 10¹³ candidate
+    * pairs. Output: (doc_id, cluster_id) for every image in a
+    * duplicate group; non-image rows drop at the null-hash filter.
+    */
   def imagePhashClusters(docs: DataFrame, idCol: String, payloadCol: String,
       maxDist: Int = 3, nBands: Int = 4): DataFrame = {
     // the decode dominates this path's cost and the cluster pipeline

@@ -139,31 +139,12 @@ object DedupStore {
       ids.write.mode("append").parquet(deletesPath(root))
     }
 
-  /** Read a store relation, tolerating the EMPTY-store footprint: a
-    * corpus in which no document reaches the trigram width writes
-    * ZERO rows into a partitioned relation, which parquet lands as a
-    * bare `_SUCCESS` with no footer to infer a schema from — the
-    * read-back must behave as "matches nothing" (exactly what the
-    * in-session operator returns on such a corpus), not throw.
-    */
   private def readRel(spark: SparkSession, path: String,
-      ddl: String): DataFrame =
-    try spark.read.parquet(path)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    }
+      ddl: String): DataFrame = StoreVersioning.readRel(spark, path, ddl)
 
   private def deletesIfAny(spark: SparkSession,
-      root: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(deletesPath(root))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(root)))
-    else None
-  }
+      root: String): Option[DataFrame] =
+    StoreVersioning.deletesIfAny(spark, deletesPath(root))
 
   /** Rewrite the store from its own contents into a FRESH version:
     * grams and sizes minus the tombstoned docs, collapsed to one

@@ -292,12 +292,22 @@ object Multimodal {
     * cell means, so true near-dups land within a few bits while
     * distinct images disagree on ~half of them.
     */
-  def imagePhash(df: DataFrame, payloadCol: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("phash", LongType))
+  def imagePhash(df: DataFrame, payloadCol: String): DataFrame =
+    fingerprintColumn(df, payloadCol, "phash", phashOf)
+
+  /** The shared schema-append `mapPartitions` wrapper every
+    * per-payload 64-bit fingerprint rides ([[imagePhash]],
+    * [[audioFingerprint]]): append one nullable BIGINT column whose
+    * value is `fp(payload bytes)` — a third modality adds only its
+    * core function, not another copy of the encoder plumbing.
+    */
+  private def fingerprintColumn(df: DataFrame, payloadCol: String,
+      outCol: String, fp: Array[Byte] => java.lang.Long): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outCol, LongType))
     val payloadIx = df.schema.fieldIndex(payloadCol)
     val enc = RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+ phashOf(r.getAs[Array[Byte]](payloadIx))))
+      rows.map(r => Row.fromSeq(r.toSeq :+ fp(r.getAs[Array[Byte]](payloadIx))))
     }(enc)
   }
 
@@ -444,15 +454,8 @@ object Multimodal {
     * pure silence map to a null fingerprint (annotate-don't-fail; the
     * pair join drops nulls).
     */
-  def audioFingerprint(df: DataFrame, payloadCol: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+ StructField("afp", LongType))
-    val payloadIx = df.schema.fieldIndex(payloadCol)
-    val enc = RowEncoder.encoderFor(schema)
-    df.mapPartitions { rows =>
-      rows.map(r => Row.fromSeq(r.toSeq :+
-        audioFingerprintOf(r.getAs[Array[Byte]](payloadIx))))
-    }(enc)
-  }
+  def audioFingerprint(df: DataFrame, payloadCol: String): DataFrame =
+    fingerprintColumn(df, payloadCol, "afp", audioFingerprintOf)
 
   /** The audio fingerprint core, decode included — null for anything
     * that is not decodable audio with at least one non-silent frame.

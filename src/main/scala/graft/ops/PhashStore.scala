@@ -120,29 +120,12 @@ object PhashStore {
       ids.write.mode("append").parquet(deletesPath(root))
     }
 
-  /** Read a store relation, tolerating the EMPTY-store footprint: a
-    * corpus with no decodable image writes ZERO rows into a
-    * partitioned relation (bare `_SUCCESS`, no footer) — the
-    * read-back must behave as "matches nothing", not throw.
-    */
   private def readRel(spark: SparkSession, path: String,
-      ddl: String): DataFrame =
-    try spark.read.parquet(path)
-    catch {
-      case e: org.apache.spark.sql.AnalysisException
-          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    }
+      ddl: String): DataFrame = StoreVersioning.readRel(spark, path, ddl)
 
   private def deletesIfAny(spark: SparkSession,
-      root: String): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(deletesPath(root))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(path)) Some(spark.read.parquet(deletesPath(root)))
-    else None
-  }
+      root: String): Option[DataFrame] =
+    StoreVersioning.deletesIfAny(spark, deletesPath(root))
 
   /** Rewrite the store from its own contents into a FRESH version:
     * fingerprints minus the tombstoned images, collapsed to one
@@ -207,11 +190,10 @@ object PhashStore {
   def dedupAgainst(spark: SparkSession, incoming: DataFrame, dir: String,
       maxDist: Int = 3, nBands: Int = 4, idCol: String = "doc_id",
       payloadCol: String = "payload"): DataFrame = {
-    require(nBands > 0 && 64 % nBands == 0,
-      s"nBands must divide 64, got $nBands")
-    require(maxDist >= 0 && maxDist < nBands,
-      s"pigeonhole recall (output == brute force) requires maxDist < nBands, " +
-        s"got maxDist=$maxDist nBands=$nBands")
+    // one copy of the banding scheme + pigeonhole bound (Dedup's):
+    // a change to either lands once or the store path would silently
+    // diverge from hammingNearDup's pinned contract
+    Dedup.requireBands(maxDist, nBands)
     val root = StoreVersioning.requireRoot(spark, dir)
     requireLayout(spark, root)
     val inc = fingerprints(incoming, idCol, payloadCol)
@@ -220,16 +202,9 @@ object PhashStore {
       "corpus_id BIGINT, phash BIGINT, ingest STRING")
     val stored = deletesIfAny(spark, root).fold(stored0)(d =>
       stored0.join(d, Seq("corpus_id"), "left_anti"))
-    val bandBits = 64 / nBands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    def banded(df: DataFrame, hc: String) =
-      df.select(df.columns.toIndexedSeq.map(col) :+ posexplode(
-          array((0 until nBands).map { b =>
-            shiftrightunsigned(col(hc), b * bandBits).bitwiseAND(lit(mask))
-          }: _*)): _*)
-        .withColumnsRenamed(Map("pos" -> "bix", "col" -> "bval"))
-    banded(inc, "ih")
-      .join(banded(stored.select(col("corpus_id"), col("phash")), "phash"),
+    Dedup.bandedProjection(inc, "ih", nBands)
+      .join(Dedup.bandedProjection(
+          stored.select(col("corpus_id"), col("phash")), "phash", nBands),
         Seq("bix", "bval"))
       .filter(bit_count(col("ih").bitwiseXOR(col("phash"))) <= maxDist)
       .select(col("inc_id"), col("corpus_id"),

@@ -212,7 +212,13 @@ object Prof {
         Seq("doc_id"), "left_semi")
       println(s"PROF viral_text_rep_candidates " +
         s"${Dedup.minhashCandidates(shReps, 200, 32, 2).count()} rows")
-      q("viral_text_clusters_collapsed")(Dedup.dupClusters(viralText).count())
+      // clear the cluster memo inside the thunk (the knn_classify_ivf
+      // pattern): min-of-2 must time the collapsed BUILD — candidate
+      // generation + label propagation — not a clusterCache hit
+      q("viral_text_clusters_collapsed") {
+        Dedup.clearPairCache()
+        Dedup.dupClusters(viralText).count()
+      }
       spark.stop()
       return
     }

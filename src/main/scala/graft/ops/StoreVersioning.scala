@@ -186,6 +186,38 @@ private[ops] object StoreVersioning {
   private def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Read a store relation, tolerating the EMPTY-store footprint: a
+    * corpus that contributes no rows (no doc reaches the trigram
+    * width, no payload decodes) writes ZERO rows into a partitioned
+    * relation, which parquet lands as a bare `_SUCCESS` with no
+    * footer to infer a schema from — the read-back must behave as
+    * "matches nothing" (exactly what the in-session operator returns
+    * on such a corpus), not throw. Shared by every store
+    * ([[DedupStore]], [[PhashStore]]) so a new Spark error-condition
+    * name lands once.
+    */
+  def readRel(spark: SparkSession, path: String, ddl: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).contains("UNABLE_TO_INFER_SCHEMA") =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+
+  /** The tombstone relation at `deletesPath`, if any takedown has
+    * landed one (the `deletes/` directory is created lazily by the
+    * first [[requireLongIds]]-validated delete).
+    */
+  def deletesIfAny(spark: SparkSession,
+      deletesPath: String): Option[DataFrame] = {
+    val path = new Path(deletesPath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) Some(spark.read.parquet(deletesPath))
+    else None
+  }
+
   /** Write the version root's `_META` sidecar — the store's layout
     * version plus its frozen model lineage (quantizer/codebook
     * geometry and the training corpus fingerprint), one `k=v` per

@@ -49,6 +49,16 @@ private[streaming] object StreamRelease {
   * moment the view exists), and a start-time failure releases
   * `retained` instead of leaking the scorer's cache.
   *
+  * Read-consistency contract: the snapshot is per SCAN, not per
+  * query — a single query that scans the view twice (self-join,
+  * `except(self)`) calls `buildScan` once per scan node, and a
+  * micro-batch committing between the two calls gives the sides
+  * different row sets. The eager per-batch view was self-consistent
+  * within one query but paid the quadratic re-render for it; callers
+  * needing a self-consistent multi-scan read should materialize once
+  * (`spark.table(name).cache()` or `.collect()`) and query the
+  * snapshot — the natural idiom for this interactive delivery.
+  *
   * BOUNDED: this sink keeps every scored row on the driver for the
   * query's lifetime — the test/interactive delivery contract — so a
   * drain that crosses `maxRetainedRows` fails LOUDLY, pointing at the

@@ -133,6 +133,64 @@ class DedupClusterCollapseSpec extends AnyFunSuite {
       s"only-legacy=${l -- c}")
   }
 
+  // ---- fixed by the round-19 self-review ----
+
+  test("the identical-set key is injective: gram content cannot mimic " +
+      "the element separator") {
+    val sp = spark; import sp.implicits._
+    // under the old NUL-joined concat_ws key these two DIFFERENT
+    // trigram sets rendered the same joined string (words may contain
+    // NUL — TextOps.words splits on whitespace only), so two docs with
+    // real Jaccard 0 collapsed as an unverified "identical" cluster
+    val sh = Seq(
+      (1L, Seq("a b x", "y\u0000z c d")),
+      (2L, Seq("a b x\u0000y", "z c d")),
+      // and a genuine identical set, order-shuffled, must still key
+      (3L, Seq("p q r", "s t u")),
+      (4L, Seq("s t u", "p q r"))
+    ).toDF("doc_id", "g")
+    val keys = Dedup.shingleSetKeyed(sh).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(keys(1L) != keys(2L),
+      "distinct gram sets must never share the 128-bit set key")
+    assert(keys(3L) == keys(4L),
+      "identical sets must key equal regardless of element order")
+  }
+
+  test("a duplicated (id, hash) row fabricates no phantom cluster and " +
+      "no double-emitted label") {
+    val sp = spark; import sp.implicits._
+    val fps = Seq(
+      // a lone doc whose row landed twice (ingest glitch): the
+      // pairwise path emits nothing for it (id_a < id_b), so the
+      // collapsed path must not count it as a 2-member group
+      (600L, 0x5A5A5A5A5A5A5A5AL), (600L, 0x5A5A5A5A5A5A5A5AL),
+      // a real pair where one member is also duplicated: one label
+      // row per doc, not two
+      (700L, 0x0123456789ABCDEFL), (700L, 0x0123456789ABCDEFL),
+      (701L, 0x0123456789ABCDEEL)
+    ).toDF("doc_id", "phash")
+    val legacy = Dedup.clusterLabelsOf(
+      Dedup.hammingNearDup(fps, "doc_id", "phash")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+    val collapsed = Dedup.hammingClusters(fps, "doc_id", "phash")
+    assert(clustersOf(collapsed) == Set((700L, 700L), (701L, 700L)))
+    assert(clustersOf(collapsed) == clustersOf(legacy))
+    assert(collapsed.count() == 2L, "labels must emit once per doc")
+  }
+
+  test("a duplicated (doc_id, text) row fabricates no phantom text cluster") {
+    val sp = spark; import sp.implicits._
+    val lone = (0 until 12).map(i => s"solo$i").mkString(" ")
+    val docs = (Seq((900L, lone), (900L, lone)) ++
+      (910L to 930L).map(i =>
+        (i, (0 until 12).map(j => s"bg${i}w$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    assert(Dedup.dupClusters(docs).count() == 0L,
+      "a lone duplicated ROW is not a 2-member cluster — the pairwise " +
+        "path emits nothing for it")
+  }
+
   test("the text candidate stage sees one representative per identical " +
       "shingle set") {
     val sp = spark; import sp.implicits._
