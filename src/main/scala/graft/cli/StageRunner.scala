@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
 import graft.config.PipelineConfig.Stage
-import graft.ops.{DedupStore, IvfIndex, IvfPqStore, PhashStore, PqStore,
-  StoreMaintenance}
+import graft.ops.{AfpStore, DedupStore, IvfIndex, IvfPqStore, PhashStore,
+  PqStore, StoreMaintenance}
 
 /** Executes one declarative analytics stage
   * ([[graft.config.PipelineConfig.Stage]]) and returns the DataFrame
@@ -185,6 +185,7 @@ object StageRunner {
         case "rebuild" => store match {
           case "dedup" => DedupStore.save(documents, dir)
           case "phash" => PhashStore.save(documents, dir)
+          case "afp" => AfpStore.save(documents, dir)
           case "ivf" => IvfIndex.save(embeddings, dir)
           case "pq" => PqStore.save(embeddings, dir)
           case "ivfpq" => IvfPqStore.save(embeddings, dir)
@@ -192,6 +193,7 @@ object StageRunner {
         case "compact" => store match {
           case "dedup" => DedupStore.compact(spark, dir)
           case "phash" => PhashStore.compact(spark, dir)
+          case "afp" => AfpStore.compact(spark, dir)
           case "ivf" => IvfIndex.compact(spark, dir)
           case "pq" => PqStore.compact(spark, dir)
           case "ivfpq" => IvfPqStore.compact(spark, dir)
@@ -213,7 +215,7 @@ object StageRunner {
     // loudly through requireLongIds, never a silent non-retraction.
     if (action == "delete") {
       val idCol =
-        if (store == "dedup" || store == "phash") "doc_id" else "vec_id"
+        if (Set("dedup", "phash", "afp")(store)) "doc_id" else "vec_id"
       val rel = adaptedInput(spark, stage, priorOutput,
         default = "takedowns").getOrElse(
         graft.engine.Tables.table(spark, stage.inputDir, "takedowns"))
@@ -225,6 +227,7 @@ object StageRunner {
       store match {
         case "dedup" => DedupStore.delete(ids, dir)
         case "phash" => PhashStore.delete(ids, dir)
+        case "afp" => AfpStore.delete(ids, dir)
         case "ivf" => IvfIndex.delete(ids, dir)
         case "pq" => PqStore.delete(ids, dir)
         case "ivfpq" => IvfPqStore.delete(ids, dir)
@@ -234,16 +237,18 @@ object StageRunner {
     }
     if (action == "dedup") return store match {
       case "dedup" => DedupStore.dedupAgainst(spark, documents, dir)
-      // the incremental image step: decode TODAY'S batch only, flag it
-      // against the stored fingerprints — the corpus never re-decodes
+      // the incremental image/audio step: decode TODAY'S batch only,
+      // flag it against the stored fingerprints — the corpus never
+      // re-decodes
       case "phash" => PhashStore.dedupAgainst(spark, documents, dir)
+      case "afp" => AfpStore.dedupAgainst(spark, documents, dir)
       case "ivfpq" => IvfPqStore.dedupAgainst(spark, dir,
         embeddings.select(col("vec_id").as("query_id"),
           col("embedding").as("qv")),
         minCosine = minCosine, margin = margin)
       case other => throw new IllegalArgumentException(
         s"stage '${stage.name}': action 'dedup' supports the dedup, " +
-          s"phash and ivfpq stores, not '$other'")
+          s"phash, afp and ivfpq stores, not '$other'")
     }
     var compacted = false
     (store, action) match {
@@ -267,6 +272,14 @@ object StageRunner {
       case ("phash", "compact") => PhashStore.compact(spark, dir)
       case ("phash", "maintain") =>
         compacted = StoreMaintenance.maintainPhash(spark, dir,
+          maxTombstoneRatio, maxIngests)
+      // the audio fingerprint store: the same shared lifecycle
+      case ("afp", "build" | "rebuild") => AfpStore.save(documents, dir)
+      case ("afp", "append") =>
+        AfpStore.append(documents, dir, stage.ingestId.get)
+      case ("afp", "compact") => AfpStore.compact(spark, dir)
+      case ("afp", "maintain") =>
+        compacted = StoreMaintenance.maintainAfp(spark, dir,
           maxTombstoneRatio, maxIngests)
       case ("ivf", "build" | "rebuild") => IvfIndex.save(embeddings, dir)
       case ("ivf", "append") =>
@@ -325,6 +338,9 @@ object StageRunner {
     case "phash" => StoreMaintenance.recommendPhash(spark, dir,
       corpus = Some(documents),
       maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
+    case "afp" => StoreMaintenance.recommendAfp(spark, dir,
+      corpus = Some(documents),
+      maxTombstoneRatio = maxTombstoneRatio, maxIngests = maxIngests)
   }
 
   private def statsAudit(spark: SparkSession, stage: Stage, store: String,
@@ -332,6 +348,7 @@ object StageRunner {
     val stats = store match {
       case "dedup" => DedupStore.stats(spark, dir)
       case "phash" => PhashStore.stats(spark, dir)
+      case "afp" => AfpStore.stats(spark, dir)
       case "ivf" => IvfIndex.stats(spark, dir)
       case "pq" => PqStore.stats(spark, dir)
       case "ivfpq" => IvfPqStore.stats(spark, dir)
@@ -420,6 +437,20 @@ object StageRunner {
         requireStore(stage.dir.get, "phash store")
         if (srcReady) {
           val q = graft.streaming.StreamingImageDedup
+            .streamingDedupAgainstStore(spark, sourceDir, schema,
+              stage.dir.get, outDir,
+              maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))
+          drain(q)
+        }
+        readOrEmpty(spark, outDir,
+          "inc_id BIGINT, corpus_id BIGINT, hamming BIGINT, graft_batch BIGINT")
+      case "audio_dedup" =>
+        // the AUDIO twin of image_dedup: incoming clips decoded once
+        // and flagged against the persisted afp store
+        val outDir = stage.outDir.get
+        requireStore(stage.dir.get, "afp store")
+        if (srcReady) {
+          val q = graft.streaming.StreamingAudioDedup
             .streamingDedupAgainstStore(spark, sourceDir, schema,
               stage.dir.get, outDir,
               maxFilesPerTrigger = throttle, checkpoint = Some(checkpoint))

@@ -403,7 +403,7 @@ object PipelineConfig {
           throw new IllegalArgumentException(
             s"stage '${s.name}': kind 'store' requires 'store', " +
               "'action' and 'dir'")
-        if (!Set("dedup", "phash", "ivf", "pq", "ivfpq",
+        if (!Set("dedup", "phash", "afp", "ivf", "pq", "ivfpq",
             "classifier")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': unknown store '${s.store.get}'")
@@ -421,10 +421,10 @@ object PipelineConfig {
             s"stage '${s.name}': store 'classifier' supports actions " +
               s"build | rebuild | stats, not '${s.action.get}'")
         if (s.action.contains("dedup") &&
-            !Set("dedup", "phash", "ivfpq")(s.store.get))
+            !Set("dedup", "phash", "afp", "ivfpq")(s.store.get))
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'dedup' supports the dedup, " +
-              "phash and ivfpq stores")
+              "phash, afp and ivfpq stores")
         if (s.action.contains("append") && s.ingestId.isEmpty)
           throw new IllegalArgumentException(
             s"stage '${s.name}': action 'append' requires 'ingest_id' " +
@@ -471,6 +471,11 @@ object PipelineConfig {
               throw new IllegalArgumentException(
                 s"stage '${s.name}': stream 'image_dedup' requires " +
                   "'dir' (the phash store) and 'out_dir'")
+          case "audio_dedup" =>
+            if (s.dir.isEmpty || s.outDir.isEmpty)
+              throw new IllegalArgumentException(
+                s"stage '${s.name}': stream 'audio_dedup' requires " +
+                  "'dir' (the afp store) and 'out_dir'")
           case "classify" =>
             if (s.outDir.isEmpty)
               throw new IllegalArgumentException(
@@ -490,7 +495,7 @@ object PipelineConfig {
           case other => throw new IllegalArgumentException(
             s"stage '${s.name}': unknown stream '$other' " +
               "(index_ingest | embedding_dedup | store_dedup | " +
-              "image_dedup | classify)")
+              "image_dedup | audio_dedup | classify)")
         }
       case other => throw new IllegalArgumentException(
         s"stage '${s.name}': unknown kind '$other' (query | store | stream)")

@@ -150,6 +150,11 @@ object Prof {
         graft.SparkEntry.queries("x_dedup_image_store")(spark, dir).count())
       q("image_phash_clusters_collapsed")(
         graft.SparkEntry.queries("x_dedup_image_clusters")(spark, dir).count())
+      // the audio fingerprint store (the shared FingerprintStore
+      // lifecycle through AfpStore): min-of-2 = the warm store regime,
+      // like image_store_dedup above
+      q("audio_store_dedup")(
+        graft.SparkEntry.queries("x_dedup_audio_store")(spark, dir).count())
       spark.stop()
       return
     }

@@ -100,6 +100,12 @@ object StoreMaintenance {
     decideAndRun(PhashStore.stats(spark, dir), "n_images",
       maxTombstoneRatio, maxIngests)(PhashStore.compact(spark, dir))
 
+  def maintainAfp(spark: SparkSession, dir: String,
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): Boolean =
+    decideAndRun(AfpStore.stats(spark, dir), "n_clips",
+      maxTombstoneRatio, maxIngests)(AfpStore.compact(spark, dir))
+
   def maintainDedup(spark: SparkSession, dir: String,
       maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
       maxIngests: Long = DefaultMaxIngests): Boolean =
@@ -183,6 +189,16 @@ object StoreMaintenance {
       maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
       maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
     recommendFrom(spark, dir, PhashStore.stats(spark, dir), "n_images",
+      None, corpus, 0.0, maxTombstoneRatio, maxIngests)
+
+  /** [[recommendPhash]] for the audio fingerprint store — the same
+    * exact-hash advisory over [[AfpStore.stats]].
+    */
+  def recommendAfp(spark: SparkSession, dir: String,
+      corpus: Option[org.apache.spark.sql.DataFrame] = None,
+      maxTombstoneRatio: Double = DefaultMaxTombstoneRatio,
+      maxIngests: Long = DefaultMaxIngests): org.apache.spark.sql.DataFrame =
+    recommendFrom(spark, dir, AfpStore.stats(spark, dir), "n_clips",
       None, corpus, 0.0, maxTombstoneRatio, maxIngests)
 
   private def recommendFrom(spark: SparkSession, dir: String,

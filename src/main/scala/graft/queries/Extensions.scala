@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
 import graft.functions.RollingHash
-import graft.ops.{Bpe, Chunking, CorpusStats, Dedup, DedupStore, Integrity, IvfIndex, IvfPqStore, Kmeans, Multimodal, PhashStore, Pq, PqStore, Profile, Quantize, Sampling, Search, Similarity, TextOps}
+import graft.ops.{AfpStore, Bpe, Chunking, CorpusStats, Dedup, DedupStore, Integrity, IvfIndex, IvfPqStore, Kmeans, Multimodal, PhashStore, Pq, PqStore, Profile, Quantize, Sampling, Search, Similarity, TextOps}
 import graft.streaming.EventWindows
 
 /** Training-data-pipeline extension operators (the part of the driver
@@ -241,6 +241,42 @@ object Extensions {
     // Hamming pairs
     "x_dedup_audio_clusters" -> ((s, d) =>
       Dedup.audioFpClusters(audioRenderedDocs(s, d), "doc_id", "payload")),
+
+    // the persisted AUDIO fingerprint store — AfpStore is the same
+    // FingerprintStore lifecycle as PhashStore with the audio decoder
+    // at the modality seam, so the three gate rows mirror the image
+    // trio: build/query split, save+append growth, and an
+    // external-id-namespace batch — each replaying the brute Hamming
+    // oracle through the persisted path (the bits are the image
+    // gates' bigram-polynomial rule rendered as WAVs)
+    "x_dedup_audio_store" -> ((s, d) => {
+      val docs = audioRenderedDocs(s, d)
+      val dir = storeDir(d, "afp_full")
+      buildStoreOnce(dir)(
+        AfpStore.save(docs.filter(col("doc_id") % 10 =!= 0), dir))
+      AfpStore.dedupAgainst(s, docs.filter(col("doc_id") % 10 === 0), dir)
+    }),
+
+    "x_dedup_audio_store_append_check" -> ((s, d) => {
+      val docs = audioRenderedDocs(s, d)
+      val dir = storeDir(d, "afp_half")
+      buildStoreOnce(dir) {
+        val kept = docs.filter(col("doc_id") % 10 =!= 0)
+        AfpStore.save(kept.filter(col("doc_id") % 2 === 0), dir)
+        AfpStore.append(kept.filter(col("doc_id") % 2 =!= 0), dir, "day1")
+      }
+      AfpStore.dedupAgainst(s, docs.filter(col("doc_id") % 10 === 0), dir)
+    }),
+
+    "x_dedup_audio_store_external_check" -> ((s, d) => {
+      val docs = audioRenderedDocs(s, d)
+      val dir = storeDir(d, "afp_all")
+      buildStoreOnce(dir)(AfpStore.save(docs, dir))
+      AfpStore.dedupAgainst(s,
+        docs.filter(col("doc_id") % 10 === 7)
+          .select((col("doc_id") * 1000 + 1).as("doc_id"), col("payload")),
+        dir)
+    }),
 
     "x_dedup_clusters" -> ((s, d) =>
       Dedup.dupClusters(t(s, d, "documents"))),
@@ -1936,6 +1972,45 @@ object Extensions {
         |ORDER BY inc_id, corpus_id""".stripMargin,
 
     "x_dedup_image_store_external_check" ->
+      raw"""WITH $phashBitsCte
+        |SELECT a.doc_id * 1000 + 1 AS inc_id, bb.doc_id AS corpus_id,
+        |  CAST(len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits bb ON a.doc_id % 10 = 7
+        |WHERE len(list_filter(range(64), n ->
+        |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
+        |ORDER BY inc_id, corpus_id""".stripMargin,
+
+    // the AUDIO store gates replay the SAME bits (the WAV render
+    // recovers them bit-for-bit, spec-pinned), so their oracles are
+    // the image-store oracles verbatim — which is exactly the claim:
+    // one lifecycle, one contract, two decoders
+    "x_dedup_audio_store" ->
+      raw"""WITH $phashBitsCte
+        |SELECT a.doc_id AS inc_id, bb.doc_id AS corpus_id,
+        |  CAST(len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits bb
+        |  ON a.doc_id % 10 = 0 AND bb.doc_id % 10 != 0
+        |WHERE len(list_filter(range(64), n ->
+        |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
+        |ORDER BY inc_id, corpus_id""".stripMargin,
+
+    "x_dedup_audio_store_append_check" ->
+      raw"""WITH $phashBitsCte
+        |SELECT a.doc_id AS inc_id, bb.doc_id AS corpus_id,
+        |  CAST(len(list_filter(range(64), n ->
+        |    a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) AS BIGINT)
+        |    AS hamming
+        |FROM bits a JOIN bits bb
+        |  ON a.doc_id % 10 = 0 AND bb.doc_id % 10 != 0
+        |WHERE len(list_filter(range(64), n ->
+        |  a.b[CAST(n+1 AS INT)] != bb.b[CAST(n+1 AS INT)])) <= 3
+        |ORDER BY inc_id, corpus_id""".stripMargin,
+
+    "x_dedup_audio_store_external_check" ->
       raw"""WITH $phashBitsCte
         |SELECT a.doc_id * 1000 + 1 AS inc_id, bb.doc_id AS corpus_id,
         |  CAST(len(list_filter(range(64), n ->
