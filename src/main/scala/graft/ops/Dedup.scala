@@ -737,6 +737,19 @@ object Dedup {
     // collapses per doc_id, so a lone duplicated doc emits NOTHING
     // there — n_members must count docs, not rows)
     val keyed = shingleSetKeyed(sh).distinct()
+    // one doc_id must carry ONE shingle set (the hammingClusters
+    // id→hash-function precondition, text form): a doc_id with two
+    // DIFFERENT texts is one node on the pairwise path but two
+    // identical-set group entries here — component split +
+    // double-labeling. Refuse loudly.
+    val multiSet = keyed.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nk")).filter(col("nk") > 1)
+      .select(col("doc_id")).head(3)
+    require(multiSet.isEmpty,
+      s"dupClusters: doc_id(s) ${multiSet.map(_.get(0)).mkString(", ")} " +
+        "carry more than one distinct shingle set — the collapsed cluster " +
+        "path requires one text per doc_id (fix the ingest, or use " +
+        "clusterLabelsOf(minhashLsh(...)) which is exact over any input)")
     val groups = keyed.groupBy(col("k"))
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_members"))
     val shReps = sh.join(groups.select(col("rep").as("doc_id")),
@@ -1232,11 +1245,6 @@ object Dedup {
       .filter(col("h").isNotNull)
   }
 
-  /** The banded pair join over a validated (id, h) relation — the
-    * candidate + exact-popcount-verify stage of [[hammingNearDup]],
-    * factored so the cluster path can run it over hash-group
-    * REPRESENTATIVES instead of raw members.
-    */
   /** The pigeonhole-exactness preconditions every Hamming-banded
     * consumer shares — ONE copy, so the bound can never drift between
     * the in-session joins and the persisted-store path.
@@ -1266,6 +1274,11 @@ object Dedup {
       .withColumnsRenamed(Map("pos" -> "bix", "col" -> "bval"))
   }
 
+  /** The banded pair join over a validated (id, h) relation — the
+    * candidate + exact-popcount-verify stage of [[hammingNearDup]],
+    * factored so the cluster path can run it over hash-group
+    * REPRESENTATIVES instead of raw members.
+    */
   private[graft] def hammingBandPairs(base: DataFrame, maxDist: Int,
       nBands: Int): DataFrame = {
     requireBands(maxDist, nBands)
@@ -1320,6 +1333,21 @@ object Dedup {
     // 2-member cluster — the pairwise path's id_a < id_b emits no
     // pair for it) nor double-emit the doc's label row
     val base = hammingBase(fps, idCol, hashCol).distinct()
+    // one id must map to ONE hash: the collapse's exactness argument
+    // treats id→hash as a function. An id carrying two different
+    // hashes is one graph NODE on the pairwise path (its two
+    // neighborhoods merge into one component) but lands in two
+    // separate hash groups here — silently splitting the component
+    // and double-labeling the doc. Refuse loudly; the pairwise
+    // clusterLabelsOf(hammingNearDup(...)) is total over such input.
+    val multiHash = base.groupBy(col("id"))
+      .agg(count(lit(1)).as("nh")).filter(col("nh") > 1)
+      .select(col("id")).head(3)
+    require(multiHash.isEmpty,
+      s"hammingClusters: id(s) ${multiHash.map(_.getLong(0)).mkString(", ")} " +
+        "carry more than one distinct fingerprint — the collapsed cluster " +
+        "path requires one hash per id (fix the ingest, or use " +
+        "clusterLabelsOf(hammingNearDup(...)) which is exact over any input)")
     val groups = hammingGroups(base)
     val repPairs = hammingBandPairs(
       groups.select(col("rep").as("id"), col("h")), maxDist, nBands)

@@ -62,15 +62,19 @@ private[graft] abstract class FingerprintStore(
   private def fpsDdl = s"corpus_id BIGINT, $hashCol BIGINT, ingest STRING"
 
   private def requireLayout(spark: SparkSession, root: String): Unit = {
+    // ONE _META read for both checks (dedupAgainst runs per
+    // streaming micro-batch; a second sidecar read would double the
+    // per-batch metadata round-trips on a remote filesystem)
+    val meta = StoreVersioning.metaOf(spark, root)
     // the two fingerprint stores share one physical layout, so the
     // layout check alone would let a misrouted stage read an IMAGE
     // store as audio (or vice versa) and die on a missing-column
     // analysis error — refuse by identity first, loudly
-    StoreVersioning.metaOf(spark, root).get("store").foreach(s =>
+    meta.get("store").foreach(s =>
       require(s == storeName,
         s"$storeName at $root: the committed root was built by $s — " +
           "point this stage at the right store directory"))
-    StoreVersioning.requireLayout(spark, root, storeName, "fps", Layout)
+    StoreVersioning.requireLayout(spark, root, storeName, "fps", Layout, meta)
   }
 
   /** The validated, decoded (corpus_id, hash) relation of a corpus:
@@ -146,6 +150,12 @@ private[graft] abstract class FingerprintStore(
     StoreVersioning.withMaintainerLock(docIds.sparkSession, dir,
         s"$storeName.delete") {
       val root = StoreVersioning.requireRoot(docIds.sparkSession, dir)
+      // identity-checked like every other verb: a takedown routed at
+      // the OTHER modality's store would otherwise tombstone that
+      // store's rows while the intended retraction silently never
+      // happens — the exact silent-non-retraction class requireLongIds
+      // exists to refuse
+      requireLayout(docIds.sparkSession, root)
       val ids = StoreVersioning.requireLongIds(docIds, "corpus_id")
       ids.write.mode("append").parquet(deletesPath(root))
     }

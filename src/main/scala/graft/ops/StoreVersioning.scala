@@ -358,7 +358,16 @@ private[ops] object StoreVersioning {
     */
   def requireLayout(spark: SparkSession, root: String, store: String,
       dataDir: String, expected: Long): Unit =
-    metaOf(spark, root).get("layout") match {
+    requireLayout(spark, root, store, dataDir, expected, metaOf(spark, root))
+
+  /** [[requireLayout]] over an already-read `_META` map — so a caller
+    * that also inspects other sidecar keys (the fingerprint stores'
+    * identity check) pays ONE filesystem read per operation, not two
+    * (dedupAgainst runs once per streaming micro-batch).
+    */
+  def requireLayout(spark: SparkSession, root: String, store: String,
+      dataDir: String, expected: Long, meta: Map[String, String]): Unit =
+    meta.get("layout") match {
       case Some(v) => require(v.toLong == expected,
         s"$store at $root has physical layout v$v but this build " +
           s"reads/writes layout v$expected — rebuild required: save() " +

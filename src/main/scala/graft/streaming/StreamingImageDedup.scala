@@ -63,12 +63,6 @@ object StreamingImageDedup {
       checkpoint: Option[String] = None): StreamingQuery =
     StreamingFingerprintDedup.start(PhashStore, spark, dir, schema,
       storeDir, outDir, maxDist, nBands, maxFilesPerTrigger, checkpoint)
-
-  private[streaming] def writeBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, storeDir: String, outDir: String,
-      maxDist: Int, nBands: Int): Unit =
-    StreamingFingerprintDedup.writeBatch(PhashStore, spark, batch, batchId,
-      storeDir, outDir, maxDist, nBands)
 }
 
 /** The audio drain: streamed audio payloads against an [[AfpStore]]. */
@@ -81,10 +75,4 @@ object StreamingAudioDedup {
       checkpoint: Option[String] = None): StreamingQuery =
     StreamingFingerprintDedup.start(AfpStore, spark, dir, schema,
       storeDir, outDir, maxDist, nBands, maxFilesPerTrigger, checkpoint)
-
-  private[streaming] def writeBatch(spark: SparkSession, batch: DataFrame,
-      batchId: Long, storeDir: String, outDir: String,
-      maxDist: Int, nBands: Int): Unit =
-    StreamingFingerprintDedup.writeBatch(AfpStore, spark, batch, batchId,
-      storeDir, outDir, maxDist, nBands)
 }

@@ -104,5 +104,12 @@ class AfpStoreSpec extends AnyFunSuite {
       AfpStore.dedupAgainst(spark, incomingDf, dir))
     assert(e.getMessage.contains("built by PhashStore"),
       s"refusal must name the actual builder: ${e.getMessage}")
+    // delete is identity-checked too: a misrouted takedown must not
+    // silently tombstone the OTHER modality's rows while the intended
+    // retraction never happens
+    val d = intercept[IllegalArgumentException](
+      AfpStore.delete(Seq(1L).toDF("corpus_id"), dir))
+    assert(d.getMessage.contains("built by PhashStore"),
+      s"delete must refuse by identity: ${d.getMessage}")
   }
 }

@@ -179,6 +179,41 @@ class DedupClusterCollapseSpec extends AnyFunSuite {
     assert(collapsed.count() == 2L, "labels must emit once per doc")
   }
 
+  test("an id carrying two DIFFERENT hashes refuses loudly: the collapse " +
+      "treats id->hash as a function where the pairwise path treats the " +
+      "id as one graph node") {
+    val sp = spark; import sp.implicits._
+    // 600 bridges two far-apart hash neighborhoods: the pairwise path
+    // merges {599, 600, 900} into ONE component through node 600; the
+    // collapsed path would split it into two groups and double-label
+    // 600 — exactness is unprovable, so the operator must refuse
+    val fps = Seq(
+      (599L, 0x0F0F0F0F0F0F0F0FL), (600L, 0x0F0F0F0F0F0F0F0FL),
+      (600L, -1L), (900L, -1L)
+    ).toDF("doc_id", "phash")
+    val e = intercept[IllegalArgumentException](
+      Dedup.hammingClusters(fps, "doc_id", "phash").count())
+    assert(e.getMessage.contains("600") &&
+      e.getMessage.contains("more than one distinct fingerprint"),
+      s"refusal must name the offending id: ${e.getMessage}")
+  }
+
+  test("a doc_id carrying two DIFFERENT texts refuses loudly on the " +
+      "collapsed text path") {
+    val sp = spark; import sp.implicits._
+    val docs = (Seq(
+      (700L, (0 until 12).map(i => s"va$i").mkString(" ")),
+      (700L, (0 until 12).map(i => s"vb$i").mkString(" "))) ++
+      (710L to 730L).map(i =>
+        (i, (0 until 12).map(j => s"bg${i}q$j").mkString(" "))))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.dupClusters(docs).count())
+    assert(e.getMessage.contains("700") &&
+      e.getMessage.contains("more than one distinct shingle set"),
+      s"refusal must name the offending doc_id: ${e.getMessage}")
+  }
+
   test("a duplicated (doc_id, text) row fabricates no phantom text cluster") {
     val sp = spark; import sp.implicits._
     val lone = (0 until 12).map(i => s"solo$i").mkString(" ")

@@ -59,8 +59,10 @@ class StreamingAudioDedupSpec extends AnyFunSuite {
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_afp_out2").toString + "/flags"
     val batch = Seq((100L, wav(mix(2)))).toDF("doc_id", "payload")
-    StreamingAudioDedup.writeBatch(spark, batch, 7L, store, outDir, 3, 4)
-    StreamingAudioDedup.writeBatch(spark, batch, 7L, store, outDir, 3, 4)
+    StreamingFingerprintDedup.writeBatch(AfpStore, spark, batch, 7L,
+      store, outDir, 3, 4)
+    StreamingFingerprintDedup.writeBatch(AfpStore, spark, batch, 7L,
+      store, outDir, 3, 4)
     assert(spark.read.parquet(outDir).count() == 1L,
       "an at-least-once replay must overwrite its own batch partition")
   }

@@ -58,8 +58,10 @@ class StreamingImageDedupSpec extends AnyFunSuite {
     val outDir = java.nio.file.Files
       .createTempDirectory("graft_img_out2").toString + "/flags"
     val batch = Seq((100L, png(mix(2)))).toDF("doc_id", "payload")
-    StreamingImageDedup.writeBatch(spark, batch, 7L, store, outDir, 3, 4)
-    StreamingImageDedup.writeBatch(spark, batch, 7L, store, outDir, 3, 4)
+    StreamingFingerprintDedup.writeBatch(PhashStore, spark, batch, 7L,
+      store, outDir, 3, 4)
+    StreamingFingerprintDedup.writeBatch(PhashStore, spark, batch, 7L,
+      store, outDir, 3, 4)
     assert(spark.read.parquet(outDir).count() == 1L,
       "an at-least-once replay must overwrite its own batch partition")
   }
