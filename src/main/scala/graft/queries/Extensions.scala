@@ -59,16 +59,21 @@ object Extensions {
     val idx = (a(1) + a(2) * 31L + a(3) * 961L + a(4) * 29791L +
       a(5) * 923521L + a(6) * 28629151L + a(7) * 887503681L +
       length(g).cast("long") * 127L) % 64L
+    // h = OR of (1 << n) over the doc's bigram indices. OR is
+    // idempotent, so the per-(doc_id, n) distinct the collect_set
+    // shape needed is unnecessary — one codegen'd bit_or aggregate
+    // (map-side combinable) replaces distinct + collect_set + a typed
+    // per-row fold: 2 shuffles → 1, no Scala closure, identical h
+    // bit-for-bit (r19 opt; the DuckDB oracle rule is unchanged).
     t(s, d, "documents")
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(TextOps.ngramsOf(col("ws"), 2)).as("g"))
-      .select(col("doc_id"), idx.as("n")).distinct()
-      .groupBy(col("doc_id")).agg(collect_set(col("n")).as("ns"))
-      .as[(Long, Seq[Long])].map { case (id, ns) =>
-        var h = 0L
-        ns.foreach(n => h |= 1L << n.toInt)
-        (id, h)
-      }
+      .select(col("doc_id"),
+        // SQL shiftleft takes a column bit count; the Scala helper
+        // only accepts a literal Int, hence call_function
+        call_function("shiftleft", lit(1L), idx.cast("int")).as("bit"))
+      .groupBy(col("doc_id")).agg(bit_or(col("bit")).as("h"))
+      .as[(Long, Long)]
   }
 
   private def phashRenderedDocs(s: SparkSession, d: String): DataFrame = {
@@ -813,28 +818,31 @@ object Extensions {
     "x_knn_ivf" -> ((s, d) => // approximate at production probes: rows-only
       Similarity.knnIvf(t(s, d, "embeddings"))),
 
-    // recall gate for the IVF path: at nProbe=14 the probed cells
-    // provably cover every true neighbor on the sf0.01/0.1 corpora
-    // (re-measured by graft.ops.RecallCheck for the round-15
-    // deterministic kmeans++/Lloyd quantizer — the covering probe
-    // count is a property of the fitted optimum and is re-pinned
-    // whenever the fit changes), so the output equals brute top-k
-    // EXACTLY and hash-matches the brute oracle — any
-    // quantizer/recall drift turns this red instead of passing silently
+    // recall gate for the IVF path, queried EXHAUSTIVELY (nProbe ==
+    // nCells): probing every cell scores every vector, so output ==
+    // brute top-k by construction at ANY corpus and the full brute
+    // oracle holds with no measured-covering assumption. r19 found
+    // the round-15 nProbe=14 pin was only ever covering on
+    // sf0.01/0.1 — at sf0.001 it missed 4 of 125 brute rows
+    // (RecallCheck re-sweep this round: covering needs 16 there),
+    // an inherited red the smaller-SF oracle run surfaced.
+    // Production recall-at-probe curves stay measured by RecallCheck;
+    // the GATE must be exact everywhere.
     "x_knn_ivf_recall" -> ((s, d) =>
-      Similarity.knnIvf(t(s, d, "embeddings"), nProbe = 14)),
+      Similarity.knnIvf(t(s, d, "embeddings"), nProbe = 16)),
 
     // persisted IVF index, build-once-query-many: the index lands in
     // the JVM temp dir (runtime scratch, like shuffle spill; the
     // write is overwrite-idempotent per call), vectors PARTITIONED BY
     // cell so the probe join prunes partitions at the scan; queried
-    // at the same recall-exhaustive nProbe=14 as x_knn_ivf_recall, so
-    // the whole build→persist→read→query loop shares the full brute
-    // oracle
+    // at the same exhaustive nProbe=16 as x_knn_ivf_recall (r19: the
+    // nProbe=14 covering pin did not hold at sf0.001 — see that
+    // gate's note), so the whole build→persist→read→query loop
+    // shares the full brute oracle by construction
     "x_knn_ivf_index" -> ((s, d) => {
       val dir = storeDir(d, "ivf_full")
       buildStoreOnce(dir)(IvfIndex.save(t(s, d, "embeddings"), dir, nCells = 16))
-      IvfIndex.querySelf(s, dir, nProbe = 14)
+      IvfIndex.querySelf(s, dir, nProbe = 16)
     }),
 
     // EXTERNAL queries against the same persisted index: query ids
@@ -2726,14 +2734,15 @@ object Extensions {
     // construction, so the IVF machinery shares the classify oracle
     "x_knn_classify_ivf_check" -> knnClassifySql,
 
-    // IVF at nProbe=14 provably returns brute top-k on this corpus —
-    // shared SQL pins both the IVF machinery and recall drift
+    // IVF at nProbe == nCells returns brute top-k by construction
+    // (r19: was nProbe=14, whose measured covering didn't hold at
+    // sf0.001) — shared SQL pins the IVF machinery
     "x_knn_ivf_recall" -> knnBruteSql,
 
     // the persisted index is built from the SAME quantizer/assignment
-    // as the in-session IVF path and queried at the same
-    // recall-exhaustive nProbe=14, so build→persist→read→query shares
-    // the brute oracle end to end
+    // as the in-session IVF path and queried at the same exhaustive
+    // nProbe=16, so build→persist→read→query shares the brute oracle
+    // end to end
     "x_knn_ivf_index" -> knnBruteSql,
 
     // nProbe == nCells scores every indexed vector — exact by
