@@ -1208,8 +1208,21 @@ object Dedup {
     * upstream) are dropped, annotate-don't-fail.
     */
   def hammingNearDup(fps: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int = 3, nBands: Int = 4): DataFrame =
-    hammingBandPairs(hammingBase(fps, idCol, hashCol), maxDist, nBands)
+      maxDist: Int = 3, nBands: Int = 4): DataFrame = {
+    // validate the banding params BEFORE paying the decode below
+    requireBands(maxDist, nBands)
+    // the banded join references the (id, h) relation on BOTH sides;
+    // left lazy, Catalyst plans the upstream subtree into each side —
+    // for the media callers that is the ENTIRE decode pipeline run
+    // twice (the r19 x_dedup_audio_fp plan carried two complete
+    // fixture→render→fingerprint legs, one under the broadcast).
+    // Checkpoint the 16-byte-per-row projection once: every payload
+    // decodes exactly once, both join sides read the materialized
+    // relation. The null-id raise_error fires at this materialization
+    // instead of at the caller's first action — same error, earlier.
+    hammingBandPairs(PlanAudit.checkpointed(hammingBase(fps, idCol, hashCol)),
+      maxDist, nBands)
+  }
 
   /** The validated (id, h) projection [[hammingNearDup]] and
     * [[hammingClusters]] share: integral-typed ids (strict — see the
@@ -1331,8 +1344,15 @@ object Dedup {
     // distinct: a duplicated (id, hash) ROW must neither inflate its
     // group's member count (a lone duplicated image is NOT a
     // 2-member cluster — the pairwise path's id_a < id_b emits no
-    // pair for it) nor double-emit the doc's label row
-    val base = hammingBase(fps, idCol, hashCol).distinct()
+    // pair for it) nor double-emit the doc's label row.
+    // Checkpointed (r19): base feeds the multi-hash guard, the group
+    // aggregate, and the final member expansion — three jobs that
+    // each re-ran the decode+distinct subtree (the caller's payload
+    // persist only amortized the decode, not the shuffle). One
+    // materialization of the tiny (id, h) relation; every consumer
+    // reads it.
+    val base = PlanAudit.checkpointed(
+      hammingBase(fps, idCol, hashCol).distinct())
     // one id must map to ONE hash: the collapse's exactness argument
     // treats id→hash as a function. An id carrying two different
     // hashes is one graph NODE on the pairwise path (its two
@@ -1348,7 +1368,11 @@ object Dedup {
         "carry more than one distinct fingerprint — the collapsed cluster " +
         "path requires one hash per id (fix the ingest, or use " +
         "clusterLabelsOf(hammingNearDup(...)) which is exact over any input)")
-    val groups = hammingGroups(base)
+    // checkpointed: groups feeds BOTH sides of the rep band join and
+    // the final member expansion — without materialization the
+    // aggregate runs three times (r19; one row per distinct hash, so
+    // the relation is small by construction)
+    val groups = PlanAudit.checkpointed(hammingGroups(base))
     val repPairs = hammingBandPairs(
       groups.select(col("rep").as("id"), col("h")), maxDist, nBands)
     val repLabels = clusterLabelsOf(
@@ -1398,12 +1422,13 @@ object Dedup {
     * to a representative before the banded join.
     */
   def audioFpClusters(docs: DataFrame, idCol: String, payloadCol: String,
-      maxDist: Int = 3, nBands: Int = 4): DataFrame = {
-    val fps = Multimodal.audioFingerprint(docs, payloadCol).persist()
-    try PlanAudit.checkpointed(
-      hammingClusters(fps, idCol, "afp", maxDist, nBands))
-    finally fps.unpersist(blocking = false)
-  }
+      maxDist: Int = 3, nBands: Int = 4): DataFrame =
+    // decode-once now lives INSIDE hammingClusters (the (id, h) base
+    // is checkpointed before any consumer), so the former payload
+    // persist here would only cache decoded bytes nobody re-reads
+    PlanAudit.checkpointed(
+      hammingClusters(Multimodal.audioFingerprint(docs, payloadCol),
+        idCol, "afp", maxDist, nBands))
 
   /** [[imagePhashNearDup]]'s cluster form: decode + dHash every
     * payload, then [[hammingClusters]] — identical-phash groups (the
@@ -1414,15 +1439,13 @@ object Dedup {
     * duplicate group; non-image rows drop at the null-hash filter.
     */
   def imagePhashClusters(docs: DataFrame, idCol: String, payloadCol: String,
-      maxDist: Int = 3, nBands: Int = 4): DataFrame = {
-    // the decode dominates this path's cost and the cluster pipeline
-    // reads the fingerprint relation several times (group aggregate,
-    // both band-join sides, member expansion): persist so every image
-    // decodes ONCE, checkpoint the (small) cluster output eagerly,
-    // release the decode cache before returning
-    val fps = Multimodal.imagePhash(docs, payloadCol).persist()
-    try PlanAudit.checkpointed(
-      hammingClusters(fps, idCol, "phash", maxDist, nBands))
-    finally fps.unpersist(blocking = false)
-  }
+      maxDist: Int = 3, nBands: Int = 4): DataFrame =
+    // decode-once lives INSIDE hammingClusters (the (id, h) base is
+    // checkpointed before the guard/group/expansion consumers), so
+    // the former payload persist here would only cache decoded bytes
+    // nobody re-reads; the small cluster output still checkpoints
+    // eagerly for downstream reuse
+    PlanAudit.checkpointed(
+      hammingClusters(Multimodal.imagePhash(docs, payloadCol),
+        idCol, "phash", maxDist, nBands))
 }

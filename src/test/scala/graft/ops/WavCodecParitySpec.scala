@@ -74,6 +74,24 @@ class WavCodecParitySpec extends AnyFunSuite {
     assert(Multimodal.pcm16WavData("not a wav at all, too short".getBytes).isEmpty)
   }
 
+  test("direct PNG writer: ImageIO's real decode recovers every cell " +
+      "value exactly (pixel-level, stronger than the dHash roundtrip)") {
+    for (bits <- Seq(0L, -1L, bitsOf(9))) {
+      val cells = Multimodal.cellsForBits(bits)
+      val png = Multimodal.grayCellsPng(cells)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(png))
+      assert(img != null && img.getWidth == 9 && img.getHeight == 8)
+      for (i <- 0 until 8; j <- 0 until 9) {
+        val rgb = img.getRGB(j, i)
+        val (r, g, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+        val want = math.min(255, math.max(0, cells(i * 9 + j)))
+        assert(r == want && g == want && b == want,
+          s"pixel ($i,$j): got ($r,$g,$b) want $want for bits=${bits.toHexString}")
+      }
+    }
+  }
+
   test("fast-path fingerprint equals the SPI fallback's on the same " +
       "samples; non-canonical audio still fingerprints via the SPI") {
     for (bits <- Seq(bitsOf(1), bitsOf(2), 0x5A5A5A5AF0F0F0F0L)) {
