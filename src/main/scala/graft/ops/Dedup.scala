@@ -795,12 +795,30 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min(col("lbl")).as("nlbl"))
+      // the moved-count rides the checkpoint's own materialization
+      // job as an observed aggregate: one job per round, not a
+      // checkpoint job plus a count job (the count job was pure
+      // fixed overhead — the checkpointed rows were already in
+      // memory). Dataset.checkpoint runs through withAction, so the
+      // observation completes when the execution-end event is
+      // delivered — measured ~10 ms after the checkpoint returns
+      // (async listener bus); the bounded wait covers delivery and
+      // the explicit-count fallback keeps the loop correct even if
+      // the event is ever dropped (bus overflow).
+      val obs = org.apache.spark.sql.Observation()
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (col("nlbl") < col("lbl")).as("moved"))
+        .observe(obs, count(when(col("moved"), true)).as("moved_n"))
       val materialized = PlanAudit.checkpointed(next)
-      changed = materialized.filter(col("moved")).count()
+      changed =
+        try scala.concurrent.Await.result(obs.future,
+          scala.concurrent.duration.Duration(10, "seconds")).getLong(0)
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            materialized.filter(col("moved")).count()
+        }
       superseded += labels // this round's snapshot, replaced below
       labels = materialized.select(col("doc_id"), col("lbl"))
     }

@@ -695,15 +695,28 @@ object Pq {
           "to accept the measured recall loss deliberately")
     }
     val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
-    val codesRel = enc.select(col("vec_id"), col("pcodes"), col("pq_norm"))
+    // Encode and assign ONCE (r19 opt: the hamming decode-once rule
+    // applied to the PQ pipeline). Catalyst has no cross-side
+    // common-subexpression reuse, so with boundA > 0 the disjoint
+    // cellJoin split instantiated the full scan→pq_encode subtree on
+    // BOTH sides of BOTH branches — the measured x_dedup_embedding_pq
+    // plan carried 8 complete pq_encode corpus passes over 20 parquet
+    // scans (plans/r19/x_dedup_embedding_pq_before2.txt). Three
+    // checkpoints make it one encode pass (24 B/row codes), one
+    // probe-set pass, one cell-assignment pass; the four cellJoin
+    // inputs read the materialized relations (disk-backed blocks —
+    // scale-safe, and at 100 TB the persisted-store path is the
+    // production shape anyway).
+    val codesRel = PlanAudit.checkpointed(
+      enc.select(col("vec_id"), col("pcodes"), col("pq_norm")))
     val probes = Similarity.probeSets(
       enc.select(col("vec_id"), col("v")), model, nProbe)
-    val left = probes.join(codesRel, "vec_id")
+    val left = PlanAudit.checkpointed(probes.join(codesRel, "vec_id")
       .select(col("vec_id"), col("cell"),
-        col("pcodes").as("pa"), col("pq_norm").as("pqa"))
-    val right = cells.join(codesRel, "vec_id")
+        col("pcodes").as("pa"), col("pq_norm").as("pqa")))
+    val right = PlanAudit.checkpointed(cells.join(codesRel, "vec_id")
       .select(col("vec_id").as("p_id"), col("cell"),
-        col("pcodes").as("pb"), col("pq_norm").as("pqb"))
+        col("pcodes").as("pb"), col("pq_norm").as("pqb")))
     val sdcRaw = call_function("sdc_dot", col("pa"), col("pb"),
       sdcTabCol(b), lit(b.k))
     // keep-on-degenerate: a zero-norm reconstruction has no SDC

@@ -678,8 +678,18 @@ object Similarity {
     // join-back shape produced and the recall oracle recomputes. A
     // pair generated in both orientations yields the same cosine, so
     // the final distinct collapses it.
-    val probes = nearestCells(e, model, nProbe)
-      .join(e.select(col("vec_id"), col("v"), col("norm")), "vec_id")
+    // Assign + attach vectors ONCE (r19 opt: the decode-once rule).
+    // `probes` feeds the cellJoin's left side and (rk==1-filtered)
+    // its right side — and a boundA split doubles each again; with no
+    // cross-side common-subexpression reuse every instance re-ran the
+    // scan → normalize → centroid-window → vector join subtree (the
+    // measured x_dedup_embedding_ann plan: 8 parquet scans, 2 full
+    // window passes — plans/r19/x_dedup_embedding_ann_before2.txt).
+    // One checkpoint materializes the probe relation; every cellJoin
+    // input reads it (disk-backed blocks, n·(nProbe) rows — the same
+    // bytes one window pass already shuffled).
+    val probes = PlanAudit.checkpointed(nearestCells(e, model, nProbe)
+      .join(e.select(col("vec_id"), col("v"), col("norm")), "vec_id"))
     val left = probes.select(col("vec_id"), col("cell"),
       col("v").as("va"), col("norm").as("na"))
     val right = probes.filter(col("rk") === 1)

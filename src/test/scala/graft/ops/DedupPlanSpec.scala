@@ -100,25 +100,40 @@ class DedupPlanSpec extends AnyFunSuite {
     // the per-vector centroid scoring is crossJoin(broadcast(nCells
     // rows)) — physically a BroadcastNestedLoopJoin whose build side
     // is the 16-row centroid LocalTableScan: bounded and sanctioned.
-    // Everything else (candidate pairing on cell, vector re-joins)
-    // must stay hash equi-joins; a SECOND nested loop, or a cartesian
-    // over corpus-sized relations, is the regression this pins.
+    // Since the r19 assign-once checkpoint, that subtree lives in the
+    // ONE materialized probes relation (seen through the PlanAudit
+    // sink), and the returned candidate plan must contain NO nested
+    // loop at all — both sides of the cell pairing read the
+    // checkpointed probes. Everything else (candidate pairing on
+    // cell, vector re-joins) must stay hash equi-joins; a nested loop
+    // in the final plan, a non-centroid nested loop in the probes
+    // pipeline, or a cartesian over corpus-sized relations is the
+    // regression this pins.
     val emb = graft.engine.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
-    val ann = physical(Similarity.embeddingNearDupAnn(emb))
-    // the probes relation feeds both sides of the candidate pairing,
-    // so the centroid-scoring subtree (and its BNLJ) appears twice in
-    // the unexecuted plan — every occurrence must be the broadcast-
-    // cross centroid shape, and nothing else may nest-loop
-    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(ann).size
-    val bnljCentroid =
-      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(ann).size
-    assert(bnljAll == bnljCentroid && bnljAll > 0,
-      s"non-centroid nested loop present ($bnljCentroid/$bnljAll):\n$ann")
+    val captured = scala.collection.mutable.ArrayBuffer[String]()
+    val ann = PlanAudit.withSink(df => captured += physical(df)) {
+      physical(Similarity.embeddingNearDupAnn(emb))
+    }
+    assert(!ann.contains("BroadcastNestedLoopJoin"),
+      s"candidate plan nest-loops (probes no longer assigned once?):\n$ann")
     assert(!ann.contains("CartesianProduct"),
       s"ANN path contains a shuffled cartesian product:\n$ann")
     val cellJoin = """(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[cell""".r
     assert(cellJoin.findFirstIn(ann).isDefined,
       s"candidate pairing is not an equi-join on cell:\n$ann")
+    // exactly one probes materialization, carrying exactly the
+    // sanctioned centroid broadcast-cross shape
+    assert(captured.size == 1,
+      s"expected one checkpointed probes relation, saw ${captured.size}")
+    val probes = captured.head
+    val bnljAll = "BroadcastNestedLoopJoin".r.findAllIn(probes).size
+    val bnljCentroid =
+      "BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(probes).size
+    assert(bnljAll == bnljCentroid && bnljAll > 0,
+      s"non-centroid nested loop in the probes pipeline " +
+        s"($bnljCentroid/$bnljAll):\n$probes")
+    assert(!probes.contains("CartesianProduct"),
+      s"probes pipeline contains a shuffled cartesian product:\n$probes")
   }
 
   test("ANN boundA split: branches disjoint, pairs equal the filtered unbounded set") {
