@@ -47,10 +47,17 @@ object Classify {
     require(trainCut > 0 && trainCut < 10000,
       s"trainCut must split 0..9999, got $trainCut")
     val train = docs.filter(Sampling.bucketOf(col("doc_id")) < trainCut)
-    val cnt = train.repartition(col("doc_id"))
+    // checkpoint the (label, tok, c) count relation (r20 opt): it
+    // feeds FOUR consumers below (tot, gcnt, gtot, and the final
+    // join), and with no cross-side common-subexpression reuse each
+    // instantiated its own full tokenize → explode → shuffle pass
+    // over the train split — the x_text_classify plan carried 4
+    // complete token passes. The materialized relation is
+    // vocabulary × labels rows (model-sized, never corpus-sized).
+    val cnt = PlanAudit.checkpointed(train.repartition(col("doc_id"))
       .select(col(labelCol).as("label"), TextOps.words(col("text")).as("ws"))
       .select(col("label"), explode(col("ws")).as("tok"))
-      .groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("label"), col("tok")).agg(count(lit(1)).as("c")))
     val tot = cnt.groupBy(col("label")).agg(sum(col("c")).as("n"))
     val gcnt = cnt.groupBy(col("tok")).agg(sum(col("c")).as("gc"))
     // corpus total: a 1-row scalar attach (the allowed cartesian)

@@ -393,7 +393,13 @@ object CorpusStats {
     val tok = docs.repartition(col("doc_id"))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(col("ws")).as("tok"))
-    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    // checkpoint the per-doc tf relation (r20 opt): it feeds both the
+    // vocabulary df aggregate and the weighted join-back, and each
+    // instance otherwise re-ran the tokenize → explode → shuffle pass
+    // over the corpus. The materialized relation is the distinct
+    // (doc, token) set — the same bytes its one shuffle already moved.
+    val tf = PlanAudit.checkpointed(
+      tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val weighted = tf.join(df, "tok")
       .select(col("doc_id"), col("tok"),

@@ -96,14 +96,26 @@ object Kmeans {
 
   /** Integer squared distance of `q` to every centroid, the minimum,
     * and the argmin cluster (first match = lowest id on ties).
+    *
+    * `cluster` is made NON-NULLABLE via the coalesce (r20 opt, the
+    * [[Similarity.cellOf]] rationale): the lattice family joins on
+    * `cluster` ([[semanticDedup]]'s pair join, [[knnIvfLattice]]'s
+    * probe join), and a nullable computed join key gets an inferred
+    * `IsNotNull` Filter pushed below this Project — re-evaluating the
+    * whole quantize + `int8_dist2s` chain a second time per row.
+    * `array_position` can never miss here (`dist2` IS an element of
+    * `dists`, both non-null once `q` passed the isNotNull filter), so
+    * the −1 arm is dead; it exists only to prove non-nullability to
+    * the optimizer.
     */
   private def withCluster(codes: DataFrame,
       cents: Array[Array[Long]]): DataFrame =
     codes
       .withColumn("dists", distsTo(cents, col("pack")))
       .withColumn("dist2", array_min(col("dists")))
-      .withColumn("cluster",
-        (array_position(col("dists"), col("dist2")) - 1).cast("int"))
+      .withColumn("cluster", coalesce(
+        (array_position(col("dists"), col("dist2")) - 1).cast("int"),
+        lit(-1)))
       .drop("dists")
 
   /** One Lloyd update: assign against `cents`, then floor-mean the
@@ -346,10 +358,19 @@ object Kmeans {
     * compute exactly this algebra — parity is spec-pinned.
     */
   def occupancyDrift(base: DataFrame, cur: DataFrame,
-      num: Int = 1, den: Int = 10): DataFrame = {
+      num: Int = 1, den: Int = 10): DataFrame =
+    occupancyDriftOf(base.join(cur, Seq("cluster"), "full")
+      .na.fill(0L, Seq("n_base", "n_cur")), num, den)
+
+  /** The drift algebra over an already-joined
+    * (cluster, n_base, n_cur) relation — factored so the gate query
+    * can hand in a single-pass count relation (see
+    * [[kmeansOccupancyDrift]]) while external callers keep the
+    * two-relation [[occupancyDrift]] contract.
+    */
+  private def occupancyDriftOf(j: DataFrame,
+      num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0, s"threshold must be a positive rational: $num/$den")
-    val j = base.join(cur, Seq("cluster"), "full")
-      .na.fill(0L, Seq("n_base", "n_cur"))
     val tot = j.agg(sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc"))
     def dec(c: Column) = c.cast("decimal(38,0)")
     j.crossJoin(broadcast(tot))
@@ -381,12 +402,19 @@ object Kmeans {
     val codes = codesDf(embeddings)
     val asg = withCluster(codes, centroidsFor(codes, k, iters))
       .select(col("vec_id"), col("cluster"))
-    occupancyDrift(
-      asg.filter(col("vec_id") % 2 === 0)
-        .groupBy(col("cluster")).agg(count(lit(1)).as("n_base")),
-      asg.filter(col("vec_id") % 2 =!= 0)
-        .groupBy(col("cluster")).agg(count(lit(1)).as("n_cur")),
-      num, den)
+    // ONE corpus pass (r20 opt): conditional counts over the parity
+    // split are algebraically identical to the former two one-sided
+    // aggregates + full-outer join + fill(0) — a cluster with no
+    // even (odd) member counts 0 either way, a cluster with no member
+    // at all is absent either way — but the corpus is quantized and
+    // assigned once instead of twice. Checkpointed because the drift
+    // algebra instantiates its input twice (the `tot` scalar and the
+    // final projection), which would otherwise re-run even the single
+    // pass; the materialized relation is k rows.
+    val j = PlanAudit.checkpointed(asg.groupBy(col("cluster")).agg(
+      count(when(col("vec_id") % 2 === 0, true)).as("n_base"),
+      count(when(col("vec_id") % 2 =!= 0, true)).as("n_cur")))
+    occupancyDriftOf(j, num, den)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -435,9 +463,15 @@ object Kmeans {
     require(num > 0 && den > 0 && num <= den,
       s"cosine threshold must be a rational in (0, 1]: $num/$den")
     val codes = codesDf(embeddings)
-    val asg = withCluster(codes, centroidsFor(codes, k, iters))
-      .withColumn("selfq", Quantize.i8dot(col("pack"), col("pack")))
-      .select(col("vec_id"), col("cluster"), col("pack"), col("selfq"))
+    // checkpoint the assigned relation (r20 opt): it feeds THREE
+    // consumers (both sides of the pair join and the final keep
+    // projection), each of which otherwise re-ran the full quantize +
+    // int8_dist2s assignment pass over the corpus. ~90 B/row
+    // materialized (id, cluster, packed codes, self-dot).
+    val asg = PlanAudit.checkpointed(
+      withCluster(codes, centroidsFor(codes, k, iters))
+        .withColumn("selfq", Quantize.i8dot(col("pack"), col("pack")))
+        .select(col("vec_id"), col("cluster"), col("pack"), col("selfq")))
     def dec(c: Column) = c.cast("decimal(38,0)")
     val pairs = asg
       .select(col("cluster"), col("vec_id").as("va"),

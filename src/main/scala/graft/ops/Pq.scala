@@ -694,29 +694,35 @@ object Pq {
           "finer PQ geometry (m/kCodes), or pass certifyMargin=false " +
           "to accept the measured recall loss deliberately")
     }
-    val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
+    val (_, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
     // Encode and assign ONCE (r19 opt: the hamming decode-once rule
     // applied to the PQ pipeline). Catalyst has no cross-side
     // common-subexpression reuse, so with boundA > 0 the disjoint
     // cellJoin split instantiated the full scan→pq_encode subtree on
     // BOTH sides of BOTH branches — the measured x_dedup_embedding_pq
     // plan carried 8 complete pq_encode corpus passes over 20 parquet
-    // scans (plans/r19/x_dedup_embedding_pq_before2.txt). Three
-    // checkpoints make it one encode pass (24 B/row codes), one
-    // probe-set pass, one cell-assignment pass; the four cellJoin
-    // inputs read the materialized relations (disk-backed blocks —
+    // scans (plans/r19/x_dedup_embedding_pq_before2.txt). Two
+    // checkpoints make it one fused encode+assign pass (28 B/row
+    // codes + cell) and one probe-set pass; the four cellJoin inputs
+    // read the materialized relations (disk-backed blocks —
     // scale-safe, and at 100 TB the persisted-store path is the
-    // production shape anyway).
+    // production shape anyway). r20: the cell assignment rides the
+    // SAME projection as the codes (cellOf over the same `v` column,
+    // vec_id unique — row-for-row equal to the former
+    // `cells.join(codesRel, "vec_id")`), which deletes the third
+    // checkpoint, its corpus scan, and the corpus-sized self-join.
     val codesRel = PlanAudit.checkpointed(
-      enc.select(col("vec_id"), col("pcodes"), col("pq_norm")))
+      enc.select(col("vec_id"), col("pcodes"), col("pq_norm"),
+        Similarity.cellOf(col("v"), model).as("pcell")))
     val probes = Similarity.probeSets(
       enc.select(col("vec_id"), col("v")), model, nProbe)
-    val left = PlanAudit.checkpointed(probes.join(codesRel, "vec_id")
-      .select(col("vec_id"), col("cell"),
-        col("pcodes").as("pa"), col("pq_norm").as("pqa")))
-    val right = PlanAudit.checkpointed(cells.join(codesRel, "vec_id")
-      .select(col("vec_id").as("p_id"), col("cell"),
-        col("pcodes").as("pb"), col("pq_norm").as("pqb")))
+    val left = PlanAudit.checkpointed(
+      probes.join(codesRel.drop("pcell"), "vec_id")
+        .select(col("vec_id"), col("cell"),
+          col("pcodes").as("pa"), col("pq_norm").as("pqa")))
+    val right = codesRel
+      .select(col("vec_id").as("p_id"), col("pcell").as("cell"),
+        col("pcodes").as("pb"), col("pq_norm").as("pqb"))
     val sdcRaw = call_function("sdc_dot", col("pa"), col("pb"),
       sdcTabCol(b), lit(b.k))
     // keep-on-degenerate: a zero-norm reconstruction has no SDC
@@ -934,7 +940,7 @@ object Pq {
     requireQtabBroadcastBound(nQueries)
     val b = codebookFor(base, m, kCodes, trainMod)
     val enc = encoded(embeddings, b)
-    val (cells, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
+    val (_, model) = Similarity.cellsFor(embeddings, nCells, cellTrainMod)
     val q = queriesOf(enc, nQueries)
     val qProbed = withQtab(q, b)
       .select(col("query_id"), col("qtab"), col("qn"))
@@ -942,9 +948,17 @@ object Pq {
           enc.filter(col("vec_id") < nQueries)
             .select(col("vec_id"), col("v")), model, nProbe)
         .select(col("vec_id").as("query_id"), col("cell")), "query_id")
+    // cell assignment computed IN the codes projection (r20 opt):
+    // joining the `cells` relation back on vec_id re-instantiated the
+    // whole scan subtree on the cells side (Catalyst has no cross-side
+    // common-subexpression reuse) — one extra full corpus scan plus a
+    // corpus-sized self-join per query. cellOf over the same `v`
+    // column is the identical expression on identical values, and
+    // vec_id is unique, so the joined relation and this projection
+    // are row-for-row equal.
     val cand = pqRank(
-        enc.select(col("vec_id"), col("pcodes"), col("pq_norm"))
-          .join(cells, "vec_id"),
+        enc.select(col("vec_id"), col("pcodes"), col("pq_norm"),
+          Similarity.cellOf(col("v"), model).as("cell")),
         qProbed, b, Seq("cell"))
       .filter(col("crk") <= depth)
       .select(col("query_id"), col("neighbor_id"))

@@ -118,10 +118,26 @@ object Similarity {
     * the same sequential order and break distance ties to the LOWER
     * cell (strict `<` first-min ≡ the window's (d2, cell) order), so
     * a vector's assigned cell is exactly its rk=1 probe cell.
+    *
+    * The coalesce makes the column NON-NULLABLE (r20 opt): every IVF
+    * family joins on `cell`, and an inner equi-join on a nullable
+    * computed key makes InferFiltersFromConstraints push an
+    * `IsNotNull(cell)` Filter BELOW the Project that computes it —
+    * Filter and Project are separate operators with no cross-operator
+    * subexpression reuse, so the whole unitOf-normalize + pq_encode
+    * argmin chain (the most expensive per-row expression of the
+    * family) was evaluated TWICE per corpus row (measured in the
+    * x_knn_pq_ivf_check plan: the pushed `isnotnull(element_at(
+    * pq_encode(...)))` duplicated the full encode). A null cell can
+    * only arise from a corpus row whose dimension disagrees with the
+    * fitted centroids (pq_encode's geometry check); such a row never
+    * matched any join anyway — null keys don't equi-join — and the
+    * −1 sentinel matches nothing either (real cells are 0-based), so
+    * every join result is bit-identical while the encode runs once.
     */
   private[ops] def cellOf(v: Column, q: Coarse): Column =
-    element_at(call_function("pq_encode",
-      unitOf(v), typedLit(q.flat), lit(1)), 1)
+    coalesce(element_at(call_function("pq_encode",
+      unitOf(v), typedLit(q.flat), lit(1)), 1), lit(-1))
 
   /** Memoized coarse quantizers, keyed by the semantic hash of the
     * training plan + cell count: repeated queries over the same corpus

@@ -625,7 +625,12 @@ object Extensions {
       val ntext = TextOps.nfc(col("text"))
       val key = concat_ws(" ",
         (1 to 3).map(i => try_element_at(split(ntext, " "), lit(i))): _*)
-      val keyed = docs.select(col("doc_id"), key.as("k"))
+      // checkpointed (r20 opt): `keyed` feeds both sides of the
+      // exactKeep join, and each side otherwise re-ran the NFC
+      // normalization + split over the full text column. (doc_id, k)
+      // rows only — 3 words per doc.
+      val keyed = graft.ops.PlanAudit.checkpointed(
+        docs.select(col("doc_id"), key.as("k")))
       val exactKeep = keyed.join(
         keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep_id")), "k")
         .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_first"))
@@ -663,7 +668,10 @@ object Extensions {
       val ntext = TextOps.nfc(col("text"))
       val key = concat_ws(" ",
         (1 to 3).map(i => try_element_at(split(ntext, " "), lit(i))): _*)
-      val keyed = docs.select(col("doc_id"), key.as("k"))
+      // checkpointed — the curation_v4 rationale (keyed feeds both
+      // join sides)
+      val keyed = graft.ops.PlanAudit.checkpointed(
+        docs.select(col("doc_id"), key.as("k")))
       val exactKeep = keyed.join(
         keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep_id")), "k")
         .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_first"))
