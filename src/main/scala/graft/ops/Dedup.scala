@@ -776,7 +776,98 @@ object Dedup {
     * appears in a pair; singletons are absent (they label themselves
     * — the keep-best operator left-joins them back in).
     */
-  def clusterLabelsOf(pairs: DataFrame): DataFrame = {
+  def clusterLabelsOf(pairs: DataFrame): DataFrame =
+    clusterLabelsOf(pairs, MaxDriverEdges)
+
+  /** Edge ceiling for the driver union-find fast path of
+    * [[clusterLabelsOf]]: up to this many pair rows (two longs each —
+    * ~48 MB as collected JVM rows at the bound) are BOUNDED driver
+    * model state, the `maxRerankCandidates` class — the pair set is
+    * the near-dup graph's edge list, already the product of banded
+    * candidate pruning and exact verification, never the corpus. Past
+    * the ceiling the distributed min-label loop runs unchanged
+    * (automatic degrade, not a refusal — the 100 TB regime where even
+    * the verified edge list is corpus-sized). Why the fast path
+    * exists: each propagation round is one whole Spark job over a
+    * 32-partition shuffle, so at any edge count a driver can hold,
+    * the loop is pure scheduler overhead — measured 1.8-2.1 s of the
+    * 2.2 s warm media-cluster legs at sf0.1 (ProfClusters) for a
+    * 47-cluster graph a union-find labels in microseconds.
+    */
+  private[graft] val MaxDriverEdges: Int = 1 << 21
+
+  private[graft] def clusterLabelsOf(pairs: DataFrame,
+      maxDriverEdges: Int): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val narrow = pairs.select(col("doc_a"), col("doc_b"))
+    val longIds = narrow.schema.fields.forall(_.dataType == LongType)
+    // ONE bounded job decides the regime AND feeds the fast path:
+    // head(n+1) either returns the COMPLETE edge list (≤ n rows) or
+    // proves the bound is exceeded (n+1 rows → distributed loop).
+    val probe = if (longIds) narrow.head(maxDriverEdges + 1) else Array.empty[org.apache.spark.sql.Row]
+    if (longIds && probe.length <= maxDriverEdges)
+      driverUnionFind(pairs.sparkSession, probe)
+    else clusterLabelsDistributed(pairs)
+  }
+
+  /** Exact connected components over a driver-resident edge list —
+    * path-halving union-find, components labeled by their MIN member
+    * id: precisely the fixed point the distributed min-label loop
+    * converges to, so the two regimes are output-identical (spec-
+    * pinned on chain/clique/random graphs). Emits (doc_id,
+    * cluster_id) for every id appearing in any pair, doc_id-ordered —
+    * [[clusterLabelsOf]]'s exact contract.
+    */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+    }
+    val nodeSet = new java.util.TreeSet[java.lang.Long]()
+    edges.foreach { r => nodeSet.add(r.getLong(0)); nodeSet.add(r.getLong(1)); () }
+    val nodes = nodeSet.iterator()
+    // two passes: min member per root (union-by-min keeps roots
+    // minimal already, but deriving the label explicitly keeps the
+    // labeling independent of the union order)
+    val minOfRoot = new java.util.HashMap[Long, Long]()
+    val nodeArr = new Array[Long](nodeSet.size)
+    var i = 0
+    while (nodes.hasNext) { nodeArr(i) = nodes.next().longValue; i += 1 }
+    nodeArr.foreach { n =>
+      val r = find(n)
+      if (n < minOfRoot.getOrDefault(r, Long.MaxValue)) minOfRoot.put(r, n)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodeArr.length)
+    nodeArr.foreach { n =>
+      rows.add(org.apache.spark.sql.Row(n, minOfRoot.get(find(n)).longValue))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster_id",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(rows, schema).orderBy(col("doc_id"))
+  }
+
+  /** The distributed min-label propagation loop — the past-the-bound
+    * regime of [[clusterLabelsOf]] (and the measurement of record for
+    * the 100 TB scale claims; the driver fast path above must equal
+    * it bit-for-bit).
+    */
+  private[graft] def clusterLabelsDistributed(pairs: DataFrame): DataFrame = {
     val edges = PlanAudit.checkpointed(pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"))))
     // round 0 fused into the node extraction: every node starts at
@@ -812,9 +903,14 @@ object Dedup {
           (col("nlbl") < col("lbl")).as("moved"))
         .observe(obs, count(when(col("moved"), true)).as("moved_n"))
       val materialized = PlanAudit.checkpointed(next)
+      // 1 s, not 10: normal delivery is ~10 ms after the checkpoint
+      // returns; if the execution-end event is ever dropped, the
+      // explicit count below is cheap (the rows are already
+      // materialized), so a long grace period only adds worst-case
+      // stall per round (ADVICE r19)
       changed =
         try scala.concurrent.Await.result(obs.future,
-          scala.concurrent.duration.Duration(10, "seconds")).getLong(0)
+          scala.concurrent.duration.Duration(1, "seconds")).getLong(0)
         catch {
           case _: java.util.concurrent.TimeoutException =>
             materialized.filter(col("moved")).count()
