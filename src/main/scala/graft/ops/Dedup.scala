@@ -150,7 +150,20 @@ object Dedup {
     * corpus 1000× larger (same result as the cartesian baseline; the
     * DuckDB oracle still computes it the O(n²) way).
     */
-  def ngramJaccardBrute(docs: DataFrame, leftMax: Long = 200): DataFrame =
+  def ngramJaccardBrute(docs: DataFrame, leftMax: Long = 200): DataFrame = {
+    // memoized like the MinHash pair set (r20 opt): the brute pair
+    // relation is the measured τ = 1/2 scale path, and a dedup
+    // pipeline consumes it repeatedly ([[sourceDupMatrix]] rides it
+    // verbatim) — the (-1, -1) band geometry marks the brute entry in
+    // the shared pair cache.
+    val key = (docs.queryExecution.analyzed.semanticHash(),
+      java.util.Arrays.hashCode(docs.inputFiles.asInstanceOf[Array[AnyRef]]),
+      leftMax, -1, -1)
+    pairCache.getOrElseUpdate(key)(ngramJaccardBruteUncached(docs, leftMax))
+  }
+
+  private def ngramJaccardBruteUncached(docs: DataFrame,
+      leftMax: Long): DataFrame =
     withShingles(docs) { sh =>
     val sizes = sh.select(col("doc_id"), size(col("g")).as("n"))
     val tokens = sh.select(col("doc_id"), explode(col("g")).as("shingle"))
@@ -247,7 +260,11 @@ object Dedup {
         .agg(count(lit(1)).as("gdf"))
         .filter(col("gdf") <= maxGramDf)
         .select(col("shingle"))
-      val indexed = tokens.join(rare, "shingle")
+      // checkpointed (r20 opt): the capped index feeds both candidate
+      // join sides, and each side otherwise re-ran the token explode
+      // AND the df-cap join. The materialized relation is the capped
+      // token index — the same bytes the candidate join shuffles.
+      val indexed = PlanAudit.checkpointed(tokens.join(rare, "shingle"))
       val cand = indexed.filter(col("doc_id") < leftMax)
         .withColumnRenamed("doc_id", "doc_a")
         .join(indexed.withColumnRenamed("doc_id", "doc_b"), Seq("shingle"))
@@ -454,6 +471,13 @@ object Dedup {
     // extra full sort-shuffle of the token relation) and the separate
     // doc-size join; per-doc arrays are bounded by document length,
     // so the collect never exceeds one document's shingle set
+    // NOT checkpointed (r20 measured, rejected): materializing the
+    // prefix relation for both self-join sides LOST 1.5× (2.1 → 3.2 s
+    // at sf0.1) — the probe side's doc_id < leftMax filter pushes
+    // through the groupBy to the scan, so the "duplicate" subtree is
+    // really one full pass plus one leftMax-pruned pass, and a
+    // checkpoint replaces the cheap pruned pass with a full
+    // string-heavy materialization.
     val prefixes = tokens.join(freq, "shingle")
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("df"), col("shingle"))).as("ts"))
@@ -548,13 +572,18 @@ object Dedup {
         array((0 until sigLen).map(k => col(s"m$k")): _*).as("sig"))
 
     // band hash = xxhash64 over the band's slice (overflow-safe under
-    // ANSI mode, which Spark 4 enables by default)
-    val banded = sigs.select(col("doc_id"), posexplode(
+    // ANSI mode, which Spark 4 enables by default). Checkpointed (r20
+    // opt): `banded` feeds BOTH sides of the bucket self-join below,
+    // and with no cross-side common-subexpression reuse each side
+    // otherwise re-ran the full signature pass (64 min-aggregates
+    // over the exploded token relation). The materialized relation is
+    // bands rows per doc — corpus-linear, 16 B/row.
+    val banded = PlanAudit.checkpointed(sigs.select(col("doc_id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)), b =>
         xxhash64(concat_ws(",",
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             x => x.cast("string")))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket"))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bucket")))
 
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket")
@@ -613,8 +642,14 @@ object Dedup {
       shiftrightunsigned(element_at(col("sig"), i / perSig + 1),
         (i % perSig) * chunkBits).bitwiseAND(lit(mask))
     }: _*)
-    val exploded = sigs.select(col("doc_id"), col("sig"), posexplode(chunkCols))
-      .withColumnsRenamed(Map("pos" -> "cix", "col" -> "cval"))
+    // checkpointed (r20 opt): `exploded` feeds the probe (a) and
+    // primary (b) sides of the chunk equi-join below, and each side
+    // otherwise re-ran the full nSigs×64-bit signature pass over the
+    // exploded token relation. nChunks rows per doc, sig array + one
+    // chunk value each — corpus-linear.
+    val exploded = PlanAudit.checkpointed(
+      sigs.select(col("doc_id"), col("sig"), posexplode(chunkCols))
+        .withColumnsRenamed(Map("pos" -> "cix", "col" -> "cval")))
 
     // query side probes its chunk value plus every 1-bit flip of it
     val probes = array(col("cval") +:
