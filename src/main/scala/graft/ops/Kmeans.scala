@@ -553,8 +553,14 @@ object Kmeans {
       .select(col("doc_id"), col("bg").as("term"))
       .join(asg, col("doc_id") === col("vec_id"))
       .select(col("cluster"), col("doc_id"), col("term"))
-    val cdf = terms.groupBy(col("cluster"), col("term"))
-      .agg(count(lit(1)).as("df"))
+    // checkpointed (r20 opt): `cdf` feeds the corpus-df aggregate AND
+    // the final join, and each instance re-ran the terms join +
+    // (cluster, term) aggregation — the r18 measurement kept the
+    // double derivation over the window ALTERNATIVE (which re-sorts
+    // the vocabulary); materializing the (cluster, term, df) relation
+    // once removes the second derivation without introducing the sort.
+    val cdf = PlanAudit.checkpointed(terms.groupBy(col("cluster"), col("term"))
+      .agg(count(lit(1)).as("df")))
     val tot = cdf.groupBy(col("term")).agg(sum(col("df")).as("corpus_df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -634,9 +634,16 @@ object Extensions {
       val exactKeep = keyed.join(
         keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep_id")), "k")
         .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_first"))
-      val novelty = CorpusStats.gramNovelty(docs)
+      // the RAW table feeds the shingle consumers (r20 opt): the
+      // shingle substrate memo keys on the docs PLAN, and a
+      // (doc_id, text) projection here built a second persisted
+      // substrate next to the one the x_dedup_* legs already share —
+      // shingling only ever reads doc_id/text, so the output is
+      // unchanged
+      val novelty = CorpusStats.gramNovelty(t(s, d, "documents"))
         .select(col("doc_id"), col("novelty_ppm"))
-      val contained = Dedup.containmentPairsCapped(docs, maxGramDf = 5)
+      val contained = Dedup.containmentPairsCapped(t(s, d, "documents"),
+          maxGramDf = 5)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("is_contained", lit(true))
       docs.select(col("doc_id"))
@@ -675,10 +682,12 @@ object Extensions {
       val exactKeep = keyed.join(
         keyed.groupBy(col("k")).agg(min(col("doc_id")).as("keep_id")), "k")
         .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("is_first"))
-      val txt = docs.select(col("doc_id"), col("text"))
-      val novelty = CorpusStats.gramNovelty(txt)
+      // raw table for the shingle consumers — the curation_v4
+      // rationale (one shared substrate memo entry)
+      val novelty = CorpusStats.gramNovelty(t(s, d, "documents"))
         .select(col("doc_id"), col("novelty_ppm"))
-      val contained = Dedup.containmentPairsCapped(txt, maxGramDf = 5)
+      val contained = Dedup.containmentPairsCapped(t(s, d, "documents"),
+          maxGramDf = 5)
         .select(col("doc_b").as("doc_id")).distinct()
         .withColumn("is_contained", lit(true))
       val scores = graft.ops.Classify.ownLabelScore(docs)
