@@ -158,6 +158,55 @@ object Prof {
       spark.stop()
       return
     }
+    if (args.lift(1).contains("r20")) {
+      // round-20 evidence: the size-gated driver union-find vs the
+      // distributed min-label loop, at edge scales SPANNING the 2M
+      // gate — synthetic chain-of-cliques graphs (64-member cliques
+      // chained by bridge edges: both dense unions and long
+      // propagation chains). Equality of the two regimes is
+      // spec-pinned (ClusterLabelsUnionFindSpec); this measures the
+      // cost shapes and shows the over-bound degrade firing.
+      // 64-member cliques with random in-clique edges; every 97th
+      // edge bridges clique c -> c+1, but only inside aligned groups
+      // of 8 cliques — component diameter stays the near-dup shape
+      // (<= ~8 rep hops) at EVERY edge count. (The first cut chained
+      // every clique into one path: diameter ~ nEdges/6200, which
+      // sent the round-per-hop loop into thousands of rounds — a
+      // graph shape no banded near-dup pipeline produces.)
+      def chainGraph(nEdges: Long) = {
+        val base = spark.range(nEdges)
+          .select((col("id") % 1000000L).as("lo"), col("id"))
+        // `div`, not `/`: SQL division of two integers returns DOUBLE,
+        // which would (correctly) disqualify the ids from the driver
+        // fast path's long-only gate
+        val clique = expr("lo div 64")
+        val bridge = when(pmod(col("id"), lit(97L)) === 0 &&
+          pmod(clique, lit(8L)) =!= 7L, 64L).otherwise(0L)
+        base.select(
+          (clique * 64L + pmod(xxhash64(col("id")), lit(64L))).as("doc_a"),
+          (clique * 64L + pmod(xxhash64(col("id"), lit(1)), lit(64L))
+            + bridge).as("doc_b"))
+          .filter(col("doc_a") =!= col("doc_b"))
+      }
+      Seq(10000L, 100000L, 1000000L).foreach { n =>
+        val pairs = chainGraph(n).localCheckpoint(true)
+        q(s"cluster_labels_driver_e$n")(
+          Dedup.clusterLabelsOf(pairs).count())
+        // the distributed loop on the SAME graph for contrast — the
+        // regime an over-bound edge list degrades to (the degrade
+        // itself is spec-pinned; ClusterLabelsUnionFindSpec)
+        q(s"cluster_labels_loop_e$n")(
+          Dedup.clusterLabelsDistributed(pairs).count())
+      }
+      // the media cluster legs at this dir's scale (the r19 rows'
+      // successors — post union-find)
+      q("image_phash_clusters")(
+        graft.SparkEntry.queries("x_dedup_image_clusters")(spark, dir).count())
+      q("audio_fp_clusters")(
+        graft.SparkEntry.queries("x_dedup_audio_clusters")(spark, dir).count())
+      spark.stop()
+      return
+    }
     if (args.lift(1).contains("viral")) {
       // r18 verdict item 1's evidence row: a PLANTED viral duplicate
       // group (n identical 64-bit fingerprints re-posted over a 100k
