@@ -388,6 +388,21 @@ object Multimodal {
     * a gate derive its expected hashes from replayable data while the
     * Spark side still pays the full imageio decode.
     */
+  /** The media-gate bigram → bit-index polynomial — ONE definition
+    * (ADVICE r19: three inline copies had grown — the gate builder in
+    * `queries/Extensions.fixtureBits` and two prof harnesses — so a
+    * drifting copy would silently measure a stale shape). The DuckDB
+    * oracles replay this exact integer rule (`phashBitsCte`); change
+    * it ONLY together with them.
+    */
+  private[graft] def bigramBitIndex(g: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    def a(k: Int) = ascii(substring(g, k, 1)).cast("long")
+    (a(1) + a(2) * 31L + a(3) * 961L + a(4) * 29791L +
+      a(5) * 923521L + a(6) * 28629151L + a(7) * 887503681L +
+      length(g).cast("long") * 127L) % 64L
+  }
+
   def cellsForBits(bits: Long): Array[Int] = {
     val cells = new Array[Int](PhashW * PhashH)
     var i = 0

@@ -27,6 +27,20 @@ private[graft] object PlanAudit {
 
   /** Eagerly checkpoint `df`, reporting the pre-checkpoint plan to
     * the sink first (while its lineage is still the full pipeline).
+    *
+    * LIFETIME (ADVICE r19): the materialized blocks belong to the
+    * returned plan and stay in executor storage until the Spark
+    * ContextCleaner reclaims the underlying RDD after the LAST
+    * DataFrame referencing it is GC'd — there is deliberately no
+    * eager release seam here, because every call site's RETURNED
+    * relation depends on its blocks (releasing early would kill
+    * results callers still hold; see `Dedup.clearPairCache`'s
+    * scaladoc for the one place an explicit release IS safe). The
+    * blocks are bounded per query (each site materializes a
+    * model/candidate-sized or corpus-linear relation exactly once),
+    * and a long session's accumulation is reclaimed by GC; the
+    * bench's interleaved passes run with this behavior, so the
+    * published numbers INCLUDE any eviction churn it causes.
     */
   def checkpointed(df: DataFrame): DataFrame = {
     val s = sink.get()

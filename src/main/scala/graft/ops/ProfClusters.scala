@@ -21,13 +21,10 @@ object ProfClusters {
       println(f"PROFC $name ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
     }
 
-    // the audio gate's corpus derivation, inlined (Extensions' helper
-    // is private): bigram-polynomial bits -> rendered WAV
-    val g = col("g")
-    def a(k: Int) = ascii(substring(g, k, 1)).cast("long")
-    val idx = (a(1) + a(2) * 31L + a(3) * 961L + a(4) * 29791L +
-      a(5) * 923521L + a(6) * 28629151L + a(7) * 887503681L +
-      length(g).cast("long") * 127L) % 64L
+    // the audio gate's corpus derivation: the SHARED bigram bit rule
+    // (Multimodal.bigramBitIndex — one definition, ADVICE r19)
+    // rendered as WAVs
+    val idx = Multimodal.bigramBitIndex(col("g"))
     val bits = graft.engine.Tables.table(spark, dir, "documents")
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .select(col("doc_id"), explode(TextOps.ngramsOf(col("ws"), 2)).as("g"))

@@ -27,12 +27,10 @@ object ProfFixtureBits {
     val docs = graft.engine.Tables.table(spark, dir, "documents")
     docs.count()
 
-    def idxOf(g: org.apache.spark.sql.Column) = {
-      def a(k: Int) = ascii(substring(g, k, 1)).cast("long")
-      (a(1) + a(2) * 31L + a(3) * 961L + a(4) * 29791L +
-        a(5) * 923521L + a(6) * 28629151L + a(7) * 887503681L +
-        length(g).cast("long") * 127L) % 64L
-    }
+    // the SHARED bigram bit rule (Multimodal.bigramBitIndex — one
+    // definition, ADVICE r19: an inline copy here would let this
+    // harness's recorded keep/reject verdict measure a stale shape)
+    def idxOf(g: org.apache.spark.sql.Column) = Multimodal.bigramBitIndex(g)
 
     // BEFORE: explode + shiftleft + bit_or groupBy (one shuffle)
     def bitsExplode = docs

@@ -54,11 +54,9 @@ object Extensions {
     */
   private def fixtureBits(s: SparkSession, d: String) = {
     import s.implicits._
-    val g = col("g")
-    def a(k: Int) = ascii(substring(g, k, 1)).cast("long")
-    val idx = (a(1) + a(2) * 31L + a(3) * 961L + a(4) * 29791L +
-      a(5) * 923521L + a(6) * 28629151L + a(7) * 887503681L +
-      length(g).cast("long") * 127L) % 64L
+    // the bigram -> bit-index polynomial lives in ONE place
+    // (Multimodal.bigramBitIndex) shared with the prof harnesses
+    val idx = Multimodal.bigramBitIndex(col("g"))
     // h = OR of (1 << n) over the doc's bigram indices. OR is
     // idempotent, so the per-(doc_id, n) distinct the collect_set
     // shape needed is unnecessary — one codegen'd bit_or aggregate
