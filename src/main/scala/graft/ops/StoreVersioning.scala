@@ -69,9 +69,10 @@ private[ops] object StoreVersioning {
     * lock-file creation at the store root, released on every exit
     * path. A concurrent second maintainer gets a LOUD error naming
     * the lock (never a silent race on version allocation); a lock
-    * older than [[LeaseMs]] is stolen once (crash debris must not
-    * brick the store — the versioned-root design already makes any
-    * crashed maintenance recoverable by rerunning it).
+    * older than [[LeaseMs]] is stolen by AT MOST ONE racer through
+    * the steal-marker protocol below (crash debris must not brick
+    * the store — the versioned-root design already makes any crashed
+    * maintenance recoverable by rerunning it).
     */
   def withMaintainerLock[T](spark: SparkSession, dir: String,
       op: String)(body: => T): T = {
@@ -92,32 +93,54 @@ private[ops] object StoreVersioning {
           new java.io.File(lock.toUri.getPath).createNewFile()
         else fs.createNewFile(lock)
       } catch { case _: java.io.IOException => false }
+    def expired(p: Path): Boolean = try {
+      System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime > LeaseMs
+    } catch { case _: java.io.FileNotFoundException => true }
     val got = acquire() || {
-      val stale = try {
-        System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime > LeaseMs
-      } catch { case _: java.io.FileNotFoundException => true }
-      // Steal only an expired lease, and ONLY through an atomic rename
-      // of the stale lock to a unique grave name: the rename succeeds
-      // for at most one racer (the source is gone for the rest), so
-      // concurrent stealers can never each "clear the debris" — the
-      // old delete-then-create steal had exactly that hole (stealer B
-      // unconditionally deletes the lock stealer A just re-created,
-      // and both proceed). Whatever the rename outcome, acquisition
-      // itself stays the ONE atomic createNewFile: a loser whose
-      // rename failed because the holder released (or a rival stole)
-      // in the meantime may still acquire a now-free lock; one whose
-      // rename failed because the stale lock is somehow still present
-      // fails createNewFile and errors loudly below.
-      stale && {
+      // Steal only an expired lease, and ONLY while holding the STEAL
+      // MARKER — an atomic create-if-absent next to the lock that
+      // serializes the debris-clearing step itself. The r18
+      // rename-based steal had a residual hole the 8-way stealer spec
+      // eventually caught: a stealer's staleness read and its rename
+      // are two steps, so stealer B (stale read taken before A's
+      // steal completed) could rename away the FRESH lock A had just
+      // re-created, "clear the debris", and join A inside the
+      // critical section. Under the marker, exactly one stealer at a
+      // time re-validates expiry and conditionally deletes the lock —
+      // the lock path is never renamed or unconditionally deleted —
+      // and acquisition stays the ONE atomic createNewFile (a fresh
+      // maintainer landing between the delete and the acquire simply
+      // wins; the marker holder's acquire fails and refuses loudly).
+      // Marker debris from a crashed stealer self-expires on the same
+      // horizon, cleared through a unique-grave rename (at most one
+      // racer's rename succeeds; a rename that grabs a rival's fresh
+      // marker would require that rival to stall mid-steal for the
+      // whole lease horizon — steals carry no user body, so the
+      // crash-stall window is a few filesystem calls).
+      val steal = new Path(base, s".$Lock.steal")
+      def markerAcquire(): Boolean =
+        try {
+          if (fs.getScheme == "file")
+            new java.io.File(steal.toUri.getPath).createNewFile()
+          else fs.createNewFile(steal)
+        } catch { case _: java.io.IOException => false }
+      val marker = markerAcquire() || (expired(steal) && {
         val grave = new Path(base,
-          s".$Lock.stolen.${java.util.UUID.randomUUID().toString}")
+          s".$Lock.steal.stolen.${java.util.UUID.randomUUID().toString}")
         val renamed =
-          try fs.rename(lock, grave)
+          try fs.rename(steal, grave)
           catch { case _: java.io.IOException => false }
         if (renamed) { fs.delete(grave, false); () }
+        markerAcquire()
+      })
+      marker && (try {
+        // re-validate UNDER the marker: a rival may have stolen and
+        // re-acquired between this thread's first acquire failure and
+        // its marker win — only a lock still expired NOW is debris
+        if (expired(lock)) { fs.delete(lock, false); () }
         acquire()
-      }
+      } finally { fs.delete(steal, false); () })
     }
     if (!got) sys.error(
       s"$op: another maintainer holds $lock (single-maintainer " +

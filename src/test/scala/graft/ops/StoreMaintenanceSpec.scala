@@ -320,44 +320,56 @@ class StoreMaintenanceSpec extends AnyFunSuite {
   }
 
   test("concurrent stealers of an expired lease: at most one maintainer inside") {
+    // N maintainers all observe the SAME expired lease and race the
+    // steal, REPEATEDLY — the hole this pins is a sub-millisecond
+    // interleaving, so a single race is a coin flip (the r18
+    // rename-based steal survived many single-shot runs before one
+    // tripped it in round 20: stealer B's staleness read predated
+    // stealer A's steal, so B renamed away the FRESH lock A had just
+    // re-created, "cleared the debris", and both were inside at
+    // once). The r20 steal-marker protocol serializes the clearing
+    // step itself; occupancy may never exceed 1 in ANY round.
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val dir = tmpDir("stealrace")
     new java.io.File(dir).mkdirs()
     val lock = new java.io.File(dir, "_MAINTAINER_LOCK")
-    assert(lock.createNewFile())
-    assert(lock.setLastModified(
-      System.currentTimeMillis() - StoreVersioning.LeaseMs - 60000))
-    // N maintainers all observe the SAME expired lease and race the
-    // steal. The old delete-then-create steal let stealer B delete the
-    // lock stealer A had just re-created — two maintainers inside at
-    // once (the two-saves-one-version chimera). The rename-based steal
-    // clears the debris at most once, so createNewFile stays the one
-    // serialization point: occupancy may never exceed 1.
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
-    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
-    val go = new CountDownLatch(1)
-    val attempts = (1 to 8).map { i =>
-      Future {
-        go.await()
-        try {
-          StoreVersioning.withMaintainerLock(spark, dir, s"spec.steal$i") {
-            val now = inside.incrementAndGet()
-            maxInside.getAndUpdate(m => math.max(m, now))
-            Thread.sleep(50)
-            inside.decrementAndGet()
-          }
-          true
-        } catch { case e: RuntimeException
-            if e.getMessage.contains("another maintainer") => false }
+    var anySteal = false
+    for (round <- 1 to 20) {
+      assert(lock.createNewFile(), s"round $round: stale lock fixture")
+      assert(lock.setLastModified(
+        System.currentTimeMillis() - StoreVersioning.LeaseMs - 60000))
+      val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+      val go = new CountDownLatch(1)
+      val attempts = (1 to 8).map { i =>
+        Future {
+          go.await()
+          try {
+            StoreVersioning.withMaintainerLock(spark, dir,
+              s"spec.steal$round.$i") {
+              val now = inside.incrementAndGet()
+              maxInside.getAndUpdate(m => math.max(m, now))
+              Thread.sleep(20)
+              inside.decrementAndGet()
+            }
+            true
+          } catch { case e: RuntimeException
+              if e.getMessage.contains("another maintainer") => false }
+        }
       }
+      go.countDown()
+      val outcomes = Await.result(Future.sequence(attempts), 60.seconds)
+      anySteal ||= outcomes.contains(true)
+      assert(maxInside.get() <= 1,
+        s"round $round: mutual exclusion violated: ${maxInside.get()} " +
+          "maintainers were inside the critical section at once")
+      // whoever won released on exit; remove any leftover for the next
+      // round's fixture (nobody may have won a given round — a fresh
+      // maintainer can beat the marker holder to the freed path and
+      // that is fine, it released too)
+      lock.delete()
     }
-    go.countDown()
-    val outcomes = Await.result(Future.sequence(attempts), 60.seconds)
-    assert(outcomes.contains(true),
-      "an expired lease must be stealable by someone")
-    assert(maxInside.get() == 1,
-      s"mutual exclusion violated: ${maxInside.get()} maintainers " +
-        "were inside the critical section at once")
+    assert(anySteal, "an expired lease must be stealable by someone")
     StoreVersioning.withMaintainerLock(spark, dir, "spec.after") { () }
   }
 
