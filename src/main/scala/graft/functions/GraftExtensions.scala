@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_d"),
       arity("dot_d", 2)(exprs => DotProduct(exprs.head, exprs(1)))))
     extensions.injectFunction((
+      new FunctionIdentifier("unit_d"),
+      new ExpressionInfo(classOf[UnitNorm].getName, "unit_d"),
+      arity("unit_d", 1)(exprs => UnitNorm(exprs.head))))
+    extensions.injectFunction((
       new FunctionIdentifier("dist2_d"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "dist2_d"),
       arity("dist2_d", 2)(exprs => SquaredDistance(exprs.head, exprs(1)))))

@@ -104,7 +104,16 @@ object Similarity {
     * raw (no cosine neighborhood to align with; assignment still
     * total).
     */
-  private[ops] def unitOf(v: Column): Column = {
+  private[ops] def unitOf(v: Column): Column = call_function("unit_d", v)
+
+  /** The interpreted-HOF reference implementation of [[unitOf]] —
+    * kept solely as the spec's bit-equality oracle for `unit_d` (the
+    * [[Pq.codesOfHof]] convention). The native expression replaced it
+    * on the hot paths in r20: the HOF `transform` lambdas are
+    * interpreted (no codegen), and the corpus cell assignment plus
+    * the probe-derivation normalize evaluate this once per row.
+    */
+  private[graft] def unitOfHof(v: Column): Column = {
     val n = sqrt(dot(v, v))
     when(n === 0.0d, transform(v, x => x.cast("double")))
       .otherwise(transform(v, x => x.cast("double") / n))

@@ -40,6 +40,7 @@ class CodegenCompiledSpec extends AnyFunSuite {
     "phrase_count" -> "phrase_count(split(concat('a b c d ', id), ' '), array('b', 'c'))",
     "dot_d" -> "dot_d(array(cast(id as double), 2.0d), array(1.0d, 3.0d))",
     "dist2_d" -> "dist2_d(array(cast(id as double), 2.0d), array(1.0d, 3.0d))",
+    "unit_d" -> "unit_d(array(cast(id as double), 2.0d, -1.5d))",
     "int8_pack" -> "int8_pack(array(cast(id as double), -3.5d), 0.1d)",
     "int8_dot" -> ("int8_dot(int8_pack(array(cast(id % 100 as double)), 1.0d), " +
       "int8_pack(array(2.0d), 1.0d))"),
