@@ -325,17 +325,37 @@ object Pq {
     * non-cheap `pq_encode`, so the corpus is argmin-encoded exactly
     * once per row (PqPlanSpec pins the single encode site).
     */
-  private[ops] def encoded(embeddings: DataFrame, b: Codebook): DataFrame = {
-    val sq = sqTabCol(b)
+  private[ops] def encoded(embeddings: DataFrame, b: Codebook): DataFrame =
     Spread(embeddings)
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(Similarity.dot(col("v"), col("v"))))
       .withColumn("codes", codesOf(col("v"), b))
       .withColumn("pcodes", call_function("pq_pack", col("codes")))
-      .withColumn("pq_norm", sqrt(aggregate(
+      // Σ_s sq[s·k + codes(s)] IS the adc_dot lookup-sum shape, so the
+      // norm rides the existing native expression instead of the
+      // interpreted aggregate(zip_with(element_at…)) fold it replaced
+      // (r20: the last interpreted lambda in the per-corpus-row encode
+      // projection; adc_dot accumulates the same doubles in the same
+      // s-ascending left-fold order, so pq_norm is bit-identical —
+      // pinned by the pqNormBoth spec hook)
+      .withColumn("pq_norm",
+        sqrt(call_function("adc_dot", col("codes"), sqTabCol(b), lit(b.k))))
+
+  /** Spec hook: the native-ridden `pq_norm` beside the interpreted
+    * HOF fold it replaced, for the bit-equality pin (the
+    * [[encodedBoth]] convention).
+    */
+  private[ops] def pqNormBoth(embeddings: DataFrame): DataFrame = {
+    val base = Spread(embeddings)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val b = codebookFor(base, 16, 32, 1)
+    val sq = sqTabCol(b)
+    encoded(embeddings, b).select(col("vec_id"),
+      col("pq_norm").as("pq_norm_native"),
+      sqrt(aggregate(
         zip_with(col("codes"), sequence(lit(0), lit(b.m - 1)),
           (c, s) => element_at(sq, s * b.k + c + 1)),
-        lit(0.0d), (a, x) => a + x)))
+        lit(0.0d), (a, x) => a + x)).as("pq_norm_hof"))
   }
 
   /** Spec hook: native and HOF codes side by side for the

@@ -185,6 +185,20 @@ class ExtensionsSpec extends AnyFunSuite {
     } finally Pq.clearCodebookCache()
   }
 
+  test("native adc_dot pq_norm equals the HOF lookup-sum fold, bit for bit") {
+    try {
+      for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+        val emb = graft.engine.Tables.table(spark, sf, "embeddings")
+        Pq.pqNormBoth(emb).collect().foreach { r =>
+          assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1))
+            == java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+            s"pq_norm drifted from the HOF fold at $sf: " +
+              s"${r.getDouble(1)} != ${r.getDouble(2)} (vec ${r.getLong(0)})")
+        }
+      }
+    } finally Pq.clearCodebookCache()
+  }
+
   test("PQ prefilter covers the true neighbors with margin at the default depth") {
     // the contract behind reusing brute's oracle: if quantizer drift
     // ever pushes a true top-5 neighbor toward the 400-candidate
